@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines.
+
+Generalizes the reference's MD5 dedup-hash usage (StreamingApp.scala:361,
+377-380 — producer hash vs recomputed hash, verification TODO at :322-324)
+into the dedup family a 100 TB text pipeline needs:
+
+  exact         content-hash groupBy (one shuffle on the hash)
+  approx        HyperLogLog distinct estimate (no shuffle of raw values)
+  minhash LSH   shingle → 16 minhash → 4 bands → bucket join → verify
+  simhash       48-bit weighted token fingerprint → banded hamming join
+  ngram-jaccard rare-shingle candidate join → exact Jaccard verify
+
+Sketches use the engine-portable MD5-derived hash family
+(functions/hashing.py) so every stage is reproducible bit-for-bit in the
+DuckDB oracle — including the final near-dup pair decisions.
+
+Scale design: signatures are computed SCALAR-WISE (array exprs over the
+token list — zero shuffles, whole-stage codegen); only the band-bucket join
+shuffles, and it shuffles 16 small integers per doc, not the text. Candidate
+verification touches only bucket-collision pairs, never the O(n²) space.
+A deterministic set of planted near-duplicates (every 50th doc, +1_000_000
+id offset) gives the detectors real positives in the fixture corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_K = 3
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+PLANT_EVERY = 50
+PLANT_OFFSET = 1_000_000
+PLANT_SUFFIX = " planted near duplicate suffix"
+SIM_BITS = 48
+SIM_BAND_BITS = 12
+SIM_HAMMING_MAX = 6
+JACCARD_RARE_DF = 4
+JACCARD_MIN = 0.4
+
+_HASH = "cast(conv(substr(md5('{seed}:' || {x}),1,15),16,10) as bigint)"
+_HASH_DUCK = "CAST(('0x' || substr(md5('{seed}:' || {x}),1,15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- exact/approx
+
+def dedup_exact(events: DataFrame) -> DataFrame:
+    """Exact dedup by content with deterministic survivor: group by content,
+    keep min id — the set-oriented form of `dropDuplicates` (which keeps an
+    arbitrary row and so cannot be oracle-checked)."""
+    return (events.groupBy(F.col("props").alias("content"))
+            .agg(F.min("event_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def dedup_approx(events: DataFrame) -> DataFrame:
+    """Approximate distinct content count (HLL±5%) next to the exact count —
+    the scale path when even the hash shuffle is too much."""
+    return events.agg(
+        F.approx_count_distinct("props").alias("approx_distinct"),
+        F.countDistinct("props").alias("exact_distinct"),
+    )
+
+
+# ---------------------------------------------------------------- corpus prep
+
+def planted_corpus(documents: DataFrame) -> DataFrame:
+    """documents ∪ mutated copies of every PLANT_EVERY-th doc."""
+    mutated = (documents.filter(F.col("doc_id") % PLANT_EVERY == 0)
+               .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text")))
+    return documents.select("doc_id", "text").unionByName(mutated)
+
+
+PLANTED_CORPUS_SQL = (
+    f"SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || '{PLANT_SUFFIX}' AS text "
+    f"FROM documents WHERE doc_id % {PLANT_EVERY} = 0"
+)
+
+
+def _with_tokens(corpus: DataFrame) -> DataFrame:
+    return corpus.withColumn(
+        "tk", F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != ""))
+
+
+def _with_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    sgl = F.expr(
+        f"CASE WHEN size(tk) >= {k} THEN "
+        f"transform(sequence(1, size(tk) - {k - 1}), i -> concat_ws(' ', slice(tk, i, {k}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return _with_tokens(corpus).withColumn("sgl", sgl)
+
+
+_TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
+
+
+def _shingles_duck(k: int = SHINGLE_K) -> str:
+    return (
+        f"CASE WHEN len(tk) >= {k} THEN "
+        f"[array_to_string(tk[i:i+{k - 1}], ' ') FOR i IN generate_series(1, len(tk) - {k - 1})] "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+def minhash_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs: (doc1, doc2, est_jaccard ≥ 0.5).
+
+    Stages — each one shuffle or less:
+      1. signatures: 16 array_min(transform(shingles, hᵢ)) per doc (no shuffle)
+      2. bands: md5 of each 4-minhash slice, exploded to (band_id, hash)
+      3. bucket join on (band_id, hash) with doc1 < doc2 → candidates
+      4. verify: signature agreement fraction as the Jaccard estimate
+    """
+    sh = _with_shingles(planted_corpus(documents))
+    sig = sh.select(
+        "doc_id",
+        *[F.expr(f"array_min(transform(sgl, s -> {_HASH.format(seed=i, x='s')}))")
+          .alias(f"mh{i}") for i in range(N_HASHES)],
+    )
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{j * ROWS_PER_BAND + r}").cast("string")
+                                 for r in range(ROWS_PER_BAND)])).alias(f"b{j}")
+        for j in range(N_BANDS)
+    ]
+    stack_args = ", ".join(f"{j}, b{j}" for j in range(N_BANDS))
+    bands = (sig.select("doc_id", *band_cols)
+             .selectExpr("doc_id",
+                         f"stack({N_BANDS}, {stack_args}) as (band_id, band_hash)"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .distinct())
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    agree = sum(
+        F.when(F.col(f"s1.mh{i}") == F.col(f"s2.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (cand
+            .join(s1, F.col("doc1") == F.col("s1.doc_id"))
+            .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+            .select("doc1", "doc2",
+                    (agree / F.lit(float(N_HASHES))).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5))
+
+
+def minhash_oracle_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sgl, s -> {_HASH_DUCK.format(seed=i, x='s')})) AS mh{i}"
+        for i in range(N_HASHES))
+    band_sel = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
+        .format(j=j, cols=", ".join(
+            f"CAST(mh{j * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)))
+        for j in range(N_BANDS))
+    agree = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),
+tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
+sh AS (SELECT doc_id, {_shingles_duck()} AS sgl FROM tks),
+sig AS (SELECT doc_id, {mh} FROM sh),
+bands AS ({band_sel}),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
+         JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, ({agree}) / {float(N_HASHES)} AS est_jaccard
+FROM cand JOIN sig s1 ON cand.doc1 = s1.doc_id JOIN sig s2 ON cand.doc2 = s2.doc_id
+WHERE ({agree}) / {float(N_HASHES)} >= 0.5
+"""
+
+
+# ------------------------------------------------------------------- simhash
+
+def simhash_pairs(documents: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit token-weighted fingerprint, banded
+    (4×12-bit) candidate join, hamming-distance verify (≤ {SIM_HAMMING_MAX}).
+
+    The per-doc fingerprint is pure array math over the hashed token list —
+    no explode, no shuffle until the tiny band join."""
+    corpus = _with_tokens(planted_corpus(documents)).withColumn(
+        "hk", F.expr(f"transform(tk, t -> {_HASH.format(seed=99, x='t')})"))
+    bit_sums = [
+        F.expr(f"aggregate(transform(hk, h -> cast(2 * (shiftright(h, {b}) & 1) - 1 as int)), "
+               f"0, (a, x) -> a + x)").alias(f"s{b}")
+        for b in range(SIM_BITS)
+    ]
+    assembled = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIM_BITS)
+    )
+    sig = (corpus.select("doc_id", *bit_sums)
+           .select("doc_id", assembled.alias("simhash")))
+    n_bands = SIM_BITS // SIM_BAND_BITS
+    mask = (1 << SIM_BAND_BITS) - 1
+    stack_args = ", ".join(
+        f"{j}, shiftright(simhash, {j * SIM_BAND_BITS}) & {mask}" for j in range(n_bands))
+    bands = sig.selectExpr(
+        "doc_id", "simhash", f"stack({n_bands}, {stack_args}) as (band_id, band_key)")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"),
+                    F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= SIM_HAMMING_MAX))
+
+
+def simhash_oracle_sql() -> str:
+    bit_sums = ", ".join(
+        f"list_sum(list_transform(hk, h -> 2 * ((h >> {b}) & 1) - 1)) AS s{b}"
+        for b in range(SIM_BITS))
+    assembled = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIM_BITS))
+    n_bands = SIM_BITS // SIM_BAND_BITS
+    mask = (1 << SIM_BAND_BITS) - 1
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, (simhash >> {j * SIM_BAND_BITS}) & {mask} AS band_key FROM sig"
+        for j in range(n_bands))
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),
+tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
+hks AS (SELECT doc_id, list_transform(tk, t -> {_HASH_DUCK.format(seed=99, x='t')}) AS hk FROM tks),
+bits AS (SELECT doc_id, {bit_sums} FROM hks),
+sig AS (SELECT doc_id, {assembled} AS simhash FROM bits),
+bands AS ({band_sel})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIM_HAMMING_MAX}
+"""
+
+
+# -------------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, rare-shingle blocking:
+    candidates share a shingle with document frequency ≤ {JACCARD_RARE_DF}
+    (rare shingles are the discriminative ones; common-vocab shingles would
+    otherwise make the candidate join quadratic), then exact
+    J = |A∩B| / |A∪B| over DISTINCT shingle sets for candidates only."""
+    sh = (_with_shingles(planted_corpus(documents))
+          .select("doc_id", F.explode("sgl").alias("shingle")).distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= JACCARD_RARE_DF).select("shingle"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (a.join(rare, "shingle").join(b.withColumnRenamed("doc_id", "doc2"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("doc2"))
+            .select(F.col("a.doc_id").alias("doc1"), "doc2").distinct())
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+             .join(cand, ["doc1", "doc2"], "left_semi")
+             .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
+    s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
+    return (inter.join(s1, "doc1").join(s2, "doc2")
+            .select("doc1", "doc2",
+                    (F.col("n_inter").cast("double")
+                     / (F.col("n1") + F.col("n2") - F.col("n_inter"))).alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_MIN))
+
+
+def ngram_jaccard_oracle_sql() -> str:
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),
+tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
+shl AS (SELECT doc_id, {_shingles_duck()} AS sgl FROM tks),
+sh AS (SELECT DISTINCT doc_id, unnest(sgl) AS shingle FROM shl),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_RARE_DF}),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+         WHERE a.doc_id < b.doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cand c ON c.doc1 = a.doc_id AND c.doc2 = b.doc_id
+          GROUP BY 1, 2)
+SELECT doc1, doc2,
+       CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
+FROM inter JOIN sizes s1 ON inter.doc1 = s1.doc_id
+JOIN sizes s2 ON inter.doc2 = s2.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= {JACCARD_MIN}
+"""

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Extension surface grounded in the reference's binary-payload + hash-lookup
+primitives (SURVEY.md §2.K): brute-force cosine top-k as the exactness
+baseline, IVF (coarse-quantizer cells) as the scale path.
+
+All vector math is double-precision JVM array expressions
+(`aggregate`/`zip_with`) — sequential accumulation, so the DuckDB oracle
+(explicit dot/norm formula) reproduces results bit-for-bit; similarities are
+rounded to 6 dp before any threshold/ordering to absorb the last ulp.
+
+Scale: brute force is O(n·q) dots — fine for one query, wrong for n×n.
+The IVF variant prunes to `probes` cells (centroid assignment is the same
+argmax-dot expression), cutting the scanned fraction to probes/n_cells;
+at 100 TB the cell id becomes the partition key so a probe touches only
+its partitions (partition pruning on write layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_CELLS = 8
+N_PROBES = 2
+TOP_K = 10
+NEAR_DUP_COS = 0.99
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+_DOT_DUCK = "list_dot_product({a}, {b})"
+
+
+def _as_double(col: str) -> object:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _cosine(a: str, b: str) -> object:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)")
+
+
+def _cosine_duck(a: str, b: str) -> str:
+    return (f"round({_DOT_DUCK.format(a=a, b=b)} / "
+            f"(sqrt({_DOT_DUCK.format(a=a, b=a)}) * sqrt({_DOT_DUCK.format(a=b, b=b)})), 6)")
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = TOP_K) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of `query_vec_id`.
+
+    The 1-row query side is broadcast (explicitly) so the scan side never
+    shuffles; ordering is (sim DESC, vec_id) for a deterministic k-set."""
+    emb = embeddings.withColumn("e", _as_double("embedding"))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    return (emb.filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qv))
+            .select("vec_id", "label", _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
+
+
+def cosine_topk_oracle_sql(query_vec_id: int = 0, k: int = TOP_K) -> str:
+    cos = _cosine_duck("e", "q")
+    return f"""
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id})
+SELECT vec_id, label, {cos} AS sim
+FROM emb, q WHERE vec_id != {query_vec_id}
+ORDER BY sim DESC, vec_id LIMIT {k}
+"""
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs with cos ≥ {NEAR_DUP_COS}.
+
+    Planted near-identical vectors (every 50th, +0.01 on the first
+    coordinate, id+1_000_000) give true positives. Brute all-pairs here;
+    the LSH/IVF blocking above is the 100 TB path (see ivf_topk)."""
+    emb = embeddings.select(
+        "vec_id", _as_double("embedding").alias("e"))
+    planted = (emb.filter(F.col("vec_id") % 50 == 0)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.expr("transform(e, (x, i) -> CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
+                        .alias("e")))
+    corpus = emb.unionByName(planted)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"),
+                    _cosine("a.e", "b.e").alias("sim"))
+            .filter(F.col("sim") >= NEAR_DUP_COS))
+
+
+def embedding_near_dup_oracle_sql() -> str:
+    cos = _cosine_duck("a.e", "b.e")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planted AS (SELECT vec_id + 1000000 AS vec_id,
+                   [CASE WHEN i = 1 THEN e[i] + 0.01 ELSE e[i] END
+                    FOR i IN generate_series(1, len(e))] AS e
+            FROM emb WHERE vec_id % 50 = 0),
+corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2, {cos} AS sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {cos} >= {NEAR_DUP_COS}
+"""
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,
+             k: int = TOP_K) -> DataFrame:
+    """IVF-style ANN: coarse cells = the first {N_CELLS} vectors as
+    centroids; every vector is assigned to its argmax-dot cell; the query
+    probes its best {N_PROBES} cells and ranks only those members.
+
+    Returns (vec_id, label, sim, cell) — sim rounded to 6 dp. Centroid
+    assignment uses raw doubles with (dot DESC, cell) tie-break so both
+    engines pick identical cells."""
+    emb = embeddings.withColumn("e", _as_double("embedding"))
+    cents = (emb.filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "label", "e", "cell",
+                      F.expr(_DOT.format(a="e", b="c")).alias("dot")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn", "dot"))
+    probe_cells = (assigned.filter(F.col("vec_id") == query_vec_id)
+                   .select("e").crossJoin(F.broadcast(cents))
+                   .select("cell", F.expr(_DOT.format(a="e", b="c")).alias("dot"))
+                   .orderBy(F.desc("dot"), "cell").limit(N_PROBES)
+                   .select("cell"))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    return (assigned.join(F.broadcast(probe_cells), "cell", "left_semi")
+            .filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qv))
+            .select("vec_id", "label", "cell", _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
+
+
+def ivf_topk_oracle_sql(query_vec_id: int = 0, k: int = TOP_K) -> str:
+    cos = _cosine_duck("m.e", "q.q")
+    return f"""
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS}),
+scored AS (SELECT emb.vec_id, emb.label, emb.e, cents.cell,
+                  list_dot_product(emb.e, cents.c) AS dot,
+                  row_number() OVER (PARTITION BY emb.vec_id
+                                     ORDER BY list_dot_product(emb.e, cents.c) DESC, cents.cell) AS rn
+           FROM emb, cents),
+assigned AS (SELECT vec_id, label, e, cell FROM scored WHERE rn = 1),
+probe AS (SELECT cents.cell FROM (SELECT e FROM emb WHERE vec_id = {query_vec_id}) qq, cents
+          ORDER BY list_dot_product(qq.e, cents.c) DESC, cents.cell LIMIT {N_PROBES}),
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id})
+SELECT m.vec_id, m.label, m.cell, {cos} AS sim
+FROM assigned m JOIN probe USING (cell), q
+WHERE m.vec_id != {query_vec_id}
+ORDER BY sim DESC, m.vec_id LIMIT {k}
+"""
