@@ -46,20 +46,26 @@ _HASH_DUCK = "CAST(('0x' || substr(md5('{seed}:' || {x}),1,15)) AS BIGINT)"
 # ---------------------------------------------------------------- exact/approx
 
 def dedup_exact(events: DataFrame) -> DataFrame:
-    """Exact dedup by content with deterministic survivor: group by content,
-    keep min id — the set-oriented form of `dropDuplicates` (which keeps an
-    arbitrary row and so cannot be oracle-checked)."""
-    return (events.groupBy(F.col("props").alias("content"))
+    """Exact dedup with deterministic survivor: group by the content HASH
+    (16 bytes shuffle per row, not the document text — the only shape that
+    holds at 100 TB), keep min id — the set-oriented form of
+    `dropDuplicates` (which keeps an arbitrary row and so cannot be
+    oracle-checked)."""
+    return (events.groupBy(F.md5("props").alias("content_hash"))
             .agg(F.min("event_id").alias("keeper_id"),
                  F.count(F.lit(1)).alias("n_copies")))
 
 
 def dedup_approx(events: DataFrame) -> DataFrame:
-    """Approximate distinct content count (HLL±5%) next to the exact count —
-    the scale path when even the hash shuffle is too much."""
+    """Approximate distinct content count — the scale path when even the
+    hash shuffle is too much. HLL estimates differ engine-to-engine, so the
+    checkable output is the exact count plus a within-5% flag that each
+    engine computes over its OWN estimator."""
+    exact = F.countDistinct("props")
+    approx = F.approx_count_distinct("props")
     return events.agg(
-        F.approx_count_distinct("props").alias("approx_distinct"),
-        F.countDistinct("props").alias("exact_distinct"),
+        exact.alias("exact_distinct"),
+        (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias("approx_ok"),
     )
 
 

@@ -14,17 +14,19 @@ variant DatabasePrepare.scala:107-139), invoked once per micro-batch through a
 5. returns the *delta*: files whose max extent lands in ``[old_hw, new_hw)``
    via 3-way join + GROUP BY/HAVING (:253).
 
-Spark-first re-expression: the imperative cursor loop becomes a pure window
-composition — ``gap = (sequence != row_number-1)``; ``bad = max(gap)`` over an
-unbounded-preceding frame; keep ``bad=0`` rows; ``hw = max(cumsum(size))``.
-No UDF, no driver loop, whole-stage codegen end to end.
+Spark-first re-expression, two forms:
 
-Scale note (100 TB): a single global ``ORDER BY sequence`` window is the
-reference's own serialization point (repartition(1)). We keep it ONLY for the
-single-case batch analog; the multi-case form (`highwater_per_key`) partitions
-the window by case key, which is how the real cluster runs — one modest-sized
-sorted partition per disk image, all images in parallel. Sums are done in
-DECIMAL so results are exact and engine-independent, then cast back to DOUBLE.
+* single-case (`contiguous_prefix_hw`): NO global window at all. The first
+  gap of a 0-based sequence set S is ``min({0} ∪ {s+1 : s ∈ S}) \\ S`` — one
+  keyed left-anti self-join + two aggregations, every shuffle hash-keyed, no
+  "move all data to a single partition" stage. This deliberately beats the
+  reference's own ``repartition(1)`` choke (StreamingApp.scala:395).
+* multi-case (`highwater_per_key`): window functions PARTITIONED by case key
+  — one modest sorted partition per disk image, all images in parallel; this
+  is the form a 1000-executor cluster runs.
+
+Sums are done in DECIMAL so results are exact and engine-independent, then
+cast back to DOUBLE.
 """
 
 from __future__ import annotations
@@ -52,27 +54,46 @@ def chunk_table(events: DataFrame) -> DataFrame:
 def contiguous_prefix_hw(chunks: DataFrame,
                          seq: str = "sequence",
                          size: str = "size") -> DataFrame:
-    """Single-row DataFrame: (hw_bytes, last_seq, last_name?, n_chunks) — the
-    longest gap-free prefix of `chunks` ordered by `seq`, 0-based.
+    """Single-row DataFrame: (hw_bytes, last_seq, n_chunks) — the longest
+    gap-free 0-based prefix of `chunks` by `seq`.
 
-    Pure window composition of reference StreamingApp.scala:238-246.
+    Set-oriented form of reference StreamingApp.scala:238-246: the first
+    missing sequence g = min(({0} ∪ {s+1 | s ∈ S}) − S); the HW is the size
+    sum over seq < g. One anti-join + two aggregations — no global-order
+    window, so the plan has no single-partition stage at any scale.
     """
-    w = Window.orderBy(seq).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sized = chunks.withColumn("_sz", F.col(size).cast("decimal(18,4)"))
-    rn = F.row_number().over(Window.orderBy(seq))
-    flagged = (
-        sized
-        .withColumn("_rn", rn)
-        .withColumn("_gap", (F.col(seq) != F.col("_rn") - 1).cast("int"))
-        .withColumn("_bad", F.max("_gap").over(w))
-        .withColumn("_cum", F.sum("_sz").over(w))
+    arrived = chunks.select(
+        F.col(seq).cast("long").alias("_seq"),
+        F.col(size).cast("decimal(18,4)").alias("_sz"),
     )
-    kept = flagged.filter(F.col("_bad") == 0)
-    return kept.agg(
-        F.max("_cum").cast("double").alias("hw_bytes"),
-        F.max(seq).alias("last_seq"),
-        F.count(F.lit(1)).alias("n_chunks"),
+    cand = arrived.select((F.col("_seq") + 1).alias("_cand")).unionByName(
+        arrived.select(F.lit(0).cast("long").alias("_cand")).limit(1))
+    first_gap = (
+        cand.join(arrived.select(F.col("_seq").alias("_cand")), "_cand", "left_anti")
+        .agg(F.min("_cand").alias("_first_gap"))
     )
+    return (
+        arrived.crossJoin(F.broadcast(first_gap))  # 1-row gap dim
+        .filter(F.col("_seq") < F.col("_first_gap"))
+        .agg(
+            F.sum("_sz").cast("double").alias("hw_bytes"),
+            F.max("_seq").alias("last_seq"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+
+
+def hw_scalar_sql(src: str = "events", gap_drop: int = GAP_DROP) -> str:
+    """DuckDB twin of chunk_table → contiguous_prefix_hw over `events`."""
+    return f"""
+arrived AS (SELECT event_id AS seq, CAST(value AS DECIMAL(18,4)) AS sz
+            FROM {src} WHERE event_id % {gap_drop} != {gap_drop - 1}),
+g AS (SELECT min(c) AS first_gap FROM (
+        SELECT seq + 1 AS c FROM arrived UNION ALL SELECT 0) cands
+      WHERE c NOT IN (SELECT seq FROM arrived)),
+hw AS (SELECT CAST(sum(sz) AS DOUBLE) AS hw_bytes, max(seq) AS last_seq,
+              count(*) AS n_chunks
+       FROM arrived, g WHERE seq < first_gap)"""
 
 
 def highwater_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
@@ -107,6 +128,64 @@ def highwater_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
             F.count(F.lit(1)).alias("n_chunks"),
         )
     )
+
+
+def update_hw_monotonic(events: DataFrame,
+                        prev_cutoff: int = 50) -> DataFrame:
+    """Monotonic high-water advance + log row (StreamingApp.scala:247-252;
+    `highwatermark(previous, current, current_seq, status)` DDL :218):
+    recompute the HW, advance the stored row only if the new HW is greater.
+
+    Batch-checkable twin: the "stored" HW is the watermark of the first
+    `prev_cutoff` sequences (the previous batch's arrivals; 50 < the
+    first planted gap at 96, so the full recompute genuinely advances); `current` =
+    greatest(stored, computed). Output is the post-update highwatermark row
+    — (previous, current, current_seq, advanced).
+    """
+    stored = contiguous_prefix_hw(chunk_table(
+        events.filter((F.col("event_id") % GAP_DROP != GAP_DROP - 1)
+                      & (F.col("event_id") < prev_cutoff)))) \
+        .select(F.col("hw_bytes").alias("stored_hw"),
+                F.col("last_seq").alias("stored_seq"))
+    computed = contiguous_prefix_hw(chunk_table(
+        events.filter(F.col("event_id") % GAP_DROP != GAP_DROP - 1))) \
+        .select(F.col("hw_bytes").alias("new_hw"),
+                F.col("last_seq").alias("new_seq"))
+    adv = F.col("new_hw") > F.col("stored_hw")
+    return (stored.crossJoin(computed)  # two 1-row states
+            .select(
+                F.col("stored_hw").alias("previous"),
+                F.when(adv, F.col("new_hw")).otherwise(F.col("stored_hw"))
+                 .alias("current"),
+                F.when(adv, F.col("new_seq")).otherwise(F.col("stored_seq"))
+                 .alias("current_seq"),
+                adv.cast("int").alias("advanced"),
+            ))
+
+
+def hw_monotonic_oracle_sql(prev_cutoff: int = 50,
+                            gap_drop: int = GAP_DROP) -> str:
+    return f"""
+WITH prev_arr AS (SELECT event_id AS seq, CAST(value AS DECIMAL(18,4)) AS sz
+                  FROM events WHERE event_id % {gap_drop} != {gap_drop - 1}
+                    AND event_id < {prev_cutoff}),
+prev_g AS (SELECT min(c) AS fg FROM (
+             SELECT seq + 1 AS c FROM prev_arr UNION ALL SELECT 0) x
+           WHERE c NOT IN (SELECT seq FROM prev_arr)),
+prev_hw AS (SELECT CAST(sum(sz) AS DOUBLE) AS stored_hw, max(seq) AS stored_seq
+            FROM prev_arr, prev_g WHERE seq < fg),
+cur_arr AS (SELECT event_id AS seq, CAST(value AS DECIMAL(18,4)) AS sz
+            FROM events WHERE event_id % {gap_drop} != {gap_drop - 1}),
+cur_g AS (SELECT min(c) AS fg FROM (
+            SELECT seq + 1 AS c FROM cur_arr UNION ALL SELECT 0) x
+          WHERE c NOT IN (SELECT seq FROM cur_arr)),
+cur_hw AS (SELECT CAST(sum(sz) AS DOUBLE) AS new_hw, max(seq) AS new_seq
+           FROM cur_arr, cur_g WHERE seq < fg)
+SELECT stored_hw AS previous,
+       CASE WHEN new_hw > stored_hw THEN new_hw ELSE stored_hw END AS current,
+       CASE WHEN new_hw > stored_hw THEN new_seq ELSE stored_seq END AS current_seq,
+       CAST(new_hw > stored_hw AS INT) AS advanced
+FROM prev_hw, cur_hw"""
 
 
 def released_files(extents: DataFrame, hw_before, hw_after,

@@ -55,30 +55,35 @@ def claim_one(q: DataFrame) -> DataFrame:
     """Post-state of the exactly-once claim: the lowest available file flips
     status 0→1 and gets a `removed` stamp (FileWorkerApp.scala:207-227;
     `limit 1` claim :210). Deterministic twin of `SELECT … LIMIT 1` +
-    `UPDATE`: min(file_id) over status=0."""
+    `UPDATE`: min(file_id) over status=0. All queue columns are carried so
+    the output composes as a desh_files post-state."""
     claimed = q.filter(F.col("status") == 0).agg(F.min("file_id").alias("cid"))
+    hit = F.col("file_id") == F.col("cid")
     return (
         q.join(F.broadcast(claimed))
         .select(
-            "file_id",
-            F.when(F.col("file_id") == F.col("cid"), 1)
-             .otherwise(F.col("status")).alias("status"),
-            F.when(F.col("file_id") == F.col("cid"),
-                   F.lit(TS_CLAIM).cast("timestamp_ntz")).alias("removed"),
+            "file_id", "resident", "error_status", "hw_after",
+            F.when(hit, 1).otherwise(F.col("status")).alias("status"),
+            F.when(hit, F.lit(TS_CLAIM).cast("timestamp_ntz")).alias("removed"),
         )
     )
 
 
 def status_transitions(q: DataFrame) -> DataFrame:
-    """started/finished transition projection (FileWorkerApp.scala:114-117,
-    324-334): claimed(1)→started(2)→finished(3) with stamps."""
-    return q.select(
-        "file_id",
-        F.when(F.col("status") == 1, 2)
-         .when(F.col("status") == 2, 3)
-         .otherwise(F.col("status")).alias("status"),
+    """The claimed→started→finished progression (FileWorkerApp.scala:
+    114-117,324-334) applied as two chained projections, so status 2 is
+    genuinely populated and then finished: claimed(1) files get a `started`
+    stamp and move to 2; started(2) files get a `finished` stamp and move
+    to 3. All queue columns are carried through."""
+    started = q.select(
+        "file_id", "resident", "error_status", "hw_after",
+        F.when(F.col("status") == 1, 2).otherwise(F.col("status")).alias("status"),
         F.when(F.col("status") == 1,
                F.lit(TS_CLAIM).cast("timestamp_ntz")).alias("started"),
+    )
+    return started.select(
+        "file_id", "resident", "error_status", "hw_after", "started",
+        F.when(F.col("status") == 2, 3).otherwise(F.col("status")).alias("status"),
         F.when(F.col("status") == 2,
                F.lit(TS_DONE).cast("timestamp_ntz")).alias("finished"),
     )
