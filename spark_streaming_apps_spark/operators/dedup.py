@@ -263,10 +263,12 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     cand = (a.join(rare, "shingle").join(b.withColumnRenamed("doc_id", "doc2"), "shingle")
             .filter(F.col("a.doc_id") < F.col("doc2"))
             .select(F.col("a.doc_id").alias("doc1"), "doc2").distinct())
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-             .join(cand, ["doc1", "doc2"], "left_semi")
+    # Intersection sizes are computed FROM the candidate pairs (cand → sh
+    # twice, all keyed equi-joins) — never from an unblocked sh ⋈ sh on
+    # every shared shingle, which a single common shingle makes quadratic.
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (cand.join(sh1, "doc1").join(sh2, ["doc2", "shingle"])
              .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
     s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
     s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
@@ -288,9 +290,9 @@ rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_RAR
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
          FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
          WHERE a.doc_id < b.doc_id),
-inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          JOIN cand c ON c.doc1 = a.doc_id AND c.doc2 = b.doc_id
+inter AS (SELECT c.doc1, c.doc2, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.doc_id = c.doc1
+                      JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
           GROUP BY 1, 2)
 SELECT doc1, doc2,
        CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard

@@ -73,11 +73,14 @@ ORDER BY sim DESC, vec_id LIMIT {k}
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
-    """Embedding-cosine near-dup detection: all pairs with cos ≥ {NEAR_DUP_COS}.
-
-    Planted near-identical vectors (every 50th, +0.01 on the first
-    coordinate, id+1_000_000) give true positives. Brute all-pairs here;
-    the LSH/IVF blocking above is the 100 TB path (see ivf_topk)."""
+    """Embedding-cosine near-dup pairs (cos ≥ {NEAR_DUP_COS}) with IVF-cell
+    blocking — the scale path: every vector is assigned to its top
+    {N_PROBES} coarse cells (multi-probe, so near-ties don't split a true
+    pair across a cell boundary), pairs form only WITHIN a shared cell via
+    a keyed equi-join, and the exact cosine verifies candidates. No
+    all-pairs cross join anywhere in the plan; at 100 TB the cell id is
+    the partition key. Planted near-identical vectors (every 50th, +0.01
+    on the first coordinate, id+1_000_000) give true positives."""
     emb = embeddings.select(
         "vec_id", _as_double("embedding").alias("e"))
     planted = (emb.filter(F.col("vec_id") % 50 == 0)
@@ -85,11 +88,24 @@ def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
                        F.expr("transform(e, (x, i) -> CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
                         .alias("e")))
     corpus = emb.unionByName(planted)
-    a, b = corpus.alias("a"), corpus.alias("b")
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"),
+    cents = (emb.filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
+    assigned = (corpus.crossJoin(F.broadcast(cents))
+                .select("vec_id", "e", "cell",
+                        F.expr(_DOT.format(a="e", b="c")).alias("dot"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= N_PROBES)
+                .select("vec_id", "e", "cell"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec1"),
+                    F.col("b.vec_id").alias("vec2"),
                     _cosine("a.e", "b.e").alias("sim"))
-            .filter(F.col("sim") >= NEAR_DUP_COS))
+            .filter(F.col("sim") >= NEAR_DUP_COS)
+            .distinct())
 
 
 def embedding_near_dup_oracle_sql() -> str:
@@ -100,9 +116,16 @@ planted AS (SELECT vec_id + 1000000 AS vec_id,
                    [CASE WHEN i = 1 THEN e[i] + 0.01 ELSE e[i] END
                     FOR i IN generate_series(1, len(e))] AS e
             FROM emb WHERE vec_id % 50 = 0),
-corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM planted)
-SELECT a.vec_id AS vec1, b.vec_id AS vec2, {cos} AS sim
-FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM planted),
+cents AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS}),
+scored AS (SELECT corpus.vec_id, corpus.e, cents.cell,
+                  row_number() OVER (PARTITION BY corpus.vec_id
+                                     ORDER BY list_dot_product(corpus.e, cents.c) DESC,
+                                              cents.cell) AS rn
+           FROM corpus, cents),
+assigned AS (SELECT vec_id, e, cell FROM scored WHERE rn <= {N_PROBES})
+SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2, {cos} AS sim
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE {cos} >= {NEAR_DUP_COS}
 """
 

@@ -1,0 +1,68 @@
+"""Planted-near-duplicate recall for all three near-dup detectors, plus the
+exact/approx paths.
+
+dedup.planted_corpus plants a mutated copy of every 50th doc at
+doc_id+1_000_000 (true 3-gram Jaccard of the planted pairs at sf0.001:
+0.75-0.96). Each detector's recall floor below is CALIBRATED to its known,
+deterministic behavior on those pairs — all hashes are seeded, so the
+outcome is stable, and a regression below the floor means real breakage:
+
+* minhash (16 hashes, 4 bands): P(candidate) at J=0.77 is ~0.78, so one
+  borderline pair (doc 400) is legitimately missed → floor 9/10.
+* ngram-jaccard (rare-shingle blocking, df<=4): doc 50's shingles are all
+  common, so the pair is never a candidate → floor 9/10.
+* simhash (48-bit, hamming<=6): the 4-token suffix shifts many bits of
+  SHORT docs — 4 short-doc pairs exceed the radius → floor 6/10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.operators import dedup
+
+PLANTED = {(i, i + dedup.PLANT_OFFSET) for i in range(0, 500, dedup.PLANT_EVERY)}
+
+
+def recovered(pairs_df):
+    return {(r[0], r[1]) for r in pairs_df.collect()} & PLANTED
+
+
+def test_minhash_recovers_planted(tables):
+    got = recovered(dedup.minhash_pairs(tables["documents"]))
+    assert len(got) >= 9, f"minhash recall regressed: {sorted(got)}"
+
+
+def test_ngram_jaccard_recovers_planted(tables):
+    got = recovered(dedup.ngram_jaccard_pairs(tables["documents"]))
+    assert len(got) >= 9, f"ngram-jaccard recall regressed: {sorted(got)}"
+
+
+def test_simhash_recovers_planted(tables):
+    got = recovered(dedup.simhash_pairs(tables["documents"]))
+    assert len(got) >= 6, f"simhash recall regressed: {sorted(got)}"
+
+
+def test_detectors_only_report_high_similarity(tables):
+    """Every reported pair must carry a score consistent with its filter."""
+    mh = dedup.minhash_pairs(tables["documents"])
+    assert mh.filter(F.col("est_jaccard") < 0.5).count() == 0
+    sh = dedup.simhash_pairs(tables["documents"])
+    assert sh.filter(F.col("hamming") > dedup.SIM_HAMMING_MAX).count() == 0
+    nj = dedup.ngram_jaccard_pairs(tables["documents"])
+    assert nj.filter(F.col("jaccard") < dedup.JACCARD_MIN).count() == 0
+
+
+def test_dedup_exact_counts(tables):
+    events = tables["events"]
+    out = dedup.dedup_exact(events)
+    total = out.agg(F.sum("n_copies")).first()[0]
+    assert total == events.count()
+    n_groups = events.select("props").distinct().count()
+    assert out.count() == n_groups
+
+
+def test_dedup_approx_within_tolerance(tables):
+    row = dedup.dedup_approx(tables["events"]).first()
+    assert row.approx_ok == 1
+    assert row.exact_distinct > 0

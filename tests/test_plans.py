@@ -1,0 +1,65 @@
+"""Scale-contract assertions: the physical plans must be the ones you'd
+ship to a 1000-executor cluster — filters at the scan, pruned columns,
+broadcast dims, no unconditioned joins except deliberate 1-row broadcasts,
+no quadratic candidate steps in the dedup/similarity paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.operators import (
+    dedup, highwater, relational, similarity)
+from spark_streaming_apps_spark.plans import (
+    bnlj_count, broadcast_join_count, cartesian_join_count, equi_join_on,
+    has_pushed_filter, read_schemas)
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    out = relational.filter_neq(tables["lineitem"])
+    assert has_pushed_filter(out, "l_linenumber")
+
+
+def test_projection_prunes_columns(tables):
+    out = relational.filter_neq(tables["lineitem"])
+    schemas = read_schemas(out)
+    assert schemas, "no ReadSchema found"
+    # 11-column lineitem must scan only the 3 projected columns
+    assert all(len(s.split(",")) == 3 for s in schemas), schemas
+
+
+def test_3way_join_broadcasts_dim(tables):
+    out = relational.join_inner_3way(
+        tables["orders"], tables["lineitem"], tables["customer"])
+    assert broadcast_join_count(out) >= 1
+
+
+def test_flagship_only_broadcast_crossjoin(tables):
+    out = highwater.hw_release_query(
+        tables["events"], tables["orders"], tables["lineitem"])
+    # the only nested-loop joins allowed are broadcasts of 1-row dims
+    # (first-gap scalar, HW scalar)
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) <= 3
+
+
+def test_ngram_jaccard_no_unblocked_selfjoin(tables):
+    out = dedup.ngram_jaccard_pairs(tables["documents"])
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+    assert equi_join_on(out, "shingle")
+
+
+def test_near_dup_no_allpairs_crossjoin(tables):
+    out = similarity.embedding_near_dup_pairs(tables["embeddings"])
+    # pair generation must be keyed on the IVF cell; only the tiny centroid
+    # broadcast (8 rows) may be a nested loop
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) <= 2
+    assert equi_join_on(out, "cell")
+
+
+def test_minhash_band_join_is_equi(tables):
+    out = dedup.minhash_pairs(tables["documents"])
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+    assert equi_join_on(out, "band_hash")
