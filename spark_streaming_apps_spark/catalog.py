@@ -601,6 +601,84 @@ register("multimodal_decode", oracle=multimodal.DECODE_ORACLE_SQL
 
 
 # =====================================================================
+# §2.H streaming (real Structured Streaming runs; deterministic finals)
+# =====================================================================
+
+def _streaming(name):
+    from . import streaming as _s
+    return getattr(_s, name)
+
+
+register("micro_batch_trigger", oracle="""
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""")(lambda s, d: _streaming("micro_batch_counts")(s, d))
+
+register("per_batch_transform", oracle="""
+SELECT event_id, user_id, CAST(strlen(props) AS INT) AS n_bytes
+FROM events WHERE event_type = 'click'
+""")(lambda s, d: _streaming("per_batch_transform_job")(s, d))
+
+register("mapPartitions_sideeffect", oracle="""
+SELECT COUNT(*) AS n_rows, CAST(SUM(strlen(props)) AS BIGINT) AS total_bytes
+FROM events
+""")(lambda s, d: _streaming("mapPartitions_sideeffect_job")(s, d))
+
+register("repartition_serialize", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+""")(lambda s, d: _streaming("repartition_serialize_job")(s, d))
+
+register("highwater_state", oracle="""
+WITH seqd AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS sz,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS seq
+  FROM events),
+arrived AS (SELECT * FROM seqd WHERE seq % 13 != 12),
+flagged AS (
+  SELECT user_id, seq, sz,
+         CASE WHEN seq != row_number() OVER w - 1 THEN 1 ELSE 0 END AS gap,
+         sum(sz) OVER (PARTITION BY user_id ORDER BY seq
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM arrived WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+badded AS (
+  SELECT *, max(gap) OVER (PARTITION BY user_id ORDER BY seq
+                           ROWS UNBOUNDED PRECEDING) AS bad
+  FROM flagged)
+SELECT user_id, CAST(max(cum) AS DOUBLE) AS hw_bytes, max(seq) AS last_seq,
+       COUNT(*) AS n_chunks
+FROM badded WHERE bad = 0 GROUP BY user_id
+""")(lambda s, d: _streaming("highwater_state_stream")(s, d))
+
+register("late_data_retry", oracle=f"""
+{QUEUE_CTE}
+SELECT file_id,
+       CASE WHEN error_status = 1 AND resident = 1 THEN 0 ELSE status END AS status,
+       resident, error_status,
+       CAST(error_status = 1 AND resident = 1 AS INT) AS requeued
+FROM queue
+""")(lambda s, d: _streaming("late_data_retry_job")(s, d))
+
+register("stop_on_complete", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS arrived_bytes,
+       1 AS stopped
+FROM events
+""")(lambda s, d: _streaming("stop_on_complete_job")(s, d))
+
+register("offset_replay", oracle="""
+SELECT COUNT(*) AS run1_rows, COUNT(*) AS run2_rows, 1 AS replay_consistent
+FROM events
+""")(lambda s, d: _streaming("offset_replay_job")(s, d))
+
+register("poll_wait_loop", oracle=f"""
+{QUEUE_CTE}
+SELECT CAST(row_number() OVER (ORDER BY file_id) AS INT) AS iter, file_id
+FROM (SELECT file_id FROM queue WHERE status = 0 ORDER BY file_id LIMIT 5) t
+""")(lambda s, d: _streaming("poll_wait_loop_job")(s, d))
+
+
+# =====================================================================
 # flagship (extra key — the end-to-end release query, SURVEY.md §3.3)
 # =====================================================================
 

@@ -39,11 +39,17 @@ BUILD_CONFS = {
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to a session we did not build (e.g. the
     driver's). Idempotent; call at the top of every public query builder."""
+    import warnings
+
+    from pyspark.errors import AnalysisException
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf locked down — proceed, reads may still work
+        except AnalysisException as e:  # CANNOT_MODIFY_CONFIG: static/locked
+            warnings.warn(
+                f"could not set {k}={v} ({e.getErrorClass()}); "
+                "events.ts parquet reads may fail without it", stacklevel=2)
     return spark
 
 

@@ -1,0 +1,301 @@
+"""Structured Streaming jobs — the §2.H surface of the reference.
+
+Reference shape: `createDirectStream → map → transform/mapPartitions →
+repartition(1) → foreachRDD` on 60 s micro-batches (StreamingApp.scala:
+309-312, 327-395, 557-560), with `auto.offset.reset=smallest` replay (:309)
+and a graceful stop when the image completes (:482-484).
+
+Spark-first re-expression: a file stream over the events fixture plays the
+Kafka topic (each staged file = one micro-batch via maxFilesPerTrigger=1);
+`foreachBatch` replaces foreachRDD/mapPartitions side effects (Spark's
+writers already amortize per-partition connections); `Trigger.AvailableNow`
+is the bounded-run stop; the monotonic high-water state machine runs as
+`applyInPandasWithState` keyed by case (user_id) — one state per disk
+image, all images in parallel, which is the 100 TB layout.
+
+Every job here drains the stream to completion and returns a DETERMINISTIC
+batch DataFrame (final aggregate / final state), so the driver can check it
+against a DuckDB oracle even though the computation ran as a stream.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from decimal import Decimal
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.queue import queue_df
+from ..sources.tables import load_table
+
+SCRATCH = Path(__file__).resolve().parents[2] / ".scratch" / "streaming"
+N_STREAM_FILES = 4
+SEQ_DROP = 13  # per-key missing-chunk plant, matches highwater_per_key
+
+
+def _fresh(name: str) -> tuple[str, str]:
+    """(output_dir, checkpoint_dir) — wiped per run so replays start from
+    the earliest offset (auto.offset.reset=smallest, StreamingApp.scala:309)."""
+    base = SCRATCH / name
+    shutil.rmtree(base, ignore_errors=True)
+    return str(base / "out"), str(base / "ckpt")
+
+
+def stage_stream_files(spark: SparkSession, sf_dir: str,
+                       n_files: int = N_STREAM_FILES) -> str:
+    """Stage the events table as `n_files` parquet files — the topic's
+    backlog; one file per micro-batch (maxFilesPerTrigger=1)."""
+    src = SCRATCH / f"src_{Path(sf_dir).name}"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props")
+    shutil.rmtree(src, ignore_errors=True)
+    events.repartition(n_files).write.parquet(str(src))
+    return str(src)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafka_source streaming analog: file stream, earliest offsets,
+    one staged file per micro-batch."""
+    src = stage_stream_files(spark, sf_dir)
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, props string")
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+def _run_available_now(writer) -> None:
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------- §2.H keys
+
+def micro_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """micro_batch_trigger: fixed-size micro-batches feeding a running
+    aggregate (StreamingApp.scala:557-560); after the bounded run drains
+    the backlog, the complete-mode aggregate equals the batch GROUP BY."""
+    qname = f"mb_{uuid.uuid4().hex[:8]}"
+    agg = (events_stream(spark, sf_dir)
+           .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    _run_available_now(
+        agg.writeStream.outputMode("complete").format("memory").queryName(qname))
+    return spark.sql(f"SELECT event_type, n FROM {qname}")
+
+
+def per_batch_transform_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per_batch_transform: per-micro-batch rewrite (DStream.transform,
+    StreamingApp.scala:327-393) as a foreachBatch projection+filter whose
+    appended union over all batches is checked against the batch twin."""
+    out, ckpt = _fresh("per_batch_transform")
+
+    def xform(batch: DataFrame, batch_id: int) -> None:
+        (batch.filter(F.col("event_type") == "click")
+         .select("event_id", "user_id", F.octet_length("props").alias("n_bytes"))
+         .write.mode("append").parquet(out))
+
+    _run_available_now(
+        events_stream(spark, sf_dir).writeStream
+        .foreachBatch(xform).option("checkpointLocation", ckpt))
+    return spark.read.parquet(out)
+
+
+def mapPartitions_sideeffect_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapPartitions_sideeffect: per-partition side-effecting I/O while
+    iterating a batch (StreamingApp.scala:330-391). Spark-native: the
+    foreachBatch writer opens one output per partition (same connection
+    amortization); the readback aggregate proves every partition's side
+    effect landed exactly once."""
+    out, ckpt = _fresh("mapPartitions_sideeffect")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (batch.select("event_id", F.octet_length("props").alias("n_bytes"))
+         .write.mode("append").parquet(out))
+
+    _run_available_now(
+        events_stream(spark, sf_dir).writeStream
+        .foreachBatch(sink).option("checkpointLocation", ckpt))
+    return (spark.read.parquet(out)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("n_bytes").alias("total_bytes")))
+
+
+def repartition_serialize_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition_serialize: the reference forces its HW section through
+    repartition(1) (StreamingApp.scala:395). Reproduced per batch — each
+    micro-batch collapses to one partition before the serial write — while
+    the output stays value-identical to the parallel plan (the point: at
+    scale, DON'T do this; highwater_state below is the keyed form)."""
+    out, ckpt = _fresh("repartition_serialize")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (batch.repartition(1).select("event_id", "value")
+         .write.mode("append").parquet(out))
+
+    _run_available_now(
+        events_stream(spark, sf_dir).writeStream
+        .foreachBatch(sink).option("checkpointLocation", ckpt))
+    return (spark.read.parquet(out)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("total_value")))
+
+
+STATE_SCHEMA = "next_needed long, hw string, n_absorbed long, pending string"
+HW_OUT_SCHEMA = "user_id long, hw_bytes double, last_seq long, n_chunks long"
+
+
+def _hw_state_fn(key, pdf_iter, state: GroupState):
+    """Incremental contiguous-prefix watermark: absorb out-of-order chunk
+    arrivals into a pending buffer, advance hw while the next-needed
+    sequence is present (StreamingApp.scala:238-252 semantics, incremental).
+    Sums are exact Decimals carried in the state as strings. At 100 TB the
+    pending buffer is bounded by the gap width, not the stream length —
+    chunks beyond an open gap park here exactly like the reference's
+    unreleased files."""
+    if state.exists:
+        next_needed, hw_s, n_absorbed, pending_s = state.get
+        hw = Decimal(hw_s)
+        pending = {int(k): Decimal(v)
+                   for k, v in (kv.split(":") for kv in pending_s.split(",") if kv)}
+    else:
+        next_needed, hw, n_absorbed, pending = 0, Decimal(0), 0, {}
+    for pdf in pdf_iter:
+        for seq, sz in zip(pdf["seq"], pdf["sz"]):
+            pending[int(seq)] = sz  # sz is already Decimal (parquet decimal)
+    while next_needed in pending:
+        hw += pending.pop(next_needed)
+        next_needed += 1
+        n_absorbed += 1
+    state.update((next_needed, str(hw), n_absorbed,
+                  ",".join(f"{k}:{v}" for k, v in pending.items())))
+    yield pd.DataFrame([{
+        "user_id": key[0],
+        "hw_bytes": float(hw) if n_absorbed else None,
+        "last_seq": next_needed - 1 if n_absorbed else None,
+        "n_chunks": n_absorbed,
+    }])
+
+
+def highwater_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highwater_state: the monotonic per-case watermark as TRUE streaming
+    state (applyInPandasWithState keyed by user_id) instead of the
+    reference's PostgreSQL singleton row (StreamingApp.scala:212-259).
+
+    Chunks (user_id, seq, size) are staged across micro-batch files in
+    arbitrary order with the same per-key drops as highwater_per_key; after
+    the bounded run, the latest emitted state per key must equal the batch
+    recompute — which is exactly what the driver's oracle checks."""
+    src = SCRATCH / f"hwsrc_{Path(sf_dir).name}"
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    staged = (events.select(
+        "user_id", "event_id", F.col("value").cast("decimal(18,4)").alias("sz"))
+        .withColumn("seq", F.row_number().over(w) - 1)
+        .filter(F.col("seq") % SEQ_DROP != SEQ_DROP - 1)
+        .select("user_id", "seq", "sz"))
+    shutil.rmtree(src, ignore_errors=True)
+    staged.repartition(N_STREAM_FILES).write.parquet(str(src))
+
+    stream = (spark.readStream.schema("user_id long, seq long, sz decimal(18,4)")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    states = stream.groupBy("user_id").applyInPandasWithState(
+        _hw_state_fn, HW_OUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+    qname = f"hw_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        states.writeStream.outputMode("update").format("memory").queryName(qname))
+    # latest state per key = the row with the most absorbed chunks
+    return spark.sql(f"""
+        SELECT user_id, max_by(hw_bytes, n_chunks) AS hw_bytes,
+               max_by(last_seq, n_chunks) AS last_seq,
+               max(n_chunks) AS n_chunks
+        FROM {qname} GROUP BY user_id""")
+
+
+def late_data_retry_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """late_data_retry: errored resident files re-enqueued when 50% / 100%
+    of the image has arrived (StreamingApp.scala:428-445). The stream
+    accumulates arrived bytes per batch; once the backlog drains, arrival
+    is 100% and the post-state re-opens exactly the errored resident rows."""
+    seen = {"bytes": 0.0, "batches": 0}
+
+    def track(batch: DataFrame, batch_id: int) -> None:
+        b = batch.agg(F.sum("value")).first()[0]
+        seen["bytes"] += b or 0.0
+        seen["batches"] += 1
+
+    _run_available_now(
+        events_stream(spark, sf_dir).writeStream.foreachBatch(track)
+        .option("checkpointLocation", _fresh("late_data_retry")[1]))
+    image_size = (load_table(spark, sf_dir, "events")
+                  .agg(F.sum("value")).first()[0])
+    arrived_frac = seen["bytes"] / image_size if image_size else 0.0
+    q = queue_df(load_table(spark, sf_dir, "orders"))
+    retry = (F.col("error_status") == 1) & (F.col("resident") == 1)
+    threshold_hit = F.lit(arrived_frac >= 0.5)
+    return q.select(
+        "file_id",
+        F.when(retry & threshold_hit, 0).otherwise(F.col("status")).alias("status"),
+        "resident", "error_status",
+        retry.cast("int").alias("requeued"),
+    )
+
+
+def stop_on_complete_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stop_on_complete: graceful stop once the whole image is in
+    (`image_size <= hw_after` → ssc.stop, StreamingApp.scala:434-440,
+    482-484) — Spark-native as Trigger.AvailableNow: the query stops by
+    itself when the backlog is drained, and the drained totals prove
+    completeness."""
+    qname = f"sc_{uuid.uuid4().hex[:8]}"
+    agg = (events_stream(spark, sf_dir)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("arrived_bytes")))
+    _run_available_now(
+        agg.writeStream.outputMode("complete").format("memory").queryName(qname))
+    done = spark.sql(f"SELECT n_rows, arrived_bytes FROM {qname}")
+    return done.select(
+        "n_rows", "arrived_bytes",
+        F.lit(1).alias("stopped"))  # AvailableNow terminated on its own
+
+
+def offset_replay_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """offset_replay: earliest-offset replay (auto.offset.reset=smallest,
+    StreamingApp.scala:309) — two independent runs from scratch checkpoints
+    must consume the identical backlog."""
+    def one_run() -> int:
+        qname = f"rp_{uuid.uuid4().hex[:8]}"
+        agg = events_stream(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+        _run_available_now(
+            agg.writeStream.outputMode("complete").format("memory").queryName(qname))
+        return spark.sql(f"SELECT n FROM {qname}").first()[0]
+
+    n1, n2 = one_run(), one_run()
+    return spark.createDataFrame(
+        [(n1, n2, int(n1 == n2))],
+        "run1_rows long, run2_rows long, replay_consistent int")
+
+
+def poll_wait_loop_job(spark: SparkSession, sf_dir: str,
+                       n_polls: int = 5) -> DataFrame:
+    """poll_wait_loop: the worker's claim-poll loop (FileWorkerApp.scala:
+    153-160,207-227) — n sequential polls, each claiming the lowest
+    available file, each seeing the previous poll's post-state."""
+    q = queue_df(load_table(spark, sf_dir, "orders")).select("file_id", "status")
+    claimed: list[tuple[int, int]] = []
+    for i in range(n_polls):
+        cid = (q.filter(F.col("status") == 0)
+               .agg(F.min("file_id")).first()[0])
+        if cid is None:
+            break  # queue empty → the reference sleeps; bounded run stops
+        claimed.append((i + 1, cid))
+        q = q.select(
+            "file_id",
+            F.when(F.col("file_id") == cid, 1)
+             .otherwise(F.col("status")).alias("status")).cache()
+    return spark.createDataFrame(claimed, "iter int, file_id long")
