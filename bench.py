@@ -1,0 +1,81 @@
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line to stdout:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the noop sink (count() alone can skip
+column evaluation). A warmup query amortizes JVM/codegen startup out of the
+per-query numbers. Logs go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_streaming_apps_spark import catalog  # noqa: E402
+from spark_streaming_apps_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: Headline set: the flagship, every shuffle-heavy relational shape, the
+#: full dedup/similarity/text pipeline family, and the stateful stream.
+BENCH_KEYS = [
+    "hw_release",
+    "contiguous_prefix_cumsum",
+    "join_inner_3way",
+    "groupby_having_band",
+    "window_row_number",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "embedding_near_dup",
+    "text_tokens",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "file_rebuild",
+    "json_props",
+    "highwater_state",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    qs = catalog.queries()
+    # warmup: JVM + codegen + parquet footer caches
+    materialize(qs["count_rows"](spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        t0 = time.perf_counter()
+        materialize(qs[key](spark, SF_DIR))
+        times[key] = round(time.perf_counter() - t0, 3)
+        print(f"  {key}: {times[key]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,20 @@ _HASH = "cast(conv(substr(md5('{seed}:' || {x}),1,15),16,10) as bigint)"
 _HASH_DUCK = "CAST(('0x' || substr(md5('{seed}:' || {x}),1,15)) AS BIGINT)"
 
 
+def _mh_spark(i: int, x: str) -> str:
+    """Minhash function i: two independent 60-bit hashes per md5 digest
+    (hex slices 1-15 and 17-31) — halves the md5 work per shingle."""
+    seed, half = divmod(i, 2)
+    return (f"cast(conv(substr(md5('{seed}:' || {x}), {1 + 16 * half}, 15), "
+            f"16, 10) as bigint)")
+
+
+def _mh_duck(i: int, x: str) -> str:
+    seed, half = divmod(i, 2)
+    return (f"CAST(('0x' || substr(md5('{seed}:' || {x}), {1 + 16 * half}, 15)) "
+            f"AS BIGINT)")
+
+
 # ---------------------------------------------------------------- exact/approx
 
 def dedup_exact(events: DataFrame) -> DataFrame:
@@ -125,9 +139,12 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
     sh = _with_shingles(planted_corpus(documents))
     sig = sh.select(
         "doc_id",
-        *[F.expr(f"array_min(transform(sgl, s -> {_HASH.format(seed=i, x='s')}))")
+        *[F.expr(f"array_min(transform(sgl, s -> {_mh_spark(i, 's')}))")
           .alias(f"mh{i}") for i in range(N_HASHES)],
-    )
+        # signatures feed the band join AND both verify sides: materialize
+        # once (lineage-truncating local checkpoint) instead of re-hashing
+        # every shingle 3x
+    ).localCheckpoint()
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{j * ROWS_PER_BAND + r}").cast("string")
                                  for r in range(ROWS_PER_BAND)])).alias(f"b{j}")
@@ -158,7 +175,7 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
 
 def minhash_oracle_sql() -> str:
     mh = ", ".join(
-        f"list_min(list_transform(sgl, s -> {_HASH_DUCK.format(seed=i, x='s')})) AS mh{i}"
+        f"list_min(list_transform(sgl, s -> {_mh_duck(i, 's')})) AS mh{i}"
         for i in range(N_HASHES))
     band_sel = " UNION ALL ".join(
         "SELECT doc_id, {j} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
@@ -202,7 +219,8 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
         for b in range(SIM_BITS)
     )
     sig = (corpus.select("doc_id", *bit_sums)
-           .select("doc_id", assembled.alias("simhash")))
+           .select("doc_id", assembled.alias("simhash"))
+           .localCheckpoint())  # both sides of the band join read this
     n_bands = SIM_BITS // SIM_BAND_BITS
     mask = (1 << SIM_BAND_BITS) - 1
     stack_args = ", ".join(
@@ -254,21 +272,30 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     (rare shingles are the discriminative ones; common-vocab shingles would
     otherwise make the candidate join quadratic), then exact
     J = |A∩B| / |A∪B| over DISTINCT shingle sets for candidates only."""
+    # Shingles are 60-bit portable hashes, not strings: every downstream
+    # shuffle (distinct, df count, candidate + intersection joins) moves
+    # one bigint per shingle instead of the text. Set semantics survive
+    # (deterministic hash, collisions negligible at 60 bits, and the
+    # oracle applies the identical hash).
     sh = (_with_shingles(planted_corpus(documents))
-          .select("doc_id", F.explode("sgl").alias("shingle")).distinct())
+          .select("doc_id", F.explode("sgl").alias("s"))
+          .select("doc_id", F.expr(_HASH.format(seed=7, x="s")).alias("sh_h"))
+          .distinct()
+          # read 4x below (sizes, rare, cand, inter): materialize once
+          .localCheckpoint())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= JACCARD_RARE_DF).select("shingle"))
+    rare = (sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= JACCARD_RARE_DF).select("sh_h"))
     a, b = sh.alias("a"), sh.alias("b")
-    cand = (a.join(rare, "shingle").join(b.withColumnRenamed("doc_id", "doc2"), "shingle")
+    cand = (a.join(rare, "sh_h").join(b.withColumnRenamed("doc_id", "doc2"), "sh_h")
             .filter(F.col("a.doc_id") < F.col("doc2"))
             .select(F.col("a.doc_id").alias("doc1"), "doc2").distinct())
     # Intersection sizes are computed FROM the candidate pairs (cand → sh
     # twice, all keyed equi-joins) — never from an unblocked sh ⋈ sh on
     # every shared shingle, which a single common shingle makes quadratic.
-    sh1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    sh2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    inter = (cand.join(sh1, "doc1").join(sh2, ["doc2", "shingle"])
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
+    inter = (cand.join(sh1, "doc1").join(sh2, ["doc2", "sh_h"])
              .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
     s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
     s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
@@ -284,15 +311,16 @@ def ngram_jaccard_oracle_sql() -> str:
 WITH corpus AS ({PLANTED_CORPUS_SQL}),
 tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
 shl AS (SELECT doc_id, {_shingles_duck()} AS sgl FROM tks),
-sh AS (SELECT DISTINCT doc_id, unnest(sgl) AS shingle FROM shl),
+sh AS (SELECT DISTINCT doc_id, {_HASH_DUCK.format(seed=7, x='s')} AS sh_h
+       FROM (SELECT doc_id, unnest(sgl) AS s FROM shl) u),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_RARE_DF}),
+rare AS (SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) <= {JACCARD_RARE_DF}),
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-         FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+         FROM sh a JOIN rare USING (sh_h) JOIN sh b USING (sh_h)
          WHERE a.doc_id < b.doc_id),
 inter AS (SELECT c.doc1, c.doc2, count(*) AS n_inter
           FROM cand c JOIN sh a ON a.doc_id = c.doc1
-                      JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+                      JOIN sh b ON b.doc_id = c.doc2 AND b.sh_h = a.sh_h
           GROUP BY 1, 2)
 SELECT doc1, doc2,
        CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-N_CELLS = 8
+N_CELLS = 32  # ~sqrt(fixture corpus); at 100 TB cells scale with √n
 N_PROBES = 2
 TOP_K = 10
 NEAR_DUP_COS = 0.99
@@ -97,19 +97,23 @@ def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
                         F.expr(_DOT.format(a="e", b="c")).alias("dot"))
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= N_PROBES)
-                .select("vec_id", "e", "cell"))
+                .select("vec_id", "e", "cell",
+                        # norm once per vector, not once per pair side
+                        F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm")))
     a, b = assigned.alias("a"), assigned.alias("b")
+    pair_sim = F.expr(
+        f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
     return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec1"),
                     F.col("b.vec_id").alias("vec2"),
-                    _cosine("a.e", "b.e").alias("sim"))
+                    pair_sim.alias("sim"))
             .filter(F.col("sim") >= NEAR_DUP_COS)
             .distinct())
 
 
 def embedding_near_dup_oracle_sql() -> str:
-    cos = _cosine_duck("a.e", "b.e")
+    cos = ("round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)")
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 planted AS (SELECT vec_id + 1000000 AS vec_id,
@@ -123,7 +127,8 @@ scored AS (SELECT corpus.vec_id, corpus.e, cents.cell,
                                      ORDER BY list_dot_product(corpus.e, cents.c) DESC,
                                               cents.cell) AS rn
            FROM corpus, cents),
-assigned AS (SELECT vec_id, e, cell FROM scored WHERE rn <= {N_PROBES})
+assigned AS (SELECT vec_id, e, cell, sqrt(list_dot_product(e, e)) AS nrm
+             FROM scored WHERE rn <= {N_PROBES})
 SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2, {cos} AS sim
 FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE {cos} >= {NEAR_DUP_COS}

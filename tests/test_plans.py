@@ -46,7 +46,7 @@ def test_ngram_jaccard_no_unblocked_selfjoin(tables):
     out = dedup.ngram_jaccard_pairs(tables["documents"])
     assert cartesian_join_count(out) == 0
     assert bnlj_count(out) == 0
-    assert equi_join_on(out, "shingle")
+    assert equi_join_on(out, "sh_h")
 
 
 def test_near_dup_no_allpairs_crossjoin(tables):
