@@ -33,7 +33,8 @@ from .functions.scalar import (
     synth_error_message_sql, topic_strip_case,
 )
 from .operators import (
-    dedup, highwater, multimodal, queue, relational, similarity, text, worker,
+    dedup, highwater, multimodal, queue, relational, similarity, text,
+    windows, worker,
 )
 from .sources.tables import load_table
 
@@ -676,6 +677,25 @@ register("poll_wait_loop", oracle=f"""
 SELECT CAST(row_number() OVER (ORDER BY file_id) AS INT) AS iter, file_id
 FROM (SELECT file_id FROM queue WHERE status = 0 ORDER BY file_id LIMIT 5) t
 """)(lambda s, d: _streaming("poll_wait_loop_job")(s, d))
+
+
+# =====================================================================
+# event-time windows (Spark-native extension; absent in the reference)
+# =====================================================================
+
+register("window_tumbling", oracle=windows.TUMBLING_ORACLE
+         )(lambda s, d: windows.tumbling_window_agg(_t(s, d, "events")))
+
+register("window_sliding", oracle=windows.SLIDING_ORACLE
+         )(lambda s, d: windows.sliding_window_agg(_t(s, d, "events")))
+
+register("watermark_late_drop", oracle="""
+WITH ranked AS (
+  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       COUNT(*) AS n
+FROM ranked WHERE rk > 20 GROUP BY 1
+""")(lambda s, d: _streaming("watermark_late_drop_job")(s, d))
 
 
 # =====================================================================

@@ -1,0 +1,72 @@
+"""Event-time windowing over the events stream table.
+
+The reference has NO event-time windows — its only "watermark" is the
+byte-offset high-water mark (SURVEY.md §2.H note). This module adds the
+Spark-native event-time surface a streaming analytics engine is expected to
+carry: tumbling and sliding window aggregates (`F.window`) and a
+watermark-driven late-data drop (streaming/jobs.py handles the stateful
+variant).
+
+Engine parity: window bounds are emitted as epoch microseconds (DuckDB
+`time_bucket` + `epoch_us` reproduce them exactly); value sums go through
+DECIMAL. Timestamps in the fixture span a contiguous range, so every bucket
+is non-empty and boundary behavior ([start, end) half-open on both engines)
+is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TUMBLE = "1 hour"
+SLIDE_WIDTH = "1 hour"
+SLIDE_STEP = "30 minutes"
+
+
+def tumbling_window_agg(events: DataFrame) -> DataFrame:
+    """Per-hour tumbling window: count + exact value sum per event_type.
+    One shuffle on (window, event_type) with map-side partial aggregation —
+    the canonical streaming-aggregate shape, run batch-wise here."""
+    w = F.window(F.col("ts").cast("timestamp"), TUMBLE)
+    return (events
+            .groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("double").alias("total"))
+            .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                    "event_type", "n", "total"))
+
+
+TUMBLING_ORACLE = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    width/step = 2 windows. Spark's F.window(ts, width, step) expands rows
+    window-wise before the keyed aggregation — same plan family as
+    tumbling, 2x the shuffle rows."""
+    w = F.window(F.col("ts").cast("timestamp"), SLIDE_WIDTH, SLIDE_STEP)
+    return (events
+            .groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                    F.unix_micros(F.col("w.end")).alias("window_end_us"),
+                    "n"))
+
+
+#: each event belongs to the windows starting at time_bucket(30m, ts) - i*30m
+#: for i in {0, 1} — the two half-open hour windows covering it.
+SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+                  - i * INTERVAL '30 minutes') AS window_start_us
+  FROM events, (SELECT unnest([0, 1]) AS i) shifts)
+SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
+       COUNT(*) AS n
+FROM assigned GROUP BY 1
+"""

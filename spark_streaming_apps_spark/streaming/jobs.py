@@ -216,6 +216,63 @@ def highwater_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {qname} GROUP BY user_id""")
 
 
+N_LATE_PLANT = 20
+WM_DELAY = "10 minutes"
+
+
+def watermark_late_drop_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time watermark semantics: a windowed streaming aggregate with
+    `withWatermark` must DROP late data once the watermark has passed.
+
+    Deterministic construction: the {N_LATE_PLANT} globally-oldest events
+    are re-routed to arrive in the LAST micro-batch (files are staged in
+    strict event-time order otherwise, with explicit mtimes so the file
+    source replays them in order). By then the watermark sits 10 minutes
+    behind the 30-day maximum — the planted stragglers' hour-windows closed
+    weeks earlier, so the final counts equal the batch aggregate WITHOUT
+    them, which is exactly what the oracle computes."""
+    import os
+
+    src = SCRATCH / f"wmsrc_{Path(sf_dir).name}"
+    shutil.rmtree(src, ignore_errors=True)
+    src.mkdir(parents=True)
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                      "event_type"))
+    ranked = events.withColumn(
+        "rk", F.row_number().over(Window.orderBy("ts", "event_id")))
+    n = ranked.count()
+    cut = (n - N_LATE_PLANT) // 3
+    chunks = [
+        ranked.filter((F.col("rk") > N_LATE_PLANT + i * cut)
+                      & (F.col("rk") <= (N_LATE_PLANT + (i + 1) * cut
+                                         if i < 2 else n))).drop("rk")
+        for i in range(3)
+    ] + [ranked.filter(F.col("rk") <= N_LATE_PLANT).drop("rk")]
+    for i, chunk in enumerate(chunks):
+        tmp = SCRATCH / f"wmtmp_{i}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        chunk.coalesce(1).write.parquet(str(tmp))
+        part = next(Path(tmp).glob("part-*.parquet"))
+        dest = src / f"{i:02d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = (stream.withWatermark("ts", WM_DELAY)
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    qname = f"wm_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        agg.writeStream.outputMode("update").format("memory").queryName(qname))
+    return spark.sql(f"""
+        SELECT unix_micros(w.start) AS window_start_us, max(n) AS n
+        FROM {qname} GROUP BY 1""")
+
+
 def late_data_retry_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """late_data_retry: errored resident files re-enqueued when 50% / 100%
     of the image has arrived (StreamingApp.scala:428-445). The stream
