@@ -45,6 +45,11 @@ BENCH_KEYS = [
     "multimodal_decode",
     "file_rebuild",
     "json_props",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "salted_skew_agg",
+    "window_tumbling",
+    "window_session",
     "highwater_state",
 ]
 

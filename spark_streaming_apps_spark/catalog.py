@@ -33,8 +33,8 @@ from .functions.scalar import (
     synth_error_message_sql, topic_strip_case,
 )
 from .operators import (
-    dedup, highwater, multimodal, queue, relational, similarity, text,
-    windows, worker,
+    analytics, dedup, highwater, multimodal, queue, relational, similarity,
+    text, windows, worker,
 )
 from .sources.tables import load_table
 
@@ -142,12 +142,27 @@ def jdbc_batch_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 {QUEUE_CTE} SELECT status, COUNT(*) AS n FROM queue GROUP BY status
 """)
 def table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DDL surface (StreamingApp.scala:140-259): CREATE VIEW via spark.sql
-    over the parquet files, then query it through the catalog."""
+    """DDL surface (StreamingApp.scala:140-259): real CREATE TABLE +
+    INSERT INTO through the session catalog (explicit parquet LOCATION in
+    scratch — the managed-table analog of the reference's 5 CREATE TABLEs),
+    plus a temp view, then a catalog-resolved query. The reference's
+    CREATE INDEX has no Spark analog; partitioning + parquet min/max
+    skipping replace it (SURVEY.md §4)."""
+    import shutil
+
+    loc = SCRATCH / "table_ddl" / "desh_files_tbl"
+    shutil.rmtree(loc.parent, ignore_errors=True)
     queue_over_parquet = queue.QUEUE_SQL.replace(
         "FROM orders", f"FROM parquet.`{sf_dir}/orders.parquet`")
+    spark.sql("DROP TABLE IF EXISTS desh_files_tbl")
+    spark.sql(f"""
+        CREATE TABLE desh_files_tbl
+        (file_id BIGINT, status INT, resident INT, error_status INT,
+         hw_after DOUBLE)
+        USING PARQUET LOCATION '{loc}'""")
+    spark.sql("INSERT INTO desh_files_tbl " + queue_over_parquet)
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW desh_files_ddl AS "
-              + queue_over_parquet)
+              "SELECT * FROM desh_files_tbl")
     return spark.sql(
         "SELECT status, COUNT(*) AS n FROM desh_files_ddl GROUP BY status")
 
@@ -688,6 +703,24 @@ register("window_tumbling", oracle=windows.TUMBLING_ORACLE
 
 register("window_sliding", oracle=windows.SLIDING_ORACLE
          )(lambda s, d: windows.sliding_window_agg(_t(s, d, "events")))
+
+register("window_session", oracle=windows.SESSION_ORACLE
+         )(lambda s, d: windows.session_window_agg(_t(s, d, "events")))
+
+
+# =====================================================================
+# general analytics + skew patterns (engine-completeness extension)
+# =====================================================================
+
+register("q1_pricing_summary", oracle=analytics.Q1_ORACLE
+         )(lambda s, d: analytics.q1_pricing_summary(_t(s, d, "lineitem")))
+
+register("q3_shipping_priority", oracle=analytics.Q3_ORACLE
+         )(lambda s, d: analytics.q3_shipping_priority(
+             *_t(s, d, "customer", "orders", "lineitem")))
+
+register("salted_skew_agg", oracle=analytics.SALTED_ORACLE
+         )(lambda s, d: analytics.salted_skew_agg(_t(s, d, "events")))
 
 register("watermark_late_drop", oracle="""
 WITH ranked AS (

@@ -1,0 +1,138 @@
+"""General analytical queries + skew-safe aggregation patterns.
+
+The reference's query surface is narrow (one release query + the status
+machine), but a user replacing it with this engine gets a general
+DataFrame/SQL analytics engine — demonstrated here with TPC-H-shaped
+reporting queries over the same fixtures, and with the two-phase SALTED
+aggregation that keeps a skewed key from serializing a 1000-executor job.
+
+Engine parity: every money sum is per-row-rounded to DECIMAL first (both
+engines round double→decimal identically), then summed exactly and cast
+back to DOUBLE; averages divide two exact aggregates and round to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import portable_hash64
+
+SHIP_CUTOFF = "1998-12-01 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15 00:00:00"
+N_SALT = 16
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary report — grouped sums/averages over
+    filtered lineitem. Scan-level predicate pushdown + map-side partial
+    aggregation; the shuffle carries 6 accumulators per (flag, status)."""
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    charge = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * (1 + F.col("l_tax")), 6)
+    out = (lineitem
+           .filter(F.col("l_shipdate") <= SHIP_CUTOFF)
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"),
+                F.sum(_dec(F.col("l_extendedprice"))).alias("_sbp"),
+                F.sum(disc_price).alias("_sdp"),
+                F.sum(charge).alias("_sc"),
+                F.count(F.lit(1)).alias("count_order")))
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        # divide as doubles: decimal-division scale rules differ between
+        # engines, double division + round(6) does not
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 6)
+         .alias("avg_qty"),
+        "count_order")
+
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by revenue for one market
+    segment. The segment filter shrinks customer before the explicit
+    broadcast; the top-k is a TakeOrdered, not a global sort."""
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (lineitem
+            .filter(F.col("l_shipdate") > Q3_DATE)
+            .join(orders.filter(F.col("o_orderdate") < Q3_DATE),
+                  orders.o_orderkey == lineitem.l_orderkey)
+            .join(F.broadcast(customer.filter(F.col("c_mktsegment") == Q3_SEGMENT)),
+                  customer.c_custkey == orders.o_custkey)
+            .groupBy("o_orderkey",
+                     F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                      .alias("o_orderdate_us"),
+                     "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10))
+
+
+Q3_ORACLE = f"""
+SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE l_shipdate > TIMESTAMP '{Q3_DATE}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND c_mktsegment = '{Q3_SEGMENT}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def salted_skew_agg(events: DataFrame) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys. The fixture key is
+    deliberately skewed (80% of rows share one hot key); a direct groupBy
+    would put 80% of the data in one reducer. Phase 1 groups by (key,
+    salt) — {N_SALT} partial aggregates for the hot key spread across
+    reducers; phase 2 combines the partials per key. Result is identical
+    to the direct aggregation (the oracle computes it directly)."""
+    key = (F.when(F.col("event_id") % 10 < 8, F.lit("hot"))
+           .otherwise(F.concat(F.lit("cold_"), F.col("user_id").cast("string"))))
+    salt = F.pmod(portable_hash64(F.col("event_id").cast("string")),
+                  F.lit(N_SALT))
+    partial = (events
+               .select(key.alias("k"), salt.alias("s"),
+                       _dec(F.col("value"), 4).alias("v"))
+               .groupBy("k", "s")
+               .agg(F.sum("v").alias("pv"), F.count(F.lit(1)).alias("pn")))
+    return (partial.groupBy("k")
+            .agg(F.sum("pv").cast("double").alias("total_value"),
+                 F.sum("pn").alias("n_rows")))
+
+
+SALTED_ORACLE = """
+SELECT CASE WHEN event_id % 10 < 8 THEN 'hot'
+            ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS k,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+"""

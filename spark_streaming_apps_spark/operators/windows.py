@@ -70,3 +70,36 @@ SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
        COUNT(*) AS n
 FROM assigned GROUP BY 1
 """
+
+SESSION_GAP = "6 hours"
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """Per-user session windows: a session breaks after a {SESSION_GAP}
+    silence (`F.session_window`). The gap-merge runs inside the keyed
+    aggregation — state per (user, open session), the streaming-safe shape."""
+    w = F.session_window(F.col("ts").cast("timestamp"), SESSION_GAP)
+    return (events
+            .groupBy("user_id", w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                    "n"))
+
+
+#: classic gaps-and-islands: a new session starts where the lag-gap exceeds
+#: the threshold; session id = running sum of breaks.
+SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1
+              ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us, COUNT(*) AS n
+FROM g GROUP BY user_id, sid
+"""
