@@ -33,8 +33,8 @@ from .functions.scalar import (
     synth_error_message_sql, topic_strip_case,
 )
 from .operators import (
-    analytics, dedup, highwater, multimodal, queue, relational, similarity,
-    text, windows, worker,
+    analytics, dedup, extensions, highwater, multimodal, queue, relational,
+    similarity, text, windows, worker,
 )
 from .sources.tables import load_table
 
@@ -721,6 +721,34 @@ register("q3_shipping_priority", oracle=analytics.Q3_ORACLE
 
 register("salted_skew_agg", oracle=analytics.SALTED_ORACLE
          )(lambda s, d: analytics.salted_skew_agg(_t(s, d, "events")))
+
+
+# =====================================================================
+# §2.J extension mechanisms (pandas UDF / Python UDTF / applyInPandas)
+# and data-layout management
+# =====================================================================
+
+register("pandas_udf_module", oracle=extensions.PANDAS_UDF_ORACLE
+         )(lambda s, d: extensions.pandas_udf_module(_t(s, d, "documents")))
+
+register("udtf_release_bands", oracle=f"""
+WITH {highwater.hw_scalar_sql()},
+bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw
+  UNION ALL SELECT 1, hw_bytes / 2, hw_bytes * 0.75 FROM hw
+  UNION ALL SELECT 2, hw_bytes * 0.75, hw_bytes FROM hw),
+extents AS (SELECT o_orderkey, max(l_extendedprice + l_quantity) AS max_extent
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey GROUP BY 1)
+SELECT band_id, lo, hi, COUNT(*) AS n_released
+FROM extents JOIN bands ON max_extent >= lo AND max_extent < hi
+GROUP BY 1, 2, 3
+""")(lambda s, d: extensions.udtf_release_bands(
+    s, *_t(s, d, "events", "orders", "lineitem")))
+
+register("applyinpandas_rebuild", oracle=extensions.APPLYINPANDAS_ORACLE
+         )(lambda s, d: extensions.applyinpandas_rebuild(_t(s, d, "events")))
+
+register("compact_range_write", oracle=extensions.COMPACT_ORACLE
+         )(lambda s, d: extensions.compact_range_write(s, d, SCRATCH))
 
 register("watermark_late_drop", oracle="""
 WITH ranked AS (

@@ -58,6 +58,24 @@ def test_near_dup_no_allpairs_crossjoin(tables):
     assert equi_join_on(out, "cell")
 
 
+def test_range_layout_skips_files(spark, tables):
+    """compact_range_write produces a sorted, range-disjoint layout; a
+    point predicate on the layout key must reach the scan (footer min/max
+    stats then skip every non-matching row group — the B-tree-index
+    replacement, SURVEY.md §4)."""
+    from spark_streaming_apps_spark.catalog import SCRATCH
+    from spark_streaming_apps_spark.operators.extensions import (
+        compact_range_write)
+
+    row = compact_range_write(spark, "/root/testdata/sf0.001", SCRATCH).first()
+    assert row.n_overlapping_ranges == 0
+    assert row.n_files == 8
+    back = spark.read.parquet(str(SCRATCH / "compact_range"))
+    probe = back.filter(F.col("l_orderkey") == 42).select("l_orderkey",
+                                                          "l_quantity")
+    assert has_pushed_filter(probe, "l_orderkey")
+
+
 def test_minhash_band_join_is_equi(tables):
     out = dedup.minhash_pairs(tables["documents"])
     assert cartesian_join_count(out) == 0
