@@ -1,0 +1,56 @@
+"""The driver contract must stay complete: every SURVEY.md §2 operator key
+registered, with an oracle, and the registry callable shape intact."""
+
+from __future__ import annotations
+
+from spark_streaming_apps_spark import catalog
+
+SURVEY_S2_KEYS = {
+    # §2.A sources / sinks / DDL
+    "kafka_source", "avro_decode", "file_chunk_sink", "jdbc_insert_row",
+    "jdbc_batch_insert", "table_ddl", "scalar_lookup",
+    # §2.B projection / scalar
+    "project_value", "md5_hash", "parse_seq_from_name", "path_concat",
+    "topic_strip", "regexp_extract_offset", "length_bytes",
+    "current_timestamp_cols",
+    # §2.C filters
+    "filter_neq", "filter_not_like", "filter_eq_literal", "filter_status",
+    "range_band_check",
+    # §2.D joins
+    "join_left_anti", "join_inner_2way", "join_inner_3way",
+    # §2.E aggregations
+    "agg_max_expr", "groupby_having_band", "count_rows", "partition_counts",
+    # §2.F windows / sort / limit
+    "window_row_number", "sort_asc", "contiguous_prefix_cumsum", "limit_claim",
+    # §2.G mutation / status machine
+    "update_claim", "update_status_transitions", "update_hw_monotonic",
+    "update_reset_errors", "insert_select_literals",
+    # §2.H streaming
+    "micro_batch_trigger", "per_batch_transform", "mapPartitions_sideeffect",
+    "repartition_serialize", "highwater_state", "late_data_retry",
+    "stop_on_complete", "offset_replay", "poll_wait_loop",
+    # §2.I worker pipeline
+    "pipeline_module_loop", "hash_lookup_module", "keyword_search_module",
+    "error_classify", "file_rebuild",
+    # §2.K north-star extensions
+    "dedup_exact", "dedup_approx", "similarity_topk", "text_tokens",
+    "json_props", "multimodal_binary",
+}
+
+
+def test_every_survey_key_registered():
+    missing = SURVEY_S2_KEYS - set(catalog.REGISTRY)
+    assert not missing, f"§2 keys missing from catalog: {sorted(missing)}"
+
+
+def test_every_key_has_an_oracle():
+    no_oracle = [k for k, e in catalog.REGISTRY.items() if e.oracle is None]
+    assert not no_oracle, f"keys without oracles: {no_oracle}"
+
+
+def test_driver_contract_shape():
+    import __spark_entry__ as e
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 78
+    assert all(callable(v) for v in qs.values())
