@@ -615,6 +615,12 @@ FROM documents
 register("multimodal_decode", oracle=multimodal.DECODE_ORACLE_SQL
          )(lambda s, d: multimodal.decode_metadata(_t(s, d, "documents")))
 
+register("multimodal_resize", oracle=multimodal.RESIZE_ORACLE_SQL
+         )(lambda s, d: multimodal.resize_metadata(_t(s, d, "documents")))
+
+register("multimodal_frame_sample", oracle=multimodal.FRAME_SAMPLE_ORACLE_SQL
+         )(lambda s, d: multimodal.frame_sample(_t(s, d, "documents")))
+
 
 # =====================================================================
 # §2.H streaming (real Structured Streaming runs; deterministic finals)

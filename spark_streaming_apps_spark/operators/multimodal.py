@@ -81,3 +81,83 @@ SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS payload_bytes
 FROM documents
 """
+
+RESIZE_TARGET = 256
+FRAME_SAMPLE_K = 3
+
+
+def resize_metadata(documents: DataFrame, fake: bool = True) -> DataFrame:
+    """Resize stage: fit each decoded image into a {RESIZE_TARGET}² box
+    preserving aspect ratio. The geometry is pure integer math
+    ((dim * target) // max_dim) so both engines agree bit-for-bit; the
+    pixel resample itself is the marked real-codec seam (PIL.Image.resize
+    would slot into the same mapInPandas batch loop)."""
+    decoded = decode_metadata(documents, fake=fake)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mx = pdf[["width", "height"]].max(axis=1)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "out_width": (pdf["width"] * RESIZE_TARGET // mx).astype("int32"),
+                "out_height": (pdf["height"] * RESIZE_TARGET // mx).astype("int32"),
+            })
+
+    return decoded.mapInPandas(
+        resize, schema="doc_id long, width int, height int, "
+                       "out_width int, out_height int")
+
+
+RESIZE_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST((ascii(substr(text, 1, 1)) % 64) * 16 + 16 AS INT) AS width,
+         CAST((ascii(substr(text, 2, 1)) % 64) * 16 + 16 AS INT) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST(width * {RESIZE_TARGET} // greatest(width, height) AS INT) AS out_width,
+       CAST(height * {RESIZE_TARGET} // greatest(width, height) AS INT) AS out_height
+FROM d
+"""
+
+
+def frame_sample(documents: DataFrame, fake: bool = True,
+                 k: int = FRAME_SAMPLE_K) -> DataFrame:
+    """Frame-sampling stage: k evenly-spaced frame indices per video
+    (floor(j*n/k), deduped when n < k), one output row per sampled frame —
+    the one-to-many mapInPandas shape a real pyav frame grab would use.
+    Each frame gets a deterministic content tag (md5 of payload-hash +
+    index) standing in for the decoded frame bytes."""
+    import hashlib
+
+    meta = (decode_metadata(documents, fake=fake)
+            .join(binary_payload(documents).select("doc_id", "payload_md5"),
+                  "doc_id"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n, pmd5 in zip(pdf["doc_id"], pdf["n_frames"],
+                                       pdf["payload_md5"]):
+                for idx in sorted({j * int(n) // k for j in range(k)}):
+                    tag = hashlib.md5(f"{pmd5}:{idx}".encode()).hexdigest()
+                    rows.append((doc_id, idx, tag))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
+
+    return meta.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_md5 string")
+
+
+FRAME_SAMPLE_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(strlen(text) % 8 + 1 AS INT) AS n_frames,
+         md5(text) AS payload_md5
+  FROM documents)
+SELECT DISTINCT doc_id,
+       CAST(j * n_frames // {FRAME_SAMPLE_K} AS INT) AS frame_idx,
+       md5(payload_md5 || ':' || CAST(j * n_frames // {FRAME_SAMPLE_K} AS VARCHAR))
+         AS frame_md5
+FROM d, (SELECT unnest(generate_series(0, {FRAME_SAMPLE_K - 1})) AS j) js
+"""
