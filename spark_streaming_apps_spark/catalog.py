@@ -734,6 +734,24 @@ register("salted_skew_agg", oracle=analytics.SALTED_ORACLE
 # and data-layout management
 # =====================================================================
 
+register("topk_per_group", oracle=analytics.TOPK_ORACLE
+         )(lambda s, d: analytics.topk_per_group(_t(s, d, "orders")))
+
+register("pivot_counts", oracle=analytics.PIVOT_ORACLE
+         )(lambda s, d: analytics.pivot_counts(_t(s, d, "events")))
+
+register("rollup_counts", oracle=analytics.ROLLUP_ORACLE
+         )(lambda s, d: analytics.rollup_counts(_t(s, d, "lineitem")))
+
+register("asof_join_last_event", oracle=analytics.ASOF_ORACLE
+         )(lambda s, d: analytics.asof_last_error(_t(s, d, "events")))
+
+register("percentile_summary", oracle=analytics.PERCENTILE_ORACLE
+         )(lambda s, d: analytics.percentile_summary(_t(s, d, "events")))
+
+register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
+         )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))
+
 register("pandas_udf_module", oracle=extensions.PANDAS_UDF_ORACLE
          )(lambda s, d: extensions.pandas_udf_module(_t(s, d, "documents")))
 

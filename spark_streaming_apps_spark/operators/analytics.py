@@ -136,3 +136,122 @@ SELECT CASE WHEN event_id % 10 < 8 THEN 'hot'
        COUNT(*) AS n_rows
 FROM events GROUP BY 1
 """
+
+
+def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k rows per group — the partitioned-window form (row_number ≤ k
+    over a keyed window): one shuffle on the group key, no global sort, the
+    shape that replaces ORDER BY…LIMIT when 'per entity' is needed."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return (orders
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+"""
+
+
+def pivot_counts(events: DataFrame) -> DataFrame:
+    """groupBy().pivot() — per-user event-type histogram as columns. The
+    pivot values are declared explicitly so the plan needs no extra
+    distinct-scan pass (the at-scale form)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (events.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types))
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY user_id
+"""
+
+
+def rollup_counts(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP grouping sets: per (returnflag, linestatus), per returnflag,
+    and grand total in one aggregation pass — subtotal rows carry NULL
+    group keys, exactly as SQL ROLLUP defines them."""
+    return (lineitem.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty")))
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def asof_last_error(events: DataFrame) -> DataFrame:
+    """As-of join, composed from built-ins (the reference has no as-of
+    operator; SURVEY.md §2.D notes none exists): for every click event,
+    the most recent error event of the same user at or before it. The
+    union-then-window form — tag both streams, `last_value(error_ts)
+    IGNORE NULLS` over a per-user time-ordered running frame — is one
+    keyed shuffle, no range join explosion."""
+    from pyspark.sql import Window
+    tagged = (events
+              .filter(F.col("event_type").isin("click", "error"))
+              .select("event_id", "user_id", "event_type",
+                      F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                      F.when(F.col("event_type") == "error",
+                             F.unix_micros(F.col("ts").cast("timestamp")))
+                       .alias("err_ts")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tagged
+            .withColumn("last_error_ts_us",
+                        F.last("err_ts", ignorenulls=True).over(w))
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts_us", "last_error_ts_us"))
+
+
+ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS err_ts
+  FROM events WHERE event_type IN ('click', 'error'))
+SELECT event_id, user_id, ts_us,
+       last_value(err_ts IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS UNBOUNDED PRECEDING) AS last_error_ts_us
+FROM tagged QUALIFY event_type = 'click'
+"""
+
+
+def percentile_summary(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile` — both
+    engines implement the same linear interpolation over sorted values;
+    at 100 TB swap in `percentile_approx` and tolerance-check instead)."""
+    return (events.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+PERCENTILE_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""

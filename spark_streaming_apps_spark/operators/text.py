@@ -95,6 +95,39 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+FEATURE_DIM = 8
+
+#: portable token-bucket hash, seed 5 (functions/hashing.py family)
+_FH = ("pmod(cast(conv(substr(md5('5:' || t), 1, 15), 16, 10) as bigint), "
+       f"{FEATURE_DIM})")
+
+
+def feature_hashing(documents: DataFrame) -> DataFrame:
+    """Hashed term-frequency feature extraction (the 'hashing trick'):
+    every token is bucketed by the portable hash into a fixed
+    {FEATURE_DIM}-dim count vector — the scale path for text features (no
+    vocabulary build, no second pass, codegen'd array exprs). Emitted as
+    one column per dimension so the oracle compares cell-exactly."""
+    df = documents.withColumn("tk", _tokens())
+    cols = [F.expr(f"size(filter(tk, t -> {_FH} = {j}))").alias(f"f{j}")
+            for j in range(FEATURE_DIM)]
+    return df.select("doc_id", *cols)
+
+
+def feature_hashing_oracle_sql() -> str:
+    fh = (f"CAST(('0x' || substr(md5('5:' || t), 1, 15)) AS BIGINT) "
+          f"% {FEATURE_DIM}")
+    cols = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({fh}) = {j})) AS INT) AS f{j}"
+        for j in range(FEATURE_DIM))
+    return f"""
+WITH tks AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS tk
+  FROM documents)
+SELECT doc_id, {cols} FROM tks
+"""
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic rolling-hash fingerprint: fold char codes with
     h = (h*31 + code) mod {FP_MOD}, seeded by the first char code — a
