@@ -136,7 +136,10 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
       3. bucket join on (band_id, hash) with doc1 < doc2 → candidates
       4. verify: signature agreement fraction as the Jaccard estimate
     """
-    sh = _with_shingles(planted_corpus(documents))
+    # min over the distinct shingle SET == min over the multiset, so dedupe
+    # before hashing: fewer md5 evaluations per signature
+    sh = _with_shingles(planted_corpus(documents)).withColumn(
+        "sgl", F.array_distinct("sgl"))
     sig = sh.select(
         "doc_id",
         *[F.expr(f"array_min(transform(sgl, s -> {_mh_spark(i, 's')}))")
@@ -187,7 +190,7 @@ def minhash_oracle_sql() -> str:
     return f"""
 WITH corpus AS ({PLANTED_CORPUS_SQL}),
 tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
-sh AS (SELECT doc_id, {_shingles_duck()} AS sgl FROM tks),
+sh AS (SELECT doc_id, list_distinct({_shingles_duck()}) AS sgl FROM tks),
 sig AS (SELECT doc_id, {mh} FROM sh),
 bands AS ({band_sel}),
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
