@@ -774,6 +774,16 @@ register("applyinpandas_rebuild", oracle=extensions.APPLYINPANDAS_ORACLE
 register("compact_range_write", oracle=extensions.COMPACT_ORACLE
          )(lambda s, d: extensions.compact_range_write(s, d, SCRATCH))
 
+register("bucketed_join", oracle=extensions.BUCKETED_JOIN_ORACLE
+         )(lambda s, d: extensions.bucketed_join(s, d, SCRATCH))
+
+register("merge_upsert",
+         oracle=extensions.MERGE_UPSERT_ORACLE.format(queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.merge_upsert(s, d, SCRATCH))
+
+register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
+         )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))
+
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)

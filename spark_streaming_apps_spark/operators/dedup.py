@@ -176,6 +176,55 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
             .filter(F.col("est_jaccard") >= 0.5))
 
 
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Duplicate CLUSTERS from the minhash pair graph: connected
+    components by iterative min-label propagation — each node repeatedly
+    adopts the smallest label among itself and its neighbors until a
+    fixed point. Deterministic (component id = smallest doc_id in the
+    component). The driver loop runs O(diameter) keyed join+agg rounds;
+    near-dup components are shallow chains, so this converges in a
+    handful of iterations even at corpus scale."""
+    pairs = minhash_pairs(documents).select("doc1", "doc2")
+    edges = (pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+             .unionByName(pairs.select(F.col("doc2").alias("src"),
+                                       F.col("doc1").alias("dst")))
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lab", F.col("node")))
+    for _ in range(10):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("lab").alias("nlab")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select("node",
+                              F.least("lab", F.coalesce("nlab", "lab"))
+                               .alias("lab"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.lab") != F.col("o.lab")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lab").alias("cluster_id"))
+
+
+def dedup_clusters_oracle_sql() -> str:
+    """Recursive-CTE twin: component id = min reachable node over the
+    symmetric edge set."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({minhash_oracle_sql()}),
+edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+          UNION SELECT doc2, doc1 FROM pairs),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def minhash_oracle_sql() -> str:
     mh = ", ".join(
         f"list_min(list_transform(sgl, s -> {_mh_duck(i, 's')})) AS mh{i}"

@@ -164,3 +164,105 @@ SELECT {N_RANGE_FILES} AS n_files, CAST(COUNT(*) AS INT) AS total_rows,
        0 AS n_overlapping_ranges
 FROM lineitem
 """
+
+N_BUCKETS_TBL = 8
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str,
+                  scratch: Path) -> DataFrame:
+    """Co-located join via bucketed tables: orders and lineitem are both
+    written `bucketBy({N_BUCKETS_TBL}, key)` + sorted, so the join reads
+    bucket i against bucket i with NO shuffle exchange on either side
+    (asserted in tests/test_plans.py::test_bucketed_join_has_no_exchange).
+    At 100 TB this is the difference between re-shuffling 100 TB per join
+    and reading co-partitioned files — the Spark-native analog of the
+    reference keeping its joins inside indexed PostgreSQL."""
+    import shutil
+
+    from ..sources.tables import load_table
+
+    base = scratch / "bucketed"
+    shutil.rmtree(base, ignore_errors=True)
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bkt")
+        (load_table(spark, sf_dir, name)
+         .write.bucketBy(N_BUCKETS_TBL, key).sortBy(key)
+         .option("path", str(base / name))
+         .mode("overwrite").saveAsTable(f"{name}_bkt"))
+    o, li = spark.table("orders_bkt"), spark.table("lineitem_bkt")
+    return (li.join(o, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty")))
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str,
+                 scratch: Path) -> DataFrame:
+    """MERGE-style upsert into a durable state table — the write-path form
+    of the claim/transition projections (reference: transactional UPDATEs,
+    FileWorkerApp.scala:207-227). State lives as parquet; an update batch
+    (the 5 lowest available file_ids flip to claimed, plus one brand-new
+    row) is merged via full-outer join on the key: matched rows take the
+    update, unmatched keep the current state, inserts append. The merged
+    state is written back and re-read — what `foreachBatch` would do per
+    micro-batch against a real table format."""
+    import shutil
+
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    state_dir = str(scratch / "merge_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status", "resident", "error_status")
+    state.write.parquet(state_dir)
+
+    cur = spark.read.parquet(state_dir)
+    claims = (cur.filter(F.col("status") == 0)
+              .orderBy("file_id").limit(5)
+              .select("file_id", F.lit(1).alias("status"),
+                      F.lit(0).alias("resident"), F.lit(0).alias("error_status")))
+    new_row = spark.createDataFrame(
+        [(999_999_999, 0, 0, 0)],
+        "file_id long, status int, resident int, error_status int")
+    updates = claims.unionByName(new_row)
+
+    merged = (cur.alias("s")
+              .join(updates.alias("u"), "file_id", "full_outer")
+              .select("file_id",
+                      F.coalesce("u.status", "s.status").alias("status"),
+                      F.coalesce("s.resident", "u.resident").alias("resident"),
+                      F.coalesce("s.error_status", "u.error_status")
+                       .alias("error_status")))
+    out_dir = str(scratch / "merge_state_v2")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    merged.write.parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return (back.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
+MERGE_UPSERT_ORACLE = """
+WITH queue AS ({queue_sql}),
+claims AS (SELECT file_id FROM queue WHERE status = 0
+           ORDER BY file_id LIMIT 5),
+merged AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM claims) THEN 1
+              ELSE status END AS status
+  FROM queue
+  UNION ALL SELECT 999999999, 0)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id, max(file_id) AS max_id
+FROM merged GROUP BY status
+"""

@@ -76,6 +76,26 @@ def test_range_layout_skips_files(spark, tables):
     assert has_pushed_filter(probe, "l_orderkey")
 
 
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both join inputs are bucketed+sorted on the key, so with broadcast
+    disabled the sort-merge join must consume the buckets directly — the
+    ONLY exchange in the plan is the post-join aggregation, never the join
+    inputs (at 100 TB: no re-shuffle of the fact tables per join)."""
+    from spark_streaming_apps_spark.catalog import SCRATCH
+    from spark_streaming_apps_spark.operators.extensions import bucketed_join
+    from spark_streaming_apps_spark.plans import _op_count, physical_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = bucketed_join(spark, "/root/testdata/sf0.001", SCRATCH)
+        plan = physical_plan(out)
+        assert "SortMergeJoin" in plan
+        assert _op_count(out, "Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_band_join_is_equi(tables):
     out = dedup.minhash_pairs(tables["documents"])
     assert cartesian_join_count(out) == 0
