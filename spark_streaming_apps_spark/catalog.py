@@ -784,6 +784,16 @@ register("merge_upsert",
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))
 
+register("schema_evolution_read", oracle=extensions.SCHEMA_EVOLUTION_ORACLE
+         )(lambda s, d: extensions.schema_evolution_read(s, d, SCRATCH))
+
+register("json_corrupt_tolerant", oracle=extensions.JSON_CORRUPT_ORACLE
+         )(lambda s, d: extensions.json_corrupt_tolerant(_t(s, d, "events")))
+
+register("exactly_once_sink", oracle="""
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct FROM events
+""")(lambda s, d: _streaming("exactly_once_sink_job")(s, d))
+
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)

@@ -253,6 +253,68 @@ def merge_upsert(spark: SparkSession, sf_dir: str,
                  F.max("file_id").alias("max_id")))
 
 
+def schema_evolution_read(spark: SparkSession, sf_dir: str,
+                          scratch: Path) -> DataFrame:
+    """Schema evolution across parquet batches: batch 1 writes the v1
+    schema, batch 2 adds a column; `mergeSchema` unifies the read and the
+    missing column is NULL for the old batch — the real-world shape of a
+    long-lived 100 TB table whose producers upgrade over time."""
+    import shutil
+
+    from ..sources.tables import load_table
+
+    out = str(scratch / "schema_evolution")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    v2 = (docs.filter(F.col("doc_id") % 2 == 1)
+          .select("doc_id", "source", F.octet_length("text").alias("n_bytes")))
+    v1.write.mode("append").parquet(out)
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.select(
+        "doc_id", "source",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("n_bytes").isNull().cast("int").alias("pre_evolution"))
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT doc_id, source,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(strlen(text) AS INT) END AS n_bytes,
+       CAST(doc_id % 2 = 0 AS INT) AS pre_evolution
+FROM documents
+"""
+
+
+def json_corrupt_tolerant(events: DataFrame) -> DataFrame:
+    """Corrupt-record tolerance in semi-structured parsing: a deterministic
+    1% of payloads are mangled; `from_json` yields NULL structs for them
+    instead of failing the job, and the query reports parsed vs corrupt —
+    the PERMISSIVE posture a 100 TB ingest needs (one bad record must not
+    kill a 10-hour job)."""
+    mangled = F.when(F.col("event_id") % 100 == 99,
+                     F.concat(F.lit("{corrupt"), F.col("props")))  \
+        .otherwise(F.col("props"))
+    parsed = events.select(
+        "event_id",
+        F.from_json(mangled, "k INT, _corrupt_record STRING",
+                    {"columnNameOfCorruptRecord": "_corrupt_record"})
+         .alias("r"))
+    return (parsed.select(
+        "event_id",
+        F.col("r.k").alias("k"),
+        F.col("r._corrupt_record").isNotNull().cast("int").alias("is_corrupt")))
+
+
+JSON_CORRUPT_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id % 100 != 99
+            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+       CAST(event_id % 100 = 99 AS INT) AS is_corrupt
+FROM events
+"""
+
+
 MERGE_UPSERT_ORACLE = """
 WITH queue AS ({queue_sql}),
 claims AS (SELECT file_id FROM queue WHERE status = 0

@@ -338,6 +338,40 @@ def offset_replay_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run1_rows long, run2_rows long, replay_consistent int")
 
 
+def exactly_once_sink_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once sink semantics: the run writes each micro-batch into a
+    batch_id-keyed partition; restarting the SAME query (same checkpoint)
+    over an unchanged backlog replays nothing, so the sink holds each
+    record exactly once — the upgrade over the reference's at-least-once
+    `auto.offset.reset=smallest` replay (StreamingApp.scala:309). The
+    checkpoint is deliberately KEPT between the two runs (unlike every
+    other job here)."""
+    base = SCRATCH / "exactly_once"
+    shutil.rmtree(base, ignore_errors=True)
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    src = stage_stream_files(spark, sf_dir)
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, props string")
+
+    def run_once() -> None:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            (batch.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out))
+
+        _run_available_now(
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt))
+
+    run_once()
+    run_once()  # restart against the same checkpoint: zero new batches
+    return (spark.read.parquet(out)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("event_id").alias("n_distinct")))
+
+
 def poll_wait_loop_job(spark: SparkSession, sf_dir: str,
                        n_polls: int = 5) -> DataFrame:
     """poll_wait_loop: the worker's claim-poll loop (FileWorkerApp.scala:
