@@ -794,6 +794,9 @@ register("exactly_once_sink", oracle="""
 SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct FROM events
 """)(lambda s, d: _streaming("exactly_once_sink_job")(s, d))
 
+register("streaming_session_window", oracle=windows.SESSION_ORACLE
+         )(lambda s, d: _streaming("streaming_session_window_job")(s, d))
+
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)

@@ -338,6 +338,52 @@ def offset_replay_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run1_rows long, run2_rows long, replay_consistent int")
 
 
+def streaming_session_window_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as TRUE streaming state: `session_window` under a
+    watermark, sessions growing across micro-batches. Files are staged in
+    event-time order (same mtime trick as the watermark job), so a
+    session's start is fixed the moment it opens and only its extent
+    grows — the final snapshot per (user, session_start) is the converged
+    session, which must equal the batch gaps-and-islands computation."""
+    import os
+
+    src = SCRATCH / f"sesssrc_{Path(sf_dir).name}"
+    shutil.rmtree(src, ignore_errors=True)
+    src.mkdir(parents=True)
+    events = (load_table(spark, sf_dir, "events")
+              .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                      "user_id"))
+    ranked = events.withColumn(
+        "rk", F.row_number().over(Window.orderBy("ts", "event_id")))
+    n = ranked.count()
+    cut = n // N_STREAM_FILES
+    for i in range(N_STREAM_FILES):
+        lo, hi = i * cut, (i + 1) * cut if i < N_STREAM_FILES - 1 else n
+        chunk = ranked.filter((F.col("rk") > lo) & (F.col("rk") <= hi)).drop("rk")
+        tmp = SCRATCH / f"sesstmp_{i}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        chunk.coalesce(1).write.parquet(str(tmp))
+        part = next(Path(tmp).glob("part-*.parquet"))
+        dest = src / f"{i:02d}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (spark.readStream.schema("event_id long, ts timestamp, user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    # session-window aggs support complete/append but not update mode; in
+    # complete mode the memory table IS the converged session set
+    _run_available_now(
+        agg.writeStream.outputMode("complete").format("memory").queryName(qname))
+    return spark.sql(f"""
+        SELECT user_id, unix_micros(w.start) AS session_start_us, n
+        FROM {qname}""")
+
+
 def exactly_once_sink_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once sink semantics: the run writes each micro-batch into a
     batch_id-keyed partition; restarting the SAME query (same checkpoint)

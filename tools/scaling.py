@@ -1,0 +1,70 @@
+"""Scaling-curve measurement: representative queries across all three SFs.
+
+Evidence for the 100 TB question — does runtime grow sub-linearly /
+linearly with data (good: scan/shuffle bound) or super-linearly (bad:
+a quadratic step survived)? Writes SCALING.md.
+
+Usage: python tools/scaling.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from spark_streaming_apps_spark import catalog  # noqa: E402
+from spark_streaming_apps_spark.session import get_spark  # noqa: E402
+
+SFS = ["0.001", "0.01", "0.1"]
+KEYS = [
+    "hw_release",              # flagship: anti-join HW + band release
+    "join_inner_3way",         # shuffle join family
+    "groupby_having_band",     # keyed aggregation
+    "dedup_minhash_lsh",       # banded sketch join
+    "dedup_ngram_jaccard",     # candidate-blocked verify
+    "embedding_near_dup",      # cell-blocked pair generation
+    "q1_pricing_summary",      # wide aggregation
+]
+
+
+def main() -> None:
+    spark = get_spark("scaling", master="local[32]")
+    qs = catalog.queries()
+    qs["count_rows"](spark, "/root/testdata/sf0.1") \
+        .write.mode("overwrite").format("noop").save()  # warmup
+
+    results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    for sf in SFS:
+        d = f"/root/testdata/sf{sf}"
+        for k in KEYS:
+            t0 = time.perf_counter()
+            qs[k](spark, d).write.mode("overwrite").format("noop").save()
+            results[k][sf] = round(time.perf_counter() - t0, 2)
+            print(f"sf{sf} {k}: {results[k][sf]}s", file=sys.stderr)
+
+    lines = [
+        "# SCALING — runtime vs scale factor (local[32], noop sink)",
+        "",
+        "Data grows 100x from sf0.001 to sf0.1. A scale-safe plan should",
+        "grow far slower than 100x at these sizes (fixed per-query overhead",
+        "dominates small SFs); any super-linear step would show a blowup in",
+        "the last column.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | t(0.1)/t(0.001) |",
+        "|---|---|---|---|---|",
+    ]
+    for k in KEYS:
+        r = results[k]
+        ratio = round(r["0.1"] / r["0.001"], 1) if r["0.001"] else float("nan")
+        lines.append(f"| {k} | {r['0.001']} | {r['0.01']} | {r['0.1']} "
+                     f"| {ratio}x |")
+    Path(__file__).resolve().parents[1].joinpath("SCALING.md").write_text(
+        "\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
