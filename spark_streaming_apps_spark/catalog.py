@@ -797,6 +797,14 @@ SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct FROM events
 register("streaming_session_window", oracle=windows.SESSION_ORACLE
          )(lambda s, d: _streaming("streaming_session_window_job")(s, d))
 
+register("stream_stream_join", oracle="""
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS lag_us
+FROM events c JOIN events e ON c.user_id = e.user_id
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+  AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+""")(lambda s, d: _streaming("stream_stream_join_job")(s, d))
+
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)

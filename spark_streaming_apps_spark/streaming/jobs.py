@@ -338,21 +338,19 @@ def offset_replay_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         "run1_rows long, run2_rows long, replay_consistent int")
 
 
-def streaming_session_window_job(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows as TRUE streaming state: `session_window` under a
-    watermark, sessions growing across micro-batches. Files are staged in
-    event-time order (same mtime trick as the watermark job), so a
-    session's start is fixed the moment it opens and only its extent
-    grows — the final snapshot per (user, session_start) is the converged
-    session, which must equal the batch gaps-and-islands computation."""
+def _stage_ts_ordered(spark: SparkSession, sf_dir: str, name: str,
+                      cols: list) -> str:
+    """Stage events as N_STREAM_FILES parquet files in strict event-time
+    order with ascending mtimes, so the file source replays the stream
+    in-order (no event is ever late relative to the watermark)."""
     import os
 
-    src = SCRATCH / f"sesssrc_{Path(sf_dir).name}"
+    src = SCRATCH / f"{name}_{Path(sf_dir).name}"
     shutil.rmtree(src, ignore_errors=True)
     src.mkdir(parents=True)
     events = (load_table(spark, sf_dir, "events")
               .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
-                      "user_id"))
+                      *cols))
     ranked = events.withColumn(
         "rk", F.row_number().over(Window.orderBy("ts", "event_id")))
     n = ranked.count()
@@ -360,7 +358,7 @@ def streaming_session_window_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(N_STREAM_FILES):
         lo, hi = i * cut, (i + 1) * cut if i < N_STREAM_FILES - 1 else n
         chunk = ranked.filter((F.col("rk") > lo) & (F.col("rk") <= hi)).drop("rk")
-        tmp = SCRATCH / f"sesstmp_{i}"
+        tmp = SCRATCH / f"{name}_tmp_{i}"
         shutil.rmtree(tmp, ignore_errors=True)
         chunk.coalesce(1).write.parquet(str(tmp))
         part = next(Path(tmp).glob("part-*.parquet"))
@@ -368,7 +366,17 @@ def streaming_session_window_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(str(part), dest)
         os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
         shutil.rmtree(tmp, ignore_errors=True)
+    return str(src)
 
+
+def streaming_session_window_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as TRUE streaming state: `session_window` under a
+    watermark, sessions growing across micro-batches. Files are staged in
+    event-time order (same mtime trick as the watermark job), so a
+    session's start is fixed the moment it opens and only its extent
+    grows — the final snapshot per (user, session_start) is the converged
+    session, which must equal the batch gaps-and-islands computation."""
+    src = _stage_ts_ordered(spark, sf_dir, "sesssrc", ["user_id"])
     stream = (spark.readStream.schema("event_id long, ts timestamp, user_id long")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
     agg = (stream.withWatermark("ts", "10 minutes")
@@ -381,6 +389,39 @@ def streaming_session_window_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete").format("memory").queryName(qname))
     return spark.sql(f"""
         SELECT user_id, unix_micros(w.start) AS session_start_us, n
+        FROM {qname}""")
+
+
+def stream_stream_join_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every click joined to the SAME USER's
+    error events from the preceding hour — two watermarked streams, a
+    range condition bounding the buffered state (Spark evicts join state
+    once the watermark passes the interval). Inner joins emit matches
+    eagerly, and in-order staging means nothing arrives late, so the
+    drained output equals the batch interval join exactly."""
+    src = _stage_ts_ordered(spark, sf_dir, "ssjsrc", ["user_id", "event_type"])
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .filter(F.col("event_type") == kind)
+                .select(F.col("event_id").alias(f"{prefix}_id"),
+                        F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("ts").alias(f"{prefix}_ts"))
+                .withWatermark(f"{prefix}_ts", "10 minutes"))
+
+    clicks, errors = side("click", "c"), side("error", "e")
+    joined = clicks.join(
+        errors,
+        F.expr("c_user = e_user AND "
+               "e_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"))
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        joined.writeStream.outputMode("append").format("memory").queryName(qname))
+    return spark.sql(f"""
+        SELECT c_id AS click_id, e_id AS error_id, c_user AS user_id,
+               unix_micros(c_ts) - unix_micros(e_ts) AS lag_us
         FROM {qname}""")
 
 
