@@ -191,7 +191,11 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
              .localCheckpoint())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
-    for _ in range(10):
+    # Run to the fixed point — min-label propagation needs O(diameter)
+    # rounds and a long near-dup chain can exceed any small constant; an
+    # unconverged result would silently disagree with the exact
+    # connected-components oracle. The cap is a pure runaway guard.
+    for it in range(1000):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("lab").alias("nlab")))
         new_labels = (labels.join(neighbor_min,
@@ -206,6 +210,9 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lab").alias("cluster_id"))
 

@@ -292,8 +292,12 @@ def json_corrupt_tolerant(events: DataFrame) -> DataFrame:
     instead of failing the job, and the query reports parsed vs corrupt —
     the PERMISSIVE posture a 100 TB ingest needs (one bad record must not
     kill a 10-hour job)."""
+    # coalesce: a NULL props must still mangle to a non-NULL corrupt string
+    # (concat with NULL yields NULL → from_json returns a NULL struct →
+    # is_corrupt would read 0 while the oracle flags the row).
     mangled = F.when(F.col("event_id") % 100 == 99,
-                     F.concat(F.lit("{corrupt"), F.col("props")))  \
+                     F.concat(F.lit("{corrupt"),
+                              F.coalesce(F.col("props"), F.lit(""))))  \
         .otherwise(F.col("props"))
     parsed = events.select(
         "event_id",

@@ -87,13 +87,15 @@ def session_window_agg(events: DataFrame) -> DataFrame:
                     "n"))
 
 
-#: classic gaps-and-islands: a new session starts where the lag-gap exceeds
-#: the threshold; session id = running sum of breaks.
+#: classic gaps-and-islands: a new session starts where the lag-gap reaches
+#: the threshold. `>=`, not `>`: Spark's session window is half-open
+#: [ts, ts+gap), so an event landing exactly at prev_ts + gap is OUTSIDE the
+#: previous session and must start a new one.
 SESSION_ORACLE = """
 WITH o AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1
+                OR ts - lag(ts) OVER w >= INTERVAL '6 hours' THEN 1
               ELSE 0 END AS brk
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 g AS (SELECT user_id, ts,
