@@ -6,11 +6,17 @@ row count, column-name set, and order-insensitive values (columns sorted by
 name, every cell stringified, rows sorted). Keys without an oracle get a
 rows-only check (runs + row count printed).
 
-Usage: python tools/selfcheck.py [key ...]   (no args = all keys)
+Usage: python tools/selfcheck.py [--json OUT] [key ...]   (no args = all keys)
+
+With --json, also writes a driver-format report ({key: {rows_match,
+schema_match, hash_match, spark_rows, oracle_rows, err}}) — committed as
+CORRECTNESS_FULL.json because the driver's own gate caps at the first 50
+registry keys and the catalog registers more than that.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -49,7 +55,14 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
     from spark_streaming_apps_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = set(argv)
+    report: dict[str, dict] = {}
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
@@ -69,11 +82,17 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {key}: SPARK ERROR")
             traceback.print_exc(limit=6)
+            report[key] = {"rows_match": False, "schema_match": False,
+                           "hash_match": False, "spark_rows": None,
+                           "oracle_rows": None, "err": "spark error"}
             n_fail += 1
             continue
         if key not in os_:
             print(f"rows  {key}: {len(srows)} rows (rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            report[key] = {"rows_match": len(srows) > 0, "schema_match": None,
+                           "hash_match": None, "spark_rows": len(srows),
+                           "oracle_rows": None, "err": None}
             n_rows_only += 1
             continue
         try:
@@ -82,10 +101,17 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {key}: DUCKDB ERROR {e}")
+            report[key] = {"rows_match": False, "schema_match": False,
+                           "hash_match": False, "spark_rows": len(srows),
+                           "oracle_rows": None, "err": f"duckdb error: {e}"}
             n_fail += 1
             continue
         sc, sv = frame_fingerprint(scols, srows)
         dc, dv = frame_fingerprint(dcols, drows)
+        rec = {"rows_match": len(sv) == len(dv), "schema_match": sc == dc,
+               "hash_match": sc == dc and sv == dv,
+               "spark_rows": len(sv), "oracle_rows": len(dv), "err": None}
+        report[key] = rec
         if sc != dc:
             print(f"FAIL  {key}: columns spark={sc} duck={dc}")
             n_fail += 1
@@ -103,6 +129,9 @@ def main() -> int:
         print(f"ok    {key}: {len(sv)} rows [{time.time()-t0:.1f}s]")
         n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=2) + "\n")
+        print(f"wrote {json_out} ({len(report)} keys)")
     return 1 if n_fail else 0
 
 
