@@ -42,19 +42,19 @@ JACCARD_MIN = 0.4
 _HASH = "cast(conv(substr(md5('{seed}:' || {x}),1,15),16,10) as bigint)"
 _HASH_DUCK = "CAST(('0x' || substr(md5('{seed}:' || {x}),1,15)) AS BIGINT)"
 
+#: MinHash hash family: ONE md5 base hash per shingle (reduced mod the
+#: Mersenne prime 2^31-1), then N_HASHES affine rehashes (a_i*h + b_i) mod p
+#: — integer-only, so the md5 work per signature drops 8x vs hashing per
+#: function, and both engines compute it bit-identically ((p-1)^2 < 2^62:
+#: no 64-bit overflow on either side). Constants from a fixed LCG so the
+#: family is deterministic and committed.
+MH_P = (1 << 31) - 1
+MH_AB = [((1103515245 * (i + 1) + 12345) % MH_P or 1,
+          (69069 * (i + 1) + 1) % MH_P) for i in range(N_HASHES)]
 
-def _mh_spark(i: int, x: str) -> str:
-    """Minhash function i: two independent 60-bit hashes per md5 digest
-    (hex slices 1-15 and 17-31) — halves the md5 work per shingle."""
-    seed, half = divmod(i, 2)
-    return (f"cast(conv(substr(md5('{seed}:' || {x}), {1 + 16 * half}, 15), "
-            f"16, 10) as bigint)")
-
-
-def _mh_duck(i: int, x: str) -> str:
-    seed, half = divmod(i, 2)
-    return (f"CAST(('0x' || substr(md5('{seed}:' || {x}), {1 + 16 * half}, 15)) "
-            f"AS BIGINT)")
+def _mh_affine(i: int, h: str) -> str:
+    a, b = MH_AB[i]
+    return f"({a} * {h} + {b}) % {MH_P}"
 
 
 # ---------------------------------------------------------------- exact/approx
@@ -105,24 +105,61 @@ def _with_tokens(corpus: DataFrame) -> DataFrame:
         "tk", F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != ""))
 
 
-def _with_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    sgl = F.expr(
-        f"CASE WHEN size(tk) >= {k} THEN "
-        f"transform(sequence(1, size(tk) - {k - 1}), i -> concat_ws(' ', slice(tk, i, {k}))) "
-        f"ELSE cast(array() as array<string>) END"
-    )
-    return _with_tokens(corpus).withColumn("sgl", sgl)
+
+#: Rolling shingle hashing, the detectors' shared base: hash each TOKEN once
+#: (md5 → 60 bits → mod p), then fingerprint each k-gram with an arithmetic
+#: combine of its k token hashes — md5 work is O(tokens) instead of
+#: O(shingles·k chars), and no shingle strings are ever built (the string
+#: build ran interpreted inside a nested higher-order function: ~9s of the
+#: old 11s at sf0.1). Combine stays in 41 bits before the mod — identical
+#: in DuckDB. Hash collisions (31-bit space) hit both engines identically;
+#: their effect on Jaccard/minhash estimates at corpus scale is O(1e-4).
+MH_COMBINE = 31
+
+_TKH = ("transform(tk, t -> cast(conv(substr(md5(t),1,15),16,10) as bigint)"
+        f" % {MH_P})")
+_TKH_DUCK = ("list_transform(tk, t -> CAST(('0x' || substr(md5(t),1,15)) "
+             f"AS BIGINT) % {MH_P})")
+
+
+def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
+    """doc_id + hs: the doc's DISTINCT rolling 3-gram shingle hashes.
+
+    Materialized (localCheckpoint) before any explode/consumer: Catalyst's
+    projection collapse would otherwise inline the token-hash array into
+    every per-element access of downstream lambdas and recompute the md5
+    pass per shingle (measured 10x-100x blowup). The checkpoint pins the
+    arrays as concrete columns; every consumer reads bigints."""
+    assert SHINGLE_K == 3
+    sglh = (f"CASE WHEN size(tkh) >= 3 THEN "
+            f"transform(sequence(1, size(tkh) - 2), i -> "
+            f"((element_at(tkh, i) * {MH_COMBINE} + element_at(tkh, i + 1)) "
+            f"* {MH_COMBINE} + element_at(tkh, i + 2)) % {MH_P}) "
+            f"ELSE cast(array() as array<bigint>) END")
+    return (_with_tokens(corpus)
+            .withColumn("tkh", F.expr(_TKH))
+            .withColumn("hs", F.array_distinct(F.expr(sglh)))
+            .select("doc_id", "hs")
+            .localCheckpoint())
+
+
+def _shingle_hash_ctes() -> str:
+    """DuckDB CTE chain producing (doc_id, hs) from `corpus` — the exact
+    twin of _with_shingle_hashes."""
+    return f"""
+tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
+tkhs AS (SELECT doc_id, {_TKH_DUCK} AS tkh FROM tks),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(tkh) >= 3 THEN
+                [((tkh[i] * {MH_COMBINE} + tkh[i + 1]) * {MH_COMBINE}
+                  + tkh[i + 2]) % {MH_P}
+                 FOR i IN generate_series(1, len(tkh) - 2)]
+                ELSE CAST([] AS BIGINT[]) END) AS hs
+       FROM tkhs)"""
 
 
 _TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '')"
 
-
-def _shingles_duck(k: int = SHINGLE_K) -> str:
-    return (
-        f"CASE WHEN len(tk) >= {k} THEN "
-        f"[array_to_string(tk[i:i+{k - 1}], ' ') FOR i IN generate_series(1, len(tk) - {k - 1})] "
-        f"ELSE CAST([] AS VARCHAR[]) END"
-    )
 
 
 # ------------------------------------------------------------------- minhash
@@ -136,13 +173,10 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
       3. bucket join on (band_id, hash) with doc1 < doc2 → candidates
       4. verify: signature agreement fraction as the Jaccard estimate
     """
-    # min over the distinct shingle SET == min over the multiset, so dedupe
-    # before hashing: fewer md5 evaluations per signature
-    sh = _with_shingles(planted_corpus(documents)).withColumn(
-        "sgl", F.array_distinct("sgl"))
+    sh = _with_shingle_hashes(planted_corpus(documents))
     sig = sh.select(
         "doc_id",
-        *[F.expr(f"array_min(transform(sgl, s -> {_mh_spark(i, 's')}))")
+        *[F.expr(f"array_min(transform(hs, h -> {_mh_affine(i, 'h')}))")
           .alias(f"mh{i}") for i in range(N_HASHES)],
         # signatures feed the band join AND both verify sides: materialize
         # once (lineage-truncating local checkpoint) instead of re-hashing
@@ -234,7 +268,7 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 
 def minhash_oracle_sql() -> str:
     mh = ", ".join(
-        f"list_min(list_transform(sgl, s -> {_mh_duck(i, 's')})) AS mh{i}"
+        f"list_min(list_transform(hs, h -> {_mh_affine(i, 'h')})) AS mh{i}"
         for i in range(N_HASHES))
     band_sel = " UNION ALL ".join(
         "SELECT doc_id, {j} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig"
@@ -244,9 +278,7 @@ def minhash_oracle_sql() -> str:
     agree = " + ".join(
         f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
     return f"""
-WITH corpus AS ({PLANTED_CORPUS_SQL}),
-tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
-sh AS (SELECT doc_id, list_distinct({_shingles_duck()}) AS sgl FROM tks),
+WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},
 sig AS (SELECT doc_id, {mh} FROM sh),
 bands AS ({band_sel}),
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
@@ -331,30 +363,45 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     (rare shingles are the discriminative ones; common-vocab shingles would
     otherwise make the candidate join quadratic), then exact
     J = |A∩B| / |A∪B| over DISTINCT shingle sets for candidates only."""
-    # Shingles are 60-bit portable hashes, not strings: every downstream
-    # shuffle (distinct, df count, candidate + intersection joins) moves
-    # one bigint per shingle instead of the text. Set semantics survive
-    # (deterministic hash, collisions negligible at 60 bits, and the
-    # oracle applies the identical hash).
-    sh = (_with_shingles(planted_corpus(documents))
-          .select("doc_id", F.explode("sgl").alias("s"))
-          .select("doc_id", F.expr(_HASH.format(seed=7, x="s")).alias("sh_h"))
-          .distinct()
-          # read 4x below (sizes, rare, cand, inter): materialize once
-          .localCheckpoint())
+    # Shingles are rolling 31-bit hashes, not strings: every downstream
+    # shuffle (df count, candidate + intersection joins) moves one bigint
+    # per shingle instead of the text, and the exploded rows come off the
+    # materialized per-doc hash arrays (already distinct within a doc).
+    # Set semantics survive: deterministic hash, the oracle applies the
+    # identical one, and cross-doc collisions perturb a Jaccard count on
+    # both sides equally.
+    sh = (_with_shingle_hashes(planted_corpus(documents))
+          .select("doc_id", F.explode("hs").alias("sh_h")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= JACCARD_RARE_DF).select("sh_h"))
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (a.join(rare, "sh_h").join(b.withColumnRenamed("doc_id", "doc2"), "sh_h")
-            .filter(F.col("a.doc_id") < F.col("doc2"))
-            .select(F.col("a.doc_id").alias("doc1"), "doc2").distinct())
+    # Candidate pairs via bounded rare buckets, skew-safely:
+    #   1. per-shingle df — counter-only aggregation state, so a stop-
+    #      shingle appearing in every doc costs one long, not a doc list;
+    #   2. keep shingles with 2 <= df <= JACCARD_RARE_DF (df=1 can't pair;
+    #      df>4 isn't discriminative) — the collision set, tiny vs corpus;
+    #   3. join back and collect each bucket (state provably <= df) and
+    #      expand its ordered pairs scalar-wise.
+    # vs the naive sh ⋈ rare ⋈ sh this trades the second 5M-row join for
+    # a groupBy over only the collision-shingle rows.
+    pairable = (sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+                .filter((F.col("df") <= JACCARD_RARE_DF) & (F.col("df") >= 2))
+                .select("sh_h"))
+    cand = (sh.join(pairable, "sh_h")
+            .groupBy("sh_h").agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+            .select(F.explode(F.expr(
+                "flatten(transform(docs, (d1, i) -> "
+                "transform(slice(docs, i + 2, size(docs)), d2 -> struct(d1, d2))))"))
+                .alias("p"))
+            .select(F.col("p.d1").alias("doc1"), F.col("p.d2").alias("doc2"))
+            .distinct())
     # Intersection sizes are computed FROM the candidate pairs (cand → sh
     # twice, all keyed equi-joins) — never from an unblocked sh ⋈ sh on
     # every shared shingle, which a single common shingle makes quadratic.
+    # The candidate set is a vanishing fraction of the corpus (that's the
+    # point of blocking), so broadcast it and keep the 5M-row shingle
+    # relation un-shuffled; AQE demotes to shuffle join if it ever isn't.
     sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
     sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
-    inter = (cand.join(sh1, "doc1").join(sh2, ["doc2", "sh_h"])
+    inter = (sh1.join(F.broadcast(cand), "doc1").join(sh2, ["doc2", "sh_h"])
              .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
     s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
     s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
@@ -367,11 +414,8 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
 
 def ngram_jaccard_oracle_sql() -> str:
     return f"""
-WITH corpus AS ({PLANTED_CORPUS_SQL}),
-tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
-shl AS (SELECT doc_id, {_shingles_duck()} AS sgl FROM tks),
-sh AS (SELECT DISTINCT doc_id, {_HASH_DUCK.format(seed=7, x='s')} AS sh_h
-       FROM (SELECT doc_id, unnest(sgl) AS s FROM shl) u),
+WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes().replace('sh AS (', 'sharr AS (', 1)},
+sh AS (SELECT doc_id, unnest(hs) AS sh_h FROM sharr),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 rare AS (SELECT sh_h FROM sh GROUP BY sh_h HAVING count(*) <= {JACCARD_RARE_DF}),
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
