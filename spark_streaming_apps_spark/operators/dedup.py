@@ -296,21 +296,29 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     """SimHash near-dup pairs: 48-bit token-weighted fingerprint, banded
     (4×12-bit) candidate join, hamming-distance verify (≤ {SIM_HAMMING_MAX}).
 
-    The per-doc fingerprint is pure array math over the hashed token list —
-    no explode, no shuffle until the tiny band join."""
-    corpus = _with_tokens(planted_corpus(documents)).withColumn(
-        "hk", F.expr(f"transform(tk, t -> {_HASH.format(seed=99, x='t')})"))
-    bit_sums = [
-        F.expr(f"aggregate(transform(hk, h -> cast(2 * (shiftright(h, {b}) & 1) - 1 as int)), "
-               f"0, (a, x) -> a + x)").alias(f"s{b}")
-        for b in range(SIM_BITS)
-    ]
+    The per-doc fingerprint comes from an exploded token-hash relation and
+    one codegen'd hash aggregate (count + 48 bit-sums over a bigint) — the
+    array-expression formulation ran the 48 per-bit passes in Spark's
+    interpreted higher-order-function path and was ~20x slower. One
+    shuffle of (doc_id, hash) longs; bit b is set iff the b-bit popcount
+    exceeds half the token count (== the classic ±1 sum being positive)."""
+    corpus = _with_tokens(planted_corpus(documents))
+    tok = (corpus.select("doc_id", F.explode("tk").alias("t"))
+           .select("doc_id", F.expr(_HASH.format(seed=99, x="t")).alias("h")))
+    sums = (tok.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"c{b}")
+                   for b in range(SIM_BITS)]))
     assembled = sum(
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(2 * F.col(f"c{b}") - F.col("n") > 0,
+               F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(SIM_BITS)
     )
-    sig = (corpus.select("doc_id", *bit_sums)
-           .select("doc_id", assembled.alias("simhash"))
+    # explode drops zero-token docs; the oracle (and the old array path)
+    # keeps them with fingerprint 0 — restore via left join.
+    sig = (corpus.select("doc_id")
+           .join(sums.select("doc_id", assembled.alias("sh")), "doc_id", "left")
+           .select("doc_id", F.coalesce("sh", F.lit(0).cast("long")).alias("simhash"))
            .localCheckpoint())  # both sides of the band join read this
     n_bands = SIM_BITS // SIM_BAND_BITS
     mask = (1 << SIM_BAND_BITS) - 1

@@ -99,12 +99,27 @@ def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
                 .filter(F.col("rn") <= N_PROBES)
                 .select("vec_id", "e", "cell",
                         # norm once per vector, not once per pair side
-                        F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm")))
+                        F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"),
+                        # 8-dim head + tail norm for the Cauchy-Schwarz
+                        # candidate bound below
+                        F.expr("slice(e, 1, 8)").alias("hd"),
+                        F.expr(f"sqrt({_DOT.format(a='slice(e, 9, size(e))', b='slice(e, 9, size(e))')})")
+                         .alias("tnrm")))
     a, b = assigned.alias("a"), assigned.alias("b")
+    # Exact prune before the full-dimension dot: a.e⋅b.e <= hd_a⋅hd_b +
+    # |tail_a||tail_b| (Cauchy-Schwarz), so any pair whose bound is below
+    # the threshold can't qualify — drop it after an 8-dim dot instead of
+    # a 64-dim one (~90% of within-cell pairs at fixture scale). The 1e-4
+    # slack covers the 6-dp rounding applied to the real similarity; the
+    # surviving-pair set is EXACTLY the unpruned one, so the oracle needs
+    # no mirror of this step.
+    bound = F.expr(
+        f"({_DOT.format(a='a.hd', b='b.hd')} + a.tnrm * b.tnrm) / (a.nrm * b.nrm)")
     pair_sim = F.expr(
         f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
     return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .filter(bound >= NEAR_DUP_COS - 1e-4)
             .select(F.col("a.vec_id").alias("vec1"),
                     F.col("b.vec_id").alias("vec2"),
                     pair_sim.alias("sim"))
