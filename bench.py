@@ -51,6 +51,10 @@ BENCH_KEYS = [
     "window_tumbling",
     "window_session",
     "highwater_state",
+    "contamination_check",
+    "sequence_packing",
+    "pagerank_nations",
+    "zorder_layout",
 ]
 
 

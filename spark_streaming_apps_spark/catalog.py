@@ -33,8 +33,8 @@ from .functions.scalar import (
     synth_error_message_sql, topic_strip_case,
 )
 from .operators import (
-    analytics, dedup, extensions, highwater, multimodal, queue, relational,
-    similarity, text, windows, worker,
+    analytics, dedup, extensions, graph, highwater, multimodal, queue,
+    relational, similarity, text, training, windows, worker,
 )
 from .sources.tables import load_table
 
@@ -815,6 +815,37 @@ FROM ranked WHERE rk > 20 GROUP BY 1
 
 
 # =====================================================================
+# training-data curation (sampling / mixing / packing / scrubbing /
+# decontamination) + graph + data layout
+# =====================================================================
+
+register("stratified_sample", oracle=training.stratified_sample_oracle_sql()
+         )(lambda s, d: training.stratified_sample(_t(s, d, "documents")))
+
+register("train_test_split", oracle=training.train_test_split_oracle_sql()
+         )(lambda s, d: training.train_test_split(_t(s, d, "documents")))
+
+register("data_mixing", oracle=training.data_mixing_oracle_sql()
+         )(lambda s, d: training.data_mixing(_t(s, d, "documents")))
+
+register("sequence_packing", oracle=training.sequence_packing_oracle_sql()
+         )(lambda s, d: training.sequence_packing(_t(s, d, "documents")))
+
+register("pii_redact", oracle=training.pii_redact_oracle_sql()
+         )(lambda s, d: training.pii_redact(_t(s, d, "documents")))
+
+register("contamination_check", oracle=training.contamination_check_oracle_sql()
+         )(lambda s, d: training.contamination_check(_t(s, d, "documents")))
+
+register("pagerank_nations", oracle=graph.pagerank_oracle_sql()
+         )(lambda s, d: graph.pagerank_nations(
+             *_t(s, d, "customer", "orders", "lineitem", "supplier")))
+
+register("zorder_layout", oracle=extensions.ZORDER_ORACLE
+         )(lambda s, d: extensions.zorder_layout(_t(s, d, "orders")))
+
+
+# =====================================================================
 # flagship (extra key — the end-to-end release query, SURVEY.md §3.3)
 # =====================================================================
 
@@ -883,6 +914,10 @@ PRIORITY: tuple[str, ...] = (
     "token_count", "lang_id", "quality_score", "doc_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "text_feature_hashing",
+    # training-data curation + graph + layout (round 3)
+    "stratified_sample", "train_test_split", "data_mixing",
+    "sequence_packing", "pii_redact", "contamination_check",
+    "pagerank_nations", "zorder_layout",
 )
 
 

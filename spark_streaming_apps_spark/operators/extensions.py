@@ -332,3 +332,61 @@ merged AS (
 SELECT status, COUNT(*) AS n, min(file_id) AS min_id, max(file_id) AS max_id
 FROM merged GROUP BY status
 """
+
+
+# --------------------------------------------------------------- data layout
+
+ZORDER_BITS = 8
+ZORDER_BUCKET_SHIFT = 8  # bucket = z >> shift → 256 buckets / 16x16 tiles
+
+
+def _z_interleave(x: str, y: str) -> str:
+    """16-bit Morton code: bit b of x → bit 2b, bit b of y → bit 2b+1.
+    Plain shift/mask sum — identical in Spark SQL and DuckDB."""
+    terms = [f"(shiftleft(shiftright({x}, {b}) & 1, {2 * b}) "
+             f"+ shiftleft(shiftright({y}, {b}) & 1, {2 * b + 1}))"
+             for b in range(ZORDER_BITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave_duck(x: str, y: str) -> str:
+    terms = [f"(((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1}))"
+             for b in range(ZORDER_BITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(orders: DataFrame) -> DataFrame:
+    """Z-order (Morton) layout audit over (customer, order-day): interleave
+    the low 8 bits of both dims, bucket by the top z-bits, and report each
+    bucket's span in BOTH dimensions. Every bucket covers a 16x16 tile —
+    bounded spans in two dimensions at once, which is what lets parquet
+    min/max pruning serve predicates on either column; a single-column
+    range layout bounds one span and leaves the other at full width
+    (SURVEY.md §4: the reference's CREATE INDEX has no Spark analog —
+    layout + statistics pruning replaces it). At scale the z-value is the
+    repartitionByRange key at write time; this operator IS the audit
+    query one runs over the written files' footer stats."""
+    mask = (1 << ZORDER_BITS) - 1
+    zed = orders.selectExpr(
+        "o_orderkey",
+        f"o_custkey & {mask} AS ck",
+        f"unix_micros(cast(o_orderdate as timestamp)) div 86400000000 & {mask} AS dy",
+    ).selectExpr("o_orderkey", "ck", "dy",
+                 f"{_z_interleave('ck', 'dy')} AS z")
+    return (zed.groupBy((F.shiftright("z", ZORDER_BUCKET_SHIFT)).alias("zbucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.max("ck") - F.min("ck")).alias("ck_span"),
+                 (F.max("dy") - F.min("dy")).alias("dy_span")))
+
+
+ZORDER_ORACLE = f"""
+WITH zed AS (
+  SELECT o_orderkey,
+         o_custkey & {(1 << ZORDER_BITS) - 1} AS ck,
+         (epoch_us(o_orderdate) // 86400000000) & {(1 << ZORDER_BITS) - 1} AS dy
+  FROM orders),
+zz AS (SELECT o_orderkey, ck, dy, {_z_interleave_duck('ck', 'dy')} AS z FROM zed)
+SELECT z >> {ZORDER_BUCKET_SHIFT} AS zbucket, COUNT(*) AS n_rows,
+       max(ck) - min(ck) AS ck_span, max(dy) - min(dy) AS dy_span
+FROM zz GROUP BY 1
+"""

@@ -1,0 +1,270 @@
+"""Training-data curation operators: the sampling / mixing / packing /
+scrubbing / decontamination stages a large-scale LLM pretraining pipeline
+runs between raw ingest and tokenized shards.
+
+Extends the reference's ingest-and-filter pipeline surface (the worker
+module chain, FileWorkerApp.scala:140-240) with the curation stages that
+operate on the `documents` corpus. Everything is deterministic — sampling
+uses the portable MD5-derived hash (functions/hashing.py), so every stage
+has an exact DuckDB oracle and reruns are reproducible, which is what makes
+a 100 TB curation job auditable (rerun any shard, get the same bytes).
+
+Scale notes: every operator here is scan-shaped or single-shuffle:
+  stratified_sample / train_test_split / data_mixing   scan + hash filter
+  pii_redact                                           scan + regex
+  sequence_packing      one window per bucket key (bounded partitions)
+  contamination_check   broadcast semi-join against the benchmark set
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from .dedup import MH_P, _TOKENS_DUCK, _with_shingle_hashes
+
+#: stratified sampling: keep this % of each source stratum
+SAMPLE_PCT = 30
+SAMPLE_SEED = 11
+#: train/test split: % of docs in train
+SPLIT_PCT = 90
+SPLIT_SEED = 23
+#: data mixing: web sources are downsampled, curated sources upsampled
+MIX_WEB_PCT = 40     # keep 40% of 'web' docs
+MIX_CURATED_EPOCHS = 2  # repeat 'curated' docs twice
+MIX_SEED = 31
+#: sequence packing: token budget per packed sequence, parallel bucket count
+PACK_BUDGET = 512
+PACK_BUCKETS = 32
+#: contamination: shingle-overlap count that flags a training doc
+CONTAM_BENCH_MOD = 97
+CONTAM_MIN_OVERLAP = 5
+
+
+def _pct_bucket(col, seed: int) -> F.Column:
+    """Deterministic 0-99 bucket from the portable hash — the sampling
+    primitive (pmod keeps it non-negative on both engines)."""
+    return F.pmod(portable_hash64(col, seed=seed), F.lit(100))
+
+
+def _pct_bucket_sql(expr: str, seed: int) -> str:
+    h = portable_hash64_sql(expr, seed=seed)
+    return f"(({h} % 100) + 100) % 100"
+
+
+# ------------------------------------------------------------------ sampling
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Per-stratum deterministic sampling: every `source` stratum keeps the
+    same SAMPLE_PCT% of its docs, selected by hash — no shuffle, no RNG
+    state, stable under reruns and retries (a task re-execution at 100 TB
+    must not change the sample)."""
+    return (documents
+            .filter(_pct_bucket(F.col("doc_id").cast("string"), SAMPLE_SEED)
+                    < SAMPLE_PCT)
+            .select("doc_id", "source"))
+
+
+def stratified_sample_oracle_sql() -> str:
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {_pct_bucket_sql("CAST(doc_id AS VARCHAR)", SAMPLE_SEED)} < {SAMPLE_PCT}
+"""
+
+
+def train_test_split(documents: DataFrame) -> DataFrame:
+    """Deterministic {SPLIT_PCT}/{100-SPLIT_PCT} split with a leakage
+    audit: the per-split doc counts plus a disjointness proof (distinct
+    doc count == row count per split — a doc can hash into one side
+    only)."""
+    tagged = documents.select(
+        "doc_id", "n_chars",
+        F.when(_pct_bucket(F.col("doc_id").cast("string"), SPLIT_SEED)
+               < SPLIT_PCT, "train").otherwise("test").alias("split"))
+    return (tagged.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("doc_id").alias("n_distinct"),
+                 F.sum("n_chars").alias("n_chars_total")))
+
+
+def train_test_split_oracle_sql() -> str:
+    return f"""
+SELECT CASE WHEN {_pct_bucket_sql("CAST(doc_id AS VARCHAR)", SPLIT_SEED)}
+            < {SPLIT_PCT} THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents GROUP BY 1
+"""
+
+
+def data_mixing(documents: DataFrame) -> DataFrame:
+    """Mixture construction: 'web' sources (src0-src9) are hash-downsampled
+    to MIX_WEB_PCT%, 'curated' sources are repeated MIX_CURATED_EPOCHS
+    times (epoch column distinguishes the copies so downstream shuffles
+    keep them apart). This is the standard domain-weighting step; at scale
+    the repeat factor is a per-domain config, not a code change."""
+    domain = F.when(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "web"
+    ).otherwise("curated")
+    tagged = documents.select("doc_id", "source", domain.alias("domain"))
+    web = (tagged.filter(F.col("domain") == "web")
+           .filter(_pct_bucket(F.col("doc_id").cast("string"), MIX_SEED)
+                   < MIX_WEB_PCT)
+           .select("doc_id", "domain", F.lit(0).alias("epoch")))
+    curated = (tagged.filter(F.col("domain") == "curated")
+               .select("doc_id", "domain",
+                       F.explode(F.sequence(
+                           F.lit(0), F.lit(MIX_CURATED_EPOCHS - 1))).alias("epoch")))
+    return web.unionByName(curated)
+
+
+def data_mixing_oracle_sql() -> str:
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10
+              THEN 'web' ELSE 'curated' END AS domain
+  FROM documents)
+SELECT doc_id, domain, 0 AS epoch FROM tagged
+WHERE domain = 'web'
+  AND {_pct_bucket_sql("CAST(doc_id AS VARCHAR)", MIX_SEED)} < {MIX_WEB_PCT}
+UNION ALL
+SELECT doc_id, domain, epoch
+FROM tagged, (SELECT unnest(generate_series(0, {MIX_CURATED_EPOCHS - 1})) AS epoch) e
+WHERE domain = 'curated'
+"""
+
+
+# ------------------------------------------------------------------- packing
+
+def sequence_packing(documents: DataFrame) -> DataFrame:
+    """Concat-and-cut sequence packing map: docs are laid out in doc_id
+    order inside PACK_BUCKETS hash buckets (the parallel unit — windows
+    never see more than one bucket), every PACK_BUDGET tokens starts a new
+    packed sequence, and each doc reports the pack range it lands in
+    (first_pack..last_pack; a doc longer than the budget spans several).
+    The output is the shard map a tokenizer worker consumes."""
+    toks = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_BUCKETS)).alias("bucket"),
+        F.size(F.filter(F.split(F.lower("text"), r"\W+"),
+                        lambda t: t != "")).alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (toks
+            .withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w),
+                                                F.lit(0)))
+            .select("doc_id", "bucket", "n_tokens",
+                    F.floor(F.col("start_tok") / PACK_BUDGET).alias("first_pack"),
+                    F.floor((F.col("start_tok") + F.greatest(F.col("n_tokens"), F.lit(1))
+                             - 1) / PACK_BUDGET).alias("last_pack")))
+
+
+def sequence_packing_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,
+         len({_TOKENS_DUCK}) AS n_tokens
+  FROM documents),
+laid AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start_tok
+  FROM toks)
+SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(start_tok / {PACK_BUDGET}) AS BIGINT) AS first_pack,
+       CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / {PACK_BUDGET})
+            AS BIGINT) AS last_pack
+FROM laid
+"""
+
+
+# ------------------------------------------------------------------ scrubbing
+
+RE_EMAIL = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+RE_PHONE = r"\(\d{3}\) \d{3}-\d{4}"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrub: plant deterministic synthetic PII (the fixture corpus has
+    none — every 7th doc gets an email, every 11th a phone number), then
+    redact by regex and report what was found. The md5 of the redacted
+    text pins the exact output bytes; n_* prove detector recall."""
+    withpii = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" call (555) 123-4567")).otherwise(F.lit(""))
+        ).alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", RE_EMAIL, "<EMAIL>"), RE_PHONE, "<PHONE>")
+    return withpii.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(RE_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(RE_PHONE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"))
+
+
+def pii_redact_oracle_sql() -> str:
+    email = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+    phone = r"\(\d{3}\) \d{3}-\d{4}"
+    return f"""
+WITH withpii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call (555) 123-4567' ELSE '' END
+           AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                          '{phone}', '<PHONE>', 'g')) AS redacted_md5
+FROM withpii
+"""
+
+
+# ------------------------------------------------------------ decontamination
+
+def contamination_check(documents: DataFrame) -> DataFrame:
+    """Benchmark decontamination: docs whose 3-gram shingle sets overlap a
+    held-out benchmark set (every {CONTAM_BENCH_MOD}th doc plays the
+    benchmark) in >= {CONTAM_MIN_OVERLAP} shingles are flagged. The
+    benchmark shingle set is small by construction, so the overlap count
+    is a broadcast semi-join against the corpus shingles — the training
+    corpus never shuffles. Reuses the dedup family's rolling shingle
+    hashes (same hashes both engines)."""
+    sh = (_with_shingle_hashes(documents.select("doc_id", "text"))
+          .select("doc_id", F.explode("hs").alias("sh_h")))
+    bench = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+             .select("sh_h").distinct())
+    overlap = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+               .join(F.broadcast(bench), "sh_h")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return overlap.select(
+        "doc_id", "n_overlap",
+        (F.col("n_overlap") >= CONTAM_MIN_OVERLAP).cast("int").alias("contaminated"))
+
+
+def contamination_check_oracle_sql() -> str:
+    from .dedup import _shingle_hash_ctes
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),{_shingle_hash_ctes()},
+shx AS (SELECT doc_id, unnest(hs) AS sh_h FROM sh),
+bench AS (SELECT DISTINCT sh_h FROM shx WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT doc_id, COUNT(*) AS n_overlap,
+       CAST(COUNT(*) >= {CONTAM_MIN_OVERLAP} AS INT) AS contaminated
+FROM shx JOIN bench USING (sh_h)
+WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+GROUP BY doc_id
+"""

@@ -1,0 +1,83 @@
+"""Invariants for the training-data curation, graph, and layout operators
+(value-level parity vs DuckDB lives in tools/selfcheck.py; these pin the
+semantic properties parity alone can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.operators import extensions, graph, training
+
+
+def test_stratified_sample_rate_per_stratum(tables):
+    docs = tables["documents"]
+    sampled = training.stratified_sample(docs)
+    per = (docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+           .join(sampled.groupBy("source").agg(F.count(F.lit(1)).alias("k")),
+                 "source", "left").fillna(0, ["k"]).collect())
+    for r in per:
+        # hash sampling at 25 docs/stratum: rate within a loose binomial band
+        assert 0 <= r["k"] <= r["n"]
+    total = sum(r["n"] for r in per)
+    kept = sum(r["k"] for r in per)
+    assert abs(kept / total - training.SAMPLE_PCT / 100) < 0.15
+
+
+def test_train_test_split_disjoint_and_complete(tables):
+    out = {r["split"]: r for r in
+           training.train_test_split(tables["documents"]).collect()}
+    n_docs = tables["documents"].count()
+    assert set(out) == {"train", "test"}
+    assert out["train"]["n_docs"] + out["test"]["n_docs"] == n_docs
+    for r in out.values():  # hash split can't duplicate a doc
+        assert r["n_docs"] == r["n_distinct"]
+
+
+def test_sequence_packing_covers_each_doc_once(tables):
+    docs = tables["documents"]
+    packed = training.sequence_packing(docs)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    bad = packed.filter(F.col("first_pack") > F.col("last_pack")).count()
+    assert bad == 0
+    # bucket-local layout: per bucket, token ranges tile without gaps —
+    # total tokens equals the last doc's start + its length
+    chk = (packed.groupBy("bucket")
+           .agg(F.sum("n_tokens").alias("tot"),
+                F.max(F.struct("doc_id", "n_tokens")).alias("_last"))
+           .count())
+    assert chk == training.PACK_BUCKETS
+
+
+def test_pii_redact_finds_planted_pii(tables):
+    out = training.pii_redact(tables["documents"])
+    planted_email = out.filter((F.col("doc_id") % 7 == 0)
+                               & (F.col("n_emails") == 0)).count()
+    planted_phone = out.filter((F.col("doc_id") % 11 == 0)
+                               & (F.col("n_phones") == 0)).count()
+    assert planted_email == 0 and planted_phone == 0
+
+
+def test_contamination_excludes_benchmark_docs(tables):
+    out = training.contamination_check(tables["documents"])
+    assert out.filter(F.col("doc_id") % training.CONTAM_BENCH_MOD == 0).count() == 0
+    mislabeled = out.filter(
+        (F.col("contaminated") == 1)
+        != (F.col("n_overlap") >= training.CONTAM_MIN_OVERLAP)).count()
+    assert mislabeled == 0
+
+
+def test_pagerank_mass_conserved(tables):
+    ranks = graph.pagerank_nations(
+        tables["customer"], tables["orders"], tables["lineitem"],
+        tables["supplier"])
+    total = ranks.agg(F.sum("rank")).first()[0]
+    # no dangling nations in the trade graph → PageRank mass sums to 1
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_zorder_buckets_bound_both_dims(tables):
+    out = extensions.zorder_layout(tables["orders"])
+    tile = 1 << (extensions.ZORDER_BITS - extensions.ZORDER_BUCKET_SHIFT // 2)
+    too_wide = out.filter((F.col("ck_span") >= 16) | (F.col("dy_span") >= 16)).count()
+    assert too_wide == 0, f"z-order tile bound violated (tile={tile})"
