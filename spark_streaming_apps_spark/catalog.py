@@ -599,6 +599,18 @@ SELECT doc_id,
 FROM documents
 """)(lambda s, d: text.doc_fingerprint(_t(s, d, "documents")))
 
+register("srp_near_dup", oracle=similarity.srp_near_dup_oracle_sql()
+         )(lambda s, d: similarity.srp_near_dup_pairs(_t(s, d, "embeddings")))
+
+register("bm25_rank", oracle=text.bm25_oracle_sql()
+         )(lambda s, d: text.bm25_rank(_t(s, d, "documents")))
+
+register("vocab_topk", oracle=text.VOCAB_ORACLE
+         )(lambda s, d: text.vocab_topk(_t(s, d, "documents")))
+
+register("repetition_filter", oracle=text.REPETITION_ORACLE
+         )(lambda s, d: text.repetition_stats(_t(s, d, "documents")))
+
 register("json_props", oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
 FROM events
@@ -728,6 +740,12 @@ register("q3_shipping_priority", oracle=analytics.Q3_ORACLE
 register("salted_skew_agg", oracle=analytics.SALTED_ORACLE
          )(lambda s, d: analytics.salted_skew_agg(_t(s, d, "events")))
 
+register("skew_join_salted", oracle=analytics.SKEW_JOIN_ORACLE
+         )(lambda s, d: analytics.skew_join_salted(_t(s, d, "events")))
+
+register("cube_counts", oracle=analytics.CUBE_ORACLE
+         )(lambda s, d: analytics.cube_counts(_t(s, d, "lineitem")))
+
 
 # =====================================================================
 # §2.J extension mechanisms (pandas UDF / Python UDTF / applyInPandas)
@@ -804,6 +822,10 @@ FROM events c JOIN events e ON c.user_id = e.user_id
 WHERE c.event_type = 'click' AND e.event_type = 'error'
   AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
 """)(lambda s, d: _streaming("stream_stream_join_job")(s, d))
+
+register("streaming_dedup", oracle="""
+SELECT event_id, user_id, event_type FROM events
+""")(lambda s, d: _streaming("streaming_dedup_job")(s, d))
 
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
@@ -914,6 +936,9 @@ PRIORITY: tuple[str, ...] = (
     "token_count", "lang_id", "quality_score", "doc_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "text_feature_hashing",
+    # round-3 LLM-pipeline additions
+    "bm25_rank", "vocab_topk", "repetition_filter", "srp_near_dup",
+    "skew_join_salted", "cube_counts", "streaming_dedup",
     # training-data curation + graph + layout (round 3)
     "stratified_sample", "train_test_split", "data_mixing",
     "sequence_packing", "pii_redact", "contamination_check",

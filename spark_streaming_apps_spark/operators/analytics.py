@@ -138,6 +138,77 @@ FROM events GROUP BY 1
 """
 
 
+def skew_join_salted(events: DataFrame) -> DataFrame:
+    """Salted JOIN for a skewed fact key — the join-side twin of
+    salted_skew_agg. The fact key is 80%-hot; a plain shuffle join would
+    route 80% of the fact rows to one reducer. Production form: ONLY the
+    hot key is salted — hot fact rows get a random-but-deterministic salt
+    in [0, {N_SALT}), the dim's hot row is replicated {N_SALT}× (cold dim
+    rows keep salt 0), and the join key becomes (k, salt). Dim stays
+    dim-sized + {N_SALT}-1 rows, reducers stay balanced, and the result is
+    value-identical to the unsalted join (the oracle computes it
+    directly). At scale AQE's skew-join split is the automatic fallback;
+    this is the explicit, planner-independent form."""
+    key = (F.when(F.col("event_id") % 10 < 8, F.lit("hot"))
+           .otherwise(F.concat(F.lit("cold_"), F.col("user_id").cast("string"))))
+    fact = events.select(
+        key.alias("k"), _dec(F.col("value"), 4).alias("v"),
+        F.when(key == "hot",
+               F.pmod(portable_hash64(F.col("event_id").cast("string")),
+                      F.lit(N_SALT)))
+         .otherwise(F.lit(0)).alias("salt"))
+    dim = (events
+           .select(key.alias("k")).distinct()
+           .withColumn("weight", F.when(F.col("k") == "hot", F.lit(0.5))
+                       .otherwise(F.lit(1.5)))
+           .withColumn("salt", F.explode(
+               F.when(F.col("k") == "hot",
+                      F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+                .otherwise(F.array(F.lit(0))))))
+    return (fact.join(dim, ["k", "salt"])
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("v").cast("double") * F.col("weight")), 4)
+                  .alias("weighted_value")))
+
+
+SKEW_JOIN_ORACLE = """
+WITH fact AS (
+  SELECT CASE WHEN event_id % 10 < 8 THEN 'hot'
+              ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS k,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events),
+dim AS (
+  SELECT k, CASE WHEN k = 'hot' THEN 0.5 ELSE 1.5 END AS weight
+  FROM (SELECT DISTINCT k FROM fact))
+SELECT fact.k, COUNT(*) AS n_rows,
+       round(SUM(CAST(v AS DOUBLE) * weight), 4) AS weighted_value
+FROM fact JOIN dim ON fact.k = dim.k
+GROUP BY fact.k
+"""
+
+
+def cube_counts(lineitem: DataFrame) -> DataFrame:
+    """CUBE grouping sets — all four groupings of (returnflag, linestatus)
+    in one aggregation pass (rollup_counts covers the hierarchical three).
+    grouping_id disambiguates subtotal NULLs from data NULLs, exactly as
+    SQL defines it."""
+    return (lineitem.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty"),
+                 F.grouping_id("l_returnflag", "l_linestatus")
+                  .cast("long").alias("gid")))
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
     """Top-k rows per group — the partitioned-window form (row_number ≤ k
     over a keyed window): one shuffle on the group key, no global sort, the

@@ -150,6 +150,98 @@ WHERE {cos} >= {NEAR_DUP_COS}
 """
 
 
+SRP_BITS = 16
+SRP_BAND_BITS = 8
+SRP_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
+def _srp_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: md5("srp:<bit>:<dim>")
+    parity — both engines see the same literals, so no RNG crosses the
+    engine boundary."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+             else -1 for i in range(SRP_DIM)]
+            for j in range(SRP_BITS)]
+
+
+def srp_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-dup detection —
+    the angular-LSH alternative to IVF-cell blocking in
+    `embedding_near_dup_pairs`: each vector gets a {SRP_BITS}-bit signed-
+    random-projection signature, the signature splits into
+    {SRP_BITS // SRP_BAND_BITS} bands of {SRP_BAND_BITS} bits, candidate
+    pairs share at least one full band (keyed equi-joins, one per band —
+    never an all-pairs product), and the exact cosine (≥ {NEAR_DUP_COS},
+    rounded 6 dp) verifies. Near-identical vectors differ in few
+    signature bits, so banding catches them; at 100 TB each band join is
+    a shuffle on an 8-bit key — salt wide buckets the same way the text
+    MinHash bands do. Projections are rounded to 6 dp before the sign so
+    an accumulation-order ulp can't flip a bit between engines."""
+    W = _srp_weights()
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    planted = (emb.filter(F.col("vec_id") % 50 == 0)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.expr("transform(e, (x, i) -> CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
+                        .alias("e")))
+    corpus = emb.unionByName(planted)
+    band_cols = []
+    for b in range(SRP_BITS // SRP_BAND_BITS):
+        bits = []
+        for j in range(b * SRP_BAND_BITS, (b + 1) * SRP_BAND_BITS):
+            w = "array(" + ", ".join(f"{v}.0D" for v in W[j]) + ")"
+            dot = _DOT.format(a="e", b=w)
+            bits.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << (j % SRP_BAND_BITS)} ELSE 0 END)")
+        band_cols.append(F.expr(" + ".join(bits)).alias(f"band{b}"))
+    signed = corpus.select(
+        "vec_id", "e",
+        F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"),
+        *band_cols)
+    pair_sim = F.expr(
+        f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
+    cands = None
+    for b in range(SRP_BITS // SRP_BAND_BITS):
+        a_, b_ = signed.alias("a"), signed.alias("b")
+        c = (a_.join(b_, (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec1"),
+                     F.col("b.vec_id").alias("vec2"),
+                     pair_sim.alias("sim")))
+        cands = c if cands is None else cands.unionByName(c)
+    return (cands.filter(F.col("sim") >= NEAR_DUP_COS).distinct())
+
+
+def srp_near_dup_oracle_sql() -> str:
+    W = _srp_weights()
+    band_exprs = []
+    for b in range(SRP_BITS // SRP_BAND_BITS):
+        bits = []
+        for j in range(b * SRP_BAND_BITS, (b + 1) * SRP_BAND_BITS):
+            w = "CAST([" + ", ".join(str(v) for v in W[j]) + "] AS DOUBLE[])"
+            bits.append(f"(CASE WHEN round(list_dot_product(e, {w}), 6) >= 0 "
+                        f"THEN {1 << (j % SRP_BAND_BITS)} ELSE 0 END)")
+        band_exprs.append(" + ".join(bits) + f" AS band{b}")
+    cos = "round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id AS vec1, b.vec_id AS vec2, {cos} AS sim "
+        f"FROM signed a JOIN signed b "
+        f"ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
+        for b in range(SRP_BITS // SRP_BAND_BITS))
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planted AS (SELECT vec_id + 1000000 AS vec_id,
+                   [CASE WHEN i = 1 THEN e[i] + 0.01 ELSE e[i] END
+                    FOR i IN generate_series(1, len(e))] AS e
+            FROM emb WHERE vec_id % 50 = 0),
+corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM planted),
+signed AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+                  {', '.join(band_exprs)}
+           FROM corpus)
+SELECT DISTINCT vec1, vec2, sim FROM ({unions})
+WHERE sim >= {NEAR_DUP_COS}
+"""
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,
              k: int = TOP_K) -> DataFrame:
     """IVF-style ANN: coarse cells = the first {N_CELLS} vectors as

@@ -128,6 +128,161 @@ SELECT doc_id, {cols} FROM tks
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "window", "query")
+BM25_TOP_K = 20
+
+
+def bm25_rank(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
+              k: int = BM25_TOP_K) -> DataFrame:
+    """BM25-ranked keyword search — the full-text-ranking upgrade of the
+    reference's boolean Solr keyword hits (KeywordSearchIngestModule,
+    PipelineStreamProcessor.scala:76-94).
+
+    Plan shape for scale: per-document term frequencies are computed
+    inline from the token array (`size(filter(...))` — codegen, no
+    explode, no posting-list shuffle for a fixed query), the corpus
+    statistics (N, avgdl, per-term document frequency) collapse to ONE
+    aggregate row that joins back in as a broadcast, and the top-k is a
+    TakeOrdered, not a global sort. Scores are double math rounded to
+    6 dp (ln/divide are IEEE-identical across engines at that
+    precision)."""
+    docs = (documents.select("doc_id", _tokens().alias("tk"))
+            .withColumn("dl", F.size("tk")).filter(F.col("dl") > 0))
+    tf_cols = [
+        F.expr(f"size(filter(tk, t -> t = '{t}'))").cast("double").alias(f"tf_{i}")
+        for i, t in enumerate(terms)]
+    scored_in = docs.select("doc_id", F.col("dl").cast("double").alias("dl"),
+                            *tf_cols)
+    stats = scored_in.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double")
+          .alias(f"df_{i}") for i in range(len(terms))])
+    parts = []
+    for i in range(len(terms)):
+        idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                    / (F.col(f"df_{i}") + 0.5) + 1.0)
+        tf = F.col(f"tf_{i}")
+        parts.append(idf * (tf * (BM25_K1 + 1))
+                     / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
+    score = F.round(sum(parts[1:], parts[0]), 6)
+    return (scored_in.join(F.broadcast(stats))
+            .select("doc_id", score.alias("bm25"))
+            .filter(F.col("bm25") > 0)
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(k))
+
+
+def bm25_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
+                    k: int = BM25_TOP_K) -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms)))
+    score = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * {BM25_K1 + 1}) / (tf_{i} + {BM25_K1}"
+        f" * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(terms)))
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS tk
+  FROM documents),
+tfs AS (
+  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, {tf_cols}
+  FROM docs WHERE len(tk) > 0),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl, {df_cols}
+  FROM tfs)
+SELECT doc_id, round({score}, 6) AS bm25
+FROM tfs, stats
+WHERE round({score}, 6) > 0
+ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_topk(documents: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Vocabulary construction with a frequency cap — the first step of
+    tokenizer training: explode tokens, count per term (map-side combine
+    makes the shuffle O(vocabulary)), take the top-k by (count DESC,
+    token) — a TakeOrdered per partition + driver merge of k rows, never
+    a global sort."""
+    return (documents
+            .select(F.explode(_tokens()).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+            .orderBy(F.desc("tf"), "token").limit(k))
+
+
+VOCAB_ORACLE = f"""
+SELECT token, COUNT(*) AS tf
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                                t -> t <> '')) AS token
+      FROM documents)
+GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOP_K}
+"""
+
+TOP_BIGRAM_MAX = 0.06  # Gopher-style repetition cutoff (fixture p90 ≈ 0.067)
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters: per-document duplicate-
+    bigram fraction and most-frequent-bigram fraction, plus the keep
+    decision (top_bigram_frac ≤ {TOP_BIGRAM_MAX}). Bigrams are built from
+    adjacent token pairs with zip_with (codegen), then counted via ONE
+    keyed shuffle on (doc_id, bigram) with map-side combine — the
+    distributed form; nothing is quadratic in document length."""
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+        "(a, b) -> a || ' ' || b)")
+    per_bigram = (documents
+                  .select("doc_id", _tokens().alias("tk"))
+                  .filter(F.size("tk") >= 2)
+                  .select("doc_id", F.explode(bigrams).alias("bg"))
+                  .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c")))
+    return (per_bigram.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_bigrams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("top_c"))
+            .select("doc_id", "n_bigrams", "n_distinct",
+                    F.round(1 - F.col("n_distinct") / F.col("n_bigrams").cast("double"), 6)
+                     .alias("dup_bigram_frac"),
+                    F.round(F.col("top_c") / F.col("n_bigrams").cast("double"), 6)
+                     .alias("top_bigram_frac"))
+            .withColumn("keep",
+                        (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX).cast("int")))
+
+
+REPETITION_ORACLE = f"""
+WITH tks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS tk
+  FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1] FOR i IN generate_series(1, len(tk) - 1)]) AS bg
+  FROM tks WHERE len(tk) >= 2),
+per_bg AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM per_bg GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_distinct,
+       round(1 - n_distinct / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+       round(top_c / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+       CAST(round(top_c / CAST(n_bigrams AS DOUBLE), 6) <= {TOP_BIGRAM_MAX} AS INT)
+         AS keep
+FROM per_doc
+"""
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic rolling-hash fingerprint: fold char codes with
     h = (h*31 + code) mod {FP_MOD}, seeded by the first char code — a

@@ -459,6 +459,39 @@ def exactly_once_sink_job(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("event_id").alias("n_distinct")))
 
 
+def streaming_dedup_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: `dropDuplicates` keyed state across
+    micro-batches — the at-least-once→exactly-once repair for the
+    reference's `auto.offset.reset=smallest` replays (StreamingApp.scala:
+    309), where a restarted consumer re-delivers old chunks. The staged
+    backlog ends with a REPLAY file (every 10th event re-delivered after
+    the whole topic); the dedup state swallows it, so the drained sink
+    equals the distinct batch projection exactly. State is keyed by
+    event_id only — at 100 TB bound it with
+    `dropDuplicatesWithinWatermark` so keys age out with event time."""
+    out, ckpt = _fresh("streaming_dedup")
+    src = SCRATCH / f"dedupsrc_{Path(sf_dir).name}"
+    shutil.rmtree(src, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    events.repartition(N_STREAM_FILES).write.parquet(str(src))
+    (events.filter(F.col("event_id") % 10 == 0)
+     .coalesce(1).write.mode("append").parquet(str(src)))
+
+    deduped = (spark.readStream
+               .schema("event_id long, user_id long, event_type string")
+               .option("maxFilesPerTrigger", 1).parquet(str(src))
+               .dropDuplicates(["event_id"]))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    _run_available_now(
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(out)
+
+
 def poll_wait_loop_job(spark: SparkSession, sf_dir: str,
                        n_polls: int = 5) -> DataFrame:
     """poll_wait_loop: the worker's claim-poll loop (FileWorkerApp.scala:
