@@ -55,6 +55,13 @@ BENCH_KEYS = [
     "sequence_packing",
     "pagerank_nations",
     "zorder_layout",
+    "bm25_rank",
+    "vocab_topk",
+    "repetition_filter",
+    "srp_near_dup",
+    "skew_join_salted",
+    "cube_counts",
+    "streaming_dedup",
 ]
 
 

@@ -193,10 +193,12 @@ def srp_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
             dot = _DOT.format(a="e", b=w)
             bits.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << (j % SRP_BAND_BITS)} ELSE 0 END)")
         band_cols.append(F.expr(" + ".join(bits)).alias(f"band{b}"))
+    # Materialized: both band self-joins read this (4 scans), and each
+    # scan would otherwise re-run the 16 hyperplane dot products per row.
     signed = corpus.select(
         "vec_id", "e",
         F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"),
-        *band_cols)
+        *band_cols).localCheckpoint()
     pair_sim = F.expr(
         f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
     cands = None

@@ -153,8 +153,12 @@ def bm25_rank(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
     tf_cols = [
         F.expr(f"size(filter(tk, t -> t = '{t}'))").cast("double").alias(f"tf_{i}")
         for i, t in enumerate(terms)]
-    scored_in = docs.select("doc_id", F.col("dl").cast("double").alias("dl"),
-                            *tf_cols)
+    # Materialized: consumed twice (corpus stats + the scoring join), and
+    # projection collapse would re-run the regex tokenization once per tf
+    # column on each pass. After this the hot path is 5 doubles per doc.
+    scored_in = (docs.select("doc_id", F.col("dl").cast("double").alias("dl"),
+                             *tf_cols)
+                 .localCheckpoint())
     stats = scored_in.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

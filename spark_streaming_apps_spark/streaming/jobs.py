@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import shutil
 import uuid
+from contextlib import contextmanager
 from decimal import Decimal
 from pathlib import Path
 
@@ -35,6 +36,28 @@ from ..sources.tables import load_table
 SCRATCH = Path(__file__).resolve().parents[2] / ".scratch" / "streaming"
 N_STREAM_FILES = 4
 SEQ_DROP = 13  # per-key missing-chunk plant, matches highwater_per_key
+
+#: State-store partition count for the stateful streams. Stateful queries
+#: pin their state layout to spark.sql.shuffle.partitions at FIRST start,
+#: and every micro-batch commits one state-store delta per partition — so
+#: partitions should track the per-batch volume, not the session default
+#: (32 partitions × 4 batches = 128 near-empty store commits dominated the
+#: runtime: 2× the whole job). On a real cluster size this to ~2-3× total
+#: executor cores; it cannot be changed after the first checkpoint.
+N_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_sized(spark: SparkSession, parts: int = N_STATE_PARTITIONS):
+    """Temporarily size spark.sql.shuffle.partitions for a stateful stream
+    start; restores the session default afterwards (the setting is only
+    read when the streaming query starts)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _fresh(name: str) -> tuple[str, str]:
@@ -68,8 +91,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_available_now(writer) -> None:
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
+    """Start a bounded (AvailableNow) run with right-sized state partitions
+    and drain it. Every stream here starts from a fresh checkpoint, so the
+    temporary spark.sql.shuffle.partitions is safe to pin per run."""
+    spark = SparkSession.getActiveSession()
+    with _state_sized(spark):
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
 
 
 # ---------------------------------------------------------------- §2.H keys
