@@ -23,6 +23,7 @@ from spark_streaming_apps_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CORES_HINT = int(CPUS) if CPUS.isdigit() else os.cpu_count() or 8
 
 #: Headline set: the flagship, every shuffle-heavy relational shape, the
 #: full dedup/similarity/text pipeline family, and the stateful stream.
@@ -74,6 +75,11 @@ def main() -> None:
     qs = catalog.queries()
     # warmup: JVM + codegen + parquet footer caches
     materialize(qs["count_rows"](spark, SF_DIR))
+    # warmup the Python worker pool + Arrow serializers too, so daemon
+    # spawn cost doesn't land on the first mapInPandas query in the list
+    materialize(
+        spark.range(0, CORES_HINT * 4, 1, CORES_HINT)
+        .mapInPandas(lambda it: it, schema="id long"))
 
     times: dict[str, float] = {}
     for key in BENCH_KEYS:

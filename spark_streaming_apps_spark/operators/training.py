@@ -243,8 +243,11 @@ def contamination_check(documents: DataFrame) -> DataFrame:
     is a broadcast semi-join against the corpus shingles — the training
     corpus never shuffles. Reuses the dedup family's rolling shingle
     hashes (same hashes both engines)."""
+    # benchmark side AND corpus side both read the exploded shingle
+    # relation — materialize it once instead of re-hashing every token 2x
     sh = (_with_shingle_hashes(documents.select("doc_id", "text"))
-          .select("doc_id", F.explode("hs").alias("sh_h")))
+          .select("doc_id", F.explode("hs").alias("sh_h"))
+          .localCheckpoint())
     bench = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
              .select("sh_h").distinct())
     overlap = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
