@@ -68,11 +68,23 @@ def _fresh(name: str) -> tuple[str, str]:
     return str(base / "out"), str(base / "ckpt")
 
 
+def _staged_ok(src: Path, n_parts: int) -> bool:
+    """True if a staged backlog at `src` is complete: committed (_SUCCESS)
+    with exactly the expected part files. Staging is deterministic per
+    sf_dir (hash repartition of immutable test parquet), so a complete
+    backlog is reusable across runs — restaging was pure overhead in every
+    bench/selfcheck iteration. A crash mid-write fails the part count."""
+    return (src / "_SUCCESS").exists() and \
+        sum(1 for p in src.glob("part-*")) == n_parts
+
+
 def stage_stream_files(spark: SparkSession, sf_dir: str,
                        n_files: int = N_STREAM_FILES) -> str:
     """Stage the events table as `n_files` parquet files — the topic's
     backlog; one file per micro-batch (maxFilesPerTrigger=1)."""
     src = SCRATCH / f"src_{Path(sf_dir).name}"
+    if _staged_ok(src, n_files):
+        return str(src)
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props")
     shutil.rmtree(src, ignore_errors=True)
@@ -218,15 +230,17 @@ def highwater_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded run, the latest emitted state per key must equal the batch
     recompute — which is exactly what the driver's oracle checks."""
     src = SCRATCH / f"hwsrc_{Path(sf_dir).name}"
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    staged = (events.select(
-        "user_id", "event_id", F.col("value").cast("decimal(18,4)").alias("sz"))
-        .withColumn("seq", F.row_number().over(w) - 1)
-        .filter(F.col("seq") % SEQ_DROP != SEQ_DROP - 1)
-        .select("user_id", "seq", "sz"))
-    shutil.rmtree(src, ignore_errors=True)
-    staged.repartition(N_STREAM_FILES).write.parquet(str(src))
+    if not _staged_ok(src, N_STREAM_FILES):
+        events = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        staged = (events.select(
+            "user_id", "event_id",
+            F.col("value").cast("decimal(18,4)").alias("sz"))
+            .withColumn("seq", F.row_number().over(w) - 1)
+            .filter(F.col("seq") % SEQ_DROP != SEQ_DROP - 1)
+            .select("user_id", "seq", "sz"))
+        shutil.rmtree(src, ignore_errors=True)
+        staged.repartition(N_STREAM_FILES).write.parquet(str(src))
 
     stream = (spark.readStream.schema("user_id long, seq long, sz decimal(18,4)")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
@@ -262,6 +276,8 @@ def watermark_late_drop_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = SCRATCH / f"wmsrc_{Path(sf_dir).name}"
+    if sum(1 for p in src.glob("*.parquet")) == 4:  # 3 ordered + 1 late
+        return _watermark_drive(spark, src)
     shutil.rmtree(src, ignore_errors=True)
     src.mkdir(parents=True)
     events = (load_table(spark, sf_dir, "events")
@@ -286,7 +302,10 @@ def watermark_late_drop_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(str(part), dest)
         os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
         shutil.rmtree(tmp, ignore_errors=True)
+    return _watermark_drive(spark, src)
 
+
+def _watermark_drive(spark: SparkSession, src: Path) -> DataFrame:
     stream = (spark.readStream
               .schema("event_id long, ts timestamp, event_type string")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
@@ -374,6 +393,8 @@ def _stage_ts_ordered(spark: SparkSession, sf_dir: str, name: str,
     import os
 
     src = SCRATCH / f"{name}_{Path(sf_dir).name}"
+    if sum(1 for p in src.glob("*.parquet")) == N_STREAM_FILES:
+        return str(src)  # deterministic per sf_dir — reuse across runs
     shutil.rmtree(src, ignore_errors=True)
     src.mkdir(parents=True)
     events = (load_table(spark, sf_dir, "events")
@@ -499,12 +520,13 @@ def streaming_dedup_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dropDuplicatesWithinWatermark` so keys age out with event time."""
     out, ckpt = _fresh("streaming_dedup")
     src = SCRATCH / f"dedupsrc_{Path(sf_dir).name}"
-    shutil.rmtree(src, ignore_errors=True)
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type")
-    events.repartition(N_STREAM_FILES).write.parquet(str(src))
-    (events.filter(F.col("event_id") % 10 == 0)
-     .coalesce(1).write.mode("append").parquet(str(src)))
+    if not _staged_ok(src, N_STREAM_FILES + 1):  # +1: the REPLAY file
+        shutil.rmtree(src, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type")
+        events.repartition(N_STREAM_FILES).write.parquet(str(src))
+        (events.filter(F.col("event_id") % 10 == 0)
+         .coalesce(1).write.mode("append").parquet(str(src)))
 
     deduped = (spark.readStream
                .schema("event_id long, user_id long, event_type string")
