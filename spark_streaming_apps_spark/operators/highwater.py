@@ -212,19 +212,21 @@ def hw_release_query(events: DataFrame, orders: DataFrame,
     """
     hw = contiguous_prefix_hw(chunk_table(
         events.filter(F.col("event_id") % GAP_DROP != GAP_DROP - 1)))
-    extents = (
-        lineitem.filter(F.col("l_linenumber") != 3)
-        .join(orders, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.col("o_orderkey").alias("file_id"),
-            (F.col("l_extendedprice") + F.col("l_quantity")).alias("extent_end"),
-        )
-    )
+    # Aggregate extents BEFORE touching orders: the join key IS the group
+    # key (l_orderkey = o_orderkey), so max(extent) per file is identical
+    # on either side of the join — aggregating first shrinks the relation
+    # ~4x (map-side partial agg) and the band filter then cuts it to the
+    # release delta, which broadcasts into a semi-join against orders
+    # (existence check, StreamingApp.scala:253) with no orders shuffle.
     banded = (
-        extents.crossJoin(F.broadcast(hw))  # 1-row HW dim → broadcast, no shuffle
-        .groupBy("file_id", "hw_bytes")
-        .agg(F.max("extent_end").alias("max_extent"))
+        lineitem.filter(F.col("l_linenumber") != 3)
+        .groupBy(F.col("l_orderkey").alias("file_id"))
+        .agg(F.max(F.col("l_extendedprice") + F.col("l_quantity"))
+              .alias("max_extent"))
+        .crossJoin(F.broadcast(hw))  # 1-row HW dim → broadcast, no shuffle
         .filter((F.col("max_extent") >= F.col("hw_bytes") / 2) &
                 (F.col("max_extent") < F.col("hw_bytes")))
     )
-    return banded.select("file_id", "max_extent", "hw_bytes")
+    released = F.broadcast(banded).join(
+        orders, banded.file_id == orders.o_orderkey, "left_semi")
+    return released.select("file_id", "max_extent", "hw_bytes")
