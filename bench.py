@@ -80,6 +80,17 @@ def main() -> None:
     materialize(
         spark.range(0, CORES_HINT * 4, 1, CORES_HINT)
         .mapInPandas(lambda it: it, schema="id long"))
+    # and the OS page cache for every table the headline set reads, so the
+    # first query per table measures compute, not disk state
+    from spark_streaming_apps_spark.sources.tables import load_table
+    for t in ("events", "orders", "lineitem", "customer",
+              "documents", "embeddings"):
+        materialize(load_table(spark, SF_DIR, t))
+    # one tiny stateful stream at sf0.001 warms the streaming stack
+    # (state-store provider, python state serializer, memory sink) so the
+    # sf0.1 streaming keys measure the stream, not first-use init
+    from spark_streaming_apps_spark.streaming import jobs as _sj
+    materialize(_sj.highwater_state_stream(spark, "/root/testdata/sf0.001"))
 
     times: dict[str, float] = {}
     for key in BENCH_KEYS:

@@ -866,6 +866,21 @@ register("pagerank_nations", oracle=graph.pagerank_oracle_sql()
 register("zorder_layout", oracle=extensions.ZORDER_ORACLE
          )(lambda s, d: extensions.zorder_layout(_t(s, d, "orders")))
 
+register("knn_graph", oracle=similarity.knn_graph_oracle_sql()
+         )(lambda s, d: similarity.knn_graph(_t(s, d, "embeddings")))
+
+register("semdedup", oracle=similarity.semdedup_oracle_sql()
+         )(lambda s, d: similarity.semdedup(_t(s, d, "embeddings")))
+
+register("dedup_apply", oracle=dedup.dedup_apply_oracle_sql()
+         )(lambda s, d: dedup.dedup_apply(_t(s, d, "documents")))
+
+register("inverted_index", oracle=text.inverted_index_oracle_sql()
+         )(lambda s, d: text.inverted_index(_t(s, d, "documents")))
+
+register("quality_funnel", oracle=training.quality_funnel_oracle_sql()
+         )(lambda s, d: training.quality_funnel(_t(s, d, "documents")))
+
 
 # =====================================================================
 # flagship (extra key — the end-to-end release query, SURVEY.md §3.3)

@@ -439,3 +439,34 @@ FROM inter JOIN sizes s1 ON inter.doc1 = s1.doc_id
 JOIN sizes s2 ON inter.doc2 = s2.doc_id
 WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= {JACCARD_MIN}
 """
+
+
+# --------------------------------------------------------------- dedup apply
+
+def dedup_apply(documents: DataFrame) -> DataFrame:
+    """Materialize the DEDUPED corpus from the minhash cluster graph —
+    detect → cluster → keep one per cluster, the step that actually
+    shrinks a training corpus. Canonical survivor = the cluster label
+    (smallest doc_id in the component, so the original outlives its
+    planted mutations); docs outside any cluster keep themselves.
+    Output: every (planted) corpus doc with its cluster id and kept flag
+    — `SUM(kept)` is the post-dedup corpus size."""
+    labels = dedup_clusters(documents)
+    corpus = planted_corpus(documents).select("doc_id")
+    return (corpus.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                    (F.col("cluster_id").isNull()
+                     | (F.col("cluster_id") == F.col("doc_id")))
+                    .cast("int").alias("kept")))
+
+
+def dedup_apply_oracle_sql() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED ({dedup_clusters_oracle_sql()}),
+corpus AS ({PLANTED_CORPUS_SQL})
+SELECT c.doc_id,
+       COALESCE(k.cluster_id, c.doc_id) AS cluster_id,
+       CAST(k.cluster_id IS NULL OR k.cluster_id = c.doc_id AS INT) AS kept
+FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
+"""

@@ -297,3 +297,148 @@ FROM assigned m JOIN probe USING (cell), q
 WHERE m.vec_id != {query_vec_id}
 ORDER BY sim DESC, m.vec_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------- knn graph / semdedup
+
+KNN_K = 5
+
+
+def _ivf_assigned(embeddings: DataFrame, probes: int,
+                  plant: bool = False) -> DataFrame:
+    """(vec_id, e, cell, nrm): every vector in its top-`probes` coarse
+    cells (argmax centroid dot, ties by cell id), norm precomputed once.
+    With `plant`, the near-identical copies (vec_id % 50 == 0 → id +
+    1_000_000, +0.01 on coord 0) join the corpus — the shared fixture of
+    the near-dup family. Shared base of knn_graph / semdedup /
+    embedding_near_dup-style blocking."""
+    from pyspark.sql import Window
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    corpus = emb
+    if plant:
+        planted = (emb.filter(F.col("vec_id") % 50 == 0)
+                   .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                           F.expr("transform(e, (x, i) -> "
+                                  "CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
+                            .alias("e")))
+        corpus = emb.unionByName(planted)
+    cents = (emb.filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
+    return (corpus.crossJoin(F.broadcast(cents))
+            .select("vec_id", "e", "cell",
+                    F.expr(_DOT.format(a="e", b="c")).alias("dot"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= probes)
+            .select("vec_id", "e", "cell",
+                    F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"))
+            .localCheckpoint())
+
+
+def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Approximate k-NN graph: directed edges (vec_id → nbr_id, exact
+    cosine, rank ≤ {KNN_K}) where candidates share one of the vector's
+    top-{N_PROBES} IVF cells — the corpus-wide companion of `ivf_topk`
+    (one query) and the graph a semantic-dedup / curriculum pipeline
+    consumes. Every join is keyed on the cell id; no all-pairs product.
+    At 100 TB the cell is the partition key and each within-cell block is
+    independent — the standard IVF trade: recall bounded by multi-probe,
+    cost by ~n²/cells per cell."""
+    from pyspark.sql import Window
+    assigned = _ivf_assigned(embeddings, N_PROBES)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.expr(
+        f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
+    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("nbr_id"),
+                     sim.alias("sim"))
+             .distinct())  # multi-probe can pair twice (two shared cells)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nbr_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def knn_graph_oracle_sql(k: int = KNN_K) -> str:
+    cos = "round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS}),
+scored AS (SELECT emb.vec_id, emb.e, cents.cell,
+                  row_number() OVER (PARTITION BY emb.vec_id
+                                     ORDER BY list_dot_product(emb.e, cents.c) DESC,
+                                              cents.cell) AS rn
+           FROM emb, cents),
+assigned AS (SELECT vec_id, e, cell, sqrt(list_dot_product(e, e)) AS nrm
+             FROM scored WHERE rn <= {N_PROBES}),
+pairs AS (SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id, {cos} AS sim
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id != b.vec_id),
+ranked AS (SELECT vec_id, nbr_id, sim,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, nbr_id) AS rank
+           FROM pairs)
+SELECT vec_id, nbr_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def semdedup(embeddings: DataFrame) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster by
+    coarse centroid (argmax cell, single probe), and inside each cluster
+    drop any vector whose cosine to a SMALLER-id cluster member reaches
+    {NEAR_DUP_COS} — keep-first-by-id, the deterministic batch variant of
+    the paper's keep-one-per-duplicate-group. Output is every (planted)
+    corpus vector with its cell and a kept flag.
+
+    The Cauchy-Schwarz head/tail bound prunes pairs that provably cannot
+    reach the threshold BEFORE the full-dimension dot; pruning only
+    discards pairs with sim < τ, and the output is a ≥-τ FLAG (not the
+    max sim), so the pruned plan is exactly the unpruned one — the oracle
+    needs no mirror of the prune."""
+    assigned = (_ivf_assigned(embeddings, 1, plant=True)
+                .withColumn("hd", F.expr("slice(e, 1, 8)"))
+                .withColumn("tnrm", F.expr(
+                    f"sqrt({_DOT.format(a='slice(e, 9, size(e))', b='slice(e, 9, size(e))')})")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    bound = F.expr(
+        f"({_DOT.format(a='a.hd', b='b.hd')} + a.tnrm * b.tnrm) / (a.nrm * b.nrm)")
+    sim = F.expr(
+        f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
+    dropped = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                      & (F.col("b.vec_id") < F.col("a.vec_id")))
+               .filter(bound >= NEAR_DUP_COS - 1e-4)
+               .filter(sim >= NEAR_DUP_COS)
+               .select(F.col("a.vec_id").alias("vec_id"))
+               .distinct())
+    return (assigned.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.when(F.col("_d").isNull(), 1).otherwise(0).alias("kept")))
+
+
+def semdedup_oracle_sql() -> str:
+    cos = "round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planted AS (SELECT vec_id + 1000000 AS vec_id,
+                   [CASE WHEN i = 1 THEN e[i] + 0.01 ELSE e[i] END
+                    FOR i IN generate_series(1, len(e))] AS e
+            FROM emb WHERE vec_id % 50 = 0),
+corpus AS (SELECT * FROM emb UNION ALL SELECT * FROM planted),
+cents AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS}),
+scored AS (SELECT corpus.vec_id, corpus.e, cents.cell,
+                  row_number() OVER (PARTITION BY corpus.vec_id
+                                     ORDER BY list_dot_product(corpus.e, cents.c) DESC,
+                                              cents.cell) AS rn
+           FROM corpus, cents),
+assigned AS (SELECT vec_id, e, cell, sqrt(list_dot_product(e, e)) AS nrm
+             FROM scored WHERE rn = 1),
+dropped AS (SELECT DISTINCT a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE {cos} >= {NEAR_DUP_COS})
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""

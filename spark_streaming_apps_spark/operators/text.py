@@ -300,3 +300,52 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
             f"element_at({codes}, 1), (a, c) -> (a * 31 + c) % {FP_MOD})"
         ).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------ inverted index
+
+IDX_POSTINGS_CAP = 10
+
+
+def inverted_index(documents: DataFrame) -> DataFrame:
+    """Inverted index build — the batch form of the reference's Solr
+    posting ingestion (KeywordSearchIngestModule,
+    PipelineStreamProcessor.scala:52,76-94): per term, document frequency,
+    total term frequency, and a bounded posting sample (first
+    {IDX_POSTINGS_CAP} doc_ids ascending, comma-joined).
+
+    Scale: df/tf are counter-only aggregates (map-side partial combine →
+    shuffle O(vocabulary)); the posting sample is capped BEFORE collection
+    by a per-term row_number window, so a stop-word's posting state is
+    {IDX_POSTINGS_CAP} longs, never the full posting list. At 100 TB the
+    window's per-term sort is the cost — shard hot terms by a doc_id-range
+    salt and keep the lexicographically first cap per shard, then merge."""
+    from pyspark.sql import Window
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    post = toks.distinct()
+    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    sample = (post.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= IDX_POSTINGS_CAP)
+              .groupBy("term")
+              .agg(F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
+                    .alias("postings")))
+    return (tf.join(df_, "term").join(sample, "term")
+            .select("term", "df", "tf", "postings"))
+
+
+def inverted_index_oracle_sql() -> str:
+    from .dedup import _TOKENS_DUCK
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+post AS (SELECT DISTINCT term, doc_id FROM toks),
+df AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+sample AS (SELECT term,
+                  array_to_string((list(doc_id ORDER BY doc_id))[1:{IDX_POSTINGS_CAP}], ',')
+                    AS postings
+           FROM post GROUP BY term)
+SELECT term, df, tf, postings
+FROM tf JOIN df USING (term) JOIN sample USING (term)
+"""

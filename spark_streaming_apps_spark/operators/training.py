@@ -271,3 +271,93 @@ FROM shx JOIN bench USING (sh_h)
 WHERE doc_id % {CONTAM_BENCH_MOD} != 0
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------ quality funnel
+
+#: funnel thresholds (stage predicates are cumulative)
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MAX_TOP_BIGRAM = 0.20
+FUNNEL_MIN_ALPHA = 0.6
+
+
+def quality_funnel(documents: DataFrame) -> DataFrame:
+    """Per-stage survival counts of the curation filter chain — the
+    audit report every corpus-curation run ships (how many docs each
+    filter removed). Stages are cumulative: length → token count →
+    repetition (top-bigram fraction) → alpha ratio.
+
+    ONE scan: every stage flag is a column, the funnel is a single
+    aggregate of flag products (map-side combine to one row), then an
+    unpivot — no per-stage rescan, no shuffle beyond the 1-row agg."""
+    tk = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+        "(a, b) -> a || ' ' || b)")
+    flags = (documents
+             .withColumn("tk", tk)
+             .withColumn("len_ok",
+                         (F.octet_length("text") >= FUNNEL_MIN_CHARS).cast("long"))
+             .withColumn("tok_ok", (F.size("tk") >= FUNNEL_MIN_TOKENS).cast("long"))
+             .withColumn("bg", bigrams)
+             .withColumn(
+                 "rep_ok",
+                 F.when(F.size("bg") < 1, F.lit(0))
+                  .otherwise((F.expr(
+                      "array_max(transform(array_distinct(bg), "
+                      "d -> size(filter(bg, x -> x = d))))")
+                      / F.size("bg").cast("double")
+                      <= FUNNEL_MAX_TOP_BIGRAM).cast("long")))
+             .withColumn(
+                 "alpha_ok",
+                 (F.octet_length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+                  / F.octet_length("text").cast("double")
+                  >= FUNNEL_MIN_ALPHA).cast("long")))
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("len_ok").alias("s1"),
+        F.sum(F.col("len_ok") * F.col("tok_ok")).alias("s2"),
+        F.sum(F.col("len_ok") * F.col("tok_ok") * F.col("rep_ok")).alias("s3"),
+        F.sum(F.col("len_ok") * F.col("tok_ok") * F.col("rep_ok")
+              * F.col("alpha_ok")).alias("s4"))
+    return agg.selectExpr(
+        "stack(5, 0, 'ingest', s0, 1, 'min_length', s1, 2, 'min_tokens', s2, "
+        "3, 'repetition', s3, 4, 'alpha_ratio', s4) AS (stage, stage_name, n_docs)")
+
+
+def quality_funnel_oracle_sql() -> str:
+    return f"""
+WITH tks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS tk
+  FROM documents),
+bgs AS (
+  SELECT *, CASE WHEN len(tk) >= 2 THEN
+              [tk[i] || ' ' || tk[i + 1] FOR i IN generate_series(1, len(tk) - 1)]
+            ELSE [] END AS bg
+  FROM tks),
+flags AS (
+  SELECT CAST(strlen(text) >= {FUNNEL_MIN_CHARS} AS BIGINT) AS len_ok,
+         CAST(len(tk) >= {FUNNEL_MIN_TOKENS} AS BIGINT) AS tok_ok,
+         CASE WHEN len(bg) < 1 THEN 0 ELSE
+           CAST(list_max(list_transform(list_distinct(bg),
+                  d -> len(list_filter(bg, x -> x = d))))
+                / CAST(len(bg) AS DOUBLE) <= {FUNNEL_MAX_TOP_BIGRAM} AS BIGINT)
+         END AS rep_ok,
+         CAST(strlen(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / CAST(strlen(text) AS DOUBLE) >= {FUNNEL_MIN_ALPHA} AS BIGINT)
+           AS alpha_ok
+  FROM bgs),
+agg AS (
+  SELECT COUNT(*) AS s0, SUM(len_ok) AS s1, SUM(len_ok * tok_ok) AS s2,
+         SUM(len_ok * tok_ok * rep_ok) AS s3,
+         SUM(len_ok * tok_ok * rep_ok * alpha_ok) AS s4
+  FROM flags)
+SELECT * FROM (
+  SELECT 0 AS stage, 'ingest' AS stage_name, s0 AS n_docs FROM agg
+  UNION ALL SELECT 1, 'min_length', s1 FROM agg
+  UNION ALL SELECT 2, 'min_tokens', s2 FROM agg
+  UNION ALL SELECT 3, 'repetition', s3 FROM agg
+  UNION ALL SELECT 4, 'alpha_ratio', s4 FROM agg)
+"""

@@ -1,0 +1,104 @@
+"""Round-3 continuation additions: knn_graph, semdedup, dedup_apply,
+inverted_index, quality_funnel."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.operators import dedup, similarity, text, training
+
+
+def test_knn_graph_ranks_are_dense_and_sorted(tables):
+    rows = similarity.knn_graph(tables["embeddings"]).collect()
+    assert rows, "knn graph is empty"
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vec, nbrs in by_vec.items():
+        nbrs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1)), vec
+        assert len(nbrs) <= similarity.KNN_K
+        sims = [r.sim for r in nbrs]
+        assert sims == sorted(sims, reverse=True), vec
+        assert all(r.nbr_id != vec for r in nbrs)
+
+
+def test_knn_graph_rank1_is_within_cell_argmax(tables):
+    """rank-1 neighbor must have the max sim among that vector's edges."""
+    out = similarity.knn_graph(tables["embeddings"])
+    agg = (out.groupBy("vec_id")
+           .agg(F.max("sim").alias("mx"),
+                F.max(F.when(F.col("rank") == 1, F.col("sim"))).alias("r1"))
+           .collect())
+    assert all(r.mx == r.r1 for r in agg)
+
+
+def test_semdedup_drops_planted_copies(tables):
+    out = similarity.semdedup(tables["embeddings"]).collect()
+    planted = [r for r in out if r.vec_id >= 1_000_000]
+    assert planted, "no planted copies in output"
+    # a planted copy is near-identical to its original; with single-probe
+    # cell assignment a tie can split a pair across cells, so assert a
+    # recall floor rather than 100%
+    dropped = sum(1 for r in planted if r.kept == 0)
+    assert dropped >= 0.8 * len(planted), (dropped, len(planted))
+    # dedup never invents drops among centroid seeds' originals entirely:
+    # something must survive in every non-empty cell
+    kept_cells = {r.cell for r in out if r.kept == 1}
+    all_cells = {r.cell for r in out}
+    assert kept_cells == all_cells
+
+
+def test_dedup_apply_keeps_one_per_cluster(tables):
+    out = dedup.dedup_apply(tables["documents"]).collect()
+    kept_by_cluster = Counter(r.cluster_id for r in out if r.kept == 1)
+    # exactly one survivor per cluster, and it is the label itself
+    assert all(n == 1 for n in kept_by_cluster.values())
+    for r in out:
+        if r.kept == 1:
+            assert r.cluster_id == r.doc_id
+    # every planted mutation that clustered with its original is dropped
+    clustered_plants = [r for r in out
+                        if r.doc_id >= dedup.PLANT_OFFSET
+                        and r.cluster_id != r.doc_id]
+    assert clustered_plants, "no planted mutation clustered"
+    assert all(r.kept == 0 for r in clustered_plants)
+
+
+def test_inverted_index_postings_capped_and_consistent(tables):
+    rows = text.inverted_index(tables["documents"]).collect()
+    assert rows
+    for r in rows:
+        posting = [int(x) for x in r.postings.split(",") if x]
+        assert posting == sorted(posting)
+        assert len(posting) <= text.IDX_POSTINGS_CAP
+        assert len(posting) <= r.df
+        assert r.df <= r.tf
+        if r.df <= text.IDX_POSTINGS_CAP:
+            assert len(posting) == r.df
+
+
+def test_inverted_index_matches_manual_count(tables):
+    docs = {r.doc_id: r.text for r in tables["documents"].collect()}
+    import re
+    tf = Counter()
+    df = Counter()
+    for did, txt in docs.items():
+        toks = [t for t in re.split(r"\W+", txt.lower()) if t]
+        tf.update(toks)
+        df.update(set(toks))
+    got = {r.term: r for r in text.inverted_index(tables["documents"]).collect()}
+    assert set(got) == set(tf)
+    for term, r in got.items():
+        assert (r.tf, r.df) == (tf[term], df[term]), term
+
+
+def test_quality_funnel_monotonic(tables):
+    rows = sorted(training.quality_funnel(tables["documents"]).collect(),
+                  key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    counts = [r.n_docs for r in rows]
+    assert counts[0] == tables["documents"].count()
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
