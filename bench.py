@@ -63,6 +63,10 @@ BENCH_KEYS = [
     "skew_join_salted",
     "cube_counts",
     "streaming_dedup",
+    "knn_graph",
+    "semdedup",
+    "inverted_index",
+    "quality_funnel",
 ]
 
 

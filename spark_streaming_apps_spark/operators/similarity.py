@@ -349,12 +349,18 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.expr(
         f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
-    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_id"),
-                     F.col("b.vec_id").alias("nbr_id"),
-                     sim.alias("sim"))
-             .distinct())  # multi-probe can pair twice (two shared cells)
+    # each unordered pair's dot product is computed ONCE (a < b), deduped
+    # across shared multi-probe cells, then mirrored — halves the
+    # higher-order-function dot work, the plan's dominant cost
+    half = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id"),
+                    F.col("b.vec_id").alias("nbr_id"),
+                    sim.alias("sim"))
+            .distinct())
+    pairs = half.unionByName(
+        half.select(F.col("nbr_id").alias("vec_id"),
+                    F.col("vec_id").alias("nbr_id"), "sim"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "nbr_id")
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -314,24 +314,27 @@ def inverted_index(documents: DataFrame) -> DataFrame:
     total term frequency, and a bounded posting sample (first
     {IDX_POSTINGS_CAP} doc_ids ascending, comma-joined).
 
-    Scale: df/tf are counter-only aggregates (map-side partial combine →
-    shuffle O(vocabulary)); the posting sample is capped BEFORE collection
-    by a per-term row_number window, so a stop-word's posting state is
-    {IDX_POSTINGS_CAP} longs, never the full posting list. At 100 TB the
-    window's per-term sort is the cost — shard hot terms by a doc_id-range
-    salt and keep the lexicographically first cap per shard, then merge."""
+    Scale: ONE explode pass → ONE shuffle to (term, doc_id) with the
+    per-doc tf as a counter (map-side partial combine), then everything
+    term-keyed: df/tf roll up from the posting relation, and the posting
+    sample is capped BEFORE collection by a per-term row_number window,
+    so a stop-word's posting state is {IDX_POSTINGS_CAP} longs, never the
+    full posting list. At 100 TB the window's per-term sort is the cost —
+    shard hot terms by a doc_id-range salt and keep the first cap per
+    shard, then merge."""
     from pyspark.sql import Window
-    toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    post = toks.distinct()
-    df_ = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = (documents.select("doc_id", F.explode(_tokens()).alias("term"))
+            .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf_d"))
+            .localCheckpoint())  # stats AND sample read this one shuffle
+    stats = post.groupBy("term").agg(F.sum("tf_d").alias("tf"),
+                                     F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("term").orderBy("doc_id")
     sample = (post.withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") <= IDX_POSTINGS_CAP)
               .groupBy("term")
               .agg(F.concat_ws(",", F.array_sort(F.collect_list("doc_id")))
                     .alias("postings")))
-    return (tf.join(df_, "term").join(sample, "term")
+    return (stats.join(sample, "term")
             .select("term", "df", "tf", "postings"))
 
 

@@ -288,27 +288,30 @@ def quality_funnel(documents: DataFrame) -> DataFrame:
     filter removed). Stages are cumulative: length → token count →
     repetition (top-bigram fraction) → alpha ratio.
 
-    ONE scan: every stage flag is a column, the funnel is a single
-    aggregate of flag products (map-side combine to one row), then an
-    unpivot — no per-stage rescan, no shuffle beyond the 1-row agg."""
+    ONE scan for the per-doc flags + the repetition_stats-style keyed
+    bigram count (explode → (doc_id, bigram) groupBy with map-side
+    combine — NEVER the nested count-each-distinct lambda, which is
+    O(len²) per doc), then a 1-row aggregate of flag products and an
+    unpivot."""
     tk = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
     bigrams = F.expr(
         "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
         "(a, b) -> a || ' ' || b)")
-    flags = (documents
-             .withColumn("tk", tk)
+    base = documents.withColumn("tk", tk)
+    rep = (base.select("doc_id", F.explode(bigrams).alias("bg"))
+           .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg((F.max("c") / F.sum("c").cast("double")).alias("top_frac")))
+    flags = (base
              .withColumn("len_ok",
                          (F.octet_length("text") >= FUNNEL_MIN_CHARS).cast("long"))
              .withColumn("tok_ok", (F.size("tk") >= FUNNEL_MIN_TOKENS).cast("long"))
-             .withColumn("bg", bigrams)
+             .join(rep, "doc_id", "left")
              .withColumn(
                  "rep_ok",
-                 F.when(F.size("bg") < 1, F.lit(0))
-                  .otherwise((F.expr(
-                      "array_max(transform(array_distinct(bg), "
-                      "d -> size(filter(bg, x -> x = d))))")
-                      / F.size("bg").cast("double")
-                      <= FUNNEL_MAX_TOP_BIGRAM).cast("long")))
+                 F.when(F.col("top_frac").isNull(), F.lit(0))
+                  .otherwise((F.col("top_frac") <= FUNNEL_MAX_TOP_BIGRAM)
+                             .cast("long")))
              .withColumn(
                  "alpha_ok",
                  (F.octet_length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
