@@ -27,6 +27,9 @@ KEYS = [
     "dedup_ngram_jaccard",     # candidate-blocked verify
     "embedding_near_dup",      # cell-blocked pair generation
     "q1_pricing_summary",      # wide aggregation
+    "knn_graph",               # IVF-blocked k-NN graph
+    "inverted_index",          # capped posting-list build
+    "quality_funnel",          # single-scan filter funnel
 ]
 
 
