@@ -101,3 +101,34 @@ def test_minhash_band_join_is_equi(tables):
     assert cartesian_join_count(out) == 0
     assert bnlj_count(out) == 0
     assert equi_join_on(out, "band_hash")
+
+
+def test_knn_graph_cell_keyed_no_product(tables):
+    out = similarity.knn_graph(tables["embeddings"])
+    # candidate pairs must come from the cell equi-join; the only nested
+    # loop allowed is the tiny centroid broadcast
+    assert cartesian_join_count(out) == 0
+    assert equi_join_on(out, "cell")
+
+
+def test_semdedup_cell_keyed_no_product(tables):
+    out = similarity.semdedup(tables["embeddings"])
+    assert cartesian_join_count(out) == 0
+    assert equi_join_on(out, "cell")
+
+
+def test_inverted_index_prunes_documents_scan(tables):
+    from spark_streaming_apps_spark.operators import text
+    out = text.inverted_index(tables["documents"])
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+
+
+def test_quality_funnel_no_joins_beyond_rep(tables):
+    from spark_streaming_apps_spark.operators import training
+    out = training.quality_funnel(tables["documents"])
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+    # 5-column documents scans must read only doc_id + text
+    schemas = read_schemas(out)
+    assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
