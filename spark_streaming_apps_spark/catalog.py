@@ -881,6 +881,12 @@ register("inverted_index", oracle=text.inverted_index_oracle_sql()
 register("quality_funnel", oracle=training.quality_funnel_oracle_sql()
          )(lambda s, d: training.quality_funnel(_t(s, d, "documents")))
 
+register("bpe_merge_topk", oracle=text.bpe_merge_oracle_sql()
+         )(lambda s, d: text.bpe_merge_topk(_t(s, d, "documents")))
+
+register("winnow_fingerprint", oracle=text.winnow_oracle_sql()
+         )(lambda s, d: text.winnow_fingerprint(_t(s, d, "documents")))
+
 
 # =====================================================================
 # flagship (extra key — the end-to-end release query, SURVEY.md §3.3)

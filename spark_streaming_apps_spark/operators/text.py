@@ -352,3 +352,108 @@ sample AS (SELECT term,
 SELECT term, df, tf, postings
 FROM tf JOIN df USING (term) JOIN sample USING (term)
 """
+
+
+# -------------------------------------------------- BPE merges / winnowing
+
+BPE_TOP_K = 20
+
+#: winnowing: k-gram hash window size (Schleimer et al. 2003 local algo)
+WINNOW_W = 4
+
+
+def bpe_merge_topk(documents: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """The BPE merge decision input: the {BPE_TOP_K} most frequent
+    ADJACENT token pairs across the corpus (count DESC, pair asc) — what
+    a tokenizer trainer merges next. Pairs come from the zip_with bigram
+    expression (codegen, O(len) per doc); the count is one counter-only
+    shuffle on the pair key with map-side combine; top-k is TakeOrdered
+    (per-partition heads + driver merge), never a global sort."""
+    bigrams = F.expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+        "(a, b) -> a || ' ' || b)")
+    return (documents
+            .select(_tokens().alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .select(F.explode(bigrams).alias("pair"))
+            .groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "pair").limit(k))
+
+
+def bpe_merge_oracle_sql(k: int = BPE_TOP_K) -> str:
+    from .dedup import _TOKENS_DUCK
+    return f"""
+WITH tks AS (SELECT {_TOKENS_DUCK} AS tk FROM documents),
+bgs AS (SELECT unnest([tk[i] || ' ' || tk[i + 1]
+                      FOR i IN generate_series(1, len(tk) - 1)]) AS pair
+        FROM tks WHERE len(tk) >= 2)
+SELECT pair, COUNT(*) AS n FROM bgs
+GROUP BY pair ORDER BY n DESC, pair LIMIT {k}
+"""
+
+
+def winnow_fingerprint(documents: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local algorithm): over each document's POSITIONAL rolling
+    3-gram shingle hashes, slide a window of {WINNOW_W} and keep each
+    window's minimum; the distinct selected minima are the fingerprints
+    every copy-detection index stores (guaranteed: any shared run of
+    window+k-1 tokens shares a fingerprint). Per doc this emits a compact
+    audit row — fingerprint count, min, and XOR digest — so the compare
+    is O(corpus), not O(tokens).
+
+    All array exprs over the doc's own hashes: no shuffle at all — the
+    operator is scan-shaped and embarrassingly parallel at any scale.
+
+    The positional hash array is pinned with localCheckpoint before the
+    windowed-min pass, same as dedup._with_shingle_hashes: Catalyst's
+    projection collapse would otherwise inline the md5 token-hash
+    transform into every element access of the window lambda and turn
+    one O(tokens) hash pass into O(tokens * window) re-hashes."""
+    from .dedup import MH_COMBINE, MH_P, _TKH
+    sglh = (f"CASE WHEN size(tkh) >= 3 THEN "
+            f"transform(sequence(1, size(tkh) - 2), i -> "
+            f"((element_at(tkh, i) * {MH_COMBINE} + element_at(tkh, i + 1)) "
+            f"* {MH_COMBINE} + element_at(tkh, i + 2)) % {MH_P}) "
+            f"ELSE cast(array() as array<bigint>) END")
+    fps = (f"array_distinct(CASE WHEN size(hs) >= {WINNOW_W} THEN "
+           f"transform(sequence(1, size(hs) - {WINNOW_W - 1}), i -> "
+           f"array_min(slice(hs, i, {WINNOW_W}))) ELSE hs END)")
+    hashed = (documents
+              .select("doc_id", _tokens().alias("tk"))
+              .withColumn("tkh", F.expr(_TKH))
+              .select("doc_id", F.expr(sglh).alias("hs"))
+              .localCheckpoint())
+    return (hashed
+            .withColumn("fps", F.expr(fps))
+            .filter(F.size("fps") > 0)
+            .select(
+                "doc_id",
+                F.size("fps").alias("n_fps"),
+                F.expr("array_min(fps)").alias("fp_min"),
+                F.expr("aggregate(fps, 0L, (a, x) -> a ^ x)").alias("fp_xor")))
+
+
+def winnow_oracle_sql() -> str:
+    from .dedup import MH_COMBINE, MH_P, _TKH_DUCK, _TOKENS_DUCK
+    w = WINNOW_W
+    return f"""
+WITH tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM documents),
+tkhs AS (SELECT doc_id, {_TKH_DUCK} AS tkh FROM tks),
+shs AS (SELECT doc_id,
+               CASE WHEN len(tkh) >= 3 THEN
+                 [((tkh[i] * {MH_COMBINE} + tkh[i + 1]) * {MH_COMBINE}
+                   + tkh[i + 2]) % {MH_P}
+                  FOR i IN generate_series(1, len(tkh) - 2)]
+               ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM tkhs),
+fpl AS (SELECT doc_id,
+               list_distinct(CASE WHEN len(hs) >= {w} THEN
+                 [list_min(hs[i:i + {w - 1}])
+                  FOR i IN generate_series(1, len(hs) - {w - 1})]
+               ELSE hs END) AS fps
+        FROM shs)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, list_min(fps) AS fp_min,
+       list_aggregate(fps, 'bit_xor') AS fp_xor
+FROM fpl WHERE len(fps) > 0
+"""

@@ -102,3 +102,72 @@ def test_quality_funnel_monotonic(tables):
     counts = [r.n_docs for r in rows]
     assert counts[0] == tables["documents"].count()
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
+
+def _py_tokens(txt):
+    import re
+    return [t for t in re.split(r"\W+", txt.lower()) if t]
+
+
+def test_bpe_merge_topk_matches_manual(tables):
+    mirror = Counter()
+    for r in tables["documents"].collect():
+        tk = _py_tokens(r.text)
+        mirror.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    want = sorted(mirror.items(), key=lambda kv: (-kv[1], kv[0]))[:text.BPE_TOP_K]
+    got = [(r.pair, r.n) for r in text.bpe_merge_topk(tables["documents"]).collect()]
+    assert got == want
+
+
+def test_winnow_fingerprint_matches_manual(tables):
+    from hashlib import md5
+    from spark_streaming_apps_spark.operators.dedup import MH_COMBINE, MH_P
+
+    def tok_hash(t):
+        return int(md5(t.encode()).hexdigest()[:15], 16) % MH_P
+
+    w = text.WINNOW_W
+    want = {}
+    for r in tables["documents"].collect():
+        tkh = [tok_hash(t) for t in _py_tokens(r.text)]
+        hs = [((tkh[i] * MH_COMBINE + tkh[i + 1]) * MH_COMBINE + tkh[i + 2]) % MH_P
+              for i in range(len(tkh) - 2)]
+        fps = ([min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+               if len(hs) >= w else hs)
+        # order-preserving distinct, as array_distinct does
+        fps = list(dict.fromkeys(fps))
+        if fps:
+            xor = 0
+            for x in fps:
+                xor ^= x
+            want[r.doc_id] = (len(fps), min(fps), xor)
+    got = {r.doc_id: (r.n_fps, r.fp_min, r.fp_xor)
+           for r in text.winnow_fingerprint(tables["documents"]).collect()}
+    assert got == want
+
+
+def test_winnow_every_window_has_a_fingerprint(tables):
+    """The Schleimer local-algorithm guarantee: each length-W window of the
+    positional shingle-hash sequence contributes its min, so any W
+    consecutive shingles share at least one selected fingerprint."""
+    from hashlib import md5
+    from spark_streaming_apps_spark.operators.dedup import MH_COMBINE, MH_P
+
+    def tok_hash(t):
+        return int(md5(t.encode()).hexdigest()[:15], 16) % MH_P
+
+    w = text.WINNOW_W
+    got = {r.doc_id: r for r in
+           text.winnow_fingerprint(tables["documents"]).collect()}
+    checked = 0
+    for r in tables["documents"].limit(50).collect():
+        tkh = [tok_hash(t) for t in _py_tokens(r.text)]
+        hs = [((tkh[i] * MH_COMBINE + tkh[i + 1]) * MH_COMBINE + tkh[i + 2]) % MH_P
+              for i in range(len(tkh) - 2)]
+        if len(hs) < w or r.doc_id not in got:
+            continue
+        fps = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        for i in range(len(hs) - w + 1):
+            assert fps & set(hs[i:i + w]), (r.doc_id, i)
+        checked += 1
+    assert checked > 0
