@@ -122,6 +122,30 @@ _TKH_DUCK = ("list_transform(tk, t -> CAST(('0x' || substr(md5(t),1,15)) "
              f"AS BIGINT) % {MH_P})")
 
 
+#: Session-scoped memo for the materialized sketch layer, keyed by
+#: (applicationId, semantic hash of the input plan). The detectors
+#: (minhash, ngram-jaccard, clusters, apply) all sit on the same
+#: shingle-hash base; at 100 TB that layer is THE thing you materialize
+#: once and share — recomputing the md5 pass per detector triples the
+#: dominant scan cost. Bounded (drop-oldest) so long sessions with many
+#: distinct corpora don't pin unbounded checkpoint blocks.
+_SKETCH_CACHE: dict = {}
+_SKETCH_CACHE_MAX = 8
+
+
+def _memo(corpus: DataFrame, tag: str, build) -> DataFrame:
+    try:
+        key = (corpus.sparkSession.sparkContext.applicationId, tag,
+               corpus._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return build()
+    if key not in _SKETCH_CACHE:
+        while len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+            _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
+        _SKETCH_CACHE[key] = build()
+    return _SKETCH_CACHE[key]
+
+
 def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
     """doc_id + hs: the doc's DISTINCT rolling 3-gram shingle hashes.
 
@@ -129,18 +153,23 @@ def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
     projection collapse would otherwise inline the token-hash array into
     every per-element access of downstream lambdas and recompute the md5
     pass per shingle (measured 10x-100x blowup). The checkpoint pins the
-    arrays as concrete columns; every consumer reads bigints."""
+    arrays as concrete columns; every consumer reads bigints. Memoized
+    per (session, input plan): every detector shares one materialization."""
     assert SHINGLE_K == 3
     sglh = (f"CASE WHEN size(tkh) >= 3 THEN "
             f"transform(sequence(1, size(tkh) - 2), i -> "
             f"((element_at(tkh, i) * {MH_COMBINE} + element_at(tkh, i + 1)) "
             f"* {MH_COMBINE} + element_at(tkh, i + 2)) % {MH_P}) "
             f"ELSE cast(array() as array<bigint>) END")
-    return (_with_tokens(corpus)
-            .withColumn("tkh", F.expr(_TKH))
-            .withColumn("hs", F.array_distinct(F.expr(sglh)))
-            .select("doc_id", "hs")
-            .localCheckpoint())
+
+    def build() -> DataFrame:
+        return (_with_tokens(corpus)
+                .withColumn("tkh", F.expr(_TKH))
+                .withColumn("hs", F.array_distinct(F.expr(sglh)))
+                .select("doc_id", "hs")
+                .localCheckpoint())
+
+    return _memo(corpus, "shingle_hashes", build)
 
 
 def _shingle_hash_ctes() -> str:
@@ -174,14 +203,14 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
       4. verify: signature agreement fraction as the Jaccard estimate
     """
     sh = _with_shingle_hashes(planted_corpus(documents))
-    sig = sh.select(
+    # signatures feed the band join AND both verify sides: materialize
+    # once (lineage-truncating local checkpoint) instead of re-hashing
+    # every shingle 3x; memoized so clusters/apply reuse the same blocks
+    sig = _memo(sh, "minhash_sig", lambda: sh.select(
         "doc_id",
         *[F.expr(f"array_min(transform(hs, h -> {_mh_affine(i, 'h')}))")
           .alias(f"mh{i}") for i in range(N_HASHES)],
-        # signatures feed the band join AND both verify sides: materialize
-        # once (lineage-truncating local checkpoint) instead of re-hashing
-        # every shingle 3x
-    ).localCheckpoint()
+    ).localCheckpoint())
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{j * ROWS_PER_BAND + r}").cast("string")
                                  for r in range(ROWS_PER_BAND)])).alias(f"b{j}")

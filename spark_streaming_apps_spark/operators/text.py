@@ -410,7 +410,7 @@ def winnow_fingerprint(documents: DataFrame) -> DataFrame:
     projection collapse would otherwise inline the md5 token-hash
     transform into every element access of the window lambda and turn
     one O(tokens) hash pass into O(tokens * window) re-hashes."""
-    from .dedup import MH_COMBINE, MH_P, _TKH
+    from .dedup import MH_COMBINE, MH_P, _TKH, _memo
     sglh = (f"CASE WHEN size(tkh) >= 3 THEN "
             f"transform(sequence(1, size(tkh) - 2), i -> "
             f"((element_at(tkh, i) * {MH_COMBINE} + element_at(tkh, i + 1)) "
@@ -419,11 +419,12 @@ def winnow_fingerprint(documents: DataFrame) -> DataFrame:
     fps = (f"array_distinct(CASE WHEN size(hs) >= {WINNOW_W} THEN "
            f"transform(sequence(1, size(hs) - {WINNOW_W - 1}), i -> "
            f"array_min(slice(hs, i, {WINNOW_W}))) ELSE hs END)")
-    hashed = (documents
-              .select("doc_id", _tokens().alias("tk"))
-              .withColumn("tkh", F.expr(_TKH))
-              .select("doc_id", F.expr(sglh).alias("hs"))
-              .localCheckpoint())
+    hashed = _memo(documents, "winnow_positional", lambda: (
+        documents
+        .select("doc_id", _tokens().alias("tk"))
+        .withColumn("tkh", F.expr(_TKH))
+        .select("doc_id", F.expr(sglh).alias("hs"))
+        .localCheckpoint()))
     return (hashed
             .withColumn("fps", F.expr(fps))
             .filter(F.size("fps") > 0)

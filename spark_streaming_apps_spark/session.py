@@ -25,6 +25,11 @@ RUNTIME_CONFS = {
 }
 
 BUILD_CONFS = {
+    # local-mode runs every executor thread inside the driver JVM; the 1g
+    # default heap full-GCs for seconds under 32 concurrent tasks at sf0.1
+    # (random queries spiked 1s -> 8-10s). On a real cluster this maps to
+    # ordinary executor sizing, not a special conf.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
