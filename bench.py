@@ -67,6 +67,8 @@ BENCH_KEYS = [
     "semdedup",
     "inverted_index",
     "quality_funnel",
+    "kmeans_refine",
+    "embedding_quantize",
 ]
 
 

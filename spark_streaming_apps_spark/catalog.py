@@ -887,6 +887,12 @@ register("bpe_merge_topk", oracle=text.bpe_merge_oracle_sql()
 register("winnow_fingerprint", oracle=text.winnow_oracle_sql()
          )(lambda s, d: text.winnow_fingerprint(_t(s, d, "documents")))
 
+register("kmeans_refine", oracle=similarity.kmeans_refine_oracle_sql()
+         )(lambda s, d: similarity.kmeans_refine(_t(s, d, "embeddings")))
+
+register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
+         )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
+
 
 # =====================================================================
 # flagship (extra key — the end-to-end release query, SURVEY.md §3.3)

@@ -448,3 +448,148 @@ SELECT s.vec_id, s.cell,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
 FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """
+
+
+# ------------------------------------------------------- k-means refinement
+
+KM_ITERS = 2
+#: per-element decimal quantum for centroid-mean sums: float inputs widen
+#: exactly to double, then round identically to 6 dp on both engines, so
+#: the per-(cell,dim) SUM is exact integer arithmetic — order-independent
+#: and bit-identical Spark↔DuckDB. The mean re-enters double land via one
+#: deterministic cast + division.
+KM_DEC = "decimal(18,6)"
+
+
+def _sq_dist(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def kmeans_refine(embeddings: DataFrame, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd k-means refinement of the IVF coarse quantizer: start from the
+    fixed seed centroids (vec_id < {N_CELLS}, the same seeds ivf_topk
+    assigns against), run {KM_ITERS} assign→mean iterations, report each
+    surviving cell's size and centroid digest (first coordinate + L2 norm,
+    6 dp). This is the training step that turns the arbitrary seed cells
+    into a real coarse quantizer for IVF/semdedup at scale.
+
+    Scale shape per iteration: one broadcast join of the (k)-row centroid
+    table against the corpus for assignment (argmin squared-distance via
+    min_by over a deterministic (dist, cell) key — no window, no sort),
+    then one posexplode + keyed agg whose state is k·dims decimal sums —
+    the classic two-stage mean with map-side combine. The corpus is never
+    shuffled; only (cell, dim) partial sums move."""
+    emb = (embeddings.select("vec_id", _as_double("embedding").alias("e"))
+           .localCheckpoint())
+    cents = (emb.filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").cast("int").alias("cell"),
+                     F.col("e").alias("c")))
+    assigned = None
+    for _ in range(iters):
+        assigned = (emb.join(F.broadcast(cents))
+                    .withColumn("dist", F.expr(_sq_dist("e", "c")))
+                    .groupBy("vec_id")
+                    .agg(F.expr("min_by(cell, struct(dist, cell))").alias("cell"),
+                         F.any_value("e").alias("e")))
+        dims = (assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.sum(F.col("x").cast(KM_DEC)).alias("sx"),
+                     F.count(F.lit(1)).alias("n")))
+        cents = (dims
+                 .withColumn("m", F.col("sx").cast("double") / F.col("n"))
+                 .groupBy("cell")
+                 .agg(F.expr("transform(array_sort(collect_list(struct(dim, m))),"
+                             " p -> p.m)").alias("c")))
+    return (assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+            .join(cents, "cell")
+            .select("cell", "n_members",
+                    F.expr("round(element_at(c, 1), 6)").alias("c0"),
+                    F.expr(f"round(sqrt({_DOT.format(a='c', b='c')}), 6)")
+                    .alias("c_norm")))
+
+
+def kmeans_refine_oracle_sql(iters: int = KM_ITERS) -> str:
+    sq = "list_sum(list_transform(range(1, 1 + len(a.e)), i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))"
+    prev = f"(SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS})"
+    ctes = ["emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"]
+    for it in range(iters):
+        ctes.append(f"""
+asg{it} AS (SELECT a.vec_id, a.e, c.cell
+            FROM emb a, {prev} c
+            QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                       ORDER BY {sq}, c.cell) = 1)""")
+        ctes.append(f"""
+dims{it} AS (SELECT cell, d.i - 1 AS dim,
+                    SUM(CAST(e[d.i] AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+             FROM asg{it}, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) d
+             GROUP BY cell, d.i)""")
+        ctes.append(f"""
+cents{it} AS (SELECT cell, list(CAST(sx AS DOUBLE) / n ORDER BY dim) AS c
+              FROM dims{it} GROUP BY cell)""")
+        prev = f"cents{it}"
+    last = iters - 1
+    return f"""
+WITH {','.join(ctes)}
+SELECT a.cell, COUNT(*) AS n_members,
+       any_value(round(c.c[1], 6)) AS c0,
+       any_value(round(sqrt(list_dot_product(c.c, c.c)), 6)) AS c_norm
+FROM asg{last} a JOIN cents{last} c ON a.cell = c.cell
+GROUP BY a.cell
+"""
+
+
+# -------------------------------------------------- int8 scalar quantization
+
+Q_LEVELS = 255
+
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x storage/bandwidth reduction for ANN indexes: per-DIMENSION min/max
+    over the corpus (a dims-row aggregate, broadcast back), then
+    code = clamp(floor((x - min) * {Q_LEVELS} / (max - min))). Output is a
+    per-vector digest — integer code sum/min/max (bit-exact on any engine)
+    plus the round-trip reconstruction MSE at 6 dp — so the checkable
+    surface is O(corpus), not O(values).
+
+    floor (not round) quantization: no tie-at-.5 semantics to align
+    across engines; both sides run the identical double expression.
+    Scale: the range table is dims rows (broadcast); the encode is one
+    scan-shaped pass, keyed agg per vector only."""
+    dims = embeddings.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("dim", "x"))
+    ranges = (dims.groupBy("dim")
+              .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    code = F.expr(
+        f"CASE WHEN mx > mn THEN least(cast(floor((x - mn) * {Q_LEVELS}.0 "
+        f"/ (mx - mn)) as int), {Q_LEVELS}) ELSE 0 END")
+    deq = F.expr(
+        f"mn + (code + 0.5) * (mx - mn) / {Q_LEVELS}.0")
+    return (dims.join(F.broadcast(ranges), "dim")
+            .withColumn("code", code)
+            .withColumn("err2", F.pow(F.col("x") - deq, 2))
+            .groupBy("vec_id")
+            .agg(F.sum("code").alias("code_sum"),
+                 F.min("code").alias("code_min"),
+                 F.max("code").alias("code_max"),
+                 F.round(F.sum("err2"), 6).alias("mse6")))
+
+
+def embedding_quantize_oracle_sql() -> str:
+    q = Q_LEVELS
+    return f"""
+WITH dims AS (SELECT vec_id, d.i - 1 AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) d),
+ranges AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+coded AS (SELECT vec_id,
+                 CASE WHEN mx > mn THEN least(CAST(floor((x - mn) * {q}.0
+                   / (mx - mn)) AS INT), {q}) ELSE 0 END AS code,
+                 x, mn, mx
+          FROM dims JOIN ranges USING (dim))
+SELECT vec_id, SUM(code) AS code_sum, MIN(code) AS code_min,
+       MAX(code) AS code_max,
+       round(SUM(pow(x - (mn + (code + 0.5) * (mx - mn) / {q}.0), 2)), 6) AS mse6
+FROM coded GROUP BY vec_id
+"""

@@ -29,3 +29,63 @@ def test_embedding_near_dup_recovers_planted(tables):
 def test_near_dup_pairs_meet_threshold(tables):
     out = similarity.embedding_near_dup_pairs(tables["embeddings"])
     assert out.filter(F.col("sim") < similarity.NEAR_DUP_COS).count() == 0
+
+
+def test_kmeans_refine_matches_numpy(tables):
+    import numpy as np
+    from spark_streaming_apps_spark.operators.similarity import (
+        KM_ITERS, N_CELLS, kmeans_refine)
+
+    rows = sorted(tables["embeddings"].collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows], dtype=np.float64)
+    cents = {int(i): X[ids == i][0] for i in ids if i < N_CELLS}
+    for _ in range(KM_ITERS):
+        cells = sorted(cents)
+        C = np.stack([cents[c] for c in cells])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # ties break to the smallest cell id: argmin picks first occurrence
+        asg = np.array(cells)[np.argmin(d2, axis=1)]
+        cents = {}
+        for c in np.unique(asg):
+            m = X[asg == c]
+            # decimal(18,6) per-element quantum: EXACT integer micro-unit
+            # sums (matching the engines' decimal aggregation), then one
+            # double cast + division — bit-identical to the Spark plan
+            q_int = np.round(m * 1e6).astype(np.int64).sum(axis=0)
+            cents[int(c)] = (q_int / 1e6) / len(m)
+
+    def half_up6(x: float) -> float:
+        # Spark's round(double) goes through BigDecimal.valueOf, i.e. the
+        # SHORTEST decimal string of the double (same as Python repr), not
+        # its exact binary expansion — mirror that exactly.
+        from decimal import ROUND_HALF_UP, Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    got = {r.cell: r for r in kmeans_refine(tables["embeddings"]).collect()}
+    want_sizes = {int(c): int((asg == c).sum()) for c in np.unique(asg)}
+    assert {c: r.n_members for c, r in got.items()} == want_sizes
+    for c, ctr in cents.items():
+        assert got[c].c0 == half_up6(float(ctr[0])), c
+        assert abs(got[c].c_norm - half_up6(float(np.sqrt((ctr * ctr).sum())))) <= 1e-6, c
+
+
+def test_embedding_quantize_matches_numpy(tables):
+    import numpy as np
+    from spark_streaming_apps_spark.operators.similarity import (
+        Q_LEVELS, embedding_quantize)
+
+    rows = sorted(tables["embeddings"].collect(), key=lambda r: r.vec_id)
+    X = np.array([[float(x) for x in r.embedding] for r in rows], dtype=np.float64)
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    codes = np.minimum(np.floor((X - mn) * Q_LEVELS / span), Q_LEVELS)
+    codes = np.where(mx > mn, codes, 0.0).astype(int)
+    deq = mn + (codes + 0.5) * (mx - mn) / Q_LEVELS
+    got = {r.vec_id: r for r in embedding_quantize(tables["embeddings"]).collect()}
+    assert len(got) == len(rows)
+    for i, r in enumerate(rows):
+        g = got[r.vec_id]
+        assert (g.code_sum, g.code_min, g.code_max) == (
+            int(codes[i].sum()), int(codes[i].min()), int(codes[i].max())), r.vec_id
+        assert abs(g.mse6 - round(float(((X[i] - deq[i]) ** 2).sum()), 6)) <= 2e-6
