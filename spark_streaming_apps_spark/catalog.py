@@ -893,6 +893,9 @@ register("kmeans_refine", oracle=similarity.kmeans_refine_oracle_sql()
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 
+register("unigram_surprisal", oracle=text.unigram_surprisal_oracle_sql()
+         )(lambda s, d: text.unigram_surprisal(_t(s, d, "documents")))
+
 
 # =====================================================================
 # flagship (extra key — the end-to-end release query, SURVEY.md §3.3)

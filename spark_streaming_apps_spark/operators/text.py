@@ -458,3 +458,44 @@ SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, list_min(fps) AS fp_min,
        list_aggregate(fps, 'bit_xor') AS fp_xor
 FROM fpl WHERE len(fps) > 0
 """
+
+
+# ----------------------------------------------- unigram LM surprisal filter
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Unigram language-model surprisal per document — the perplexity-proxy
+    quality signal of CCNet-style pipelines (score each doc by how unusual
+    its vocabulary is against the corpus LM; outliers are boilerplate or
+    noise). Deliberately model-free: the LM IS the corpus unigram MLE.
+
+    mean_nll = avg over the doc's tokens of -ln(count(token)/total_tokens),
+    rounded to 6 dp (ln/divide are IEEE-identical across engines at that
+    precision — same contract as bm25_rank).
+
+    Scale shape: the vocabulary table is one counter-only term-keyed
+    aggregate (map-side combine → O(vocab) shuffle); scoring re-joins the
+    token stream to it on the term key — the same shuffle geometry as the
+    inverted index, no row ever carries text past tokenization. The 1-row
+    total joins in as a broadcast."""
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("t"))
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    total = freq.agg(F.sum("n_t").cast("double").alias("n_total"))
+    return (toks.join(freq, "t")
+            .join(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-F.log(F.col("n_t").cast("double")
+                                      / F.col("n_total"))), 6).alias("mean_nll")))
+
+
+def unigram_surprisal_oracle_sql() -> str:
+    from .dedup import _TOKENS_DUCK
+    return f"""
+WITH tks AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS t FROM documents),
+freq AS (SELECT t, count(*) AS n_t FROM tks GROUP BY t),
+tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n_total FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(CAST(n_t AS DOUBLE) / n_total)), 6) AS mean_nll
+FROM tks JOIN freq USING (t), tot
+GROUP BY doc_id
+"""

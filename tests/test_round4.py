@@ -171,3 +171,22 @@ def test_winnow_every_window_has_a_fingerprint(tables):
             assert fps & set(hs[i:i + w]), (r.doc_id, i)
         checked += 1
     assert checked > 0
+
+
+def test_unigram_surprisal_matches_manual(tables):
+    import math
+    corpus = {r.doc_id: _py_tokens(r.text)
+              for r in tables["documents"].collect()}
+    freq = Counter()
+    for tk in corpus.values():
+        freq.update(tk)
+    total = float(sum(freq.values()))
+    got = {r.doc_id: r for r in
+           text.unigram_surprisal(tables["documents"]).collect()}
+    want_ids = {d for d, tk in corpus.items() if tk}
+    assert set(got) == want_ids
+    for d in want_ids:
+        tk = corpus[d]
+        nll = sum(-math.log(freq[t] / total) for t in tk) / len(tk)
+        assert got[d].n_tokens == len(tk)
+        assert abs(got[d].mean_nll - nll) <= 2e-6, d
