@@ -767,6 +767,9 @@ register("asof_join_last_event", oracle=analytics.ASOF_ORACLE
 register("percentile_summary", oracle=analytics.PERCENTILE_ORACLE
          )(lambda s, d: analytics.percentile_summary(_t(s, d, "events")))
 
+register("interval_join_bucketed", oracle=analytics.INTERVAL_JOIN_ORACLE
+         )(lambda s, d: analytics.interval_join_bucketed(_t(s, d, "events")))
+
 register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
          )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))
 

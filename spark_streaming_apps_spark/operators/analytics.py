@@ -326,3 +326,55 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+# ----------------------------------------------- bucketized interval join
+
+IV_EVERY = 199                       # every 199th event opens an interval
+IV_HOUR_US = 3_600_000_000
+IV_BUCKET_US = 4 * IV_HOUR_US        # bucket width >= max interval / 2
+
+
+def interval_join_bucketed(events: DataFrame) -> DataFrame:
+    """Interval (range) join via time-bucket blocking — the scale path for
+    `point BETWEEN start AND end` joins that Spark would otherwise plan as
+    a broadcast-nested-loop theta join (O(events x intervals) comparisons).
+
+    Interval table: every {IV_EVERY}-th event opens [ts, ts + 1..7 h).
+    Each interval explodes to the 4 h buckets it covers (<= 3 rows); each
+    probe event computes its single bucket scalar-wise. The join is then a
+    pure EQUI-join on the bucket key + a residual band filter — shuffle
+    geometry identical to any keyed join, so it scales with data, not with
+    data x intervals. A probe row matches an interval in exactly one
+    bucket (its own), so no post-join dedup is needed. Aggregates per
+    interval: event count + decimal-exact value total."""
+    e = events.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col("value").cast("decimal(18,4)").alias("v"))
+    iv = (e.filter(F.col("event_id") % IV_EVERY == 0)
+          .select(F.col("event_id").alias("iv_id"),
+                  F.col("t_us").alias("start_us"),
+                  (F.col("t_us") + (F.col("event_id") % 7 + 1) * IV_HOUR_US)
+                  .alias("end_us")))
+    ivb = iv.withColumn("bucket", F.explode(F.expr(
+        f"sequence(start_us DIV {IV_BUCKET_US}, end_us DIV {IV_BUCKET_US})")))
+    eb = e.withColumn("bucket", F.expr(f"t_us DIV {IV_BUCKET_US}"))
+    return (eb.join(ivb, "bucket")
+            .filter((F.col("t_us") >= F.col("start_us"))
+                    & (F.col("t_us") < F.col("end_us")))
+            .groupBy("iv_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("v").cast("double").alias("total")))
+
+
+INTERVAL_JOIN_ORACLE = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS t_us,
+                  CAST(value AS DECIMAL(18,4)) AS v FROM events),
+iv AS (SELECT event_id AS iv_id, t_us AS start_us,
+              t_us + (event_id % 7 + 1) * {IV_HOUR_US} AS end_us
+       FROM e WHERE event_id % {IV_EVERY} = 0)
+SELECT iv_id, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
+FROM iv JOIN e ON e.t_us >= iv.start_us AND e.t_us < iv.end_us
+GROUP BY iv_id
+"""

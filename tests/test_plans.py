@@ -132,3 +132,13 @@ def test_quality_funnel_no_joins_beyond_rep(tables):
     # 5-column documents scans must read only doc_id + text
     schemas = read_schemas(out)
     assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
+
+
+def test_interval_join_is_equi_not_nested_loop(tables):
+    from spark_streaming_apps_spark.operators import analytics
+    out = analytics.interval_join_bucketed(tables["events"])
+    # the whole point: bucket blocking turns the BETWEEN theta join into
+    # an equi-join on the bucket key — no nested-loop/cartesian anywhere
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+    assert equi_join_on(out, "bucket")

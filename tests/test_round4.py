@@ -190,3 +190,22 @@ def test_unigram_surprisal_matches_manual(tables):
         nll = sum(-math.log(freq[t] / total) for t in tk) / len(tk)
         assert got[d].n_tokens == len(tk)
         assert abs(got[d].mean_nll - nll) <= 2e-6, d
+
+
+def test_interval_join_matches_manual(tables):
+    from spark_streaming_apps_spark.operators import analytics
+    evs = [(r.event_id, r.ts, float(r.value))
+           for r in tables["events"].selectExpr(
+               "event_id", "unix_micros(cast(ts as timestamp)) AS ts", "value")
+           .collect()]
+    want = {}
+    for iv_id, t0, _ in evs:
+        if iv_id % analytics.IV_EVERY:
+            continue
+        t1 = t0 + (iv_id % 7 + 1) * analytics.IV_HOUR_US
+        hits = [(e, v) for e, t, v in evs if t0 <= t < t1]
+        if hits:
+            want[iv_id] = (len(hits), round(sum(round(v, 4) for _, v in hits), 4))
+    got = {r.iv_id: (r.n_events, round(r.total, 4))
+           for r in analytics.interval_join_bucketed(tables["events"]).collect()}
+    assert got == want
