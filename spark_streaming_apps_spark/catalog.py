@@ -770,6 +770,15 @@ register("percentile_summary", oracle=analytics.PERCENTILE_ORACLE
 register("interval_join_bucketed", oracle=analytics.INTERVAL_JOIN_ORACLE
          )(lambda s, d: analytics.interval_join_bucketed(_t(s, d, "events")))
 
+register("time_gapfill", oracle=analytics.GAPFILL_ORACLE
+         )(lambda s, d: analytics.time_gapfill(_t(s, d, "events")))
+
+register("event_funnel", oracle=analytics.FUNNEL_ORACLE
+         )(lambda s, d: analytics.event_funnel(_t(s, d, "events")))
+
+register("cohort_retention", oracle=analytics.COHORT_ORACLE
+         )(lambda s, d: analytics.cohort_retention(_t(s, d, "events")))
+
 register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
          )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))
 

@@ -378,3 +378,135 @@ SELECT iv_id, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS total
 FROM iv JOIN e ON e.t_us >= iv.start_us AND e.t_us < iv.end_us
 GROUP BY iv_id
 """
+
+
+# ------------------------------------------------------- time-series gapfill
+
+GF_EVERY = 50  # sparsify: only every 50th event observes, so gaps are real
+
+
+def time_gapfill(events: DataFrame) -> DataFrame:
+    """Hypertable-style gap filling + LOCF over a sparse per-type hourly
+    series: generate EVERY hour bucket between each series' first and last
+    observation (sequence + explode — scalar-wise, no driver loop), left
+    join the observed aggregates, and carry the last observed total
+    forward (last_value IGNORE NULLS over a keyed, growing frame).
+
+    Scale: the dense bucket spine is data-derived (2 numbers per key
+    broadcast nowhere — the sequence explodes from the per-key min/max
+    row), the join is keyed on (event_type, bucket), and the LOCF window
+    partitions by the series key — nothing global anywhere."""
+    hour_us = 3_600_000_000
+    obs = (events.filter(F.col("event_id") % GF_EVERY == 0)
+           .select("event_type",
+                   (F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(hour_us)).cast("long").alias("h"),
+                   F.col("value").cast("decimal(18,4)").alias("v"))
+           .groupBy("event_type", "h")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tv")))
+    spine = (obs.groupBy("event_type")
+             .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+             .select("event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = (spine.join(obs, ["event_type", "h"], "left")
+              .withColumn("n", F.coalesce("n", F.lit(0)))
+              .withColumn("locf", F.last("tv", ignorenulls=True).over(w)))
+    return filled.select(
+        "event_type", (F.col("h") * hour_us).alias("bucket_us"), "n",
+        F.col("locf").cast("double").alias("total_locf"))
+
+
+GAPFILL_ORACLE = f"""
+WITH obs AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                    COUNT(*) AS n,
+                    SUM(CAST(value AS DECIMAL(18,4))) AS tv
+             FROM events WHERE event_id % {GF_EVERY} = 0
+             GROUP BY 1, 2),
+spine AS (SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+          FROM obs GROUP BY event_type)
+SELECT s.event_type, s.h * 3600000000 AS bucket_us,
+       COALESCE(o.n, 0) AS n,
+       CAST(last_value(o.tv IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.h
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS total_locf
+FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.h = o.h
+"""
+
+
+# ----------------------------------------------------------- funnel / cohort
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Ordered-funnel conversion: per user, stage k counts only if the
+    user's FIRST stage-k event happens strictly after their first
+    stage-(k-1) event. One keyed aggregate computes every first-touch
+    timestamp (min with a conditional — no per-stage scans), then the
+    ordering predicate is scalar; output is the per-stage converted-user
+    count. The classic product-analytics query, one shuffle total."""
+    firsts = (events.groupBy("user_id")
+              .agg(*[F.min(F.when(F.col("event_type") == s,
+                                  F.unix_micros(F.col("ts").cast("timestamp"))))
+                     .alias(f"t{i}") for i, s in enumerate(FUNNEL_STAGES)]))
+    reached = [F.col("t0").isNotNull()]
+    for i in range(1, len(FUNNEL_STAGES)):
+        reached.append(reached[-1] & F.col(f"t{i}").isNotNull()
+                       & (F.col(f"t{i}") > F.col(f"t{i-1}")))
+    counts = firsts.agg(*[
+        F.sum(r.cast("long")).alias(f"n{i}") for i, r in enumerate(reached)])
+    stages = ", ".join(
+        f"{i}, '{s}', n{i}" for i, s in enumerate(FUNNEL_STAGES))
+    return counts.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stages}) AS (stage, stage_name, users)")
+
+
+FUNNEL_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id,
+         {', '.join(f"min(CASE WHEN event_type = '{s}' THEN epoch_us(ts) END) AS t{i}"
+                    for i, s in enumerate(FUNNEL_STAGES))}
+  FROM events GROUP BY user_id),
+counts AS (SELECT
+  SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n0,
+  SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+           THEN 1 ELSE 0 END) AS n1,
+  SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS n2
+  FROM firsts)
+SELECT stage, stage_name, users FROM counts,
+LATERAL (VALUES (0, 'view', n0), (1, 'click', n1), (2, 'purchase', n2))
+        AS t(stage, stage_name, users)
+"""
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: cohort = the user's first-seen DAY bucket
+    (by 7-day weeks from the corpus epoch), cell = distinct users of
+    cohort w active in week w+k. Two keyed aggregates and one keyed join
+    — the user-activity relation never leaves its user_id partitioning
+    until the final (cohort, offset) count, which is O(weeks²) rows."""
+    day_us = 86_400_000_000
+    acts = (events.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(7 * day_us))
+        .cast("long").alias("week"))
+        .distinct())
+    cohorts = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (acts.join(cohorts, "user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("users")))
+
+
+COHORT_ORACLE = """
+WITH acts AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+              FROM events),
+cohorts AS (SELECT user_id, min(week) AS cohort_week FROM acts GROUP BY user_id)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS users
+FROM acts a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""

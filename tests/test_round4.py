@@ -209,3 +209,58 @@ def test_interval_join_matches_manual(tables):
     got = {r.iv_id: (r.n_events, round(r.total, 4))
            for r in analytics.interval_join_bucketed(tables["events"]).collect()}
     assert got == want
+
+
+def test_event_funnel_monotonic_and_manual(tables):
+    from spark_streaming_apps_spark.operators import analytics
+    rows = tables["events"].selectExpr(
+        "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) AS t").collect()
+    firsts = {}
+    for r in rows:
+        d = firsts.setdefault(r.user_id, {})
+        d[r.event_type] = min(d.get(r.event_type, r.t), r.t)
+    s0, s1, s2 = analytics.FUNNEL_STAGES
+    n = [0, 0, 0]
+    for d in firsts.values():
+        if s0 in d:
+            n[0] += 1
+            if s1 in d and d[s1] > d[s0]:
+                n[1] += 1
+                if s2 in d and d[s2] > d[s1]:
+                    n[2] += 1
+    got = {r.stage: r.users for r in
+           analytics.event_funnel(tables["events"]).collect()}
+    assert got == {0: n[0], 1: n[1], 2: n[2]}
+    assert got[0] >= got[1] >= got[2]
+
+
+def test_cohort_retention_week0_covers_all_users(tables):
+    from spark_streaming_apps_spark.operators import analytics
+    out = analytics.cohort_retention(tables["events"]).collect()
+    total_users = tables["events"].select("user_id").distinct().count()
+    week0 = sum(r.users for r in out if r.week_offset == 0)
+    # every user appears in their own cohort's offset-0 cell exactly once
+    assert week0 == total_users
+    assert all(r.week_offset >= 0 for r in out)
+
+
+def test_time_gapfill_dense_spine_and_locf(tables):
+    from spark_streaming_apps_spark.operators import analytics
+    out = analytics.time_gapfill(tables["events"]).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    hour = 3_600_000_000
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket_us)
+        # spine is dense: consecutive hourly buckets, no holes
+        assert [r.bucket_us for r in rs] == [
+            rs[0].bucket_us + i * hour for i in range(len(rs))], t
+        # endpoints observed, gaps carry the last total forward
+        assert rs[0].n > 0 and rs[-1].n > 0
+        last = None
+        for r in rs:
+            if r.n == 0:
+                assert r.total_locf == last, t
+            last = r.total_locf
