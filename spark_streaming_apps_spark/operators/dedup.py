@@ -334,12 +334,26 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     corpus = _with_tokens(planted_corpus(documents))
     tok = (corpus.select("doc_id", F.explode("tk").alias("t"))
            .select("doc_id", F.expr(_HASH.format(seed=99, x="t")).alias("h")))
+    # Per-bit popcounts packed 4-per-long in 16-bit lanes: 12 aggregate
+    # buffers instead of 48 (48 separate sums generated pathological
+    # whole-stage code — multi-second Janino compiles on every cold run
+    # and 49 agg buffer slots per group at scale). Lane capacity 65535
+    # tokens/doc; the per-bit counts are IDENTICAL, so the per-bit DuckDB
+    # oracle needs no mirror of the packing.
+    lanes_per_long = 4
+    n_packed = SIM_BITS // lanes_per_long  # bits b, b+12, b+24, b+36 share
+    packed = [
+        sum(F.shiftleft(F.shiftright("h", j * n_packed + b).bitwiseAND(1),
+                        16 * j)
+            for j in range(lanes_per_long))
+        for b in range(n_packed)
+    ]
     sums = (tok.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n"),
-                 *[F.sum(F.shiftright("h", b).bitwiseAND(1)).alias(f"c{b}")
-                   for b in range(SIM_BITS)]))
+                 *[F.sum(p).alias(f"s{b}") for b, p in enumerate(packed)]))
     assembled = sum(
-        F.when(2 * F.col(f"c{b}") - F.col("n") > 0,
+        F.when(2 * F.shiftright(f"s{b % n_packed}", 16 * (b // n_packed))
+               .bitwiseAND(0xFFFF) - F.col("n") > 0,
                F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(SIM_BITS)
     )
