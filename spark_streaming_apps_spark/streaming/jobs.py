@@ -242,8 +242,10 @@ def highwater_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         staged.repartition(N_STREAM_FILES).write.parquet(str(src))
 
+    # 2 files per trigger: cross-batch state still exercised (2 batches),
+    # at half the per-batch python-state-exchange fixed cost of 1-per.
     stream = (spark.readStream.schema("user_id long, seq long, sz decimal(18,4)")
-              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+              .option("maxFilesPerTrigger", 2).parquet(str(src)))
     states = stream.groupBy("user_id").applyInPandasWithState(
         _hw_state_fn, HW_OUT_SCHEMA, STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
