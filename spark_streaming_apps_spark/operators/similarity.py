@@ -347,17 +347,24 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     from pyspark.sql import Window
     assigned = _ivf_assigned(embeddings, N_PROBES)
     a, b = assigned.alias("a"), assigned.alias("b")
-    sim = F.expr(
-        f"round(({_DOT.format(a='a.e', b='b.e')}) / (a.nrm * b.nrm), 6)")
-    # each unordered pair's dot product is computed ONCE (a < b), deduped
-    # across shared multi-probe cells, then mirrored — halves the
-    # higher-order-function dot work, the plan's dominant cost
-    half = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+    # candidate id-pairs FIRST (ints only, a < b), deduped across shared
+    # multi-probe cells, THEN one vector fetch per side — each unordered
+    # pair's dot (the plan's dominant cost) runs exactly ONCE, after the
+    # distinct, and the distinct itself shuffles two ints per pair
+    # instead of doubles
+    cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_id"),
-                    F.col("b.vec_id").alias("nbr_id"),
-                    sim.alias("sim"))
+                    F.col("b.vec_id").alias("nbr_id"))
             .distinct())
+    vecs = assigned.dropDuplicates(["vec_id"]).select("vec_id", "e", "nrm")
+    va = vecs.select("vec_id", F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("eb"),
+                     F.col("nrm").alias("nb"))
+    sim = F.expr(f"round(({_DOT.format(a='ea', b='eb')}) / (na * nb), 6)")
+    half = (cand.join(F.broadcast(va), "vec_id")
+            .join(F.broadcast(vb), "nbr_id")
+            .select("vec_id", "nbr_id", sim.alias("sim")))
     pairs = half.unionByName(
         half.select(F.col("nbr_id").alias("vec_id"),
                     F.col("vec_id").alias("nbr_id"), "sim"))
