@@ -45,6 +45,50 @@ def _cosine_duck(a: str, b: str) -> str:
             f"(sqrt({_DOT_DUCK.format(a=a, b=a)}) * sqrt({_DOT_DUCK.format(a=b, b=b)})), 6)")
 
 
+def _ivf_index(embeddings: DataFrame) -> DataFrame:
+    """The materialized IVF index: every corpus vector (INCLUDING the
+    planted near-identical copies: vec_id % 50 == 0 → id + 1_000_000,
+    +0.01 on coord 0) scored against the {N_CELLS} seed centroids, top-2
+    cells kept — (vec_id, label, e, cell, rn, nrm).
+
+    Built ONCE per (session, input plan) and memoized (same registry as
+    the dedup sketch layer, so the bench's per-pass cache clear accounts
+    its build inside exactly one query per pass). Every IVF-family
+    consumer — ivf_topk, knn_graph, semdedup, embedding_near_dup — is a
+    cheap filter over this one table: `rn == 1` recovers single-probe
+    assignment, `vec_id < 1_000_000` recovers the unplanted corpus
+    (assignment is per-vector, so extra rows never change other rows'
+    cells). This is the 100 TB shape: the index is written once,
+    partitioned by cell, and served to many queries — not rebuilt per
+    query."""
+    from pyspark.sql import Window
+    from .dedup import _memo
+
+    def build() -> DataFrame:
+        emb = embeddings.select(
+            "vec_id", "label", _as_double("embedding").alias("e"))
+        planted = (emb.filter(F.col("vec_id") % 50 == 0)
+                   .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                           "label",
+                           F.expr("transform(e, (x, i) -> "
+                                  "CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
+                            .alias("e")))
+        corpus = emb.unionByName(planted)
+        cents = (emb.filter(F.col("vec_id") < N_CELLS)
+                 .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
+        return (corpus.crossJoin(F.broadcast(cents))
+                .select("vec_id", "label", "e", "cell",
+                        F.expr(_DOT.format(a="e", b="c")).alias("dot"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 2)
+                .select("vec_id", "label", "e", "cell", "rn",
+                        F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"))
+                .localCheckpoint())
+
+    return _memo(embeddings, "ivf_index", build)
+
+
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0,
                 k: int = TOP_K) -> DataFrame:
     """Brute-force cosine top-k against the embedding of `query_vec_id`.
@@ -81,30 +125,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
     all-pairs cross join anywhere in the plan; at 100 TB the cell id is
     the partition key. Planted near-identical vectors (every 50th, +0.01
     on the first coordinate, id+1_000_000) give true positives."""
-    emb = embeddings.select(
-        "vec_id", _as_double("embedding").alias("e"))
-    planted = (emb.filter(F.col("vec_id") % 50 == 0)
-               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
-                       F.expr("transform(e, (x, i) -> CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
-                        .alias("e")))
-    corpus = emb.unionByName(planted)
-    cents = (emb.filter(F.col("vec_id") < N_CELLS)
-             .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
-    assigned = (corpus.crossJoin(F.broadcast(cents))
-                .select("vec_id", "e", "cell",
-                        F.expr(_DOT.format(a="e", b="c")).alias("dot"))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= N_PROBES)
-                .select("vec_id", "e", "cell",
-                        # norm once per vector, not once per pair side
-                        F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"),
-                        # 8-dim head + tail norm for the Cauchy-Schwarz
-                        # candidate bound below
-                        F.expr("slice(e, 1, 8)").alias("hd"),
-                        F.expr(f"sqrt({_DOT.format(a='slice(e, 9, size(e))', b='slice(e, 9, size(e))')})")
-                         .alias("tnrm")))
+    assigned = (_ivf_assigned(embeddings, N_PROBES, plant=True)
+                # 8-dim head + tail norm for the Cauchy-Schwarz candidate
+                # bound below; norms come precomputed from the index
+                .withColumn("hd", F.expr("slice(e, 1, 8)"))
+                .withColumn("tnrm", F.expr(
+                    f"sqrt({_DOT.format(a='slice(e, 9, size(e))', b='slice(e, 9, size(e))')})")))
     a, b = assigned.alias("a"), assigned.alias("b")
     # Exact prune before the full-dimension dot: a.e⋅b.e <= hd_a⋅hd_b +
     # |tail_a||tail_b| (Cauchy-Schwarz), so any pair whose bound is below
@@ -256,13 +282,11 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0,
     emb = embeddings.withColumn("e", _as_double("embedding"))
     cents = (emb.filter(F.col("vec_id") < N_CELLS)
              .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
-    scored = (emb.crossJoin(F.broadcast(cents))
-              .select("vec_id", "label", "e", "cell",
-                      F.expr(_DOT.format(a="e", b="c")).alias("dot")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).drop("rn", "dot"))
+    # argmax-cell assignment = the rn==1 slice of the shared IVF index
+    # (planted rows excluded: they are the near-dup fixtures, not corpus)
+    assigned = (_ivf_index(embeddings)
+                .filter((F.col("rn") == 1) & (F.col("vec_id") < 1_000_000))
+                .select("vec_id", "label", "e", "cell"))
     probe_cells = (assigned.filter(F.col("vec_id") == query_vec_id)
                    .select("e").crossJoin(F.broadcast(cents))
                    .select("cell", F.expr(_DOT.format(a="e", b="c")).alias("dot"))
@@ -310,29 +334,13 @@ def _ivf_assigned(embeddings: DataFrame, probes: int,
     cells (argmax centroid dot, ties by cell id), norm precomputed once.
     With `plant`, the near-identical copies (vec_id % 50 == 0 → id +
     1_000_000, +0.01 on coord 0) join the corpus — the shared fixture of
-    the near-dup family. Shared base of knn_graph / semdedup /
-    embedding_near_dup-style blocking."""
-    from pyspark.sql import Window
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
-    corpus = emb
-    if plant:
-        planted = (emb.filter(F.col("vec_id") % 50 == 0)
-                   .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
-                           F.expr("transform(e, (x, i) -> "
-                                  "CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
-                            .alias("e")))
-        corpus = emb.unionByName(planted)
-    cents = (emb.filter(F.col("vec_id") < N_CELLS)
-             .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
-    return (corpus.crossJoin(F.broadcast(cents))
-            .select("vec_id", "e", "cell",
-                    F.expr(_DOT.format(a="e", b="c")).alias("dot"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= probes)
-            .select("vec_id", "e", "cell",
-                    F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm"))
-            .localCheckpoint())
+    the near-dup family. A filter view over the memoized `_ivf_index`;
+    shared base of knn_graph / semdedup / embedding_near_dup blocking."""
+    assert probes <= 2, "shared _ivf_index materializes top-2 cells only"
+    idx = _ivf_index(embeddings).filter(F.col("rn") <= probes)
+    if not plant:
+        idx = idx.filter(F.col("vec_id") < 1_000_000)
+    return idx.select("vec_id", "e", "cell", "nrm")
 
 
 def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
