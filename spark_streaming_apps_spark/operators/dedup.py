@@ -147,7 +147,9 @@ def _memo(corpus: DataFrame, tag: str, build) -> DataFrame:
 
 
 def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
-    """doc_id + hs: the doc's DISTINCT rolling 3-gram shingle hashes.
+    """doc_id + tkh (per-instance token hashes) + hs (DISTINCT rolling
+    3-gram shingle hashes). tkh is kept so simhash can reuse the one md5
+    pass via affine rehashes instead of hashing every token a second time.
 
     Materialized (localCheckpoint) before any explode/consumer: Catalyst's
     projection collapse would otherwise inline the token-hash array into
@@ -166,7 +168,7 @@ def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
         return (_with_tokens(corpus)
                 .withColumn("tkh", F.expr(_TKH))
                 .withColumn("hs", F.array_distinct(F.expr(sglh)))
-                .select("doc_id", "hs")
+                .select("doc_id", "tkh", "hs")
                 .localCheckpoint())
 
     return _memo(corpus, "shingle_hashes", build)
@@ -325,15 +327,21 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     """SimHash near-dup pairs: 48-bit token-weighted fingerprint, banded
     (4×12-bit) candidate join, hamming-distance verify (≤ {SIM_HAMMING_MAX}).
 
-    The per-doc fingerprint comes from an exploded token-hash relation and
-    one codegen'd hash aggregate (count + 48 bit-sums over a bigint) — the
-    array-expression formulation ran the 48 per-bit passes in Spark's
-    interpreted higher-order-function path and was ~20x slower. One
-    shuffle of (doc_id, hash) longs; bit b is set iff the b-bit popcount
-    exceeds half the token count (== the classic ±1 sum being positive)."""
-    corpus = _with_tokens(planted_corpus(documents))
-    tok = (corpus.select("doc_id", F.explode("tk").alias("t"))
-           .select("doc_id", F.expr(_HASH.format(seed=99, x="t")).alias("h")))
+    The 48 bits per token come from TWO affine rehashes (24 low bits each)
+    of the shared sketch layer's md5 token hashes — simhash pays zero md5
+    work of its own; at 100 TB the text is scanned and hashed exactly once
+    for the whole dedup family. The fingerprint is one codegen'd hash
+    aggregate over the exploded (doc_id, hash) long relation (count + 48
+    bit-sums packed into 12 bigint lanes) — the array-expression
+    formulation ran the 48 per-bit passes in Spark's interpreted
+    higher-order-function path and was ~20x slower. Bit b is set iff the
+    b-bit popcount exceeds half the token count (== the classic ±1 sum
+    being positive)."""
+    sk = _with_shingle_hashes(planted_corpus(documents))
+    corpus = sk.select("doc_id")
+    s48 = _sim48("th")
+    tok = (sk.select("doc_id", F.explode("tkh").alias("th"))
+           .select("doc_id", F.expr(s48).alias("h")))
     # Per-bit popcounts packed 4-per-long in 16-bit lanes: 12 aggregate
     # buffers instead of 48 (48 separate sums generated pathological
     # whole-stage code — multi-second Janino compiles on every cold run
