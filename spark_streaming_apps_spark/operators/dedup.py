@@ -146,17 +146,30 @@ def _memo(corpus: DataFrame, tag: str, build) -> DataFrame:
     return _SKETCH_CACHE[key]
 
 
-def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
-    """doc_id + tkh (per-instance token hashes) + hs (DISTINCT rolling
-    3-gram shingle hashes). tkh is kept so simhash can reuse the one md5
-    pass via affine rehashes instead of hashing every token a second time.
+def _with_token_hashes(corpus: DataFrame) -> DataFrame:
+    """doc_id + tkh (per-instance mod-p token hashes) — the ONE md5 pass
+    over the corpus text that the whole dedup family shares. simhash reads
+    this layer directly (affine rehashes of tkh); the shingle layer builds
+    on it. Materialized (localCheckpoint) so Catalyst's projection
+    collapse can't inline the md5 pass into every downstream per-element
+    lambda access (measured 10x-100x blowup), memoized per
+    (session, input plan)."""
 
-    Materialized (localCheckpoint) before any explode/consumer: Catalyst's
-    projection collapse would otherwise inline the token-hash array into
-    every per-element access of downstream lambdas and recompute the md5
-    pass per shingle (measured 10x-100x blowup). The checkpoint pins the
-    arrays as concrete columns; every consumer reads bigints. Memoized
-    per (session, input plan): every detector shares one materialization."""
+    def build() -> DataFrame:
+        return (_with_tokens(corpus)
+                .withColumn("tkh", F.expr(_TKH))
+                .select("doc_id", "tkh")
+                .localCheckpoint())
+
+    return _memo(corpus, "token_hashes", build)
+
+
+def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
+    """doc_id + hs (DISTINCT rolling 3-gram shingle hashes), built FROM
+    the token-hash layer — md5 runs once for the family. Checkpointed
+    SLIM (hs only): minhash/ngram-jaccard/clusters scan this repeatedly
+    and shouldn't pay storage/IO for the per-token arrays only simhash
+    needs (those live in _with_token_hashes' own block)."""
     assert SHINGLE_K == 3
     sglh = (f"CASE WHEN size(tkh) >= 3 THEN "
             f"transform(sequence(1, size(tkh) - 2), i -> "
@@ -165,10 +178,9 @@ def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
             f"ELSE cast(array() as array<bigint>) END")
 
     def build() -> DataFrame:
-        return (_with_tokens(corpus)
-                .withColumn("tkh", F.expr(_TKH))
+        return (_with_token_hashes(corpus)
                 .withColumn("hs", F.array_distinct(F.expr(sglh)))
-                .select("doc_id", "tkh", "hs")
+                .select("doc_id", "hs")
                 .localCheckpoint())
 
     return _memo(corpus, "shingle_hashes", build)
@@ -323,6 +335,31 @@ WHERE ({agree}) / {float(N_HASHES)} >= 0.5
 
 # ------------------------------------------------------------------- simhash
 
+#: SimHash per-token 48-bit hash: TWO committed affine rehashes of the
+#: shared mod-p token hash (tkh), 24 low bits each, packed into one
+#: bigint — simhash pays zero md5 work beyond the family's single token
+#: pass. Constants from the same fixed LCG as MH_AB but at indices 101+
+#: so the two families never collide. (p-1)^2 < 2^62: no overflow in
+#: either engine; all operands nonnegative, so % agrees across engines.
+SIM_AB = [((1103515245 * (i + 101) + 12345) % MH_P or 1,
+           (69069 * (i + 101) + 1) % MH_P) for i in range(2)]
+_SIM_MASK = (1 << 24) - 1
+
+
+def _sim48(h: str) -> str:
+    """Spark SQL expr: 48-bit rehash of mod-p token hash `h`."""
+    (a1, b1), (a2, b2) = SIM_AB
+    return (f"(((({a1} * {h} + {b1}) % {MH_P}) & {_SIM_MASK}) | "
+            f"shiftleft((({a2} * {h} + {b2}) % {MH_P}) & {_SIM_MASK}, 24))")
+
+
+def _sim48_duck(h: str) -> str:
+    """DuckDB twin of _sim48 — identical arithmetic, operator shift."""
+    (a1, b1), (a2, b2) = SIM_AB
+    return (f"(((({a1} * {h} + {b1}) % {MH_P}) & {_SIM_MASK}) | "
+            f"(((({a2} * {h} + {b2}) % {MH_P}) & {_SIM_MASK}) << 24))")
+
+
 def simhash_pairs(documents: DataFrame) -> DataFrame:
     """SimHash near-dup pairs: 48-bit token-weighted fingerprint, banded
     (4×12-bit) candidate join, hamming-distance verify (≤ {SIM_HAMMING_MAX}).
@@ -337,7 +374,7 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     higher-order-function path and was ~20x slower. Bit b is set iff the
     b-bit popcount exceeds half the token count (== the classic ±1 sum
     being positive)."""
-    sk = _with_shingle_hashes(planted_corpus(documents))
+    sk = _with_token_hashes(planted_corpus(documents))
     corpus = sk.select("doc_id")
     s48 = _sim48("th")
     tok = (sk.select("doc_id", F.explode("tkh").alias("th"))
@@ -402,7 +439,8 @@ def simhash_oracle_sql() -> str:
     return f"""
 WITH corpus AS ({PLANTED_CORPUS_SQL}),
 tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
-hks AS (SELECT doc_id, list_transform(tk, t -> {_HASH_DUCK.format(seed=99, x='t')}) AS hk FROM tks),
+tkhs AS (SELECT doc_id, {_TKH_DUCK} AS tkh FROM tks),
+hks AS (SELECT doc_id, list_transform(tkh, h -> {_sim48_duck('h')}) AS hk FROM tkhs),
 bits AS (SELECT doc_id, {bit_sums} FROM hks),
 sig AS (SELECT doc_id, {assembled} AS simhash FROM bits),
 bands AS ({band_sel})
