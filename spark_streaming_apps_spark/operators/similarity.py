@@ -365,13 +365,20 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
             .select(F.col("a.vec_id").alias("vec_id"),
                     F.col("b.vec_id").alias("nbr_id"))
             .distinct())
+    # vector fetch: plain keyed equi-joins on the id — at 100x the corpus
+    # vector table can NEVER broadcast (it IS the dataset), so the scale
+    # shape is a co-partitioned shuffle join per side; AQE still demotes
+    # to broadcast on its own when the size estimate clears the
+    # autoBroadcastJoinThreshold, which is the only safe gate. Forcing
+    # F.broadcast here (as an earlier version did) is a driver/executor
+    # OOM at scale.
     vecs = assigned.dropDuplicates(["vec_id"]).select("vec_id", "e", "nrm")
     va = vecs.select("vec_id", F.col("e").alias("ea"), F.col("nrm").alias("na"))
     vb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("eb"),
                      F.col("nrm").alias("nb"))
     sim = F.expr(f"round(({_DOT.format(a='ea', b='eb')}) / (na * nb), 6)")
-    half = (cand.join(F.broadcast(va), "vec_id")
-            .join(F.broadcast(vb), "nbr_id")
+    half = (cand.join(va, "vec_id")
+            .join(vb, "nbr_id")
             .select("vec_id", "nbr_id", sim.alias("sim")))
     pairs = half.unionByName(
         half.select(F.col("nbr_id").alias("vec_id"),

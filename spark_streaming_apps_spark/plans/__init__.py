@@ -66,6 +66,17 @@ def equi_join_on(df: DataFrame, key: str) -> bool:
                      physical_plan(df)) is not None
 
 
+def forced_broadcast_count(df: DataFrame) -> int:
+    """User-forced broadcast hints surviving in the analyzed logical plan
+    (`ResolvedHint (strategy=broadcast)`). A forced broadcast is a scale
+    hazard unless the side is provably bounded (1-row scalar, k-row
+    centroid table): it overrides AQE's size gate, so a growing side
+    becomes a driver/executor OOM instead of a shuffle join."""
+    return len(re.findall(
+        r"ResolvedHint.*broadcast",
+        df._jdf.queryExecution().analyzed().toString()))
+
+
 def global_sort_count(df: DataFrame) -> int:
     """Global (single-partition-range) sort exchanges — the scale smell the
     reference's repartition(1) had. TakeOrderedAndProject (bounded top-k)

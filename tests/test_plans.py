@@ -111,6 +111,16 @@ def test_knn_graph_cell_keyed_no_product(tables):
     assert equi_join_on(out, "cell")
 
 
+def test_knn_graph_never_forces_corpus_broadcast(tables):
+    """The vector fetch must be a keyed join whose strategy AQE picks by
+    size — a forced broadcast of the corpus vector table cannot survive a
+    100x scale-up. The memoized index is checkpointed (lineage truncated),
+    so any hint visible here would be one knn_graph itself forced."""
+    from spark_streaming_apps_spark.plans import forced_broadcast_count
+    out = similarity.knn_graph(tables["embeddings"])
+    assert forced_broadcast_count(out) == 0
+
+
 def test_semdedup_cell_keyed_no_product(tables):
     out = similarity.semdedup(tables["embeddings"])
     assert cartesian_join_count(out) == 0
