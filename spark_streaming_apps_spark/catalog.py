@@ -84,6 +84,36 @@ FROM documents
 """)(lambda s, d: relational.avro_decode(_t(s, d, "documents")))
 
 
+@register("avro_decode_binary", oracle="""
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+       md5(text) AS local_hash,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       text AS text_back
+FROM documents
+""")
+def avro_decode_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Avro binary wire decode (AvroUtil.scala:24-35): each document
+    becomes an ImageBlock triple, is serialized to spec-conformant Avro
+    binary (functions/avro.py codec, pinned to fixed byte vectors in
+    tests/test_avro.py), and ONLY the wire bytes cross into the decoder —
+    the oracle checks the decoded fields against the pre-encode values, so
+    any wire-format disagreement breaks the value hash. Uses JVM from_avro
+    when spark-avro is on the classpath, Arrow-batched mapInPandas
+    otherwise."""
+    from .functions import avro as _avro
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("filename"),
+        F.md5("text").alias("local_hash"),
+        F.encode("text", "UTF-8").alias("data"))
+    wire = _avro.encode_image_blocks(base).select("value")
+    return (_avro.decode_image_blocks(wire)
+            .select("filename", "local_hash",
+                    F.octet_length("data").cast("bigint").alias("n_bytes"),
+                    F.decode(F.col("data"), "UTF-8").alias("text_back")))
+
+
 @register("file_chunk_sink", oracle="""
 SELECT CAST(doc_id % 8 AS INT) AS bucket, COUNT(*) AS n_files,
        CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes

@@ -9,25 +9,29 @@ of the engine is source-agnostic (every job in jobs.py takes any streaming
 DataFrame with the events schema), so swapping the file-stream analog for
 this is one call site.
 
-Requires the `spark-sql-kafka-0-10` connector package on the classpath
-(and `spark-avro` for from_avro instead of the JSON decode below); both
-are standard published Spark artifacts. Calling without them raises with
-a clear message instead of a ClassNotFoundException deep in a stage.
+The VALUE decode is the same tested surface batch uses
+(functions/avro.py: JVM from_avro when spark-avro is on the classpath,
+Arrow-batched wire-spec decode otherwise — exercised end-to-end by the
+`avro_decode_binary` catalog key and tests/test_avro.py). Only the
+readStream reader itself needs the `spark-sql-kafka-0-10` connector
+package; calling without it raises with a clear message instead of a
+ClassNotFoundException deep in a stage.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-IMAGE_BLOCK_SCHEMA = "filename string, local_hash string, n_bytes long"
+from ..functions.avro import decode_image_blocks
+
+TOPIC_PREFIX = "topic_case_"
 
 
 def kafka_image_block_stream(spark: SparkSession, bootstrap_servers: str,
                              topic: str) -> DataFrame:
-    """readStream from a case topic, earliest offsets, value decoded to the
-    ImageBlock triple. JSON stands in for Avro wire format exactly as in
-    the batch `avro_decode` key; with spark-avro on the classpath replace
-    `from_json` with `from_avro(col("value"), schema_json)`."""
+    """readStream from a case topic, earliest offsets, Avro-binary value
+    decoded to the ImageBlock triple (filename, local_hash, data) plus
+    the case name stripped from the topic (StreamingApp.scala:313)."""
     try:
         reader = (spark.readStream.format("kafka")
                   .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -39,8 +43,7 @@ def kafka_image_block_stream(spark: SparkSession, bootstrap_servers: str,
             "Kafka source needs the spark-sql-kafka-0-10 connector on the "
             "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13); "
             f"underlying error: {e}") from e
-    return (raw.select(F.col("value").cast("string").alias("value"))
-            .select(F.from_json("value", IMAGE_BLOCK_SCHEMA).alias("r"))
-            .select("r.*")
-            .withColumn("case_name",
-                        F.lit(topic).substr(F.lit(12), F.length(F.lit(topic)))))
+    decoded = decode_image_blocks(raw.select("value"), "value")
+    return decoded.withColumn(
+        "case_name", F.lit(topic[len(TOPIC_PREFIX):]
+                           if topic.startswith(TOPIC_PREFIX) else topic))

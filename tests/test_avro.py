@@ -1,0 +1,65 @@
+"""Avro ImageBlock wire-format tests (reference AvroUtil.scala:24-35).
+
+The codec is pinned to FIXED byte vectors derived by hand from the public
+Avro binary spec (zigzag-varint longs, length-prefixed utf8/bytes), so a
+codec bug cannot hide behind a symmetric encode/decode pair. The Spark
+round trip then drives the classpath-agnostic decode surface end-to-end;
+when the spark-avro module is present the same test exercises the JVM
+from_avro path (it is absent in pip pyspark, so mapInPandas runs here).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.functions import avro
+
+
+def test_wire_format_matches_spec_vectors():
+    # "a" -> len 1 (zigzag 2), "bc" -> len 2 (zigzag 4), data 0x01 0x02
+    assert (avro.encode_image_block("a", "bc", b"\x01\x02")
+            == bytes([0x02, 0x61, 0x04, 0x62, 0x63, 0x04, 0x01, 0x02]))
+    # multi-byte varint: length 100 -> zigzag 200 -> 0xC8 0x01
+    blob = b"x" * 100
+    enc = avro.encode_image_block("", "", blob)
+    assert enc == bytes([0x00, 0x00, 0xC8, 0x01]) + blob
+
+
+def test_codec_roundtrip_and_framing_guard():
+    rec = ("img_0042.png", "d41d8cd98f00b204e9800998ecf8427e", bytes(range(256)))
+    wire = avro.encode_image_block(*rec)
+    assert avro.decode_image_block(wire) == rec
+    with pytest.raises(ValueError, match="trailing"):
+        avro.decode_image_block(wire + b"\x00")
+
+
+def test_spark_decode_roundtrip(spark, tables):
+    """documents → ImageBlock triple → Avro binary → decode: the decoded
+    frame must equal the pre-encode frame exactly (50 docs, real text)."""
+    base = (tables["documents"].limit(50)
+            .select(F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt"))
+                    .alias("filename"),
+                    F.md5("text").alias("local_hash"),
+                    F.encode("text", "UTF-8").alias("data")))
+    wire = avro.encode_image_blocks(base).select("value")
+    decoded = avro.decode_image_blocks(wire)
+    got = {r.filename: (r.local_hash, bytes(r.data))
+           for r in decoded.collect()}
+    want = {r.filename: (r.local_hash, bytes(r.data))
+            for r in base.collect()}
+    assert got == want
+
+
+def test_from_avro_jvm_path_if_available(spark):
+    """When spark-avro IS on the classpath, the decoded frame from the JVM
+    from_avro path must agree with the Python codec (skipped otherwise —
+    pip pyspark ships without the module)."""
+    if not avro.spark_avro_available(spark):
+        pytest.skip("spark-avro module not on classpath")
+    from pyspark.sql.avro.functions import from_avro
+    rec = ("f.png", "abc123", b"\x00\x01\x02")
+    df = spark.createDataFrame([(avro.encode_image_block(*rec),)], "value binary")
+    row = (df.select(from_avro("value", avro.IMAGE_BLOCK_AVRO_SCHEMA)
+                     .alias("r")).select("r.*").first())
+    assert (row.filename, row.local_hash, bytes(row.data)) == rec
