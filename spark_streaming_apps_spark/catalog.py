@@ -932,6 +932,9 @@ register("winnow_fingerprint", oracle=text.winnow_oracle_sql()
 register("kmeans_refine", oracle=similarity.kmeans_refine_oracle_sql()
          )(lambda s, d: similarity.kmeans_refine(_t(s, d, "embeddings")))
 
+register("ivf_topk_trained", oracle=similarity.ivf_topk_trained_oracle_sql()
+         )(lambda s, d: similarity.ivf_topk_trained(_t(s, d, "embeddings")))
+
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 

@@ -488,6 +488,57 @@ def _sq_dist(a: str, b: str) -> str:
             f"cast(0.0 as double), (acc, v) -> acc + v)")
 
 
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin squared-distance cell assignment, ties by cell id: ONE
+    broadcast join of the k-row centroid table against the corpus, then
+    min_by over the deterministic (dist, cell) key — no window, no sort.
+    Extra columns (label, ...) ride along via any_value (exactly one row
+    per vec_id survives the agg)."""
+    extras = [c for c in emb.columns if c not in ("vec_id", "e")]
+    return (emb.join(F.broadcast(cents))
+            .withColumn("dist", F.expr(_sq_dist("e", "c")))
+            .groupBy("vec_id")
+            .agg(F.expr("min_by(cell, struct(dist, cell))").alias("cell"),
+                 F.any_value("e").alias("e"),
+                 *[F.any_value(c).alias(c) for c in extras]))
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    """Per-cell centroid means through {KM_DEC} partial sums — exact
+    integer arithmetic after the 6-dp widening, so the per-(cell,dim) SUM
+    is order-independent and bit-identical across engines; only (cell,
+    dim) partials shuffle, never the corpus."""
+    dims = (assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum(F.col("x").cast(KM_DEC)).alias("sx"),
+                 F.count(F.lit(1)).alias("n")))
+    return (dims
+            .withColumn("m", F.col("sx").cast("double") / F.col("n"))
+            .groupBy("cell")
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, m))),"
+                        " p -> p.m)").alias("c")))
+
+
+def _trained_centroids(embeddings: DataFrame,
+                       iters: int = KM_ITERS) -> DataFrame:
+    """The TRAINED coarse quantizer: final Lloyd centroids (cell, c)
+    after {KM_ITERS} assign→mean rounds from the fixed seeds. Memoized +
+    checkpointed per (session, input plan) — at scale this is the small
+    trained artifact every ANN query assigns against, written once."""
+    from .dedup import _memo
+
+    def build() -> DataFrame:
+        emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+        cents = (emb.filter(F.col("vec_id") < N_CELLS)
+                 .select(F.col("vec_id").cast("int").alias("cell"),
+                         F.col("e").alias("c")))
+        for _ in range(iters):
+            cents = _km_means(_km_assign(emb, cents))
+        return cents.localCheckpoint()
+
+    return _memo(embeddings, "trained_cents", build)
+
+
 def kmeans_refine(embeddings: DataFrame, iters: int = KM_ITERS) -> DataFrame:
     """Lloyd k-means refinement of the IVF coarse quantizer: start from the
     fixed seed centroids (vec_id < {N_CELLS}, the same seeds ivf_topk
@@ -509,20 +560,8 @@ def kmeans_refine(embeddings: DataFrame, iters: int = KM_ITERS) -> DataFrame:
                      F.col("e").alias("c")))
     assigned = None
     for _ in range(iters):
-        assigned = (emb.join(F.broadcast(cents))
-                    .withColumn("dist", F.expr(_sq_dist("e", "c")))
-                    .groupBy("vec_id")
-                    .agg(F.expr("min_by(cell, struct(dist, cell))").alias("cell"),
-                         F.any_value("e").alias("e")))
-        dims = (assigned.select("cell", F.posexplode("e").alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(F.sum(F.col("x").cast(KM_DEC)).alias("sx"),
-                     F.count(F.lit(1)).alias("n")))
-        cents = (dims
-                 .withColumn("m", F.col("sx").cast("double") / F.col("n"))
-                 .groupBy("cell")
-                 .agg(F.expr("transform(array_sort(collect_list(struct(dim, m))),"
-                             " p -> p.m)").alias("c")))
+        assigned = _km_assign(emb, cents)
+        cents = _km_means(assigned)
     return (assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
             .join(cents, "cell")
             .select("cell", "n_members",
@@ -531,16 +570,23 @@ def kmeans_refine(embeddings: DataFrame, iters: int = KM_ITERS) -> DataFrame:
                     .alias("c_norm")))
 
 
-def kmeans_refine_oracle_sql(iters: int = KM_ITERS) -> str:
-    sq = "list_sum(list_transform(range(1, 1 + len(a.e)), i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))"
+_KM_SQ = ("list_sum(list_transform(range(1, 1 + len(a.e)), "
+          "i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))")
+
+
+def _km_ctes(iters: int = KM_ITERS) -> list[str]:
+    """DuckDB CTE chain of the Lloyd loop — the exact twin of
+    _km_assign/_km_means, shared by the kmeans_refine and
+    ivf_topk_trained oracles (one committed derivation, two checks)."""
     prev = f"(SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS})"
-    ctes = ["emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"]
+    ctes = ["emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings)"]
     for it in range(iters):
         ctes.append(f"""
-asg{it} AS (SELECT a.vec_id, a.e, c.cell
+asg{it} AS (SELECT a.vec_id, a.label, a.e, c.cell
             FROM emb a, {prev} c
             QUALIFY row_number() OVER (PARTITION BY a.vec_id
-                                       ORDER BY {sq}, c.cell) = 1)""")
+                                       ORDER BY {_KM_SQ}, c.cell) = 1)""")
         ctes.append(f"""
 dims{it} AS (SELECT cell, d.i - 1 AS dim,
                     SUM(CAST(e[d.i] AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
@@ -550,14 +596,69 @@ dims{it} AS (SELECT cell, d.i - 1 AS dim,
 cents{it} AS (SELECT cell, list(CAST(sx AS DOUBLE) / n ORDER BY dim) AS c
               FROM dims{it} GROUP BY cell)""")
         prev = f"cents{it}"
+    return ctes
+
+
+def kmeans_refine_oracle_sql(iters: int = KM_ITERS) -> str:
     last = iters - 1
     return f"""
-WITH {','.join(ctes)}
+WITH {','.join(_km_ctes(iters))}
 SELECT a.cell, COUNT(*) AS n_members,
        any_value(round(c.c[1], 6)) AS c0,
        any_value(round(sqrt(list_dot_product(c.c, c.c)), 6)) AS c_norm
 FROM asg{last} a JOIN cents{last} c ON a.cell = c.cell
 GROUP BY a.cell
+"""
+
+
+def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
+                     k: int = TOP_K) -> DataFrame:
+    """IVF top-k against the TRAINED coarse quantizer — closes the loop
+    between `kmeans_refine` (training) and `ivf_topk` (serving): corpus
+    vectors assign to the Lloyd-refined centroids (argmin squared
+    distance, ties by cell — the same rule training used), the query
+    probes its {N_PROBES} nearest trained cells, and only those members
+    rank by exact cosine. At 100 TB the trained centroid table is the
+    small write-once artifact every query broadcasts; recall against
+    brute force is the metric that justifies training the quantizer
+    (tests/test_similarity.py pins it on the fixture)."""
+    emb = embeddings.select("vec_id", "label",
+                            _as_double("embedding").alias("e"))
+    cents = _trained_centroids(embeddings)
+    assigned = _km_assign(emb, cents)
+    qe = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    probe = (cents.join(F.broadcast(qe))
+             .select("cell", F.expr(_sq_dist("c", "q")).alias("dist"))
+             .orderBy("dist", "cell").limit(N_PROBES)
+             .select("cell"))
+    return (assigned.join(F.broadcast(probe), "cell", "left_semi")
+            .filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qe))
+            .select("vec_id", "label", "cell", _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
+
+
+def ivf_topk_trained_oracle_sql(query_vec_id: int = 0, k: int = TOP_K,
+                                iters: int = KM_ITERS) -> str:
+    last = iters - 1
+    qsq = ("list_sum(list_transform(range(1, 1 + len(c.c)), "
+           "i -> (c.c[i] - q.q[i]) * (c.c[i] - q.q[i])))")
+    cos = _cosine_duck("m.e", "q.q")
+    return f"""
+WITH {','.join(_km_ctes(iters))},
+assigned AS (SELECT a.vec_id, a.label, a.e, c.cell
+             FROM emb a, cents{last} c
+             QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                        ORDER BY {_KM_SQ}, c.cell) = 1),
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id}),
+probe AS (SELECT c.cell FROM cents{last} c, q
+          ORDER BY {qsq}, c.cell LIMIT {N_PROBES})
+SELECT m.vec_id, m.label, m.cell, {cos} AS sim
+FROM assigned m JOIN probe USING (cell), q
+WHERE m.vec_id != {query_vec_id}
+ORDER BY sim DESC, m.vec_id LIMIT {k}
 """
 
 

@@ -89,3 +89,36 @@ def test_embedding_quantize_matches_numpy(tables):
         assert (g.code_sum, g.code_min, g.code_max) == (
             int(codes[i].sum()), int(codes[i].min()), int(codes[i].max())), r.vec_id
         assert abs(g.mse6 - round(float(((X[i] - deq[i]) ** 2).sum()), 6)) <= 2e-6
+
+
+def test_ivf_topk_trained_recall_vs_brute_force(tables):
+    """The point of training the quantizer: serving against the Lloyd
+    centroids must recover most of the true (brute-force) top-k from only
+    N_PROBES cells. Recall is the un-oracle-able metric (the DuckDB twin
+    shares the blocking), so it's pinned here against ground truth."""
+    emb = tables["embeddings"]
+    recalls = []
+    for qid in (0, 3, 7, 11, 40):
+        truth = {r.vec_id for r in similarity.cosine_topk(emb, qid).collect()}
+        trained = {r.vec_id
+                   for r in similarity.ivf_topk_trained(emb, qid).collect()}
+        recalls.append(len(truth & trained) / len(truth))
+    mean = sum(recalls) / len(recalls)
+    # random 2-of-32-cell probing would give ~0.06; the fixture corpus is
+    # near-isotropic, so 0.4 is a conservative floor for working blocking
+    # (measured 0.64 at pin time)
+    assert mean >= 0.4, f"trained-IVF mean recall@10 = {mean} ({recalls})"
+
+
+def test_trained_centroids_moved_from_seeds(tables):
+    """Lloyd must actually refine: at least one trained centroid differs
+    from its seed vector (otherwise ivf_topk_trained silently serves the
+    arbitrary first-32 quantizer the verdict flagged)."""
+    emb = tables["embeddings"]
+    seeds = {r.vec_id: [float(x) for x in r.embedding]
+             for r in emb.filter(F.col("vec_id") < similarity.N_CELLS).collect()}
+    trained = {r.cell: [float(x) for x in r.c]
+               for r in similarity._trained_centroids(emb).collect()}
+    moved = [c for c, v in trained.items()
+             if any(abs(a - b) > 1e-9 for a, b in zip(v, seeds[c]))]
+    assert moved, "trained centroids identical to seeds - Lloyd loop is a no-op"
