@@ -214,7 +214,16 @@ def merge_upsert(spark: SparkSession, sf_dir: str,
     row) is merged via full-outer join on the key: matched rows take the
     update, unmatched keep the current state, inserts append. The merged
     state is written back and re-read — what `foreachBatch` would do per
-    micro-batch against a real table format."""
+    micro-batch against a real table format.
+
+    CONCURRENCY CONTRACT: read-modify-overwrite is correct only under ONE
+    writer per state table (or per partition of it) — the invariant
+    Structured Streaming's foreachBatch naturally provides, since one
+    query owns the sink. It is NOT safe for N independent batch writers;
+    that needs either a transactional table format (Delta/Iceberg MERGE —
+    not shipped in this container) or per-row claims via the atomic
+    exclusive-create protocol in queue.try_claim/claim_one_exclusive,
+    which IS race-tested here (tests/test_queue.py)."""
     import shutil
 
     from ..operators.queue import queue_df

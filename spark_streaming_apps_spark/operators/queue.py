@@ -69,6 +69,74 @@ def claim_one(q: DataFrame) -> DataFrame:
     )
 
 
+def try_claim(claim_dir, file_id: int, worker_id: str) -> bool:
+    """Atomically claim `file_id`: exclusive create of a claim marker.
+    POSIX open(O_CREAT|O_EXCL) is atomic per path on local FS and on
+    HDFS/object-store create-if-absent semantics, so exactly ONE
+    concurrent caller can win a given file — the engine's row-lock
+    replacement for the reference's manual JDBC transaction
+    (FileWorkerApp.scala:207-227: BEGIN; SELECT … LIMIT 1; UPDATE …;
+    COMMIT). The marker records the winning worker for audit."""
+    from pathlib import Path
+    try:
+        with open(Path(claim_dir) / f"{int(file_id)}.claim", "x") as fh:
+            fh.write(worker_id)
+        return True
+    except FileExistsError:
+        return False
+
+
+def claim_one_exclusive(q: DataFrame, claim_dir, worker_id: str,
+                        candidate_batch: int = 64):
+    """EXACTLY-ONCE claim under concurrent workers: returns the claimed
+    file_id, or None once the queue is drained. Candidates stream to the
+    driver in bounded batches of the lowest available ids (a claim is ONE
+    row by contract — the reference's limit-1 poll, FileWorkerApp.scala:
+    210 — so this is a control-plane fetch, not a data-plane collect);
+    each candidate is raced through `try_claim`, whose exclusive create
+    makes double-claims impossible by construction, with no coordination
+    service and no single-writer constraint. Losers skip forward; the
+    claimed sets of any number of workers are provably disjoint
+    (tests/test_queue.py races 4 workers to verify)."""
+    import os
+    os.makedirs(claim_dir, exist_ok=True)
+    last = None
+    while True:
+        avail = q.filter(F.col("status") == 0)
+        if last is not None:
+            avail = avail.filter(F.col("file_id") > last)
+        cands = [r.file_id for r in (avail.select("file_id")
+                 .orderBy("file_id").limit(candidate_batch).collect())]
+        if not cands:
+            return None
+        for fid in cands:
+            if try_claim(claim_dir, fid, worker_id):
+                return fid
+        last = cands[-1]
+
+
+def claimed_view(q: DataFrame, claim_dir) -> DataFrame:
+    """The desh_files post-state after exclusive claims: queue LEFT JOIN
+    the claim log (markers read back as a tiny (file_id, worker) table).
+    Claimed rows show status 1 + the claiming worker — the batch-readable
+    audit surface of the claim protocol."""
+    import os
+    from pathlib import Path
+    spark = q.sparkSession
+    rows = []
+    for p in sorted(Path(claim_dir).glob("*.claim")):
+        rows.append((int(p.stem), p.read_text() or None))
+    log = spark.createDataFrame(rows or [(None, None)],
+                                "file_id bigint, worker string")
+    if not rows:
+        log = log.filter(F.col("file_id").isNotNull())
+    hit = F.col("worker").isNotNull()
+    return (q.join(F.broadcast(log), "file_id", "left")
+            .select("file_id", "resident", "error_status", "hw_after",
+                    F.when(hit, 1).otherwise(F.col("status")).alias("status"),
+                    "worker"))
+
+
 def status_transitions(q: DataFrame) -> DataFrame:
     """The claimed→started→finished progression (FileWorkerApp.scala:
     114-117,324-334) applied as two chained projections, so status 2 is
