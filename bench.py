@@ -69,6 +69,10 @@ BENCH_KEYS = [
     "quality_funnel",
     "kmeans_refine",
     "embedding_quantize",
+    "ivf_topk_trained",
+    "pq_encode",
+    "pq_adc_topk",
+    "avro_decode_binary",
 ]
 
 

@@ -935,6 +935,12 @@ register("kmeans_refine", oracle=similarity.kmeans_refine_oracle_sql()
 register("ivf_topk_trained", oracle=similarity.ivf_topk_trained_oracle_sql()
          )(lambda s, d: similarity.ivf_topk_trained(_t(s, d, "embeddings")))
 
+register("pq_encode", oracle=similarity.pq_encode_oracle_sql()
+         )(lambda s, d: similarity.pq_encode(_t(s, d, "embeddings")))
+
+register("pq_adc_topk", oracle=similarity.pq_adc_topk_oracle_sql()
+         )(lambda s, d: similarity.pq_adc_topk(_t(s, d, "embeddings")))
+
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 

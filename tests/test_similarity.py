@@ -122,3 +122,36 @@ def test_trained_centroids_moved_from_seeds(tables):
     moved = [c for c, v in trained.items()
              if any(abs(a - b) > 1e-9 for a, b in zip(v, seeds[c]))]
     assert moved, "trained centroids identical to seeds - Lloyd loop is a no-op"
+
+
+def test_pq_seeds_encode_to_themselves(tables):
+    """Codebook seed vectors (vec_id < PQ_KS) must encode every subspace
+    to their own codeword (distance 0) with zero reconstruction error —
+    the identity that pins encode correctness without an external lib."""
+    out = {r.vec_id: r for r in similarity.pq_encode(tables["embeddings"])
+           .filter(F.col("vec_id") < similarity.PQ_KS).collect()}
+    assert len(out) == similarity.PQ_KS
+    for vid, r in out.items():
+        assert r.codes == ",".join([str(vid)] * similarity.PQ_M), r
+        assert r.recon_mse6 == 0.0, r
+
+
+def test_pq_adc_recall_vs_exact_l2(tables):
+    """ADC scans codes, not floats; recall vs exact L2 top-10 is the
+    quality metric (measured 0.34 mean at pin time with the 16-codeword
+    seed codebook; random would be 10/500 = 0.02)."""
+    emb = tables["embeddings"]
+    e = emb.withColumn("e", F.expr("transform(embedding, x -> cast(x as double))"))
+    d = ("aggregate(zip_with(e, q, (x, y) -> (x - y) * (x - y)), "
+         "cast(0.0 as double), (a, v) -> a + v)")
+    recalls = []
+    for qid in (0, 3, 7, 11, 40):
+        q = e.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
+        truth = {r.vec_id for r in
+                 e.filter(F.col("vec_id") != qid).join(F.broadcast(q))
+                 .select("vec_id", F.expr(d).alias("d"))
+                 .orderBy("d", "vec_id").limit(10).collect()}
+        adc = {r.vec_id for r in similarity.pq_adc_topk(emb, qid).collect()}
+        recalls.append(len(truth & adc) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.15, f"PQ-ADC mean recall@10 = {mean} ({recalls})"
