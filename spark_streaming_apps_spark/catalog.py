@@ -134,6 +134,42 @@ def file_chunk_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.octet_length("payload")).alias("n_bytes")))
 
 
+@register("jsonl_source", oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON source — the interchange format every
+    LLM-data pipeline ingests. Write-side: one JSONL part per input
+    partition. Read-side: EXPLICIT schema (no inference pass — at 100 TB
+    schema inference is a full extra scan) and multiLine=false, which
+    keeps the format line-splittable so a 100 GB file still fans out
+    across executors. Round trip is the identity, so the parquet-side
+    oracle value-checks the JSON encode/decode exactly."""
+    out = str(SCRATCH / "jsonl_source")
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").json(out)
+
+
+@register("csv_source", oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema + header=false: headerless CSV is
+    splittable (a header row would force single-task first-split
+    handling) and the explicit schema skips the inference scan. multiLine
+    stays false — quoted embedded newlines would make splits ambiguous;
+    data with embedded newlines belongs in parquet/JSONL instead."""
+    out = str(SCRATCH / "csv_source")
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").csv(out)
+    return spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").csv(out)
+
+
 @register("jdbc_insert_row", oracle="""
 SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies FROM nation
 """)
@@ -809,6 +845,9 @@ register("event_funnel", oracle=analytics.FUNNEL_ORACLE
 register("cohort_retention", oracle=analytics.COHORT_ORACLE
          )(lambda s, d: analytics.cohort_retention(_t(s, d, "events")))
 
+register("scd2_history", oracle=analytics.SCD2_ORACLE
+         )(lambda s, d: analytics.scd2_history(_t(s, d, "events")))
+
 register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
          )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))
 
@@ -868,6 +907,11 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 register("streaming_dedup", oracle="""
 SELECT event_id, user_id, event_type FROM events
 """)(lambda s, d: _streaming("streaming_dedup_job")(s, d))
+
+register("stream_static_join", oracle="""
+SELECT e.user_id, e.event_id, e.event_type, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""")(lambda s, d: _streaming("stream_static_join_job")(s, d))
 
 register("watermark_late_drop", oracle="""
 WITH ranked AS (

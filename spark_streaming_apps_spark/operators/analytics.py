@@ -510,3 +510,56 @@ SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
 FROM acts a JOIN cohorts c USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 history build: collapse each
+    user's event stream into versioned attribute rows — a new version
+    opens whenever the tracked attribute (event_type) CHANGES from the
+    previous event, valid_to = next version's valid_from (NULL while
+    current). This is the warehouse-standard dimension-history shape the
+    reference's status-stamp columns (added/removed/started/finished)
+    approximate with fixed slots; SCD2 generalizes them to any number of
+    transitions.
+
+    Scale shape: two partitioned windows over (user_id) — change
+    detection via lag, version close via lead — then a filter; no global
+    sort, no self-join, the user's history never leaves its partition.
+    Run-length: consecutive same-type events collapse into ONE version
+    row (deterministic: ordered by (ts, event_id))."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    starts = (base
+              .withColumn("prev_type", F.lag("event_type").over(w))
+              .filter(F.col("prev_type").isNull()
+                      | (F.col("prev_type") != F.col("event_type"))))
+    wv = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (starts
+            .withColumn("valid_to_us", F.lead("ts_us").over(wv))
+            .select("user_id", "event_type",
+                    F.col("ts_us").alias("valid_from_us"),
+                    "valid_to_us",
+                    F.col("valid_to_us").isNull().cast("int")
+                    .alias("is_current")))
+
+
+SCD2_ORACLE = """
+WITH base AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+              FROM events),
+starts AS (SELECT * FROM (
+             SELECT user_id, event_id, event_type, ts_us,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS prev_type
+             FROM base)
+           WHERE prev_type IS NULL OR prev_type != event_type)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS valid_to_us,
+       CAST(lead(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) IS NULL AS INT)
+         AS is_current
+FROM starts
+"""

@@ -544,6 +544,32 @@ def streaming_dedup_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def stream_static_join_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: every micro-batch joins the event stream
+    against a STATIC dimension (customer) — the standard lookup-join
+    pattern for enriching a firehose with slowly-changing reference data
+    (the reference's per-record `selectHW`/case-config lookups,
+    StreamingApp.scala:341-353, done set-at-a-time instead of
+    row-at-a-time JDBC). The static side is stateless for the stream
+    (re-resolved per micro-batch, so a refreshed dim table picks up
+    automatically) and broadcast by size — no stream-side shuffle, no
+    watermark, no state store. Drained result equals the batch join."""
+    out, ckpt = _fresh("stream_static_join")
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    enriched = (events_stream(spark, sf_dir)
+                .select("event_id", "user_id", "event_type")
+                .join(dim, "user_id"))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    _run_available_now(
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(out)
+
+
 def poll_wait_loop_job(spark: SparkSession, sf_dir: str,
                        n_polls: int = 5) -> DataFrame:
     """poll_wait_loop: the worker's claim-poll loop (FileWorkerApp.scala:
