@@ -848,6 +848,15 @@ register("cohort_retention", oracle=analytics.COHORT_ORACLE
 register("scd2_history", oracle=analytics.SCD2_ORACLE
          )(lambda s, d: analytics.scd2_history(_t(s, d, "events")))
 
+register("window_stats", oracle=analytics.WINDOW_STATS_ORACLE
+         )(lambda s, d: analytics.window_stats(_t(s, d, "events")))
+
+register("hll_per_group", oracle=analytics.HLL_PER_GROUP_ORACLE
+         )(lambda s, d: analytics.hll_per_group(_t(s, d, "events")))
+
+register("levenshtein_near_dup", oracle=dedup.levenshtein_oracle_sql()
+         )(lambda s, d: dedup.levenshtein_near_dup(_t(s, d, "documents")))
+
 register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
          )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))
 

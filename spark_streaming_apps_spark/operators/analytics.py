@@ -563,3 +563,51 @@ SELECT user_id, event_type, ts_us AS valid_from_us,
          AS is_current
 FROM starts
 """
+
+
+def window_stats(events: DataFrame) -> DataFrame:
+    """Ranking-window surface in one pass: per-user quartile (ntile),
+    percent_rank and cume_dist over event value — the remaining ANSI
+    window functions a SQL user expects from a full engine. One
+    partitioned window, deterministic total order (value, event_id); no
+    global sort anywhere."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+WINDOW_STATS_ORACLE = """
+SELECT event_id, user_id,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+def hll_per_group(events: DataFrame) -> DataFrame:
+    """Per-group HyperLogLog distinct-user estimates with an exactness
+    audit: sketch estimates differ engine-to-engine, so the checkable
+    surface is the exact count plus a within-5% flag each engine
+    computes over its OWN estimator (same contract as dedup_approx, per
+    group). At 100 TB the sketch path is the one that matters: HLL state
+    is O(kB) per group vs a distinct-shuffle of every user id."""
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
+    return (events.groupBy("event_type")
+            .agg(exact.alias("exact_users"),
+                 (F.abs(approx - exact) <= 0.05 * exact).cast("int")
+                 .alias("approx_ok")))
+
+
+HLL_PER_GROUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+            <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS approx_ok
+FROM events GROUP BY event_type
+"""

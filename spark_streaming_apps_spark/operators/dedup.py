@@ -207,24 +207,26 @@ _TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '
 
 # ------------------------------------------------------------------- minhash
 
-def minhash_pairs(documents: DataFrame) -> DataFrame:
-    """MinHash+LSH near-dup pairs: (doc1, doc2, est_jaccard ≥ 0.5).
-
-    Stages — each one shuffle or less:
-      1. signatures: 16 array_min(transform(shingles, hᵢ)) per doc (no shuffle)
-      2. bands: md5 of each 4-minhash slice, exploded to (band_id, hash)
-      3. bucket join on (band_id, hash) with doc1 < doc2 → candidates
-      4. verify: signature agreement fraction as the Jaccard estimate
-    """
+def _minhash_sig(documents: DataFrame) -> DataFrame:
+    """Per-doc 16-minhash signature table. Signatures feed the band join
+    AND both verify sides: materialized once (lineage-truncating local
+    checkpoint) instead of re-hashing every shingle 3x; memoized so
+    clusters/apply/levenshtein reuse the same blocks."""
     sh = _with_shingle_hashes(planted_corpus(documents))
-    # signatures feed the band join AND both verify sides: materialize
-    # once (lineage-truncating local checkpoint) instead of re-hashing
-    # every shingle 3x; memoized so clusters/apply reuse the same blocks
-    sig = _memo(sh, "minhash_sig", lambda: sh.select(
+    return _memo(sh, "minhash_sig", lambda: sh.select(
         "doc_id",
         *[F.expr(f"array_min(transform(hs, h -> {_mh_affine(i, 'h')}))")
           .alias(f"mh{i}") for i in range(N_HASHES)],
     ).localCheckpoint())
+
+
+def _minhash_band_candidates(documents: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc1 < doc2): band each signature (md5 of
+    each 4-minhash slice), bucket-join on (band_id, hash). The shared
+    blocking front end of the minhash AND levenshtein detectors — only
+    bucket-collision pairs ever reach a verifier, never the O(n²)
+    space."""
+    sig = _minhash_sig(documents)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{j * ROWS_PER_BAND + r}").cast("string")
                                  for r in range(ROWS_PER_BAND)])).alias(f"b{j}")
@@ -235,11 +237,24 @@ def minhash_pairs(documents: DataFrame) -> DataFrame:
              .selectExpr("doc_id",
                          f"stack({N_BANDS}, {stack_args}) as (band_id, band_hash)"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
             .distinct())
+
+
+def minhash_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pairs: (doc1, doc2, est_jaccard ≥ 0.5).
+
+    Stages — each one shuffle or less:
+      1. signatures: 16 array_min(transform(shingles, hᵢ)) per doc (no shuffle)
+      2. bands: md5 of each 4-minhash slice, exploded to (band_id, hash)
+      3. bucket join on (band_id, hash) with doc1 < doc2 → candidates
+      4. verify: signature agreement fraction as the Jaccard estimate
+    """
+    sig = _minhash_sig(documents)
+    cand = _minhash_band_candidates(documents)
     s1, s2 = sig.alias("s1"), sig.alias("s2")
     agree = sum(
         F.when(F.col(f"s1.mh{i}") == F.col(f"s2.mh{i}"), 1).otherwise(0)
@@ -309,7 +324,10 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
 
 
-def minhash_oracle_sql() -> str:
+def _minhash_cand_ctes() -> str:
+    """DuckDB twin of _minhash_sig + _minhash_band_candidates: the
+    sig/bands/cand CTE chain (expects the corpus + shingle CTEs before
+    it), shared by the minhash and levenshtein oracles."""
     mh = ", ".join(
         f"list_min(list_transform(hs, h -> {_mh_affine(i, 'h')})) AS mh{i}"
         for i in range(N_HASHES))
@@ -318,18 +336,62 @@ def minhash_oracle_sql() -> str:
         .format(j=j, cols=", ".join(
             f"CAST(mh{j * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)))
         for j in range(N_BANDS))
-    agree = " + ".join(
-        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
     return f"""
-WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},
 sig AS (SELECT doc_id, {mh} FROM sh),
 bands AS ({band_sel}),
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 FROM bands a
          JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id)
+         AND a.doc_id < b.doc_id)"""
+
+
+def minhash_oracle_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},{_minhash_cand_ctes()}
 SELECT doc1, doc2, ({agree}) / {float(N_HASHES)} AS est_jaccard
 FROM cand JOIN sig s1 ON cand.doc1 = s1.doc_id JOIN sig s2 ON cand.doc2 = s2.doc_id
 WHERE ({agree}) / {float(N_HASHES)} >= 0.5
+"""
+
+
+# -------------------------------------------------------------- levenshtein
+
+LEV_REL_MAX = 0.2
+
+
+def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
+    """Edit-distance near-dup pairs — the character-level verifier the
+    token-level detectors can't replace (it catches small in-word edits
+    that leave most shingles intact but also scores transpositions and
+    substitutions exactly). Candidates come from the SHARED minhash band
+    blocking (never all-pairs); only bucket-collision pairs pay the
+    O(len²) DP, and both engines run the same classic Levenshtein, so
+    the pair decisions are value-hash-checkable. Keep pairs with
+    relative distance ≤ {LEV_REL_MAX} of the longer text."""
+    cand = _minhash_band_candidates(documents)
+    corpus = planted_corpus(documents)
+    t1 = corpus.select(F.col("doc_id").alias("doc1"), F.col("text").alias("text1"))
+    t2 = corpus.select(F.col("doc_id").alias("doc2"), F.col("text").alias("text2"))
+    rel = (F.col("lev").cast("double")
+           / F.greatest(F.length("text1"), F.length("text2")))
+    return (cand.join(t1, "doc1").join(t2, "doc2")
+            .withColumn("lev", F.levenshtein("text1", "text2"))
+            .select("doc1", "doc2", "lev",
+                    F.round(rel, 6).alias("rel_dist"))
+            .filter(F.col("rel_dist") <= LEV_REL_MAX))
+
+
+def levenshtein_oracle_sql() -> str:
+    rel = ("round(CAST(levenshtein(a.text, b.text) AS DOUBLE) "
+           "/ greatest(len(a.text), len(b.text)), 6)")
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},{_minhash_cand_ctes()}
+SELECT c.doc1, c.doc2, levenshtein(a.text, b.text) AS lev,
+       {rel} AS rel_dist
+FROM cand c JOIN corpus a ON a.doc_id = c.doc1
+            JOIN corpus b ON b.doc_id = c.doc2
+WHERE {rel} <= {LEV_REL_MAX}
 """
 
 
