@@ -152,3 +152,21 @@ def test_interval_join_is_equi_not_nested_loop(tables):
     assert cartesian_join_count(out) == 0
     assert bnlj_count(out) == 0
     assert equi_join_on(out, "bucket")
+
+
+def test_pq_adc_no_product_and_broadcast_dtab(tables):
+    """ADC's joins are tiny-side broadcasts (codebook, distance table) or
+    keyed aggregations — a cartesian anywhere would mean codes are being
+    paired all-against-all."""
+    out = similarity.pq_adc_topk(tables["embeddings"])
+    assert cartesian_join_count(out) == 0
+    assert broadcast_join_count(out) >= 1
+
+
+def test_levenshtein_candidates_are_band_keyed(tables):
+    """The O(len^2) DP must only run on band-bucket collisions: the pair
+    join is keyed on band_hash, never a cross product."""
+    out = dedup.levenshtein_near_dup(tables["documents"])
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+    assert equi_join_on(out, "band_hash")

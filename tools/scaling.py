@@ -30,6 +30,10 @@ KEYS = [
     "knn_graph",               # IVF-blocked k-NN graph
     "inverted_index",          # capped posting-list build
     "quality_funnel",          # single-scan filter funnel
+    "pq_adc_topk",             # code-lookup ANN scan (round 4)
+    "ivf_topk_trained",        # trained-quantizer serving (round 4)
+    "levenshtein_near_dup",    # band-blocked edit-distance verify (round 4)
+    "scd2_history",            # partitioned lag/lead dimension history (round 4)
 ]
 
 
