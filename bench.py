@@ -73,6 +73,9 @@ BENCH_KEYS = [
     "pq_encode",
     "pq_adc_topk",
     "avro_decode_binary",
+    "levenshtein_near_dup",
+    "window_stats",
+    "scd2_history",
 ]
 
 
