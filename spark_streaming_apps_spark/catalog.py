@@ -994,6 +994,9 @@ register("pq_encode", oracle=similarity.pq_encode_oracle_sql()
 register("pq_adc_topk", oracle=similarity.pq_adc_topk_oracle_sql()
          )(lambda s, d: similarity.pq_adc_topk(_t(s, d, "embeddings")))
 
+register("ivf_partitioned_probe", oracle=similarity.ivf_topk_oracle_sql()
+         )(lambda s, d: similarity.ivf_partitioned_probe(s, d, SCRATCH))
+
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 

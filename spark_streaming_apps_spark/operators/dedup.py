@@ -39,9 +39,6 @@ SIM_HAMMING_MAX = 6
 JACCARD_RARE_DF = 4
 JACCARD_MIN = 0.4
 
-_HASH = "cast(conv(substr(md5('{seed}:' || {x}),1,15),16,10) as bigint)"
-_HASH_DUCK = "CAST(('0x' || substr(md5('{seed}:' || {x}),1,15)) AS BIGINT)"
-
 #: MinHash hash family: ONE md5 base hash per shingle (reduced mod the
 #: Mersenne prime 2^31-1), then N_HASHES affine rehashes (a_i*h + b_i) mod p
 #: — integer-only, so the md5 work per signature drops 8x vs hashing per

@@ -18,6 +18,8 @@ its partitions (partition pruning on write layout).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, functions as F
 
 N_CELLS = 32  # ~sqrt(fixture corpus); at 100 TB cells scale with √n
@@ -660,6 +662,52 @@ FROM assigned m JOIN probe USING (cell), q
 WHERE m.vec_id != {query_vec_id}
 ORDER BY sim DESC, m.vec_id LIMIT {k}
 """
+
+
+def ivf_partitioned_probe(spark, sf_dir: str, scratch,
+                          query_vec_id: int = 0, k: int = TOP_K) -> DataFrame:
+    """ANN serving from the PHYSICAL layout that scales: the IVF index is
+    written once partitioned by cell id, and a probe reads ONLY its probe
+    cells' partitions — partition pruning at the source makes query IO
+    proportional to probes/n_cells of the index, not the corpus
+    (tests/test_plans.py asserts the PartitionFilters reach the scan).
+    Same result contract as `ivf_topk` (shared oracle); the difference is
+    WHERE the cell filter executes: in the scan's directory pruning
+    instead of a post-scan semi-join. The two probe-cell ids are fetched
+    to the driver (a 2-int scalar fetch — that IS how partition pruning
+    is driven) and inlined as literals."""
+    import shutil
+
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(scratch / f"ivf_layout_{sf_dir.rstrip('/').rsplit('sf', 1)[-1]}")
+    marker = Path(out) / "_SUCCESS"
+    if not marker.exists():
+        shutil.rmtree(out, ignore_errors=True)
+        (_ivf_index(emb)
+         .filter((F.col("rn") == 1) & (F.col("vec_id") < 1_000_000))
+         .select("vec_id", "label", "e", "cell")
+         .write.partitionBy("cell").parquet(out))
+    cents = (emb.withColumn("e", _as_double("embedding"))
+             .filter(F.col("vec_id") < N_CELLS)
+             .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
+    qv = (emb.withColumn("e", _as_double("embedding"))
+          .filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    probe_cells = [r.cell for r in
+                   (qv.crossJoin(F.broadcast(cents))
+                    .select("cell",
+                            F.expr(_DOT.format(a="q", b="c")).alias("dot"))
+                    .orderBy(F.desc("dot"), "cell").limit(N_PROBES)
+                    .collect())]
+    back = spark.read.parquet(out).filter(F.col("cell").isin(probe_cells))
+    return (back.filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qv))
+            .select("vec_id", "label", F.col("cell").cast("bigint").alias("cell"),
+                    _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
 
 
 # -------------------------------------------------- product quantization

@@ -23,6 +23,15 @@ def physical_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every non-empty PartitionFilters list at a scan — evidence a
+    predicate prunes partition DIRECTORIES (no IO at all for pruned
+    cells), stronger than a row-group PushedFilter."""
+    return [f for f in
+            re.findall(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df))
+            if f.strip()]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every PushedFilters list that reaches a scan."""
     return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))

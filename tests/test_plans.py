@@ -170,3 +170,14 @@ def test_levenshtein_candidates_are_band_keyed(tables):
     assert cartesian_join_count(out) == 0
     assert bnlj_count(out) == 0
     assert equi_join_on(out, "band_hash")
+
+
+def test_ivf_partitioned_probe_prunes_cells(spark):
+    """The cell filter must execute as directory-level partition pruning
+    at the scan — probe IO proportional to probes/n_cells of the index,
+    the layout contract that makes ANN serving scale."""
+    from spark_streaming_apps_spark.catalog import SCRATCH
+    from spark_streaming_apps_spark.plans import partition_filters
+    out = similarity.ivf_partitioned_probe(
+        spark, "/root/testdata/sf0.001", SCRATCH)
+    assert partition_filters(out), "cell predicate did not reach the scan"
