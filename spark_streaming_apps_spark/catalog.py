@@ -1000,6 +1000,9 @@ register("ivf_partitioned_probe", oracle=similarity.ivf_topk_oracle_sql()
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 
+register("bigram_perplexity", oracle=text.bigram_perplexity_oracle_sql()
+         )(lambda s, d: text.bigram_perplexity(_t(s, d, "documents")))
+
 register("unigram_surprisal", oracle=text.unigram_surprisal_oracle_sql()
          )(lambda s, d: text.unigram_surprisal(_t(s, d, "documents")))
 

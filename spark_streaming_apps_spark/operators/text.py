@@ -499,3 +499,59 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM tks JOIN freq USING (t), tot
 GROUP BY doc_id
 """
+
+
+def bigram_perplexity(documents: DataFrame) -> DataFrame:
+    """Bigram LM perplexity per document with add-1 smoothing — the
+    next-order CCNet-style quality signal after `unigram_surprisal`: a
+    doc whose word PAIRS are improbable under the corpus bigram MLE is
+    likelier noise even when its vocabulary is ordinary.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V); ppl = exp(mean -ln P).
+    Per-bigram surprisals are 6-dp-quantized and summed as DECIMAL so
+    the doc mean is order-independent and engine-exact (stricter than
+    unigram_surprisal's avg — bigram logs spread wider, so ulp drift
+    under float reordering is likelier to survive rounding).
+
+    Scale shape: bigram + unigram tables are counter-only keyed
+    aggregates (map-side combine, O(distinct) shuffle); scoring re-joins
+    the doc's bigram stream on the pair key. V joins as a 1-row
+    broadcast. No text crosses a shuffle after tokenization."""
+    big = (documents.withColumn("tk", _tokens())
+           .filter(F.size("tk") >= 2)
+           .select("doc_id", F.explode(F.expr(
+               "transform(slice(tk, 1, size(tk) - 1), "
+               "(w, i) -> struct(w as w1, element_at(tk, i + 2) as w2))"))
+               .alias("b"))
+           .select("doc_id", "b.w1", "b.w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (documents.select(F.explode(_tokens()).alias("t"))
+             .agg(F.countDistinct("t").alias("v")))
+    nll = F.expr("cast(round(-ln((n12 + 1.0) / (n1 + v)), 6) "
+                 "as decimal(18,6))")
+    return (big.join(c12, ["w1", "w2"]).join(c1, "w1")
+            .join(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.exp(F.sum(nll).cast("double")
+                               / F.count(F.lit(1))), 6).alias("ppl")))
+
+
+def bigram_perplexity_oracle_sql() -> str:
+    from .dedup import _TOKENS_DUCK
+    return f"""
+WITH tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM documents),
+big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM tks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+        WHERE len(tk) >= 2),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+vocab AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(tk) AS t FROM tks))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(CAST(sum(CAST(round(-ln((n12 + 1.0) / (n1 + v)), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*)), 6) AS ppl
+FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab
+GROUP BY doc_id
+"""
