@@ -521,24 +521,36 @@ def _km_means(assigned: DataFrame) -> DataFrame:
                         " p -> p.m)").alias("c")))
 
 
-def _trained_centroids(embeddings: DataFrame,
-                       iters: int = KM_ITERS) -> DataFrame:
-    """The TRAINED coarse quantizer: final Lloyd centroids (cell, c)
-    after {KM_ITERS} assign→mean rounds from the fixed seeds. Memoized +
-    checkpointed per (session, input plan) — at scale this is the small
-    trained artifact every ANN query assigns against, written once."""
+def _lloyd_chain(embeddings: DataFrame, iters: int = KM_ITERS):
+    """ONE memoized Lloyd run per (session, corpus, iters), shared by the
+    training summary (kmeans_refine) and the trained-quantizer servers
+    (ivf_topk_trained) — at scale the refined centroids are trained once
+    and served to every query, so the engine must not re-run the chain
+    per consumer. Returns (last_assignment(vec_id, cell), final
+    centroids(cell, c)), both checkpointed."""
     from .dedup import _memo
 
-    def build() -> DataFrame:
-        emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    def build():
+        emb = (embeddings.select("vec_id", _as_double("embedding").alias("e"))
+               .localCheckpoint())
         cents = (emb.filter(F.col("vec_id") < N_CELLS)
                  .select(F.col("vec_id").cast("int").alias("cell"),
                          F.col("e").alias("c")))
+        assigned = None
         for _ in range(iters):
-            cents = _km_means(_km_assign(emb, cents))
-        return cents.localCheckpoint()
+            assigned = _km_assign(emb, cents)
+            cents = _km_means(assigned)
+        return (assigned.select("vec_id", "cell").localCheckpoint(),
+                cents.localCheckpoint())
 
-    return _memo(embeddings, "trained_cents", build)
+    return _memo(embeddings, f"lloyd_chain_{iters}", build)
+
+
+def _trained_centroids(embeddings: DataFrame,
+                       iters: int = KM_ITERS) -> DataFrame:
+    """The TRAINED coarse quantizer: final Lloyd centroids (cell, c) —
+    the small write-once artifact every ANN query assigns against."""
+    return _lloyd_chain(embeddings, iters)[1]
 
 
 def kmeans_refine(embeddings: DataFrame, iters: int = KM_ITERS) -> DataFrame:
@@ -555,15 +567,7 @@ def kmeans_refine(embeddings: DataFrame, iters: int = KM_ITERS) -> DataFrame:
     then one posexplode + keyed agg whose state is k·dims decimal sums —
     the classic two-stage mean with map-side combine. The corpus is never
     shuffled; only (cell, dim) partial sums move."""
-    emb = (embeddings.select("vec_id", _as_double("embedding").alias("e"))
-           .localCheckpoint())
-    cents = (emb.filter(F.col("vec_id") < N_CELLS)
-             .select(F.col("vec_id").cast("int").alias("cell"),
-                     F.col("e").alias("c")))
-    assigned = None
-    for _ in range(iters):
-        assigned = _km_assign(emb, cents)
-        cents = _km_means(assigned)
+    assigned, cents = _lloyd_chain(embeddings, iters)
     return (assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
             .join(cents, "cell")
             .select("cell", "n_members",
