@@ -76,6 +76,8 @@ BENCH_KEYS = [
     "levenshtein_near_dup",
     "window_stats",
     "scd2_history",
+    "ivf_partitioned_probe",
+    "bigram_perplexity",
 ]
 
 
