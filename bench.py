@@ -78,6 +78,7 @@ BENCH_KEYS = [
     "scd2_history",
     "ivf_partitioned_probe",
     "bigram_perplexity",
+    "corpus_curate",
 ]
 
 

@@ -1000,6 +1000,9 @@ register("ivf_partitioned_probe", oracle=similarity.ivf_topk_oracle_sql()
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 
+register("corpus_curate", oracle=training.corpus_curate_oracle_sql()
+         )(lambda s, d: training.corpus_curate(_t(s, d, "documents")))
+
 register("bigram_perplexity", oracle=text.bigram_perplexity_oracle_sql()
          )(lambda s, d: text.bigram_perplexity(_t(s, d, "documents")))
 

@@ -204,12 +204,15 @@ _TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '
 
 # ------------------------------------------------------------------- minhash
 
-def _minhash_sig(documents: DataFrame) -> DataFrame:
+def _minhash_sig(documents: DataFrame, plant: bool = True) -> DataFrame:
     """Per-doc 16-minhash signature table. Signatures feed the band join
     AND both verify sides: materialized once (lineage-truncating local
     checkpoint) instead of re-hashing every shingle 3x; memoized so
-    clusters/apply/levenshtein reuse the same blocks."""
-    sh = _with_shingle_hashes(planted_corpus(documents))
+    clusters/apply/levenshtein reuse the same blocks. `plant=False`
+    skips the near-dup fixtures (real-corpus consumers: corpus_curate)."""
+    corpus = (planted_corpus(documents) if plant
+              else documents.select("doc_id", "text"))
+    sh = _with_shingle_hashes(corpus)
     return _memo(sh, "minhash_sig", lambda: sh.select(
         "doc_id",
         *[F.expr(f"array_min(transform(hs, h -> {_mh_affine(i, 'h')}))")
@@ -217,13 +220,14 @@ def _minhash_sig(documents: DataFrame) -> DataFrame:
     ).localCheckpoint())
 
 
-def _minhash_band_candidates(documents: DataFrame) -> DataFrame:
+def _minhash_band_candidates(documents: DataFrame,
+                             plant: bool = True) -> DataFrame:
     """LSH candidate pairs (doc1 < doc2): band each signature (md5 of
     each 4-minhash slice), bucket-join on (band_id, hash). The shared
     blocking front end of the minhash AND levenshtein detectors — only
     bucket-collision pairs ever reach a verifier, never the O(n²)
     space."""
-    sig = _minhash_sig(documents)
+    sig = _minhash_sig(documents, plant)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{j * ROWS_PER_BAND + r}").cast("string")
                                  for r in range(ROWS_PER_BAND)])).alias(f"b{j}")

@@ -364,3 +364,107 @@ SELECT * FROM (
   UNION ALL SELECT 3, 'repetition', s3 FROM agg
   UNION ALL SELECT 4, 'alpha_ratio', s4 FROM agg)
 """
+
+
+CURATE_SEED = 1337
+CURATE_PCT = 80
+
+
+def corpus_curate(documents: DataFrame) -> DataFrame:
+    """END-TO-END corpus curation in one declarative plan — the composed
+    pipeline a training-data run actually executes, as a single key:
+
+      1. near-dup removal  (minhash LSH on the REAL corpus, keep-min of
+                            each verified pair)
+      2. decontamination   (benchmark members out; docs overlapping the
+                            benchmark shingle set in ≥ {CONTAM_MIN_OVERLAP}
+                            shingles out)
+      3. quality bars      (min length, min tokens, min alpha ratio —
+                            the funnel's cheap single-scan flags)
+      4. deterministic     ({CURATE_PCT}% hash-bucket keep — stable under
+         sampling           task retries)
+
+    Output is the per-doc AUDIT: (doc_id, stage, kept) where stage names
+    the FIRST filter that dropped the doc ('kept' otherwise) — the
+    lineage record a compliance review asks for. Every stage reads the
+    shared sketch layer (one md5 pass, memoized blocks); stage order is
+    fixed so the row is deterministic. SUM(kept) is the final corpus
+    size."""
+    from .dedup import (N_HASHES, _minhash_band_candidates, _minhash_sig,
+                        _with_shingle_hashes)
+
+    sig = _minhash_sig(documents, plant=False)
+    cand = _minhash_band_candidates(documents, plant=False)
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    agree = sum(
+        F.when(F.col(f"s1.mh{i}") == F.col(f"s2.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES))
+    dup2 = (cand
+            .join(s1, F.col("doc1") == F.col("s1.doc_id"))
+            .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+            .filter((agree / F.lit(float(N_HASHES))) >= 0.5)
+            .select(F.col("doc2").alias("doc_id")).distinct()
+            .withColumn("_dup", F.lit(1)))
+    sh = (_with_shingle_hashes(documents.select("doc_id", "text"))
+          .select("doc_id", F.explode("hs").alias("sh_h")))
+    bench_sh = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+                .select("sh_h").distinct())
+    contam = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+              .join(F.broadcast(bench_sh), "sh_h")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ov"))
+              .filter(F.col("n_ov") >= CONTAM_MIN_OVERLAP)
+              .select("doc_id").withColumn("_contam", F.lit(1)))
+    tk = F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")
+    quality_ok = ((F.octet_length("text") >= FUNNEL_MIN_CHARS)
+                  & (F.size(tk) >= FUNNEL_MIN_TOKENS)
+                  & (F.octet_length(F.regexp_replace(F.col("text"),
+                                                     r"[^A-Za-z]", ""))
+                     / F.octet_length("text").cast("double")
+                     >= FUNNEL_MIN_ALPHA))
+    sampled_in = _pct_bucket(F.col("doc_id").cast("string"),
+                             CURATE_SEED) < CURATE_PCT
+    stage = (F.when(F.col("_dup") == 1, "dup")
+             .when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, "benchmark")
+             .when(F.col("_contam") == 1, "contaminated")
+             .when(~quality_ok, "quality")
+             .when(~sampled_in, "sampled_out")
+             .otherwise("kept"))
+    return (documents
+            .join(F.broadcast(dup2), "doc_id", "left")
+            .join(F.broadcast(contam), "doc_id", "left")
+            .select("doc_id", stage.alias("stage"))
+            .withColumn("kept", (F.col("stage") == "kept").cast("int")))
+
+
+def corpus_curate_oracle_sql() -> str:
+    from .dedup import (N_HASHES, _minhash_cand_ctes, _shingle_hash_ctes)
+    agree = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES))
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),{_shingle_hash_ctes()},{_minhash_cand_ctes()},
+dup2 AS (SELECT DISTINCT doc2 AS doc_id FROM cand
+         JOIN sig s1 ON cand.doc1 = s1.doc_id
+         JOIN sig s2 ON cand.doc2 = s2.doc_id
+         WHERE ({agree}) / {float(N_HASHES)} >= 0.5),
+shx AS (SELECT doc_id, unnest(hs) AS sh_h FROM sh),
+bench AS (SELECT DISTINCT sh_h FROM shx WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+contam AS (SELECT doc_id FROM shx JOIN bench USING (sh_h)
+           WHERE doc_id % {CONTAM_BENCH_MOD} != 0
+           GROUP BY doc_id HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}),
+staged AS (SELECT d.doc_id,
+  CASE WHEN d.doc_id IN (SELECT doc_id FROM dup2) THEN 'dup'
+       WHEN d.doc_id % {CONTAM_BENCH_MOD} = 0 THEN 'benchmark'
+       WHEN d.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       WHEN NOT (strlen(d.text) >= {FUNNEL_MIN_CHARS}
+                 AND len(list_filter(string_split_regex(lower(d.text), '\\W+'),
+                                     t -> t <> '')) >= {FUNNEL_MIN_TOKENS}
+                 AND strlen(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+                     / CAST(strlen(d.text) AS DOUBLE) >= {FUNNEL_MIN_ALPHA})
+         THEN 'quality'
+       WHEN NOT ({_pct_bucket_sql("CAST(doc_id AS VARCHAR)", CURATE_SEED)}
+                 < {CURATE_PCT}) THEN 'sampled_out'
+       ELSE 'kept' END AS stage
+  FROM documents d)
+SELECT doc_id, stage, CAST(stage = 'kept' AS INT) AS kept FROM staged
+"""
