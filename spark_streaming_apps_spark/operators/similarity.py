@@ -379,9 +379,17 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     vb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("eb"),
                      F.col("nrm").alias("nb"))
     sim = F.expr(f"round(({_DOT.format(a='ea', b='eb')}) / (na * nb), 6)")
+    # cache the half-pair sims BEFORE mirroring: the union's two branches
+    # would otherwise each re-execute the candidate+fetch+dot subplan
+    # (the plan audit showed the whole pipeline doubled — 15 exchanges);
+    # with the InMemoryRelation both branches scan one computed result,
+    # so each unordered pair's dot still runs exactly once.
+    # (persist, not localCheckpoint: checkpointing this alias-heavy plan
+    # trips attribute rewriting in the downstream union on Spark 4.1)
     half = (cand.join(va, "vec_id")
             .join(vb, "nbr_id")
-            .select("vec_id", "nbr_id", sim.alias("sim")))
+            .select("vec_id", "nbr_id", sim.alias("sim"))
+            .persist())
     pairs = half.unionByName(
         half.select(F.col("nbr_id").alias("vec_id"),
                     F.col("vec_id").alias("nbr_id"), "sim"))

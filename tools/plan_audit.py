@@ -1,0 +1,87 @@
+"""Physical-plan audit: the scale contract, measured from the plans.
+
+For each audited key: counts of exchanges (shuffles), broadcast hash
+joins, nested-loop joins, cartesian products, global range-partition
+sorts, plus whether any filter/partition predicate reached a scan.
+Writes PLANS.md — the reviewable evidence that the plans are the ones
+you'd ship to a 1000-executor cluster (tests/test_plans.py asserts the
+hard invariants; this records the full picture).
+
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from spark_streaming_apps_spark import catalog  # noqa: E402
+from spark_streaming_apps_spark.plans import (  # noqa: E402
+    _op_count, global_sort_count, partition_filters, pushed_filters)
+from spark_streaming_apps_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: key -> one-line 100-TB rationale shown next to its numbers
+KEYS = {
+    "hw_release": "flagship: pre-agg extents, 1-row HW broadcast, anti-join release",
+    "join_inner_3way": "dim broadcast keeps the fact tables unshuffled",
+    "q1_pricing_summary": "single scan -> partial agg -> one exchange",
+    "dedup_minhash_lsh": "banded bucket equi-join; shuffles 16 ints/doc, not text",
+    "dedup_simhash": "packed-lane hash aggregate; 12-bit band equi-join",
+    "dedup_ngram_jaccard": "rare-shingle blocking bounds the candidate join",
+    "levenshtein_near_dup": "edit-distance DP only on band collisions",
+    "embedding_near_dup": "multi-probe IVF cells; Cauchy-Schwarz prune",
+    "knn_graph": "cell-keyed candidates; AQE-gated vector fetch",
+    "pq_adc_topk": "distance-table lookups; codebook broadcast",
+    "ivf_partitioned_probe": "directory pruning: IO = probes/n_cells",
+    "corpus_curate": "one shared sketch pass feeds all four stages",
+    "scd2_history": "two partitioned windows, no global sort",
+    "salted_skew_agg": "two-phase salt defeats the 80%-hot key",
+}
+
+
+def main() -> None:
+    spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
+    qs = catalog.queries()
+    rows = []
+    for key, why in KEYS.items():
+        df = qs[key](spark, SF_DIR)
+        rows.append((
+            key,
+            _op_count(df, "Exchange"),
+            _op_count(df, "BroadcastHashJoin"),
+            _op_count(df, "BroadcastNestedLoopJoin"),
+            _op_count(df, "CartesianProduct"),
+            global_sort_count(df),
+            "yes" if (pushed_filters(df) or partition_filters(df)) else "-",
+            why,
+        ))
+        print(f"audited {key}", file=sys.stderr)
+
+    lines = [
+        "# PLANS — physical-plan audit (sf0.01, local[8])",
+        "",
+        "Counts from `df.explain('formatted')` via the `plans` helpers.",
+        "`exch` = Exchange operators (shuffles); `bhj` = broadcast hash",
+        "joins; `bnlj` = broadcast nested-loop joins (legit only for",
+        "bounded tiny dims — 1-row scalars, centroid tables); `cart` =",
+        "cartesian products (must be 0 everywhere); `gsort` = global",
+        "range-partition sorts (the reference's repartition(1) smell —",
+        "bounded top-k via TakeOrderedAndProject does NOT count);",
+        "`scan-pred` = a pushed or partition filter reached a scan.",
+        "",
+        "| key | exch | bhj | bnlj | cart | gsort | scan-pred | 100-TB shape |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    lines.append("")
+    Path("PLANS.md").write_text("\n".join(lines))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
