@@ -857,6 +857,9 @@ register("hll_per_group", oracle=analytics.HLL_PER_GROUP_ORACLE
 register("levenshtein_near_dup", oracle=dedup.levenshtein_oracle_sql()
          )(lambda s, d: dedup.levenshtein_near_dup(_t(s, d, "documents")))
 
+register("minhash_containment", oracle=dedup.minhash_containment_oracle_sql()
+         )(lambda s, d: dedup.minhash_containment(_t(s, d, "documents")))
+
 register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
          )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))
 

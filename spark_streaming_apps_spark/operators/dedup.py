@@ -356,6 +356,58 @@ WHERE ({agree}) / {float(N_HASHES)} >= 0.5
 """
 
 
+# -------------------------------------------------------------- containment
+
+CONTAINMENT_MIN = 0.8
+
+
+def minhash_containment(documents: DataFrame) -> DataFrame:
+    """ASYMMETRIC containment C(A→B) = |A∩B| / |A| over distinct shingle
+    sets for band-candidate pairs — the doc-in-doc signal symmetric
+    Jaccard misses: a short doc fully swallowed by a long one has tiny
+    Jaccard but containment ≈ 1 (quotes, mirrored excerpts, prompt
+    templates inside completions). Same blocking as minhash/levenshtein
+    (shared band candidates), exact intersection counts over the shared
+    shingle-hash layer; keeps pairs where either direction reaches
+    {CONTAINMENT_MIN}."""
+    cand = _minhash_band_candidates(documents)
+    sh = (_with_shingle_hashes(planted_corpus(documents))
+          .select("doc_id", F.explode("hs").alias("sh_h")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
+    inter = (sh1.join(F.broadcast(cand), "doc1").join(sh2, ["doc2", "sh_h"])
+             .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
+    s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
+    s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
+    c1 = F.round(F.col("n_inter") / F.col("n1").cast("double"), 6)
+    c2 = F.round(F.col("n_inter") / F.col("n2").cast("double"), 6)
+    return (inter.join(s1, "doc1").join(s2, "doc2")
+            .select("doc1", "doc2", c1.alias("containment1"),
+                    c2.alias("containment2"))
+            .filter((F.col("containment1") >= CONTAINMENT_MIN)
+                    | (F.col("containment2") >= CONTAINMENT_MIN)))
+
+
+def minhash_containment_oracle_sql() -> str:
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},{_minhash_cand_ctes()},
+shx AS (SELECT doc_id, unnest(hs) AS sh_h FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+inter AS (SELECT c.doc1, c.doc2, count(*) AS n_inter
+          FROM cand c JOIN shx a ON a.doc_id = c.doc1
+                      JOIN shx b ON b.doc_id = c.doc2 AND b.sh_h = a.sh_h
+          GROUP BY 1, 2)
+SELECT doc1, doc2,
+       round(n_inter / CAST(s1.n_sh AS DOUBLE), 6) AS containment1,
+       round(n_inter / CAST(s2.n_sh AS DOUBLE), 6) AS containment2
+FROM inter JOIN sizes s1 ON inter.doc1 = s1.doc_id
+           JOIN sizes s2 ON inter.doc2 = s2.doc_id
+WHERE round(n_inter / CAST(s1.n_sh AS DOUBLE), 6) >= {CONTAINMENT_MIN}
+   OR round(n_inter / CAST(s2.n_sh AS DOUBLE), 6) >= {CONTAINMENT_MIN}
+"""
+
+
 # -------------------------------------------------------------- levenshtein
 
 LEV_REL_MAX = 0.2

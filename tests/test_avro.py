@@ -63,3 +63,20 @@ def test_from_avro_jvm_path_if_available(spark):
     row = (df.select(from_avro("value", avro.IMAGE_BLOCK_AVRO_SCHEMA)
                      .alias("r")).select("r.*").first())
     assert (row.filename, row.local_hash, bytes(row.data)) == rec
+
+
+def test_codec_roundtrip_property():
+    """Property fuzz over the wire codec: any (filename, hash, payload)
+    triple must survive encode→decode bit-exactly — unicode filenames,
+    empty strings, NUL bytes, long payloads."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300), st.text(max_size=300),
+           st.binary(max_size=4096))
+    def roundtrip(fn, lh, data):
+        assert avro.decode_image_block(
+            avro.encode_image_block(fn, lh, data)) == (fn, lh, data)
+
+    roundtrip()
