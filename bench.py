@@ -79,6 +79,7 @@ BENCH_KEYS = [
     "ivf_partitioned_probe",
     "bigram_perplexity",
     "corpus_curate",
+    "minhash_containment",
 ]
 
 
