@@ -80,6 +80,7 @@ BENCH_KEYS = [
     "bigram_perplexity",
     "corpus_curate",
     "minhash_containment",
+    "multimodal_phash_near_dup",
 ]
 
 

@@ -699,6 +699,9 @@ register("multimodal_resize", oracle=multimodal.RESIZE_ORACLE_SQL
 register("multimodal_frame_sample", oracle=multimodal.FRAME_SAMPLE_ORACLE_SQL
          )(lambda s, d: multimodal.frame_sample(_t(s, d, "documents")))
 
+register("multimodal_phash_near_dup", oracle=multimodal.phash_oracle_sql()
+         )(lambda s, d: multimodal.phash_near_dup(_t(s, d, "documents")))
+
 
 # =====================================================================
 # §2.H streaming (real Structured Streaming runs; deterministic finals)

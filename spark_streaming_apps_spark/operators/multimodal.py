@@ -161,3 +161,108 @@ SELECT DISTINCT doc_id,
          AS frame_md5
 FROM d, (SELECT unnest(generate_series(0, {FRAME_SAMPLE_K - 1})) AS j) js
 """
+
+
+PHASH_PIXELS = 64          # 8x8 fake-grayscale block from the payload head
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = 6
+
+
+def phash_near_dup(documents: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual-hash (average-hash) near-dup over DECODED image blocks —
+    the multimodal member of the dedup family: re-encoded or
+    metadata-stripped copies of an image keep their pixel structure, so
+    their aHashes collide even when byte hashes don't.
+
+    The decode seam follows this module's contract: fake=True reads the
+    first {PHASH_PIXELS} payload bytes as the 8x8 grayscale block
+    (deterministic, oracle-checkable); fake=False is where
+    PIL.Image.resize((8,8)).convert('L') slots in. The hash itself is
+    REAL aHash math and stays integer-exact: bit i = pixel_i *
+    {PHASH_PIXELS} > sum(pixels) (scaled integer compare — no float mean
+    to disagree on). Near-dup pairs come from a {PHASH_BANDS}-band
+    bucket join over the 64-bit hash with hamming ≤ {PHASH_HAMMING_MAX}
+    verify — the simhash geometry, applied to pixels. Planted
+    near-identical docs (suffix mutation leaves the payload head intact)
+    give hamming-0 positives."""
+    from .dedup import PLANT_EVERY, PLANT_OFFSET, PLANT_SUFFIX
+
+    corpus = documents.select("doc_id", "text").unionByName(
+        documents.filter(F.col("doc_id") % PLANT_EVERY == 0)
+        .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text")))
+    payloads = corpus.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real decode needs an image codec (PIL); "
+                    "not available in this environment")
+            out_hash = []
+            for b in pdf["payload"]:
+                px = [(b[i] if i < len(b) else 0) for i in range(PHASH_PIXELS)]
+                total = sum(px)
+                h = 0
+                for i, p in enumerate(px):
+                    if p * PHASH_PIXELS > total:
+                        h |= 1 << i
+                # two's-complement into int64: bit 63 is the sign bit on
+                # both engines (DuckDB packs it as the min-long constant)
+                out_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": out_hash})
+
+    sig = payloads.mapInPandas(ahash, schema="doc_id long, ahash long") \
+        .localCheckpoint()  # both band-join sides read this
+    band_bits = PHASH_PIXELS // PHASH_BANDS
+    mask = (1 << band_bits) - 1
+    stack = ", ".join(
+        f"{j}, shiftright(ahash, {j * band_bits}) & {mask}"
+        for j in range(PHASH_BANDS))
+    bands = sig.selectExpr(
+        "doc_id", "ahash",
+        f"stack({PHASH_BANDS}, {stack}) as (band_id, band_key)")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    F.expr("bit_count(a.ahash ^ b.ahash)").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= PHASH_HAMMING_MAX))
+
+
+def phash_oracle_sql() -> str:
+    from .dedup import PLANT_EVERY, PLANT_OFFSET, PLANT_SUFFIX
+    n = PHASH_PIXELS
+    band_bits = n // PHASH_BANDS
+    mask = (1 << band_bits) - 1
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, ahash, {j} AS band_id, "
+        f"(ahash >> {j * band_bits}) & {mask} AS band_key FROM sig"
+        for j in range(PHASH_BANDS))
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL
+  SELECT doc_id + {PLANT_OFFSET}, text || '{PLANT_SUFFIX}'
+  FROM documents WHERE doc_id % {PLANT_EVERY} = 0),
+px AS (SELECT doc_id,
+              [CASE WHEN strlen(text) >= i THEN ascii(substr(text, i, 1))
+                    ELSE 0 END FOR i IN generate_series(1, {n})] AS p
+       FROM corpus),
+sig AS (SELECT doc_id,
+               -- cast back down: list_sum widens to HUGEINT, and xor/
+               -- bit_count in 128-bit space sign-extend negative hashes
+               CAST(list_sum([CASE WHEN p[i] * {n} <= list_sum(p) THEN 0
+                              WHEN i = {n}
+                              THEN CAST(-9223372036854775808 AS BIGINT)
+                              ELSE CAST(1 AS BIGINT) << (i - 1) END
+                         FOR i IN generate_series(1, {n})]) AS BIGINT) AS ahash
+        FROM px),
+bands AS ({band_sel})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       bit_count(xor(a.ahash, b.ahash)) AS hamming
+FROM bands a JOIN bands b ON a.band_id = b.band_id
+ AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {PHASH_HAMMING_MAX}
+"""

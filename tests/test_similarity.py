@@ -155,3 +155,18 @@ def test_pq_adc_recall_vs_exact_l2(tables):
         recalls.append(len(truth & adc) / 10)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.15, f"PQ-ADC mean recall@10 = {mean} ({recalls})"
+
+
+def test_phash_recovers_planted(tables):
+    """Perceptual-hash dedup must catch every planted near-identical doc:
+    the suffix mutation leaves the payload head (the fake 8x8 block)
+    untouched, so planted pairs collide at hamming 0."""
+    from spark_streaming_apps_spark.operators import multimodal
+    emb = tables["documents"]
+    planted = {(i, i + 1_000_000)
+               for (i,) in emb.select("doc_id").collect() if i % 50 == 0}
+    got = {(r.doc1, r.doc2): r.hamming
+           for r in multimodal.phash_near_dup(emb).collect()}
+    missed = planted - set(got)
+    assert not missed, f"planted pairs lost: {sorted(missed)}"
+    assert all(got[p] == 0 for p in planted)
