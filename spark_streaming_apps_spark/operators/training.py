@@ -429,9 +429,12 @@ def corpus_curate(documents: DataFrame) -> DataFrame:
              .when(~quality_ok, "quality")
              .when(~sampled_in, "sampled_out")
              .otherwise("kept"))
+    # no forced broadcast: the duplicate set scales with corpus DIRTINESS
+    # (a crawl snapshot can be >50% near-dups), so its size is not
+    # bounded by design — AQE size-gates the strategy per run
     return (documents
-            .join(F.broadcast(dup2), "doc_id", "left")
-            .join(F.broadcast(contam), "doc_id", "left")
+            .join(dup2, "doc_id", "left")
+            .join(contam, "doc_id", "left")
             .select("doc_id", stage.alias("stage"))
             .withColumn("kept", (F.col("stage") == "kept").cast("int")))
 
