@@ -376,7 +376,9 @@ def minhash_containment(documents: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
     sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
-    inter = (sh1.join(F.broadcast(cand), "doc1").join(sh2, ["doc2", "sh_h"])
+    # no forced broadcast of cand — same AQE size-gate rationale as
+    # ngram_jaccard_pairs (candidate volume scales with dirtiness)
+    inter = (sh1.join(cand, "doc1").join(sh2, ["doc2", "sh_h"])
              .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
     s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
     s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
@@ -608,12 +610,16 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # Intersection sizes are computed FROM the candidate pairs (cand → sh
     # twice, all keyed equi-joins) — never from an unblocked sh ⋈ sh on
     # every shared shingle, which a single common shingle makes quadratic.
-    # The candidate set is a vanishing fraction of the corpus (that's the
-    # point of blocking), so broadcast it and keep the 5M-row shingle
-    # relation un-shuffled; AQE demotes to shuffle join if it ever isn't.
+    # The candidate set is usually a vanishing fraction of the corpus
+    # (that's the point of blocking) — but its size scales with corpus
+    # DIRTINESS, so the strategy is left to AQE's runtime size gate: it
+    # picks broadcast when cand is actually small, without the forced
+    # hint that would OOM on a dup-heavy crawl. (An explicit
+    # F.broadcast hint is NOT demoted by AQE — it wins regardless of
+    # size, which is exactly the hazard.)
     sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
     sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
-    inter = (sh1.join(F.broadcast(cand), "doc1").join(sh2, ["doc2", "sh_h"])
+    inter = (sh1.join(cand, "doc1").join(sh2, ["doc2", "sh_h"])
              .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
     s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
     s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
