@@ -34,6 +34,9 @@ KEYS = [
     "ivf_topk_trained",        # trained-quantizer serving (round 4)
     "levenshtein_near_dup",    # band-blocked edit-distance verify (round 4)
     "scd2_history",            # partitioned lag/lead dimension history (round 4)
+    "corpus_curate",           # composed curation pipeline (round 4)
+    "minhash_containment",     # asymmetric containment verify (round 4)
+    "multimodal_phash_near_dup",  # banded perceptual-hash dedup (round 4)
 ]
 
 
