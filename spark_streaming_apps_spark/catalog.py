@@ -854,6 +854,19 @@ register("scd2_history", oracle=analytics.SCD2_ORACLE
 register("window_stats", oracle=analytics.WINDOW_STATS_ORACLE
          )(lambda s, d: analytics.window_stats(_t(s, d, "events")))
 
+register("grouping_sets_counts", oracle=analytics.GROUPING_SETS_ORACLE
+         )(lambda s, d: analytics.grouping_sets_counts(_t(s, d, "orders")))
+
+register("range_frame_window", oracle=analytics.RANGE_FRAME_ORACLE
+         )(lambda s, d: analytics.range_frame_window(_t(s, d, "events")))
+
+register("set_ops_except_intersect", oracle=analytics.SET_OPS_ORACLE
+         )(lambda s, d: analytics.set_ops_except_intersect(_t(s, d, "orders")))
+
+register("correlated_exists", oracle=analytics.CORRELATED_EXISTS_ORACLE
+         )(lambda s, d: analytics.correlated_exists(
+             *_t(s, d, "orders", "lineitem")))
+
 register("hll_per_group", oracle=analytics.HLL_PER_GROUP_ORACLE
          )(lambda s, d: analytics.hll_per_group(_t(s, d, "events")))
 

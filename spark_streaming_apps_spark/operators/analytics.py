@@ -611,3 +611,111 @@ SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
             <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS approx_ok
 FROM events GROUP BY event_type
 """
+
+
+def grouping_sets_counts(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind cube/rollup
+    (which this engine already ships): per-status, per-priority, and
+    grand-total counts in ONE pass (Catalyst expands to a single
+    aggregation over replicated grouping keys — not three scans).
+    GROUPING() flags disambiguate the NULLs."""
+    return orders.sparkSession.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               COUNT(*) AS n
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """, o=orders)
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def range_frame_window(events: DataFrame) -> DataFrame:
+    """RANGE-frame running aggregate: per-user 1-hour trailing event
+    count over EVENT TIME — the frame is defined by a time interval, not
+    a row count, so bursts widen the window's row span (rows-frames
+    can't express this). One partitioned window, no global sort; at
+    100 TB the user_id partitioning is the shuffle key."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, 0))
+    return (events.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .withColumn("n_last_hour", F.count(F.lit(1)).over(w)))
+
+
+RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events
+"""
+
+
+def set_ops_except_intersect(orders: DataFrame) -> DataFrame:
+    """EXCEPT / INTERSECT surface: customers with open orders but no
+    finished ones (EXCEPT), and customers with both (INTERSECT), tagged
+    and unioned — Catalyst plans both as keyed anti/semi joins, never a
+    distinct-then-diff materialization."""
+    return orders.sparkSession.sql("""
+        SELECT 'open_only' AS tag, o_custkey FROM (
+          SELECT o_custkey FROM {o} WHERE o_orderstatus = 'O'
+          EXCEPT
+          SELECT o_custkey FROM {o} WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'open_and_finished', o_custkey FROM (
+          SELECT o_custkey FROM {o} WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT o_custkey FROM {o} WHERE o_orderstatus = 'F')
+    """, o=orders)
+
+
+SET_OPS_ORACLE = """
+SELECT 'open_only' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'open_and_finished', o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def correlated_exists(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Correlated EXISTS/NOT EXISTS subqueries — Catalyst decorrelates
+    both into one semi and one anti join on the correlation key (the
+    plan a 100 TB run needs; a per-row subquery execution would be the
+    row-at-a-time JDBC shape the reference had)."""
+    return orders.sparkSession.sql("""
+        SELECT o.o_orderkey, o.o_orderstatus,
+               EXISTS(SELECT 1 FROM {l} li
+                      WHERE li.l_orderkey = o.o_orderkey
+                        AND li.l_quantity > 45) AS has_bulk_item
+        FROM {o} o
+        WHERE EXISTS(SELECT 1 FROM {l} li
+                     WHERE li.l_orderkey = o.o_orderkey)
+    """, o=orders, l=lineitem)
+
+
+CORRELATED_EXISTS_ORACLE = """
+SELECT o.o_orderkey, o.o_orderstatus,
+       EXISTS(SELECT 1 FROM lineitem li
+              WHERE li.l_orderkey = o.o_orderkey
+                AND li.l_quantity > 45) AS has_bulk_item
+FROM orders o
+WHERE EXISTS(SELECT 1 FROM lineitem li
+             WHERE li.l_orderkey = o.o_orderkey)
+"""
