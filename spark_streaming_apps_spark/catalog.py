@@ -867,6 +867,12 @@ register("correlated_exists", oracle=analytics.CORRELATED_EXISTS_ORACLE
          )(lambda s, d: analytics.correlated_exists(
              *_t(s, d, "orders", "lineitem")))
 
+register("sessionize_ids", oracle=analytics.SESSIONIZE_ORACLE
+         )(lambda s, d: analytics.sessionize_ids(_t(s, d, "events")))
+
+register("text_knn_jaccard", oracle=dedup.text_knn_oracle_sql()
+         )(lambda s, d: dedup.text_knn_jaccard(_t(s, d, "documents")))
+
 register("hll_per_group", oracle=analytics.HLL_PER_GROUP_ORACLE
          )(lambda s, d: analytics.hll_per_group(_t(s, d, "events")))
 

@@ -719,3 +719,43 @@ FROM orders o
 WHERE EXISTS(SELECT 1 FROM lineitem li
              WHERE li.l_orderkey = o.o_orderkey)
 """
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_ids(events: DataFrame) -> DataFrame:
+    """Per-event SESSION ID assignment — the batch sessionization
+    classic (the windowed `window_session` key aggregates per session;
+    this one labels every event): a new session starts when the gap to
+    the user's previous event exceeds {SESSION_GAP_US}us, and the
+    session id is the running count of session starts — one lag + one
+    cumulative sum over the same partitioned window, no self-join."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    flagged = base.withColumn(
+        "new_s",
+        (F.coalesce(F.col("ts_us") - F.lag("ts_us").over(w),
+                    F.lit(SESSION_GAP_US + 1))
+         > SESSION_GAP_US).cast("long"))
+    return (flagged
+            .withColumn("session_seq",
+                        F.sum("new_s").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("event_id", "user_id", "ts_us", "session_seq"))
+
+
+SESSIONIZE_ORACLE = f"""
+WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (SELECT *,
+  CAST(COALESCE(ts_us - lag(ts_us) OVER w, {SESSION_GAP_US + 1})
+       > {SESSION_GAP_US} AS BIGINT) AS new_s
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+SELECT event_id, user_id, ts_us,
+       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+FROM flagged
+"""

@@ -680,3 +680,41 @@ SELECT c.doc_id,
        CAST(k.cluster_id IS NULL OR k.cluster_id = c.doc_id AS INT) AS kept
 FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
 """
+
+
+TEXT_KNN_K = 3
+
+
+def text_knn_jaccard(documents: DataFrame, k: int = TEXT_KNN_K) -> DataFrame:
+    """Per-document ranked nearest neighbors by exact n-gram Jaccard —
+    the text-side companion of the embedding `knn_graph`: candidates
+    from the same rare-shingle blocking as `ngram_jaccard_pairs`
+    (discriminative shingles, df ≤ {JACCARD_RARE_DF}), exact J over
+    distinct shingle sets, then each doc keeps its top {TEXT_KNN_K}
+    neighbors (ties by neighbor id). Directed edges over the mirrored
+    pair set; ranking is one partitioned window — no global sort."""
+    from pyspark.sql import Window
+    pairs = ngram_jaccard_pairs(documents).select("doc1", "doc2", "jaccard")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc2").alias("doc1"),
+                     F.col("doc1").alias("doc2"), "jaccard"))
+    w = Window.partitionBy("doc1").orderBy(F.desc("jaccard"), "doc2")
+    return (edges.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("doc1").alias("doc_id"),
+                    F.col("doc2").alias("nbr_id"), "jaccard",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def text_knn_oracle_sql(k: int = TEXT_KNN_K) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({ngram_jaccard_oracle_sql()}),
+edges AS (SELECT doc1, doc2, jaccard FROM pairs
+          UNION ALL SELECT doc2, doc1, jaccard FROM pairs)
+SELECT doc1 AS doc_id, doc2 AS nbr_id, jaccard,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc1
+                                   ORDER BY jaccard DESC, doc2) AS rank
+      FROM edges)
+WHERE rank <= {k}
+"""
