@@ -873,6 +873,13 @@ register("sessionize_ids", oracle=analytics.SESSIONIZE_ORACLE
 register("text_knn_jaccard", oracle=dedup.text_knn_oracle_sql()
          )(lambda s, d: dedup.text_knn_jaccard(_t(s, d, "documents")))
 
+register("deterministic_shuffle",
+         oracle=training.deterministic_shuffle_oracle_sql()
+         )(lambda s, d: training.deterministic_shuffle(_t(s, d, "documents")))
+
+register("token_budget_pack", oracle=training.token_budget_oracle_sql()
+         )(lambda s, d: training.token_budget_pack(_t(s, d, "documents")))
+
 register("hll_per_group", oracle=analytics.HLL_PER_GROUP_ORACLE
          )(lambda s, d: analytics.hll_per_group(_t(s, d, "events")))
 

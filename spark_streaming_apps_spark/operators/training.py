@@ -471,3 +471,72 @@ staged AS (SELECT d.doc_id,
   FROM documents d)
 SELECT doc_id, stage, CAST(stage = 'kept' AS INT) AS kept FROM staged
 """
+
+
+SHUFFLE_SEED = 4242
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def deterministic_shuffle(documents: DataFrame) -> DataFrame:
+    """Deterministic training-order shuffle: global example order =
+    portable hash of (doc_id, seed) — reproducible across reruns, task
+    retries, and engines (no RNG state), which is what makes a training
+    run's data order auditable. The ORDER ITSELF is the output contract
+    (shuffle_rank); at scale this is a sort by a uniform key — Spark's
+    range-partitioned sort, no single-partition choke, and writing the
+    result partitioned by rank-range yields the sharded epoch files a
+    loader streams."""
+    from pyspark.sql import Window
+    h = portable_hash64(F.col("doc_id").cast("string"), seed=SHUFFLE_SEED)
+    w = Window.orderBy(F.abs(h), F.col("doc_id"))
+    return (documents.select("doc_id")
+            .withColumn("shuffle_rank", F.row_number().over(w)))
+
+
+def deterministic_shuffle_oracle_sql() -> str:
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=SHUFFLE_SEED)
+    return f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY abs({h}), doc_id) AS shuffle_rank
+FROM documents
+"""
+
+
+def token_budget_pack(documents: DataFrame) -> DataFrame:
+    """Per-source token-budget corpus assembly: each `source` stratum
+    admits docs in deterministic hash order until its
+    {TOKEN_BUDGET_PER_SOURCE}-token budget is EXCEEDED (the admitting
+    doc may overshoot — the standard greedy fill). One partitioned
+    window (running token sum per source, hash order) + one filter; the
+    budget check uses the PRE-admission cumulative sum, so doc k is
+    kept iff the tokens before it fit the budget. No global sort; each
+    stratum fills independently — the 100 TB shape, since real corpus
+    specs budget per source/language."""
+    from pyspark.sql import Window
+    h = portable_hash64(F.col("doc_id").cast("string"), seed=SHUFFLE_SEED)
+    w = (Window.partitionBy("source").orderBy(F.abs(h), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    toks = F.size(F.filter(F.split(F.lower("text"), r"\W+"),
+                           lambda t: t != ""))
+    return (documents
+            .select("doc_id", "source", toks.alias("n_tokens"))
+            .withColumn("tokens_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .filter(F.col("tokens_before") < TOKEN_BUDGET_PER_SOURCE)
+            .select("doc_id", "source", "n_tokens", "tokens_before"))
+
+
+def token_budget_oracle_sql() -> str:
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=SHUFFLE_SEED)
+    return f"""
+WITH toks AS (SELECT doc_id, source, len({_TOKENS_DUCK}) AS n_tokens
+              FROM documents),
+cum AS (SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY abs({h}), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS tokens_before
+        FROM toks)
+SELECT doc_id, source, n_tokens, tokens_before
+FROM cum WHERE tokens_before < {TOKEN_BUDGET_PER_SOURCE}
+"""
