@@ -481,16 +481,33 @@ def deterministic_shuffle(documents: DataFrame) -> DataFrame:
     """Deterministic training-order shuffle: global example order =
     portable hash of (doc_id, seed) — reproducible across reruns, task
     retries, and engines (no RNG state), which is what makes a training
-    run's data order auditable. The ORDER ITSELF is the output contract
-    (shuffle_rank); at scale this is a sort by a uniform key — Spark's
-    range-partitioned sort, no single-partition choke, and writing the
-    result partitioned by rank-range yields the sharded epoch files a
-    loader streams."""
-    from pyspark.sql import Window
-    h = portable_hash64(F.col("doc_id").cast("string"), seed=SHUFFLE_SEED)
-    w = Window.orderBy(F.abs(h), F.col("doc_id"))
-    return (documents.select("doc_id")
-            .withColumn("shuffle_rank", F.row_number().over(w)))
+    run's data order auditable.
+
+    The global rank is computed WITHOUT a single-partition window (the
+    scale smell an unpartitioned `row_number` window has): two-phase
+    ranking — range-partition on the shuffle key, rank locally inside
+    each range, then add each partition's broadcast row-count offset.
+    Output ranks are exact regardless of where the sampled range
+    boundaries land, so the result stays deterministic even though
+    range sampling isn't."""
+    h = F.abs(portable_hash64(F.col("doc_id").cast("string"),
+                              seed=SHUFFLE_SEED))
+    base = (documents.select("doc_id", h.alias("hk"))
+            .repartitionByRange(PACK_BUCKETS, "hk", "doc_id")
+            .withColumn("pid", F.spark_partition_id()))
+    w = Window.partitionBy("pid").orderBy("hk", "doc_id")
+    local = base.withColumn("lr", F.row_number().over(w))
+    offs = (local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("off",
+                        F.coalesce(
+                            F.sum("n").over(
+                                Window.orderBy("pid")
+                                .rowsBetween(Window.unboundedPreceding, -1)),
+                            F.lit(0)))
+            .select("pid", "off"))
+    return (local.join(F.broadcast(offs), "pid")
+            .select("doc_id", (F.col("off") + F.col("lr"))
+                    .cast("bigint").alias("shuffle_rank")))
 
 
 def deterministic_shuffle_oracle_sql() -> str:
