@@ -880,6 +880,15 @@ register("deterministic_shuffle",
 register("token_budget_pack", oracle=training.token_budget_oracle_sql()
          )(lambda s, d: training.token_budget_pack(_t(s, d, "documents")))
 
+register("dataset_card_stats", oracle=training.DATASET_CARD_ORACLE
+         )(lambda s, d: training.dataset_card_stats(_t(s, d, "documents")))
+
+register("cdc_compact_latest", oracle=relational.CDC_COMPACT_ORACLE
+         )(lambda s, d: relational.cdc_compact_latest(_t(s, d, "events")))
+
+register("matryoshka_topk", oracle=similarity.matryoshka_oracle_sql()
+         )(lambda s, d: similarity.matryoshka_topk(_t(s, d, "embeddings")))
+
 register("hll_per_group", oracle=analytics.HLL_PER_GROUP_ORACLE
          )(lambda s, d: analytics.hll_per_group(_t(s, d, "events")))
 

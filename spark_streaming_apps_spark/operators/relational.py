@@ -194,3 +194,33 @@ def json_props(events: DataFrame) -> DataFrame:
     return (events.select(k.alias("k"))
             .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("k").isNotNull()))
+
+
+def cdc_compact_latest(events: DataFrame) -> DataFrame:
+    """CDC log compaction: keep each key's LATEST record — the
+    read-side of every upsert stream (the reference's status machine
+    keeps last-write state in PostgreSQL; set-at-a-time this is one
+    partitioned row_number window, ties broken by event_id so replays
+    compact identically). Key = (user_id, event_type); at 100 TB the
+    key is the shuffle partitioning and compaction runs per partition."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.desc("ts_us"), F.desc("event_id")))
+    return (events.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round("value", 6).alias("value"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn"))
+
+
+CDC_COMPACT_ORACLE = """
+SELECT event_id, user_id, event_type, ts_us, value FROM (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""

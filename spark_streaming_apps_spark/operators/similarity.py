@@ -927,3 +927,41 @@ SELECT vec_id, SUM(code) AS code_sum, MIN(code) AS code_min,
        round(SUM(pow(x - (mn + (code + 0.5) * (mx - mn) / {q}.0), 2)), 6) AS mse6
 FROM coded GROUP BY vec_id
 """
+
+
+MRL_DIM = 16
+
+
+def matryoshka_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                    k: int = TOP_K) -> DataFrame:
+    """Matryoshka-style truncated ANN: rank by cosine over the FIRST
+    {MRL_DIM} dimensions only — the modern serving trick (MRL-trained
+    embeddings keep most signal in the prefix) that cuts scan FLOPs and
+    bandwidth 4x without an index. Same contract as cosine_topk; the
+    prefix slice happens at projection time so the scan never carries
+    the tail dims (column pruning can't split an array, but the slice
+    runs scan-side before any shuffle). Recall vs full-dim is pinned in
+    tests — the number that justifies the truncation."""
+    emb = embeddings.withColumn(
+        "e", F.expr(f"transform(slice(embedding, 1, {MRL_DIM}), "
+                    "x -> cast(x as double))"))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    return (emb.filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qv))
+            .select("vec_id", "label", _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
+
+
+def matryoshka_oracle_sql(query_vec_id: int = 0, k: int = TOP_K) -> str:
+    cos = _cosine_duck("e", "q")
+    return f"""
+WITH emb AS (SELECT vec_id, label,
+                    CAST(embedding[1:{MRL_DIM}] AS DOUBLE[]) AS e
+             FROM embeddings),
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id})
+SELECT vec_id, label, {cos} AS sim
+FROM emb, q WHERE vec_id != {query_vec_id}
+ORDER BY sim DESC, vec_id LIMIT {k}
+"""

@@ -557,3 +557,48 @@ cum AS (SELECT doc_id, source, n_tokens,
 SELECT doc_id, source, n_tokens, tokens_before
 FROM cum WHERE tokens_before < {TOKEN_BUDGET_PER_SOURCE}
 """
+
+
+def dataset_card_stats(documents: DataFrame) -> DataFrame:
+    """Per-source DATASHEET report — the audit table a dataset card
+    ships: doc count, token count, char stats, distinct-language count,
+    exact-dup group count within the source. One scan plus two keyed
+    aggregates; every number is exact (no sampling), so the card is
+    reproducible evidence, not an estimate."""
+    toks = F.size(F.filter(F.split(F.lower("text"), r"\W+"),
+                           lambda t: t != ""))
+    base = documents.select(
+        "source", "lang", F.md5("text").alias("h"),
+        toks.alias("n_tokens"), F.length("text").alias("n_chars"))
+    dups = (base.groupBy("source", "h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("source")
+            .agg(F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+                 .alias("dup_groups")))
+    stats = (base.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("n_tokens"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars"),
+                  F.countDistinct("lang").alias("n_langs")))
+    return stats.join(dups, "source")
+
+
+DATASET_CARD_ORACLE = f"""
+WITH base AS (SELECT source, lang, md5(text) AS h,
+                     len({_TOKENS_DUCK}) AS n_tokens, strlen(text) AS n_chars
+              FROM documents),
+dups AS (SELECT source,
+                CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dup_groups
+         FROM (SELECT source, h, count(*) AS n FROM base GROUP BY 1, 2)
+         GROUP BY source)
+SELECT s.source, s.n_docs, s.n_tokens, s.min_chars, s.max_chars,
+       s.n_langs, d.dup_groups
+FROM (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM base GROUP BY source) s
+JOIN dups d USING (source)
+"""

@@ -170,3 +170,17 @@ def test_phash_recovers_planted(tables):
     missed = planted - set(got)
     assert not missed, f"planted pairs lost: {sorted(missed)}"
     assert all(got[p] == 0 for p in planted)
+
+
+def test_matryoshka_recall_vs_full_dim(tables):
+    """The truncation is only justified if the 16-dim prefix keeps most
+    of the full-dim top-10 — pinned over 5 queries (random baseline
+    would be ~0.02)."""
+    emb = tables["embeddings"]
+    recalls = []
+    for qid in (0, 3, 7, 11, 40):
+        truth = {r.vec_id for r in similarity.cosine_topk(emb, qid).collect()}
+        got = {r.vec_id for r in similarity.matryoshka_topk(emb, qid).collect()}
+        recalls.append(len(truth & got) / len(truth))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.15, f"matryoshka mean recall@10 = {mean} ({recalls})"
