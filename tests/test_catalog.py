@@ -54,3 +54,20 @@ def test_driver_contract_shape():
     assert set(os_) <= set(qs)
     assert len(qs) >= 78
     assert all(callable(v) for v in qs.values())
+
+
+def test_priority_and_bench_keys_exist():
+    """PRIORITY (the driver-window ordering) and BENCH_KEYS must never
+    name an unregistered key — a typo there silently drops coverage."""
+    import bench
+    assert not [k for k in catalog.PRIORITY if k not in catalog.REGISTRY]
+    assert not [k for k in bench.BENCH_KEYS if k not in catalog.REGISTRY]
+    # the §2 contract must fully occupy the driver's 50-key window
+    assert len(catalog.PRIORITY) >= 50
+    assert SURVEY_S2_KEYS - {"project_value", "md5_hash", "path_concat",
+                             "length_bytes", "count_rows", "sort_asc"} \
+        <= set(catalog.PRIORITY[:50])
+
+
+def test_registry_scale_round4():
+    assert len(catalog.REGISTRY) >= 150, len(catalog.REGISTRY)
