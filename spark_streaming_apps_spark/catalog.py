@@ -870,6 +870,12 @@ register("correlated_exists", oracle=analytics.CORRELATED_EXISTS_ORACLE
 register("sessionize_ids", oracle=analytics.SESSIONIZE_ORACLE
          )(lambda s, d: analytics.sessionize_ids(_t(s, d, "events")))
 
+register("value_histogram", oracle=analytics.HISTOGRAM_ORACLE
+         )(lambda s, d: analytics.value_histogram(_t(s, d, "events")))
+
+register("data_profile", oracle=analytics.DATA_PROFILE_ORACLE
+         )(lambda s, d: analytics.data_profile(_t(s, d, "events")))
+
 register("text_knn_jaccard", oracle=dedup.text_knn_oracle_sql()
          )(lambda s, d: dedup.text_knn_jaccard(_t(s, d, "documents")))
 

@@ -759,3 +759,73 @@ SELECT event_id, user_id, ts_us,
                         ROWS UNBOUNDED PRECEDING) AS session_seq
 FROM flagged
 """
+
+
+HIST_BINS = 20
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    """Equi-width histogram of event values — the deterministic
+    reporting histogram (histogram_numeric is estimator-based and
+    differs across engines; fixed-width binning over the exact min/max
+    is reproducible anywhere). Two passes: a 1-row extent aggregate
+    broadcast back, then one keyed count per bin; values at max land in
+    the last bin."""
+    ext = events.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("mn")) * HIST_BINS
+                / (F.col("mx") - F.col("mn"))).cast("int"),
+        F.lit(HIST_BINS - 1))
+    return (events.join(F.broadcast(ext))
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 6).alias("lo"),
+                 F.round(F.max("value"), 6).alias("hi")))
+
+
+HISTOGRAM_ORACLE = f"""
+WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+SELECT CAST(least(floor((value - mn) * {HIST_BINS} / (mx - mn)),
+                  {HIST_BINS - 1}) AS INT) AS bin,
+       COUNT(*) AS n, round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+FROM events, ext GROUP BY 1
+"""
+
+
+def data_profile(events: DataFrame) -> DataFrame:
+    """Column-level data-quality profile — the pre-flight audit every
+    ingest runs: per column (unpivoted), non-null count, null count,
+    distinct count. One scan, one aggregate; the stack unpivot keeps it
+    a single pass rather than a query per column."""
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[c for col in ("event_id", "user_id", "event_type", "value", "props")
+          for c in (F.count(col).alias(f"nn_{col}"),
+                    F.countDistinct(col).alias(f"nd_{col}"))])
+    cols = ("event_id", "user_id", "event_type", "value", "props")
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return agg.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) as (column_name, n_nonnull, n_distinct)"
+    ).select("column_name", "n_rows", "n_nonnull",
+             (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+             "n_distinct")
+
+
+DATA_PROFILE_ORACLE = """
+WITH a AS (SELECT COUNT(*) AS n_rows,
+  COUNT(event_id) AS nn_event_id, COUNT(DISTINCT event_id) AS nd_event_id,
+  COUNT(user_id) AS nn_user_id, COUNT(DISTINCT user_id) AS nd_user_id,
+  COUNT(event_type) AS nn_event_type, COUNT(DISTINCT event_type) AS nd_event_type,
+  COUNT(value) AS nn_value, COUNT(DISTINCT value) AS nd_value,
+  COUNT(props) AS nn_props, COUNT(DISTINCT props) AS nd_props
+  FROM events)
+SELECT u.column_name, a.n_rows, u.n_nonnull,
+       a.n_rows - u.n_nonnull AS n_null, u.n_distinct
+FROM a, LATERAL (VALUES
+  ('event_id', nn_event_id, nd_event_id),
+  ('user_id', nn_user_id, nd_user_id),
+  ('event_type', nn_event_type, nd_event_type),
+  ('value', nn_value, nd_value),
+  ('props', nn_props, nd_props)) AS u(column_name, n_nonnull, n_distinct)
+"""
