@@ -969,6 +969,15 @@ SELECT e.user_id, e.event_id, e.event_type, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """)(lambda s, d: _streaming("stream_static_join_job")(s, d))
 
+register("streaming_cdc_upsert", oracle="""
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+""")(lambda s, d: _streaming("streaming_cdc_upsert_job")(s, d))
+
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)

@@ -570,6 +570,44 @@ def stream_static_join_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def streaming_cdc_upsert_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: every micro-batch MERGES into a keep-latest
+    state table — the stream twin of the batch `cdc_compact_latest`
+    (there, one window over the full log; here, the same final state
+    reached incrementally, version = event_id so the outcome is
+    independent of how the backlog splits into batches). State is
+    written to VERSIONED parquet dirs (write-new-then-advance, the
+    single-writer discipline merge_upsert documents); each merge is a
+    full-outer-free union + keep-max-version per key. The drained state
+    equals the batch compaction exactly."""
+    out, ckpt = _fresh("streaming_cdc_upsert")
+    base = Path(out)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        w = (Window.partitionBy("user_id", "event_type")
+             .orderBy(F.desc("event_id")))
+        compact = (batch.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1).drop("rn"))
+        prev = base / f"v{batch_id - 1}"
+        if prev.exists():
+            cur = batch.sparkSession.read.parquet(str(prev))
+            compact = (cur.unionByName(compact)
+                       .withColumn("rn", F.row_number().over(w))
+                       .filter(F.col("rn") == 1).drop("rn"))
+        compact.write.mode("overwrite").parquet(str(base / f"v{batch_id}"))
+
+    stream = (events_stream(spark, sf_dir)
+              .select("event_id", "user_id", "event_type", "value"))
+    _run_available_now(
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt))
+    latest = max(base.glob("v*"), key=lambda p: int(p.name[1:]))
+    return (spark.read.parquet(str(latest))
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 6).alias("value")))
+
+
 def poll_wait_loop_job(spark: SparkSession, sf_dir: str,
                        n_polls: int = 5) -> DataFrame:
     """poll_wait_loop: the worker's claim-poll loop (FileWorkerApp.scala:
