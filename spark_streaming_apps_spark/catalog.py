@@ -876,6 +876,9 @@ register("value_histogram", oracle=analytics.HISTOGRAM_ORACLE
 register("data_profile", oracle=analytics.DATA_PROFILE_ORACLE
          )(lambda s, d: analytics.data_profile(_t(s, d, "events")))
 
+register("sql_registered_udf", oracle=extensions.SQL_UDF_ORACLE
+         )(lambda s, d: extensions.sql_registered_udf(s, d))
+
 register("text_knn_jaccard", oracle=dedup.text_knn_oracle_sql()
          )(lambda s, d: dedup.text_knn_jaccard(_t(s, d, "documents")))
 

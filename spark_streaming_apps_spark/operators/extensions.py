@@ -399,3 +399,40 @@ SELECT z >> {ZORDER_BUCKET_SHIFT} AS zbucket, COUNT(*) AS n_rows,
        max(ck) - min(ck) AS ck_span, max(dy) - min(dy) AS dy_span
 FROM zz GROUP BY 1
 """
+
+
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `spark.udf.register` + SQL-invocation seam: a Python scalar
+    function registered into the SQL function catalog and called from a
+    SQL string — how notebook/SQL-first users extend the engine (the
+    complement of the DataFrame-side pandas-UDF key). The function
+    (token count) is deliberately SQL-expressible so the oracle checks
+    the registration round trip, not novel math; the Arrow-batched
+    pandas variant is the production registration (row-at-a-time
+    `udf()` would be the 10-100x-slower trap)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def py_token_count(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len([w for w in
+                                        __import__("re").split(r"\W+",
+                                                               t.lower())
+                                        if w]))
+
+    spark.udf.register("py_token_count", py_token_count)
+    from ..sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udf_view")
+    return spark.sql("""
+        SELECT doc_id, py_token_count(text) AS n_tokens
+        FROM docs_udf_view
+    """)
+
+
+SQL_UDF_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> t <> '')) AS INT) AS n_tokens
+FROM documents
+"""
