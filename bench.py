@@ -113,14 +113,14 @@ def main() -> None:
     # The host is a shared VM with visible CPU steal: single-shot timings
     # spiked 1s -> 8-10s on random queries run-to-run. Per-query min over
     # REPS full passes measures the engine, not the neighbors. The shared
-    # sketch-layer memo (dedup._SKETCH_CACHE) is cleared at the top of each
+    # sketch-layer memo (dedup.clear_sketch_cache) is released at the top of each
     # pass so its one-time build cost stays inside exactly one dedup query
     # per pass (same accounting as a single cold run).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     from spark_streaming_apps_spark.operators import dedup
     times: dict[str, float] = {}
     for rep in range(reps):
-        dedup._SKETCH_CACHE.clear()
+        dedup.clear_sketch_cache()
         for key in BENCH_KEYS:
             t0 = time.perf_counter()
             materialize(qs[key](spark, SF_DIR))

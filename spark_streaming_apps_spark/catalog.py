@@ -939,6 +939,11 @@ register("merge_upsert",
          oracle=extensions.MERGE_UPSERT_ORACLE.format(queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.merge_upsert(s, d, SCRATCH))
 
+register("acid_time_travel",
+         oracle=extensions.ACID_TIME_TRAVEL_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_time_travel(s, d, SCRATCH))
+
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))
 

@@ -772,10 +772,11 @@ def value_histogram(events: DataFrame) -> DataFrame:
     broadcast back, then one keyed count per bin; values at max land in
     the last bin."""
     ext = events.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    bin_ = F.least(
-        F.floor((F.col("value") - F.col("mn")) * HIST_BINS
-                / (F.col("mx") - F.col("mn"))).cast("int"),
-        F.lit(HIST_BINS - 1))
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) * HIST_BINS
+                    / (F.col("mx") - F.col("mn"))).cast("int"),
+            F.lit(HIST_BINS - 1)))
     return (events.join(F.broadcast(ext))
             .groupBy(bin_.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
@@ -785,8 +786,9 @@ def value_histogram(events: DataFrame) -> DataFrame:
 
 HISTOGRAM_ORACLE = f"""
 WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
-SELECT CAST(least(floor((value - mn) * {HIST_BINS} / (mx - mn)),
-                  {HIST_BINS - 1}) AS INT) AS bin,
+SELECT CAST(CASE WHEN mx = mn THEN 0
+            ELSE least(floor((value - mn) * {HIST_BINS} / (mx - mn)),
+                       {HIST_BINS - 1}) END AS INT) AS bin,
        COUNT(*) AS n, round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
 FROM events, ext GROUP BY 1
 """

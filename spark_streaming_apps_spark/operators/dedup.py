@@ -127,7 +127,40 @@ _TKH_DUCK = ("list_transform(tk, t -> CAST(('0x' || substr(md5(t),1,15)) "
 #: dominant scan cost. Bounded (drop-oldest) so long sessions with many
 #: distinct corpora don't pin unbounded checkpoint blocks.
 _SKETCH_CACHE: dict = {}
-_SKETCH_CACHE_MAX = 8
+_SKETCH_CACHE_MAX = 32  # every materialized layer now registers here
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Fault-tolerant materialization barrier for the shared sketch
+    layers. `persist(MEMORY_AND_DISK)` keeps the LINEAGE: on a real
+    cluster an executor loss recomputes the lost partitions from the
+    parquet scan, where the previous `localCheckpoint()` (executor-local
+    blocks, lineage truncated) would have killed the query. The
+    InMemoryRelation is also the optimizer barrier the layer needs —
+    projection collapse can't inline the md5 pass into every downstream
+    per-element lambda access (measured 10x-100x blowup without it)."""
+    from pyspark import StorageLevel
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _release(obj) -> None:
+    """Unpersist a memoized value (DataFrame or tuple of DataFrames) —
+    eviction and cache-clear must release the blocks, not just drop the
+    Python reference and wait for the JVM ContextCleaner."""
+    vals = obj if isinstance(obj, tuple) else (obj,)
+    for v in vals:
+        try:
+            v.unpersist()
+        except Exception:
+            pass
+
+
+def clear_sketch_cache() -> None:
+    """Release every memoized sketch/index block and empty the registry —
+    the bench harness calls this between passes so each pass pays the
+    one-time build cost exactly once, with no stale blocks accumulating."""
+    while _SKETCH_CACHE:
+        _release(_SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE))))
 
 
 def _memo(corpus: DataFrame, tag: str, build) -> DataFrame:
@@ -138,7 +171,7 @@ def _memo(corpus: DataFrame, tag: str, build) -> DataFrame:
         return build()
     if key not in _SKETCH_CACHE:
         while len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
-            _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
+            _release(_SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE))))
         _SKETCH_CACHE[key] = build()
     return _SKETCH_CACHE[key]
 
@@ -147,16 +180,15 @@ def _with_token_hashes(corpus: DataFrame) -> DataFrame:
     """doc_id + tkh (per-instance mod-p token hashes) — the ONE md5 pass
     over the corpus text that the whole dedup family shares. simhash reads
     this layer directly (affine rehashes of tkh); the shingle layer builds
-    on it. Materialized (localCheckpoint) so Catalyst's projection
+    on it. Materialized (lineage-keeping persist) so Catalyst's projection
     collapse can't inline the md5 pass into every downstream per-element
     lambda access (measured 10x-100x blowup), memoized per
     (session, input plan)."""
 
     def build() -> DataFrame:
-        return (_with_tokens(corpus)
-                .withColumn("tkh", F.expr(_TKH))
-                .select("doc_id", "tkh")
-                .localCheckpoint())
+        return _materialize(_with_tokens(corpus)
+                            .withColumn("tkh", F.expr(_TKH))
+                            .select("doc_id", "tkh"))
 
     return _memo(corpus, "token_hashes", build)
 
@@ -175,10 +207,9 @@ def _with_shingle_hashes(corpus: DataFrame) -> DataFrame:
             f"ELSE cast(array() as array<bigint>) END")
 
     def build() -> DataFrame:
-        return (_with_token_hashes(corpus)
-                .withColumn("hs", F.array_distinct(F.expr(sglh)))
-                .select("doc_id", "hs")
-                .localCheckpoint())
+        return _materialize(_with_token_hashes(corpus)
+                            .withColumn("hs", F.array_distinct(F.expr(sglh)))
+                            .select("doc_id", "hs"))
 
     return _memo(corpus, "shingle_hashes", build)
 
@@ -206,18 +237,18 @@ _TOKENS_DUCK = "list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '
 
 def _minhash_sig(documents: DataFrame, plant: bool = True) -> DataFrame:
     """Per-doc 16-minhash signature table. Signatures feed the band join
-    AND both verify sides: materialized once (lineage-truncating local
-    checkpoint) instead of re-hashing every shingle 3x; memoized so
+    AND both verify sides: materialized once (lineage-keeping persist)
+    instead of re-hashing every shingle 3x; memoized so
     clusters/apply/levenshtein reuse the same blocks. `plant=False`
     skips the near-dup fixtures (real-corpus consumers: corpus_curate)."""
     corpus = (planted_corpus(documents) if plant
               else documents.select("doc_id", "text"))
     sh = _with_shingle_hashes(corpus)
-    return _memo(sh, "minhash_sig", lambda: sh.select(
+    return _memo(sh, "minhash_sig", lambda: _materialize(sh.select(
         "doc_id",
         *[F.expr(f"array_min(transform(hs, h -> {_mh_affine(i, 'h')}))")
           .alias(f"mh{i}") for i in range(N_HASHES)],
-    ).localCheckpoint())
+    )))
 
 
 def _minhash_band_candidates(documents: DataFrame,
@@ -278,10 +309,10 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
     near-dup components are shallow chains, so this converges in a
     handful of iterations even at corpus scale."""
     pairs = minhash_pairs(documents).select("doc1", "doc2")
-    edges = (pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-             .unionByName(pairs.select(F.col("doc2").alias("src"),
-                                       F.col("doc1").alias("dst")))
-             .localCheckpoint())
+    edges = _materialize(
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionByName(pairs.select(F.col("doc2").alias("src"),
+                                  F.col("doc1").alias("dst"))))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
     # Run to the fixed point — min-label propagation needs O(diameter)
@@ -291,15 +322,19 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
     for it in range(1000):
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("lab").alias("nlab")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == neighbor_min.src, "left")
-                      .select("node",
-                              F.least("lab", F.coalesce("nlab", "lab"))
-                               .alias("lab"))
-                      .localCheckpoint())
+        # per-iteration persist (lineage kept, prior round released after
+        # the convergence probe) — each round physically scans the
+        # previous round's cached labels, and an executor loss recomputes
+        # through the cached chain instead of failing the query
+        new_labels = _materialize(
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node",
+                    F.least("lab", F.coalesce("nlab", "lab")).alias("lab")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.lab") != F.col("o.lab")).count())
+        if it > 0:
+            _release(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -521,10 +556,13 @@ def simhash_pairs(documents: DataFrame) -> DataFrame:
     )
     # explode drops zero-token docs; the oracle (and the old array path)
     # keeps them with fingerprint 0 — restore via left join.
-    sig = (corpus.select("doc_id")
-           .join(sums.select("doc_id", assembled.alias("sh")), "doc_id", "left")
-           .select("doc_id", F.coalesce("sh", F.lit(0).cast("long")).alias("simhash"))
-           .localCheckpoint())  # both sides of the band join read this
+    # both sides of the band join read this; memoized so repeat calls
+    # (bench passes) reuse one set of blocks instead of leaking persists
+    sig = _memo(sk, "simhash_sig", lambda: _materialize(
+        corpus.select("doc_id")
+        .join(sums.select("doc_id", assembled.alias("sh")), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("sh", F.lit(0).cast("long")).alias("simhash"))))
     n_bands = SIM_BITS // SIM_BAND_BITS
     mask = (1 << SIM_BAND_BITS) - 1
     stack_args = ", ".join(

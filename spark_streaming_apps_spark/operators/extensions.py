@@ -213,50 +213,44 @@ def merge_upsert(spark: SparkSession, sf_dir: str,
     (the 5 lowest available file_ids flip to claimed, plus one brand-new
     row) is merged via full-outer join on the key: matched rows take the
     update, unmatched keep the current state, inserts append. The merged
-    state is written back and re-read — what `foreachBatch` would do per
-    micro-batch against a real table format.
+    state is committed through the engine's ACID table (acid.AcidTable):
+    version 0 is the loaded queue, the update batch lands as one atomic
+    MERGE commit, and the result is the committed snapshot re-read
+    through its manifest.
 
-    CONCURRENCY CONTRACT: read-modify-overwrite is correct only under ONE
-    writer per state table (or per partition of it) — the invariant
-    Structured Streaming's foreachBatch naturally provides, since one
-    query owns the sink. It is NOT safe for N independent batch writers;
-    that needs either a transactional table format (Delta/Iceberg MERGE —
-    not shipped in this container) or per-row claims via the atomic
-    exclusive-create protocol in queue.try_claim/claim_one_exclusive,
-    which IS race-tested here (tests/test_queue.py)."""
+    CONCURRENCY CONTRACT: safe for N independent writers. Each MERGE is
+    an optimistic manifest-swap commit — the O_EXCL manifest create
+    admits exactly one writer per version, losers re-merge onto the
+    winner's snapshot and retry (race-tested: tests/test_acid.py
+    ::test_concurrent_writers_lose_nothing). This is the engine's answer
+    to the reference's row-lock transaction (FileWorkerApp.scala:
+    207-227) at table-format granularity; row granularity remains
+    available via queue.try_claim/claim_one_exclusive."""
     import shutil
 
+    from ..acid import AcidTable
     from ..operators.queue import queue_df
     from ..sources.tables import load_table
 
-    state_dir = str(scratch / "merge_state")
-    shutil.rmtree(state_dir, ignore_errors=True)
+    table_dir = scratch / "merge_state_acid"
+    shutil.rmtree(table_dir, ignore_errors=True)
     state = queue_df(load_table(spark, sf_dir, "orders")) \
         .select("file_id", "status", "resident", "error_status")
-    state.write.parquet(state_dir)
+    t = AcidTable.create(spark, table_dir, state)
 
-    cur = spark.read.parquet(state_dir)
+    cur = t.read()
+    # claims update only `status`; NULL value columns never overwrite
+    # (AcidTable.merge coalesces update-first, current as fallback)
     claims = (cur.filter(F.col("status") == 0)
               .orderBy("file_id").limit(5)
               .select("file_id", F.lit(1).alias("status"),
-                      F.lit(0).alias("resident"), F.lit(0).alias("error_status")))
+                      F.lit(None).cast("int").alias("resident"),
+                      F.lit(None).cast("int").alias("error_status")))
     new_row = spark.createDataFrame(
         [(999_999_999, 0, 0, 0)],
         "file_id long, status int, resident int, error_status int")
-    updates = claims.unionByName(new_row)
-
-    merged = (cur.alias("s")
-              .join(updates.alias("u"), "file_id", "full_outer")
-              .select("file_id",
-                      F.coalesce("u.status", "s.status").alias("status"),
-                      F.coalesce("s.resident", "u.resident").alias("resident"),
-                      F.coalesce("s.error_status", "u.error_status")
-                       .alias("error_status")))
-    out_dir = str(scratch / "merge_state_v2")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    merged.write.parquet(out_dir)
-    back = spark.read.parquet(out_dir)
-    return (back.groupBy("status")
+    t.merge(claims.unionByName(new_row), key=["file_id"])
+    return (t.read().groupBy("status")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("file_id").alias("min_id"),
                  F.max("file_id").alias("max_id")))
@@ -340,6 +334,59 @@ merged AS (
   UNION ALL SELECT 999999999, 0)
 SELECT status, COUNT(*) AS n, min(file_id) AS min_id, max(file_id) AS max_id
 FROM merged GROUP BY status
+"""
+
+
+def acid_time_travel(spark: SparkSession, sf_dir: str,
+                     scratch: Path) -> DataFrame:
+    """Time travel over the ACID table: three committed versions of the
+    queue state (v0 = loaded, v1 = five lowest available claimed, v2 =
+    those five completed), then a status census of EVERY version read
+    back through its own manifest. Old versions stay readable because
+    commits never mutate data — the audit/debug superpower the
+    reference's UPDATE-in-place queue fundamentally cannot offer
+    (FileWorkerApp.scala:207-227 destroys the prior state on commit)."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "acid_time_travel"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    claims = low5.select("file_id", F.lit(1).alias("status"))
+    t.merge(claims, key=["file_id"])                       # v1: claimed
+    t.merge(low5.select("file_id", F.lit(3).alias("status")),
+            key=["file_id"])                               # v2: completed
+    per_version = [
+        t.read(v).groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(v).alias("version"), "status", "n")
+        for v in range(3)]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ACID_TIME_TRAVEL_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+versions AS (
+  SELECT 0 AS version, status FROM queue
+  UNION ALL
+  SELECT 1, CASE WHEN file_id IN (SELECT file_id FROM low5)
+                 THEN 1 ELSE status END FROM queue
+  UNION ALL
+  SELECT 2, CASE WHEN file_id IN (SELECT file_id FROM low5)
+                 THEN 3 ELSE status END FROM queue)
+SELECT version, status, COUNT(*) AS n FROM versions GROUP BY 1, 2
 """
 
 

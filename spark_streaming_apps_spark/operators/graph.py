@@ -43,15 +43,18 @@ def pagerank_nations(customer: DataFrame, orders: DataFrame,
     the same iterations as CTEs). Dangling mass is handled by the
     (1-d)/N teleport only, matching the oracle exactly; ranks rounded to
     6 dp at the end."""
-    edges = _edges(customer, orders, lineitem, supplier).localCheckpoint()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
+    from .dedup import _memo, _materialize
+    raw = _edges(customer, orders, lineitem, supplier)
+    edges = _memo(raw, "pagerank_edges", lambda: _materialize(raw))
+    nodes = _memo(raw, "pagerank_nodes", lambda: _materialize(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()))
     n = nodes.count()
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    norm = (edges.join(outw, "src")
-            .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
-            .localCheckpoint())
+    norm = _memo(raw, "pagerank_norm", lambda: _materialize(
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(PR_ITERS):
         contrib = (norm.join(F.broadcast(ranks),

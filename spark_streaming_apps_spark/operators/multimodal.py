@@ -212,8 +212,10 @@ def phash_near_dup(documents: DataFrame, fake: bool = True) -> DataFrame:
                 out_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": out_hash})
 
-    sig = payloads.mapInPandas(ahash, schema="doc_id long, ahash long") \
-        .localCheckpoint()  # both band-join sides read this
+    from .dedup import _memo, _materialize
+    # both band-join sides read this
+    sig = _memo(documents, f"phash_sig_fake{fake}", lambda: _materialize(
+        payloads.mapInPandas(ahash, schema="doc_id long, ahash long")))
     band_bits = PHASH_PIXELS // PHASH_BANDS
     mask = (1 << band_bits) - 1
     stack = ", ".join(

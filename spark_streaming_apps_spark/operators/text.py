@@ -156,9 +156,12 @@ def bm25_rank(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
     # Materialized: consumed twice (corpus stats + the scoring join), and
     # projection collapse would re-run the regex tokenization once per tf
     # column on each pass. After this the hot path is 5 doubles per doc.
-    scored_in = (docs.select("doc_id", F.col("dl").cast("double").alias("dl"),
-                             *tf_cols)
-                 .localCheckpoint())
+    from .dedup import _memo, _materialize
+    scored_in = _memo(
+        documents, "bm25_tf_" + "_".join(terms),
+        lambda: _materialize(
+            docs.select("doc_id", F.col("dl").cast("double").alias("dl"),
+                        *tf_cols)))
     stats = scored_in.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -323,9 +326,11 @@ def inverted_index(documents: DataFrame) -> DataFrame:
     shard hot terms by a doc_id-range salt and keep the first cap per
     shard, then merge."""
     from pyspark.sql import Window
-    post = (documents.select("doc_id", F.explode(_tokens()).alias("term"))
-            .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf_d"))
-            .localCheckpoint())  # stats AND sample read this one shuffle
+    from .dedup import _memo, _materialize
+    post = _memo(documents, "inverted_postings", lambda: _materialize(
+        documents.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf_d"))))  # stats AND sample read this one shuffle
     stats = post.groupBy("term").agg(F.sum("tf_d").alias("tf"),
                                      F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("term").orderBy("doc_id")
@@ -405,12 +410,12 @@ def winnow_fingerprint(documents: DataFrame) -> DataFrame:
     All array exprs over the doc's own hashes: no shuffle at all — the
     operator is scan-shaped and embarrassingly parallel at any scale.
 
-    The positional hash array is pinned with localCheckpoint before the
+    The positional hash array is pinned (lineage-keeping persist) before the
     windowed-min pass, same as dedup._with_shingle_hashes: Catalyst's
     projection collapse would otherwise inline the md5 token-hash
     transform into every element access of the window lambda and turn
     one O(tokens) hash pass into O(tokens * window) re-hashes."""
-    from .dedup import MH_COMBINE, MH_P, _TKH, _memo
+    from .dedup import MH_COMBINE, MH_P, _TKH, _memo, _materialize
     sglh = (f"CASE WHEN size(tkh) >= 3 THEN "
             f"transform(sequence(1, size(tkh) - 2), i -> "
             f"((element_at(tkh, i) * {MH_COMBINE} + element_at(tkh, i + 1)) "
@@ -419,12 +424,11 @@ def winnow_fingerprint(documents: DataFrame) -> DataFrame:
     fps = (f"array_distinct(CASE WHEN size(hs) >= {WINNOW_W} THEN "
            f"transform(sequence(1, size(hs) - {WINNOW_W - 1}), i -> "
            f"array_min(slice(hs, i, {WINNOW_W}))) ELSE hs END)")
-    hashed = _memo(documents, "winnow_positional", lambda: (
+    hashed = _memo(documents, "winnow_positional", lambda: _materialize(
         documents
         .select("doc_id", _tokens().alias("tk"))
         .withColumn("tkh", F.expr(_TKH))
-        .select("doc_id", F.expr(sglh).alias("hs"))
-        .localCheckpoint()))
+        .select("doc_id", F.expr(sglh).alias("hs"))))
     return (hashed
             .withColumn("fps", F.expr(fps))
             .filter(F.size("fps") > 0)

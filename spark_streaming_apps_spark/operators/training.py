@@ -245,9 +245,10 @@ def contamination_check(documents: DataFrame) -> DataFrame:
     hashes (same hashes both engines)."""
     # benchmark side AND corpus side both read the exploded shingle
     # relation — materialize it once instead of re-hashing every token 2x
-    sh = (_with_shingle_hashes(documents.select("doc_id", "text"))
-          .select("doc_id", F.explode("hs").alias("sh_h"))
-          .localCheckpoint())
+    from .dedup import _memo, _materialize
+    sh = _memo(documents, "contam_shingles", lambda: _materialize(
+        _with_shingle_hashes(documents.select("doc_id", "text"))
+        .select("doc_id", F.explode("hs").alias("sh_h"))))
     bench = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
              .select("sh_h").distinct())
     overlap = (sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
@@ -569,7 +570,7 @@ def dataset_card_stats(documents: DataFrame) -> DataFrame:
                            lambda t: t != ""))
     base = documents.select(
         "source", "lang", F.md5("text").alias("h"),
-        toks.alias("n_tokens"), F.length("text").alias("n_chars"))
+        toks.alias("n_tokens"), F.octet_length("text").alias("n_chars"))
     dups = (base.groupBy("source", "h")
             .agg(F.count(F.lit(1)).alias("n"))
             .groupBy("source")

@@ -575,35 +575,29 @@ def streaming_cdc_upsert_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     state table — the stream twin of the batch `cdc_compact_latest`
     (there, one window over the full log; here, the same final state
     reached incrementally, version = event_id so the outcome is
-    independent of how the backlog splits into batches). State is
-    written to VERSIONED parquet dirs (write-new-then-advance, the
-    single-writer discipline merge_upsert documents); each merge is a
-    full-outer-free union + keep-max-version per key. The drained state
+    independent of how the backlog splits into batches). State lives in
+    the engine's ACID table (acid.AcidTable): every micro-batch is ONE
+    atomic merge_keep_latest commit — readers always see a committed
+    snapshot, a crashed batch leaves only an unreferenced data dir, and
+    a replayed batch re-merges idempotently (keep-max-version), which is
+    exactly the foreachBatch at-least-once contract. The drained state
     equals the batch compaction exactly."""
+    from ..acid import AcidTable
     out, ckpt = _fresh("streaming_cdc_upsert")
-    base = Path(out)
+    schema = "event_id long, user_id long, event_type string, value double"
+    table = AcidTable.create(spark, Path(out) / "state",
+                             spark.createDataFrame([], schema))
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-        w = (Window.partitionBy("user_id", "event_type")
-             .orderBy(F.desc("event_id")))
-        compact = (batch.withColumn("rn", F.row_number().over(w))
-                   .filter(F.col("rn") == 1).drop("rn"))
-        prev = base / f"v{batch_id - 1}"
-        if prev.exists():
-            cur = batch.sparkSession.read.parquet(str(prev))
-            compact = (cur.unionByName(compact)
-                       .withColumn("rn", F.row_number().over(w))
-                       .filter(F.col("rn") == 1).drop("rn"))
-        compact.write.mode("overwrite").parquet(str(base / f"v{batch_id}"))
+        table.merge_keep_latest(batch, key=["user_id", "event_type"],
+                                version_col="event_id")
 
     stream = (events_stream(spark, sf_dir)
               .select("event_id", "user_id", "event_type", "value"))
     _run_available_now(
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt))
-    latest = max(base.glob("v*"), key=lambda p: int(p.name[1:]))
-    return (spark.read.parquet(str(latest))
+    return (table.read()
             .select("event_id", "user_id", "event_type",
                     F.round("value", 6).alias("value")))
 

@@ -1,0 +1,141 @@
+"""AcidTable: atomic manifest-swap commits, MERGE semantics, concurrent
+writers, time travel, vacuum.  The concurrency test is the contract the
+reference's JDBC transaction makes (FileWorkerApp.scala:207-227): two
+independent writers MERGE-ing the same table never lose or double an
+update."""
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.acid import AcidTable, CommitConflict
+
+
+def _mk(spark, tmp_path, rows=None):
+    rows = rows if rows is not None else [(i, 0, "init") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, status int, tag string")
+    return AcidTable.create(spark, tmp_path / "t", df)
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.latest_version() == 0
+    got = t.read().orderBy("id").collect()
+    assert len(got) == 20 and got[0].tag == "init"
+    # second create on the same path must refuse, not clobber
+    with pytest.raises(FileExistsError):
+        _mk(spark, tmp_path)
+
+
+def test_merge_semantics(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ups = spark.createDataFrame(
+        [(3, 1, "claimed"), (99, 5, "new")], "id long, status int, tag string")
+    v = t.merge(ups, key=["id"])
+    assert v == 1
+    rows = {r.id: r for r in t.read().collect()}
+    assert len(rows) == 21                       # 20 kept/updated + 1 insert
+    assert rows[3].status == 1 and rows[3].tag == "claimed"   # matched
+    assert rows[99].status == 5                               # inserted
+    assert rows[4].status == 0 and rows[4].tag == "init"      # untouched
+
+
+def test_merge_null_update_keeps_current(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ups = spark.createDataFrame([(5, 7, None)], "id long, status int, tag string")
+    t.merge(ups, key=["id"])
+    r = {x.id: x for x in t.read().collect()}[5]
+    assert r.status == 7 and r.tag == "init"     # null never overwrites
+
+
+def test_concurrent_writers_lose_nothing(spark, tmp_path):
+    """Two real threads race disjoint MERGE batches through the optimistic
+    commit loop.  Exactly one wins each version; the loser re-merges onto
+    the winner's snapshot — the final state must contain EVERY update
+    exactly once, whatever the interleaving."""
+    t = _mk(spark, tmp_path, rows=[(i, 0, "init") for i in range(40)])
+    errs: list[Exception] = []
+
+    def writer(ids, tag):
+        try:
+            ups = spark.createDataFrame(
+                [(i, 1, tag) for i in ids], "id long, status int, tag string")
+            t.merge(ups, key=["id"])
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    a = threading.Thread(target=writer, args=(range(0, 20), "wa"))
+    b = threading.Thread(target=writer, args=(range(20, 40), "wb"))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs
+    assert t.latest_version() == 2               # both committed, serially
+    rows = {r.id: r for r in t.read().collect()}
+    assert len(rows) == 40
+    assert all(rows[i].tag == "wa" and rows[i].status == 1 for i in range(20))
+    assert all(rows[i].tag == "wb" and rows[i].status == 1 for i in range(20, 40))
+
+
+def test_conflict_is_detected_not_clobbered(spark, tmp_path):
+    """Simulate a writer that lost the race: a manifest for the next
+    version appears between its snapshot and its commit.  The stale commit
+    must fail atomically (manifest untouched) and the retry must build on
+    the interloper's state."""
+    t = _mk(spark, tmp_path)
+    # interloper commits v1 out from under the writer
+    other = AcidTable(spark, t.path)
+    other.merge(spark.createDataFrame([(0, 9, "other")],
+                                      "id long, status int, tag string"),
+                key=["id"])
+    assert t._try_commit(1, "data/bogus", {"type": "struct", "fields": []}, "merge") is False
+    assert json.loads((t._manifests / "v1.json").read_text())["data"] != "data/bogus"
+    # normal merge now lands at v2 on top of the interloper's row
+    t.merge(spark.createDataFrame([(1, 2, "mine")],
+                                  "id long, status int, tag string"), key=["id"])
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[0].tag == "other" and rows[1].tag == "mine"
+
+
+def test_merge_keep_latest_cdc(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10, "u1", 1.0), (2, 11, "u1", 2.0)],
+        "event_id long, user_id long, event_type string, value double")
+    t = AcidTable.create(spark, tmp_path / "cdc", df)
+    # older event must NOT overwrite, newer must; replay is idempotent
+    batch = spark.createDataFrame(
+        [(0, 10, "u1", 9.0), (5, 11, "u1", 5.0)],
+        "event_id long, user_id long, event_type string, value double")
+    t.merge_keep_latest(batch, key=["user_id", "event_type"],
+                        version_col="event_id")
+    t.merge_keep_latest(batch, key=["user_id", "event_type"],
+                        version_col="event_id")       # replay
+    rows = {(r.user_id): r for r in t.read().collect()}
+    assert rows[10].event_id == 1 and rows[10].value == 1.0
+    assert rows[11].event_id == 5 and rows[11].value == 5.0
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for s in (1, 2, 3):
+        t.merge(spark.createDataFrame([(0, s, f"v{s}")],
+                                      "id long, status int, tag string"),
+                key=["id"])
+    assert t.read(0).filter(F.col("id") == 0).first().status == 0
+    assert t.read(2).filter(F.col("id") == 0).first().status == 2
+    assert t.read().filter(F.col("id") == 0).first().status == 3
+    removed = t.vacuum(keep_last=2)
+    assert len(removed) == 2                     # v0+v1 data gone, v2+v3 kept
+    assert t.read(2).count() == 20 and t.read(3).count() == 20
+
+
+def test_commit_conflict_gives_up(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    orig = t._try_commit
+    t._try_commit = lambda *a, **k: False
+    with pytest.raises(CommitConflict):
+        t.merge(spark.createDataFrame([(0, 1, "x")],
+                                      "id long, status int, tag string"),
+                key=["id"], max_retries=3)
+    t._try_commit = orig
