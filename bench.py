@@ -49,6 +49,7 @@ BENCH_KEYS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "salted_skew_agg",
+    "zipf_topk_salted",
     "window_tumbling",
     "window_session",
     "highwater_state",

@@ -812,6 +812,9 @@ register("salted_skew_agg", oracle=analytics.SALTED_ORACLE
 register("skew_join_salted", oracle=analytics.SKEW_JOIN_ORACLE
          )(lambda s, d: analytics.skew_join_salted(_t(s, d, "events")))
 
+register("zipf_topk_salted", oracle=analytics.ZIPF_TOPK_ORACLE
+         )(lambda s, d: analytics.zipf_topk_salted(s, _t(s, d, "events")))
+
 register("cube_counts", oracle=analytics.CUBE_ORACLE
          )(lambda s, d: analytics.cube_counts(_t(s, d, "lineitem")))
 

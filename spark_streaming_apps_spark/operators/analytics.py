@@ -108,6 +108,118 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
+#: Zipfian-skew fixture: level k holds ~2^-(k+1) of all rows (level 0 =
+#: 50%, a far harsher hot key than the events fixture's 80/20 split over
+#: many rows), amplified ZIPF_AMPLIFY x beyond the events row count so the
+#: skew is voluminous enough to matter. Generated as pure integer
+#: expressions (spark.range / generate_series + an LCG value) so Spark and
+#: DuckDB derive bit-identical rows at any sf.
+ZIPF_LEVELS = 12
+ZIPF_AMPLIFY = 20
+ZIPF_TOP_K = 5
+_ZIPF_LCG = "(id * 1013904223 + 12345) % 1000003"
+
+
+def _zipf_level_case(id_col: str = "id") -> str:
+    """Trailing-zeros geometric level: odd ids -> 0 (50%), %4==2 -> 1
+    (25%), ... identical CASE chain in both engines."""
+    whens = " ".join(
+        f"WHEN {id_col} % {1 << (k + 1)} = {1 << k} THEN {k}"
+        for k in range(ZIPF_LEVELS))
+    return f"CASE {whens} ELSE {ZIPF_LEVELS} END"
+
+
+def zipf_fixture(spark, n_rows: int) -> DataFrame:
+    """(id, level, v): the deterministic zipf-skewed relation."""
+    return spark.range(n_rows).select(
+        "id",
+        F.expr(_zipf_level_case()).cast("int").alias("level"),
+        F.expr(_ZIPF_LCG).alias("v"))
+
+
+def zipf_topk_salted_at(spark, n_rows: int,
+                        k: int = ZIPF_TOP_K) -> DataFrame:
+    """Salted per-level top-k over an explicit fixture size — the scaling
+    sweep calls this directly at 4.5M-45M rows where the naive plan's
+    one-task hot sort visibly degrades (SCALING.md carries the A/B)."""
+    from pyspark.sql import Window
+    keyed = zipf_fixture(spark, n_rows).withColumn(
+        "salt", F.expr(f"(id div 2) % {N_SALT}"))
+    w_local = (Window.partitionBy("level", "salt")
+               .orderBy(F.desc("v"), "id"))
+    cand = (keyed.withColumn("lrn", F.row_number().over(w_local))
+            .filter(F.col("lrn") <= k))
+    w_final = Window.partitionBy("level").orderBy(F.desc("v"), "id")
+    return (cand.withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select("level", F.col("rank").cast("int").alias("rank"),
+                    "id", "v"))
+
+
+def zipf_topk_naive_at(spark, n_rows: int,
+                       k: int = ZIPF_TOP_K) -> DataFrame:
+    from pyspark.sql import Window
+    w = Window.partitionBy("level").orderBy(F.desc("v"), "id")
+    return (zipf_fixture(spark, n_rows)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("level", F.col("rank").cast("int").alias("rank"),
+                    "id", "v"))
+
+
+def zipf_topk_salted(spark, events: DataFrame,
+                     k: int = ZIPF_TOP_K) -> DataFrame:
+    """Per-level top-k over the zipf fixture, SALTED — the skew proof the
+    80/20 ops can't give. A windowed rank is the op skew genuinely
+    breaks: partial aggregation can't help a window, so the naive
+    `row_number() OVER (PARTITION BY level)` sorts 50% of ALL rows in ONE
+    task (level 0). The salted plan never builds that partition: phase 1
+    ranks within (level, salt) — the hot level fans out over {N_SALT}
+    reducers — and keeps k candidates per salt; phase 2 re-ranks the ≤
+    k*{N_SALT} survivors per level, a trivial window. Identical output to
+    the naive window (tests/test_skew.py asserts equality AND the reducer
+    load distribution); SCALING.md carries the measured naive-vs-salted
+    growth."""
+    from pyspark.sql import Window
+    n = events.count() * ZIPF_AMPLIFY
+    # salt on id>>1, NOT id % N_SALT: the level IS the trailing-zero
+    # pattern of id, so low-bit salting correlates with the key it's
+    # meant to break (odd ids would hit only odd salts — half the fanout)
+    keyed = zipf_fixture(spark, n).withColumn(
+        "salt", F.expr(f"(id div 2) % {N_SALT}"))
+    w_local = (Window.partitionBy("level", "salt")
+               .orderBy(F.desc("v"), "id"))
+    cand = (keyed.withColumn("lrn", F.row_number().over(w_local))
+            .filter(F.col("lrn") <= k))
+    w_final = Window.partitionBy("level").orderBy(F.desc("v"), "id")
+    return (cand.withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select("level", F.col("rank").cast("int").alias("rank"),
+                    "id", "v"))
+
+
+def zipf_topk_naive(spark, events: DataFrame,
+                    k: int = ZIPF_TOP_K) -> DataFrame:
+    """The UNSALTED window — deliberately the skewed plan, kept for the
+    A/B the skew tests and SCALING.md measure. Not registered: the
+    engine's blessed plan is the salted one."""
+    return zipf_topk_naive_at(spark, events.count() * ZIPF_AMPLIFY, k)
+
+
+ZIPF_TOPK_ORACLE = f"""
+WITH gen AS (SELECT row_number() OVER () - 1 AS id
+             FROM events, generate_series(1, {ZIPF_AMPLIFY})),
+keyed AS (SELECT id, {_zipf_level_case('id')} AS level,
+                 {_ZIPF_LCG} AS v FROM gen),
+ranked AS (SELECT level, id, v,
+                  row_number() OVER (PARTITION BY level
+                                     ORDER BY v DESC, id) AS rank
+           FROM keyed)
+SELECT CAST(level AS INT) AS level, CAST(rank AS INT) AS rank, id, v
+FROM ranked WHERE rank <= {ZIPF_TOP_K}
+"""
+
+
 def salted_skew_agg(events: DataFrame) -> DataFrame:
     """Two-phase salted aggregation for skewed keys. The fixture key is
     deliberately skewed (80% of rows share one hot key); a direct groupBy

@@ -28,6 +28,60 @@ def test_stateful_hw_equals_batch_recompute(spark, tables):
     assert streamed == batch
 
 
+def test_hw_gap_carryover_across_batches(spark, tmp_path):
+    """The strongest streaming-semantics claim the reference makes
+    (StreamingApp.scala:238-246): a chunk gap that OPENS in micro-batch 1
+    must hold the per-case high-water mark flat through batch 2 and
+    advance it only when batch 3 CLOSES the gap — parked chunks carried
+    in state across batch boundaries, never dropped or double-counted.
+
+    Three single-file triggers for one key:
+      batch 1: seq 0,1 absorbed (hw=3.0), seq 3 parked (gap: seq 2)
+      batch 2: seq 4 parked too — hw must NOT move
+      batch 3: seq 2 arrives — hw absorbs 2,3,4 in one advance (hw=15.0)
+    """
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spark_streaming_apps_spark.streaming.jobs import (
+        HW_OUT_SCHEMA, STATE_SCHEMA, _hw_state_fn, _run_available_now)
+
+    src = tmp_path / "gap_src"
+    src.mkdir()
+    batches = [[(7, 0, "1.0000"), (7, 1, "2.0000"), (7, 3, "4.0000")],
+               [(7, 4, "5.0000")],
+               [(7, 2, "3.0000")]]
+    schema = pa.schema([("user_id", pa.int64()), ("seq", pa.int64()),
+                        ("sz", pa.decimal128(18, 4))])
+    from decimal import Decimal
+    for i, rows in enumerate(batches):
+        tbl = pa.Table.from_pylist(
+            [{"user_id": u, "seq": s, "sz": Decimal(v)} for u, s, v in rows],
+            schema=schema)
+        f = src / f"b{i}.parquet"
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (spark.readStream
+              .schema("user_id long, seq long, sz decimal(18,4)")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    states = stream.groupBy("user_id").applyInPandasWithState(
+        _hw_state_fn, HW_OUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+    qname = f"gap_{uuid.uuid4().hex[:8]}"
+    _run_available_now(states.writeStream.outputMode("update")
+                       .format("memory").queryName(qname))
+    got = [(r.hw_bytes, r.last_seq, r.n_chunks)
+           for r in spark.sql(
+               f"SELECT * FROM {qname} ORDER BY n_chunks").collect()]
+    # batch 1 and 2 both emit the STALLED mark; only batch 3 advances it
+    assert got == [(3.0, 1, 2), (3.0, 1, 2), (15.0, 4, 5)]
+
+
 def test_offset_replay_consistent(spark):
     row = offset_replay_job(spark, SF_DIR).first()
     assert row.replay_consistent == 1

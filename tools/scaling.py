@@ -37,6 +37,7 @@ KEYS = [
     "corpus_curate",           # composed curation pipeline (round 4)
     "minhash_containment",     # asymmetric containment verify (round 4)
     "multimodal_phash_near_dup",  # banded perceptual-hash dedup (round 4)
+    "zipf_topk_salted",        # salted hot-key window (round 5)
 ]
 
 
@@ -71,6 +72,35 @@ def main() -> None:
         ratio = round(r["0.1"] / r["0.001"], 1) if r["0.001"] else float("nan")
         lines.append(f"| {k} | {r['0.001']} | {r['0.01']} | {r['0.1']} "
                      f"| {ratio}x |")
+
+    # Planted-skew A/B: the naive hot-key window vs the salted two-phase
+    # plan over the SAME zipf fixture (level 0 = 50% of all rows). The
+    # naive plan sorts the hot level in ONE task, so its growth curve is
+    # the data's; the salted plan fans the hot level over N_SALT reducers.
+    from spark_streaming_apps_spark.operators import analytics
+    lines += ["", "## Planted zipf skew: naive window vs salted two-phase",
+              "",
+              "Same fixture, same answer; level 0 holds 50% of all rows.",
+              "The naive plan sorts that level in ONE task, so its curve is",
+              "a single core's; the salted plan fans it over N_SALT",
+              "reducers and should grow ~linearly with rows/core.",
+              "",
+              "| zipf rows | naive (1-task hot sort) | salted | speedup |",
+              "|---|---|---|---|"]
+    for n in (4_500_000, 15_000_000, 45_000_000):
+        ts = {}
+        for name, fn in (("naive", analytics.zipf_topk_naive_at),
+                         ("salted", analytics.zipf_topk_salted_at)):
+            best = None
+            for _ in range(2):  # min-of-2: shared-host steal guard
+                t0 = time.perf_counter()
+                fn(spark, n).write.mode("overwrite").format("noop").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            ts[name] = round(best, 2)
+            print(f"n={n} zipf_{name}: {ts[name]}s", file=sys.stderr)
+        lines.append(f"| {n:,} | {ts['naive']} | {ts['salted']} "
+                     f"| {round(ts['naive'] / ts['salted'], 1)}x |")
     Path(__file__).resolve().parents[1].joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n")
     print("\n".join(lines))
