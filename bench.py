@@ -89,6 +89,52 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: ANN quality: recall@k is the metric the DuckDB oracle CANNOT see (its
+#: twin shares the blocking), so the bench emits it next to the timings —
+#: a speed/recall trade-off auditable per round. Ground truth is the
+#: brute-force scan at the SAME sf: full-dim cosine for the IVF/MRL
+#: family, exact L2 for PQ-ADC (its native metric).
+RECALL_QUERY_IDS = (0, 3, 7, 11, 40)
+
+
+def ann_recall(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from spark_streaming_apps_spark.operators import similarity as S
+    from spark_streaming_apps_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    e = emb.withColumn(
+        "e", F.expr("transform(embedding, x -> cast(x as double))"))
+    l2 = ("aggregate(zip_with(e, q, (x, y) -> (x - y) * (x - y)), "
+          "cast(0.0 as double), (a, v) -> a + v)")
+
+    def topk_ids(df) -> set:
+        return {r.vec_id for r in df.collect()}
+
+    recalls: dict[str, list[float]] = {
+        "similarity_ivf_topk": [], "ivf_topk_trained": [],
+        "matryoshka_topk": [], "pq_adc_topk": []}
+    for qid in RECALL_QUERY_IDS:
+        cos_truth = topk_ids(S.cosine_topk(emb, qid))
+        q = e.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
+        l2_truth = {r.vec_id for r in
+                    e.filter(F.col("vec_id") != qid).join(F.broadcast(q))
+                    .select("vec_id", F.expr(l2).alias("d"))
+                    .orderBy("d", "vec_id").limit(S.TOP_K).collect()}
+        recalls["similarity_ivf_topk"].append(
+            len(cos_truth & topk_ids(S.ivf_topk(emb, qid))) / len(cos_truth))
+        recalls["ivf_topk_trained"].append(
+            len(cos_truth & topk_ids(S.ivf_topk_trained(emb, qid)))
+            / len(cos_truth))
+        recalls["matryoshka_topk"].append(
+            len(cos_truth & topk_ids(S.matryoshka_topk(emb, qid)))
+            / len(cos_truth))
+        recalls["pq_adc_topk"].append(
+            len(l2_truth & topk_ids(S.pq_adc_topk(emb, qid))) / len(l2_truth))
+    return {k: round(sum(v) / len(v), 3) for k, v in recalls.items()}
+
+
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     qs = catalog.queries()
@@ -129,12 +175,17 @@ def main() -> None:
             times[key] = min(times.get(key, t), t)
             print(f"  [{rep}] {key}: {t:.3f}s", file=sys.stderr)
 
+    recall = ann_recall(spark)
+    for key, r in recall.items():
+        print(f"  recall@10 {key}: {r}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "recall_at_10": recall,
         "sf": float(sf),
     }
     print(json.dumps(out))

@@ -876,6 +876,18 @@ register("sessionize_ids", oracle=analytics.SESSIONIZE_ORACLE
 register("value_histogram", oracle=analytics.HISTOGRAM_ORACLE
          )(lambda s, d: analytics.value_histogram(_t(s, d, "events")))
 
+register("unpivot_melt", oracle=analytics.UNPIVOT_ORACLE
+         )(lambda s, d: analytics.unpivot_melt(_t(s, d, "lineitem")))
+
+register("ntile_bands", oracle=analytics.NTILE_ORACLE
+         )(lambda s, d: analytics.ntile_bands(_t(s, d, "orders")))
+
+register("listagg_ordered", oracle=analytics.LISTAGG_ORACLE
+         )(lambda s, d: analytics.listagg_ordered(_t(s, d, "lineitem")))
+
+register("posexplode_tokens", oracle=text.POSEXPLODE_ORACLE
+         )(lambda s, d: text.posexplode_tokens(_t(s, d, "documents")))
+
 register("data_profile", oracle=analytics.DATA_PROFILE_ORACLE
          )(lambda s, d: analytics.data_profile(_t(s, d, "events")))
 
@@ -909,6 +921,9 @@ register("levenshtein_near_dup", oracle=dedup.levenshtein_oracle_sql()
 
 register("minhash_containment", oracle=dedup.minhash_containment_oracle_sql()
          )(lambda s, d: dedup.minhash_containment(_t(s, d, "documents")))
+
+register("substring_dup_spans", oracle=dedup.SUBSTRING_DUP_ORACLE
+         )(lambda s, d: dedup.substring_dup_spans(_t(s, d, "documents")))
 
 register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
          )(lambda s, d: text.feature_hashing(_t(s, d, "documents")))

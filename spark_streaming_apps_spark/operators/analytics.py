@@ -943,3 +943,75 @@ FROM a, LATERAL (VALUES
   ('value', nn_value, nd_value),
   ('props', nn_props, nd_props)) AS u(column_name, n_nonnull, n_distinct)
 """
+
+
+def unpivot_melt(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT/melt: widen-to-long over the four lineitem measures — the
+    reshape feeding any per-measure reporting sink. Spark's native
+    `unpivot` (Expand node) emits all measure rows in ONE scan pass, no
+    join and no union re-scan; at 100 TB that's 1 read instead of 4."""
+    return (lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value")
+        .select("l_orderkey", "l_linenumber", "measure",
+                F.round("value", 6).alias("value")))
+
+
+UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, u.measure, round(u.value, 6) AS value
+FROM lineitem, LATERAL (VALUES
+  ('l_quantity', l_quantity), ('l_extendedprice', l_extendedprice),
+  ('l_discount', l_discount), ('l_tax', l_tax)) AS u(measure, value)
+"""
+
+
+def ntile_bands(orders: DataFrame) -> DataFrame:
+    """Equi-depth quartile banding: NTILE(4) by order value within each
+    priority class — the binning step behind tiered sampling / pricing
+    reports. Partitioned window (priority is the shuffle key, bounded
+    cardinality); full ORDER BY tiebreak makes the band assignment
+    deterministic across engines."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("band"))
+
+
+NTILE_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS band
+FROM orders
+"""
+
+
+def listagg_ordered(lineitem: DataFrame) -> DataFrame:
+    """Ordered LISTAGG: per order, its part keys concatenated in line
+    order — the classic order-manifest projection (and the reference's
+    chunk-reassembly concat in miniature: FileWorkerApp's ordered
+    chunk->blob rebuild is this shape over byte arrays). collect_list is
+    unordered by contract, so the sort key rides INSIDE the collected
+    struct and array_sort restores line order after the shuffle — the
+    only aggregation-order guarantee that survives distributed partial
+    aggregation."""
+    return (lineitem
+            .groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("l_linenumber", "l_partkey"))).alias("arr"))
+            .select(
+                "l_orderkey",
+                F.expr("array_join(transform(arr, x -> "
+                       "cast(x.l_partkey as string)), ',')").alias("parts"),
+                F.size("arr").alias("n_lines")))
+
+
+LISTAGG_ORACLE = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY l_linenumber, l_partkey) AS parts,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""

@@ -756,3 +756,84 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc1
       FROM edges)
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------- exact substring spans
+
+#: Exact-substring dedup (the "Deduplicating Training Data Makes Language
+#: Models Better" signal, Lee et al. 2022): a doc is contaminated by copy
+#: work if long token SPANS of it appear verbatim in OTHER docs, even when
+#: whole-doc similarity is low. Suffix arrays don't distribute; the
+#: scalable re-expression is hashed rolling windows — every W-token window
+#: fingerprinted with a polynomial combine of the per-token hashes, window
+#: hashes joined on equality. O(tokens) state, all keyed shuffles.
+SPAN_W = 8
+SPAN_B = 31  # polynomial base; acc < p (2^31) so acc*31 + h < 2^36: exact
+
+
+def _span_hash_expr() -> str:
+    """Rolling W-token window hashes from the shared mod-p token-hash
+    layer (`tkh`). Polynomial combine keeps every intermediate under 2^36
+    — bit-identical in DuckDB's list_reduce twin."""
+    roll = (f"aggregate(slice(tkh, i, {SPAN_W}), cast(0 as bigint), "
+            f"(acc, h) -> (acc * {SPAN_B} + h) % {MH_P})")
+    return (f"CASE WHEN size(tkh) >= {SPAN_W} THEN "
+            f"transform(sequence(1, size(tkh) - {SPAN_W - 1}), i -> {roll}) "
+            f"ELSE array() END")
+
+
+def substring_dup_spans(documents: DataFrame) -> DataFrame:
+    """Per-doc duplicated-span coverage: for every doc (planted corpus —
+    the suffix-mutated copies share their whole prefix, so they plant
+    guaranteed long-span collisions), the fraction of its W-token windows
+    that appear verbatim in at least one OTHER doc. The curation signal
+    exact-substring dedup cuts on; repetition WITHIN a doc is
+    repetition_filter's job and deliberately does not count here.
+
+    Scale shape: window hashes explode to an O(tokens) table; the
+    frequency side aggregates to O(distinct spans) before the join back,
+    and every stage is a keyed shuffle on the span hash or the doc id —
+    never a pairwise comparison. At 100 TB this is the standard
+    suffix-array replacement (hash windows, join on equality).
+    Reference tie-in: generalizes the MD5 dedup-hash verification idea
+    (StreamingApp.scala:361,377-380) from whole-chunk to token-span
+    granularity."""
+    corpus = planted_corpus(documents)
+    spans = (_with_token_hashes(corpus)
+             .select("doc_id", F.explode(F.expr(_span_hash_expr())).alias("sp")))
+    freq = (spans.groupBy("sp")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2))
+    return (spans.join(freq, "sp", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0))
+                  .alias("n_dup_spans"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup_spans")
+                                / F.col("n_spans").cast("double"), 6)))
+
+
+SUBSTRING_DUP_ORACLE = f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),
+tks AS (SELECT doc_id, {_TOKENS_DUCK} AS tk FROM corpus),
+tkhs AS (SELECT doc_id, {_TKH_DUCK} AS tkh FROM tks),
+spans AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tkh) >= {SPAN_W} THEN
+           [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                     list_slice(tkh, i, i + {SPAN_W - 1})),
+                        (acc, h) -> (acc * {SPAN_B} + h) % {MH_P})
+            FOR i IN generate_series(1, len(tkh) - {SPAN_W - 1})]
+           ELSE CAST([] AS BIGINT[]) END) AS sp
+  FROM tkhs),
+freq AS (SELECT sp, count(DISTINCT doc_id) AS nd
+         FROM spans GROUP BY sp HAVING count(DISTINCT doc_id) >= 2)
+SELECT s.doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN f.nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(SUM(CASE WHEN f.nd IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM spans s LEFT JOIN freq f USING (sp)
+GROUP BY s.doc_id
+"""

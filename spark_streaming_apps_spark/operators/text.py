@@ -559,3 +559,25 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab
 GROUP BY doc_id
 """
+
+
+def posexplode_tokens(documents: DataFrame) -> DataFrame:
+    """Positional token explode — LATERAL VIEW posexplode: (doc_id, pos,
+    token) keeps each token's offset, the base table for positional
+    inverted indexes / span labeling. One generate pass scan-side, no
+    shuffle at all; downstream consumers group on token or doc as
+    needed."""
+    return (documents
+            .select("doc_id", F.posexplode(_tokens()).alias("pos", "token")))
+
+
+POSEXPLODE_ORACLE = """
+WITH tks AS (SELECT doc_id,
+       list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS tk
+       FROM documents)
+SELECT doc_id, s.pos, s.tok AS token FROM (
+  SELECT doc_id,
+         unnest([{'pos': i - 1, 'tok': tk[i]}
+                 FOR i IN generate_series(1, len(tk))]) AS s
+  FROM tks)
+"""

@@ -114,11 +114,18 @@ def test_knn_graph_cell_keyed_no_product(tables):
 def test_knn_graph_never_forces_corpus_broadcast(tables):
     """The vector fetch must be a keyed join whose strategy AQE picks by
     size — a forced broadcast of the corpus vector table cannot survive a
-    100x scale-up. The memoized index is checkpointed (lineage truncated),
-    so any hint visible here would be one knn_graph itself forced."""
+    100x scale-up. The memoized index layer is persisted with lineage
+    KEPT (fault tolerance — see dedup._materialize), so the analyzed plan
+    shows the index's own bounded 32-row centroid hint once per lineage
+    copy: knn_graph references the assigned layer 8x (cand a+b, va, vb,
+    then the union mirrors all four). The assertion is therefore
+    relative — knn_graph must add ZERO hints beyond those copies."""
     from spark_streaming_apps_spark.plans import forced_broadcast_count
-    out = similarity.knn_graph(tables["embeddings"])
-    assert forced_broadcast_count(out) == 0
+    emb = tables["embeddings"]
+    per_copy = forced_broadcast_count(
+        similarity._ivf_assigned(emb, similarity.N_PROBES))
+    out = similarity.knn_graph(emb)
+    assert forced_broadcast_count(out) == 8 * per_copy
 
 
 def test_semdedup_cell_keyed_no_product(tables):
