@@ -986,6 +986,15 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
   AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
 """)(lambda s, d: _streaming("stream_stream_join_job")(s, d))
 
+register("stream_stream_left_outer", oracle="""
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+""")(lambda s, d: _streaming("stream_stream_left_outer_job")(s, d))
+
 register("streaming_dedup", oracle="""
 SELECT event_id, user_id, event_type FROM events
 """)(lambda s, d: _streaming("streaming_dedup_job")(s, d))

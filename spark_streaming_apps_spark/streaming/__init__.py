@@ -4,6 +4,7 @@ from .jobs import (  # noqa: F401
     per_batch_transform_job, poll_wait_loop_job, repartition_serialize_job,
     stage_stream_files, stop_on_complete_job, stream_static_join_job,
     streaming_cdc_upsert_job,
-    stream_stream_join_job, streaming_dedup_job, streaming_session_window_job,
+    stream_stream_join_job, stream_stream_left_outer_job,
+    streaming_dedup_job, streaming_session_window_job,
     watermark_late_drop_job,
 )

@@ -620,3 +620,92 @@ def poll_wait_loop_job(spark: SparkSession, sf_dir: str,
             F.when(F.col("file_id") == cid, 1)
              .otherwise(F.col("status")).alias("status")).cache()
     return spark.createDataFrame(claimed, "iter int, file_id long")
+
+
+def _stage_with_flush(spark: SparkSession, sf_dir: str, name: str,
+                      cols: list) -> str:
+    """Event-time-ordered backlog PLUS two trailing watermark-flush
+    sentinel files (event_type='flush', ts far past the data). Outer-join
+    null emission is watermark-DRIVEN: unmatched state rows only emit
+    once the watermark provably rules out future matches, and a drained
+    backlog alone leaves the watermark 10 min short of its own tail. The
+    sentinels push the watermark past every possible match window; TWO of
+    them because the advance registers at end-of-batch N and the state
+    eviction that emits the nulls runs inside batch N+1. Sentinel files
+    are named *.flush so _stage_ts_ordered's *.parquet reuse-count still
+    sees exactly N_STREAM_FILES (the source lists every non-hidden file
+    regardless of extension)."""
+    import os
+
+    src = Path(_stage_ts_ordered(spark, sf_dir, name, cols))
+    if sum(1 for _ in src.glob("*.flush")) == 2:
+        return str(src)
+    max_ts = (load_table(spark, sf_dir, "events")
+              .agg(F.max(F.col("ts").cast("timestamp"))).first()[0])
+    for i in range(2):
+        row = spark.createDataFrame(
+            [(-(i + 1), max_ts, -1, "flush")],
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).select("event_id",
+                 (F.col("ts") + F.expr(f"INTERVAL {2 + i} DAYS")).alias("ts"),
+                 "user_id", "event_type")
+        tmp = SCRATCH / f"{name}_flush_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        row.coalesce(1).write.parquet(str(tmp))
+        dest = src / f"zz{i}.flush"
+        shutil.move(str(next(Path(tmp).glob("part-*.parquet"))), dest)
+        os.utime(dest, (1_700_001_000 + i * 10, 1_700_001_000 + i * 10))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return str(src)
+
+
+def stream_stream_left_outer_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click joined to the
+    same user's errors from the preceding hour; clicks with NO such error
+    still emit (null error side) — but only once the watermark passes the
+    click's match window, because until then a matching error could still
+    arrive. That eviction-driven null emission is the semantics inner
+    joins never exercise, and the part that makes outer stream joins
+    hard: state is held exactly until provably unmatchable, so state
+    size is bounded by watermark delay + interval, not by the stream.
+
+    The flush sentinels must reach the WATERMARK NODE: a plain
+    `event_type = kind` filter gets pushed by Catalyst below the
+    watermark operator into the parquet scan (filter pushdown commutes
+    with watermarks), which silently eliminates the sentinels at the
+    source — the watermark then stops 10 min short and the max-ts click
+    never evicts (observed: exactly one null row missing). So each side
+    keeps `kind OR 'flush'`: sentinel rows flow through the watermark
+    and into the join with user_id -1 (join-neutral — the two sentinels
+    are a day apart, outside each other's interval), and the `c_id >= 0`
+    filter that drops their own unmatched-left emissions runs on the
+    DRAINED sink, outside the streaming plan — inside it, Catalyst would
+    push that null-intolerant left-side predicate down the same way.
+    Drained output must equal the batch left join exactly (the oracle)."""
+    src = _stage_with_flush(spark, sf_dir, "ssloj", ["user_id", "event_type"])
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .select(F.col("event_id").alias(f"{prefix}_id"),
+                        F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("ts").alias(f"{prefix}_ts"),
+                        F.col("event_type").alias(f"{prefix}_type"))
+                .withWatermark(f"{prefix}_ts", "10 minutes")
+                .filter(F.col(f"{prefix}_type").isin(kind, "flush"))
+                .drop(f"{prefix}_type"))
+
+    clicks, errors = side("click", "c"), side("error", "e")
+    joined = clicks.join(
+        errors,
+        F.expr("c_user = e_user AND "
+               "e_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+        "leftOuter")
+    qname = f"ssloj_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        joined.writeStream.outputMode("append").format("memory").queryName(qname))
+    return spark.sql(f"""
+        SELECT c_id AS click_id, e_id AS error_id, c_user AS user_id,
+               unix_micros(c_ts) - unix_micros(e_ts) AS lag_us
+        FROM {qname} WHERE c_id >= 0""")

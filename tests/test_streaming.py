@@ -86,3 +86,39 @@ def test_offset_replay_consistent(spark):
     row = offset_replay_job(spark, SF_DIR).first()
     assert row.replay_consistent == 1
     assert row.run1_rows == 1000
+
+
+def test_stream_stream_left_outer_emits_watermark_evicted_nulls(spark):
+    """The left-outer stream-stream join must emit null-error rows for
+    unmatched clicks — INCLUDING the max-event-time click, which only
+    evicts if the flush sentinels actually reach the watermark node.
+    Catalyst pushes plain event_type filters below the watermark into
+    the parquet scan (this silently ate the sentinels and lost exactly
+    one row); this pins the fixed behavior: drained output == batch
+    left join, null rows present, max-ts click among them if unmatched."""
+    from spark_streaming_apps_spark.sources.tables import load_table
+    from spark_streaming_apps_spark.streaming.jobs import (
+        stream_stream_left_outer_job)
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_stream_left_outer_job(spark, sf).toPandas()
+
+    ev = (load_table(spark, sf, "events")
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "user_id", "event_type"))
+    c = ev.filter("event_type = 'click'").alias("c")
+    e = ev.filter("event_type = 'error'").alias("e")
+    batch = c.join(
+        e, F.expr("c.user_id = e.user_id AND "
+                  "e.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"),
+        "leftOuter").select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("e.event_id").alias("error_id")).toPandas()
+
+    assert len(out) == len(batch)
+    assert out.error_id.isna().sum() == batch.error_id.isna().sum()
+    assert out.error_id.isna().sum() > 0, "no null emissions - not outer"
+    # the max-ts click is the one the watermark can only pass via flush
+    last_click = ev.filter("event_type = 'click'") \
+        .orderBy(F.desc("ts")).first().event_id
+    assert (out.click_id == last_click).any()
