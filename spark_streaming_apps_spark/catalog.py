@@ -36,6 +36,7 @@ from .operators import (
     analytics, dedup, extensions, graph, highwater, multimodal, queue,
     relational, similarity, text, training, windows, worker,
 )
+from .sources import pysource
 from .sources.tables import load_table
 
 #: scratch dir for write-path operators (file_chunk_sink etc.) — kept inside
@@ -930,6 +931,12 @@ register("text_feature_hashing", oracle=text.feature_hashing_oracle_sql()
 
 register("pandas_udf_module", oracle=extensions.PANDAS_UDF_ORACLE
          )(lambda s, d: extensions.pandas_udf_module(_t(s, d, "documents")))
+
+register("grouped_agg_pandas_udaf", oracle=extensions.GROUPED_AGG_ORACLE
+         )(lambda s, d: extensions.grouped_agg_pandas_udaf(_t(s, d, "lineitem")))
+
+register("python_datasource", oracle=pysource.PYTHON_DATASOURCE_ORACLE
+         )(lambda s, d: pysource.python_datasource(s))
 
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},

@@ -483,3 +483,41 @@ SELECT doc_id,
                             t -> t <> '')) AS INT) AS n_tokens
 FROM documents
 """
+
+
+def grouped_agg_pandas_udaf(lineitem: DataFrame) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the third Arrow extension seam (scalar
+    pandas_udf and GROUPED_MAP applyInPandas are covered by their own
+    keys): a custom aggregate that receives each group's columns as
+    whole pandas Series and returns one scalar. Spark runs it as a real
+    aggregate (partial per-partition batches, keyed shuffle), so the
+    plan scales like any hash aggregate — the seam to plug in
+    numpy/scipy reducers the SQL surface lacks. The demo aggregate
+    (quantity-weighted mean price) is deliberately SQL-expressible so
+    the oracle checks the Arrow round trip, not novel math."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # second pandas aggregate rather than F.count.
+    @pandas_udf("long")
+    def ngroup(price: pd.Series) -> int:
+        return len(price)
+
+    return (lineitem.groupBy("l_orderkey")
+            .agg(F.round(wmean("l_extendedprice", "l_quantity"), 6)
+                 .alias("wmean_price"),
+                 ngroup("l_extendedprice").alias("n_lines")))
+
+
+GROUPED_AGG_ORACLE = """
+SELECT l_orderkey,
+       round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+         AS wmean_price,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
