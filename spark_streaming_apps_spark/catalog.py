@@ -993,6 +993,30 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
   AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
 """)(lambda s, d: _streaming("stream_stream_join_job")(s, d))
 
+# transformWithStateInPandas (Spark 4's typed stateful API) needs the
+# google.protobuf runtime for its state-server wire protocol; this
+# container ships only typeshed stubs, so the key registers ONLY where
+# the real dependency exists (any standard cluster image) — same
+# environmental gate as the Kafka connector (streaming/kafka.py).
+# The job itself (streaming/jobs.py:transform_with_state_job) is
+# complete and oracle-paired; tests/test_streaming.py skips with the
+# same reason.
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+    register("transform_with_state", oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS sum_v6,
+       round(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                  AS BIGINT) / 1e6, 6) AS sum_value
+FROM events GROUP BY user_id
+""")(lambda s, d: _streaming("transform_with_state_job")(s, d))
+
 register("stream_stream_left_outer", oracle="""
 SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
        epoch_us(c.ts) - epoch_us(e.ts) AS lag_us

@@ -709,3 +709,64 @@ def stream_stream_left_outer_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_id AS click_id, e_id AS error_id, c_user AS user_id,
                unix_micros(c_ts) - unix_micros(e_ts) AS lag_us
         FROM {qname} WHERE c_id >= 0""")
+
+
+def transform_with_state_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithState API (the typed successor to
+    applyInPandasWithState — explicit named state variables on a
+    StatefulProcessor instead of one opaque GroupState): per-user
+    running totals over the replayed backlog. Each micro-batch updates a
+    ValueState and APPENDS a snapshot row tagged with an update
+    generation; the post-drain keep-latest picks each user's final
+    snapshot, which must equal the batch GROUP BY exactly.
+
+    Money math never touches Python floats: `value` is cast
+    double→decimal(18,6)→int micro-units JVM-SIDE before the processor,
+    so the pandas state sums int64 and the oracle's decimal sum matches
+    bit-for-bit regardless of summation order."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    src = stage_stream_files(spark, sf_dir)
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, props string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .select("user_id",
+                      (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                      .cast("bigint").alias("v6")))
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState(
+                "tot", "cnt long, sv6 long, upd long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cnt, sv6, upd = (self._tot.get() if self._tot.exists()
+                             else (0, 0, 0))
+            for pdf in rows:
+                cnt += len(pdf)
+                sv6 += int(pdf["v6"].sum())
+            upd += 1
+            self._tot.update((cnt, sv6, upd))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],
+                                "sum_v6": [sv6], "upd": [upd]})
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType="user_id long, n_events long, sum_v6 long, upd long",
+        outputMode="append", timeMode="none")
+    qname = f"tws_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        out.writeStream.outputMode("append").format("memory").queryName(qname))
+    return spark.sql(f"""
+        SELECT user_id, n_events, sum_v6,
+               round(sum_v6 / 1e6, 6) AS sum_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY upd DESC) AS rk
+              FROM {qname})
+        WHERE rk = 1""")

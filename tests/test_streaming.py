@@ -3,6 +3,7 @@ to the batch recompute once the backlog drains."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_apps_spark.operators import highwater
@@ -122,3 +123,30 @@ def test_stream_stream_left_outer_emits_watermark_evicted_nulls(spark):
     last_click = ev.filter("event_type = 'click'") \
         .orderBy(F.desc("ts")).first().event_id
     assert (out.click_id == last_click).any()
+
+
+def test_transform_with_state_totals(spark):
+    """transformWithState (Spark 4 typed stateful API): per-user running
+    totals tracked in a ValueState across micro-batches; the final
+    snapshot per user must equal the batch GROUP BY. Skips where the
+    google.protobuf runtime (the API's state-server wire dependency) is
+    absent — the container gate, not a semantics gap."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs the protobuf runtime "
+               "(absent in this container; present on standard clusters)")
+    from spark_streaming_apps_spark.sources.tables import load_table
+    from spark_streaming_apps_spark.streaming.jobs import (
+        transform_with_state_job)
+
+    sf = "/root/testdata/sf0.001"
+    out = transform_with_state_job(spark, sf).toPandas()
+    ev = load_table(spark, sf, "events")
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum((F.col("value").cast("decimal(18,6)") * 1_000_000)
+                        .cast("bigint")).alias("sum_v6"))).toPandas()
+    assert len(out) == len(batch)
+    merged = out.merge(batch, on="user_id", suffixes=("", "_b"))
+    assert (merged.n_events == merged.n_events_b).all()
+    assert (merged.sum_v6 == merged.sum_v6_b).all()
