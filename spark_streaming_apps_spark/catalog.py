@@ -938,6 +938,17 @@ register("grouped_agg_pandas_udaf", oracle=extensions.GROUPED_AGG_ORACLE
 register("python_datasource", oracle=pysource.PYTHON_DATASOURCE_ORACLE
          )(lambda s, d: pysource.python_datasource(s))
 
+register("lateral_topk_per_group", oracle=analytics.LATERAL_TOPK_ORACLE
+         )(lambda s, d: analytics.lateral_topk_per_group(
+             *_t(s, d, "nation", "customer")))
+
+register("recursive_cte_rollup", oracle=analytics.RECURSIVE_CTE_ORACLE
+         )(lambda s, d: analytics.recursive_cte_rollup(
+             *_t(s, d, "region", "nation", "supplier")))
+
+register("variant_json_stats", oracle=relational.VARIANT_ORACLE
+         )(lambda s, d: relational.variant_json_stats(_t(s, d, "events")))
+
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},
 bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw

@@ -1015,3 +1015,73 @@ SELECT l_orderkey,
        COUNT(*) AS n_lines
 FROM lineitem GROUP BY l_orderkey
 """
+
+
+def lateral_topk_per_group(nation: DataFrame, customer: DataFrame) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 lateral join, Spark 4):
+    top-3 customers by balance PER NATION, expressed as the per-row
+    subquery a SQL user writes — Catalyst decorrelates it into the same
+    ranked-window plan topk_per_group builds by hand, so the declarative
+    form costs nothing at scale (no per-group driver loop ever runs)."""
+    return nation.sparkSession.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM {n} n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM {c}
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+    """, n=nation, c=customer)
+
+
+LATERAL_TOPK_ORACLE = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+"""
+
+
+#: Containment tree for the recursive walk: region <- nation <- supplier,
+#: node ids offset into disjoint ranges so one edge list holds all levels.
+_EDGES_SQL = """
+SELECT CAST(n_nationkey + 1000 AS BIGINT) AS child,
+       CAST(n_regionkey AS BIGINT) AS parent FROM {n}
+UNION ALL
+SELECT CAST(s_suppkey + 2000 AS BIGINT),
+       CAST(s_nationkey + 1000 AS BIGINT) FROM {s}
+"""
+
+
+def recursive_cte_rollup(region: DataFrame, nation: DataFrame,
+                         supplier: DataFrame) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): walk the region<-nation<-supplier
+    containment tree from every root, counting nodes per (root, depth) —
+    the hierarchy explosion (org charts, BOMs, thread trees) that before
+    recursive CTEs needed a driver-side iteration loop per level. The
+    SAME query handles any depth; each recursive step is one keyed join
+    against the edge list, so a 100 TB edge table iterates as a sequence
+    of shuffle joins, never a driver loop over rows."""
+    edges = _EDGES_SQL.replace("{n}", "{nat}").replace("{s}", "{sup}")
+    return region.sparkSession.sql(f"""
+        WITH RECURSIVE walk(node, root, depth) AS (
+          SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT), 0
+          FROM {{r}}
+          UNION ALL
+          SELECT e.child, w.root, w.depth + 1
+          FROM walk w JOIN ({edges}) e ON e.parent = w.node)
+        SELECT root, depth, count(*) AS n
+        FROM walk GROUP BY root, depth
+    """, r=region, nat=nation, sup=supplier)
+
+
+RECURSIVE_CTE_ORACLE = f"""
+WITH RECURSIVE walk(node, root, depth) AS (
+  SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT), 0
+  FROM region
+  UNION ALL
+  SELECT e.child, w.root, w.depth + 1
+  FROM walk w JOIN ({_EDGES_SQL.format(n='nation', s='supplier')}) e
+    ON e.parent = w.node)
+SELECT root, CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n
+FROM walk GROUP BY root, depth
+"""

@@ -224,3 +224,30 @@ SELECT event_id, user_id, event_type, ts_us, value FROM (
   FROM events)
 WHERE rn = 1
 """
+
+
+def variant_json_stats(events: DataFrame) -> DataFrame:
+    """VARIANT ingestion (Spark 4): parse the JSON payload ONCE into the
+    binary-encoded VARIANT type, then typed `variant_get` extraction —
+    the modern semi-structured path (get_json_object re-parses the
+    string per access; a variant column parses at ingest and serves
+    every extraction from the binary encoding, which is the 100 TB
+    difference between one parse and N parses per row). Integer sums
+    keep the aggregate exact across engines."""
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+VARIANT_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
