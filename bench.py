@@ -82,6 +82,11 @@ BENCH_KEYS = [
     "corpus_curate",
     "minhash_containment",
     "multimodal_phash_near_dup",
+    # round 5
+    "substring_dup_spans",
+    "stream_stream_left_outer",
+    "unpivot_melt",
+    "lateral_topk_per_group",
 ]
 
 

@@ -935,6 +935,12 @@ register("pandas_udf_module", oracle=extensions.PANDAS_UDF_ORACLE
 register("grouped_agg_pandas_udaf", oracle=extensions.GROUPED_AGG_ORACLE
          )(lambda s, d: extensions.grouped_agg_pandas_udaf(_t(s, d, "lineitem")))
 
+register("map_in_arrow", oracle=extensions.MAP_IN_ARROW_ORACLE
+         )(lambda s, d: extensions.map_in_arrow(_t(s, d, "documents")))
+
+register("observe_metrics", oracle=extensions.OBSERVE_ORACLE
+         )(lambda s, d: extensions.observe_metrics(_t(s, d, "lineitem")))
+
 register("python_datasource", oracle=pysource.PYTHON_DATASOURCE_ORACLE
          )(lambda s, d: pysource.python_datasource(s))
 

@@ -521,3 +521,65 @@ SELECT l_orderkey,
        COUNT(*) AS n_lines
 FROM lineitem GROUP BY l_orderkey
 """
+
+
+def map_in_arrow(documents: DataFrame) -> DataFrame:
+    """mapInArrow — the zero-copy tier below mapInPandas: the UDF sees
+    raw pyarrow RecordBatches, skipping the Arrow→pandas conversion
+    entirely (no object-dtype strings, no index allocation — for
+    byte/metadata passes over huge batches the conversion IS the cost).
+    The batch pass computes per-doc byte length and an 8-bucket byte
+    histogram slot, all in pyarrow compute; SQL-expressible on purpose
+    so the oracle checks the Arrow round trip."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_batch(batches):
+        for b in batches:
+            n = pc.binary_length(pc.cast(b.column("text"), pa.binary()))
+            # pyarrow.compute has no mod kernel; n - (n/8)*8 in int space
+            bucket = pc.subtract(
+                n, pc.multiply(pc.divide(n, 8), 8))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), n, pc.cast(bucket, pa.int32())],
+                ["doc_id", "n_bytes", "bucket"])
+
+    return documents.select("doc_id", "text").mapInArrow(
+        per_batch, schema="doc_id long, n_bytes int, bucket int")
+
+
+MAP_IN_ARROW_ORACLE = """
+SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(strlen(text) % 8 AS INT) AS bucket
+FROM documents
+"""
+
+
+def observe_metrics(lineitem: DataFrame) -> DataFrame:
+    """Observation API — the engine's accumulator seam (the reference
+    counts processed records in driver-side counters, StreamingApp.scala:
+    557-560): named aggregate metrics ride ON the action that runs the
+    real query, costing zero extra passes. Here the observed query is a
+    filtered projection; the key returns the observed metrics so the
+    oracle value-checks what the monitoring hook reported."""
+    from pyspark.sql import Observation
+    obs = Observation("lineitem_scan")
+    observed = (lineitem.filter(F.col("l_quantity") >= 25)
+                .observe(obs,
+                         F.count(F.lit(1)).alias("n_rows"),
+                         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                          .cast("double").alias("sum_qty"),
+                         F.max("l_orderkey").alias("max_orderkey")))
+    observed.write.mode("overwrite").format("noop").save()  # the action
+    m = obs.get
+    return lineitem.sparkSession.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["max_orderkey"])],
+        "n_rows long, sum_qty double, max_orderkey long")
+
+
+OBSERVE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem WHERE l_quantity >= 25
+"""

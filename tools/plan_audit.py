@@ -41,6 +41,11 @@ KEYS = {
     "corpus_curate": "one shared sketch pass feeds all four stages",
     "scd2_history": "two partitioned windows, no global sort",
     "salted_skew_agg": "two-phase salt defeats the 80%-hot key",
+    "substring_dup_spans": "span-hash keyed joins; O(tokens) state, never pairwise",
+    "zipf_topk_salted": "salted window rank fans the 50%-hot level over 16 reducers",
+    "unpivot_melt": "Expand node: 4 measure rows from ONE scan pass",
+    "lateral_topk_per_group": "LATERAL decorrelated to ranked window, no per-group loop",
+    "recursive_cte_rollup": "each recursion level is a keyed join, no driver loop",
 }
 
 
