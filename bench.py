@@ -87,6 +87,9 @@ BENCH_KEYS = [
     "stream_stream_left_outer",
     "unpivot_melt",
     "lateral_topk_per_group",
+    "record_linkage",
+    "triangle_count",
+    "time_decay_agg",
 ]
 
 

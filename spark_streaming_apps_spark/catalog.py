@@ -955,6 +955,15 @@ register("recursive_cte_rollup", oracle=analytics.RECURSIVE_CTE_ORACLE
 register("variant_json_stats", oracle=relational.VARIANT_ORACLE
          )(lambda s, d: relational.variant_json_stats(_t(s, d, "events")))
 
+register("record_linkage", oracle=dedup.record_linkage_oracle_sql()
+         )(lambda s, d: dedup.record_linkage(_t(s, d, "part")))
+
+register("time_decay_agg", oracle=analytics.time_decay_oracle_sql()
+         )(lambda s, d: analytics.time_decay_agg(_t(s, d, "events")))
+
+register("triangle_count", oracle=graph.triangle_count_oracle_sql()
+         )(lambda s, d: graph.triangle_count(_t(s, d, "embeddings")))
+
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},
 bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw

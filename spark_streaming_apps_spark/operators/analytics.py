@@ -1085,3 +1085,60 @@ WITH RECURSIVE walk(node, root, depth) AS (
 SELECT root, CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n
 FROM walk GROUP BY root, depth
 """
+
+
+# -------------------------------------------------------- time-decay (EWMA)
+
+DECAY_WINDOW = 10  # rows of history per key; weight halves per step back
+
+
+def time_decay_agg(events: DataFrame) -> DataFrame:
+    """Per-user exponentially-decayed value at the stream head: over each
+    user's last {DECAY_WINDOW} events (event-time order), sum
+    value·0.5^(steps-back) — the recency-weighted engagement score a
+    feature pipeline derives per entity (engine-beyond-reference; the
+    reference's only per-key reduction is the HW max).
+
+    Decimal-exact across engines: 0.5^d = 2^(W-1-d)/2^(W-1) with integer
+    numerators, so the aggregate is an exact DECIMAL sum of
+    value·2^(W-1-d) terms, divided by the power-of-two denominator only
+    at the end (one double rounding, order-independent — the same
+    discipline as the money sums above).
+
+    100-TB shape: one shuffle on user_id for the row_number window; the
+    per-user tail filter and weighted sum ride the same partitioning
+    (Catalyst reuses the exchange), so the whole op is a single-pass
+    windowed aggregation — no self-join, no skew beyond the key
+    distribution itself (AQE handles a hot user).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (events
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("mx", F.max("rn").over(Window.partitionBy("user_id"))))
+    d = F.col("mx") - F.col("rn")  # steps back from the newest event
+    num = _dec(F.col("value")) * F.expr(
+        f"shiftleft(1L, {DECAY_WINDOW - 1} - (mx - rn))")
+    return (rows.filter(d < DECAY_WINDOW)
+            .groupBy("user_id")
+            .agg(F.round(F.sum(num).cast("double")
+                         / (1 << (DECAY_WINDOW - 1)), 6).alias("decayed"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
+def time_decay_oracle_sql() -> str:
+    half = 1 << (DECAY_WINDOW - 1)
+    return f"""
+WITH o AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS mx
+           FROM events)
+SELECT user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(power(2, {DECAY_WINDOW - 1} - (mx - rn)) AS BIGINT))
+                  AS DOUBLE) / {half}, 6) AS decayed,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o WHERE mx - rn < {DECAY_WINDOW}
+GROUP BY user_id
+"""

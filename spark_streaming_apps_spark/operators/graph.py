@@ -99,3 +99,57 @@ norm AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.outw AS p
 r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes),{chain}
 SELECT node, round(r, 6) AS rank FROM {prev}
 """
+
+
+# ----------------------------------------------------------- triangle count
+
+def triangle_count(embeddings: DataFrame) -> DataFrame:
+    """Triangles of the mutual k-NN graph — the structural-density probe a
+    semantic-curation pipeline runs over its neighbor graph (triangle-rich
+    regions = tight semantic clusters; reference has no graph ops — this is
+    engine-beyond-reference, like `pagerank_nations`).
+
+    Edge set: undirected (a < b) pairs where BOTH directed top-{KNN_K}
+    edges exist in `similarity.knn_graph` (mutual-kNN, the symmetric
+    neighbor graph SemDeDup-style pipelines consume). Enumeration is the
+    textbook oriented-join: every edge is stored once as (a < b), and a
+    triangle {a<b<c} is counted exactly once by
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c).
+
+    100-TB shape: the k-NN graph bounds every vertex degree by k, so the
+    edge relation is O(n·k), each join key (a vertex id) matches ≤ k rows
+    per side, and the oriented join can NEVER go quadratic — the skew
+    hazard of triangle counting on power-law graphs is structurally absent
+    here. All three joins are keyed equi-joins (shuffle or AQE-broadcast);
+    no cartesian anywhere.
+    """
+    from .similarity import knn_graph
+    g = knn_graph(embeddings).select("vec_id", "nbr_id")
+    rev = g.select(F.col("nbr_id").alias("vec_id"),
+                   F.col("vec_id").alias("nbr_id"))
+    # mutual + oriented: keep each undirected edge once, as (a < b)
+    edges = (g.join(rev, ["vec_id", "nbr_id"])
+             .filter(F.col("vec_id") < F.col("nbr_id"))
+             .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")))
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (e1.join(e2, "b")
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c"))
+
+
+def triangle_count_oracle_sql() -> str:
+    from .similarity import knn_graph_oracle_sql
+    knn = knn_graph_oracle_sql().strip().rstrip()
+    return f"""
+WITH knn AS ({knn}),
+g AS (SELECT vec_id, nbr_id FROM knn),
+edges AS (SELECT a.vec_id AS a, a.nbr_id AS b
+          FROM g a JOIN g r ON a.vec_id = r.nbr_id AND a.nbr_id = r.vec_id
+          WHERE a.vec_id < a.nbr_id)
+SELECT e1.a, e1.b, e2.b AS c
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.a
+JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b
+"""

@@ -188,3 +188,35 @@ def test_ivf_partitioned_probe_prunes_cells(spark):
     out = similarity.ivf_partitioned_probe(
         spark, "/root/testdata/sf0.001", SCRATCH)
     assert partition_filters(out), "cell predicate did not reach the scan"
+
+
+def test_record_linkage_block_keyed(tables):
+    """Linkage candidates must come from the block equi-join — never an
+    unblocked part × part product."""
+    from spark_streaming_apps_spark.operators.dedup import record_linkage
+    out = record_linkage(tables["part"])
+    assert cartesian_join_count(out) == 0
+    assert bnlj_count(out) == 0
+    assert equi_join_on(out, "a_block")
+
+
+def test_triangle_count_all_keyed_joins(tables):
+    """Triangle enumeration = oriented keyed equi-joins; k-bounded degree
+    means no join key can explode, and no cartesian may appear."""
+    from spark_streaming_apps_spark.operators.graph import triangle_count
+    out = triangle_count(tables["embeddings"])
+    assert cartesian_join_count(out) == 0
+    # only the knn subplan's bounded centroid broadcast (N_CELLS rows)
+    # may be a nested loop — same allowance as the near-dup plan test
+    assert bnlj_count(out) <= 2
+
+
+def test_time_decay_single_user_shuffle(tables):
+    """Both windows and the final aggregate must ride ONE user_id
+    exchange (Catalyst reuses the partitioning) — the whole op is a
+    single-pass windowed aggregation."""
+    from spark_streaming_apps_spark.operators.analytics import time_decay_agg
+    from spark_streaming_apps_spark.plans import physical_plan
+    out = time_decay_agg(tables["events"])
+    plan = physical_plan(out)
+    assert plan.lower().count("exchange hashpartitioning") <= 1, plan
