@@ -90,6 +90,8 @@ BENCH_KEYS = [
     "record_linkage",
     "triangle_count",
     "time_decay_agg",
+    "tfidf_cosine_topk",
+    "incremental_agg",
 ]
 
 

@@ -190,3 +190,25 @@ class AcidTable:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(rel)
         return removed
+
+    def merge_add(self, partials: DataFrame, key: list[str],
+                  max_retries: int = 20) -> int:
+        """Incremental-view-maintenance MERGE: non-key columns are
+        mergeable partial aggregates (counts / decimal sums) and matched
+        rows ADD instead of replacing — the commit that maintains an
+        aggregate table under a stream of deltas without ever
+        recomputing from the full log.  Same optimistic commit loop, so
+        concurrent maintainers serialize and no delta is lost or applied
+        twice."""
+        def build(cur: DataFrame) -> DataFrame:
+            val_cols = [c for c in cur.columns if c not in key]
+            u = partials.select(*key, *[F.col(c).alias(f"__u_{c}")
+                                        for c in val_cols])
+            zero = F.lit(0)
+            return (cur.join(u, key, "full_outer")
+                    .select(*key,
+                            *[(F.coalesce(F.col(c), zero)
+                               + F.coalesce(F.col(f"__u_{c}"), zero))
+                              .cast(dict(cur.dtypes)[c]).alias(c)
+                              for c in val_cols]))
+        return self._commit_loop(build, "merge_add", max_retries)

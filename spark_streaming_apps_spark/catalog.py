@@ -964,6 +964,12 @@ register("time_decay_agg", oracle=analytics.time_decay_oracle_sql()
 register("triangle_count", oracle=graph.triangle_count_oracle_sql()
          )(lambda s, d: graph.triangle_count(_t(s, d, "embeddings")))
 
+register("tfidf_cosine_topk", oracle=text.tfidf_cosine_oracle_sql()
+         )(lambda s, d: text.tfidf_cosine_topk(_t(s, d, "documents")))
+
+register("incremental_agg", oracle=extensions.INCREMENTAL_AGG_ORACLE
+         )(lambda s, d: extensions.incremental_agg(s, d, SCRATCH))
+
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},
 bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw

@@ -846,28 +846,43 @@ LINKAGE_SIZE_BAND = 5
 
 
 def record_linkage(part: DataFrame) -> DataFrame:
-    """Entity resolution over the part catalog — the blocking + multi-field
-    scoring shape of a Fellegi–Sunter record-linkage pass (an LLM-corpus
-    pipeline runs the same shape to merge near-identical source records
-    before dedup; engine-beyond-reference).
+    """Entity resolution over the part catalog — canonicalize-then-link,
+    the blocking + multi-field scoring shape of a Fellegi–Sunter
+    record-linkage pass (an LLM-corpus pipeline runs the same shape to
+    merge near-identical source records before dedup;
+    engine-beyond-reference).
 
-    Blocking key: the head noun (last token of p_name) — candidates must
-    share it, so the pair space is per-block, never corpus².  Score =
+    Stage 1 CANONICALIZES instances to entity records: groupBy the
+    identity fields (p_name, p_type) -> record id = min part key,
+    representative size = min size, instance count.  Linking identical
+    instances is trivial exact dedup; ER proper operates on the DISTINCT
+    record space, which grows with catalog VARIETY, not row count (the
+    fixture holds it at 384 records from sf0.01 to sf0.1 — and a 100-TB
+    catalog's distinct-entity space is similarly sublinear in rows, so
+    the quadratic stage is over a structurally smaller relation).
+
+    Stage 2 blocks on the head noun (last p_name token) — candidates must
+    share it, so the pair space is per-block, never records².  Score =
     0.5·Jaccard(name tokens) + 0.3·[same p_type] + 0.2·[|size diff| ≤
     {LINKAGE_SIZE_BAND}]; link if ≥ {LINKAGE_MIN_SCORE}.
 
-    100-TB shape: the block join is a keyed equi-join (one shuffle on the
-    block key); a hot block (every product called "widget") is the skew
-    hazard, left to AQE's skew-join split rather than a forced plan.  The
-    scoring runs on candidates only, all JVM array/string expressions —
+    100-TB shape: canonicalization is one keyed aggregation over the
+    instance table (the only stage that sees all rows); the block join is
+    a keyed equi-join over entity records; a hot block (every product
+    called "widget") is the skew hazard, left to AQE's skew-join split.
+    Scoring runs on candidates only, all JVM array/string expressions —
     zero Python.
     """
+    ent = (part.groupBy("p_name", "p_type")
+           .agg(F.min("p_partkey").alias("rec_id"),
+                F.min("p_size").alias("rec_size"),
+                F.count(F.lit(1)).alias("n_instances")))
     raw = F.split(F.lower(F.col("p_name")), " ")
     # block comes off the RAW ordered split — DuckDB's list_distinct does
     # not preserve order, so the oracle's block must too
-    t = (part.select("p_partkey", "p_type", "p_size",
-                     F.array_distinct(raw).alias("toks"),
-                     F.element_at(raw, -1).alias("block")))
+    t = ent.select("rec_id", "p_type", "rec_size", "n_instances",
+                   F.array_distinct(raw).alias("toks"),
+                   F.element_at(raw, -1).alias("block"))
     a = t.select(*[F.col(c).alias(f"a_{c}") for c in t.columns])
     b = t.select(*[F.col(c).alias(f"b_{c}") for c in t.columns])
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
@@ -875,33 +890,37 @@ def record_linkage(part: DataFrame) -> DataFrame:
     score = F.round(
         0.5 * inter / union
         + 0.3 * (F.col("a_p_type") == F.col("b_p_type")).cast("int")
-        + 0.2 * (F.abs(F.col("a_p_size") - F.col("b_p_size"))
+        + 0.2 * (F.abs(F.col("a_rec_size") - F.col("b_rec_size"))
                  <= LINKAGE_SIZE_BAND).cast("int"), 6)
     return (a.join(b, (F.col("a_block") == F.col("b_block"))
-                   & (F.col("a_p_partkey") < F.col("b_p_partkey")))
-            .select(F.col("a_p_partkey").alias("key1"),
-                    F.col("b_p_partkey").alias("key2"),
-                    score.alias("score"))
+                   & (F.col("a_rec_id") < F.col("b_rec_id")))
+            .select(F.col("a_rec_id").alias("key1"),
+                    F.col("b_rec_id").alias("key2"),
+                    score.alias("score"),
+                    (F.col("a_n_instances") * F.col("b_n_instances"))
+                    .alias("pair_coverage"))
             .filter(F.col("score") >= LINKAGE_MIN_SCORE))
 
 
 def record_linkage_oracle_sql() -> str:
     return f"""
-WITH raw AS (SELECT p_partkey, p_type, p_size,
-                    string_split(lower(p_name), ' ') AS rt
-             FROM part),
-tb AS (SELECT p_partkey, p_type, p_size,
-              list_distinct(rt) AS toks, rt[-1] AS block FROM raw)
-SELECT a.p_partkey AS key1, b.p_partkey AS key2,
+WITH ent AS (SELECT p_name, p_type, min(p_partkey) AS rec_id,
+                    min(p_size) AS rec_size,
+                    CAST(count(*) AS BIGINT) AS n_instances
+             FROM part GROUP BY p_name, p_type),
+raw AS (SELECT rec_id, p_type, rec_size, n_instances,
+               string_split(lower(p_name), ' ') AS rt
+        FROM ent),
+tb AS (SELECT rec_id, p_type, rec_size, n_instances,
+              list_distinct(rt) AS toks, rt[-1] AS block FROM raw),
+scored AS (SELECT a.rec_id AS key1, b.rec_id AS key2,
        round(0.5 * len(list_intersect(a.toks, b.toks))
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
            + 0.3 * CAST(a.p_type = b.p_type AS INT)
-           + 0.2 * CAST(abs(a.p_size - b.p_size) <= {LINKAGE_SIZE_BAND} AS INT),
-             6) AS score
-FROM tb a JOIN tb b ON a.block = b.block AND a.p_partkey < b.p_partkey
-WHERE round(0.5 * len(list_intersect(a.toks, b.toks))
-            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-          + 0.3 * CAST(a.p_type = b.p_type AS INT)
-          + 0.2 * CAST(abs(a.p_size - b.p_size) <= {LINKAGE_SIZE_BAND} AS INT),
-            6) >= {LINKAGE_MIN_SCORE}
+           + 0.2 * CAST(abs(a.rec_size - b.rec_size) <= {LINKAGE_SIZE_BAND} AS INT),
+             6) AS score,
+       a.n_instances * b.n_instances AS pair_coverage
+  FROM tb a JOIN tb b ON a.block = b.block AND a.rec_id < b.rec_id)
+SELECT key1, key2, score, pair_coverage
+FROM scored WHERE score >= {LINKAGE_MIN_SCORE}
 """

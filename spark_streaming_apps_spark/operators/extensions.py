@@ -583,3 +583,46 @@ SELECT COUNT(*) AS n_rows,
        MAX(l_orderkey) AS max_orderkey
 FROM lineitem WHERE l_quantity >= 25
 """
+
+
+def incremental_agg(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """Incremental view maintenance: a per-user (count, revenue-sum)
+    aggregate table maintained under three successive delta batches —
+    each batch reduces to mergeable partials (one keyed aggregation over
+    the DELTA only) and lands as one atomic `AcidTable.merge_add`
+    commit. The maintained state equals the from-scratch aggregate
+    exactly (the oracle recomputes over the full log), which is the IVM
+    correctness contract.
+
+    100-TB shape: per batch the work is O(delta) + one keyed merge join
+    against the state table — never a rescan of the log; sums ride
+    DECIMAL so merge order can't perturb them. This is the batch twin of
+    `streaming_cdc_upsert` (there keep-latest, here additive partials —
+    the two mergeable-state families)."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "incremental_agg_acid"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events")
+    schema = "user_id long, n_events long, total decimal(28,2)"
+    t = AcidTable.create(spark, table_dir, spark.createDataFrame([], schema))
+    for chunk in range(3):
+        delta = events.filter(F.col("event_id") % 3 == chunk)
+        partial = (delta.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(F.col("value").cast("decimal(28,2)"))
+                         .alias("total")))
+        t.merge_add(partial, key=["user_id"])
+    return (t.read().select("user_id", "n_events",
+                            F.col("total").cast("double").alias("total")))
+
+
+INCREMENTAL_AGG_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+"""

@@ -581,3 +581,94 @@ SELECT doc_id, s.pos, s.tok AS token FROM (
                  FOR i IN generate_series(1, len(tk))]) AS s
   FROM tks)
 """
+
+
+# ----------------------------------------------------- sparse TF-IDF cosine
+
+TFIDF_DF_MAX = 50   # drop tokens in > DF_MAX docs: stop-term prune AND the
+                    # hard bound on posting-list length (join fan-out)
+TFIDF_TOP_K = 5
+
+
+def tfidf_cosine_topk(documents: DataFrame) -> DataFrame:
+    """Sparse TF-IDF nearest neighbors — the inverted-index cosine join
+    that complements the dense-embedding ANN family (there the vector is
+    a fixed array; here it's an unbounded token space, so the only
+    scalable plan is score accumulation over the shared-token join).
+
+    Vocabulary = tokens with document frequency ≤ {TFIDF_DF_MAX}: the
+    standard max-df stop-term prune, and the scale contract — every
+    posting list is ≤ DF_MAX docs, so the token self-join emits at most
+    C(DF_MAX,2) pairs per token, NEVER corpus².  Weights w = tf ·
+    idf(round 9dp), dot products accumulate per pair in one keyed
+    aggregation, norms join back, cosine rounds to 6dp, top-{TFIDF_TOP_K}
+    per doc by partitioned window.  All JVM expressions; the one skew
+    hazard (a token at exactly DF_MAX in every partition) is bounded by
+    the same cap.
+    """
+    from pyspark.sql import Window
+    n_docs = documents.select(F.count(F.lit(1)).alias("n"))
+    toks = (documents
+            .select("doc_id", F.explode(_tokens()).alias("token"))
+            .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") <= TFIDF_DF_MAX))
+    w = (toks.join(dfreq, "token")
+         .join(F.broadcast(n_docs))
+         .select("doc_id", "token", "df",
+                 (F.col("tf") * F.round(
+                     F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1, 9))
+                 .alias("w")))
+    norms = (w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    a = w.filter(F.col("df") >= 2).select("token", F.col("doc_id").alias("da"),
+                                          F.col("w").alias("wa"))
+    b = w.filter(F.col("df") >= 2).select("token", F.col("doc_id").alias("db"),
+                                          F.col("w").alias("wb"))
+    dots = (a.join(b, "token")
+            .filter(F.col("da") < F.col("db"))
+            .groupBy("da", "db").agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    half = (dots.join(na, "da").join(nb, "db")
+            .select("da", "db",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                    .alias("cos")))
+    pairs = half.unionByName(
+        half.select(F.col("db").alias("da"), F.col("da").alias("db"), "cos"))
+    rk = Window.partitionBy("da").orderBy(F.desc("cos"), "db")
+    return (pairs.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select(F.col("da").alias("doc_id"), F.col("db").alias("nbr_id"),
+                    "cos", "rank"))
+
+
+def tfidf_cosine_oracle_sql() -> str:
+    from .dedup import _TOKENS_DUCK
+    return f"""
+WITH toks AS (SELECT doc_id, token, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+nd AS (SELECT count(*) AS n FROM documents),
+dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token
+          HAVING count(*) <= {TFIDF_DF_MAX}),
+w AS (SELECT doc_id, token, df,
+             tf * round(ln((n + 1) / (df + 1.0)) + 1, 9) AS w
+      FROM toks JOIN dfreq USING (token) CROSS JOIN nd),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+         WHERE a.df >= 2 GROUP BY a.doc_id, b.doc_id),
+half AS (SELECT da, db, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         FROM dots JOIN norms na ON na.doc_id = da
+                   JOIN norms nb ON nb.doc_id = db),
+pairs AS (SELECT da, db, cos FROM half
+          UNION ALL SELECT db, da, cos FROM half),
+ranked AS (SELECT da AS doc_id, db AS nbr_id, cos,
+                  row_number() OVER (PARTITION BY da
+                                     ORDER BY cos DESC, db) AS rank
+           FROM pairs)
+SELECT doc_id, nbr_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""

@@ -139,3 +139,40 @@ def test_commit_conflict_gives_up(spark, tmp_path):
                                       "id long, status int, tag string"),
                 key=["id"], max_retries=3)
     t._try_commit = orig
+
+
+def test_concurrent_merge_add_sums_exactly_once(spark, tmp_path):
+    """IVM contract under racing maintainers: two threads merge_add
+    overlapping delta partials; optimistic retry must apply each delta
+    exactly once, so per-key totals equal the arithmetic sum whatever
+    the commit interleaving."""
+    df = spark.createDataFrame([(i, 0) for i in range(10)], "id long, n long")
+    t = AcidTable.create(spark, tmp_path / "ivm", df)
+    errs: list[Exception] = []
+
+    def maintainer(add):
+        try:
+            ups = spark.createDataFrame(
+                [(i, add) for i in range(10)], "id long, n long")
+            t.merge_add(ups, key=["id"])
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=maintainer, args=(a,)) for a in (1, 10, 100)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    assert t.latest_version() == 3
+    rows = {r.id: r.n for r in t.read().collect()}
+    assert rows == {i: 111 for i in range(10)}
+
+
+def test_merge_add_inserts_unseen_keys(spark, tmp_path):
+    df = spark.createDataFrame([(0, 5)], "id long, n long")
+    t = AcidTable.create(spark, tmp_path / "ivm2", df)
+    t.merge_add(spark.createDataFrame([(0, 2), (7, 3)], "id long, n long"),
+                key=["id"])
+    rows = {r.id: r.n for r in t.read().collect()}
+    assert rows == {0: 7, 7: 3}

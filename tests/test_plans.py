@@ -220,3 +220,12 @@ def test_time_decay_single_user_shuffle(tables):
     out = time_decay_agg(tables["events"])
     plan = physical_plan(out)
     assert plan.lower().count("exchange hashpartitioning") <= 1, plan
+
+
+def test_tfidf_join_is_token_keyed(tables):
+    """Sparse cosine accumulation must join on the token key (bounded
+    posting lists), never an all-pairs product."""
+    from spark_streaming_apps_spark.operators.text import tfidf_cosine_topk
+    out = tfidf_cosine_topk(tables["documents"])
+    assert cartesian_join_count(out) == 0
+    assert equi_join_on(out, "token")

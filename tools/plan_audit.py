@@ -46,6 +46,9 @@ KEYS = {
     "unpivot_melt": "Expand node: 4 measure rows from ONE scan pass",
     "lateral_topk_per_group": "LATERAL decorrelated to ranked window, no per-group loop",
     "recursive_cte_rollup": "each recursion level is a keyed join, no driver loop",
+    "record_linkage": "head-noun block equi-join; scoring on candidates only",
+    "triangle_count": "oriented keyed joins; kNN bounds degree, no skew possible",
+    "time_decay_agg": "both windows + agg ride ONE user_id exchange",
 }
 
 

@@ -38,6 +38,9 @@ KEYS = [
     "minhash_containment",     # asymmetric containment verify (round 4)
     "multimodal_phash_near_dup",  # banded perceptual-hash dedup (round 4)
     "zipf_topk_salted",        # salted hot-key window (round 5)
+    "record_linkage",          # blocked entity resolution (round 5)
+    "triangle_count",          # mutual-kNN triangle enumeration (round 5)
+    "time_decay_agg",          # single-shuffle EWMA (round 5)
 ]
 
 
