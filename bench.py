@@ -92,6 +92,7 @@ BENCH_KEYS = [
     "time_decay_agg",
     "tfidf_cosine_topk",
     "incremental_agg",
+    "hypertable_rollup",
 ]
 
 

@@ -970,6 +970,12 @@ register("tfidf_cosine_topk", oracle=text.tfidf_cosine_oracle_sql()
 register("incremental_agg", oracle=extensions.INCREMENTAL_AGG_ORACLE
          )(lambda s, d: extensions.incremental_agg(s, d, SCRATCH))
 
+register("hypertable_rollup", oracle=windows.HYPERTABLE_ORACLE
+         )(lambda s, d: windows.hypertable_rollup(_t(s, d, "events")))
+
+register("streaming_ivm", oracle=extensions.INCREMENTAL_AGG_ORACLE
+         )(lambda s, d: _streaming("streaming_ivm_job")(s, d))
+
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},
 bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw

@@ -105,3 +105,41 @@ g AS (SELECT user_id, ts,
 SELECT user_id, epoch_us(min(ts)) AS session_start_us, COUNT(*) AS n
 FROM g GROUP BY user_id, sid
 """
+
+
+# ----------------------------------------------------- continuous-aggregate
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Two-grain continuous-aggregate rollup (the hypertable pattern):
+    daily per-type stats derived FROM the hourly partials, never from the
+    raw events — count/sum re-aggregate exactly, max folds over hourly
+    maxes. At 100 TB the hourly layer is the materialized one (see
+    `incremental_agg` / `AcidTable.merge_add` for its maintenance); every
+    coarser grain is a cheap keyed aggregation over partials that are
+    ~1/3600th of the raw rows. Sums ride DECIMAL so the two-step
+    re-aggregation is bit-identical to a one-shot daily aggregate, which
+    is exactly what the oracle computes — proving the rollup lattice
+    collapses losslessly.
+    """
+    hourly = (events
+              .groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                       .alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+                   F.max("value").alias("mx")))
+    return (hourly
+            .groupBy(F.date_trunc("day", F.col("h")).alias("d"), "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("total").cast("double").alias("total"),
+                 F.max("mx").alias("mx"))
+            .select(F.unix_micros(F.col("d")).alias("day_start_us"),
+                    "event_type", "n", "total", "mx"))
+
+
+HYPERTABLE_ORACLE = """
+SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS day_start_us,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+       MAX(value) AS mx
+FROM events GROUP BY 1, 2
+"""

@@ -770,3 +770,36 @@ def transform_with_state_job(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            ORDER BY upd DESC) AS rk
               FROM {qname})
         WHERE rk = 1""")
+
+
+def streaming_ivm_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: each micro-batch reduces to
+    mergeable per-user partials (count + DECIMAL sum over the DELTA only)
+    and lands as ONE atomic `AcidTable.merge_add` commit — the streaming
+    twin of the batch `incremental_agg`, and the additive counterpart of
+    `streaming_cdc_upsert` (keep-latest there, merge-add here). A crashed
+    batch leaves only an unreferenced data dir; a replayed batch would
+    double-add, which is why the real exactly-once contract pairs this
+    sink with the batch-id fencing shown in `exactly_once_sink` — here
+    the drained availableNow run applies each batch once and the final
+    state must equal the full-log aggregate exactly (the oracle)."""
+    from ..acid import AcidTable
+    out, ckpt = _fresh("streaming_ivm")
+    schema = "user_id long, n_events long, total decimal(28,2)"
+    table = AcidTable.create(spark, Path(out) / "state",
+                             spark.createDataFrame([], schema))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        partial = (batch.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n_events"),
+                        F.sum(F.col("value").cast("decimal(28,2)"))
+                         .alias("total")))
+        table.merge_add(partial, key=["user_id"])
+
+    stream = (events_stream(spark, sf_dir)
+              .select("user_id", "value"))
+    _run_available_now(
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt))
+    return table.read().select(
+        "user_id", "n_events", F.col("total").cast("double").alias("total"))

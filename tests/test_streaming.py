@@ -150,3 +150,24 @@ def test_transform_with_state_totals(spark):
     merged = out.merge(batch, on="user_id", suffixes=("", "_b"))
     assert (merged.n_events == merged.n_events_b).all()
     assert (merged.sum_v6 == merged.sum_v6_b).all()
+
+
+def test_streaming_ivm_equals_full_log_aggregate(spark):
+    """IVM batch-equivalence: the drained merge_add state must equal the
+    one-shot aggregate over the full log, however the backlog split into
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_apps_spark.sources.tables import load_table
+    from spark_streaming_apps_spark.streaming.jobs import streaming_ivm_job
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: (r.n_events, r.total)
+           for r in streaming_ivm_job(spark, sf).collect()}
+    want = {r.user_id: (r.n_events, r.total)
+            for r in (load_table(spark, sf, "events")
+                      .groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n_events"),
+                           F.sum(F.col("value").cast("decimal(28,2)"))
+                            .cast("double").alias("total"))).collect()}
+    assert got == want
