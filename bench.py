@@ -93,6 +93,8 @@ BENCH_KEYS = [
     "tfidf_cosine_topk",
     "incremental_agg",
     "hypertable_rollup",
+    "pareto_front",
+    "dynamic_partition_pruning",
 ]
 
 

@@ -976,6 +976,12 @@ register("hypertable_rollup", oracle=windows.HYPERTABLE_ORACLE
 register("streaming_ivm", oracle=extensions.INCREMENTAL_AGG_ORACLE
          )(lambda s, d: _streaming("streaming_ivm_job")(s, d))
 
+register("pareto_front", oracle=analytics.PARETO_ORACLE
+         )(lambda s, d: analytics.pareto_front(_t(s, d, "part")))
+
+register("dynamic_partition_pruning", oracle=extensions.DPP_ORACLE
+         )(lambda s, d: extensions.dynamic_partition_pruning(s, d, SCRATCH))
+
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},
 bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw

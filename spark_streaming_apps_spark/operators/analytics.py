@@ -1142,3 +1142,47 @@ SELECT user_id,
 FROM o WHERE mx - rn < {DECAY_WINDOW}
 GROUP BY user_id
 """
+
+
+# -------------------------------------------------------------- skyline
+
+def pareto_front(part: DataFrame) -> DataFrame:
+    """2-D skyline (Pareto front) of the part catalog: parts not strictly
+    dominated on (price, size) — both lower is better. The naive
+    formulation is the O(n²) NOT-EXISTS dominance join (the oracle runs
+    it at fixture scale); the engine's plan is the sort-based skyline:
+
+      1. collapse rows to PRICE LEVELS (groupBy price → min size) —
+         the only stage that sees all rows, one keyed aggregation;
+      2. running min(size) over levels ordered by price, ROWS frame
+         ending 1 PRECEDING — "best size among strictly cheaper levels"
+         (the tie-correct strict-dominance frame a RANGE bound can't
+         express on a continuous price axis);
+      3. join back on price: a row survives iff no strictly-cheaper
+         level beats its size strictly.
+
+    100-TB shape: stage 2's window runs over DISTINCT price levels —
+    orders of magnitude smaller than the row table, and two-phase range
+    partitioning (see `deterministic_shuffle`) covers it when even the
+    level table is huge; stages 1 and 3 are keyed shuffles on price.
+    """
+    from pyspark.sql import Window
+    levels = (part.groupBy("p_retailprice")
+              .agg(F.min("p_size").alias("lmin")))
+    w = (Window.orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    runmin = levels.select(
+        "p_retailprice", F.min("lmin").over(w).alias("prev_min"))
+    return (part.join(runmin, "p_retailprice")
+            .filter(F.col("prev_min").isNull()
+                    | (F.col("prev_min") >= F.col("p_size")))
+            .select("p_partkey", "p_retailprice", "p_size"))
+
+
+PARETO_ORACLE = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice < p.p_retailprice AND q.p_size < p.p_size)
+"""

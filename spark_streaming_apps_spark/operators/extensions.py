@@ -626,3 +626,47 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
 FROM events GROUP BY user_id
 """
+
+
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str,
+                              scratch: Path) -> DataFrame:
+    """Dynamic partition pruning proof: the fact side is a parquet layout
+    partitioned by event_type; the selective filter lives on a DIMENSION
+    (a 2-row segment table), so static pruning can't help — the partition
+    filter must be injected at runtime from the join's build side
+    (Spark's DPP: a `dynamicpruningexpression` on the scan, asserted in
+    tests/test_plans.py). At 100 TB this is THE difference between
+    scanning 2 of N partitions and scanning the whole fact table when
+    the predicate arrives via a star-schema join, which is how real
+    predicates arrive.  Layout written once per (session, sf) and reused."""
+    from ..sources.tables import load_table
+
+    layout = scratch / f"dpp_events_{Path(sf_dir).name}"
+    marker = layout / "_SUCCESS"
+    if not marker.exists():
+        (load_table(spark, sf_dir, "events")
+         .select("event_id", "user_id", "value", "event_type")
+         .write.mode("overwrite").partitionBy("event_type")
+         .parquet(str(layout)))
+    fact = spark.read.parquet(str(layout))
+    # the dim carries every type; the SELECTIVE predicate (seg <= 2) is
+    # what DPP requires on the build side before it injects the runtime
+    # partition filter — an unfiltered dim never triggers pruning
+    dim = (spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("error", 4),
+         ("scroll", 5)], "event_type string, seg int")
+        .filter(F.col("seg") <= 2))
+    return (fact.join(F.broadcast(dim), "event_type")
+            .groupBy("event_type", "seg")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total")))
+
+
+DPP_ORACLE = """
+SELECT event_type, CASE event_type WHEN 'click' THEN 1 ELSE 2 END AS seg,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY 1, 2
+"""

@@ -229,3 +229,26 @@ def test_tfidf_join_is_token_keyed(tables):
     out = tfidf_cosine_topk(tables["documents"])
     assert cartesian_join_count(out) == 0
     assert equi_join_on(out, "token")
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """The event_type partition filter must be injected at runtime from
+    the dim join (dynamicpruningexpression on the scan) — scanning 2 of
+    N partitions instead of the whole fact layout."""
+    from spark_streaming_apps_spark.catalog import SCRATCH
+    from spark_streaming_apps_spark.operators.extensions import (
+        dynamic_partition_pruning)
+    from spark_streaming_apps_spark.plans import partition_filters
+
+    out = dynamic_partition_pruning(spark, "/root/testdata/sf0.001", SCRATCH)
+    pf = " ".join(partition_filters(out)).lower()
+    assert "dynamicpruning" in pf, pf
+
+
+def test_pareto_front_windows_levels_not_rows(tables):
+    """The skyline's only global sort is over DISTINCT price levels (the
+    aggregated table), and the join back to rows is keyed on price."""
+    from spark_streaming_apps_spark.operators.analytics import pareto_front
+    out = pareto_front(tables["part"])
+    assert cartesian_join_count(out) == 0
+    assert equi_join_on(out, "p_retailprice")
