@@ -123,14 +123,23 @@ def triangle_count(embeddings: DataFrame) -> DataFrame:
     here. All three joins are keyed equi-joins (shuffle or AQE-broadcast);
     no cartesian anywhere.
     """
+    from .dedup import _materialize, _memo
     from .similarity import knn_graph
-    g = knn_graph(embeddings).select("vec_id", "nbr_id")
-    rev = g.select(F.col("nbr_id").alias("vec_id"),
-                   F.col("vec_id").alias("nbr_id"))
-    # mutual + oriented: keep each undirected edge once, as (a < b)
-    edges = (g.join(rev, ["vec_id", "nbr_id"])
-             .filter(F.col("vec_id") < F.col("nbr_id"))
-             .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")))
+
+    def build_edges() -> DataFrame:
+        g = knn_graph(embeddings).select("vec_id", "nbr_id")
+        rev = g.select(F.col("nbr_id").alias("vec_id"),
+                       F.col("vec_id").alias("nbr_id"))
+        # mutual + oriented: keep each undirected edge once, as (a < b)
+        return _materialize(
+            g.join(rev, ["vec_id", "nbr_id"])
+            .filter(F.col("vec_id") < F.col("nbr_id"))
+            .select(F.col("vec_id").alias("a"), F.col("nbr_id").alias("b")))
+
+    # materialized + memoized: the triangle join references the edge set
+    # three times — without the barrier each alias replays the whole
+    # knn candidate/fetch/window pipeline (plan audit: 23 exchanges -> 5)
+    edges = _memo(embeddings, "mutual_knn_edges", build_edges)
     e1 = edges
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
