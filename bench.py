@@ -95,6 +95,7 @@ BENCH_KEYS = [
     "hypertable_rollup",
     "pareto_front",
     "dynamic_partition_pruning",
+    "stream_stream_full_outer",
 ]
 
 

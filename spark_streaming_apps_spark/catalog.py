@@ -171,6 +171,25 @@ def csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars bigint").csv(out)
 
 
+@register("orc_source", oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip — the other columnar format a lakehouse
+    ingests (Hive-era estates hold petabytes of it). Spark's native
+    vectorized ORC reader gives the same pushdown/pruning contract as
+    parquet: stripe-level min/max skipping and column projection, so the
+    engine's scan discipline carries over unchanged. Write once from the
+    parquet fixture, read back with explicit schema — the identity round
+    trip the parquet-side oracle value-checks."""
+    out = str(SCRATCH / "orc_source")
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").orc(out)
+    return spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint").orc(out)
+
+
 @register("jdbc_insert_row", oracle="""
 SELECT n_nationkey, n_name, CAST(2 AS BIGINT) AS n_copies FROM nation
 """)
@@ -1069,6 +1088,16 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
   ON c.user_id = e.user_id
  AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
 """)(lambda s, d: _streaming("stream_stream_left_outer_job")(s, d))
+
+register("stream_stream_full_outer", oracle="""
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       coalesce(c.user_id, e.user_id) AS user_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+""")(lambda s, d: _streaming("stream_stream_full_outer_job")(s, d))
 
 register("streaming_dedup", oracle="""
 SELECT event_id, user_id, event_type FROM events

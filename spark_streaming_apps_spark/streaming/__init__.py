@@ -5,6 +5,7 @@ from .jobs import (  # noqa: F401
     stage_stream_files, stop_on_complete_job, stream_static_join_job,
     streaming_cdc_upsert_job, streaming_ivm_job,
     stream_stream_join_job, stream_stream_left_outer_job,
+    stream_stream_full_outer_job,
     transform_with_state_job,
     streaming_dedup_job, streaming_session_window_job,
     watermark_late_drop_job,

@@ -803,3 +803,45 @@ def streaming_ivm_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt))
     return table.read().select(
         "user_id", "n_events", F.col("total").cast("double").alias("total"))
+
+
+def stream_stream_full_outer_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer-join
+    matrix (inner: stream_stream_join, left: stream_stream_left_outer):
+    unmatched CLICKS *and* unmatched ERRORS both emit null-padded rows,
+    each only when the watermark proves its match window closed. Both
+    eviction directions run in one query, which doubles the
+    watermark-correctness surface: the same flush-sentinel discipline as
+    the left join (sentinels must survive filter pushdown to reach BOTH
+    watermark nodes; their own emissions are dropped on the drained sink
+    via the sentinel user -1, never inside the streaming plan where the
+    null-intolerant predicate would be pushed below the join). Drained
+    output must equal the batch FULL OUTER join exactly (the oracle)."""
+    src = _stage_with_flush(spark, sf_dir, "ssfoj", ["user_id", "event_type"])
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .select(F.col("event_id").alias(f"{prefix}_id"),
+                        F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("ts").alias(f"{prefix}_ts"),
+                        F.col("event_type").alias(f"{prefix}_type"))
+                .withWatermark(f"{prefix}_ts", "10 minutes")
+                .filter(F.col(f"{prefix}_type").isin(kind, "flush"))
+                .drop(f"{prefix}_type"))
+
+    clicks, errors = side("click", "c"), side("error", "e")
+    joined = clicks.join(
+        errors,
+        F.expr("c_user = e_user AND "
+               "e_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+        "fullOuter")
+    qname = f"ssfoj_{uuid.uuid4().hex[:8]}"
+    _run_available_now(
+        joined.writeStream.outputMode("append").format("memory").queryName(qname))
+    return spark.sql(f"""
+        SELECT c_id AS click_id, e_id AS error_id,
+               coalesce(c_user, e_user) AS user_id,
+               unix_micros(c_ts) - unix_micros(e_ts) AS lag_us
+        FROM {qname} WHERE coalesce(c_user, e_user) >= 0""")
