@@ -96,6 +96,7 @@ BENCH_KEYS = [
     "pareto_front",
     "dynamic_partition_pruning",
     "stream_stream_full_outer",
+    "histogram_quantiles",
 ]
 
 

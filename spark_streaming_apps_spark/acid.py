@@ -212,3 +212,12 @@ class AcidTable:
                               .cast(dict(cur.dtypes)[c]).alias(c)
                               for c in val_cols]))
         return self._commit_loop(build, "merge_add", max_retries)
+
+    def compact(self, target_files: int = 1, max_retries: int = 20) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``target_files``
+        data files as one atomic commit — no logical change, so readers
+        on any version see identical rows; small-file pressure from many
+        incremental commits resets without blocking writers (a conflicting
+        writer just wins the version and the compaction retries on top)."""
+        return self._commit_loop(
+            lambda cur: cur.coalesce(target_files), "compact", max_retries)

@@ -1001,6 +1001,9 @@ register("pareto_front", oracle=analytics.PARETO_ORACLE
 register("dynamic_partition_pruning", oracle=extensions.DPP_ORACLE
          )(lambda s, d: extensions.dynamic_partition_pruning(s, d, SCRATCH))
 
+register("histogram_quantiles", oracle=analytics.HISTOGRAM_Q_ORACLE
+         )(lambda s, d: analytics.histogram_quantiles(_t(s, d, "events")))
+
 register("udtf_release_bands", oracle=f"""
 WITH {highwater.hw_scalar_sql()},
 bands AS (SELECT 0 AS band_id, hw_bytes / 4 AS lo, hw_bytes / 2 AS hi FROM hw

@@ -1186,3 +1186,60 @@ WHERE NOT EXISTS (
   SELECT 1 FROM part q
   WHERE q.p_retailprice < p.p_retailprice AND q.p_size < p.p_size)
 """
+
+
+# ------------------------------------------------- mergeable quantile sketch
+
+HIST_Q_SCALE = 10  # 0.1-wide value buckets
+HIST_QS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def histogram_quantiles(events: DataFrame) -> DataFrame:
+    """Quantiles from a fixed-grid histogram sketch — the deterministic,
+    MERGEABLE alternative to GK/t-digest approx_percentile (whose
+    estimates differ run-to-run and engine-to-engine, so they can never
+    be oracle-checked). Bucket counts are additive partials: shards
+    histogram independently, merge by adding counts (`AcidTable.
+    merge_add`-compatible), read any quantile off the cumulative sum —
+    error bounded by the grid step, state bounded by the value range,
+    never by row count. Thresholds use integer ceil division
+    ((n·num + den − 1) div den), so both engines pick the identical
+    bucket at every quantile. One shuffle on (event_type, bucket), one
+    on event_type; the cumulative window runs over BUCKETS per type
+    (bounded by the grid), not rows."""
+    from pyspark.sql import Window
+    b = F.floor(F.col("value") * HIST_Q_SCALE).alias("b")
+    counts = (events.groupBy("event_type", b)
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    cum = (counts
+           .withColumn("cum", F.sum("c").over(w))
+           .withColumn("tot", F.sum("c").over(wt)))
+    aggs = [
+        (F.min(F.when(
+            F.col("cum") >= F.expr(f"(tot * {num} + {den} - 1) div {den}"),
+            F.col("b"))).cast("double") / HIST_Q_SCALE).alias(name)
+        for num, den, name in HIST_QS]
+    return cum.groupBy("event_type").agg(*aggs)
+
+
+HISTOGRAM_Q_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, CAST(floor(value * {HIST_Q_SCALE}) AS BIGINT) AS b,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM counts)
+SELECT event_type,
+       {", ".join(
+        f"CAST(min(CASE WHEN cum >= (tot * {num} + {den} - 1) // {den} "
+        f"THEN b END) AS DOUBLE) / {HIST_Q_SCALE} AS {name}"
+        for num, den, name in HIST_QS)}
+FROM cum GROUP BY event_type
+"""

@@ -176,3 +176,18 @@ def test_merge_add_inserts_unseen_keys(spark, tmp_path):
                 key=["id"])
     rows = {r.id: r.n for r in t.read().collect()}
     assert rows == {0: 7, 7: 3}
+
+
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE is physical only: fewer files, identical rows, and the
+    pre-compaction version stays readable (time travel)."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, g long").repartition(8)
+    t = AcidTable.create(spark, tmp_path / "opt", df)
+    before = sorted((r.id, r.g) for r in t.read().collect())
+    v = t.compact(target_files=1)
+    data_rel = t._manifest(v)["data"]
+    files = [p for p in (t.path / data_rel).glob("*.parquet")]
+    assert len(files) == 1
+    assert sorted((r.id, r.g) for r in t.read().collect()) == before
+    assert sorted((r.id, r.g) for r in t.read(0).collect()) == before
