@@ -191,3 +191,44 @@ def test_compact_preserves_rows_and_history(spark, tmp_path):
     assert len(files) == 1
     assert sorted((r.id, r.g) for r in t.read().collect()) == before
     assert sorted((r.id, r.g) for r in t.read(0).collect()) == before
+
+
+def test_reader_snapshot_isolated_from_commits(spark, tmp_path):
+    """Snapshot isolation: a DataFrame resolved at version v keeps
+    reading v's files even after later commits land — a reader never
+    observes a half-applied merge or a version mix."""
+    t = _mk(spark, tmp_path)
+    v0, snap = t.snapshot()
+    t.merge(spark.createDataFrame([(0, 9, "late")],
+                                  "id long, status int, tag string"),
+            key=["id"])
+    assert t.latest_version() == v0 + 1
+    # the old handle still serves version v0 in full
+    rows = {r.id: r.tag for r in snap.collect()}
+    assert rows[0] == "init" and len(rows) == 20
+
+
+def test_eight_way_merge_add_contention(spark, tmp_path):
+    """Higher-contention IVM race: 8 maintainers, each one +1 per key —
+    the retry loop must serialize all of them without loss (final n = 8
+    everywhere, version = 8)."""
+    df = spark.createDataFrame([(i, 0) for i in range(5)], "id long, n long")
+    t = AcidTable.create(spark, tmp_path / "c8", df)
+    errs: list[Exception] = []
+
+    def one():
+        try:
+            t.merge_add(spark.createDataFrame(
+                [(i, 1) for i in range(5)], "id long, n long"),
+                key=["id"], max_retries=60)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [threading.Thread(target=one) for _ in range(8)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs
+    assert t.latest_version() == 8
+    assert {r.n for r in t.read().collect()} == {8}

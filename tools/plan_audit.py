@@ -49,6 +49,10 @@ KEYS = {
     "record_linkage": "head-noun block equi-join; scoring on candidates only",
     "triangle_count": "oriented keyed joins; kNN bounds degree, no skew possible",
     "time_decay_agg": "both windows + agg ride ONE user_id exchange",
+    "tfidf_cosine_topk": "max-df caps every posting list; token-keyed accumulation",
+    "pareto_front": "skyline window over DISTINCT price levels, keyed join back",
+    "histogram_quantiles": "additive bucket counts; window over grid, not rows",
+    "hypertable_rollup": "daily grain re-aggregates hourly DECIMAL partials",
 }
 
 
