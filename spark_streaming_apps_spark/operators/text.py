@@ -613,12 +613,18 @@ def tfidf_cosine_topk(documents: DataFrame) -> DataFrame:
             .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") <= TFIDF_DF_MAX))
-    w = (toks.join(dfreq, "token")
-         .join(F.broadcast(n_docs))
-         .select("doc_id", "token", "df",
-                 (F.col("tf") * F.round(
-                     F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1, 9))
-                 .alias("w")))
+    # materialized + memoized: norms, the a-side, and the b-side all read
+    # the weight layer — without the barrier each reference replays the
+    # tokenize + df pipeline (plan audit: 39 exchanges / 8 one-row
+    # broadcasts -> one shared InMemoryRelation)
+    from .dedup import _materialize, _memo
+    w = _memo(documents, "tfidf_w", lambda: _materialize(
+        toks.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "token", "df",
+                (F.col("tf") * F.round(
+                    F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1, 9))
+                .alias("w"))))
     norms = (w.groupBy("doc_id")
              .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
     a = w.filter(F.col("df") >= 2).select("token", F.col("doc_id").alias("da"),
