@@ -124,16 +124,29 @@ def test_trained_centroids_moved_from_seeds(tables):
     assert moved, "trained centroids identical to seeds - Lloyd loop is a no-op"
 
 
-def test_pq_seeds_encode_to_themselves(tables):
-    """Codebook seed vectors (vec_id < PQ_KS) must encode every subspace
-    to their own codeword (distance 0) with zero reconstruction error —
-    the identity that pins encode correctness without an external lib."""
-    out = {r.vec_id: r for r in similarity.pq_encode(tables["embeddings"])
-           .filter(F.col("vec_id") < similarity.PQ_KS).collect()}
-    assert len(out) == similarity.PQ_KS
-    for vid, r in out.items():
-        assert r.codes == ",".join([str(vid)] * similarity.PQ_M), r
-        assert r.recon_mse6 == 0.0, r
+def test_pq_training_tightens_reconstruction(tables):
+    """The served codebook is the Lloyd-refined one; k-means
+    monotonicity says one exact iteration can never increase total
+    reconstruction error vs the seed codebook — the invariant that pins
+    the training step without an external lib (the old seed-identity
+    check died with training: codewords move off the seed vectors, by
+    design). Codes must also stay in [0, PQ_KS)."""
+    emb = tables["embeddings"]
+
+    def total_mse(cb):
+        return (similarity._pq_subvectors(emb).alias("s")
+                .join(F.broadcast(cb).alias("c"),
+                      F.col("s.m") == F.col("c.m"))
+                .withColumn("d", F.expr(similarity._sq_dist("s.sub", "c.cw")))
+                .groupBy("s.vec_id", "s.m").agg(F.min("d").alias("dmin"))
+                .agg(F.sum("dmin")).first()[0])
+
+    seed_mse = total_mse(similarity._pq_codebook(emb))
+    trained_mse = total_mse(similarity._pq_trained_codebook(emb))
+    assert trained_mse <= seed_mse + 1e-9, (trained_mse, seed_mse)
+    codes = (similarity.pq_encode(emb)
+             .select(F.split("codes", ",").alias("cs")).collect())
+    assert all(0 <= int(c) < similarity.PQ_KS for r in codes for c in r.cs)
 
 
 def test_pq_adc_recall_vs_exact_l2(tables):
