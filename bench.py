@@ -97,6 +97,8 @@ BENCH_KEYS = [
     "dynamic_partition_pruning",
     "stream_stream_full_outer",
     "histogram_quantiles",
+    "pq_rerank_topk",
+    "matryoshka_rerank_topk",
 ]
 
 
@@ -129,7 +131,8 @@ def ann_recall(spark) -> dict[str, float]:
 
     recalls: dict[str, list[float]] = {
         "similarity_ivf_topk": [], "ivf_topk_trained": [],
-        "matryoshka_topk": [], "pq_adc_topk": []}
+        "matryoshka_topk": [], "pq_adc_topk": [],
+        "pq_rerank_topk": [], "matryoshka_rerank_topk": []}
     for qid in RECALL_QUERY_IDS:
         cos_truth = topk_ids(S.cosine_topk(emb, qid))
         q = e.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
@@ -147,6 +150,12 @@ def ann_recall(spark) -> dict[str, float]:
             / len(cos_truth))
         recalls["pq_adc_topk"].append(
             len(l2_truth & topk_ids(S.pq_adc_topk(emb, qid))) / len(l2_truth))
+        recalls["pq_rerank_topk"].append(
+            len(l2_truth & topk_ids(S.pq_rerank_topk(emb, qid)))
+            / len(l2_truth))
+        recalls["matryoshka_rerank_topk"].append(
+            len(cos_truth & topk_ids(S.matryoshka_rerank_topk(emb, qid)))
+            / len(cos_truth))
     return {k: round(sum(v) / len(v), 3) for k, v in recalls.items()}
 
 

@@ -1192,6 +1192,14 @@ register("pq_encode", oracle=similarity.pq_encode_oracle_sql()
 register("pq_adc_topk", oracle=similarity.pq_adc_topk_oracle_sql()
          )(lambda s, d: similarity.pq_adc_topk(_t(s, d, "embeddings")))
 
+register("pq_rerank_topk", oracle=similarity.pq_rerank_oracle_sql()
+         )(lambda s, d: similarity.pq_rerank_topk(_t(s, d, "embeddings")))
+
+register("matryoshka_rerank_topk",
+         oracle=similarity.matryoshka_rerank_oracle_sql()
+         )(lambda s, d: similarity.matryoshka_rerank_topk(
+             _t(s, d, "embeddings")))
+
 register("ivf_partitioned_probe", oracle=similarity.ivf_topk_oracle_sql()
          )(lambda s, d: similarity.ivf_partitioned_probe(s, d, SCRATCH))
 

@@ -869,17 +869,16 @@ FROM coded GROUP BY vec_id
 """
 
 
-def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
-                k: int = TOP_K) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes — the serving half of PQ:
-    the query precomputes its distance table ({PQ_M}x{PQ_KS} entries, one
-    tiny broadcast), and each corpus vector's approximate distance is a
-    TABLE LOOKUP sum over its {PQ_M} codes — no float vector is touched
-    at scan time, which is why PQ scans beat raw-vector scans ~10x at
-    memory-bound scale. Per-subspace distances are 6-dp-quantized and
-    summed as DECIMAL so the total is order-independent and engine-exact;
-    output ranks by (adc ASC, vec_id) for a deterministic k-set."""
-    codes = (_pq_subvectors(embeddings).alias("s")
+def _pq_adc_dists(embeddings: DataFrame, query_vec_id: int,
+                  corpus: DataFrame | None = None) -> DataFrame:
+    """(vec_id, adc_dist) for every non-query corpus vector: the ADC scan
+    shared by the direct top-k server and the rerank shortlist. Per-subspace
+    distances are 6-dp-quantized and summed as DECIMAL so the total is
+    order-independent and engine-exact. `corpus` optionally restricts the
+    scanned rows (IVF-probed candidates) while the codebook and the query
+    vector still come from the full `embeddings`."""
+    codes = (_pq_subvectors(corpus if corpus is not None
+                            else embeddings).alias("s")
              .join(F.broadcast(_pq_trained_codebook(embeddings)).alias("c"),
                    F.col("s.m") == F.col("c.m"))
              .withColumn("d", F.expr(_sq_dist("s.sub", "c.cw")))
@@ -898,14 +897,57 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
                   & (F.col("k.code") == F.col("t.j")))
             .groupBy("vec_id")
             .agg(F.round(F.sum("dq").cast("double"), 6).alias("adc_dist"))
-            .filter(F.col("vec_id") != query_vec_id)
+            .filter(F.col("vec_id") != query_vec_id))
+
+
+def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = TOP_K) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the serving half of PQ:
+    the query precomputes its distance table ({PQ_M}x{PQ_KS} entries, one
+    tiny broadcast), and each corpus vector's approximate distance is a
+    TABLE LOOKUP sum over its {PQ_M} codes — no float vector is touched
+    at scan time, which is why PQ scans beat raw-vector scans ~10x at
+    memory-bound scale. Output ranks by (adc ASC, vec_id) for a
+    deterministic k-set."""
+    return (_pq_adc_dists(embeddings, query_vec_id)
             .join(embeddings.select("vec_id", "label"), "vec_id")
             .select("vec_id", "label", "adc_dist")
             .orderBy("adc_dist", "vec_id")
             .limit(k))
 
 
-def pq_adc_topk_oracle_sql(query_vec_id: int = 0, k: int = TOP_K) -> str:
+RERANK_N = 50  # ADC shortlist size: 5x k; at 100 TB this is the knob
+               # trading one extra broadcast probe for near-exact recall
+
+
+def pq_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                   k: int = TOP_K, shortlist: int = RERANK_N) -> DataFrame:
+    """ADC-shortlist + exact-rerank top-k — the production PQ serving
+    pattern (IVFADC+R): the compressed-domain ADC scan prunes the corpus
+    to `shortlist` candidates (here {RERANK_N} = 5x k), then ONLY those
+    candidates' raw vectors are fetched and ranked by exact squared-L2.
+    Recall jumps from the quantizer's ceiling toward exact while the
+    full-precision math touches 50 rows instead of the corpus; at 100 TB
+    the candidate fetch is a 50-key broadcast-hash probe into the
+    vector store, not a scan. Deterministic: ADC dist is decimal-exact
+    with (dist, vec_id) tie-break, exact dist rounded to 6 dp."""
+    short = (_pq_adc_dists(embeddings, query_vec_id)
+             .orderBy("adc_dist", "vec_id").limit(shortlist)
+             .select("vec_id"))
+    emb = embeddings.select("vec_id", "label",
+                            _as_double("embedding").alias("e"))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    return (emb.join(F.broadcast(short), "vec_id")
+            .join(F.broadcast(qv))
+            .select("vec_id", "label",
+                    F.round(F.expr(_sq_dist("e", "q")), 6).alias("l2_dist"))
+            .orderBy("l2_dist", "vec_id")
+            .limit(k))
+
+
+def _pq_adc_ctes(query_vec_id: int) -> str:
+    """Shared DuckDB CTE chain ending in adc(vec_id, adc_dist)."""
     return f"""
 WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cb0 AS (SELECT CAST(vec_id AS INT) AS j, m.i - 1 AS m,
@@ -944,11 +986,28 @@ dtab AS (SELECT c.m, c.j,
 adc AS (SELECT codes.vec_id,
                round(CAST(SUM(dq) AS DOUBLE), 6) AS adc_dist
         FROM codes JOIN dtab ON codes.m = dtab.m AND codes.code = dtab.j
-        GROUP BY codes.vec_id)
+        GROUP BY codes.vec_id
+        HAVING codes.vec_id != {query_vec_id})"""
+
+
+def pq_adc_topk_oracle_sql(query_vec_id: int = 0, k: int = TOP_K) -> str:
+    return _pq_adc_ctes(query_vec_id) + f"""
 SELECT a.vec_id, e.label, a.adc_dist
 FROM adc a JOIN emb e ON a.vec_id = e.vec_id
-WHERE a.vec_id != {query_vec_id}
 ORDER BY a.adc_dist, a.vec_id LIMIT {k}
+"""
+
+
+def pq_rerank_oracle_sql(query_vec_id: int = 0, k: int = TOP_K,
+                         shortlist: int = RERANK_N) -> str:
+    return _pq_adc_ctes(query_vec_id) + f""",
+short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {shortlist}),
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, e.label,
+       round(list_sum(list_transform(range(1, 1 + len(e.e)),
+             i -> (e.e[i] - q.q[i]) * (e.e[i] - q.q[i]))), 6) AS l2_dist
+FROM emb e JOIN short s ON e.vec_id = s.vec_id, q
+ORDER BY l2_dist, e.vec_id LIMIT {k}
 """
 
 
@@ -1045,4 +1104,59 @@ q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id})
 SELECT vec_id, label, {cos} AS sim
 FROM emb, q WHERE vec_id != {query_vec_id}
 ORDER BY sim DESC, vec_id LIMIT {k}
+"""
+
+
+MRL_RERANK_N = 100  # prefix shortlist: untrained prefixes rank weakly, so
+                    # the funnel is wider than PQ's (10x k vs 5x k)
+
+
+def matryoshka_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                           k: int = TOP_K,
+                           shortlist: int = MRL_RERANK_N) -> DataFrame:
+    """Matryoshka funnel retrieval — the two-stage MRL serving pattern:
+    a cheap prefix-cosine scan over the first {MRL_DIM} dims shortlists
+    {MRL_RERANK_N} candidates, then ONLY those rows' full vectors are
+    reranked by exact full-dim cosine. The scan half reads half the
+    vector bytes; the exact half touches {MRL_RERANK_N} rows, not the
+    corpus — at 100 TB the rerank is a broadcast-hash probe, the funnel
+    width the recall/IO knob. Deterministic at both stages: 6-dp sims,
+    (sim DESC, vec_id) tie-break."""
+    emb32 = embeddings.withColumn(
+        "e", F.expr(f"transform(slice(embedding, 1, {MRL_DIM}), "
+                    "x -> cast(x as double))"))
+    q32 = (emb32.filter(F.col("vec_id") == query_vec_id)
+           .select(F.col("e").alias("q")))
+    short = (emb32.filter(F.col("vec_id") != query_vec_id)
+             .join(F.broadcast(q32))
+             .select("vec_id", _cosine("e", "q").alias("psim"))
+             .orderBy(F.desc("psim"), "vec_id").limit(shortlist)
+             .select("vec_id"))
+    emb = embeddings.select("vec_id", "label",
+                            _as_double("embedding").alias("e"))
+    qv = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    return (emb.join(F.broadcast(short), "vec_id")
+            .join(F.broadcast(qv))
+            .select("vec_id", "label", _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
+
+
+def matryoshka_rerank_oracle_sql(query_vec_id: int = 0, k: int = TOP_K,
+                                 shortlist: int = MRL_RERANK_N) -> str:
+    pcos = _cosine_duck("p", "qp")
+    cos = _cosine_duck("e", "q")
+    return f"""
+WITH emb AS (SELECT vec_id, label,
+                    CAST(embedding AS DOUBLE[]) AS e,
+                    CAST(embedding[1:{MRL_DIM}] AS DOUBLE[]) AS p
+             FROM embeddings),
+qq AS (SELECT e AS q, p AS qp FROM emb WHERE vec_id = {query_vec_id}),
+short AS (SELECT vec_id FROM emb, qq
+          WHERE vec_id != {query_vec_id}
+          ORDER BY {pcos} DESC, vec_id LIMIT {shortlist})
+SELECT e.vec_id, e.label, {cos} AS sim
+FROM emb e JOIN short s ON e.vec_id = s.vec_id, qq
+ORDER BY sim DESC, e.vec_id LIMIT {k}
 """

@@ -197,3 +197,41 @@ def test_matryoshka_recall_vs_full_dim(tables):
         recalls.append(len(truth & got) / len(truth))
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.15, f"matryoshka mean recall@10 = {mean} ({recalls})"
+
+
+def test_rerank_beats_raw_quantized_recall(tables):
+    """The funnel's whole claim: exact rerank over a quantized shortlist
+    must recover (nearly) the exact top-10 that the raw quantized scan
+    loses. Pin each rerank key strictly above its one-stage parent AND
+    above an absolute floor that one-stage scans don't reach here."""
+    emb = tables["embeddings"]
+    e = emb.withColumn(
+        "e", F.expr("transform(embedding, x -> cast(x as double))"))
+    d = ("aggregate(zip_with(e, q, (x, y) -> (x - y) * (x - y)), "
+         "cast(0.0 as double), (a, v) -> a + v)")
+    pq_base, pq_rr, mrl_base, mrl_rr = [], [], [], []
+    for qid in (0, 3, 7, 11, 40):
+        q = e.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
+        l2_truth = {r.vec_id for r in
+                    e.filter(F.col("vec_id") != qid).join(F.broadcast(q))
+                    .select("vec_id", F.expr(d).alias("d"))
+                    .orderBy("d", "vec_id").limit(10).collect()}
+        cos_truth = {r.vec_id
+                     for r in similarity.cosine_topk(emb, qid).collect()}
+        pq_base.append(len(l2_truth & {
+            r.vec_id for r in similarity.pq_adc_topk(emb, qid).collect()}) / 10)
+        pq_rr.append(len(l2_truth & {
+            r.vec_id
+            for r in similarity.pq_rerank_topk(emb, qid).collect()}) / 10)
+        mrl_base.append(len(cos_truth & {
+            r.vec_id
+            for r in similarity.matryoshka_topk(emb, qid).collect()}) / 10)
+        mrl_rr.append(len(cos_truth & {
+            r.vec_id
+            for r in similarity.matryoshka_rerank_topk(emb, qid).collect()})
+            / 10)
+    m = lambda xs: sum(xs) / len(xs)
+    assert m(pq_rr) > m(pq_base), (pq_rr, pq_base)
+    assert m(mrl_rr) > m(mrl_base), (mrl_rr, mrl_base)
+    assert m(pq_rr) >= 0.6, f"PQ rerank mean recall@10 = {m(pq_rr)} ({pq_rr})"
+    assert m(mrl_rr) >= 0.5, f"MRL rerank mean recall@10 = {m(mrl_rr)} ({mrl_rr})"
