@@ -99,6 +99,7 @@ BENCH_KEYS = [
     "histogram_quantiles",
     "pq_rerank_topk",
     "matryoshka_rerank_topk",
+    "ivf_adc_rerank_topk",
 ]
 
 
@@ -132,7 +133,8 @@ def ann_recall(spark) -> dict[str, float]:
     recalls: dict[str, list[float]] = {
         "similarity_ivf_topk": [], "ivf_topk_trained": [],
         "matryoshka_topk": [], "pq_adc_topk": [],
-        "pq_rerank_topk": [], "matryoshka_rerank_topk": []}
+        "pq_rerank_topk": [], "matryoshka_rerank_topk": [],
+        "ivf_adc_rerank_topk": []}
     for qid in RECALL_QUERY_IDS:
         cos_truth = topk_ids(S.cosine_topk(emb, qid))
         q = e.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
@@ -156,6 +158,9 @@ def ann_recall(spark) -> dict[str, float]:
         recalls["matryoshka_rerank_topk"].append(
             len(cos_truth & topk_ids(S.matryoshka_rerank_topk(emb, qid)))
             / len(cos_truth))
+        recalls["ivf_adc_rerank_topk"].append(
+            len(l2_truth & topk_ids(S.ivf_adc_rerank_topk(emb, qid)))
+            / len(l2_truth))
     return {k: round(sum(v) / len(v), 3) for k, v in recalls.items()}
 
 

@@ -1195,6 +1195,10 @@ register("pq_adc_topk", oracle=similarity.pq_adc_topk_oracle_sql()
 register("pq_rerank_topk", oracle=similarity.pq_rerank_oracle_sql()
          )(lambda s, d: similarity.pq_rerank_topk(_t(s, d, "embeddings")))
 
+register("ivf_adc_rerank_topk", oracle=similarity.ivf_adc_rerank_oracle_sql()
+         )(lambda s, d: similarity.ivf_adc_rerank_topk(
+             _t(s, d, "embeddings")))
+
 register("matryoshka_rerank_topk",
          oracle=similarity.matryoshka_rerank_oracle_sql()
          )(lambda s, d: similarity.matryoshka_rerank_topk(

@@ -946,11 +946,19 @@ def pq_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
             .limit(k))
 
 
+_PQ_EMB_CTE = ("emb AS (SELECT vec_id, label, "
+               "CAST(embedding AS DOUBLE[]) AS e FROM embeddings)")
+
+
 def _pq_adc_ctes(query_vec_id: int) -> str:
     """Shared DuckDB CTE chain ending in adc(vec_id, adc_dist)."""
-    return f"""
-WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-cb0 AS (SELECT CAST(vec_id AS INT) AS j, m.i - 1 AS m,
+    return f"\nWITH {_PQ_EMB_CTE},\n" + _pq_adc_cte_body(query_vec_id)
+
+
+def _pq_adc_cte_body(query_vec_id: int) -> str:
+    """The PQ CTE chain AFTER emb — composable with other WITH chains
+    (the IVF oracle prepends the Lloyd CTEs, which define the same emb)."""
+    return f"""cb0 AS (SELECT CAST(vec_id AS INT) AS j, m.i - 1 AS m,
               e[(m.i - 1) * {PQ_SUB} + 1 : (m.i - 1) * {PQ_SUB} + {PQ_SUB}] AS cw
        FROM emb, LATERAL (SELECT unnest(generate_series(1, {PQ_M})) AS i) m
        WHERE vec_id < {PQ_KS}),
@@ -1003,6 +1011,73 @@ def pq_rerank_oracle_sql(query_vec_id: int = 0, k: int = TOP_K,
     return _pq_adc_ctes(query_vec_id) + f""",
 short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {shortlist}),
 q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, e.label,
+       round(list_sum(list_transform(range(1, 1 + len(e.e)),
+             i -> (e.e[i] - q.q[i]) * (e.e[i] - q.q[i]))), 6) AS l2_dist
+FROM emb e JOIN short s ON e.vec_id = s.vec_id, q
+ORDER BY l2_dist, e.vec_id LIMIT {k}
+"""
+
+
+def ivf_adc_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                        k: int = TOP_K,
+                        shortlist: int = RERANK_N) -> DataFrame:
+    """The full production ANN stack in one plan — IVFADC+R: (1) the
+    query probes its {N_PROBES} nearest TRAINED coarse cells (Lloyd-
+    refined centroids, broadcast k-row table), (2) the compressed-domain
+    ADC scan runs ONLY over the probed cells' members (probes/n_cells of
+    the corpus — and on the partitioned layout of ivf_partitioned_probe,
+    only those partitions' bytes), (3) the top-{RERANK_N} ADC candidates
+    are fetched full-precision and reranked by exact squared-L2. Each
+    stage cuts the next stage's input ~10-100x; that composition — cell
+    prune x code scan x exact rerank — is why billion-vector serving
+    costs milliseconds. All three stages keep the engine's determinism
+    contract (decimal-exact dists, (dist, id) tie-breaks)."""
+    emb = embeddings.select("vec_id", "label",
+                            _as_double("embedding").alias("e"))
+    cents = _trained_centroids(embeddings)
+    qe = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    probe = (cents.join(F.broadcast(qe))
+             .select("cell", F.expr(_sq_dist("c", "q")).alias("dist"))
+             .orderBy("dist", "cell").limit(N_PROBES)
+             .select("cell"))
+    cand = (_km_assign(emb, cents)
+            .join(F.broadcast(probe), "cell", "left_semi")
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id"))
+    cand_emb = embeddings.join(cand, "vec_id", "left_semi")
+    short = (_pq_adc_dists(embeddings, query_vec_id, corpus=cand_emb)
+             .orderBy("adc_dist", "vec_id").limit(shortlist)
+             .select("vec_id"))
+    return (emb.join(F.broadcast(short), "vec_id")
+            .join(F.broadcast(qe))
+            .select("vec_id", "label",
+                    F.round(F.expr(_sq_dist("e", "q")), 6).alias("l2_dist"))
+            .orderBy("l2_dist", "vec_id")
+            .limit(k))
+
+
+def ivf_adc_rerank_oracle_sql(query_vec_id: int = 0, k: int = TOP_K,
+                              shortlist: int = RERANK_N,
+                              iters: int = KM_ITERS) -> str:
+    last = iters - 1
+    qsq = ("list_sum(list_transform(range(1, 1 + len(c.c)), "
+           "i -> (c.c[i] - q.q[i]) * (c.c[i] - q.q[i])))")
+    return f"""
+WITH {','.join(_km_ctes(iters))},
+{_pq_adc_cte_body(query_vec_id)},
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id}),
+assigned AS (SELECT a.vec_id, c.cell
+             FROM emb a, cents{last} c
+             QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                        ORDER BY {_KM_SQ}, c.cell) = 1),
+probe AS (SELECT c.cell FROM cents{last} c, q
+          ORDER BY {qsq}, c.cell LIMIT {N_PROBES}),
+cand AS (SELECT a.vec_id FROM assigned a JOIN probe USING (cell)
+         WHERE a.vec_id != {query_vec_id}),
+short AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+          ORDER BY adc.adc_dist, adc.vec_id LIMIT {shortlist})
 SELECT e.vec_id, e.label,
        round(list_sum(list_transform(range(1, 1 + len(e.e)),
              i -> (e.e[i] - q.q[i]) * (e.e[i] - q.q[i]))), 6) AS l2_dist

@@ -252,3 +252,13 @@ def test_pareto_front_windows_levels_not_rows(tables):
     out = pareto_front(tables["part"])
     assert cartesian_join_count(out) == 0
     assert equi_join_on(out, "p_retailprice")
+
+
+def test_ivf_adc_rerank_stack_plan(tables):
+    """The three-stage funnel must stay keyed end-to-end: cell prune is a
+    semi-join on cell, candidate restriction a semi-join on vec_id, the
+    rerank a 50-row broadcast probe — never a cartesian; the only nested
+    loops are the 1-row query-vector broadcasts."""
+    out = similarity.ivf_adc_rerank_topk(tables["embeddings"])
+    assert cartesian_join_count(out) == 0
+    assert broadcast_join_count(out) >= 2
