@@ -100,6 +100,7 @@ BENCH_KEYS = [
     "pq_rerank_topk",
     "matryoshka_rerank_topk",
     "ivf_adc_rerank_topk",
+    "runtime_bloom_join",
 ]
 
 

@@ -1001,6 +1001,9 @@ register("pareto_front", oracle=analytics.PARETO_ORACLE
 register("dynamic_partition_pruning", oracle=extensions.DPP_ORACLE
          )(lambda s, d: extensions.dynamic_partition_pruning(s, d, SCRATCH))
 
+register("runtime_bloom_join", oracle=extensions.BLOOM_JOIN_ORACLE
+         )(lambda s, d: extensions.runtime_bloom_join(s, d))
+
 register("histogram_quantiles", oracle=analytics.HISTOGRAM_Q_ORACLE
          )(lambda s, d: analytics.histogram_quantiles(_t(s, d, "events")))
 

@@ -670,3 +670,52 @@ SELECT event_type, CASE event_type WHEN 'click' THEN 1 ELSE 2 END AS seg,
 FROM events WHERE event_type IN ('click', 'view')
 GROUP BY 1, 2
 """
+
+
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction — the shuffle-join twin of
+    the DPP proof: when the selective predicate lives on the SMALL side of
+    a shuffle join (here urgent orders -> lineitem), Spark builds a bloom
+    filter from the build side's join keys at runtime and injects a
+    `might_contain` pre-filter into the big side's scan stage, so
+    non-matching fact rows die before the exchange instead of shuffling.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~matching fraction — the optimizer feature
+    that replaces hand-written semi-join prefilters.
+
+    Runs in a forked `newSession()` (own SQLConf, shared catalog/executors)
+    so lowering the application-side threshold for THIS plan — the fixture
+    scan is KB, the gate defaults to 10GB — and pinning the join to
+    shuffle (no broadcast at fixture scale) cannot leak into sibling
+    queries. tests/test_plans.py asserts `might_contain` reaches the
+    lineitem side."""
+    from ..sources.tables import load_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    urgent = (load_table(s2, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_totalprice"))
+    line = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+    return (line.join(urgent, line.l_orderkey == urgent.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                       .cast("decimal(38,4)"))
+                 .cast("double").alias("revenue")))
+
+
+BLOOM_JOIN_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""

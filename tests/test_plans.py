@@ -262,3 +262,15 @@ def test_ivf_adc_rerank_stack_plan(tables):
     out = similarity.ivf_adc_rerank_topk(tables["embeddings"])
     assert cartesian_join_count(out) == 0
     assert broadcast_join_count(out) >= 2
+
+
+def test_runtime_bloom_filter_reaches_fact_side(tables, spark):
+    """The runtime bloom filter must actually inject: a bloom aggregate
+    built from the filtered orders keys, and a might_contain pre-filter
+    on the lineitem side before its exchange."""
+    from spark_streaming_apps_spark.operators import extensions
+    from spark_streaming_apps_spark.plans import physical_plan
+    out = extensions.runtime_bloom_join(spark, "/root/testdata/sf0.001")
+    p = physical_plan(out)
+    assert "might_contain" in p, p[:2000]
+    assert "bloom_filter" in p.lower()

@@ -53,6 +53,7 @@ KEYS = {
     "pareto_front": "skyline window over DISTINCT price levels, keyed join back",
     "histogram_quantiles": "additive bucket counts; window over grid, not rows",
     "hypertable_rollup": "daily grain re-aggregates hourly DECIMAL partials",
+    "ivf_adc_rerank_topk": "cell prune x ADC scan x 50-row exact rerank funnel",
 }
 
 
