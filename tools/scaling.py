@@ -41,6 +41,9 @@ KEYS = [
     "record_linkage",          # blocked entity resolution (round 5)
     "triangle_count",          # mutual-kNN triangle enumeration (round 5)
     "time_decay_agg",          # single-shuffle EWMA (round 5)
+    "pq_rerank_topk",          # ADC shortlist + exact rerank (round 5)
+    "ivf_adc_rerank_topk",     # full IVFADC+R funnel (round 5)
+    "runtime_bloom_join",      # runtime bloom semi-join reduction (round 5)
 ]
 
 
