@@ -504,6 +504,16 @@ def _sq_dist(a: str, b: str) -> str:
             f"cast(0.0 as double), (acc, v) -> acc + v)")
 
 
+def _sq_dist_fixed(a: str, b: str, n: int) -> str:
+    """Unrolled squared distance for tiny fixed-length arrays (the PQ
+    subvectors): plain left-associative arithmetic that whole-stage
+    codegen compiles, instead of an interpreted higher-order fold —
+    bit-identical to `_sq_dist` (0.0 + d0 == d0; same addition order),
+    so every DuckDB twin is unchanged."""
+    return " + ".join(f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+                      for i in range(n))
+
+
 def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Argmin squared-distance cell assignment, ties by cell id: ONE
     broadcast join of the k-row centroid table against the corpus, then
@@ -769,7 +779,7 @@ def _pq_trained_codebook(embeddings: DataFrame) -> DataFrame:
         assign = (_pq_subvectors(embeddings).alias("s")
                   .join(F.broadcast(seed).alias("c"),
                         F.col("s.m") == F.col("c.m"))
-                  .withColumn("d", F.expr(_sq_dist("s.sub", "c.cw")))
+                  .withColumn("d", F.expr(_sq_dist_fixed("s.sub", "c.cw", PQ_SUB)))
                   .groupBy("s.vec_id", "s.m")
                   .agg(F.expr("min_by(j, struct(d, j))").alias("code"),
                        F.any_value("sub").alias("sub")))
@@ -814,7 +824,7 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     coded = (_pq_subvectors(embeddings).alias("s")
              .join(F.broadcast(_pq_trained_codebook(embeddings)).alias("c"),
                    F.col("s.m") == F.col("c.m"))
-             .withColumn("d", F.expr(_sq_dist("s.sub", "c.cw")))
+             .withColumn("d", F.expr(_sq_dist_fixed("s.sub", "c.cw", PQ_SUB)))
              .groupBy("s.vec_id", "s.m")
              .agg(F.expr("min_by(j, struct(d, j))").alias("code"),
                   F.min(F.round(F.col("d"), 6).cast(KM_DEC)).alias("_dmin")))
@@ -881,7 +891,7 @@ def _pq_adc_dists(embeddings: DataFrame, query_vec_id: int,
                             else embeddings).alias("s")
              .join(F.broadcast(_pq_trained_codebook(embeddings)).alias("c"),
                    F.col("s.m") == F.col("c.m"))
-             .withColumn("d", F.expr(_sq_dist("s.sub", "c.cw")))
+             .withColumn("d", F.expr(_sq_dist_fixed("s.sub", "c.cw", PQ_SUB)))
              .groupBy("s.vec_id", "s.m")
              .agg(F.expr("min_by(j, struct(d, j))").alias("code")))
     qsubs = (_pq_subvectors(embeddings)
@@ -889,7 +899,7 @@ def _pq_adc_dists(embeddings: DataFrame, query_vec_id: int,
              .select("m", F.col("sub").alias("qsub")))
     dtab = (qsubs.join(F.broadcast(_pq_trained_codebook(embeddings)), "m")
             .select("m", "j",
-                    F.round(F.expr(_sq_dist("qsub", "cw")), 6)
+                    F.round(F.expr(_sq_dist_fixed("qsub", "cw", PQ_SUB)), 6)
                     .cast(KM_DEC).alias("dq")))
     return (codes.alias("k")
             .join(F.broadcast(dtab).alias("t"),
