@@ -101,6 +101,7 @@ BENCH_KEYS = [
     "matryoshka_rerank_topk",
     "ivf_adc_rerank_topk",
     "runtime_bloom_join",
+    "aqe_join_upgrade",
 ]
 
 

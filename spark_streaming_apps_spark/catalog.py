@@ -1004,6 +1004,9 @@ register("dynamic_partition_pruning", oracle=extensions.DPP_ORACLE
 register("runtime_bloom_join", oracle=extensions.BLOOM_JOIN_ORACLE
          )(lambda s, d: extensions.runtime_bloom_join(s, d))
 
+register("aqe_join_upgrade", oracle=extensions.AQE_UPGRADE_ORACLE
+         )(lambda s, d: extensions.aqe_join_upgrade(s, d))
+
 register("histogram_quantiles", oracle=analytics.HISTOGRAM_Q_ORACLE
          )(lambda s, d: analytics.histogram_quantiles(_t(s, d, "events")))
 

@@ -719,3 +719,42 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag
 """
+
+
+def aqe_join_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime join-strategy upgrade: with the STATIC broadcast
+    threshold off (what a planner sees when stats are missing or wrong —
+    the normal state at 100 TB), the optimizer plans lineitem JOIN
+    filtered-orders as a sort-merge join; at runtime AQE measures the
+    filtered side's actual shuffle output, sees it is tiny, and rewrites
+    the running plan to a broadcast-hash join, cancelling the fact-side
+    sort+merge. This is the safety net under every size-gated join in
+    this engine — the keyed dedup/ANN joins lean on it instead of forced
+    hints (BASELINE.md's broadcast rule). Forked newSession confines the
+    thresholds; tests/test_plans.py asserts the FINAL adaptive plan
+    broadcast-upgraded."""
+    from ..sources.tables import load_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "8m")
+    urgent = (load_table(s2, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    line = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linestatus")
+    return (line.join(urgent, line.l_orderkey == urgent.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("qty")))
+
+
+AQE_UPGRADE_ORACLE = """
+SELECT l_linestatus, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_linestatus
+"""

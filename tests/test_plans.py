@@ -274,3 +274,18 @@ def test_runtime_bloom_filter_reaches_fact_side(tables, spark):
     p = physical_plan(out)
     assert "might_contain" in p, p[:2000]
     assert "bloom_filter" in p.lower()
+
+
+def test_aqe_upgrades_smj_to_broadcast(tables, spark):
+    """With the static broadcast threshold off, the initial plan must be a
+    sort-merge join; after execution AQE's final plan must have upgraded
+    it to a broadcast-hash join off the measured tiny build side."""
+    from spark_streaming_apps_spark.operators import extensions
+    out = extensions.aqe_join_upgrade(spark, "/root/testdata/sf0.01")
+    before = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in before or "AdaptiveSparkPlan" in before
+    out.collect()  # finalize THIS DataFrame's adaptive plan (a write
+    # action would plan a fresh QueryExecution and leave this one initial)
+    after = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in after
+    assert "BroadcastHashJoin" in after, after[:3000]
