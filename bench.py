@@ -102,6 +102,7 @@ BENCH_KEYS = [
     "ivf_adc_rerank_topk",
     "runtime_bloom_join",
     "aqe_join_upgrade",
+    "streaming_dedup_within_watermark",
 ]
 
 

@@ -1112,6 +1112,10 @@ register("streaming_dedup", oracle="""
 SELECT event_id, user_id, event_type FROM events
 """)(lambda s, d: _streaming("streaming_dedup_job")(s, d))
 
+register("streaming_dedup_within_watermark", oracle="""
+SELECT event_id, user_id, event_type FROM events
+""")(lambda s, d: _streaming("streaming_dedup_watermarked_job")(s, d))
+
 register("stream_static_join", oracle="""
 SELECT e.user_id, e.event_id, e.event_type, c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey

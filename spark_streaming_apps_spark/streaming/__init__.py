@@ -7,6 +7,7 @@ from .jobs import (  # noqa: F401
     stream_stream_join_job, stream_stream_left_outer_job,
     stream_stream_full_outer_job,
     transform_with_state_job,
-    streaming_dedup_job, streaming_session_window_job,
+    streaming_dedup_job, streaming_dedup_watermarked_job,
+    streaming_session_window_job,
     watermark_late_drop_job,
 )

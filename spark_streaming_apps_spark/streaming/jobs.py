@@ -544,6 +544,64 @@ def streaming_dedup_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def streaming_dedup_watermarked_job(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the state-BOUNDED streaming dedup
+    (Spark 3.5+) that plain `dropDuplicates` (streaming_dedup_job) is not:
+    each key's dedup state expires once the watermark passes its event
+    time + delay, so state size is bounded by delay x arrival rate instead
+    of growing with every key ever seen — the only dedup that survives an
+    unbounded 100-TB replay (reference replays: auto.offset.reset=smallest,
+    StreamingApp.scala:309). The staged backlog replays in event-time
+    order with every 10th event of each file RE-DELIVERED between that
+    file and the next (same event time — a redelivered chunk lands within
+    the watermark delay): the dedup state swallows replays still inside
+    the delay and the watermark drops the rest as late, so the drained
+    sink equals the batch projection exactly (duplicates never re-emit
+    either way — that totality is the exactly-once claim)."""
+    import os
+
+    out, ckpt = _fresh("streaming_dedup_wm")
+    src = Path(_stage_ts_ordered(spark, sf_dir, "dedupwm",
+                                 ["user_id", "event_type"]))
+    if sum(1 for _ in src.glob("*.dup")) != N_STREAM_FILES - 1:
+        for p in src.glob("*.dup"):
+            p.unlink()
+        files = sorted(src.glob("*.parquet"))
+        for i, f in enumerate(files[:-1]):
+            dup = (spark.read.parquet(str(f))
+                   .filter(F.col("event_id") % 10 == 0))
+            tmp = SCRATCH / "dedupwm_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            dup.coalesce(1).write.parquet(str(tmp))
+            dest = src / f"{i:02d}r.dup"
+            shutil.move(str(next(Path(tmp).glob("part-*.parquet"))), dest)
+            # mtime between file i and file i+1: replay arrives next batch
+            os.utime(dest, (1_700_000_000 + i * 10 + 5,) * 2)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    deduped = (spark.readStream
+               .schema("event_id long, ts timestamp, user_id long, "
+                       "event_type string")
+               .option("maxFilesPerTrigger", 1).parquet(str(src))
+               .withWatermark("ts", "30 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    _run_available_now(
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt))
+    return spark.read.parquet(out).select("event_id", "user_id",
+                                          "event_type")
+
+
+DEDUP_WM_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def stream_static_join_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: every micro-batch joins the event stream
     against a STATIC dimension (customer) — the standard lookup-join

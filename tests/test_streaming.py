@@ -171,3 +171,25 @@ def test_streaming_ivm_equals_full_log_aggregate(spark):
                            F.sum(F.col("value").cast("decimal(28,2)"))
                             .cast("double").alias("total"))).collect()}
     assert got == want
+
+
+def test_dedup_within_watermark_swallows_replays(spark):
+    """State-bounded dedup totality: the staged backlog re-delivers every
+    10th event of each file between that file and the next; the drained
+    sink must carry each event exactly once (duplicates die in the dedup
+    state while inside the watermark delay, as late rows after it)."""
+    from pathlib import Path
+
+    from spark_streaming_apps_spark.sources.tables import load_table
+    from spark_streaming_apps_spark.streaming import (
+        streaming_dedup_watermarked_job)
+    from spark_streaming_apps_spark.streaming.jobs import SCRATCH
+
+    out = streaming_dedup_watermarked_job(spark, SF_DIR)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+    # the replays must actually exist in the backlog, or this test is vacuous
+    src = Path(str(SCRATCH)) / "dedupwm_sf0.001"
+    dups = spark.read.parquet(*[str(p) for p in src.glob("*.dup")]).count()
+    assert dups > 0
