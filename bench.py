@@ -103,6 +103,7 @@ BENCH_KEYS = [
     "runtime_bloom_join",
     "aqe_join_upgrade",
     "streaming_dedup_within_watermark",
+    "acid_file_skipping",
 ]
 
 

@@ -98,6 +98,43 @@ class AcidTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         return v, self.read(v)
 
+    def pruned_files(self, col: str, lo, hi,
+                     version: int | None = None) -> tuple[list[str], int]:
+        """(paths overlapping [lo, hi] on ``col``, total file count) from
+        the manifest's footer stats — no data file is opened to decide.
+        Files without stats for ``col`` (or manifests from before stats
+        existed) are conservatively kept."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        files = m.get("files")
+        base = self.path / m["data"]
+        if not files:  # pre-stats manifest: no skipping possible
+            paths = sorted(str(p) for p in base.glob("*.parquet"))
+            return paths, len(paths)
+        keep = []
+        for f in files:
+            st = f.get("stats", {}).get(col)
+            if st is None or (st[0] <= hi and lo <= st[1]):
+                keep.append(str(base / f["path"]))
+        return keep, len(files)
+
+    def read_range(self, col: str, lo, hi,
+                   version: int | None = None) -> DataFrame:
+        """Range read through manifest data skipping: open ONLY the files
+        whose [min, max] extent overlaps [lo, hi], then apply the exact
+        residual predicate. Identical rows to ``read().filter(...)`` by
+        construction (skipped files provably hold no matching rows); IO
+        is proportional to the matching extent, not the table."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        paths, _ = self.pruned_files(col, lo, hi, version=v)
+        schema = StructType.fromJson(m["schema"])
+        if not paths:
+            return (self.spark.createDataFrame([], schema)
+                    .filter(F.col(col).between(lo, hi)))
+        return (self.spark.read.schema(schema).parquet(*paths)
+                .filter(F.col(col).between(lo, hi)))
+
     # ------------------------------------------------------------ commits
 
     def _write_data(self, df: DataFrame) -> str:
@@ -105,10 +142,49 @@ class AcidTable:
         df.write.parquet(str(self.path / rel))
         return rel
 
+    def _collect_stats(self, data_rel: str) -> list[dict]:
+        """Per-file [min, max] column stats harvested from the parquet
+        footers just written — the manifest-level data-skipping index
+        (Delta/Iceberg file stats): a reader with a range predicate opens
+        only files whose extent overlaps it, without touching the others'
+        footers. JSON-safe types only (int/float/str); columns without
+        usable stats are simply absent (reader treats absent as
+        can't-skip, never as wrong-skip)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted((self.path / data_rel).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            stats: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(mn, (int, float, str)):
+                        continue
+                    name = col.path_in_schema
+                    if name in stats:
+                        stats[name] = [min(stats[name][0], mn),
+                                       max(stats[name][1], mx)]
+                    else:
+                        stats[name] = [mn, mx]
+            out.append({"path": f.name, "rows": md.num_rows, "stats": stats})
+        return out
+
     def _try_commit(self, version: int, data_rel: str, schema,
                     op: str) -> bool:
         manifest = {"version": version, "data": data_rel, "schema": schema,
-                    "op": op, "parent": version - 1 if version else None}
+                    "op": op, "parent": version - 1 if version else None,
+                    "files": self._collect_stats(data_rel)}
         try:
             # the atomic swap: exactly one creator per manifest path
             with open(self._manifests / f"v{version}.json", "x") as fh:

@@ -758,3 +758,48 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_linestatus
 """
+
+
+SKIP_LO, SKIP_HI = 1000, 5000
+
+
+def acid_file_skipping(spark: SparkSession, sf_dir: str,
+                       scratch: Path) -> DataFrame:
+    """Manifest min/max data skipping on the ACID table — the other half
+    of what a table format's metadata buys (after atomic commits): every
+    commit harvests per-file [min, max] column stats from the parquet
+    footers into the manifest, and a range read opens ONLY the files
+    whose extent overlaps the predicate — file-level pruning decided
+    entirely from one small JSON, no footer IO on the skipped files.
+    Combined with the range-sorted layout (compact_range_write's
+    B-tree-replacement stance, reference StreamingApp.scala:152-155),
+    band-read IO is proportional to the band, not the table.
+    tests/test_acid.py pins that files are actually skipped AND that the
+    pruned read equals the full-scan filter row-for-row."""
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_skip_{Path(sf_dir).name}"
+    if AcidTable.exists(spark, path):
+        table = AcidTable(spark, path)
+    else:
+        li = (load_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_quantity", "l_extendedprice")
+              .repartitionByRange(N_RANGE_FILES, "l_orderkey")
+              .sortWithinPartitions("l_orderkey"))
+        table = AcidTable.create(spark, path, li)
+    band = table.read_range("l_orderkey", SKIP_LO, SKIP_HI)
+    return band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"))
+
+
+ACID_SKIP_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+FROM lineitem WHERE l_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI}
+"""

@@ -232,3 +232,24 @@ def test_eight_way_merge_add_contention(spark, tmp_path):
     assert not errs
     assert t.latest_version() == 8
     assert {r.n for r in t.read().collect()} == {8}
+
+
+def test_manifest_stats_skip_files_exactly(spark, tmp_path):
+    """Range-sorted layout -> disjoint per-file extents in the manifest;
+    a band read must (a) open strictly fewer files than the table holds,
+    (b) return exactly the rows the full-scan filter returns."""
+    df = (spark.range(0, 8000)
+          .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+          .repartitionByRange(8, "k").sortWithinPartitions("k"))
+    t = AcidTable.create(spark, tmp_path / "skip", df)
+    paths, total = t.pruned_files("k", 1000, 1999)
+    assert total == 8
+    assert 0 < len(paths) < total, (len(paths), total)
+    got = sorted(r.k for r in t.read_range("k", 1000, 1999).collect())
+    want = sorted(r.k for r in
+                  t.read().filter(F.col("k").between(1000, 1999)).collect())
+    assert got == want and len(got) == 1000
+    # empty band: no file opened, empty result with the table schema
+    none_paths, _ = t.pruned_files("k", 90000, 99000)
+    assert none_paths == []
+    assert t.read_range("k", 90000, 99000).count() == 0
