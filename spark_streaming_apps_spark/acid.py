@@ -289,6 +289,41 @@ class AcidTable:
                               for c in val_cols]))
         return self._commit_loop(build, "merge_add", max_retries)
 
+    def relayout(self, cols: list[str], target_files: int = 8,
+                 max_retries: int = 20) -> int:
+        """OPTIMIZE-by-key: rewrite the snapshot range-sorted on ``cols``
+        into ``target_files`` files with disjoint extents, as one atomic
+        commit — no logical change, but the manifest's per-file stats
+        become maximally selective, so ``read_range`` on those columns
+        prunes to the matching extent. The table-format answer to a
+        B-tree rebuild: cluster once, skip on every read after."""
+        return self._commit_loop(
+            lambda cur: (cur.repartitionByRange(target_files, *cols)
+                         .sortWithinPartitions(*cols)),
+            "relayout", max_retries)
+
+    def append_evolve(self, rows: DataFrame, max_retries: int = 20) -> int:
+        """Schema-evolving append: columns new to ``rows`` widen the table
+        schema (existing rows read NULL there), columns missing from
+        ``rows`` null-fill — the mergeSchema contract, but transactional:
+        the widened schema rides the new manifest, so concurrent readers
+        of older versions keep their own (narrower) schema and time
+        travel preserves what each version actually looked like."""
+        def build(cur: DataFrame) -> DataFrame:
+            cur_t, new_t = dict(cur.dtypes), dict(rows.dtypes)
+            wide_cur = cur
+            for c in rows.columns:
+                if c not in cur_t:
+                    wide_cur = wide_cur.withColumn(
+                        c, F.lit(None).cast(new_t[c]))
+            wide_new = rows
+            for c in cur.columns:
+                if c not in new_t:
+                    wide_new = wide_new.withColumn(
+                        c, F.lit(None).cast(cur_t[c]))
+            return wide_cur.unionByName(wide_new.select(wide_cur.columns))
+        return self._commit_loop(build, "append_evolve", max_retries)
+
     def compact(self, target_files: int = 1, max_retries: int = 20) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         data files as one atomic commit — no logical change, so readers

@@ -253,3 +253,40 @@ def test_manifest_stats_skip_files_exactly(spark, tmp_path):
     none_paths, _ = t.pruned_files("k", 90000, 99000)
     assert none_paths == []
     assert t.read_range("k", 90000, 99000).count() == 0
+
+
+def test_relayout_makes_stats_selective(spark, tmp_path):
+    """A hash-scattered table skips nothing (every file spans the key
+    range); after relayout(["k"]) the same band prunes to a strict
+    subset, with identical rows at both versions."""
+    df = (spark.range(0, 8000)
+          .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+          .repartition(8, "v"))  # scatter: every file spans all of k
+    t = AcidTable.create(spark, tmp_path / "relayout", df)
+    before, total0 = t.pruned_files("k", 1000, 1999)
+    assert len(before) == total0  # no skipping possible
+    v = t.relayout(["k"], target_files=8)
+    after, total1 = t.pruned_files("k", 1000, 1999)
+    assert 0 < len(after) < total1
+    assert t.read(v).count() == 8000
+    assert (sorted(r.k for r in t.read_range("k", 1000, 1999).collect())
+            == list(range(1000, 2000)))
+
+
+def test_append_evolve_widens_schema_with_time_travel(spark, tmp_path):
+    """New column widens the latest schema (old rows NULL); version 0
+    still reads its own narrower schema."""
+    t = AcidTable.create(
+        spark, tmp_path / "evolve",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.append_evolve(spark.createDataFrame(
+        [(3, "c", 9.5)], "k int, v string, score double"))
+    latest = t.read()
+    assert set(latest.columns) == {"k", "v", "score"}
+    rows = {r.k: r.score for r in latest.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}
+    assert set(t.read(0).columns) == {"k", "v"}
+    # reverse direction: an update missing a column null-fills it
+    t.append_evolve(spark.createDataFrame([(4,)], "k int"))
+    r4 = t.read().filter(F.col("k") == 4).first()
+    assert r4.v is None and r4.score is None
