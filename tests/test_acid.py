@@ -290,3 +290,37 @@ def test_append_evolve_widens_schema_with_time_travel(spark, tmp_path):
     t.append_evolve(spark.createDataFrame([(4,)], "k int"))
     r4 = t.read().filter(F.col("k") == 4).first()
     assert r4.v is None and r4.score is None
+
+
+def test_merge_add_random_delta_sequences(spark, tmp_path):
+    """Property fuzz over the IVM contract: ANY sequence of pre-aggregated
+    delta batches (negative deltas, unseen keys, repeated keys across
+    batches) must leave the table equal to the per-key sum of everything
+    ever merged — no delta lost, none applied twice, inserts and updates
+    interchangeable."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ids = itertools.count()
+    batch = st.dictionaries(st.integers(0, 5), st.integers(-100, 100),
+                            min_size=1, max_size=4)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(batch, min_size=1, max_size=4))
+    def run(batches):
+        t = AcidTable.create(
+            spark, tmp_path / f"fuzz{next(ids)}",
+            spark.createDataFrame([(0, 0)], "k int, s long"))
+        expected = {0: 0}
+        for b in batches:
+            t.merge_add(spark.createDataFrame(
+                [(k, v) for k, v in b.items()], "k int, s long"), ["k"])
+            for k, v in b.items():
+                expected[k] = expected.get(k, 0) + v
+        got = {r.k: r.s for r in t.read().collect()}
+        assert got == expected, (got, expected)
+
+    run()
