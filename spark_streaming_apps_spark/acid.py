@@ -181,10 +181,12 @@ class AcidTable:
         return out
 
     def _try_commit(self, version: int, data_rel: str, schema,
-                    op: str) -> bool:
+                    op: str, txn: str | None = None) -> bool:
         manifest = {"version": version, "data": data_rel, "schema": schema,
                     "op": op, "parent": version - 1 if version else None,
                     "files": self._collect_stats(data_rel)}
+        if txn is not None:
+            manifest["txn"] = txn
         try:
             # the atomic swap: exactly one creator per manifest path
             with open(self._manifests / f"v{version}.json", "x") as fh:
@@ -246,6 +248,44 @@ class AcidTable:
                     .withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1).drop("__rn"))
         return self._commit_loop(build, "merge_keep_latest", max_retries)
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per committed version straight from
+        the manifests (version, op, parent, file/row counts) — the audit
+        surface time travel needs to be usable."""
+        rows = []
+        for v in range(self.latest_version() + 1):
+            m = self._manifest(v)
+            files = m.get("files") or []
+            rows.append((m["version"], m["op"], m["parent"],
+                         len(files), sum(f.get("rows", 0) for f in files)))
+        return self.spark.createDataFrame(
+            rows, "version int, op string, parent int, n_files int, "
+                  "n_rows long")
+
+    def append_txn(self, rows: DataFrame, app_id: str, batch_id: int,
+                   max_retries: int = 20) -> int | None:
+        """Idempotent streaming append: the (app_id, batch_id) writer
+        transaction rides the manifest, and a replayed batch (foreachBatch
+        re-delivery after a checkpoint restart) is SKIPPED if any
+        committed manifest already carries it — exactly-once table
+        appends from an at-least-once stream, the Delta txn-marker
+        pattern. Returns the committed version, or None if this batch
+        was already applied."""
+        txn = f"{app_id}#{batch_id}"
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            if any(self._manifest(i).get("txn") == txn
+                   for i in range(v + 1)):
+                return None  # replayed batch: already visible
+            out = cur.unionByName(rows)
+            rel = self._write_data(out)
+            if self._try_commit(v + 1, rel, out.schema.jsonValue(),
+                                op="append_txn", txn=txn):
+                return v + 1
+            shutil.rmtree(self.path / rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at {self.path}")
 
     # ------------------------------------------------------------ hygiene
 

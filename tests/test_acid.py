@@ -324,3 +324,22 @@ def test_merge_add_random_delta_sequences(spark, tmp_path):
         assert got == expected, (got, expected)
 
     run()
+
+
+def test_append_txn_replayed_batch_applies_once(spark, tmp_path):
+    """The at-least-once -> exactly-once repair at the TABLE: a replayed
+    (app_id, batch_id) append is a no-op even across a different table
+    handle (restart), while the next batch id still lands."""
+    t = AcidTable.create(
+        spark, tmp_path / "txn",
+        spark.createDataFrame([(1, "a")], "k int, v string"))
+    b0 = spark.createDataFrame([(2, "b")], "k int, v string")
+    assert t.append_txn(b0, "app", 0) == 1
+    assert t.append_txn(b0, "app", 0) is None            # same handle replay
+    t2 = AcidTable(spark, tmp_path / "txn")              # "restarted" writer
+    assert t2.append_txn(b0, "app", 0) is None           # replay after restart
+    assert t2.append_txn(
+        spark.createDataFrame([(3, "c")], "k int, v string"), "app", 1) == 2
+    assert t2.read().count() == 3                        # no double row 2
+    hist = {r.version: r.op for r in t2.history().collect()}
+    assert hist == {0: "create", 1: "append_txn", 2: "append_txn"}
