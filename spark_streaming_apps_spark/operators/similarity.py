@@ -522,7 +522,7 @@ def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     per vec_id survives the agg)."""
     extras = [c for c in emb.columns if c not in ("vec_id", "e")]
     return (emb.join(F.broadcast(cents))
-            .withColumn("dist", F.expr(_sq_dist("e", "c")))
+            .withColumn("dist", F.expr(_sq_dist_fixed("e", "c", SRP_DIM)))
             .groupBy("vec_id")
             .agg(F.expr("min_by(cell, struct(dist, cell))").alias("cell"),
                  F.any_value("e").alias("e"),
@@ -661,7 +661,7 @@ def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
     qe = (emb.filter(F.col("vec_id") == query_vec_id)
           .select(F.col("e").alias("q")))
     probe = (cents.join(F.broadcast(qe))
-             .select("cell", F.expr(_sq_dist("c", "q")).alias("dist"))
+             .select("cell", F.expr(_sq_dist_fixed("c", "q", SRP_DIM)).alias("dist"))
              .orderBy("dist", "cell").limit(N_PROBES)
              .select("cell"))
     return (assigned.join(F.broadcast(probe), "cell", "left_semi")
@@ -951,7 +951,7 @@ def pq_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
     return (emb.join(F.broadcast(short), "vec_id")
             .join(F.broadcast(qv))
             .select("vec_id", "label",
-                    F.round(F.expr(_sq_dist("e", "q")), 6).alias("l2_dist"))
+                    F.round(F.expr(_sq_dist_fixed("e", "q", SRP_DIM)), 6).alias("l2_dist"))
             .orderBy("l2_dist", "vec_id")
             .limit(k))
 
@@ -1049,7 +1049,7 @@ def ivf_adc_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
     qe = (emb.filter(F.col("vec_id") == query_vec_id)
           .select(F.col("e").alias("q")))
     probe = (cents.join(F.broadcast(qe))
-             .select("cell", F.expr(_sq_dist("c", "q")).alias("dist"))
+             .select("cell", F.expr(_sq_dist_fixed("c", "q", SRP_DIM)).alias("dist"))
              .orderBy("dist", "cell").limit(N_PROBES)
              .select("cell"))
     cand = (_km_assign(emb, cents)
@@ -1063,7 +1063,7 @@ def ivf_adc_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
     return (emb.join(F.broadcast(short), "vec_id")
             .join(F.broadcast(qe))
             .select("vec_id", "label",
-                    F.round(F.expr(_sq_dist("e", "q")), 6).alias("l2_dist"))
+                    F.round(F.expr(_sq_dist_fixed("e", "q", SRP_DIM)), 6).alias("l2_dist"))
             .orderBy("l2_dist", "vec_id")
             .limit(k))
 
