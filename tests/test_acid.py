@@ -343,3 +343,31 @@ def test_append_txn_replayed_batch_applies_once(spark, tmp_path):
     assert t2.read().count() == 3                        # no double row 2
     hist = {r.version: r.op for r in t2.history().collect()}
     assert hist == {0: "create", 1: "append_txn", 2: "append_txn"}
+
+
+def test_concurrent_append_txn_same_batch_applies_once(spark, tmp_path):
+    """Two racing writers deliver the SAME (app_id, batch_id) — the
+    at-least-once duplicate delivery in its worst interleaving. Exactly
+    one commit may land: the loser either loses the version race and
+    finds the winner's txn marker on retry, or sees it up front."""
+    t = AcidTable.create(
+        spark, tmp_path / "txnrace",
+        spark.createDataFrame([(0, "seed")], "k int, v string"))
+    rows = spark.createDataFrame([(1, "dup")], "k int, v string")
+    results, errs = [], []
+
+    def writer():
+        try:
+            results.append(t.append_txn(rows, "app", 7))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    applied = [r for r in results if r is not None]
+    assert len(applied) == 1, results
+    assert t.read().filter(F.col("k") == 1).count() == 1
