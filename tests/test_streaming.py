@@ -193,3 +193,26 @@ def test_dedup_within_watermark_swallows_replays(spark):
     src = Path(str(SCRATCH)) / "dedupwm_sf0.001"
     dups = spark.read.parquet(*[str(p) for p in src.glob("*.dup")]).count()
     assert dups > 0
+
+
+def test_watermarked_dedup_on_rocksdb_state_store(spark):
+    """The same bounded-dedup stream on the PRODUCTION state backend:
+    RocksDBStateStoreProvider (what a 1000-executor cluster runs, spilling
+    state off-heap) must produce the identical exactly-once result the
+    default HDFS-backed provider does."""
+    from spark_streaming_apps_spark.sources.tables import load_table
+    from spark_streaming_apps_spark.streaming import (
+        streaming_dedup_watermarked_job)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        out = streaming_dedup_watermarked_job(spark, SF_DIR)
+        n_events = load_table(spark, SF_DIR, "events").count()
+        assert out.count() == n_events
+        assert out.select("event_id").distinct().count() == n_events
+    finally:
+        spark.conf.set(key, old)
