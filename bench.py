@@ -165,7 +165,19 @@ def ann_recall(spark) -> dict[str, float]:
         recalls["ivf_adc_rerank_topk"].append(
             len(l2_truth & topk_ids(S.ivf_adc_rerank_topk(emb, qid)))
             / len(l2_truth))
-    return {k: round(sum(v) / len(v), 3) for k, v in recalls.items()}
+    out = {k: round(sum(v) / len(v), 3) for k, v in recalls.items()}
+    # the recall/IO knob, quantified: trained-IVF recall as the probe
+    # count sweeps (scanned fraction ~= probes/n_cells)
+    sweep = {}
+    for probes in (1, 2, 4, 8):
+        rs = []
+        for qid in RECALL_QUERY_IDS:
+            truth = topk_ids(S.cosine_topk(emb, qid))
+            got = topk_ids(S.ivf_topk_trained(emb, qid, probes=probes))
+            rs.append(len(truth & got) / len(truth))
+        sweep[f"probes={probes}"] = round(sum(rs) / len(rs), 3)
+    out["ivf_probe_sweep"] = sweep
+    return out
 
 
 def main() -> None:

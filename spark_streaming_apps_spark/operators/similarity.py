@@ -644,7 +644,7 @@ GROUP BY a.cell
 
 
 def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
-                     k: int = TOP_K) -> DataFrame:
+                     k: int = TOP_K, probes: int = N_PROBES) -> DataFrame:
     """IVF top-k against the TRAINED coarse quantizer — closes the loop
     between `kmeans_refine` (training) and `ivf_topk` (serving): corpus
     vectors assign to the Lloyd-refined centroids (argmin squared
@@ -662,7 +662,7 @@ def ivf_topk_trained(embeddings: DataFrame, query_vec_id: int = 0,
           .select(F.col("e").alias("q")))
     probe = (cents.join(F.broadcast(qe))
              .select("cell", F.expr(_sq_dist_fixed("c", "q", SRP_DIM)).alias("dist"))
-             .orderBy("dist", "cell").limit(N_PROBES)
+             .orderBy("dist", "cell").limit(probes)
              .select("cell"))
     return (assigned.join(F.broadcast(probe), "cell", "left_semi")
             .filter(F.col("vec_id") != query_vec_id)
