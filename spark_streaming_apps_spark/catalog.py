@@ -1044,6 +1044,11 @@ register("acid_time_travel",
 register("acid_file_skipping", oracle=extensions.ACID_SKIP_ORACLE
          )(lambda s, d: extensions.acid_file_skipping(s, d, SCRATCH))
 
+register("acid_change_feed",
+         oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_change_feed(s, d, SCRATCH))
+
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))
 

@@ -374,6 +374,101 @@ def acid_time_travel(spark: SparkSession, sf_dir: str,
     return out
 
 
+def acid_change_feed(spark: SparkSession, sf_dir: str,
+                     scratch: Path) -> DataFrame:
+    """Change-data-feed over the ACID table (Delta CDF's table_changes
+    analog): three committed versions — v0 = queue loaded, v1 = five
+    lowest available claimed (MERGE), v2 = three new files appended —
+    then ``read_changes(0, 2)`` yields the row-level +/- deltas and this
+    query proves them TWO ways in one result:
+
+    * section='delta': per (version, change type, status) census of the
+      feed itself with min/max file_id — the MERGE at v1 must appear as
+      its delete(status 0)+insert(status 1) pairs, the append at v2 as
+      bare inserts;
+    * section='replay': the census of v0 ⊎ inserts ∖ deletes — which the
+      DuckDB oracle computes as the census of v2 DIRECTLY, so a hash
+      match certifies the deltas reconstruct the target snapshot.
+
+    The reference's queue offers no such feed — a consumer of
+    desh_files updates must poll and diff (FileWorkerApp.scala:207-227
+    destroys the preimage on UPDATE); here every version step's changes
+    are derivable forever."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "acid_change_feed"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                                # v1: claimed
+    appended = spark.createDataFrame(
+        [(999999901, 0), (999999902, 1), (999999903, 0)],
+        "file_id long, status int")
+    t.append(appended)                                      # v2: new files
+    ch = t.read_changes(0, 2)
+
+    delta = (ch.groupBy(F.col("_commit_version").alias("version"),
+                        F.col("_change_type").alias("change_type"),
+                        "status")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("file_id").alias("min_id"),
+                  F.max("file_id").alias("max_id"))
+             .select(F.lit("delta").alias("section"), "version",
+                     "change_type", "status", "n", "min_id", "max_id"))
+    ins = (ch.filter(F.col("_change_type") == "insert")
+           .select("file_id", "status"))
+    dels = (ch.filter(F.col("_change_type") == "delete")
+            .select("file_id", "status"))
+    replay = (t.read(0).unionByName(ins).exceptAll(dels)
+              .groupBy("status")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("file_id").alias("min_id"),
+                   F.max("file_id").alias("max_id"))
+              .select(F.lit("replay").alias("section"),
+                      F.lit(-1).alias("version"),
+                      F.lit("state").alias("change_type"),
+                      "status", "n", "min_id", "max_id"))
+    return delta.unionByName(replay)
+
+
+ACID_CHANGE_FEED_ORACLE = """
+WITH queue AS ({queue_sql}),
+base AS (SELECT file_id, status FROM queue),
+low5 AS (SELECT file_id FROM base WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+appended(file_id, status) AS (
+  VALUES (999999901, 0), (999999902, 1), (999999903, 0)),
+deltas AS (
+  SELECT 1 AS version, 'delete' AS change_type, file_id, status
+  FROM base WHERE file_id IN (SELECT file_id FROM low5)
+  UNION ALL
+  SELECT 1, 'insert', file_id, 1 FROM low5
+  UNION ALL
+  SELECT 2, 'insert', file_id, status FROM appended),
+v2 AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM low5) THEN 1
+              ELSE status END AS status
+  FROM base
+  UNION ALL SELECT file_id, status FROM appended)
+SELECT 'delta' AS section, version, change_type, status,
+       COUNT(*) AS n, min(file_id) AS min_id, max(file_id) AS max_id
+FROM deltas GROUP BY version, change_type, status
+UNION ALL
+SELECT 'replay', -1, 'state', status,
+       COUNT(*), min(file_id), max(file_id)
+FROM v2 GROUP BY status
+"""
+
+
 ACID_TIME_TRAVEL_ORACLE = """
 WITH queue AS ({queue_sql}),
 low5 AS (SELECT file_id FROM queue WHERE status = 0

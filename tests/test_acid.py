@@ -371,3 +371,143 @@ def test_concurrent_append_txn_same_batch_applies_once(spark, tmp_path):
     applied = [r for r in results if r is not None]
     assert len(applied) == 1, results
     assert t.read().filter(F.col("k") == 1).count() == 1
+
+
+def test_append_txn_replay_check_reads_one_manifest(spark, tmp_path):
+    """The replay check is O(1): every manifest carries the cumulative
+    {app_id: latest batch_id} map, so append_txn consults ONLY the newest
+    manifest — including across non-txn commits in between."""
+    t = AcidTable.create(
+        spark, tmp_path / "txnmap",
+        spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append_txn(spark.createDataFrame([(2, "b")], "k int, v string"),
+                 "app", 0)
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    t.compact()
+    # the map survived two non-txn commits
+    newest = json.loads(
+        (tmp_path / "txnmap" / "manifests"
+         / f"v{t.latest_version()}.json").read_text())
+    assert newest["txns"] == {"app": 0}
+    assert t.append_txn(
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        "app", 0) is None                                 # replay skipped
+    # earlier batch id than the latest committed is also a replay
+    t.append_txn(spark.createDataFrame([(4, "d")], "k int, v string"),
+                 "app", 5)
+    assert t.append_txn(
+        spark.createDataFrame([(9, "x")], "k int, v string"),
+        "app", 3) is None
+    # a different app is independent
+    assert t.append_txn(
+        spark.createDataFrame([(5, "e")], "k int, v string"),
+        "other", 0) is not None
+
+
+def test_append_evolve_type_conflict_raises(spark, tmp_path):
+    """A shared column changing type is an evolve CONFLICT, not a silent
+    widen or an opaque union error."""
+    t = _mk(spark, tmp_path)
+    bad = spark.createDataFrame([(99, "1", "late")],
+                                "id long, status string, tag string")
+    with pytest.raises(TypeError, match="status: table=int vs rows=string"):
+        t.append_evolve(bad)
+    assert t.latest_version() == 0                        # nothing committed
+    # same types still evolve fine
+    ok = spark.createDataFrame([(99, 1, "late", 3.5)],
+                               "id long, status int, tag string, w double")
+    t.append_evolve(ok)
+    assert dict(t.read().dtypes)["w"] == "double"
+
+
+def _apply_changes(base, ch):
+    cols = [c for c in ch.columns
+            if c not in ("_change_type", "_commit_version")]
+    ins = ch.filter(F.col("_change_type") == "insert").select(cols)
+    dels = ch.filter(F.col("_change_type") == "delete").select(cols)
+    return base.select(cols).unionByName(ins).exceptAll(dels)
+
+
+def _multiset(df):
+    from collections import Counter
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_read_changes_reconstructs_every_version(spark, tmp_path):
+    """CDF contract: for every committed pair (i, j), read(i) ⊎ inserts ∖
+    deletes == read(j) as a multiset — across append, merge, merge_add
+    and a no-op compact."""
+    t = _mk(spark, tmp_path)                                          # v0
+    t.append(spark.createDataFrame([(100, 0, "new"), (101, 1, "new")],
+                                   "id long, status int, tag string"))  # v1
+    t.merge(spark.createDataFrame([(0, 3, "done"), (100, 3, "done")],
+                                  "id long, status int, tag string"),
+            key=["id"])                                               # v2
+    t.compact()                                                       # v3
+    latest = t.latest_version()
+    for i in range(latest + 1):
+        for j in range(i, latest + 1):
+            got = _multiset(_apply_changes(t.read(i), t.read_changes(i, j)))
+            want = _multiset(t.read(j))
+            assert got == want, (i, j)
+    # the compact step is change-free
+    assert t.read_changes(2, 3).count() == 0
+    # an update surfaces as its delete+insert pair at the same version
+    v2 = {(r._change_type, r.id, r.status, r.tag)
+          for r in t.read_changes(1, 2).collect()}
+    assert ("delete", 0, 0, "init") in v2
+    assert ("insert", 0, 3, "done") in v2
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """A range spanning append_evolve widens the feed's schema; pre-widen
+    rows read NULL in the new column and the contract still holds."""
+    t = _mk(spark, tmp_path)                                          # v0
+    t.append_evolve(spark.createDataFrame(
+        [(200, 0, "w", 1.5)],
+        "id long, status int, tag string, score double"))             # v1
+    ch = t.read_changes(0, 1)
+    assert "score" in ch.columns
+    got = _multiset(_apply_changes(t.read(0).withColumn(
+        "score", F.lit(None).cast("double")), ch))
+    assert got == _multiset(t.read(1))
+
+
+def test_read_changes_bounds_and_empty_range(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.read_changes(0, 0).count() == 0
+    cols = t.read_changes(0, 0).columns
+    assert cols[-2:] == ["_change_type", "_commit_version"]
+    with pytest.raises(ValueError, match="outside committed range"):
+        t.read_changes(0, 5)
+
+
+def test_change_feed_from_foreach_batch(spark, tmp_path):
+    """The CDF driven the way a production consumer meets it: a file
+    stream lands micro-batches on the table through foreachBatch +
+    append_txn (exactly-once), then read_changes over the streamed
+    versions yields exactly the streamed rows as inserts."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(3):
+        spark.createDataFrame([(100 * b + i, b, "s") for i in range(4)],
+                              "id long, status int, tag string") \
+            .coalesce(1).write.parquet(str(src / f"b{b}"), mode="overwrite")
+    t = _mk(spark, tmp_path, rows=[(i, 9, "seed") for i in range(3)])
+    v0 = t.latest_version()
+
+    stream = (spark.readStream
+              .schema("id long, status int, tag string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "b*")))
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: t.append_txn(df, "cdf-stream", bid))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    ch = t.read_changes(v0, t.latest_version())
+    assert {r._change_type for r in ch.collect()} == {"insert"}
+    assert ch.count() == 12                      # 3 batches x 4 rows, once
+    got = _multiset(_apply_changes(t.read(v0), ch))
+    assert got == _multiset(t.read())
