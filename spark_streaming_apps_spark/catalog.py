@@ -1087,6 +1087,25 @@ try:
 except ImportError:
     _HAS_PROTOBUF = False
 
+# Driver-visible gate proof: transform_with_state is the one implemented
+# operator whose registration is environmental, so a key records the
+# probe's outcome IN the correctness artifact (green either way) instead
+# of the gap being silent. Oracle and Spark row derive from the same
+# import-time probe, so they agree in any environment: on a standard
+# cluster image (protobuf present) the row flips to available=true and
+# the real key below registers and runs.
+_TWS_REASON = ("ok" if _HAS_PROTOBUF
+               else "google.protobuf runtime absent in this container")
+register("transform_with_state_gate", oracle=f"""
+SELECT 'transform_with_state' AS key,
+       {str(_HAS_PROTOBUF).lower()} AS available,
+       '{_TWS_REASON}' AS reason,
+       'streaming/jobs.py:transform_with_state_job' AS impl
+""")(lambda s, d: s.createDataFrame(
+    [("transform_with_state", _HAS_PROTOBUF, _TWS_REASON,
+      "streaming/jobs.py:transform_with_state_job")],
+    "key string, available boolean, reason string, impl string"))
+
 if _HAS_PROTOBUF:
     register("transform_with_state", oracle="""
 SELECT user_id, COUNT(*) AS n_events,

@@ -1146,33 +1146,67 @@ GROUP BY user_id
 
 # -------------------------------------------------------------- skyline
 
-def pareto_front(part: DataFrame) -> DataFrame:
+PARETO_BUCKETS = 32
+
+
+def pareto_front(part: DataFrame,
+                 n_buckets: int = PARETO_BUCKETS) -> DataFrame:
     """2-D skyline (Pareto front) of the part catalog: parts not strictly
     dominated on (price, size) — both lower is better. The naive
     formulation is the O(n²) NOT-EXISTS dominance join (the oracle runs
-    it at fixture scale); the engine's plan is the sort-based skyline:
+    it at fixture scale); the engine's plan is the TWO-PHASE sort-based
+    skyline — no stage anywhere orders all levels in one partition:
 
       1. collapse rows to PRICE LEVELS (groupBy price → min size) —
          the only stage that sees all rows, one keyed aggregation;
-      2. running min(size) over levels ordered by price, ROWS frame
-         ending 1 PRECEDING — "best size among strictly cheaper levels"
-         (the tie-correct strict-dominance frame a RANGE bound can't
-         express on a continuous price axis);
-      3. join back on price: a row survives iff no strictly-cheaper
+      2. range-bucket the levels on price (width_bucket against the
+         broadcast 1-row [min, max] bounds — monotone, so every level
+         in an earlier bucket is strictly cheaper) and take the running
+         min(size) per BUCKET, ROWS frame ending 1 PRECEDING — the
+         tie-correct strict-dominance frame, now in a PARTITIONED
+         window (Exchange hashpartitioning(bkt), never SinglePartition);
+      3. fold in the cross-bucket prefix: per-bucket min sizes form a
+         ≤n_buckets-row summary, and "best size in any strictly earlier
+         bucket" is a broadcast triangular self-join over it (≤B² pairs
+         of B=32 rows — constant work, no unpartitioned window here
+         either); prev_min = least(local running min, earlier-bucket
+         min);
+      4. join back on price: a row survives iff no strictly-cheaper
          level beats its size strictly.
 
-    100-TB shape: stage 2's window runs over DISTINCT price levels —
-    orders of magnitude smaller than the row table, and two-phase range
-    partitioning (see `deterministic_shuffle`) covers it when even the
-    level table is huge; stages 1 and 3 are keyed shuffles on price.
-    """
+    100-TB shape: stages 1 and 4 are keyed shuffles on price, stage 2 is
+    a keyed shuffle on bucket, stage 3 is constant-size. Bucket count
+    scales with cluster width; uniform-width buckets can skew on a
+    pathological price distribution, but correctness never depends on
+    balance and the bucket key can switch to quantile cuts without
+    changing any other stage."""
     from pyspark.sql import Window
     levels = (part.groupBy("p_retailprice")
               .agg(F.min("p_size").alias("lmin")))
-    w = (Window.orderBy("p_retailprice")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    runmin = levels.select(
-        "p_retailprice", F.min("lmin").over(w).alias("prev_min"))
+    bounds = levels.agg(F.min("p_retailprice").alias("mn"),
+                        F.max("p_retailprice").alias("mx"))
+    lv = (levels.join(F.broadcast(bounds))
+          .withColumn(
+              "bkt",
+              F.when(F.col("mn") == F.col("mx"), F.lit(1))
+              .otherwise(F.least(
+                  F.width_bucket("p_retailprice", "mn", "mx",
+                                 F.lit(n_buckets)),
+                  F.lit(n_buckets))))
+          .drop("mn", "mx"))
+    w_local = (Window.partitionBy("bkt").orderBy("p_retailprice")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    lv = lv.withColumn("local_prev", F.min("lmin").over(w_local))
+    bmin = lv.groupBy("bkt").agg(F.min("lmin").alias("bmin"))
+    earlier = (bmin.alias("a")
+               .join(F.broadcast(bmin.alias("b")),
+                     F.col("b.bkt") < F.col("a.bkt"))
+               .groupBy(F.col("a.bkt").alias("bkt"))
+               .agg(F.min("b.bmin").alias("earlier_min")))
+    runmin = (lv.join(F.broadcast(earlier), "bkt", "left")
+              .select("p_retailprice",
+                      F.least("local_prev", "earlier_min")
+                      .alias("prev_min")))
     return (part.join(runmin, "p_retailprice")
             .filter(F.col("prev_min").isNull()
                     | (F.col("prev_min") >= F.col("p_size")))
