@@ -258,3 +258,37 @@ def test_ivf_adc_rerank_stack_recall(tables):
         recalls.append(len(truth & got) / 10)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.5, f"IVFADC+R mean recall@10 = {mean} ({recalls})"
+
+
+def test_trained_artifacts_serve_from_disk(tables, tmp_path, monkeypatch):
+    """Training artifacts are write-once: a fresh session (memo cleared)
+    must serve the SAME codebook/centroids from the disk store without
+    retraining, and a publish race must leave exactly one artifact."""
+    from spark_streaming_apps_spark.operators import dedup
+
+    emb = tables["embeddings"]
+    monkeypatch.setattr(similarity, "_ANN_STORE", tmp_path / "ann_store")
+    dedup.clear_sketch_cache()
+    trained = sorted(map(tuple, similarity._pq_trained_codebook(emb)
+                         .select("m", "j", "cw").collect()))
+    stores = list((tmp_path / "ann_store").glob("pq_codebook_*"))
+    assert len(stores) == 1 and (stores[0] / "_SUCCESS").exists()
+
+    # simulate a new session: memo gone, artifact present -> parquet load
+    dedup.clear_sketch_cache()
+    reloaded = sorted(map(tuple, similarity._pq_trained_codebook(emb)
+                          .select("m", "j", "cw").collect()))
+    assert reloaded == trained
+    assert len(list((tmp_path / "ann_store").glob("pq_codebook_*"))) == 1
+
+    # lloyd chain: same contract, one artifact dir with both pieces
+    dedup.clear_sketch_cache()
+    a1, c1 = similarity._lloyd_chain(emb)
+    cents1 = sorted(map(tuple, c1.collect()))
+    dedup.clear_sketch_cache()
+    a2, c2 = similarity._lloyd_chain(emb)
+    assert sorted(map(tuple, c2.collect())) == cents1
+    assert a2.count() == a1.count()
+    lloyds = list((tmp_path / "ann_store").glob("lloyd_*"))
+    assert len(lloyds) == 1 and (lloyds[0] / "_DONE").exists()
+    dedup.clear_sketch_cache()
