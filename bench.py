@@ -180,6 +180,17 @@ def ann_recall(spark) -> dict[str, float]:
             rs.append(len(truth & got) / len(truth))
         sweep[f"probes={probes}"] = round(sum(rs) / len(rs), 3)
     out["ivf_probe_sweep"] = sweep
+    # the funnel served at a recall TARGET (>=0.9), side by side with the
+    # default 2-probe row: calibration picks the cheapest (probes,
+    # shortlist) config that clears the floor, then one funnel run at
+    # that config is timed like any bench key
+    probes, shortlist, r90 = S.probes_for_recall(emb, target=0.9)
+    t0 = time.perf_counter()
+    materialize(S.ivf_adc_rerank_topk(emb, probes=probes,
+                                      shortlist=shortlist))
+    out["ivf_adc_rerank_r90"] = {
+        "probes": probes, "shortlist": shortlist, "recall_at_10": r90,
+        "sec": round(time.perf_counter() - t0, 3)}
     return out
 
 
@@ -213,13 +224,23 @@ def main() -> None:
     # per pass (same accounting as a single cold run).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     from spark_streaming_apps_spark.operators import dedup
+    from spark_streaming_apps_spark.operators import similarity as _sim
+    # Honest train-once accounting: drop any persisted quantizer so pass
+    # 0 pays the full training cost (reported as train_once_sec) and
+    # later passes measure the serve path (what a query actually costs
+    # once the write-once artifact exists).
+    import shutil as _sh
+    _sh.rmtree(_sim._ANN_STORE, ignore_errors=True)
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for rep in range(reps):
         dedup.clear_sketch_cache()
         for key in BENCH_KEYS:
             t0 = time.perf_counter()
             materialize(qs[key](spark, SF_DIR))
             t = round(time.perf_counter() - t0, 3)
+            if rep == 0:
+                cold[key] = t
             times[key] = min(times.get(key, t), t)
             print(f"  [{rep}] {key}: {t:.3f}s", file=sys.stderr)
 
@@ -233,10 +254,13 @@ def main() -> None:
     # tail capture (round 5's driver artifact recorded parsed:null because
     # the 75-query map outgrew it — the head of the single line, with
     # "value", was cut off).
+    train_keys = ("kmeans_refine", "pq_encode", "ivf_topk_trained",
+                  "pq_adc_topk", "pq_rerank_topk", "ivf_adc_rerank_topk")
     detail = {
         "metric": "headline_queries_detail",
         "queries": times,
         "recall_at_10": recall,
+        "train_once_sec": {k: cold[k] for k in train_keys if k in cold},
         "sf": float(sf),
     }
     print(json.dumps(detail))

@@ -1111,8 +1111,8 @@ ORDER BY l2_dist, e.vec_id LIMIT {k}
 
 
 def ivf_adc_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
-                        k: int = TOP_K,
-                        shortlist: int = RERANK_N) -> DataFrame:
+                        k: int = TOP_K, shortlist: int = RERANK_N,
+                        probes: int = N_PROBES) -> DataFrame:
     """The full production ANN stack in one plan — IVFADC+R: (1) the
     query probes its {N_PROBES} nearest TRAINED coarse cells (Lloyd-
     refined centroids, broadcast k-row table), (2) the compressed-domain
@@ -1123,7 +1123,12 @@ def ivf_adc_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
     stage cuts the next stage's input ~10-100x; that composition — cell
     prune x code scan x exact rerank — is why billion-vector serving
     costs milliseconds. All three stages keep the engine's determinism
-    contract (decimal-exact dists, (dist, id) tie-breaks)."""
+    contract (decimal-exact dists, (dist, id) tie-breaks).
+
+    ``probes`` is the recall/IO dial: serving configs should pick it
+    with `probes_for_recall` (a recall TARGET, not a magic constant) —
+    scanned IO grows ~linearly with probes while recall climbs toward
+    the shortlist ceiling (bench records both side by side)."""
     emb = embeddings.select("vec_id", "label",
                             _as_double("embedding").alias("e"))
     cents = _trained_centroids(embeddings)
@@ -1131,7 +1136,7 @@ def ivf_adc_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
           .select(F.col("e").alias("q")))
     probe = (cents.join(F.broadcast(qe))
              .select("cell", F.expr(_sq_dist_fixed("c", "q", SRP_DIM)).alias("dist"))
-             .orderBy("dist", "cell").limit(N_PROBES)
+             .orderBy("dist", "cell").limit(probes)
              .select("cell"))
     cand = (_km_assign(emb, cents)
             .join(F.broadcast(probe), "cell", "left_semi")
@@ -1175,6 +1180,53 @@ SELECT e.vec_id, e.label,
 FROM emb e JOIN short s ON e.vec_id = s.vec_id, q
 ORDER BY l2_dist, e.vec_id LIMIT {k}
 """
+
+
+def probes_for_recall(embeddings: DataFrame, target: float = 0.9,
+                      qids: tuple = (0, 3, 7, 11, 40),
+                      candidates: tuple = (1, 2, 4, 8, 16),
+                      k: int = TOP_K) -> tuple[int, int, float]:
+    """Serving-config calibration: the SMALLEST probe count whose
+    measured mean recall@{k} (full IVFADC+R funnel vs exact-L2 truth,
+    its native metric) on the sample queries meets ``target``. The ADC
+    shortlist scales with the probe count (25·probes, = the default 50
+    at the default 2 probes): widening the cells scanned without
+    widening the rerank shortlist just moves the ceiling from the probe
+    stage to the shortlist stage (full-scan ADC @50 ceilings ~0.84).
+    Returns (probes, shortlist, measured_recall); falls back to the
+    largest candidate if none reach the target.
+
+    This is how the funnel should be configured in production — pick a
+    recall floor, let calibration find the cheapest config that clears
+    it, re-run when the corpus drifts. Cost is calibration-time only
+    (|qids| x |candidates| funnel runs over the trained artifacts, each
+    a k-row driver fetch) and the chosen config is two plain ints the
+    serving path inlines."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    d = ("aggregate(zip_with(e, q, (x, y) -> (x - y) * (x - y)), "
+         "cast(0.0 as double), (a, v) -> a + v)")
+    truths = {}
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
+        truths[qid] = {r.vec_id for r in
+                       emb.filter(F.col("vec_id") != qid)
+                       .join(F.broadcast(q))
+                       .select("vec_id", F.expr(d).alias("d"))
+                       .orderBy("d", "vec_id").limit(k).collect()}
+    best = (candidates[-1], 25 * candidates[-1], 0.0)
+    for probes in candidates:
+        shortlist = 25 * probes
+        rs = []
+        for qid in qids:
+            got = {r.vec_id for r in
+                   ivf_adc_rerank_topk(embeddings, qid, probes=probes,
+                                       shortlist=shortlist).collect()}
+            rs.append(len(truths[qid] & got) / k)
+        mean = round(sum(rs) / len(rs), 3)
+        best = (probes, shortlist, mean)
+        if mean >= target:
+            return best
+    return best
 
 
 # -------------------------------------------------- int8 scalar quantization
