@@ -1123,7 +1123,7 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
   ON c.user_id = e.user_id
  AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
-""")(lambda s, d: _streaming("stream_stream_left_outer_job")(s, d))
+""")(lambda s, d: _streaming("stream_stream_left_outer_shared")(s, d))
 
 register("stream_stream_full_outer", oracle="""
 SELECT c.event_id AS click_id, e.event_id AS error_id,
@@ -1133,7 +1133,7 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
   ON c.user_id = e.user_id
  AND e.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
-""")(lambda s, d: _streaming("stream_stream_full_outer_job")(s, d))
+""")(lambda s, d: _streaming("stream_stream_full_outer_shared")(s, d))
 
 register("streaming_dedup", oracle="""
 SELECT event_id, user_id, event_type FROM events

@@ -6,6 +6,7 @@ from .jobs import (  # noqa: F401
     streaming_cdc_upsert_job, streaming_ivm_job,
     stream_stream_join_job, stream_stream_left_outer_job,
     stream_stream_full_outer_job,
+    stream_stream_left_outer_shared, stream_stream_full_outer_shared,
     transform_with_state_job,
     streaming_dedup_job, streaming_dedup_watermarked_job,
     streaming_session_window_job,
