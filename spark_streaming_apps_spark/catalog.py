@@ -36,6 +36,7 @@ from .operators import (
     analytics, dedup, extensions, graph, highwater, multimodal, queue,
     relational, similarity, text, training, windows, worker,
 )
+from .sources import jdbc as jdbc_src
 from .sources import pysource
 from .sources.tables import load_table
 
@@ -222,6 +223,25 @@ def jdbc_batch_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                   .cast("double").alias("total_qty")))
+
+
+# REAL JDBC (embedded Derby — Spark's own bundled derby*.jar): the
+# reference's actual integration surface, not the managed-table analog
+# the two keys above prove the write shapes on.
+register("jdbc_roundtrip",
+         oracle=jdbc_src.JDBC_ROUNDTRIP_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: jdbc_src.jdbc_roundtrip(s, d, SCRATCH))
+
+register("jdbc_pushdown",
+         oracle=jdbc_src.JDBC_PUSHDOWN_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: jdbc_src.jdbc_pushdown(s, d, SCRATCH))
+
+register("jdbc_exclusive_claim",
+         oracle=jdbc_src.JDBC_CLAIM_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: jdbc_src.jdbc_exclusive_claim(s, d, SCRATCH))
 
 
 @register("table_ddl", oracle=f"""

@@ -1,0 +1,191 @@
+"""REAL JDBC source/sink against the Derby engine bundled with Spark.
+
+The reference lives on JDBC: per-row inserts (StreamingApp.scala:341-342,
+370-373), 1000-row executeBatch flushes (StreamingApp.scala:452-471), and
+the claim/update transaction (FileWorkerApp.scala:207-227).  The catalog's
+`jdbc_insert_row`/`jdbc_batch_insert` keys prove those SHAPES on managed
+tables; this module drives Spark's actual JDBC code path —
+``DataFrameWriter.jdbc`` / ``DataFrameReader.jdbc`` — against an embedded
+Apache Derby database (the derby*.jar Spark ships for its Hive metastore),
+so the engine's JDBC story is exercised for real, not by analogy:
+
+* the WRITE uses ``batchsize`` — the exact executeBatch knob the reference
+  hand-rolls (addBatch/executeBatch every 1000 rows);
+* the READ is PARTITIONED (column/lowerBound/upperBound/numPartitions):
+  every executor opens its own connection for its key range — the only
+  JDBC read shape that survives a large table (a bare read.jdbc is one
+  connection pulling everything through the driver);
+* pushed filters: a `.filter` on the JDBC frame compiles into the remote
+  WHERE clause (PushedFilters in the scan), so the database — not Spark —
+  prunes rows.
+
+At 100 TB the same code targets Postgres/MySQL/Oracle by swapping the URL
+and driver; Derby-in-process is the sandbox stand-in with zero semantic
+difference at the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _derby_url(scratch: Path) -> str:
+    return f"jdbc:derby:{scratch / 'derby_db'};create=true"
+
+
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str,
+                   scratch: Path) -> DataFrame:
+    """Queue state -> Derby (batched JDBC write) -> partitioned JDBC read
+    -> per-status census. The census must equal the same aggregation on
+    the never-serialized queue (the DuckDB oracle), proving no row was
+    dropped, doubled, or mangled by the SQL type round-trip
+    (bigint/int/double columns cross the JDBC bridge)."""
+    from ..operators.queue import queue_df
+    from .tables import load_table
+
+    q = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status", "hw_after")
+    url = _derby_url(scratch)
+    (q.write.mode("overwrite")
+     .option("batchsize", 1000)                 # executeBatch every 1000
+     .jdbc(url, "queue_rt", properties=DERBY_PROPS))
+    lo, hi = 0, 6_000_001
+    back = spark.read.jdbc(
+        url, "queue_rt", properties=DERBY_PROPS,
+        column="file_id", lowerBound=lo, upperBound=hi, numPartitions=8)
+    return (back.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id"),
+                 F.sum(F.col("hw_after").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_hw")))
+
+
+JDBC_ROUNDTRIP_ORACLE = """
+WITH queue AS ({queue_sql})
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       max(file_id) AS max_id,
+       CAST(SUM(CAST(hw_after AS DECIMAL(18,2))) AS DOUBLE) AS sum_hw
+FROM queue GROUP BY status
+"""
+
+
+def jdbc_pushdown(spark: SparkSession, sf_dir: str,
+                  scratch: Path) -> DataFrame:
+    """Filter pushdown through the JDBC source: the `.filter` on the JDBC
+    frame compiles into the remote WHERE clause, so Derby prunes the
+    rows — Spark never sees the non-matching ones. The plan carries the
+    evidence (PushedFilters on the JDBC scan; tests assert it); the
+    result must equal the batch filter, and reuses the table
+    jdbc_roundtrip wrote."""
+    jdbc_roundtrip(spark, sf_dir, scratch)        # ensure table exists
+    url = _derby_url(scratch)
+    back = spark.read.jdbc(
+        url, "queue_rt", properties=DERBY_PROPS,
+        column="file_id", lowerBound=0, upperBound=6_000_001,
+        numPartitions=4)
+    return (back.filter((F.col("status") == 0)
+                        & (F.col("file_id") % 100 < 5))
+            .groupBy((F.col("file_id") % 10).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("file_id").alias("max_id")))
+
+
+JDBC_PUSHDOWN_ORACLE = """
+WITH queue AS ({queue_sql})
+SELECT file_id % 10 AS bucket, COUNT(*) AS n, max(file_id) AS max_id
+FROM queue WHERE status = 0 AND file_id % 100 < 5
+GROUP BY file_id % 10
+"""
+
+
+def jdbc_exclusive_claim(spark: SparkSession, sf_dir: str,
+                         scratch: Path) -> DataFrame:
+    """The reference's claim transaction run VERBATIM against a real
+    database (FileWorkerApp.scala:207-227: BEGIN; SELECT lowest
+    available FOR UPDATE; UPDATE status; COMMIT): the queue is loaded
+    into Derby through df.write.jdbc, then five claim rounds each run
+    the row-locking SELECT + UPDATE in one JDBC transaction
+    (autocommit off, java.sql through the live JVM) — the actual
+    protocol, not an analog. The result is the post-claim per-status
+    census read back through a partitioned JDBC read, which must equal
+    the oracle's 'five lowest available became claimed' rewrite.
+
+    The claim loop is driver-side by design: it IS the reference's
+    control-plane worker loop (one row per transaction); the data-plane
+    load and readback stay distributed."""
+    from ..operators.queue import queue_df
+    from .tables import load_table
+
+    url = _derby_url(scratch)
+    q = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    (q.write.mode("overwrite").option("batchsize", 1000)
+     .jdbc(url, "queue_claim", properties=DERBY_PROPS))
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        claimed = 0
+        while claimed < 5:
+            # Spark's JDBC writer quotes identifiers, so Derby stores
+            # them case-sensitively — hand-written SQL must quote too.
+            # Derby forbids FOR UPDATE alongside ORDER BY/FETCH, so the
+            # claim is the compare-and-set form (UPDATE guarded by
+            # "status" = 0): if another worker claimed the row between
+            # the SELECT and the UPDATE, updateCount is 0 and the loop
+            # retries — the same exclusive-claim protocol
+            # operators/queue.py proves race-safe on files.
+            st = conn.createStatement()
+            rs = st.executeQuery(
+                'SELECT MIN("file_id") FROM queue_claim '
+                'WHERE "status" = 0')
+            fid = None
+            if rs.next():
+                v = rs.getLong(1)
+                if not rs.wasNull():            # wasNull reads AFTER get
+                    fid = v
+            rs.close()
+            st.close()
+            if fid is None:
+                break
+            upd = conn.prepareStatement(
+                'UPDATE queue_claim SET "status" = 1 '
+                'WHERE "file_id" = ? AND "status" = 0')
+            upd.setLong(1, fid)
+            won = upd.executeUpdate() == 1
+            upd.close()
+            conn.commit()                       # one claim per transaction
+            claimed += 1 if won else 0
+    finally:
+        conn.close()
+
+    back = spark.read.jdbc(
+        url, "queue_claim", properties=DERBY_PROPS,
+        column="file_id", lowerBound=0, upperBound=6_000_001,
+        numPartitions=8)
+    return (back.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
+JDBC_CLAIM_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+post AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM low5) THEN 1
+              ELSE status END AS status
+  FROM queue)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       max(file_id) AS max_id
+FROM post GROUP BY status
+"""
