@@ -622,6 +622,9 @@ SELECT count(DISTINCT props) AS exact_distinct,
 FROM events
 """)(lambda s, d: dedup.dedup_approx(_t(s, d, "events")))
 
+register("dedup_collapse_lsh", oracle=dedup.dedup_collapse_lsh_oracle_sql()
+         )(lambda s, d: dedup.dedup_collapse_lsh(_t(s, d, "documents")))
+
 register("dedup_minhash_lsh", oracle=dedup.minhash_oracle_sql()
          )(lambda s, d: dedup.minhash_pairs(_t(s, d, "documents")))
 

@@ -391,6 +391,81 @@ WHERE ({agree}) / {float(N_HASHES)} >= 0.5
 """
 
 
+def dedup_collapse_lsh(documents: DataFrame) -> DataFrame:
+    """Exact-collapse → MinHash LSH: the composition that survives a
+    duplicate-HEAVY corpus, which raw pairwise LSH structurally cannot.
+
+    On a corpus where payloads repeat c times, the near-dup PAIR output
+    is itself quadratic — every band bucket holds all c copies, so
+    candidates (and the verify join, and the result) grow O(c²·distinct)
+    no matter how good the blocking is (SCALING.md measures exactly
+    this on the replicated worst-case corpus). Web-scale corpora are
+    duplicate-heavy (30-60% exact dups), so production dedup runs
+    EXACT-first:
+
+      1. collapse identical payloads by content hash — one 16-byte-key
+         shuffle, the `dedup_exact` shape; representative = min doc_id,
+         multiplicity carried as n_copies;
+      2. MinHash+LSH near-dup pairs over REPRESENTATIVES only — the
+         quadratic copy blowup is gone before a single shingle is
+         hashed, and bucket skew from repeats is structurally
+         impossible (every signature appears once per distinct
+         payload).
+
+    Output: (doc1, doc2, est_jaccard, copies1, copies2) — representative
+    pairs with each side's collapsed multiplicity, so pair weight is
+    recoverable (a full expansion is the cartesian of the two copy
+    sets, deliberately never materialized)."""
+    corpus = planted_corpus(documents)
+    groups = (corpus.groupBy(F.md5("text").alias("h"))
+              .agg(F.min("doc_id").alias("doc_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+    reps = (corpus.join(groups.select("doc_id", "n_copies"), "doc_id")
+            .select("doc_id", "text", "n_copies"))
+    rep_corpus = reps.select("doc_id", "text")
+    sig = _minhash_sig(rep_corpus, plant=False)
+    cand = _minhash_band_candidates(rep_corpus, plant=False)
+    s1, s2 = sig.alias("s1"), sig.alias("s2")
+    agree = sum(
+        F.when(F.col(f"s1.mh{i}") == F.col(f"s2.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    copies = reps.select("doc_id", "n_copies")
+    return (cand
+            .join(s1, F.col("doc1") == F.col("s1.doc_id"))
+            .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+            .select("doc1", "doc2",
+                    (agree / F.lit(float(N_HASHES))).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5)
+            .join(copies.select(F.col("doc_id").alias("doc1"),
+                                F.col("n_copies").alias("copies1")), "doc1")
+            .join(copies.select(F.col("doc_id").alias("doc2"),
+                                F.col("n_copies").alias("copies2")), "doc2")
+            .select("doc1", "doc2", "est_jaccard", "copies1", "copies2"))
+
+
+def dedup_collapse_lsh_oracle_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES))
+    return f"""
+WITH raw AS ({PLANTED_CORPUS_SQL}),
+groups AS (SELECT md5(text) AS h, min(doc_id) AS doc_id,
+                  count(*) AS n_copies
+           FROM raw GROUP BY md5(text)),
+corpus AS (SELECT r.doc_id, r.text, g.n_copies
+           FROM raw r JOIN groups g USING (doc_id)),{_shingle_hash_ctes()},{_minhash_cand_ctes()}
+SELECT doc1, doc2, ({agree}) / {float(N_HASHES)} AS est_jaccard,
+       c1.n_copies AS copies1, c2.n_copies AS copies2
+FROM cand
+JOIN sig s1 ON cand.doc1 = s1.doc_id
+JOIN sig s2 ON cand.doc2 = s2.doc_id
+JOIN corpus c1 ON cand.doc1 = c1.doc_id
+JOIN corpus c2 ON cand.doc2 = c2.doc_id
+WHERE ({agree}) / {float(N_HASHES)} >= 0.5
+"""
+
+
 # -------------------------------------------------------------- containment
 
 CONTAINMENT_MIN = 0.8

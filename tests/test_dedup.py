@@ -66,3 +66,23 @@ def test_dedup_approx_within_tolerance(tables):
     row = dedup.dedup_approx(tables["events"]).first()
     assert row.approx_ok == 1
     assert row.exact_distinct > 0
+
+
+def test_collapse_lsh_is_copy_invariant(spark, tables):
+    """The exact-collapse front end makes LSH cost AND output track
+    DISTINCT payloads: replicating every document 5x (distinct doc_ids,
+    identical text) must yield the same representative pairs with the
+    same estimates — only the carried multiplicities grow 5x."""
+    docs = tables["documents"].select("doc_id", "text", "lang",
+                                      "source", "n_chars")
+    base = {(r.doc1, r.doc2, r.est_jaccard): (r.copies1, r.copies2)
+            for r in dedup.dedup_collapse_lsh(docs).collect()}
+    copies = [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000))
+              for i in range(5)]
+    rep = copies[0]
+    for c in copies[1:]:
+        rep = rep.unionByName(c)
+    got = {(r.doc1, r.doc2, r.est_jaccard): (r.copies1, r.copies2)
+           for r in dedup.dedup_collapse_lsh(rep).collect()}
+    assert set(got) == set(base)
+    assert all(got[k] == (5 * base[k][0], 5 * base[k][1]) for k in base)

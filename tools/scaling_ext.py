@@ -37,6 +37,9 @@ from spark_streaming_apps_spark.sources.tables import load_table  # noqa: E402
 BASE_SF = "/root/testdata/sf0.1"
 SCRATCH = Path(__file__).resolve().parents[1] / ".scratch" / "scale"
 SFS = [("0.1", 1), ("0.3", 3), ("1", 10), ("3", 30)]
+#: the worst-case dedup stress gets one more decade: at sf10 every
+#: payload exists 100x, so every band bucket is maximally hot
+SFS_DEDUP_EXT = [("10", 100)]
 OFFSETS = {"lineitem": ("l_orderkey", 10_000_000),
            "embeddings": ("vec_id", 100_000),
            "documents": ("doc_id", 100_000)}
@@ -45,17 +48,21 @@ KEYS = {  # key -> table it reads (for synth-dir population)
     "groupby_having_band": ["lineitem"],
     "ivf_topk_trained": ["embeddings"],
     "dedup_minhash_lsh": ["documents"],
+    "dedup_collapse_lsh": ["documents"],
     "substring_dup_spans": ["documents"],
     "pq_rerank_topk": ["embeddings"],
     "ivf_adc_rerank_topk": ["embeddings"],
 }
+#: keys that also run the sf10 point (the dedup worst case under test:
+#: raw pairwise LSH vs the exact-collapse composition)
+DEDUP_EXT_KEYS = ("dedup_minhash_lsh", "dedup_collapse_lsh")
 
 
-def synth_dir(spark, sf: str, copies: int) -> str:
+def synth_dir(spark, sf: str, copies: int, tables: set | None = None) -> str:
     if copies == 1:
         return BASE_SF
     out = SCRATCH / f"sf{sf}"
-    tables = {t for ts in KEYS.values() for t in ts}
+    tables = tables or {t for ts in KEYS.values() for t in ts}
     if all((out / f"{t}.parquet").exists() for t in tables):
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
@@ -90,10 +97,19 @@ def main() -> None:
             qs[k](spark, d).write.mode("overwrite").format("noop").save()
             results[k][sf] = round(time.perf_counter() - t0, 2)
             print(f"sf{sf} {k}: {results[k][sf]}s", file=sys.stderr)
+    for sf, copies in SFS_DEDUP_EXT:
+        d = synth_dir(spark, sf, copies,
+                      tables={t for k in DEDUP_EXT_KEYS for t in KEYS[k]})
+        dedup.clear_sketch_cache()
+        for k in DEDUP_EXT_KEYS:
+            t0 = time.perf_counter()
+            qs[k](spark, d).write.mode("overwrite").format("noop").save()
+            results[k][sf] = round(time.perf_counter() - t0, 2)
+            print(f"sf{sf} {k}: {results[k][sf]}s", file=sys.stderr)
 
     lines = [
         "",
-        "## Extended curves at synthesized sf0.3 / sf1 / sf3 (round 5)",
+        "## Extended curves at synthesized sf0.3 / sf1 / sf3 (round 6)",
         "",
         "sf0.1 is the real driver fixture; larger SFs are key-offset",
         "replications of it (see tools/scaling_ext.py) — identical",
@@ -112,7 +128,32 @@ def main() -> None:
     lines += ["",
               "Single-shot timings (each sf's first touch pays codegen +",
               "index/codebook training for its corpus — the honest cold",
-              "read); sublinear growth columns are the claim under test."]
+              "read); sublinear growth columns are the claim under test.",
+              "",
+              "### Worst-case dedup, one more decade: sf10 (100 copies "
+              "of every payload)",
+              "",
+              "| query | sf0.1 | sf3 | sf10 | t(10)/t(3) | data 10/3 |",
+              "|---|---|---|---|---|---|"]
+    for k in DEDUP_EXT_KEYS:
+        r = results[k]
+        ratio = round(r["10"] / r["3"], 1) if r.get("3") else float("nan")
+        lines.append(f"| {k} | {r['0.1']} | {r['3']} | {r['10']} "
+                     f"| {ratio}x | 3.3x |")
+    lines += [
+        "",
+        "Raw pairwise LSH cannot stay bounded here and that is",
+        "structural, not an implementation defect: with every payload",
+        "repeated c times, the near-dup PAIR SET is itself",
+        "O(c²·distinct) — at sf10 each band bucket holds 100 copies of",
+        "every signature, and candidates/verify/output all grow with",
+        "the square of the copy factor. The composition that survives",
+        "is `dedup_collapse_lsh` (the production shape): exact-collapse",
+        "identical payloads first (one 16-byte-key shuffle), run LSH",
+        "over representatives — its cost tracks DISTINCT payloads, flat",
+        "in the copy factor, and the bucket-skew failure mode is",
+        "structurally impossible. The pair of rows above is the",
+        "measured claim."]
     # replace any existing extended section instead of stacking duplicates
     out_path = Path(__file__).resolve().parents[1] / "SCALING.md"
     old = out_path.read_text()
