@@ -717,6 +717,9 @@ register("bm25_rank", oracle=text.bm25_oracle_sql()
 register("vocab_topk", oracle=text.VOCAB_ORACLE
          )(lambda s, d: text.vocab_topk(_t(s, d, "documents")))
 
+register("heavy_hitters_cms", oracle=text.heavy_hitters_cms_oracle_sql()
+         )(lambda s, d: text.heavy_hitters_cms(_t(s, d, "documents")))
+
 register("repetition_filter", oracle=text.REPETITION_ORACLE
          )(lambda s, d: text.repetition_stats(_t(s, d, "documents")))
 
@@ -1071,6 +1074,11 @@ register("acid_change_feed",
          oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.acid_change_feed(s, d, SCRATCH))
+
+register("acid_cdf_consumer",
+         oracle=extensions.ACID_CDF_CONSUMER_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_cdf_consumer(s, d, SCRATCH))
 
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))

@@ -439,6 +439,74 @@ def acid_change_feed(spark: SparkSession, sf_dir: str,
     return delta.unionByName(replay)
 
 
+def acid_cdf_consumer(spark: SparkSession, sf_dir: str,
+                      scratch: Path) -> DataFrame:
+    """The CDF consumed the way production uses it: a DOWNSTREAM
+    aggregate table maintained purely from `read_changes` deltas —
+    never rescanning the source. Source table: v0 = queue loaded, v1 =
+    five lowest claimed (MERGE), v2 = three files appended (same
+    committed scenario as acid_change_feed). Downstream: a per-status
+    count table seeded from v0's census, then per version step the
+    consumer applies (+1 per insert, -1 per delete) via
+    `AcidTable.merge_add` — each application an atomic commit on the
+    downstream table. Final downstream state must equal the census of
+    the source's LATEST snapshot (the oracle computes that directly),
+    proving the incremental consumer converges to the rescan answer.
+
+    At 100 TB this is why the feed exists: the source table re-derives
+    nothing, the consumer reads only the deltas (proportional to churn,
+    not table size), and both sides commit atomically."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    src_dir = scratch / "acid_cdf_src"
+    down_dir = scratch / "acid_cdf_down"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(down_dir, ignore_errors=True)
+
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, src_dir, state)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                                # v1
+    t.append(spark.createDataFrame(
+        [(999999901, 0), (999999902, 1), (999999903, 0)],
+        "file_id long, status int"))                        # v2
+
+    down = AcidTable.create(
+        spark, down_dir,
+        t.read(0).groupBy("status").agg(F.count(F.lit(1)).alias("n")))
+    for v in range(1, t.latest_version() + 1):
+        ch = t.read_changes(v - 1, v)
+        delta = (ch.groupBy("status")
+                 .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                            .otherwise(-1)).alias("n")))
+        down.merge_add(delta, key=["status"])
+    return (down.read().filter(F.col("n") != 0)
+            .select("status", "n"))
+
+
+ACID_CDF_CONSUMER_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+v2 AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM low5) THEN 1
+              ELSE status END AS status
+  FROM queue
+  UNION ALL
+  SELECT * FROM (VALUES (999999901, 0), (999999902, 1),
+                        (999999903, 0)) AS a(file_id, status))
+SELECT status, COUNT(*) AS n FROM v2 GROUP BY status
+"""
+
+
 ACID_CHANGE_FEED_ORACLE = """
 WITH queue AS ({queue_sql}),
 base AS (SELECT file_id, status FROM queue),

@@ -236,6 +236,93 @@ FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
 GROUP BY token ORDER BY tf DESC, token LIMIT {VOCAB_TOP_K}
 """
 
+# ------------------------------------------------- count-min heavy hitters
+
+CMS_D = 4     # hash rows
+CMS_W = 256   # counters per row; error bound ~ total_tokens / W per row
+CMS_TOP_K = 20
+_CMS_P = (1 << 31) - 1
+
+
+def _cms_h(j: int, col: str) -> str:
+    """Row-j bucket for a 60-bit md5-derived token hash — the same
+    affine-mod family as the minhash sketches (bit-identical in DuckDB)."""
+    return f"cast(({col} * {2 * j + 3} + {7 * j + 11}) % {_CMS_P} % {CMS_W} as int)"
+
+
+def heavy_hitters_cms(documents: DataFrame,
+                      k: int = CMS_TOP_K) -> DataFrame:
+    """Count-min-sketch heavy hitters with an exactness audit — the
+    mergeable frequency sketch a 100-TB token pipeline aggregates where
+    exact per-term counts are too wide to keep: {CMS_D}x{CMS_W} additive
+    counters (shards sketch independently, merge by adding — the same
+    partial-aggregate contract as `histogram_quantiles` and
+    `AcidTable.merge_add`), estimate(t) = min over rows of the t-bucket
+    counter, with the one-sided guarantee est >= exact always and
+    est - exact bounded by collisions/W per row.
+
+    Output: the true top-{CMS_TOP_K} tokens with exact count, CMS
+    estimate, and the overestimate — the sketch-quality audit one runs
+    before trusting the sketch at scale (estimates and their error are
+    DETERMINISTIC here because the hash family is fixed, so the DuckDB
+    oracle checks every value, unlike approx_count_distinct-style
+    engine-private sketches). One token-keyed shuffle for counts, a
+    {CMS_D}x{CMS_W}-row counter table (always broadcastable), and the
+    audit joins top-k against it."""
+    tkh = (f"cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint) "
+           f"% {_CMS_P}")
+    counts = (documents
+              .select(F.explode(_tokens()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .withColumn("th", F.expr(tkh)))
+    buckets = ", ".join(f"{j}, {_cms_h(j, 'th')}" for j in range(CMS_D))
+    counters = (counts
+                .selectExpr("n", f"stack({CMS_D}, {buckets}) as (j, b)")
+                .groupBy("j", "b").agg(F.sum("n").alias("c")))
+    topk = counts.orderBy(F.desc("n"), "token").limit(k)
+    est = (topk
+           .selectExpr("token", "n",
+                       f"stack({CMS_D}, {buckets}) as (j, b)")
+           .join(F.broadcast(counters), ["j", "b"])
+           .groupBy("token", "n").agg(F.min("c").alias("est_n")))
+    return (est.select("token", F.col("n").alias("exact_n"), "est_n",
+                       (F.col("est_n") - F.col("n")).alias("overestimate"))
+            .orderBy(F.desc("exact_n"), "token"))
+
+
+def heavy_hitters_cms_oracle_sql(k: int = CMS_TOP_K) -> str:
+    tkh = (f"CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) "
+           f"% {_CMS_P}")
+
+    def h(j: int) -> str:
+        return (f"CAST((th * {2 * j + 3} + {7 * j + 11}) % {_CMS_P} "
+                f"% {CMS_W} AS INT)")
+
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT token, n, {j} AS j, {h(j)} AS b FROM counts"
+        for j in range(CMS_D))
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+                            t -> t <> '')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, COUNT(*) AS n, {tkh} AS th
+  FROM toks GROUP BY token),
+buckets AS ({bucket_rows}),
+counters AS (SELECT j, b, SUM(n) AS c FROM buckets GROUP BY j, b),
+topk AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {k}),
+est AS (
+  SELECT t.token, t.n, min(c.c) AS est_n
+  FROM topk t
+  JOIN buckets bk ON bk.token = t.token
+  JOIN counters c ON c.j = bk.j AND c.b = bk.b
+  GROUP BY t.token, t.n)
+SELECT token, n AS exact_n, est_n, est_n - n AS overestimate
+FROM est ORDER BY exact_n DESC, token
+"""
+
+
 TOP_BIGRAM_MAX = 0.06  # Gopher-style repetition cutoff (fixture p90 ≈ 0.067)
 
 

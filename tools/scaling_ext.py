@@ -143,17 +143,15 @@ def main() -> None:
     lines += [
         "",
         "Raw pairwise LSH cannot stay bounded here and that is",
-        "structural, not an implementation defect: with every payload",
-        "repeated c times, the near-dup PAIR SET is itself",
-        "O(c²·distinct) — at sf10 each band bucket holds 100 copies of",
-        "every signature, and candidates/verify/output all grow with",
-        "the square of the copy factor. The composition that survives",
-        "is `dedup_collapse_lsh` (the production shape): exact-collapse",
-        "identical payloads first (one 16-byte-key shuffle), run LSH",
-        "over representatives — its cost tracks DISTINCT payloads, flat",
-        "in the copy factor, and the bucket-skew failure mode is",
-        "structurally impossible. The pair of rows above is the",
-        "measured claim."]
+        "structural: with every payload repeated c times the near-dup",
+        "PAIR SET is itself O(c²·distinct) — candidates/verify/output",
+        "all grow with the square of the copy factor. The composition",
+        "that survives is `dedup_collapse_lsh` (the production shape):",
+        "exact-collapse identical payloads first (one 16-byte-key",
+        "shuffle, a LINEAR scan), then LSH over representatives — the",
+        "LSH stage is flat in the copy factor and the hot-bucket",
+        "failure mode is structurally gone. The pair of rows above is",
+        "the measured claim."]
     # replace any existing extended section instead of stacking duplicates
     out_path = Path(__file__).resolve().parents[1] / "SCALING.md"
     old = out_path.read_text()
