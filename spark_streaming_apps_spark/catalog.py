@@ -745,6 +745,9 @@ register("multimodal_resize", oracle=multimodal.RESIZE_ORACLE_SQL
 register("multimodal_frame_sample", oracle=multimodal.FRAME_SAMPLE_ORACLE_SQL
          )(lambda s, d: multimodal.frame_sample(_t(s, d, "documents")))
 
+register("multimodal_real_decode", oracle=multimodal.real_decode_oracle_sql()
+         )(lambda s, d: multimodal.real_decode(_t(s, d, "documents")))
+
 register("multimodal_phash_near_dup", oracle=multimodal.phash_oracle_sql()
          )(lambda s, d: multimodal.phash_near_dup(_t(s, d, "documents")))
 
@@ -1079,6 +1082,11 @@ register("acid_cdf_consumer",
          oracle=extensions.ACID_CDF_CONSUMER_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.acid_cdf_consumer(s, d, SCRATCH))
+
+register("acid_datasource",
+         oracle=pysource.ACID_DATASOURCE_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: pysource.acid_datasource(s, d, SCRATCH))
 
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))

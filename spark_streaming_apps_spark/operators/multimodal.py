@@ -6,11 +6,16 @@ the shared FS at :356-367). This module treats image/audio/video payloads the
 same way: opaque `binary` columns + typed metadata, with decode / feature
 extraction as Arrow-batched `mapInPandas` stages.
 
-The actual codec step is STUBBED (no PIL/ffmpeg in this container): with
-``fake=True`` (default) it derives deterministic metadata from the payload
-bytes — making the Spark-side plumbing (schema, batching, partitioning) real
-and testable; with ``fake=False`` it raises NotImplementedError exactly where
-a PIL/soundfile call would go.
+Codec status, honestly split by format class: COMPRESSED formats
+(JPEG/PNG/audio/video) are stubbed — no PIL/ffmpeg in this container;
+``fake=True`` (default) derives deterministic metadata from the payload
+bytes (plumbing real and testable), ``fake=False`` raises
+NotImplementedError exactly where the PIL/soundfile call would go.
+UNCOMPRESSED wire formats are REAL: `real_decode` parses genuine P6 PPM
+bytes (magic + header + raw RGB plane, numpy only) and computes channel
+sums and a sampled-grayscale aHash from the decoded pixels, with the
+DuckDB oracle re-deriving every value from the generative formula — a
+parse bug cannot hash-match.
 
 Scale: mapInPandas streams Arrow batches, so a 100 TB binary corpus flows
 through Python at batch granularity with no per-row overhead; keep
@@ -160,6 +165,162 @@ SELECT DISTINCT doc_id,
        md5(payload_md5 || ':' || CAST(j * n_frames // {FRAME_SAMPLE_K} AS VARCHAR))
          AS frame_md5
 FROM d, (SELECT unnest(generate_series(0, {FRAME_SAMPLE_K - 1})) AS j) js
+"""
+
+
+# --------------------------------------------------------- real PPM codec
+#
+# The "no codec in this container" gate only applies to COMPRESSED formats
+# (JPEG/PNG need PIL). The uncompressed wire formats — PPM/PGM, the
+# interchange format every imaging tool emits — need nothing but numpy,
+# so this path is a REAL decoder: actual P6 bytes are parsed (magic,
+# whitespace-delimited header, maxval, raw RGB plane) and the features
+# (channel sums, sampled-grayscale aHash) are computed from the DECODED
+# PIXELS. Fixture payloads are deterministic generated images, so the
+# DuckDB oracle re-derives every value from the generative formula while
+# Spark derives them from the bytes — a decode bug on either side breaks
+# the hash match.
+
+PPM_W0, PPM_WMOD = 16, 16      # width  = 16 + doc_id % 16  ∈ [16, 31]
+PPM_H0, PPM_HMOD = 16, 8       # height = 16 + doc_id % 8   ∈ [16, 23]
+PPM_GRID = 8                   # aHash sampling grid (8x8 = 64 bits)
+
+
+def _ppm_payload(doc_id: int) -> bytes:
+    """A real P6 PPM image, deterministic per doc: pixel (x, y) channels
+    are affine-mod-256 in (x, y, doc_id)."""
+    import numpy as np
+
+    w = PPM_W0 + doc_id % PPM_WMOD
+    h = PPM_H0 + doc_id % PPM_HMOD
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 7 + y * 13 + doc_id) % 256
+    g = (x * 3 + y * 5 + 2 * doc_id) % 256
+    b = (x * 11 + y * 2 + 3 * doc_id) % 256
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes())
+
+
+def _parse_ppm(buf: bytes):
+    """Minimal spec-conformant P6 parser: magic, three whitespace-
+    delimited header tokens (width, height, maxval), single whitespace,
+    then the raw RGB plane. Returns (w, h, HxWx3 uint8 array)."""
+    import numpy as np
+
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    toks, pos, tok = [], 2, b""
+    while len(toks) < 3:
+        c = buf[pos:pos + 1]
+        pos += 1
+        if c.isspace():
+            if tok:
+                toks.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+    # pos is now one past the single whitespace terminating maxval
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    arr = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=pos)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def real_decode(documents: DataFrame) -> DataFrame:
+    """REAL image decode over binary payloads: stage 1 materializes
+    genuine P6 bytes per doc (mapInPandas producer), stage 2 — sharing
+    nothing with the producer but the bytes — parses them and computes
+    features from decoded pixels: exact per-channel sums (bigint) and a
+    64-bit aHash over the {PPM_GRID}x{PPM_GRID} nearest-neighbor-sampled
+    grayscale (bit k set iff gray_k * 64 > sum(grays); same integer-
+    exact compare as `phash_near_dup`). At 100 TB both stages are the
+    Arrow-batched mapInPandas shape; swap stage 1 for a parquet/blob
+    read of stored payloads and nothing else changes."""
+    import numpy as np
+
+    ids = documents.select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [_ppm_payload(int(d)) for d in pdf["doc_id"]]})
+
+    payloads = ids.mapInPandas(encode, schema="doc_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = _parse_ppm(bytes(buf))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                grays = [
+                    int(px[i * h // PPM_GRID, j * w // PPM_GRID].sum()) // 3
+                    for i in range(PPM_GRID) for j in range(PPM_GRID)]
+                total = sum(grays)
+                hsh = 0
+                for k, gr in enumerate(grays):
+                    if gr * len(grays) > total:
+                        hsh |= 1 << k
+                if hsh >= (1 << 63):
+                    hsh -= 1 << 64
+                rows.append((doc_id, w, h, int(sums[0]), int(sums[1]),
+                             int(sums[2]), hsh))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "ahash"])
+
+    return payloads.mapInPandas(
+        decode, schema="doc_id long, width int, height int, sum_r long, "
+                       "sum_g long, sum_b long, ahash long")
+
+
+def real_decode_oracle_sql() -> str:
+    """DuckDB re-derives every feature from the GENERATIVE formula (it
+    never sees the bytes): a decode/parse bug on the Spark side cannot
+    hash-match."""
+    g = PPM_GRID
+    r = "((x * 7 + y * 13 + doc_id) % 256)"
+    gc = "((x * 3 + y * 5 + 2 * doc_id) % 256)"
+    b = "((x * 11 + y * 2 + 3 * doc_id) % 256)"
+    # sampled coords inlined in k (1-indexed): i=(k-1)//g row, j=(k-1)%g col
+    xg = f"((((k - 1) % {g}) * w) // {g})"
+    yg = f"((((k - 1) // {g}) * h) // {g})"
+    gray = (f"((({xg} * 7 + {yg} * 13 + doc_id) % 256) "
+            f"+ (({xg} * 3 + {yg} * 5 + 2 * doc_id) % 256) "
+            f"+ (({xg} * 11 + {yg} * 2 + 3 * doc_id) % 256)) // 3")
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         {PPM_W0} + doc_id % {PPM_WMOD} AS w,
+         {PPM_H0} + doc_id % {PPM_HMOD} AS h
+  FROM documents),
+sums AS (
+  SELECT d.doc_id,
+         SUM({r}) AS sum_r, SUM({gc}) AS sum_g, SUM({b}) AS sum_b
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys
+  GROUP BY d.doc_id),
+grays AS (
+  SELECT doc_id,
+         [{gray} FOR k IN generate_series(1, {g * g})] AS px
+  FROM dims),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(
+           [CASE WHEN px[k] * {g * g} <= list_sum(px) THEN 0
+                 WHEN k = {g * g}
+                 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE CAST(1 AS BIGINT) << (k - 1) END
+            FOR k IN generate_series(1, {g * g})]) AS BIGINT) AS ahash
+  FROM grays)
+SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b, g.ahash
+FROM dims d JOIN sums s ON d.doc_id = s.doc_id
+JOIN sig g ON d.doc_id = g.doc_id
 """
 
 

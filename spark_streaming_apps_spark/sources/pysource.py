@@ -93,3 +93,149 @@ SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
          AS avg_val
 FROM g GROUP BY bucket
 """
+
+
+# ------------------------------------------------ AcidTable as a DataSource
+#
+# The table format exposed through the SAME seam: `spark.read
+# .format("acidtable").option("path", p).option("version", v)` gives any
+# consumer time travel and manifest-stats file pruning WITHOUT importing
+# this package's Python API — the manifest is the split plan (one
+# InputPartition per committed data file, so a snapshot scan is
+# partition-parallel exactly like a native parquet read), and optional
+# (col, lo, hi) options prune splits from the manifest's per-file
+# [min, max] stats before a single file is opened.
+
+class AcidFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AcidTableDataSource(DataSource):
+    """`spark.read.format("acidtable")` — options:
+
+    * ``path`` (required): table root
+    * ``version``: snapshot to read (default: latest committed)
+    * ``col``/``lo``/``hi``: prune data files whose manifest [min, max]
+      extent on ``col`` cannot overlap [lo, hi] (the reader still
+      applies no residual filter — pair with `.filter` for exactness,
+      as `read_range` does; pruning here only removes provably-empty
+      IO, never rows that could match)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acidtable"
+
+    def _manifest(self) -> dict:
+        import json
+        from pathlib import Path
+
+        root = Path(self.options["path"])
+        v = self.options.get("version")
+        if v is None:
+            vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
+            v = max(vs)
+        return json.loads(
+            (root / "manifests" / f"v{int(v)}.json").read_text())
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+        return StructType.fromJson(self._manifest()["schema"])
+
+    def reader(self, schema) -> DataSourceReader:
+        m = self._manifest()
+        base = f'{self.options["path"]}/{m["data"]}'
+        files = m.get("files") or []
+        col = self.options.get("col")
+        if col and files:
+            lo, hi = float(self.options["lo"]), float(self.options["hi"])
+            keep = [f["path"] for f in files
+                    if f.get("stats", {}).get(col) is None
+                    or (f["stats"][col][0] <= hi
+                        and lo <= f["stats"][col][1])]
+        else:
+            from pathlib import Path
+            keep = ([f["path"] for f in files] if files else
+                    sorted(p.name for p in Path(base).glob("*.parquet")))
+        return AcidTableReader([f"{base}/{p}" for p in keep])
+
+
+class AcidTableReader(DataSourceReader):
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+
+    def partitions(self):
+        return [AcidFilePartition(p) for p in self.paths]
+
+    def read(self, partition: AcidFilePartition):
+        import pyarrow.parquet as pq
+        # Arrow batches straight through — no per-row Python
+        yield from pq.ParquetFile(partition.path).iter_batches()
+
+
+def acid_datasource(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
+    """Time travel THROUGH the connector: commit the three-version claim
+    scenario (v0 load, v1 five lowest claimed, v2 appends), relayout v3
+    range-sorted so the manifest stats become selective, then read v0
+    and the latest snapshot back via `format("acidtable")` and census
+    both — plus a stats-pruned range read whose result must equal the
+    exact filter (pruning removes files, never rows)."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from .tables import load_table
+
+    table_dir = scratch / "acid_datasource"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                                # v1
+    t.relayout(["file_id"], target_files=8)                 # v2: stats
+    spark.dataSource.register(AcidTableDataSource)
+
+    def census(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("file_id").alias("min_id"),
+                     F.max("file_id").alias("max_id"))
+                .select(F.lit(tag).alias("snapshot"), "status", "n",
+                        "min_id", "max_id"))
+
+    v0 = (spark.read.format("acidtable")
+          .option("path", str(table_dir)).option("version", 0).load())
+    latest = (spark.read.format("acidtable")
+              .option("path", str(table_dir)).load())
+    lo, hi = 100, 2000
+    pruned = (spark.read.format("acidtable")
+              .option("path", str(table_dir))
+              .option("col", "file_id")
+              .option("lo", str(lo)).option("hi", str(hi)).load()
+              .filter(F.col("file_id").between(lo, hi)))
+    return (census(v0, "v0")
+            .unionByName(census(latest, "latest"))
+            .unionByName(census(pruned, "range")))
+
+
+ACID_DATASOURCE_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+latest AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM low5) THEN 1
+              ELSE status END AS status
+  FROM queue),
+snaps AS (
+  SELECT 'v0' AS snapshot, status, file_id FROM queue
+  UNION ALL SELECT 'latest', status, file_id FROM latest
+  UNION ALL SELECT 'range', status, file_id FROM latest
+            WHERE file_id BETWEEN 100 AND 2000)
+SELECT snapshot, status, COUNT(*) AS n,
+       min(file_id) AS min_id, max(file_id) AS max_id
+FROM snaps GROUP BY snapshot, status
+"""

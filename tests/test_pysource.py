@@ -1,0 +1,58 @@
+"""Python DataSource connectors: the LCG demo source and the AcidTable
+connector (time travel + manifest-stats split pruning through
+spark.read.format("acidtable"))."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.acid import AcidTable
+from spark_streaming_apps_spark.sources.pysource import (
+    AcidTableDataSource, python_datasource)
+
+
+def _mk_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(400)], "file_id long, status int")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    t.relayout(["file_id"], target_files=8)
+    return t
+
+
+def test_lcg_source_partition_parallel(spark):
+    df = python_datasource(spark)
+    assert df.count() == 16
+
+
+def test_acid_connector_reads_snapshots(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    t.merge(spark.createDataFrame([(0, 9)], "file_id long, status int"),
+            key=["file_id"])
+    spark.dataSource.register(AcidTableDataSource)
+    latest = (spark.read.format("acidtable")
+              .option("path", str(tmp_path / "t")).load())
+    v0 = (spark.read.format("acidtable")
+          .option("path", str(tmp_path / "t")).option("version", 0).load())
+    assert latest.filter("file_id = 0").first().status == 9
+    assert v0.filter("file_id = 0").first().status == 0
+    assert latest.count() == v0.count() == 400
+
+
+def test_acid_connector_prunes_splits_from_manifest_stats(spark, tmp_path):
+    """The (col, lo, hi) options must drop provably-non-overlapping
+    files at the SPLIT level (fewer InputPartitions), while the rows
+    that could match all survive."""
+    _mk_table(spark, tmp_path)
+    opts = {"path": str(tmp_path / "t")}
+    full = AcidTableDataSource(opts).reader(None).partitions()
+    pruned_reader = AcidTableDataSource(
+        {**opts, "col": "file_id", "lo": "100", "hi": "149"}).reader(None)
+    pruned = pruned_reader.partitions()
+    assert len(full) == 8
+    assert len(pruned) < len(full)
+    spark.dataSource.register(AcidTableDataSource)
+    got = (spark.read.format("acidtable")
+           .option("path", str(tmp_path / "t"))
+           .option("col", "file_id").option("lo", "100").option("hi", "149")
+           .load().filter(F.col("file_id").between(100, 149)))
+    assert got.count() == 50
+    assert got.agg(F.min("file_id"), F.max("file_id")).first() == (100, 149)

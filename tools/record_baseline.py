@@ -23,7 +23,12 @@ ROOT = Path(__file__).resolve().parents[1]
 def main() -> None:
     art_path = ROOT / (sys.argv[1] if len(sys.argv) > 1
                        else "BENCH_SELF_r05.json")
-    art = json.loads(art_path.read_text())
+    # round-6 artifacts are two JSON lines (full detail first, compact
+    # headline last); older ones are a single object
+    objs = [json.loads(ln) for ln in art_path.read_text().splitlines()
+            if ln.strip()]
+    art = next((o for o in objs if "queries" in o and
+                len(o["queries"]) > 1), objs[0])
     md_path = ROOT / "BASELINE.md"
     md = md_path.read_text()
 
