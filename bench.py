@@ -107,6 +107,13 @@ BENCH_KEYS = [
     "aqe_join_upgrade",
     "streaming_dedup_within_watermark",
     "acid_file_skipping",
+    # round 6
+    "dedup_collapse_lsh",
+    "heavy_hitters_cms",
+    "multimodal_real_decode",
+    "acid_change_feed",
+    "jdbc_roundtrip",
+    "acid_cdf_stream",
 ]
 
 

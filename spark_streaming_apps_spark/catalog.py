@@ -1088,6 +1088,11 @@ register("acid_datasource",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: pysource.acid_datasource(s, d, SCRATCH))
 
+register("acid_cdf_stream",
+         oracle=pysource.ACID_CDF_STREAM_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: pysource.acid_cdf_stream(s, d, SCRATCH))
+
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))
 

@@ -16,7 +16,9 @@ split planning, per-partition reads, Arrow transfer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 LCG_A = 1103515245
 LCG_C = 12345
@@ -171,6 +173,163 @@ class AcidTableReader(DataSourceReader):
         import pyarrow.parquet as pq
         # Arrow batches straight through — no per-row Python
         yield from pq.ParquetFile(partition.path).iter_batches()
+
+
+# ------------------------------------------- AcidTable CDF as a STREAM
+#
+# The change feed exposed as a STREAMING source: offsets ARE table
+# versions, each micro-batch emits the row-level +/- deltas committed
+# since the last offset — `spark.readStream.format("acidtable-cdf")`
+# is Delta's readChangeFeed re-expressed through Spark 4's Python
+# streaming DataSource seam. This uses SimpleDataSourceStreamReader
+# (driver-side reads — right for a low-rate control table); the
+# partition-parallel variant is DataSourceStreamReader with one split
+# per write-time change file, same offsets.
+
+class AcidCdfStreamDataSource(DataSource):
+    """Options: ``path`` (table root), ``startingVersion`` (default 0:
+    the first batch replays history from v0)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acidtable-cdf"
+
+    def schema(self):
+        import json
+        from pathlib import Path
+
+        from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                       StructType)
+        root = Path(self.options["path"])
+        vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
+        m = json.loads(
+            (root / "manifests" / f"v{max(vs)}.json").read_text())
+        base = StructType.fromJson(m["schema"])
+        return StructType(list(base.fields) + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", IntegerType())])
+
+    def simpleStreamReader(self, schema):
+        return AcidCdfStreamReader(
+            self.options["path"],
+            int(self.options.get("startingversion", "0")))
+
+
+class AcidCdfStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str, starting_version: int):
+        self.path = path
+        self.start_version = starting_version
+
+    def _latest(self) -> int:
+        from pathlib import Path
+        vs = [int(p.stem[1:])
+              for p in (Path(self.path) / "manifests").glob("v*.json")]
+        return max(vs)
+
+    def _snapshot_rows(self, version: int):
+        """Multiset of row tuples at a version, via pyarrow (driver-side
+        read of the committed snapshot — no SparkSession available, or
+        needed, inside a stream reader)."""
+        import json
+        from collections import Counter
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+        m = json.loads((Path(self.path) / "manifests"
+                        / f"v{version}.json").read_text())
+        cols = [f["name"] for f in m["schema"]["fields"]]
+        base = Path(self.path) / m["data"]
+        rows: Counter = Counter()
+        for f in sorted(base.glob("*.parquet")):
+            tbl = pq.read_table(f)
+            for r in zip(*[tbl.column(c).to_pylist() for c in cols]):
+                rows[r] += 1
+        return rows
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def read(self, start: dict):
+        v0 = start["version"]
+        latest = self._latest()
+        if latest <= v0:
+            return iter([]), start
+        out = []
+        prev = self._snapshot_rows(v0)
+        for v in range(v0 + 1, latest + 1):
+            cur = self._snapshot_rows(v)
+            for row, n in (cur - prev).items():
+                out.extend([row + ("insert", v)] * n)
+            for row, n in (prev - cur).items():
+                out.extend([row + ("delete", v)] * n)
+            prev = cur
+        return iter(out), {"version": latest}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self.read(start)
+        return rows
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are table versions; nothing to clean up
+
+
+def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
+    """The CDF consumed as a STREAM: commit the three-version claim
+    scenario, then drain `readStream.format("acidtable-cdf")` from
+    version 0 and census the emitted deltas — which must equal the
+    batch `read_changes` censuses (the acid_change_feed delta oracle)."""
+    import shutil
+    import uuid as _uuid
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from .tables import load_table
+
+    table_dir = scratch / "acid_cdf_stream"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                                # v1
+    t.append(spark.createDataFrame(
+        [(999999901, 0), (999999902, 1), (999999903, 0)],
+        "file_id long, status int"))                        # v2
+
+    spark.dataSource.register(AcidCdfStreamDataSource)
+    qname = f"cdfs_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("acidtable-cdf")
+         .option("path", str(table_dir)).load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .groupBy(F.col("_commit_version").alias("version"),
+                     F.col("_change_type").alias("change_type"), "status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
+ACID_CDF_STREAM_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+deltas AS (
+  SELECT 1 AS version, 'delete' AS change_type, file_id, status
+  FROM queue WHERE file_id IN (SELECT file_id FROM low5)
+  UNION ALL
+  SELECT 1, 'insert', file_id, 1 FROM low5
+  UNION ALL
+  SELECT 2, 'insert', file_id, status
+  FROM (VALUES (999999901, 0), (999999902, 1),
+               (999999903, 0)) AS a(file_id, status))
+SELECT version, change_type, status, COUNT(*) AS n,
+       min(file_id) AS min_id, max(file_id) AS max_id
+FROM deltas GROUP BY version, change_type, status
+"""
 
 
 def acid_datasource(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:

@@ -56,3 +56,41 @@ def test_acid_connector_prunes_splits_from_manifest_stats(spark, tmp_path):
            .load().filter(F.col("file_id").between(100, 149)))
     assert got.count() == 50
     assert got.agg(F.min("file_id"), F.max("file_id")).first() == (100, 149)
+
+
+def test_acid_cdf_stream_resumes_from_version_offset(spark, tmp_path):
+    """Offsets are table versions: a restarted stream with the same
+    checkpoint must emit ONLY the deltas committed since its last
+    drained version — never replaying history."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfStreamDataSource)
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(20)], "file_id long, status int")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    t.merge(spark.createDataFrame([(3, 1)], "file_id long, status int"),
+            key=["file_id"])                                   # v1
+    spark.dataSource.register(AcidCdfStreamDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("acidtable-cdf")
+             .option("path", str(tmp_path / "t")).load()
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()                                      # batch 1: v0 -> v1
+    first = spark.read.parquet(out)
+    assert first.count() == 2                    # one delete + one insert
+    assert {r._commit_version for r in first.collect()} == {1}
+
+    t.append(spark.createDataFrame([(100, 0)], "file_id long, status int"))
+    drain()                                      # batch 2: v1 -> v2 only
+    both = spark.read.parquet(out).collect()
+    assert len(both) == 3
+    v2 = [r for r in both if r._commit_version == 2]
+    assert len(v2) == 1 and v2[0].file_id == 100 \
+        and v2[0]._change_type == "insert"
