@@ -748,6 +748,15 @@ register("multimodal_frame_sample", oracle=multimodal.FRAME_SAMPLE_ORACLE_SQL
 register("multimodal_real_decode", oracle=multimodal.real_decode_oracle_sql()
          )(lambda s, d: multimodal.real_decode(_t(s, d, "documents")))
 
+register("multimodal_arrow_decode", oracle=multimodal.real_decode_oracle_sql()
+         )(lambda s, d: multimodal.arrow_decode(_t(s, d, "documents")))
+
+register("observed_metrics", oracle=extensions.OBSERVED_METRICS_ORACLE
+         )(lambda s, d: extensions.observed_metrics(s, d))
+
+register("cogroup_user_profile", oracle=extensions.COGROUP_PROFILE_ORACLE
+         )(lambda s, d: extensions.cogroup_user_profile(_t(s, d, "events")))
+
 register("multimodal_phash_near_dup", oracle=multimodal.phash_oracle_sql()
          )(lambda s, d: multimodal.phash_near_dup(_t(s, d, "documents")))
 

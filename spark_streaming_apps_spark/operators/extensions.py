@@ -966,3 +966,90 @@ SELECT COUNT(*) AS n_rows,
        MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
 FROM lineitem WHERE l_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI}
 """
+
+
+# ------------------------------------------------- Observation metrics
+
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe` — query-attached metrics collected DURING the action
+    (one pass, no second scan): the production way to get row counts /
+    control sums out of a pipeline run without re-executing it (the
+    reference prints per-batch counts from a separate count() pass,
+    StreamingApp.scala:557-560 — a full extra evaluation). The observed
+    values must equal the direct aggregation (the oracle), proving the
+    metrics see exactly the rows the query processed."""
+    from pyspark.sql import Observation
+
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("li_metrics")
+    flowed = (li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"))
+        .filter(F.col("l_quantity") >= 0))       # pass-through: observe
+    flowed.write.mode("overwrite").format("noop").save()  # sees ALL rows
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["min_key"], m["max_key"])],
+        "n_rows long, sum_qty double, min_key long, max_key long")
+
+
+OBSERVED_METRICS_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+FROM lineitem
+"""
+
+
+# --------------------------------------------- cogrouped applyInPandas
+
+def cogroup_user_profile(events: DataFrame) -> DataFrame:
+    """`cogroup(...).applyInPandas` — the two-sided Arrow seam: clicks
+    and errors grouped by user arrive as PAIRED pandas frames in one
+    function call (the API a custom as-of matcher or per-key
+    reconciliation uses when neither side fits a join). Profile per
+    user: counts on both sides plus each side's max event id —
+    deterministic, so the DuckDB twin is a full-outer join of two
+    aggregates. Scale: one co-partitioned shuffle on user_id, Arrow
+    batches per group, no driver involvement."""
+    import pandas as pd
+
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id"))
+    errors = (events.filter(F.col("event_type") == "error")
+              .select("user_id", "event_id"))
+
+    def profile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "n_clicks": [len(left)],
+            "n_errors": [len(right)],
+            "max_click_id": [left["event_id"].max()
+                             if len(left) else None],
+            "max_error_id": [right["event_id"].max()
+                             if len(right) else None]})
+
+    return (clicks.groupBy("user_id").cogroup(errors.groupBy("user_id"))
+            .applyInPandas(profile,
+                           schema="user_id long, n_clicks long, "
+                                  "n_errors long, max_click_id long, "
+                                  "max_error_id long"))
+
+
+COGROUP_PROFILE_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_clicks, max(event_id) AS max_click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+e AS (SELECT user_id, COUNT(*) AS n_errors, max(event_id) AS max_error_id
+      FROM events WHERE event_type = 'error' GROUP BY user_id)
+SELECT coalesce(c.user_id, e.user_id) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_errors, 0) AS n_errors,
+       max_click_id, max_error_id
+FROM c FULL OUTER JOIN e ON c.user_id = e.user_id
+"""

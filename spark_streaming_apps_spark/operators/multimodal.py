@@ -276,6 +276,64 @@ def real_decode(documents: DataFrame) -> DataFrame:
                        "sum_g long, sum_b long, ahash long")
 
 
+def arrow_decode(documents: DataFrame) -> DataFrame:
+    """The same real PPM decode through `mapInArrow` — pyarrow
+    RecordBatches in and out, no pandas materialization between Arrow
+    and the decoder (the fastest Python seam Spark offers; for binary
+    payloads it avoids pandas' object-dtype copy of every blob). Same
+    output contract as `real_decode`, same oracle."""
+    import pyarrow as pa
+
+    ids = documents.select("doc_id")
+
+    def produce(batches):
+        for batch in batches:
+            d = batch.column("doc_id").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(d, pa.int64()),
+                 pa.array([_ppm_payload(int(x)) for x in d], pa.binary())],
+                names=["doc_id", "payload"])
+
+    payloads = ids.mapInArrow(produce, schema="doc_id long, payload binary")
+
+    def decode(batches):
+        import numpy as np
+        for batch in batches:
+            ids_, bufs = (batch.column("doc_id").to_pylist(),
+                          batch.column("payload").to_pylist())
+            cols = {k: [] for k in ("doc_id", "width", "height", "sum_r",
+                                    "sum_g", "sum_b", "ahash")}
+            for doc_id, buf in zip(ids_, bufs):
+                w, h, px = _parse_ppm(bytes(buf))
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                grays = [
+                    int(px[i * h // PPM_GRID, j * w // PPM_GRID].sum()) // 3
+                    for i in range(PPM_GRID) for j in range(PPM_GRID)]
+                total = sum(grays)
+                hsh = 0
+                for k, gr in enumerate(grays):
+                    if gr * len(grays) > total:
+                        hsh |= 1 << k
+                if hsh >= (1 << 63):
+                    hsh -= 1 << 64
+                for k, v in zip(cols, (doc_id, w, h, int(sums[0]),
+                                       int(sums[1]), int(sums[2]), hsh)):
+                    cols[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols["doc_id"], pa.int64()),
+                 pa.array(cols["width"], pa.int32()),
+                 pa.array(cols["height"], pa.int32()),
+                 pa.array(cols["sum_r"], pa.int64()),
+                 pa.array(cols["sum_g"], pa.int64()),
+                 pa.array(cols["sum_b"], pa.int64()),
+                 pa.array(cols["ahash"], pa.int64())],
+                names=list(cols))
+
+    return payloads.mapInArrow(
+        decode, schema="doc_id long, width int, height int, sum_r long, "
+                       "sum_g long, sum_b long, ahash long")
+
+
 def real_decode_oracle_sql() -> str:
     """DuckDB re-derives every feature from the GENERATIVE formula (it
     never sees the bytes): a decode/parse bug on the Spark side cannot

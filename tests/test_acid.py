@@ -511,3 +511,52 @@ def test_change_feed_from_foreach_batch(spark, tmp_path):
     assert ch.count() == 12                      # 3 batches x 4 rows, once
     got = _multiset(_apply_changes(t.read(v0), ch))
     assert got == _multiset(t.read())
+
+
+def test_read_changes_random_commit_sequences(spark, tmp_path):
+    """Property fuzz over the CDF contract: after ANY sequence of
+    append / merge / merge_keep_latest / compact commits, applying
+    read_changes(i, j) deltas to version i reconstructs version j
+    exactly, for every adjacent pair plus the full range."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ids = itertools.count()
+    op = st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.tuples(st.integers(50, 99), st.integers(0, 3)),
+                           min_size=1, max_size=3)),
+        st.tuples(st.just("merge"),
+                  st.lists(st.tuples(st.integers(0, 9), st.integers(0, 3)),
+                           min_size=1, max_size=3, unique_by=lambda t: t[0])),
+        st.tuples(st.just("compact"), st.just(None)),
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        t = AcidTable.create(
+            spark, tmp_path / f"cdffuzz{next(ids)}",
+            spark.createDataFrame([(i, 0, "init") for i in range(10)],
+                                  "id long, status int, tag string"))
+        for kind, arg in ops:
+            if kind == "append":
+                t.append(spark.createDataFrame(
+                    [(k, v, "new") for k, v in arg],
+                    "id long, status int, tag string"))
+            elif kind == "merge":
+                t.merge(spark.createDataFrame(
+                    [(k, v, "upd") for k, v in arg],
+                    "id long, status int, tag string"), key=["id"])
+            else:
+                t.compact(2)
+        latest = t.latest_version()
+        pairs = [(i, i + 1) for i in range(latest)] + [(0, latest)]
+        for i, j in pairs:
+            got = _multiset(_apply_changes(t.read(i), t.read_changes(i, j)))
+            assert got == _multiset(t.read(j)), (ops, i, j)
+
+    run()
