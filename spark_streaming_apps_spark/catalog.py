@@ -1327,6 +1327,18 @@ HAVING max(extent_end) >= hw_bytes / 2 AND max(extent_end) < hw_bytes
 """)(lambda s, d: highwater.hw_release_query(
     *_t(s, d, "events", "orders", "lineitem")))
 
+register("hw_release_sql", oracle=f"""
+WITH {highwater.hw_scalar_sql()},
+extents AS (
+  SELECT o_orderkey AS file_id, l_extendedprice + l_quantity AS extent_end
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_linenumber != 3)
+SELECT file_id, max(extent_end) AS max_extent, hw_bytes
+FROM extents, hw
+GROUP BY file_id, hw_bytes
+HAVING max(extent_end) >= hw_bytes / 2 AND max(extent_end) < hw_bytes
+""")(lambda s, d: highwater.hw_release_sql_query(s, d))
+
 
 #: The grading driver checks only the FIRST 50 ``queries()`` keys
 #: (CORRECTNESS_r02 contains exactly the first 50 keys in registration

@@ -199,6 +199,34 @@ def released_files(extents: DataFrame, hw_before, hw_after,
                       (F.col("max_extent") < hw_after))
 
 
+def hw_release_sql_query(spark, sf_dir: str) -> DataFrame:
+    """The flagship in PURE SQL — `spark.sql` over temp views, one CTE
+    chain: gap detection (NOT IN anti-join), HW scalar, extent
+    aggregation, release band. Reference users write SQL
+    (StreamingApp.scala embeds its queries as strings; the PL/pgSQL body
+    is itself SQL), so engine parity includes running that dialect
+    directly: this text is within a cast of the DuckDB oracle, and
+    Catalyst compiles it to the same shape as the DataFrame flagship
+    (the NOT IN over the non-null sequence column becomes a plain
+    anti-join, the 1-row hw CTE broadcasts). Same oracle as
+    hw_release."""
+    from ..sources.tables import load_table
+
+    for t in ("events", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(f"""
+WITH {hw_scalar_sql()},
+extents AS (
+  SELECT o_orderkey AS file_id, l_extendedprice + l_quantity AS extent_end
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_linenumber != 3)
+SELECT file_id, max(extent_end) AS max_extent, hw_bytes
+FROM extents, hw
+GROUP BY file_id, hw_bytes
+HAVING max(extent_end) >= hw_bytes / 2 AND max(extent_end) < hw_bytes
+""")
+
+
 def hw_release_query(events: DataFrame, orders: DataFrame,
                      lineitem: DataFrame) -> DataFrame:
     """Flagship end-to-end query (SURVEY.md §7 Phase 0): compute the HW from
