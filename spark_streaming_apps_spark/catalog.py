@@ -1102,6 +1102,9 @@ register("acid_cdf_stream",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: pysource.acid_cdf_stream(s, d, SCRATCH))
 
+register("kafka_mock_stream", oracle=pysource.KAFKA_MOCK_ORACLE
+         )(lambda s, d: pysource.kafka_mock_stream(s, d, SCRATCH))
+
 register("dedup_clusters", oracle=dedup.dedup_clusters_oracle_sql()
          )(lambda s, d: dedup.dedup_clusters(_t(s, d, "documents")))
 

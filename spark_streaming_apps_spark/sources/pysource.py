@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition,
+                                    DataSourceStreamReader, InputPartition,
                                     SimpleDataSourceStreamReader)
 
 LCG_A = 1103515245
@@ -173,6 +173,160 @@ class AcidTableReader(DataSourceReader):
         import pyarrow.parquet as pq
         # Arrow batches straight through — no per-row Python
         yield from pq.ParquetFile(partition.path).iter_batches()
+
+
+# --------------------------------------------- Kafka-contract WAL source
+#
+# The Kafka ingestion CONTRACT — named topic partitions, monotone
+# per-partition offsets, earliest replay, offset-committed resume,
+# partition-PARALLEL reads (one executor task per topic partition per
+# micro-batch) — implemented as a custom streaming connector over an
+# append-only on-disk log. The real `readStream.format("kafka")` wiring
+# exists (streaming/kafka.py, gated on the connector jar); this source
+# proves the engine drives the same semantics through Spark 4's
+# DataSourceStreamReader: offsets are {partition: row_count} dicts
+# exactly like Kafka's {TopicPartition: offset} map, `partitions()`
+# plans one split per topic partition per batch, and `read()` runs on
+# executors slicing only its [start, end) rows via parquet footers.
+
+class WalogSlice(InputPartition):
+    def __init__(self, part_id: int, pdir: str, start: int, end: int):
+        self.part_id, self.pdir = part_id, pdir
+        self.start, self.end = start, end
+
+
+class WalogDataSource(DataSource):
+    """`spark.readStream.format("walog").option("path", root)` — root
+    holds `p{i}/segment-*.parquet` append-only topic partitions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "walog"
+
+    def schema(self) -> str:
+        return ("part int, offset long, event_id long, user_id long, "
+                "event_type string")
+
+    def streamReader(self, schema):
+        return WalogStreamReader(self.options["path"])
+
+
+class WalogStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def _pdirs(self):
+        from pathlib import Path
+        return sorted(Path(self.path).glob("p[0-9]*"))
+
+    def initialOffset(self) -> dict:
+        return {p.name: 0 for p in self._pdirs()}   # earliest replay
+
+    def latestOffset(self) -> dict:
+        import pyarrow.parquet as pq
+        return {p.name: sum(pq.ParquetFile(f).metadata.num_rows
+                            for f in sorted(p.glob("segment-*.parquet")))
+                for p in self._pdirs()}             # footers only, no data IO
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for p in self._pdirs():
+            lo, hi = start.get(p.name, 0), end.get(p.name, 0)
+            if hi > lo:
+                out.append(WalogSlice(int(p.name[1:]), str(p), lo, hi))
+        return out or [WalogSlice(-1, self.path, 0, 0)]  # no-data batch
+
+    def read(self, sl: WalogSlice):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        if sl.part_id < 0:
+            return
+        pos = 0
+        for f in sorted(Path(sl.pdir).glob("segment-*.parquet")):
+            n = pq.ParquetFile(f).metadata.num_rows
+            seg_lo, seg_hi = pos, pos + n
+            pos = seg_hi
+            if seg_hi <= sl.start:
+                continue
+            if seg_lo >= sl.end:
+                break
+            tbl = pq.read_table(f)
+            lo = max(sl.start, seg_lo) - seg_lo
+            hi = min(sl.end, seg_hi) - seg_lo
+            sliced = tbl.slice(lo, hi - lo)
+            offs = pa.array(range(seg_lo + lo, seg_lo + hi), pa.int64())
+            part = pa.array([sl.part_id] * (hi - lo), pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [part, offs] + [sliced.column(c).combine_chunks()
+                                for c in ("event_id", "user_id",
+                                          "event_type")],
+                names=["part", "offset", "event_id", "user_id",
+                       "event_type"])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint, like Kafka's
+
+
+WALOG_PARTS = 4
+
+
+def _stage_walog(sf_dir: str, root) -> None:
+    """Produce the topic: {WALOG_PARTS} partitions keyed user_id %
+    {WALOG_PARTS}, two segments each (event_id parity — two produce
+    rounds), rows sorted by event_id within a segment. Deterministic, so
+    every (partition, offset) assignment is oracle-computable."""
+    from pathlib import Path
+
+    import duckdb
+
+    root = Path(root)
+    if (root / "_STAGED").exists():
+        return
+    con = duckdb.connect()
+    for part in range(WALOG_PARTS):
+        pdir = root / f"p{part}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        for seg in range(2):
+            con.execute(f"""
+                COPY (SELECT event_id, user_id, event_type
+                      FROM read_parquet('{sf_dir}/events.parquet')
+                      WHERE user_id % {WALOG_PARTS} = {part}
+                        AND event_id % 2 = {seg}
+                      ORDER BY event_id)
+                TO '{pdir}/segment-00{seg}.parquet' (FORMAT PARQUET)""")
+    (root / "_STAGED").touch()
+
+
+def kafka_mock_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
+    """Drain the walog topic from earliest and return every record WITH
+    its (partition, offset) assignment — the full consumer contract,
+    value-checked: the oracle recomputes each record's partition
+    (user_id % {WALOG_PARTS}) and offset (rank by segment round, then
+    event_id) from the staging rule. Restart/resume semantics are
+    pinned in tests/test_pysource.py (a second drain after a third
+    produce round reads ONLY the new segment, offsets continuing)."""
+    import uuid as _uuid
+
+    root = scratch / f"walog_{sf_dir.rstrip('/').rsplit('sf', 1)[-1]}"
+    _stage_walog(sf_dir, root)
+    spark.dataSource.register(WalogDataSource)
+    qname = f"walog_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("walog").option("path", str(root)).load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName(qname).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+KAFKA_MOCK_ORACLE = f"""
+SELECT CAST(user_id % {WALOG_PARTS} AS INT) AS part,
+       row_number() OVER (PARTITION BY user_id % {WALOG_PARTS}
+                          ORDER BY event_id % 2, event_id) - 1 AS offset,
+       event_id, user_id, event_type
+FROM events
+"""
 
 
 # ------------------------------------------- AcidTable CDF as a STREAM

@@ -94,3 +94,51 @@ def test_acid_cdf_stream_resumes_from_version_offset(spark, tmp_path):
     v2 = [r for r in both if r._commit_version == 2]
     assert len(v2) == 1 and v2[0].file_id == 100 \
         and v2[0]._change_type == "insert"
+
+
+def test_walog_resumes_from_committed_offsets(spark, tmp_path):
+    """Kafka contract: a restarted consumer with the same checkpoint
+    resumes from its committed {partition: offset} map — a third produce
+    round after the first drain yields ONLY the new segment's records,
+    with offsets continuing each partition's sequence."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        WALOG_PARTS, WalogDataSource, _stage_walog)
+
+    root = tmp_path / "topic"
+    _stage_walog("/root/testdata/sf0.001", root)
+    spark.dataSource.register(WalogDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("walog")
+             .option("path", str(root)).load()
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    n0 = spark.read.parquet(out).count()
+    assert n0 == 1000
+    # produce round 3: one more record per partition
+    con = duckdb.connect()
+    for part in range(WALOG_PARTS):
+        con.execute(f"""
+            COPY (SELECT CAST(1000000 + {part} AS BIGINT) AS event_id,
+                         CAST({part} AS BIGINT) AS user_id,
+                         'late' AS event_type)
+            TO '{root}/p{part}/segment-002.parquet' (FORMAT PARQUET)""")
+    drain()
+    allrows = spark.read.parquet(out)
+    assert allrows.count() == n0 + WALOG_PARTS
+    late = allrows.filter("event_type = 'late'").collect()
+    assert len(late) == WALOG_PARTS
+    per_part_max = {r.part: r.mx for r in
+                    allrows.filter("event_type != 'late'")
+                    .groupBy("part").agg(F.max("offset").alias("mx"))
+                    .collect()}
+    for r in late:
+        assert r.offset == per_part_max[r.part] + 1   # sequence continues
