@@ -625,6 +625,9 @@ FROM events
 register("dedup_collapse_lsh", oracle=dedup.dedup_collapse_lsh_oracle_sql()
          )(lambda s, d: dedup.dedup_collapse_lsh(_t(s, d, "documents")))
 
+register("url_dedup", oracle=dedup.url_dedup_oracle_sql()
+         )(lambda s, d: dedup.url_dedup(_t(s, d, "documents")))
+
 register("dedup_minhash_lsh", oracle=dedup.minhash_oracle_sql()
          )(lambda s, d: dedup.minhash_pairs(_t(s, d, "documents")))
 

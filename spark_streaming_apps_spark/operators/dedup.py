@@ -466,6 +466,90 @@ WHERE ({agree}) / {float(N_HASHES)} >= 0.5
 """
 
 
+# ---------------------------------------------------------------- URL dedup
+
+def _raw_url_spark() -> object:
+    """Messy-but-deterministic URL per doc: mixed-case scheme/host,
+    default port, optional trailing slash, tracking + real params in
+    varying order, optional fragment — the canonicalization surface a
+    web-corpus crawler actually faces."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://CrAwL"), (d % 3).cast("string"),
+        F.lit(".ExAmPlE.CoM:80/docs/"), (d % 23).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), (d % 5).cast("string")))
+        .otherwise(F.concat(F.lit("?id="), (d % 5).cast("string"),
+                            F.lit("&utm_campaign=x"))),
+        F.when(d % 4 == 0, F.lit("#section-2")).otherwise(F.lit("")))
+
+
+_RAW_URL_DUCK = """
+'HTTP://CrAwL' || (doc_id % 3) || '.ExAmPlE.CoM:80/docs/' || (doc_id % 23)
+|| CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || (doc_id % 5)
+        ELSE '?id=' || (doc_id % 5) || '&utm_campaign=x' END
+|| CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+def url_dedup(documents: DataFrame) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup pass of every web
+    corpus pipeline (cheaper than any content hash: it needs only the
+    URL string): lowercase scheme+host, strip the default port, drop the
+    fragment, strip the trailing slash, remove tracking (utm_*) params,
+    and sort the surviving query params — then group by the canonical
+    form. Distinct raw spellings of the same resource collapse; output
+    is one row per canonical URL with the multiplicity and the
+    deterministic keeper (min doc_id). Pure JVM string expressions, one
+    canonical-key shuffle — at 100 TB this runs on the URL column alone
+    before any document byte is read."""
+    raw = documents.select("doc_id", _raw_url_spark().alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r":80$", "")
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$", "")
+    query = F.array_join(
+        F.array_sort(F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda p: ~p.startswith("utm_") & (p != ""))), "&")
+    canon = F.concat(
+        F.lit("http://"), host, path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")))
+    return (raw.select("doc_id", canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_raw"),
+                 F.min("doc_id").alias("keeper_id")))
+
+
+def url_dedup_oracle_sql() -> str:
+    return f"""
+WITH raw AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                        ':80$', '') AS host,
+         regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         list_aggregate(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> NOT starts_with(p, 'utm_') AND p <> '')), 'string_agg', '&')
+           AS query
+  FROM raw),
+canon AS (
+  SELECT doc_id,
+         'http://' || host || path ||
+         CASE WHEN query IS NOT NULL AND query <> '' THEN '?' || query
+              ELSE '' END AS canonical_url
+  FROM parts)
+SELECT canonical_url, COUNT(*) AS n_raw, min(doc_id) AS keeper_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 # -------------------------------------------------------------- containment
 
 CONTAINMENT_MIN = 0.8

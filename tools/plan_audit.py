@@ -50,7 +50,10 @@ KEYS = {
     "triangle_count": "oriented keyed joins; kNN bounds degree, no skew possible",
     "time_decay_agg": "both windows + agg ride ONE user_id exchange",
     "tfidf_cosine_topk": "max-df caps every posting list; token-keyed accumulation",
-    "pareto_front": "skyline window over DISTINCT price levels, keyed join back",
+    "pareto_front": "two-phase skyline: bucketed windows, no single-partition stage",
+    "dedup_collapse_lsh": "exact-collapse kills the O(c^2) copy blowup before LSH",
+    "heavy_hitters_cms": "4x256 additive counters broadcast; one token shuffle",
+    "url_dedup": "canonical-key shuffle on the URL column alone",
     "histogram_quantiles": "additive bucket counts; window over grid, not rows",
     "hypertable_rollup": "daily grain re-aggregates hourly DECIMAL partials",
     "ivf_adc_rerank_topk": "cell prune x ADC scan x 50-row exact rerank funnel",
