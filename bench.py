@@ -114,6 +114,10 @@ BENCH_KEYS = [
     "acid_change_feed",
     "jdbc_roundtrip",
     "acid_cdf_stream",
+    "url_dedup",
+    "kafka_mock_stream",
+    "hw_release_sql",
+    "cogroup_user_profile",
 ]
 
 

