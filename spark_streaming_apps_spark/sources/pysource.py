@@ -178,10 +178,12 @@ class AcidTableReader(DataSourceReader):
 # --------------------------------------------- Kafka-contract WAL source
 #
 # The Kafka ingestion CONTRACT — named topic partitions, monotone
-# per-partition offsets, earliest replay, offset-committed resume,
+# per-partition offsets, earliest replay (auto.offset.reset=smallest,
+# reference StreamingApp.scala:309), offset-committed resume,
 # partition-PARALLEL reads (one executor task per topic partition per
-# micro-batch) — implemented as a custom streaming connector over an
-# append-only on-disk log. The real `readStream.format("kafka")` wiring
+# micro-batch; the reference consumes its chunk topic the same way,
+# StreamingApp.scala:309-318) — implemented as a custom streaming
+# connector over an append-only on-disk log. The real `readStream.format("kafka")` wiring
 # exists (streaming/kafka.py, gated on the connector jar); this source
 # proves the engine drives the same semantics through Spark 4's
 # DataSourceStreamReader: offsets are {partition: row_count} dicts
