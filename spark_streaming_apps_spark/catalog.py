@@ -723,6 +723,17 @@ register("vocab_topk", oracle=text.VOCAB_ORACLE
 register("heavy_hitters_cms", oracle=text.heavy_hitters_cms_oracle_sql()
          )(lambda s, d: text.heavy_hitters_cms(_t(s, d, "documents")))
 
+register("doc_chunking", oracle=text.doc_chunking_oracle_sql()
+         )(lambda s, d: text.doc_chunking(_t(s, d, "documents")))
+
+register("dq_suite", oracle=analytics.DQ_SUITE_ORACLE
+         )(lambda s, d: analytics.dq_suite(
+             *_t(s, d, "orders", "lineitem", "customer", "events",
+                 "documents")))
+
+register("anomaly_zscore", oracle=analytics.ANOMALY_ORACLE
+         )(lambda s, d: analytics.anomaly_zscore(_t(s, d, "events")))
+
 register("repetition_filter", oracle=text.REPETITION_ORACLE
          )(lambda s, d: text.repetition_stats(_t(s, d, "documents")))
 

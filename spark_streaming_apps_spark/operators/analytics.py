@@ -1277,3 +1277,150 @@ SELECT event_type,
         for num, den, name in HIST_QS)}
 FROM cum GROUP BY event_type
 """
+
+
+# ------------------------------------------------------ data-quality suite
+
+def dq_suite(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+             events: DataFrame, documents: DataFrame) -> DataFrame:
+    """A dbt-style data-quality suite as ONE query: uniqueness, not-null,
+    referential integrity (anti-joins), and accepted-range checks across
+    five tables, each emitting (check, n_violations). Every check is a
+    keyed aggregate or anti-join — no check ever materializes the
+    violating rows unless asked, so the suite costs one scan per table
+    at any scale, and a green run is a single small result to assert
+    on. The reference has no data-quality surface at all (its TODO at
+    StreamingApp.scala:322-324 is exactly a missing hash verification);
+    a pipeline feeding training runs cannot skip this."""
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check"),
+                         F.col("n").cast("long").alias("n_violations"))
+
+    checks = [
+        one("orders_pk_unique",
+            orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("n"))),
+        one("customer_pk_unique",
+            customer.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_fk_orders",
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                          "left_anti").agg(F.count(F.lit(1)).alias("n"))),
+        one("orders_fk_customer",
+            orders.join(customer, orders.o_custkey == customer.c_custkey,
+                        "left_anti").agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_qty_range",
+            lineitem.filter((F.col("l_quantity") < 1)
+                            | (F.col("l_quantity") > 50))
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("events_id_unique",
+            events.groupBy("event_id").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1).agg(F.count(F.lit(1)).alias("n"))),
+        one("events_type_accepted",
+            events.filter(~F.col("event_type").isin(
+                "click", "view", "purchase", "error"))
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("documents_text_not_null",
+            documents.filter(F.col("text").isNull()
+                             | (F.col("text") == ""))
+            .agg(F.count(F.lit(1)).alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+DQ_SUITE_ORACLE = """
+SELECT 'orders_pk_unique' AS check, COUNT(*) AS n_violations FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'customer_pk_unique', COUNT(*) FROM (
+  SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_fk_customer', COUNT(*) FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_qty_range', COUNT(*) FROM lineitem
+WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'events_id_unique', COUNT(*) FROM (
+  SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'events_type_accepted', COUNT(*) FROM events
+WHERE event_type NOT IN ('click', 'view', 'purchase', 'error')
+UNION ALL
+SELECT 'documents_text_not_null', COUNT(*) FROM documents
+WHERE text IS NULL OR text = ''
+"""
+
+
+# ------------------------------------------------------- anomaly detection
+
+ANOMALY_Z = 3.0
+
+
+def anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Per-group z-score anomaly census — the monitoring query a pipeline
+    runs over every numeric stream: per event_type, mean/variance from
+    DECIMAL-EXACT sums (sum(v), sum(v²) as DECIMAL — order-independent,
+    so both engines derive the identical doubles), then count values
+    with |v - mean| > {ANOMALY_Z}σ and report the worst offender.
+    Two keyed aggregates over one shuffle; the sums are additive
+    partials, so the same query runs incrementally under
+    `AcidTable.merge_add` state."""
+    v = F.col("value").cast("decimal(18,6)")
+    stats = (events.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(v).alias("s1"),
+                  F.sum(v * v).alias("s2")))
+    stats = (stats
+             .withColumn("mean", F.col("s1").cast("double") / F.col("n"))
+             .withColumn("var",
+                         F.col("s2").cast("double") / F.col("n")
+                         - F.col("mean") * F.col("mean")))
+    joined = (events.join(F.broadcast(
+        stats.select("event_type", "n", "mean", "var")), "event_type")
+        .withColumn("dev", F.col("value") - F.col("mean")))
+    return (joined
+            .withColumn("is_anom",
+                        (F.col("dev") * F.col("dev")
+                         > F.lit(ANOMALY_Z * ANOMALY_Z) * F.col("var"))
+                        .cast("int"))
+            .groupBy("event_type")
+            .agg(F.any_value("n").alias("n"),
+                 F.round(F.any_value("mean"), 6).alias("mean"),
+                 F.sum("is_anom").alias("n_anomalies"),
+                 F.round(F.max(F.when(F.col("is_anom") == 1,
+                                      F.col("value"))), 6)
+                 .alias("worst_value")))
+
+
+ANOMALY_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           AS s2
+  FROM events GROUP BY event_type),
+derived AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+           * (CAST(s1 AS DOUBLE) / n) AS var
+  FROM stats),
+flagged AS (
+  SELECT e.event_type, d.n, d.mean,
+         CASE WHEN (e.value - d.mean) * (e.value - d.mean)
+                   > {ANOMALY_Z * ANOMALY_Z} * d.var
+              THEN 1 ELSE 0 END AS is_anom,
+         e.value
+  FROM events e JOIN derived d ON e.event_type = d.event_type)
+SELECT event_type, any_value(n) AS n, round(any_value(mean), 6) AS mean,
+       SUM(is_anom) AS n_anomalies,
+       round(max(CASE WHEN is_anom = 1 THEN value END), 6) AS worst_value
+FROM flagged GROUP BY event_type
+"""

@@ -765,3 +765,62 @@ ranked AS (SELECT da AS doc_id, db AS nbr_id, cos,
 SELECT doc_id, nbr_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# ------------------------------------------------------- RAG doc chunking
+
+CHUNK_W = 64       # tokens per chunk
+CHUNK_STRIDE = 48  # overlap = W - stride = 16 tokens
+
+
+def doc_chunking(documents: DataFrame) -> DataFrame:
+    """Sliding-window document chunking — the indexing front end of every
+    retrieval pipeline: {CHUNK_W}-token windows at stride {CHUNK_STRIDE}
+    (16-token overlap so no boundary sentence is ever lost to retrieval).
+    Per chunk: its id, exact token count, and the md5 of the joined
+    token slice (the content key a vector index / dedup layer joins on).
+    Chunk enumeration is `sequence` + explode over per-doc counts — one
+    scan, no shuffle until a consumer groups; at 100 TB chunking is the
+    map-side stage feeding the embedding UDF."""
+    toks = documents.select(
+        "doc_id", _tokens().alias("tk")).withColumn("n", F.size("tk"))
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - CHUNK_W) / F.lit(float(CHUNK_STRIDE))) + 1)
+    return (toks.filter(F.col("n") > 0)
+            .withColumn("chunk_id",
+                        F.explode(F.sequence(F.lit(0),
+                                             n_chunks.cast("int") - 1)))
+            .select(
+                "doc_id", "chunk_id",
+                F.expr(f"slice(tk, chunk_id * {CHUNK_STRIDE} + 1, "
+                       f"{CHUNK_W})").alias("ck"))
+            .select("doc_id", "chunk_id",
+                    F.size("ck").alias("n_tokens"),
+                    F.md5(F.array_join("ck", " ")).alias("chunk_md5")))
+
+
+def doc_chunking_oracle_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\W+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+chunks AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0,
+           CASE WHEN n <= {CHUNK_W} THEN 0
+                ELSE CAST(ceil((n - {CHUNK_W}) / {float(CHUNK_STRIDE)})
+                          AS INT) END)) AS chunk_id
+  FROM sized)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(tk[chunk_id * {CHUNK_STRIDE} + 1 :
+                  chunk_id * {CHUNK_STRIDE} + {CHUNK_W}]) AS INT)
+         AS n_tokens,
+       md5(list_aggregate(tk[chunk_id * {CHUNK_STRIDE} + 1 :
+                             chunk_id * {CHUNK_STRIDE} + {CHUNK_W}],
+                          'string_agg', ' ')) AS chunk_md5
+FROM chunks
+"""
