@@ -182,11 +182,24 @@ class AcidTable:
 
     def _parent_txns(self, version: int) -> dict:
         """The cumulative {app_id: latest batch_id} writer-transaction map
-        carried by ``version``'s parent (empty at v0 or for manifests from
-        before the map existed)."""
+        carried by ``version``'s parent. A parent from before the map
+        existed triggers a ONE-TIME harvest of every legacy manifest's
+        ``txn`` marker — without it, the first new-code commit would
+        start an empty map and a replay of a legacy batch would apply
+        twice (the map, once present, short-circuits the scan forever
+        after)."""
         if version == 0:
             return {}
-        return self._manifest(version - 1).get("txns", {})
+        parent = self._manifest(version - 1)
+        if "txns" in parent:
+            return parent["txns"]
+        txns: dict = {}
+        for v in range(version):
+            txn = self._manifest(v).get("txn")
+            if txn:
+                app_id, _, batch = txn.rpartition("#")
+                txns[app_id] = max(int(batch), txns.get(app_id, -1))
+        return txns
 
     def _try_commit(self, version: int, data_rel: str, schema,
                     op: str, txn: str | None = None) -> bool:

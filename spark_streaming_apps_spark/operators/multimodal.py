@@ -211,6 +211,8 @@ def _parse_ppm(buf: bytes):
         raise ValueError("not a P6 PPM payload")
     toks, pos, tok = [], 2, b""
     while len(toks) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
         c = buf[pos:pos + 1]
         pos += 1
         if c.isspace():

@@ -60,9 +60,24 @@ _ANN_STORE = Path(os.environ.get(
 
 
 def _corpus_key(corpus: DataFrame) -> str | None:
+    """Artifact key = plan semantic hash PLUS the input files' (path,
+    size, mtime) fingerprint — the plan hash alone is path-based, so an
+    in-place rewrite of the same files would silently serve a stale
+    quantizer; the file fingerprint catches that (non-file plans fall
+    back to the plan hash only, same as the in-session memo)."""
+    import hashlib
+
     try:
         h = corpus._jdf.queryExecution().analyzed().semanticHash()
-        return f"v{_ANN_STORE_V}_{h & 0xFFFFFFFFFFFFFFFF:016x}"
+        sig = hashlib.md5(str(h).encode())
+        try:
+            for f in sorted(corpus.inputFiles()):
+                p = f.removeprefix("file:")
+                st = os.stat(p)
+                sig.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except Exception:
+            pass  # non-file plan: plan hash only
+        return f"v{_ANN_STORE_V}_{sig.hexdigest()[:16]}"
     except Exception:
         return None
 

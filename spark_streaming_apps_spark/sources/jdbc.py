@@ -34,8 +34,12 @@ from pyspark.sql import functions as F
 DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 
-def _derby_url(scratch: Path) -> str:
-    return f"jdbc:derby:{scratch / 'derby_db'};create=true"
+def _derby_url(scratch: Path, sf_dir: str = "") -> str:
+    # one database per scale factor: the pushdown key probes for an
+    # existing table instead of rewriting it, and a shared DB would
+    # serve another sf's rows to that probe
+    tag = Path(sf_dir).name if sf_dir else "db"
+    return f"jdbc:derby:{scratch / f'derby_{tag}'};create=true"
 
 
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str,
@@ -50,7 +54,7 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str,
 
     q = queue_df(load_table(spark, sf_dir, "orders")) \
         .select("file_id", "status", "hw_after")
-    url = _derby_url(scratch)
+    url = _derby_url(scratch, sf_dir)
     (q.write.mode("overwrite")
      .option("batchsize", 1000)                 # executeBatch every 1000
      .jdbc(url, "queue_rt", properties=DERBY_PROPS))
@@ -82,9 +86,15 @@ def jdbc_pushdown(spark: SparkSession, sf_dir: str,
     rows — Spark never sees the non-matching ones. The plan carries the
     evidence (PushedFilters on the JDBC scan; tests assert it); the
     result must equal the batch filter, and reuses the table
-    jdbc_roundtrip wrote."""
-    jdbc_roundtrip(spark, sf_dir, scratch)        # ensure table exists
-    url = _derby_url(scratch)
+    jdbc_roundtrip wrote — loading it only if a cheap existence probe
+    says it is absent (re-writing the whole queue per call was pure
+    duplicate IO)."""
+    url = _derby_url(scratch, sf_dir)
+    try:
+        spark.read.jdbc(url, "(SELECT COUNT(*) AS n FROM queue_rt) p",
+                        properties=DERBY_PROPS).collect()
+    except Exception:
+        jdbc_roundtrip(spark, sf_dir, scratch)    # first touch: load it
     back = spark.read.jdbc(
         url, "queue_rt", properties=DERBY_PROPS,
         column="file_id", lowerBound=0, upperBound=6_000_001,
@@ -122,7 +132,7 @@ def jdbc_exclusive_claim(spark: SparkSession, sf_dir: str,
     from ..operators.queue import queue_df
     from .tables import load_table
 
-    url = _derby_url(scratch)
+    url = _derby_url(scratch, sf_dir)
     q = queue_df(load_table(spark, sf_dir, "orders")) \
         .select("file_id", "status")
     (q.write.mode("overwrite").option("batchsize", 1000)

@@ -366,14 +366,17 @@ class AcidCdfStreamDataSource(DataSource):
             StructField("_commit_version", IntegerType())])
 
     def simpleStreamReader(self, schema):
+        base_cols = [f.name for f in schema.fields
+                     if f.name not in ("_change_type", "_commit_version")]
         return AcidCdfStreamReader(
-            self.options["path"],
+            self.options["path"], base_cols,
             int(self.options.get("startingversion", "0")))
 
 
 class AcidCdfStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, path: str, starting_version: int):
+    def __init__(self, path: str, base_cols: list, starting_version: int):
         self.path = path
+        self.base_cols = base_cols   # declared output order, fixed at start
         self.start_version = starting_version
 
     def _latest(self) -> int:
@@ -385,7 +388,11 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
     def _snapshot_rows(self, version: int):
         """Multiset of row tuples at a version, via pyarrow (driver-side
         read of the committed snapshot — no SparkSession available, or
-        needed, inside a stream reader)."""
+        needed, inside a stream reader). Rows are projected into the
+        DECLARED column order with None for columns a (pre-evolution)
+        version lacks, so a range spanning append_evolve diffs and emits
+        consistently — the same NULL-widening the batch read_changes
+        applies."""
         import json
         from collections import Counter
         from pathlib import Path
@@ -393,14 +400,29 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
         m = json.loads((Path(self.path) / "manifests"
                         / f"v{version}.json").read_text())
-        cols = [f["name"] for f in m["schema"]["fields"]]
+        have = {f["name"] for f in m["schema"]["fields"]}
         base = Path(self.path) / m["data"]
         rows: Counter = Counter()
         for f in sorted(base.glob("*.parquet")):
             tbl = pq.read_table(f)
-            for r in zip(*[tbl.column(c).to_pylist() for c in cols]):
+            cols = [tbl.column(c).to_pylist() if c in have
+                    else [None] * tbl.num_rows
+                    for c in self.base_cols]
+            for r in zip(*cols):
                 rows[r] += 1
         return rows
+
+    def _deltas(self, v_from: int, v_to: int):
+        out = []
+        prev = self._snapshot_rows(v_from)
+        for v in range(v_from + 1, v_to + 1):
+            cur = self._snapshot_rows(v)
+            for row, n in (cur - prev).items():
+                out.extend([row + ("insert", v)] * n)
+            for row, n in (prev - cur).items():
+                out.extend([row + ("delete", v)] * n)
+            prev = cur
+        return out
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -410,20 +432,14 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         latest = self._latest()
         if latest <= v0:
             return iter([]), start
-        out = []
-        prev = self._snapshot_rows(v0)
-        for v in range(v0 + 1, latest + 1):
-            cur = self._snapshot_rows(v)
-            for row, n in (cur - prev).items():
-                out.extend([row + ("insert", v)] * n)
-            for row, n in (prev - cur).items():
-                out.extend([row + ("delete", v)] * n)
-            prev = cur
-        return iter(out), {"version": latest}
+        return iter(self._deltas(v0, latest)), {"version": latest}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows, _ = self.read(start)
-        return rows
+        # replay of a PLANNED batch must honor its recorded end offset:
+        # versions committed after the plan belong to the NEXT batch, and
+        # reading past `end` here would deliver them twice after a
+        # mid-batch restart
+        return iter(self._deltas(start["version"], end["version"]))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are table versions; nothing to clean up
@@ -494,12 +510,13 @@ FROM deltas GROUP BY version, change_type, status
 
 
 def acid_datasource(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
-    """Time travel THROUGH the connector: commit the three-version claim
-    scenario (v0 load, v1 five lowest claimed, v2 appends), relayout v3
-    range-sorted so the manifest stats become selective, then read v0
-    and the latest snapshot back via `format("acidtable")` and census
-    both — plus a stats-pruned range read whose result must equal the
-    exact filter (pruning removes files, never rows)."""
+    """Time travel THROUGH the connector: three committed versions —
+    v0 = queue loaded, v1 = five lowest claimed (MERGE), v2 = relayout
+    range-sorted on file_id so the manifest stats become selective
+    (rows unchanged from v1) — then read v0 and the latest snapshot
+    back via `format("acidtable")` and census both, plus a stats-pruned
+    range read whose result must equal the exact filter (pruning
+    removes files, never rows)."""
     import shutil
 
     from ..acid import AcidTable

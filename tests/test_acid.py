@@ -560,3 +560,31 @@ def test_read_changes_random_commit_sequences(spark, tmp_path):
             assert got == _multiset(t.read(j)), (ops, i, j)
 
     run()
+
+
+def test_append_txn_harvests_legacy_txn_markers(spark, tmp_path):
+    """A table whose manifests predate the cumulative txns map must have
+    its legacy per-manifest txn markers HARVESTED into the first
+    new-style manifest — otherwise a replay arriving after any new
+    commit would apply twice."""
+    t = AcidTable.create(
+        spark, tmp_path / "legacy",
+        spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append_txn(spark.createDataFrame([(2, "b")], "k int, v string"),
+                 "appA", 7)
+    # simulate legacy manifests: strip the txns map from every manifest
+    for mp in sorted((tmp_path / "legacy" / "manifests").glob("v*.json")):
+        m = json.loads(mp.read_text())
+        m.pop("txns", None)
+        mp.write_text(json.dumps(m))
+    # a NEW (non-txn) commit must carry the harvested map forward
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    newest = json.loads(
+        (tmp_path / "legacy" / "manifests"
+         / f"v{t.latest_version()}.json").read_text())
+    assert newest["txns"] == {"appA": 7}
+    # and the legacy batch now replays as a no-op
+    assert t.append_txn(
+        spark.createDataFrame([(2, "b")], "k int, v string"),
+        "appA", 7) is None
+    assert t.read().filter("k = 2").count() == 1

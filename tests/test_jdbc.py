@@ -32,7 +32,7 @@ def test_partitioned_read_parallelism_and_pushdown(spark, tmp_path):
     its own connection) and the filter must reach the JDBC scan as a
     pushed predicate — Derby prunes, not Spark."""
     J.jdbc_roundtrip(spark, SF, tmp_path)
-    url = J._derby_url(tmp_path)
+    url = J._derby_url(tmp_path, SF)
     back = spark.read.jdbc(url, "queue_rt", properties=J.DERBY_PROPS,
                            column="file_id", lowerBound=0,
                            upperBound=6_000_001, numPartitions=8)
@@ -58,7 +58,7 @@ def test_exclusive_claim_census(spark, tmp_path):
     assert got[0] == base[0] - 5
     assert got.get(1, 0) == base.get(1, 0) + 5
     # and the claimed rows really are the five lowest
-    url = J._derby_url(tmp_path)
+    url = J._derby_url(tmp_path, SF)
     claimed_now = {r.file_id for r in
                    spark.read.jdbc(url, "queue_claim",
                                    properties=J.DERBY_PROPS)

@@ -52,3 +52,8 @@ def test_spark_decode_matches_local_parse(spark, tables):
             hsh -= 1 << 64
         assert got[doc_id] == (w, h, int(sums[0]), int(sums[1]),
                                int(sums[2]), hsh)
+
+
+def test_parser_raises_on_truncated_header():
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n16 16")        # EOF before maxval: must not hang

@@ -142,3 +142,28 @@ def test_walog_resumes_from_committed_offsets(spark, tmp_path):
                     .collect()}
     for r in late:
         assert r.offset == per_part_max[r.part] + 1   # sequence continues
+
+
+def test_acid_cdf_stream_spans_schema_evolution(spark, tmp_path):
+    """A stream declared after append_evolve must replay the PRE-evolve
+    versions with NULL in the new column (the batch read_changes
+    widening) instead of emitting short tuples that crash the batch."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfStreamDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(2, 1)], "file_id long, status int"))
+    t.append_evolve(spark.createDataFrame(
+        [(3, 0, "x")], "file_id long, status int, tag string"))
+    spark.dataSource.register(AcidCdfStreamDataSource)
+    q = (spark.readStream.format("acidtable-cdf")
+         .option("path", str(tmp_path / "t")).load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName("cdfevo").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.file_id, r.status, r.tag, r._change_type, r._commit_version)
+            for r in spark.table("cdfevo").collect()}
+    assert (2, 1, None, "insert", 1) in rows       # pre-evolve: NULL tag
+    assert (3, 0, "x", "insert", 2) in rows
