@@ -118,6 +118,10 @@ BENCH_KEYS = [
     "kafka_mock_stream",
     "hw_release_sql",
     "cogroup_user_profile",
+    "doc_chunking",
+    "dq_suite",
+    "anomaly_zscore",
+    "streaming_observe",
 ]
 
 

@@ -1227,6 +1227,12 @@ SELECT event_id, user_id, event_type, value FROM (
 WHERE rn = 1
 """)(lambda s, d: _streaming("streaming_cdc_upsert_job")(s, d))
 
+register("streaming_observe", oracle="""
+SELECT 4 AS n_batches, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+""")(lambda s, d: _streaming("streaming_observe_job")(s, d))
+
 register("watermark_late_drop", oracle="""
 WITH ranked AS (
   SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rk FROM events)

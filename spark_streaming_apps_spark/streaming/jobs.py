@@ -979,3 +979,68 @@ def stream_stream_full_outer_shared(spark: SparkSession,
                     F.coalesce("c_user", "e_user").alias("user_id"),
                     (F.unix_micros("c_ts")
                      - F.unix_micros("e_ts")).alias("lag_us")))
+
+
+def streaming_observe_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: `df.observe` metrics attached INSIDE a
+    streaming plan, harvested per micro-batch through a
+    StreamingQueryListener — the production pattern for per-batch row
+    counts / control sums without a second pass over the stream (the
+    reference prints per-batch counts from a separate count() action,
+    StreamingApp.scala:557-560). Each batch's observed (n, decimal sum)
+    lands in its QueryProgress event; the totals across the drained
+    backlog must equal the batch aggregate (the oracle), proving the
+    metrics saw every row exactly once. Per-batch metric rows also
+    carry the batch count, pinning that the stream really ran
+    multi-batch."""
+    import json as _json
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    got: dict[int, tuple[int, str]] = {}
+    done = threading.Event()
+
+    class Harvest(StreamingQueryListener):
+        def onQueryStarted(self, e):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, e):  # noqa: N802
+            om = e.progress.observedMetrics
+            if "ev" in om:
+                row = om["ev"]
+                if row["n"] is not None:
+                    got[e.progress.batchId] = (row["n"], str(row["s6"]))
+
+        def onQueryIdle(self, e):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, e):  # noqa: N802
+            done.set()
+
+    listener = Harvest()
+    spark.streams.addListener(listener)
+    try:
+        observed = (events_stream(spark, sf_dir)
+                    .observe("ev",
+                             F.count(F.lit(1)).alias("n"),
+                             F.sum(F.col("value").cast("decimal(18,6)"))
+                             .alias("s6")))
+        _run_available_now(
+            observed.writeStream.outputMode("append").format("noop"))
+        done.wait(60)
+    finally:
+        spark.streams.removeListener(listener)
+    n_batches = len(got)
+    total_n = sum(n for n, _ in got.values())
+    total_s = sum(Decimal(s) for _, s in got.values())
+    return spark.createDataFrame(
+        [(n_batches, total_n, float(round(total_s, 6)))],
+        "n_batches int, n_rows long, sum_value double")
+
+
+STREAMING_OBSERVE_ORACLE = """
+SELECT 4 AS n_batches, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+"""
