@@ -264,3 +264,50 @@ def test_time_gapfill_dense_spine_and_locf(tables):
             if r.n == 0:
                 assert r.total_locf == last, t
             last = r.total_locf
+
+
+def test_cms_overestimate_invariant_random_corpora(spark):
+    """CMS one-sided guarantee, fuzzed: est >= exact for EVERY audited
+    token on random small corpora (including adversarial repetition)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_apps_spark.operators.text import heavy_hitters_cms
+
+    word = st.sampled_from(["a", "bb", "ccc", "dd", "e", "fff", "g", "hh"])
+    doc = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        rows = heavy_hitters_cms(df).collect()
+        assert rows, texts
+        for r in rows:
+            assert r.est_n >= r.exact_n, (r, texts)
+            assert r.overestimate == r.est_n - r.exact_n
+
+    run()
+
+
+def test_url_dedup_canonical_is_fixed_point(spark, tables):
+    """Canonicalization must be idempotent: every canonical URL is
+    already in canonical form (lowercase host, no :80, no fragment, no
+    trailing slash, no utm_ params, sorted query)."""
+    import re
+
+    from spark_streaming_apps_spark.operators.dedup import url_dedup
+
+    for r in url_dedup(tables["documents"]).collect():
+        u = r.canonical_url
+        host = re.match(r"^http://([^/?#]+)", u).group(1)
+        assert host == host.lower() and not host.endswith(":80")
+        assert "#" not in u and "utm_" not in u
+        path = re.match(r"^http://[^/?#]+([^?#]*)", u).group(1)
+        assert not path.endswith("/")
+        q = u.split("?", 1)[1] if "?" in u else ""
+        if q:
+            parts = q.split("&")
+            assert parts == sorted(parts) and all(parts)
