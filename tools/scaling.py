@@ -44,6 +44,13 @@ KEYS = [
     "pq_rerank_topk",          # ADC shortlist + exact rerank (round 5)
     "ivf_adc_rerank_topk",     # full IVFADC+R funnel (round 5)
     "runtime_bloom_join",      # runtime bloom semi-join reduction (round 5)
+    "dedup_collapse_lsh",      # exact-collapse -> LSH composition (round 6)
+    "url_dedup",               # canonical-key shuffle on URLs alone (round 6)
+    "heavy_hitters_cms",       # mergeable CMS + exactness audit (round 6)
+    "doc_chunking",            # sliding-window RAG chunking (round 6)
+    "dq_suite",                # cross-table quality suite (round 6)
+    "anomaly_zscore",          # decimal-partial 3-sigma census (round 6)
+    "hw_release_sql",          # the flagship via pure SQL (round 6)
 ]
 
 
