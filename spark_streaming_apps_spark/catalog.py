@@ -243,6 +243,9 @@ register("jdbc_exclusive_claim",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: jdbc_src.jdbc_exclusive_claim(s, d, SCRATCH))
 
+register("jdbc_exactly_once_stream", oracle=jdbc_src.JDBC_EO_ORACLE
+         )(lambda s, d: jdbc_src.jdbc_exactly_once_stream(s, d, SCRATCH))
+
 
 @register("table_ddl", oracle=f"""
 {QUEUE_CTE} SELECT status, COUNT(*) AS n FROM queue GROUP BY status
