@@ -1038,6 +1038,9 @@ register("time_decay_agg", oracle=analytics.time_decay_oracle_sql()
 register("triangle_count", oracle=graph.triangle_count_oracle_sql()
          )(lambda s, d: graph.triangle_count(_t(s, d, "embeddings")))
 
+register("bfs_hops", oracle=graph.bfs_hops_oracle_sql()
+         )(lambda s, d: graph.bfs_hops(_t(s, d, "embeddings")))
+
 register("tfidf_cosine_topk", oracle=text.tfidf_cosine_oracle_sql()
          )(lambda s, d: text.tfidf_cosine_topk(_t(s, d, "documents")))
 

@@ -162,3 +162,86 @@ FROM edges e1
 JOIN edges e2 ON e1.b = e2.a
 JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b
 """
+
+
+BFS_SOURCE = 0
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops(embeddings: DataFrame, source: int = BFS_SOURCE,
+             max_hops: int = BFS_MAX_HOPS) -> DataFrame:
+    """BFS hop distance from a source over the mutual k-NN graph —
+    shortest paths as iterated frontier joins (the semantic-neighborhood
+    expansion a curation pipeline runs from a seed document: everything
+    within h hops of a flagged item). Per hop: ONE keyed join of the
+    current frontier against the edge list plus an anti-join against the
+    visited set — no vertex is ever re-expanded, so total work is
+    O(edges within the horizon), and k-bounded degree (the knn graph)
+    caps each frontier's growth at frontier·k. The driver loop holds
+    only hop COUNTERS (bounded by max_hops), never vertex data.
+
+    Output: (vec_id, hops) for every vertex within {BFS_MAX_HOPS} hops,
+    hops = the MINIMUM path length (BFS invariant — first touch wins).
+    Oracle: DuckDB recursive CTE taking min(hops) per reachable node."""
+    from .dedup import _materialize, _memo
+    from .similarity import knn_graph
+
+    def build_edges() -> DataFrame:
+        g = knn_graph(embeddings).select("vec_id", "nbr_id")
+        rev = g.select(F.col("nbr_id").alias("vec_id"),
+                       F.col("vec_id").alias("nbr_id"))
+        # mutual, kept DIRECTED both ways (BFS expands along either)
+        return _materialize(
+            g.join(rev, ["vec_id", "nbr_id"])
+            .select(F.col("vec_id").alias("src"),
+                    F.col("nbr_id").alias("dst")))
+
+    edges = _memo(embeddings, "mutual_knn_directed", build_edges)
+    spark = embeddings.sparkSession
+    # Iterative frontier expansion REQUIRES lineage truncation, not just
+    # caching: each hop's plan references the previous hop's, so with
+    # lazy persist the logical plan doubles per hop and evaluation cost
+    # grows exponentially (measured: 110 s for 4 hops via persist,
+    # 12 s with eager localCheckpoint — flat per-hop cost). This is the
+    # standard iterative-graph trade-off (GraphX checkpoints the same
+    # way): an executor loss re-runs from the last checkpoint instead of
+    # the full lineage; on a cluster, point `spark.sparkContext.
+    # setCheckpointDir` at reliable storage and use checkpoint() for the
+    # fault-tolerant variant. The edge list itself stays a lineage-
+    # keeping persist (recomputable from the parquet scan).
+    visited = spark.createDataFrame(
+        [(source, 0)], "vec_id long, hops int").localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(edges,
+                             frontier.vec_id == edges.src)
+               .select(F.col("dst").alias("vec_id")).distinct()
+               .join(visited, "vec_id", "left_anti")
+               .select("vec_id", F.lit(h).alias("hops"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def bfs_hops_oracle_sql(source: int = BFS_SOURCE,
+                        max_hops: int = BFS_MAX_HOPS) -> str:
+    from .similarity import knn_graph_oracle_sql
+    knn = knn_graph_oracle_sql().strip()
+    return f"""
+WITH RECURSIVE knn AS MATERIALIZED ({knn}),
+g AS (SELECT vec_id, nbr_id FROM knn),
+edges AS (SELECT a.vec_id AS src, a.nbr_id AS dst
+          FROM g a JOIN g r ON a.vec_id = r.nbr_id
+                           AND a.nbr_id = r.vec_id),
+walk(vec_id, hops) AS (
+  SELECT CAST({source} AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.vec_id
+  WHERE w.hops < {max_hops})
+SELECT vec_id, CAST(min(hops) AS INT) AS hops
+FROM walk GROUP BY vec_id
+"""
