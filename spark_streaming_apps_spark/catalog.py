@@ -887,6 +887,9 @@ register("salted_skew_agg", oracle=analytics.SALTED_ORACLE
 register("skew_join_salted", oracle=analytics.SKEW_JOIN_ORACLE
          )(lambda s, d: analytics.skew_join_salted(_t(s, d, "events")))
 
+register("aqe_skew_join", oracle=analytics.aqe_skew_join_oracle_sql()
+         )(lambda s, d: analytics.aqe_skew_join(s, d))
+
 register("zipf_topk_salted", oracle=analytics.ZIPF_TOPK_ORACLE
          )(lambda s, d: analytics.zipf_topk_salted(s, _t(s, d, "events")))
 

@@ -1424,3 +1424,65 @@ SELECT event_type, any_value(n) AS n, round(any_value(mean), 6) AS mean,
        round(max(CASE WHEN is_anom = 1 THEN value END), 6) AS worst_value
 FROM flagged GROUP BY event_type
 """
+
+
+# ------------------------------------------------------- AQE skew join
+
+SKEWD_WEIGHT = 10
+
+
+def aqe_skew_join(spark, sf_dir: str) -> DataFrame:
+    """AQE's built-in skew mitigation (OptimizeSkewedJoin) on the planted
+    zipf join — the runtime complement to manual salting
+    (`skew_join_salted`): the fact's hot key (level 0 = 50% of all rows)
+    lands in one shuffle partition of a sort-merge join, and AQE splits
+    that partition into multiple tasks reading the same (replicated)
+    dim-side rows, so no single task sorts half the data. Thresholds are
+    forced aggressive in a forked session (the fixture is small;
+    production defaults are 5x/256MB) with broadcast disabled so the
+    join actually shuffles — exactly the situation at 100 TB where the
+    dim is too big to broadcast and the salting rewrite is the manual
+    alternative. tests/test_plans.py asserts the final adaptive plan
+    carries the skew=true SMJ; rows must equal the plain join (the
+    oracle), because skew handling may never change results."""
+    from ..sources.tables import load_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    # the downstream groupBy(level) could reuse the join's partitioning,
+    # so AQE declines the split by default (it would cost an extra
+    # exchange); force it — trading one small re-shuffle of the AGGREGATED
+    # rows for not sorting half the fact in one task is exactly the right
+    # trade at scale
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    n = load_table(s2, sf_dir, "events").count() * ZIPF_AMPLIFY
+    fact = zipf_fixture(s2, n)
+    dim = s2.range(ZIPF_LEVELS + 1).select(
+        F.col("id").cast("int").alias("level"),
+        ((F.col("id") + 1) * SKEWD_WEIGHT).alias("weight"))
+    return (fact.join(dim, "level")
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("v") * F.col("weight")).alias("wv")))
+
+
+def aqe_skew_join_oracle_sql() -> str:
+    return f"""
+WITH gen AS (SELECT row_number() OVER () - 1 AS id
+             FROM events, generate_series(1, {ZIPF_AMPLIFY})),
+keyed AS (SELECT id, {_zipf_level_case('id')} AS level,
+                 {_ZIPF_LCG} AS v FROM gen),
+dim AS (SELECT unnest(generate_series(0, {ZIPF_LEVELS})) AS level),
+wdim AS (SELECT level, (level + 1) * {SKEWD_WEIGHT} AS weight FROM dim)
+SELECT CAST(k.level AS INT) AS level, COUNT(*) AS n,
+       CAST(SUM(k.v * w.weight) AS BIGINT) AS wv
+FROM keyed k JOIN wdim w ON k.level = w.level
+GROUP BY k.level
+"""

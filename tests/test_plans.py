@@ -289,3 +289,16 @@ def test_aqe_upgrades_smj_to_broadcast(tables, spark):
     after = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in after
     assert "BroadcastHashJoin" in after, after[:3000]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The planted 50%-hot key must trigger AQE's OptimizeSkewedJoin:
+    the FINAL adaptive plan's sort-merge join carries the skew handling
+    marker (the hot partition was split across tasks), and results are
+    unchanged vs the oracle (covered by selfcheck)."""
+    from spark_streaming_apps_spark.operators import analytics
+    out = analytics.aqe_skew_join(spark, "/root/testdata/sf0.01")
+    out.collect()  # finalize THIS DataFrame's adaptive plan
+    after = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in after
+    assert "skew=true" in after, after[:3000]
