@@ -34,6 +34,21 @@ from pyspark.sql import functions as F
 DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 
+def _derby_missing_table(e: Exception) -> bool:
+    """True iff `e` is Derby's missing-table error (SQLState 42X05).
+    Py4J wraps the java.sql.SQLException, so the SQLState and the
+    'does not exist' message both survive in str(e); matching on them
+    keeps genuine failures (db lock, IO) from being read as 'absent'."""
+    s = str(e)
+    return "42X05" in s or "does not exist" in s
+
+
+def _derby_table_exists_err(e: Exception) -> bool:
+    """True iff `e` is Derby's already-exists DDL error (SQLState X0Y32)."""
+    s = str(e)
+    return "X0Y32" in s or "already exists" in s
+
+
 def _derby_url(scratch: Path, sf_dir: str = "") -> str:
     # one database per scale factor: the pushdown key probes for an
     # existing table instead of rewriting it, and a shared DB would
@@ -93,7 +108,12 @@ def jdbc_pushdown(spark: SparkSession, sf_dir: str,
     try:
         spark.read.jdbc(url, "(SELECT COUNT(*) AS n FROM queue_rt) p",
                         properties=DERBY_PROPS).collect()
-    except Exception:
+    except Exception as e:                        # noqa: BLE001 — sorted below
+        # only the missing-table error (Derby SQLState 42X05) means
+        # "first touch"; anything else (db lock held by another embedded
+        # session, disk error) must surface, not trigger a silent rewrite
+        if not _derby_missing_table(e):
+            raise
         jdbc_roundtrip(spark, sf_dir, scratch)    # first touch: load it
     back = spark.read.jdbc(
         url, "queue_rt", properties=DERBY_PROPS,
@@ -204,20 +224,28 @@ FROM post GROUP BY status
 def jdbc_exactly_once_stream(spark: SparkSession, sf_dir: str,
                              scratch: Path) -> DataFrame:
     """The reference's production sink — stream → JDBC — with the
-    exactly-once repair it never had: each micro-batch lands through
-    addBatch/executeBatch every 1000 rows (StreamingApp.scala:452-471,
-    the reference's own batching) INSIDE one database transaction that
-    also inserts a (app_id, batch_id) LEDGER row; commit is atomic, so
-    a replayed batch (at-least-once redelivery after restart) finds its
-    ledger row and skips — the Derby twin of `AcidTable.append_txn`.
-    The stream is drained TWICE against the same checkpoint (restart);
-    the readback census must equal the batch aggregate exactly — no
-    row lost, none doubled.
+    exactly-once repair it never had, in the DISTRIBUTED form: each
+    micro-batch is written by the EXECUTORS into a per-batch staging
+    table via ``batch.write.jdbc`` (batchsize=1000 — the exact
+    addBatch/executeBatch cadence the reference hand-rolls,
+    StreamingApp.scala:452-471, but parallel over partitions), then ONE
+    driver-side transaction atomically checks the (app_id, batch_id)
+    LEDGER, runs INSERT-SELECT from staging into the sink table,
+    inserts the ledger row, and drops the staging table (Derby DDL is
+    transactional). A replayed batch (at-least-once redelivery after
+    restart) finds its ledger row at the cheap read-only pre-probe and
+    skips even the staging write; the authoritative re-check inside the
+    swap transaction closes the probe/commit race. The stream is
+    drained TWICE against the same checkpoint (restart); the readback
+    census must equal the batch aggregate exactly — no row lost, none
+    doubled.
 
-    The per-batch insert loop is driver-side via java.sql by DESIGN:
-    atomicity of (rows + ledger) needs one transaction, which is how
-    the reference writes too; at cluster scale the same ledger check
-    moves into foreachBatch workers with per-partition staging tables."""
+    Scale shape: the data plane (all row traffic) is executor-side and
+    partition-parallel; the driver's transaction moves ZERO rows — it
+    is a constant-size metadata swap (ledger probe + INSERT-SELECT
+    executed inside the database + DROP), exactly Delta's
+    txnAppId/txnVersion idempotent-writer pattern targeted at a plain
+    RDBMS."""
     import uuid as _uuid
 
     from ..operators.queue import queue_df  # noqa: F401 (module pattern)
@@ -234,8 +262,10 @@ def jdbc_exactly_once_stream(spark: SparkSession, sf_dir: str,
             ' "batch_id" BIGINT)'):
         try:
             st.execute(ddl)
-        except Exception:
-            pass  # table exists from a prior run
+        except Exception as e:                   # noqa: BLE001 — sorted below
+            if not _derby_table_exists_err(e):
+                raise                 # lock/IO errors are not "exists"
+            # table exists from a prior run: keep it
     st.execute('DELETE FROM sink_events')
     st.execute('DELETE FROM sink_ledger')
     conn.commit()
@@ -243,48 +273,66 @@ def jdbc_exactly_once_stream(spark: SparkSession, sf_dir: str,
     conn.close()
     app_id = "eo-sink"
 
+    def ledger_hit(c, batch_id: int) -> bool:
+        probe = c.prepareStatement(
+            'SELECT COUNT(*) FROM sink_ledger WHERE "app_id" = ? '
+            'AND "batch_id" = ?')
+        probe.setString(1, app_id)
+        probe.setLong(2, batch_id)
+        rs = probe.executeQuery()
+        rs.next()
+        seen = rs.getLong(1) > 0
+        rs.close()
+        probe.close()
+        return seen
+
     def sink(batch: DataFrame, batch_id: int) -> None:
-        rows = (batch.select(
+        # cheap read-only replay probe: ledger rows are never deleted,
+        # so a hit is stable and the whole staging write can be skipped
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            if ledger_hit(c, batch_id):
+                return                       # replayed batch: ledger hit
+        finally:
+            c.close()
+
+        # DATA PLANE — executors: every partition opens its own JDBC
+        # connection and lands its rows in the per-batch staging table
+        # (batchsize=1000 = executeBatch every 1000). overwrite mode
+        # makes a half-written staging table from a crashed attempt
+        # self-healing on retry.
+        staging = f"sink_stage_{batch_id}"
+        (batch.select(
             "event_id", "user_id",
             (F.col("value").cast("decimal(18,6)") * 1_000_000)
-            .cast("bigint").alias("v6")).collect())
+            .cast("bigint").alias("value6"))
+         .write.mode("overwrite").option("batchsize", 1000)
+         .jdbc(url, staging, properties=DERBY_PROPS))
+
+        # CONTROL PLANE — one driver transaction, zero rows through the
+        # driver: authoritative ledger re-check + INSERT-SELECT (runs
+        # inside the database) + ledger row + DROP staging, atomically
+        # (Derby DDL participates in the transaction).
         c = jvm.java.sql.DriverManager.getConnection(url)
         try:
             c.setAutoCommit(False)
-            probe = c.prepareStatement(
-                'SELECT COUNT(*) FROM sink_ledger WHERE "app_id" = ? '
-                'AND "batch_id" = ?')
-            probe.setString(1, app_id)
-            probe.setLong(2, batch_id)
-            rs = probe.executeQuery()
-            rs.next()
-            seen = rs.getLong(1) > 0
-            rs.close()
-            probe.close()
-            if seen:
+            if ledger_hit(c, batch_id):      # probe/commit race closed
                 c.rollback()
-                return                       # replayed batch: ledger hit
-            ins = c.prepareStatement(
-                'INSERT INTO sink_events VALUES (?, ?, ?)')
-            pending = 0
-            for r in rows:
-                ins.setLong(1, r.event_id)
-                ins.setLong(2, r.user_id)
-                ins.setLong(3, r.v6)
-                ins.addBatch()
-                pending += 1
-                if pending == 1000:          # executeBatch every 1000
-                    ins.executeBatch()
-                    pending = 0
-            if pending:
-                ins.executeBatch()
-            ins.close()
+                return
+            st = c.createStatement()
+            st.execute(
+                f'INSERT INTO sink_events '
+                f'SELECT "event_id", "user_id", "value6" FROM {staging}')
+            st.close()
             led = c.prepareStatement('INSERT INTO sink_ledger VALUES (?, ?)')
             led.setString(1, app_id)
             led.setLong(2, batch_id)
             led.executeUpdate()
             led.close()
-            c.commit()                       # rows + ledger, atomically
+            st = c.createStatement()
+            st.execute(f'DROP TABLE {staging}')
+            st.close()
+            c.commit()                       # rows + ledger + drop, atomically
         finally:
             c.close()
 
