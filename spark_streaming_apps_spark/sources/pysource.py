@@ -199,7 +199,13 @@ class WalogSlice(InputPartition):
 
 class WalogDataSource(DataSource):
     """`spark.readStream.format("walog").option("path", root)` — root
-    holds `p{i}/segment-*.parquet` append-only topic partitions."""
+    holds `p{i}/segment-*.parquet` append-only topic partitions.
+
+    Option ``maxSegmentsPerTrigger`` (default 0 = unlimited) is the
+    source's READ LIMIT — Kafka's maxOffsetsPerTrigger analog: each
+    micro-batch advances every partition at most that many segment
+    boundaries past the last COMMITTED offset, so a backlog drains as a
+    sequence of bounded micro-batches instead of one giant batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -210,32 +216,88 @@ class WalogDataSource(DataSource):
                 "event_type string")
 
     def streamReader(self, schema):
-        return WalogStreamReader(self.options["path"])
+        return WalogStreamReader(
+            self.options["path"],
+            int(self.options.get("maxsegmentspertrigger", "0")))
 
 
 class WalogStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str):
+    """Read-limit design note: the Python streaming API gives
+    ``latestOffset()`` no start-offset argument (unlike DSv2 Scala's
+    SupportsAdmissionControl), and the engine may call it BEFORE
+    ``initialOffset()`` on a fresh stream — so a limiter cannot trust
+    any single state source. Two cooperating pieces make the limit both
+    deterministic and replay-safe:
+
+    * ``latestOffset`` steps at most ``max_seg`` segment boundaries past
+      the elementwise max of (last commit, learned floor, previous
+      offer). Folding the previous OFFER in means every poll that finds
+      backlog advances and yields a batch — one micro-batch per segment
+      window, no reliance on commit-callback timing.
+    * ``partitions`` learns a monotone per-partition FLOOR (max of every
+      start/end the engine has ever planned) and clips slices to it —
+      if a capped offer ever lands behind the engine's true position
+      (possible on a checkpointed restart, where the first offer steps
+      from zero), the stale range serves ZERO rows instead of
+      re-emitting data. Offsets self-heal forward; no duplication, no
+      livelock."""
+
+    def __init__(self, path: str, max_segments_per_trigger: int = 0):
         self.path = path
+        self.max_seg = max_segments_per_trigger     # 0 = unlimited
+        self._committed: dict | None = None         # last commit() offsets
+        self._offered: dict = {}                    # hwm of our own offers
+        self._floor: dict = {}                      # hwm of planned ranges
 
     def _pdirs(self):
         from pathlib import Path
         return sorted(Path(self.path).glob("p[0-9]*"))
 
     def initialOffset(self) -> dict:
-        return {p.name: 0 for p in self._pdirs()}   # earliest replay
+        off = {p.name: 0 for p in self._pdirs()}    # earliest replay
+        self._committed = dict(off)
+        return off
+
+    def _segment_bounds(self) -> dict:
+        """{partition: [cumulative row count at each segment end]} — from
+        parquet footers only, no data IO."""
+        import pyarrow.parquet as pq
+        out = {}
+        for p in self._pdirs():
+            acc, cum = 0, []
+            for f in sorted(p.glob("segment-*.parquet")):
+                acc += pq.ParquetFile(f).metadata.num_rows
+                cum.append(acc)
+            out[p.name] = cum
+        return out
 
     def latestOffset(self) -> dict:
-        import pyarrow.parquet as pq
-        return {p.name: sum(pq.ParquetFile(f).metadata.num_rows
-                            for f in sorted(p.glob("segment-*.parquet")))
-                for p in self._pdirs()}             # footers only, no data IO
+        bounds = self._segment_bounds()
+        full = {k: (v[-1] if v else 0) for k, v in bounds.items()}
+        if not self.max_seg:
+            return full
+        committed = self._committed or {}
+        out = {}
+        for k, cum in bounds.items():
+            cur = max(committed.get(k, 0), self._floor.get(k, 0),
+                      self._offered.get(k, 0))
+            ahead = [b for b in cum if b > cur][:self.max_seg]
+            out[k] = ahead[-1] if ahead else cur
+        self._offered = {k: max(self._offered.get(k, 0), v)
+                         for k, v in out.items()}
+        return out
 
     def partitions(self, start: dict, end: dict):
         out = []
         for p in self._pdirs():
-            lo, hi = start.get(p.name, 0), end.get(p.name, 0)
+            floor = self._floor.get(p.name, 0)
+            lo = max(start.get(p.name, 0), floor)   # never re-serve rows
+            hi = end.get(p.name, 0)
             if hi > lo:
                 out.append(WalogSlice(int(p.name[1:]), str(p), lo, hi))
+        for off in (start, end):                    # learn the floor
+            for k, v in off.items():
+                self._floor[k] = max(self._floor.get(k, 0), v)
         return out or [WalogSlice(-1, self.path, 0, 0)]  # no-data batch
 
     def read(self, sl: WalogSlice):
@@ -268,7 +330,46 @@ class WalogStreamReader(DataSourceStreamReader):
                        "event_type"])
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint, like Kafka's
+        # durable offsets live in the query checkpoint, like Kafka's;
+        # the reader only advances its read-limit base (monotone)
+        prev = self._committed or {}
+        self._committed = {k: max(prev.get(k, 0), v) for k, v in end.items()}
+
+
+def _drain_incremental(writer) -> tuple[int, object]:
+    """Start a default-trigger (continuous micro-batch) run, block until
+    the source reports no more available data, and return
+    (n_data_batches, query). This is the REAL multi-batch engine path:
+    `trigger(availableNow=True)` on a Python DataSource falls back to
+    single-batch execution (MicroBatchExecution WARNs and collapses the
+    drain), so a read-limited source must be driven by the default
+    trigger + `processAllAvailable()` to exercise one micro-batch per
+    limit window. n_data_batches counts batches that carried rows —
+    the proof the drain was genuinely incremental."""
+    import time
+
+    q = writer.start()
+    q.processAllAvailable()
+
+    def snap():
+        tot = nb = 0
+        for p in q.recentProgress:
+            rows = p["numInputRows"] if isinstance(p, dict) \
+                else getattr(p, "numInputRows", 0)
+            tot += rows
+            nb += 1 if rows else 0
+        return tot, nb
+    # progress events post asynchronously after the data is committed;
+    # wait until the accounted totals go stable before counting
+    prev, deadline = snap(), time.time() + 10
+    while time.time() < deadline:
+        time.sleep(0.2)
+        cur = snap()
+        if cur == prev:
+            break
+        prev = cur
+    q.stop()
+    return prev[1], q
 
 
 WALOG_PARTS = 4
@@ -306,27 +407,33 @@ def kafka_mock_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
     its (partition, offset) assignment — the full consumer contract,
     value-checked: the oracle recomputes each record's partition
     (user_id % {WALOG_PARTS}) and offset (rank by segment round, then
-    event_id) from the staging rule. Restart/resume semantics are
-    pinned in tests/test_pysource.py (a second drain after a third
-    produce round reads ONLY the new segment, offsets continuing)."""
+    event_id) from the staging rule. The drain is read-limited
+    (maxSegmentsPerTrigger=1) and driven by the default trigger, so the
+    two-segment backlog lands as exactly TWO micro-batches; the emitted
+    `n_batches` column pins that in the oracle — a single-batch
+    fallback would turn the whole key red, not silently pass.
+    Restart/resume semantics are pinned in tests/test_pysource.py (a
+    second drain after a third produce round reads ONLY the new
+    segment, offsets continuing)."""
     import uuid as _uuid
 
     root = scratch / f"walog_{sf_dir.rstrip('/').rsplit('sf', 1)[-1]}"
     _stage_walog(sf_dir, root)
     spark.dataSource.register(WalogDataSource)
     qname = f"walog_{_uuid.uuid4().hex[:8]}"
-    q = (spark.readStream.format("walog").option("path", str(root)).load()
-         .writeStream.outputMode("append").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(qname)
+    n_batches, _ = _drain_incremental(
+        spark.readStream.format("walog").option("path", str(root))
+        .option("maxSegmentsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname))
+    return spark.table(qname).withColumn("n_batches", F.lit(n_batches))
 
 
 KAFKA_MOCK_ORACLE = f"""
 SELECT CAST(user_id % {WALOG_PARTS} AS INT) AS part,
        row_number() OVER (PARTITION BY user_id % {WALOG_PARTS}
                           ORDER BY event_id % 2, event_id) - 1 AS offset,
-       event_id, user_id, event_type
+       event_id, user_id, event_type, 2 AS n_batches
 FROM events
 """
 
@@ -344,7 +451,11 @@ FROM events
 
 class AcidCdfStreamDataSource(DataSource):
     """Options: ``path`` (table root), ``startingVersion`` (default 0:
-    the first batch replays history from v0)."""
+    the first batch replays history from v0), ``maxVersionsPerTrigger``
+    (default 0 = unlimited) — the read limit: each micro-batch covers at
+    most that many committed versions, so a long history drains as one
+    micro-batch PER version window (Delta's maxFilesPerTrigger analog
+    at version granularity)."""
 
     @classmethod
     def name(cls) -> str:
@@ -370,14 +481,17 @@ class AcidCdfStreamDataSource(DataSource):
                      if f.name not in ("_change_type", "_commit_version")]
         return AcidCdfStreamReader(
             self.options["path"], base_cols,
-            int(self.options.get("startingversion", "0")))
+            int(self.options.get("startingversion", "0")),
+            int(self.options.get("maxversionspertrigger", "0")))
 
 
 class AcidCdfStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, path: str, base_cols: list, starting_version: int):
+    def __init__(self, path: str, base_cols: list, starting_version: int,
+                 max_versions: int = 0):
         self.path = path
         self.base_cols = base_cols   # declared output order, fixed at start
         self.start_version = starting_version
+        self.max_versions = max_versions          # 0 = unlimited
 
     def _latest(self) -> int:
         from pathlib import Path
@@ -432,6 +546,8 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         latest = self._latest()
         if latest <= v0:
             return iter([]), start
+        if self.max_versions:                     # read limit: bounded batch
+            latest = min(latest, v0 + self.max_versions)
         return iter(self._deltas(v0, latest)), {"version": latest}
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -449,7 +565,11 @@ def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
     """The CDF consumed as a STREAM: commit the three-version claim
     scenario, then drain `readStream.format("acidtable-cdf")` from
     version 0 and census the emitted deltas — which must equal the
-    batch `read_changes` censuses (the acid_change_feed delta oracle)."""
+    batch `read_changes` censuses (the acid_change_feed delta oracle).
+    The drain is read-limited (maxVersionsPerTrigger=1) under the
+    default trigger, so the two committed versions land as exactly TWO
+    micro-batches; the `n_batches` column pins that against the
+    oracle's literal 2 — a single-batch fallback fails the gate."""
     import shutil
     import uuid as _uuid
 
@@ -477,17 +597,19 @@ def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
 
     spark.dataSource.register(AcidCdfStreamDataSource)
     qname = f"cdfs_{_uuid.uuid4().hex[:8]}"
-    q = (spark.readStream.format("acidtable-cdf")
-         .option("path", str(table_dir)).load()
-         .writeStream.outputMode("append").format("memory")
-         .queryName(qname).trigger(availableNow=True).start())
-    q.awaitTermination()
+    n_batches, _ = _drain_incremental(
+        spark.readStream.format("acidtable-cdf")
+        .option("path", str(table_dir))
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname))
     return (spark.table(qname)
             .groupBy(F.col("_commit_version").alias("version"),
                      F.col("_change_type").alias("change_type"), "status")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("file_id").alias("min_id"),
-                 F.max("file_id").alias("max_id")))
+                 F.max("file_id").alias("max_id"))
+            .withColumn("n_batches", F.lit(n_batches)))
 
 
 ACID_CDF_STREAM_ORACLE = """
@@ -504,7 +626,7 @@ deltas AS (
   FROM (VALUES (999999901, 0), (999999902, 1),
                (999999903, 0)) AS a(file_id, status))
 SELECT version, change_type, status, COUNT(*) AS n,
-       min(file_id) AS min_id, max(file_id) AS max_id
+       min(file_id) AS min_id, max(file_id) AS max_id, 2 AS n_batches
 FROM deltas GROUP BY version, change_type, status
 """
 

@@ -167,3 +167,92 @@ def test_acid_cdf_stream_spans_schema_evolution(spark, tmp_path):
             for r in spark.table("cdfevo").collect()}
     assert (2, 1, None, "insert", 1) in rows       # pre-evolve: NULL tag
     assert (3, 0, "x", "insert", 2) in rows
+
+def test_walog_read_limit_drains_one_segment_per_batch(spark, tmp_path):
+    """maxSegmentsPerTrigger=1 under the default trigger must drain the
+    two-segment backlog as exactly TWO data micro-batches with no row
+    duplicated — the genuine multi-batch engine path (availableNow on a
+    Python source collapses to a single batch)."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        WalogDataSource, _drain_incremental, _stage_walog)
+
+    root = tmp_path / "topic"
+    _stage_walog("/root/testdata/sf0.001", root)
+    spark.dataSource.register(WalogDataSource)
+    nb, _ = _drain_incremental(
+        spark.readStream.format("walog").option("path", str(root))
+        .option("maxSegmentsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("wl_mb"))
+    assert nb == 2
+    out = spark.table("wl_mb")
+    assert out.count() == 1000                       # sf0.001 events
+    assert out.select("event_id").distinct().count() == 1000  # no dups
+
+
+def test_walog_read_limit_restart_never_duplicates(spark, tmp_path):
+    """Checkpointed restart with the read limit: the fresh reader's first
+    capped offer steps from zero — BEHIND the checkpoint — and the
+    engine plans that stale range anyway. The partitions() floor clip
+    must serve it empty: after a third produce round, a limited
+    restarted drain yields ONLY the new rows, never re-emitting."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        WALOG_PARTS, WalogDataSource, _stage_walog)
+
+    root = tmp_path / "topic"
+    _stage_walog("/root/testdata/sf0.001", root)
+    spark.dataSource.register(WalogDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("walog")
+             .option("path", str(root))
+             .option("maxSegmentsPerTrigger", "1").load()
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 1000
+    con = duckdb.connect()
+    for part in range(WALOG_PARTS):
+        con.execute(f"""
+            COPY (SELECT CAST(1000000 + {part} AS BIGINT) AS event_id,
+                         CAST({part} AS BIGINT) AS user_id,
+                         'late' AS event_type)
+            TO '{root}/p{part}/segment-002.parquet' (FORMAT PARQUET)""")
+    drain()                                  # fresh reader, same checkpoint
+    allrows = spark.read.parquet(out)
+    assert allrows.count() == 1000 + WALOG_PARTS
+    assert allrows.select("part", "offset").distinct().count() == \
+        1000 + WALOG_PARTS                   # offsets unique => no replay
+
+
+def test_acid_cdf_read_limit_one_version_per_batch(spark, tmp_path):
+    """maxVersionsPerTrigger=1: three committed versions drain as three
+    micro-batches, each batch's rows carrying exactly one
+    _commit_version."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfStreamDataSource, _drain_incremental)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(2, 1)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(3, 0)], "file_id long, status int"))
+    t.merge(spark.createDataFrame([(1, 9)], "file_id long, status int"),
+            key=["file_id"])
+    spark.dataSource.register(AcidCdfStreamDataSource)
+    nb, _ = _drain_incremental(
+        spark.readStream.format("acidtable-cdf")
+        .option("path", str(tmp_path / "t"))
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("cdf_mb"))
+    assert nb == 3                           # one batch per version 1..3
+    rows = spark.table("cdf_mb").collect()
+    assert {r._commit_version for r in rows} == {1, 2, 3}
