@@ -1097,6 +1097,10 @@ register("merge_upsert",
          oracle=extensions.MERGE_UPSERT_ORACLE.format(queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.merge_upsert(s, d, SCRATCH))
 
+register("merge_upsert_sql",
+         oracle=extensions.MERGE_UPSERT_ORACLE.format(queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.merge_upsert_sql(s, d, SCRATCH))
+
 register("acid_time_travel",
          oracle=extensions.ACID_TIME_TRAVEL_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

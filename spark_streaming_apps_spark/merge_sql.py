@@ -1,0 +1,217 @@
+"""SQL ``MERGE INTO`` surface for AcidTable — the statement form of the
+mutation API.
+
+Reference users write their mutations as SQL (the claim / transition
+UPDATEs are embedded SQL strings, FileWorkerApp.scala:207-227), so the
+engine's table format needs a MERGE statement, not just a Python method.
+Spark's own parser accepts MERGE INTO only for catalogs implementing
+row-level operations; this module provides the same surface for
+AcidTable the way Delta first did — parse the statement, compile it to
+ONE declarative Spark SQL SELECT, and commit the result through the
+table's optimistic commit loop.
+
+Grammar (ANSI subset — the clauses Delta/Iceberg users actually write)::
+
+    MERGE INTO <target-name> [AS] <t-alias>
+    USING <view-name | (subquery)> [AS] <s-alias>
+    ON <condition>
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr [, ...]]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+
+Compilation: both sides get a presence marker and meet in a single
+FULL OUTER JOIN on the user's ON condition; every target column becomes
+one CASE expression (matched+update-cond → the SET expression, matched
+otherwise → current value, source-only → the INSERT expression), and the
+WHERE clause drops DELETE-matched rows and source-only rows without an
+insert clause. All user expressions pass through verbatim into Spark SQL
+under their own aliases — Catalyst resolves, type-checks, and optimizes
+them; this module never evaluates an expression itself.
+
+Scale shape: identical to ``AcidTable.merge`` — one keyed shuffle for
+the join (AQE broadcasts a small source), and the commit is the same
+O(1) manifest swap. The ANSI cardinality rule (a target row matching
+more than one source row is an error) is enforced with a cheap
+aggregate on the join keys when ``check_cardinality`` is on (default);
+at 100 TB a caller who has already deduplicated the source can turn the
+extra pass off.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .acid import AcidTable
+
+_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
+    r"USING\s+", re.IGNORECASE | re.DOTALL)
+
+_TAIL_RE = re.compile(
+    r"^\s*(?:AS\s+)?(?P<salias>\w+)\s+ON\s+(?P<on>.+?)"
+    r"(?P<clauses>(?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*)?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*"
+    r"VALUES\s*\(.+?\))\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+@dataclass
+class _Merge:
+    target: str
+    t_alias: str
+    source: str
+    s_alias: str
+    on: str
+    update_cond: str | None = None
+    update_set: dict = field(default_factory=dict)
+    delete_cond: str | None = None        # "TRUE" when unconditional
+    insert_cond: str | None = None
+    insert_cols: list = field(default_factory=list)
+    insert_vals: list = field(default_factory=list)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside parentheses (SET a = f(x, y))."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def parse_merge(stmt: str) -> _Merge:
+    head = _HEAD_RE.match(stmt)
+    if not head:
+        raise ValueError(f"not a MERGE INTO statement: {stmt[:80]!r}")
+    rest = stmt[head.end():]
+    if rest.startswith("("):               # (subquery) — balanced parens
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += 1 if ch == "(" else (-1 if ch == ")" else 0)
+            if depth == 0:
+                break
+        else:
+            raise ValueError("unbalanced parentheses in MERGE source")
+        source, rest = rest[:i + 1], rest[i + 1:]
+    else:
+        sm = re.match(r"[\w.]+", rest)
+        if not sm:
+            raise ValueError("missing MERGE source")
+        source, rest = sm.group(0), rest[sm.end():]
+    tail = _TAIL_RE.match(rest)
+    if not tail:
+        raise ValueError(f"malformed MERGE statement after USING: "
+                         f"{rest[:80]!r}")
+    g = tail.groupdict()
+    merge = _Merge(target=head.group("target"), t_alias=head.group("talias"),
+                   source=source, s_alias=g["salias"],
+                   on=g["on"].strip())
+    for c in _CLAUSE_RE.finditer(g["clauses"] or ""):
+        is_not = bool(c.group("not"))
+        cond = (c.group("cond") or "").strip() or None
+        action = c.group("action").strip()
+        upper = action.upper()
+        if upper.startswith("UPDATE"):
+            if is_not:
+                raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+            merge.update_cond = cond or "TRUE"
+            body = action[action.upper().index("SET") + 3:]
+            for a in _split_top_level(body):
+                col, expr = a.split("=", 1)
+                merge.update_set[col.strip().lower()] = expr.strip()
+        elif upper == "DELETE":
+            if is_not:
+                raise ValueError("WHEN NOT MATCHED cannot DELETE")
+            merge.delete_cond = cond or "TRUE"
+        elif upper.startswith("INSERT"):
+            if not is_not:
+                raise ValueError("INSERT requires WHEN NOT MATCHED")
+            merge.insert_cond = cond or "TRUE"
+            cols_part, vals_part = re.split(r"\)\s*VALUES\s*\(", action[
+                action.index("(") + 1:].rstrip()[:-1], flags=re.IGNORECASE)
+            merge.insert_cols = [c2.strip().lower()
+                                 for c2 in _split_top_level(cols_part)]
+            merge.insert_vals = _split_top_level(vals_part)
+        else:                                        # pragma: no cover
+            raise ValueError(f"unsupported MERGE action: {action[:40]!r}")
+    if merge.insert_cols and \
+            len(merge.insert_cols) != len(merge.insert_vals):
+        raise ValueError("INSERT column/value count mismatch")
+    return merge
+
+
+def merge_into_sql(spark: SparkSession, stmt: str,
+                   tables: dict[str, AcidTable],
+                   check_cardinality: bool = True) -> int:
+    """Execute a ``MERGE INTO`` statement against a registered AcidTable.
+
+    ``tables`` maps the statement's target name to its AcidTable; the
+    source may be any temp view / catalog table name or an inline
+    ``(subquery)``. Returns the committed version."""
+    mg = parse_merge(stmt)
+    if mg.target not in tables:
+        raise ValueError(f"unknown MERGE target {mg.target!r}; "
+                         f"registered: {sorted(tables)}")
+    table = tables[mg.target]
+    uid = uuid.uuid4().hex[:8]
+    tv = f"__merge_t_{uid}"
+    tp, sp = "__tp", "__sp"
+    t, s = mg.t_alias, mg.s_alias
+
+    def build(cur: DataFrame) -> DataFrame:
+        cur.createOrReplaceTempView(tv)
+        dtypes = dict(cur.dtypes)
+        src = mg.source if mg.source.startswith("(") else f"(SELECT * FROM {mg.source})"
+        t_side = f"(SELECT *, 1 AS {tp} FROM {tv}) AS {t}"
+        s_side = f"(SELECT *, 1 AS {sp} FROM {src} __src) AS {s}"
+        matched = f"{t}.{tp} IS NOT NULL AND {s}.{sp} IS NOT NULL"
+        if check_cardinality:
+            # ANSI rule: no target row may match two source rows
+            dup = spark.sql(
+                f"SELECT count(*) AS n FROM {t_side} JOIN {s_side} "
+                f"ON {mg.on} GROUP BY {', '.join(f'{t}.{c}' for c in cur.columns)} "
+                f"HAVING count(*) > 1 LIMIT 1").take(1)
+            if dup:
+                raise ValueError(
+                    "MERGE cardinality violation: a target row matches "
+                    "multiple source rows")
+        proj = []
+        for c in cur.columns:
+            upd = mg.update_set.get(c, f"{t}.{c}")
+            if mg.insert_cols and c in mg.insert_cols:
+                ins = mg.insert_vals[mg.insert_cols.index(c)]
+            else:
+                ins = f"CAST(NULL AS {dtypes[c]})"
+            proj.append(
+                f"CASE WHEN {matched} AND ({mg.update_cond or 'FALSE'}) "
+                f"THEN ({upd}) "
+                f"WHEN {t}.{tp} IS NOT NULL THEN {t}.{c} "
+                f"ELSE ({ins}) END AS {c}")
+        keep = (f"CASE WHEN {matched} THEN NOT ({mg.delete_cond or 'FALSE'}) "
+                f"WHEN {t}.{tp} IS NOT NULL THEN TRUE "
+                f"ELSE ({mg.insert_cond or 'FALSE'}) END")
+        return spark.sql(
+            f"SELECT {', '.join(proj)} FROM {t_side} "
+            f"FULL OUTER JOIN {s_side} ON {mg.on} WHERE {keep}")
+
+    try:
+        return table._commit_loop(build, "merge_sql")
+    finally:
+        spark.catalog.dropTempView(tv)

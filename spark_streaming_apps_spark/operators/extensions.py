@@ -256,6 +256,50 @@ def merge_upsert(spark: SparkSession, sf_dir: str,
                  F.max("file_id").alias("max_id")))
 
 
+def merge_upsert_sql(spark: SparkSession, sf_dir: str,
+                     scratch: Path) -> DataFrame:
+    """The merge_upsert scenario expressed as the user writes it — a SQL
+    ``MERGE INTO`` statement (merge_sql.merge_into_sql) — because the
+    reference's mutation surface is embedded SQL (FileWorkerApp.scala:
+    207-227): claims flip matched rows' status via WHEN MATCHED UPDATE,
+    the brand-new row lands via WHEN NOT MATCHED INSERT, and the result
+    is the committed AcidTable snapshot. Same census, same oracle as
+    merge_upsert: the statement form and the API form must be
+    indistinguishable at the data level."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import merge_into_sql
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "merge_state_sql"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status", "resident", "error_status")
+    t = AcidTable.create(spark, table_dir, state)
+
+    updates = (t.read().filter(F.col("status") == 0)
+               .orderBy("file_id").limit(5)
+               .select("file_id", F.lit(1).alias("status"))
+               .unionByName(spark.createDataFrame(
+                   [(999_999_999, 0)], "file_id long, status int")))
+    updates.createOrReplaceTempView("merge_sql_updates")
+    merge_into_sql(spark, """
+        MERGE INTO queue_state AS t
+        USING merge_sql_updates AS s
+        ON t.file_id = s.file_id
+        WHEN MATCHED THEN UPDATE SET status = s.status
+        WHEN NOT MATCHED THEN
+          INSERT (file_id, status, resident, error_status)
+          VALUES (s.file_id, s.status, 0, 0)
+    """, tables={"queue_state": t})
+    return (t.read().groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
 def schema_evolution_read(spark: SparkSession, sf_dir: str,
                           scratch: Path) -> DataFrame:
     """Schema evolution across parquet batches: batch 1 writes the v1

@@ -1,0 +1,101 @@
+"""SQL MERGE INTO surface: clause coverage and ANSI cardinality rule."""
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_apps_spark.acid import AcidTable
+from spark_streaming_apps_spark.merge_sql import merge_into_sql, parse_merge
+
+
+def _mk(spark, tmp_path, rows=((1, 10), (2, 20), (3, 30))):
+    df = spark.createDataFrame(list(rows), "id long, val int")
+    return AcidTable.create(spark, tmp_path / "t", df)
+
+
+def _state(t):
+    return {(r.id, r.val) for r in t.read().collect()}
+
+
+def test_update_and_insert(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    spark.createDataFrame([(2, 99), (4, 40)], "id long, val int") \
+        .createOrReplaceTempView("upd1")
+    merge_into_sql(spark, """
+        MERGE INTO tgt AS t USING upd1 AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+    """, tables={"tgt": t})
+    assert _state(t) == {(1, 10), (2, 99), (3, 30), (4, 40)}
+
+
+def test_conditional_update_and_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    spark.createDataFrame([(1, 0), (2, 5), (3, 7)], "id long, flag int") \
+        .createOrReplaceTempView("upd2")
+    merge_into_sql(spark, """
+        MERGE INTO tgt AS t USING upd2 AS s ON t.id = s.id
+        WHEN MATCHED AND s.flag = 0 THEN DELETE
+        WHEN MATCHED AND s.flag > 5 THEN UPDATE SET val = t.val + s.flag
+    """, tables={"tgt": t})
+    # id=1 deleted; id=2 matched but flag=5 satisfies neither clause
+    # (unchanged); id=3 updated 30 + 7
+    assert _state(t) == {(2, 20), (3, 37)}
+
+
+def test_insert_only_merge_with_expression(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    spark.createDataFrame([(3, 1), (9, 2)], "id long, k int") \
+        .createOrReplaceTempView("upd3")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t USING upd3 s ON t.id = s.id
+        WHEN NOT MATCHED AND s.k > 1 THEN
+          INSERT (id, val) VALUES (s.id, s.k * 100)
+    """, tables={"tgt": t})
+    # id=3 matched (no matched clause: untouched); id=9 inserted via expr
+    assert _state(t) == {(1, 10), (2, 20), (3, 30), (9, 200)}
+
+
+def test_subquery_source(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    spark.createDataFrame([(1, 1), (1, 2), (2, 7)], "id long, v int") \
+        .createOrReplaceTempView("raw4")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t
+        USING (SELECT id, max(v) AS v FROM raw4 GROUP BY id) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.v
+    """, tables={"tgt": t})
+    assert _state(t) == {(1, 2), (2, 7), (3, 30)}
+
+
+def test_cardinality_violation_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    spark.createDataFrame([(2, 1), (2, 2)], "id long, val int") \
+        .createOrReplaceTempView("upd5")
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into_sql(spark, """
+            MERGE INTO tgt t USING upd5 s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET val = s.val
+        """, tables={"tgt": t})
+    assert _state(t) == {(1, 10), (2, 20), (3, 30)}   # nothing committed
+
+
+def test_unmodified_columns_survive_insert_as_null(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10, "a")], "id long, val int, tag string")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    spark.createDataFrame([(2, 20)], "id long, val int") \
+        .createOrReplaceTempView("upd6")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t USING upd6 s ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+    """, tables={"tgt": t})
+    rows = {(r.id, r.val, r.tag) for r in t.read().collect()}
+    assert rows == {(1, 10, "a"), (2, 20, None)}      # tag NULL-typed
+
+
+def test_parse_rejects_malformed(spark):
+    with pytest.raises(ValueError):
+        parse_merge("SELECT 1")
+    with pytest.raises(ValueError):
+        parse_merge("MERGE INTO a t USING b s ON t.x = s.x "
+                    "WHEN NOT MATCHED THEN UPDATE SET x = 1")
