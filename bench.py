@@ -271,11 +271,24 @@ def main() -> None:
     # "value", was cut off).
     train_keys = ("kmeans_refine", "pq_encode", "ivf_topk_trained",
                   "pq_adc_topk", "pq_rerank_topk", "ivf_adc_rerank_topk")
+    # keys that serve from one shared computation: their per-key numbers
+    # are NOT independent (the shared cost lands on whichever key runs
+    # first in a pass, the other pays a filter over the cached result) —
+    # compare the combined_sec across rounds, never the split
+    shared_groups = {
+        "ss_outer_drain": {
+            "keys": ["stream_stream_left_outer", "stream_stream_full_outer"],
+            "combined_sec": round(
+                times.get("stream_stream_left_outer", 0.0)
+                + times.get("stream_stream_full_outer", 0.0), 3),
+        },
+    }
     detail = {
         "metric": "headline_queries_detail",
         "queries": times,
         "recall_at_10": recall,
         "train_once_sec": {k: cold[k] for k in train_keys if k in cold},
+        "shared_cost_groups": shared_groups,
         "sf": float(sf),
     }
     print(json.dumps(detail))

@@ -216,3 +216,24 @@ def test_watermarked_dedup_on_rocksdb_state_store(spark):
         assert out.select("event_id").distinct().count() == n_events
     finally:
         spark.conf.set(key, old)
+
+def test_left_outer_shared_drain_equals_dedicated_stream(spark):
+    """Guard rail for the shared-drain serving arrangement: the
+    `stream_stream_left_outer` catalog key filters the memoized
+    full-outer drain; this pins, row for row, that the DEDICATED
+    leftOuter streaming plan still produces the identical result on the
+    same staged corpus. If either path drifts — the shared filter, the
+    dedicated job, or the watermark/sentinel discipline feeding both —
+    this fails, so the shared serving path can never silently diverge
+    from the genuine code path it stands in for."""
+    from spark_streaming_apps_spark.streaming.jobs import (
+        stream_stream_left_outer_job, stream_stream_left_outer_shared)
+
+    sf = "/root/testdata/sf0.001"
+    dedicated = stream_stream_left_outer_job(spark, sf)
+    shared = stream_stream_left_outer_shared(spark, sf)
+    assert sorted(dedicated.columns) == sorted(shared.columns)
+    # exact multiset equality, both directions
+    assert dedicated.exceptAll(shared).count() == 0
+    assert shared.exceptAll(dedicated).count() == 0
+    assert shared.count() == dedicated.count() > 0
