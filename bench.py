@@ -195,16 +195,34 @@ def ann_recall(spark) -> dict[str, float]:
             rs.append(len(truth & got) / len(truth))
         sweep[f"probes={probes}"] = round(sum(rs) / len(rs), 3)
     out["ivf_probe_sweep"] = sweep
-    # the funnel served at a recall TARGET (>=0.9), side by side with the
-    # default 2-probe row: calibration picks the cheapest (probes,
-    # shortlist) config that clears the floor, then one funnel run at
-    # that config is timed like any bench key
+    # the funnel SERVES at the calibrated config (SERVE_PROBES /
+    # SERVE_SHORTLIST, pinned from probes_for_recall at a 0.9 floor) —
+    # that is what the ivf_adc_rerank_topk rows above already measure.
+    # The calibration is re-run here to confirm the pinned default still
+    # clears the floor on this corpus...
     probes, shortlist, r90 = S.probes_for_recall(emb, target=0.9)
-    t0 = time.perf_counter()
-    materialize(S.ivf_adc_rerank_topk(emb, probes=probes,
-                                      shortlist=shortlist))
-    out["ivf_adc_rerank_r90"] = {
+    out["ivf_adc_rerank_calibration"] = {
         "probes": probes, "shortlist": shortlist, "recall_at_10": r90,
+        "served_default": {"probes": S.SERVE_PROBES,
+                           "shortlist": S.SERVE_SHORTLIST}}
+    # ...and the legacy cheap 2-probe config stays as TELEMETRY: its
+    # recall + cost beside the served default, so the recall/IO
+    # trade-off the default embodies is auditable every round
+    rs = []
+    for qid in RECALL_QUERY_IDS:
+        q = e.filter(F.col("vec_id") == qid).select(F.col("e").alias("q"))
+        l2_truth = {r.vec_id for r in
+                    e.filter(F.col("vec_id") != qid).join(F.broadcast(q))
+                    .select("vec_id", F.expr(l2).alias("d"))
+                    .orderBy("d", "vec_id").limit(S.TOP_K).collect()}
+        got = topk_ids(S.ivf_adc_rerank_topk(emb, qid, probes=2,
+                                             shortlist=50))
+        rs.append(len(l2_truth & got) / len(l2_truth))
+    t0 = time.perf_counter()
+    materialize(S.ivf_adc_rerank_topk(emb, probes=2, shortlist=50))
+    out["ivf_adc_rerank_2probe_telemetry"] = {
+        "probes": 2, "shortlist": 50,
+        "recall_at_10": round(sum(rs) / len(rs), 3),
         "sec": round(time.perf_counter() - t0, 3)}
     return out
 
