@@ -42,6 +42,15 @@ class CommitConflict(Exception):
     """Another writer owns the attempted version; caller must re-read."""
 
 
+class VersionVacuumedError(RuntimeError):
+    """A read needs a version whose data files were vacuumed. Raised
+    LOUDLY instead of serving a silently-empty snapshot or a partial
+    change feed — the AcidTable analog of Delta reading past
+    ``delta.logRetentionDuration``: the manifest (history) survives, the
+    data does not, and any consumer whose range crosses the retention
+    horizon must find out."""
+
+
 class AcidTable:
     """A versioned parquet table with atomic commits and snapshot reads."""
 
@@ -89,6 +98,10 @@ class AcidTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         m = self._manifest(v)
+        if not (self.path / m["data"]).is_dir():
+            raise VersionVacuumedError(
+                f"version {v} of {self.path} was vacuumed; its manifest "
+                f"survives as history but the data files are gone")
         return (self.spark.read.schema(StructType.fromJson(m["schema"]))
                 .parquet(str(self.path / m["data"])))
 
@@ -352,6 +365,17 @@ class AcidTable:
             raise ValueError(
                 f"read_changes({v_from}, {v_to}) outside committed range "
                 f"[0, {latest}] at {self.path}")
+        # retention guard: every version in the range (including v_from,
+        # the diff base) must still have its data — a vacuumed version
+        # inside the range would yield PARTIAL deltas that look valid
+        vacuumed = [v for v in range(v_from, v_to + 1)
+                    if not (self.path / self._manifest(v)["data"]).is_dir()]
+        if vacuumed:
+            raise VersionVacuumedError(
+                f"read_changes({v_from}, {v_to}) needs vacuumed "
+                f"version(s) {vacuumed} of {self.path}; start the feed at "
+                f"a retained version (vacuum kept the newest manifests' "
+                f"data only)")
 
         def widened(df: DataFrame, cols: list[str],
                     types: dict[str, str]) -> DataFrame:

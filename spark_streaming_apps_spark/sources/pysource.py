@@ -516,6 +516,15 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                         / f"v{version}.json").read_text())
         have = {f["name"] for f in m["schema"]["fields"]}
         base = Path(self.path) / m["data"]
+        if not base.is_dir():
+            # retention guard (AcidTable.read's VersionVacuumedError,
+            # raised here without importing driver-side modules into the
+            # stream worker): a vacuumed snapshot must fail the stream
+            # loudly, never diff as silently-empty
+            raise RuntimeError(
+                f"acidtable-cdf: version {version} of {self.path} was "
+                f"vacuumed; resume offsets must start at a retained "
+                f"version")
         rows: Counter = Counter()
         for f in sorted(base.glob("*.parquet")):
             tbl = pq.read_table(f)

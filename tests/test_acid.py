@@ -588,3 +588,78 @@ def test_append_txn_harvests_legacy_txn_markers(spark, tmp_path):
         spark.createDataFrame([(2, "b")], "k int, v string"),
         "appA", 7) is None
     assert t.read().filter("k = 2").count() == 1
+
+
+def test_vacuum_inside_cdf_range_fails_loudly(spark, tmp_path):
+    """Retention guard: read_changes over a range containing a vacuumed
+    version must raise VersionVacuumedError, never return partial
+    deltas; ranges entirely within retained versions keep working, and
+    snapshot reads of vacuumed versions fail loudly too."""
+    import pytest
+
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "file_id long, status int"))
+    for i in range(2, 5):
+        t.append(spark.createDataFrame([(i, 0)],
+                                       "file_id long, status int"))   # v1-v3
+    removed = t.vacuum(keep_last=2)                 # keeps v2, v3 data
+    assert removed                                  # something was dropped
+    with pytest.raises(VersionVacuumedError, match=r"vacuumed"):
+        t.read_changes(0, 3)
+    with pytest.raises(VersionVacuumedError):
+        t.read_changes(1, 2)                        # diff base v1 is gone
+    with pytest.raises(VersionVacuumedError):
+        t.read(0)                                   # snapshot read, too
+    # fully-retained range still serves
+    assert t.read_changes(2, 3).count() == 1
+    assert t.read(3).count() == 4
+
+
+def test_cdf_stream_resumes_across_vacuum_of_drained_versions(
+        spark, tmp_path):
+    """A CDF stream that already drained versions 0..N keeps resuming
+    after those versions' data is vacuumed — the resume diff only needs
+    the RETAINED tail — while a fresh stream forced to start at a
+    vacuumed version fails loudly instead of emitting empty deltas."""
+    import pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfStreamDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(2, 0)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(3, 0)], "file_id long, status int"))
+    spark.dataSource.register(AcidCdfStreamDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("acidtable-cdf")
+             .option("path", str(tmp_path / "t")).load()
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()                                        # drained v1, v2
+    assert spark.read.parquet(out).count() == 2
+    t.vacuum(keep_last=2)                          # v0, v1 data dropped
+    t.append(spark.createDataFrame([(4, 0)], "file_id long, status int"))
+    drain()                                        # resume: diff v2 -> v3
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r._commit_version for r in rows} == {1, 2, 3}
+
+    # a FRESH stream from version 0 now crosses the retention horizon
+    q = (spark.readStream.format("acidtable-cdf")
+         .option("path", str(tmp_path / "t")).load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName("cdf_vac_fresh").trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="vacuumed"):
+        q.awaitTermination(120)
