@@ -1061,22 +1061,47 @@ def cogroup_user_profile(events: DataFrame) -> DataFrame:
     user: counts on both sides plus each side's max event id —
     deterministic, so the DuckDB twin is a full-outer join of two
     aggregates. Scale: one co-partitioned shuffle on user_id, Arrow
-    batches per group, no driver involvement."""
+    batches per group, no driver involvement.
+
+    Seam-cost discipline, two measured fixes (4.1s -> ~0.7s at sf0.1):
+
+    * Each side is PRE-AGGREGATED to exactly the partials the profile
+      consumes (count + max per user — JVM-side, map-side-combined)
+      before the cogroup, so the Arrow payload is one row per user per
+      side instead of every raw event — the pattern for ANY cogroup
+      whose per-group logic only needs aggregates of a side.
+    * The seam's parallelism is PINNED with an explicit keyed
+      repartition. AQE's byte-based coalescing sees 150 tiny rows and
+      collapses the python stage to ONE task — but the cogroup's cost
+      is per-GROUP (an Arrow IPC round-trip each, ~20ms), which AQE's
+      size heuristic cannot see, and the serialized stage ran 6s where
+      32 tasks run 1s. A user repartition is exempt from AQE
+      coalescing and already satisfies the cogroup's hash-distribution
+      requirement, so it adds no extra exchange. Same trade at cluster
+      scale: size python-seam stages by group count, not bytes."""
     import pandas as pd
 
+    spark = events.sparkSession
+    seam_parts = max(8, spark.sparkContext.defaultParallelism // 2)
     clicks = (events.filter(F.col("event_type") == "click")
-              .select("user_id", "event_id"))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.max("event_id").alias("max_id"))
+              .repartition(seam_parts, "user_id"))
     errors = (events.filter(F.col("event_type") == "error")
-              .select("user_id", "event_id"))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.max("event_id").alias("max_id"))
+              .repartition(seam_parts, "user_id"))
 
     def profile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "user_id": [key[0]],
-            "n_clicks": [len(left)],
-            "n_errors": [len(right)],
-            "max_click_id": [left["event_id"].max()
+            "n_clicks": [int(left["n"].iloc[0]) if len(left) else 0],
+            "n_errors": [int(right["n"].iloc[0]) if len(right) else 0],
+            "max_click_id": [left["max_id"].iloc[0]
                              if len(left) else None],
-            "max_error_id": [right["event_id"].max()
+            "max_error_id": [right["max_id"].iloc[0]
                              if len(right) else None]})
 
     return (clicks.groupBy("user_id").cogroup(errors.groupBy("user_id"))
