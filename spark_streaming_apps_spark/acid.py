@@ -410,11 +410,16 @@ class AcidTable:
                     .limit(0))
         out = frames[0]
         for df in frames[1:]:
-            # later steps may be wider (schema evolution): align by name
-            out = widened(out, df.columns, dict(df.dtypes)) \
-                .unionByName(df) if set(df.columns) - set(out.columns) \
-                else out.unionByName(widened(df, out.columns,
-                                             dict(out.dtypes)))
+            # align BOTH frames to the merged column superset: schema
+            # evolution is add-only today, but projecting to one side's
+            # list would silently drop the other side's extras the day a
+            # column-drop op exists — the superset keeps every column,
+            # NULL-widened where a frame lacks it
+            cols = list(out.columns) + [c for c in df.columns
+                                        if c not in out.columns]
+            types = {**dict(out.dtypes), **dict(df.dtypes)}
+            out = widened(out, cols, types) \
+                .unionByName(widened(df, cols, types))
         return out
 
     # ------------------------------------------------------------ hygiene

@@ -202,9 +202,11 @@ def _ppm_payload(doc_id: int) -> bytes:
 
 
 def _parse_ppm(buf: bytes):
-    """Minimal spec-conformant P6 parser: magic, three whitespace-
-    delimited header tokens (width, height, maxval), single whitespace,
-    then the raw RGB plane. Returns (w, h, HxWx3 uint8 array)."""
+    """Spec-conformant P6 parser: magic, three whitespace-delimited
+    header tokens (width, height, maxval) with '#'-to-end-of-line
+    comments allowed anywhere whitespace is (per the netpbm spec),
+    single whitespace, then the raw RGB plane. Returns
+    (w, h, HxWx3 uint8 array)."""
     import numpy as np
 
     if buf[:2] != b"P6":
@@ -215,11 +217,26 @@ def _parse_ppm(buf: bytes):
             raise ValueError("truncated PPM header")
         c = buf[pos:pos + 1]
         pos += 1
+        if c == b"#":
+            # comment: terminates any in-progress token, then runs to
+            # end of line; the newline doubles as the whitespace that
+            # would have followed the token
+            if tok:
+                toks.append(int(tok))
+                tok = b""
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header comment")
+            pos = nl + 1
+            continue
         if c.isspace():
             if tok:
                 toks.append(int(tok))
                 tok = b""
         else:
+            if not c.isdigit():
+                raise ValueError(
+                    f"non-numeric byte {c!r} in PPM header")
             tok += c
     # pos is now one past the single whitespace terminating maxval
     w, h, maxval = toks

@@ -57,3 +57,22 @@ def test_spark_decode_matches_local_parse(spark, tables):
 def test_parser_raises_on_truncated_header():
     with pytest.raises(ValueError, match="truncated"):
         _parse_ppm(b"P6\n16 16")        # EOF before maxval: must not hang
+
+
+def test_ppm_parser_handles_spec_comments():
+    """netpbm spec: '#'-to-newline comments may appear anywhere
+    whitespace can in the header — including ones containing digits,
+    which must never be parsed into width/height/maxval."""
+    import pytest
+
+    from spark_streaming_apps_spark.operators.multimodal import _parse_ppm
+
+    body = bytes([i % 256 for i in range(2 * 2 * 3)])
+    for buf in (
+            b"P6\n# created 1999 width 999\n2 2\n# 123\n255\n" + body,
+            b"P6 # c1\n#2nd 456\n2 # w done\n2 255\n" + body,
+            b"P6\n2 2 255# trailing comment\n" + body):
+        w, h, arr = _parse_ppm(buf)
+        assert (w, h) == (2, 2) and arr.shape == (2, 2, 3)
+    with pytest.raises(ValueError, match="non-numeric"):
+        _parse_ppm(b"P6\n2 x\n255\n" + body)
