@@ -122,6 +122,9 @@ BENCH_KEYS = [
     "dq_suite",
     "anomaly_zscore",
     "streaming_observe",
+    # round 7
+    "merge_upsert_sql",
+    "jdbc_exactly_once_stream",
 ]
 
 

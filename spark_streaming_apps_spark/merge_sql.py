@@ -17,7 +17,15 @@ Grammar (ANSI subset — the clauses Delta/Iceberg users actually write)::
     ON <condition>
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr [, ...]]
     [WHEN MATCHED [AND <cond>] THEN DELETE]
-    [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+        INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ...]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+
+(`NOT MATCHED BY SOURCE` is the SQL:2023 / Delta 2.4 clause pair that
+acts on target rows with no source match — full-snapshot sync in one
+statement. At most one UPDATE and one DELETE per match class; their AND
+conditions must be disjoint, as the compiled CASE checks UPDATE first.)
 
 Compilation: both sides get a presence marker and meet in a single
 FULL OUTER JOIN on the user's ON condition; every target column becomes
@@ -57,7 +65,9 @@ _TAIL_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*"
     r"VALUES\s*\(.+?\))\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL)
@@ -76,6 +86,10 @@ class _Merge:
     insert_cond: str | None = None
     insert_cols: list = field(default_factory=list)
     insert_vals: list = field(default_factory=list)
+    # WHEN NOT MATCHED BY SOURCE — acts on target-only rows
+    nmbs_update_cond: str | None = None
+    nmbs_update_set: dict = field(default_factory=dict)
+    nmbs_delete_cond: str | None = None
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -125,24 +139,40 @@ def parse_merge(stmt: str) -> _Merge:
                    on=g["on"].strip())
     for c in _CLAUSE_RE.finditer(g["clauses"] or ""):
         is_not = bool(c.group("not"))
+        by = (c.group("by") or "").upper() or None
+        if by and not is_not:
+            raise ValueError("BY SOURCE/TARGET requires WHEN NOT MATCHED")
+        by_source = is_not and by == "SOURCE"      # target-only rows
         cond = (c.group("cond") or "").strip() or None
         action = c.group("action").strip()
         upper = action.upper()
         if upper.startswith("UPDATE"):
-            if is_not:
-                raise ValueError("WHEN NOT MATCHED cannot UPDATE")
-            merge.update_cond = cond or "TRUE"
+            if is_not and not by_source:
+                raise ValueError("WHEN NOT MATCHED [BY TARGET] "
+                                 "cannot UPDATE")
             body = action[action.upper().index("SET") + 3:]
+            assigns = {}
             for a in _split_top_level(body):
                 col, expr = a.split("=", 1)
-                merge.update_set[col.strip().lower()] = expr.strip()
+                assigns[col.strip().lower()] = expr.strip()
+            if by_source:
+                merge.nmbs_update_cond = cond or "TRUE"
+                merge.nmbs_update_set = assigns
+            else:
+                merge.update_cond = cond or "TRUE"
+                merge.update_set = assigns
         elif upper == "DELETE":
-            if is_not:
-                raise ValueError("WHEN NOT MATCHED cannot DELETE")
-            merge.delete_cond = cond or "TRUE"
+            if is_not and not by_source:
+                raise ValueError("WHEN NOT MATCHED [BY TARGET] "
+                                 "cannot DELETE")
+            if by_source:
+                merge.nmbs_delete_cond = cond or "TRUE"
+            else:
+                merge.delete_cond = cond or "TRUE"
         elif upper.startswith("INSERT"):
-            if not is_not:
-                raise ValueError("INSERT requires WHEN NOT MATCHED")
+            if not is_not or by_source:
+                raise ValueError(
+                    "INSERT requires WHEN NOT MATCHED [BY TARGET]")
             merge.insert_cond = cond or "TRUE"
             cols_part, vals_part = re.split(r"\)\s*VALUES\s*\(", action[
                 action.index("(") + 1:].rstrip()[:-1], flags=re.IGNORECASE)
@@ -192,9 +222,11 @@ def merge_into_sql(spark: SparkSession, stmt: str,
                 raise ValueError(
                     "MERGE cardinality violation: a target row matches "
                     "multiple source rows")
+        t_only = f"{t}.{tp} IS NOT NULL AND {s}.{sp} IS NULL"
         proj = []
         for c in cur.columns:
             upd = mg.update_set.get(c, f"{t}.{c}")
+            nmbs_upd = mg.nmbs_update_set.get(c, f"{t}.{c}")
             if mg.insert_cols and c in mg.insert_cols:
                 ins = mg.insert_vals[mg.insert_cols.index(c)]
             else:
@@ -202,10 +234,13 @@ def merge_into_sql(spark: SparkSession, stmt: str,
             proj.append(
                 f"CASE WHEN {matched} AND ({mg.update_cond or 'FALSE'}) "
                 f"THEN ({upd}) "
+                f"WHEN {t_only} AND ({mg.nmbs_update_cond or 'FALSE'}) "
+                f"THEN ({nmbs_upd}) "
                 f"WHEN {t}.{tp} IS NOT NULL THEN {t}.{c} "
                 f"ELSE ({ins}) END AS {c}")
         keep = (f"CASE WHEN {matched} THEN NOT ({mg.delete_cond or 'FALSE'}) "
-                f"WHEN {t}.{tp} IS NOT NULL THEN TRUE "
+                f"WHEN {t_only} "
+                f"THEN NOT ({mg.nmbs_delete_cond or 'FALSE'}) "
                 f"ELSE ({mg.insert_cond or 'FALSE'}) END")
         return spark.sql(
             f"SELECT {', '.join(proj)} FROM {t_side} "

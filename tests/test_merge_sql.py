@@ -99,3 +99,44 @@ def test_parse_rejects_malformed(spark):
     with pytest.raises(ValueError):
         parse_merge("MERGE INTO a t USING b s ON t.x = s.x "
                     "WHEN NOT MATCHED THEN UPDATE SET x = 1")
+
+
+def test_not_matched_by_source_delete_and_update(spark, tmp_path):
+    """SQL:2023 / Delta 2.4 clause pair: target rows with no source
+    match can be deleted (full-snapshot sync) or flagged, in the same
+    statement as the matched-side upsert."""
+    t = _mk(spark, tmp_path)                      # {1:10, 2:20, 3:30}
+    spark.createDataFrame([(2, 99), (4, 40)], "id long, val int") \
+        .createOrReplaceTempView("snap7")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t USING snap7 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """, tables={"tgt": t})
+    # target becomes exactly the source snapshot
+    assert _state(t) == {(2, 99), (4, 40)}
+
+
+def test_not_matched_by_source_conditional_update(spark, tmp_path):
+    t = _mk(spark, tmp_path)                      # {1:10, 2:20, 3:30}
+    spark.createDataFrame([(2, 0)], "id long, k int") \
+        .createOrReplaceTempView("snap8")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t USING snap8 s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND t.val < 30 THEN
+          UPDATE SET val = -1
+    """, tables={"tgt": t})
+    # id=1 target-only & val<30 -> flagged; id=3 target-only but val=30
+    # (cond false) -> kept; id=2 matched, no matched clause -> kept
+    assert _state(t) == {(1, -1), (2, 20), (3, 30)}
+
+
+def test_by_source_insert_rejected(spark):
+    with pytest.raises(ValueError, match="INSERT requires"):
+        parse_merge("MERGE INTO a t USING b s ON t.x = s.x "
+                    "WHEN NOT MATCHED BY SOURCE THEN "
+                    "INSERT (x) VALUES (1)")
+    with pytest.raises(ValueError, match="BY SOURCE/TARGET"):
+        parse_merge("MERGE INTO a t USING b s ON t.x = s.x "
+                    "WHEN MATCHED BY SOURCE THEN DELETE")
