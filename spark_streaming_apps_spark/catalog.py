@@ -1101,6 +1101,11 @@ register("merge_upsert_sql",
          oracle=extensions.MERGE_UPSERT_ORACLE.format(queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.merge_upsert_sql(s, d, SCRATCH))
 
+register("merge_full_sync_sql",
+         oracle=extensions.MERGE_FULL_SYNC_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.merge_full_sync_sql(s, d, SCRATCH))
+
 register("acid_time_travel",
          oracle=extensions.ACID_TIME_TRAVEL_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

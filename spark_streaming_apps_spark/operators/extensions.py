@@ -300,6 +300,62 @@ def merge_upsert_sql(spark: SparkSession, sf_dir: str,
                  F.max("file_id").alias("max_id")))
 
 
+def merge_full_sync_sql(spark: SparkSession, sf_dir: str,
+                        scratch: Path) -> DataFrame:
+    """Full-snapshot sync in ONE statement — the SQL:2023
+    `WHEN NOT MATCHED BY SOURCE` MERGE (Delta 2.4's flagship clause):
+    the queue state is reconciled against a snapshot holding only the
+    currently-claimable rows (status 0, file_id in band), so matched
+    rows take the snapshot's status, snapshot-only rows insert, and
+    every target row the snapshot no longer covers is DELETED. After
+    the commit the table IS the snapshot — the idempotent 'mirror this
+    feed' shape a dimension-sync pipeline runs hourly. One keyed
+    full-outer shuffle + the O(1) manifest swap, like every merge."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import merge_into_sql
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "merge_full_sync_sql"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+
+    snap = (state.filter((F.col("status") == 0)
+                         & (F.col("file_id") % 7 < 3))
+            .select("file_id", F.lit(1).alias("status"))
+            .unionByName(spark.createDataFrame(
+                [(999_999_998, 0)], "file_id long, status int")))
+    snap.createOrReplaceTempView("merge_sync_snapshot")
+    merge_into_sql(spark, """
+        MERGE INTO queue_state AS t
+        USING merge_sync_snapshot AS s
+        ON t.file_id = s.file_id
+        WHEN MATCHED THEN UPDATE SET status = s.status
+        WHEN NOT MATCHED THEN INSERT (file_id, status)
+          VALUES (s.file_id, s.status)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """, tables={"queue_state": t})
+    return (t.read().groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
+MERGE_FULL_SYNC_ORACLE = """
+WITH queue AS ({queue_sql}),
+snap AS (
+  SELECT file_id, 1 AS status FROM queue
+  WHERE status = 0 AND file_id % 7 < 3
+  UNION ALL SELECT 999999998, 0)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id, max(file_id) AS max_id
+FROM snap GROUP BY status
+"""
+
+
 def schema_evolution_read(spark: SparkSession, sf_dir: str,
                           scratch: Path) -> DataFrame:
     """Schema evolution across parquet batches: batch 1 writes the v1
