@@ -97,12 +97,24 @@ def udtf_release_bands(spark: SparkSession, events: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_released")))
 
 
+def _seam_parts(df: DataFrame) -> int:
+    """Task count for a python-seam (grouped-map / cogroup) stage whose
+    input is small in BYTES but expensive per GROUP: AQE's byte-based
+    coalescing collapses such stages to one task (measured: 150 groups
+    serialized at ~10-20ms of Arrow IPC each), so the seam pins its
+    parallelism with an explicit keyed repartition — exempt from AQE
+    coalescing, and it already satisfies the grouped-map hash
+    distribution, so no extra exchange is added."""
+    return max(8, df.sparkSession.sparkContext.defaultParallelism // 2)
+
+
 def applyinpandas_rebuild(events: DataFrame) -> DataFrame:
     """Grouped-map rebuild: per case, reassemble the logical blob from its
     chunks in sequence order inside an Arrow-batched pandas group — the
     applyInPandas form of file_rebuild (TSK JNI reconstruction,
     PipelineStreamProcessor.scala:117). Byte-identical to the expression
-    form (worker.file_rebuild) and to the SQL oracle."""
+    form (worker.file_rebuild) and to the SQL oracle. Parallelism pinned
+    per `_seam_parts` (few groups, per-group Arrow cost AQE can't see)."""
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["event_id"])
         blob = "".join(pdf["event_type"])
@@ -113,6 +125,7 @@ def applyinpandas_rebuild(events: DataFrame) -> DataFrame:
         }])
 
     return (events.select("user_id", "event_id", "event_type")
+            .repartition(_seam_parts(events), "user_id")
             .groupBy("user_id")
             .applyInPandas(rebuild,
                            "user_id long, rebuilt_md5 string, n_chunks long"))
@@ -1137,8 +1150,7 @@ def cogroup_user_profile(events: DataFrame) -> DataFrame:
       scale: size python-seam stages by group count, not bytes."""
     import pandas as pd
 
-    spark = events.sparkSession
-    seam_parts = max(8, spark.sparkContext.defaultParallelism // 2)
+    seam_parts = _seam_parts(events)
     clicks = (events.filter(F.col("event_type") == "click")
               .groupBy("user_id")
               .agg(F.count(F.lit(1)).alias("n"),
