@@ -63,15 +63,33 @@ class AcidTable:
     # ---------------------------------------------------------- lifecycle
 
     @classmethod
-    def create(cls, spark: SparkSession, path, df: DataFrame) -> "AcidTable":
-        """Create the table with ``df`` as version 0 (errors if it exists)."""
+    def create(cls, spark: SparkSession, path, df: DataFrame,
+               enable_cdf: bool = False) -> "AcidTable":
+        """Create the table with ``df`` as version 0 (errors if it exists).
+
+        ``enable_cdf=True`` is Delta's ``enableChangeDataFeed`` table
+        property: every subsequent commit RECORDS its row-level deltas
+        as change files next to the data (append/merge already know
+        their deltas; layout-only ops record empty change sets), so
+        ``read_changes`` and the CDF stream serve a distributed parquet
+        scan instead of per-version snapshot diffs — and keep serving
+        after the underlying snapshots are vacuumed."""
         t = cls(spark, path)
         t._manifests.mkdir(parents=True, exist_ok=True)
         t._data.mkdir(parents=True, exist_ok=True)
         if not t._try_commit(0, t._write_data(df), df.schema.jsonValue(),
-                             op="create"):
+                             op="create",
+                             props={"cdf": True} if enable_cdf else None):
             raise FileExistsError(f"AcidTable already exists at {path}")
         return t
+
+    def cdf_enabled(self) -> bool:
+        """True iff the table records commit-time change files (the v0
+        manifest carries the property, like a Delta table property)."""
+        v = self.latest_version()
+        if v is None:
+            return False
+        return bool(self._manifest(0).get("props", {}).get("cdf"))
 
     @classmethod
     def exists(cls, spark: SparkSession, path) -> bool:
@@ -214,8 +232,52 @@ class AcidTable:
                 txns[app_id] = max(int(batch), txns.get(app_id, -1))
         return txns
 
+    #: commits that rewrite layout only — rows identical, delta empty by
+    #: construction, no diff needed
+    _NO_CHANGE_OPS = frozenset({"relayout", "compact"})
+
+    def _widen_for_diff(self, a: DataFrame, b: DataFrame):
+        """Project both frames onto their merged column superset
+        (NULL-widened) so exceptAll works across schema evolution."""
+        cols = list(b.columns) + [c for c in a.columns if c not in b.columns]
+        types = {**dict(a.dtypes), **dict(b.dtypes)}
+
+        def w(df: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            out = df
+            for c in cols:
+                if c not in have:
+                    out = out.withColumn(c, F.lit(None).cast(types[c]))
+            return out.select(cols)
+        return w(a), w(b)
+
+    def _write_changes(self, cur: DataFrame, out: DataFrame, op: str,
+                       insert_hint: DataFrame | None = None) -> str:
+        """Record this commit's row-level deltas as change files (Delta
+        CDF's _change_data): inserts ∪ deletes with a ``_change_type``
+        column, one parquet dir per commit. Appends skip the diff — the
+        appended rows ARE the delta; layout-only ops record an empty
+        set; everything else pays one distributed exceptAll pair at
+        WRITE time so every future change read is a plain parquet scan."""
+        if op in self._NO_CHANGE_OPS:
+            ins = out.limit(0)
+            dels = out.limit(0)
+        elif insert_hint is not None:
+            ins, dels = insert_hint, insert_hint.limit(0)
+        else:
+            cur_w, out_w = self._widen_for_diff(cur, out)
+            ins, dels = out_w.exceptAll(cur_w), cur_w.exceptAll(out_w)
+        ch = (ins.withColumn("_change_type", F.lit("insert"))
+              .unionByName(dels.withColumn("_change_type",
+                                           F.lit("delete"))))
+        rel = f"data/changes-{uuid.uuid4().hex}"
+        ch.write.parquet(str(self.path / rel))
+        return rel
+
     def _try_commit(self, version: int, data_rel: str, schema,
-                    op: str, txn: str | None = None) -> bool:
+                    op: str, txn: str | None = None,
+                    changes_rel: str | None = None,
+                    props: dict | None = None) -> bool:
         # Every manifest carries the CUMULATIVE {app_id: latest batch_id}
         # map (Delta's setTransactions pattern), so the streaming replay
         # check in append_txn reads ONE manifest — O(1) per commit instead
@@ -230,6 +292,10 @@ class AcidTable:
                     "files": self._collect_stats(data_rel)}
         if txn is not None:
             manifest["txn"] = txn
+        if changes_rel is not None:
+            manifest["changes"] = changes_rel
+        if props is not None:
+            manifest["props"] = props
         try:
             # the atomic swap: exactly one creator per manifest path
             with open(self._manifests / f"v{version}.json", "x") as fh:
@@ -238,26 +304,35 @@ class AcidTable:
         except FileExistsError:
             return False
 
-    def _commit_loop(self, build, op: str, max_retries: int = 20) -> int:
+    def _commit_loop(self, build, op: str, max_retries: int = 20,
+                     insert_hint: DataFrame | None = None) -> int:
         """Optimistic-concurrency commit: ``build(cur)`` produces the full
         next table state from the current snapshot; on manifest conflict
         the LOSER's data dir is dropped and build re-runs against the
         winner's snapshot, so no committed update is ever lost or applied
         twice (serializable: every commit is a function of its direct
-        parent)."""
+        parent). On a CDF-enabled table each attempt also writes the
+        commit's change files (``insert_hint`` short-circuits the diff
+        for pure appends)."""
+        cdf = self.cdf_enabled()
         for _ in range(max_retries):
             v, cur = self.snapshot()
             out = build(cur)
             rel = self._write_data(out)
-            if self._try_commit(v + 1, rel, out.schema.jsonValue(), op):
+            ch_rel = (self._write_changes(cur, out, op, insert_hint)
+                      if cdf else None)
+            if self._try_commit(v + 1, rel, out.schema.jsonValue(), op,
+                                changes_rel=ch_rel):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
     def append(self, rows: DataFrame, max_retries: int = 20) -> int:
         return self._commit_loop(lambda cur: cur.unionByName(rows),
-                                 "append", max_retries)
+                                 "append", max_retries, insert_hint=rows)
 
     def merge(self, updates: DataFrame, key: list[str],
               max_retries: int = 20) -> int:
@@ -334,10 +409,16 @@ class AcidTable:
                 return None  # legacy manifest chain: one-time full scan
             out = cur.unionByName(rows)
             rel = self._write_data(out)
+            ch_rel = (self._write_changes(cur, out, "append_txn",
+                                          insert_hint=rows)
+                      if self.cdf_enabled() else None)
             if self._try_commit(v + 1, rel, out.schema.jsonValue(),
-                                op="append_txn", txn=txn):
+                                op="append_txn", txn=txn,
+                                changes_rel=ch_rel):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
@@ -355,27 +436,43 @@ class AcidTable:
         deletes == ``read(v_to)`` as a multiset (tests/test_acid.py pins
         this, and the acid_change_feed oracle re-derives it in DuckDB).
 
-        Each version step is ONE pair of ``exceptAll``s — a keyed shuffle
-        on the row hash, no driver-side data movement; at 100 TB the
-        production variant records the change files at commit time
-        (append/merge already KNOW their deltas) and this snapshot-diff
-        stays as the audit/backfill path for arbitrary ops."""
+        Serving: versions whose commit RECORDED change files (the table
+        was created with ``enable_cdf=True``) are a plain distributed
+        parquet scan of those files — no snapshots touched, so the feed
+        keeps serving after old snapshots are vacuumed. Versions without
+        recorded changes fall back to ONE pair of ``exceptAll``s per
+        step (a keyed shuffle on the row hash, no driver-side data
+        movement) — the audit/backfill path, which needs both bounding
+        snapshots retained."""
         latest = self.latest_version()
         if not (0 <= v_from <= v_to <= (latest if latest is not None else -1)):
             raise ValueError(
                 f"read_changes({v_from}, {v_to}) outside committed range "
                 f"[0, {latest}] at {self.path}")
-        # retention guard: every version in the range (including v_from,
-        # the diff base) must still have its data — a vacuumed version
-        # inside the range would yield PARTIAL deltas that look valid
-        vacuumed = [v for v in range(v_from, v_to + 1)
+
+        def recorded(m: dict):
+            """change dir path if this commit recorded its deltas."""
+            if "changes" not in m:
+                return None
+            p = self.path / m["changes"]
+            return p if p.is_dir() else None
+
+        # retention guard: a version serves from its recorded change
+        # files, else from the (v-1, v) snapshot diff — and EVERY needed
+        # snapshot must still exist; a vacuumed one would yield PARTIAL
+        # deltas that look valid
+        need_data: set[int] = set()
+        for v in range(v_from + 1, v_to + 1):
+            if recorded(self._manifest(v)) is None:
+                need_data.update((v - 1, v))
+        vacuumed = [v for v in sorted(need_data)
                     if not (self.path / self._manifest(v)["data"]).is_dir()]
         if vacuumed:
             raise VersionVacuumedError(
                 f"read_changes({v_from}, {v_to}) needs vacuumed "
                 f"version(s) {vacuumed} of {self.path}; start the feed at "
-                f"a retained version (vacuum kept the newest manifests' "
-                f"data only)")
+                f"a retained version, or create the table with "
+                f"enable_cdf=True so commits record their own deltas")
 
         def widened(df: DataFrame, cols: list[str],
                     types: dict[str, str]) -> DataFrame:
@@ -388,6 +485,15 @@ class AcidTable:
 
         frames = []
         for v in range(v_from + 1, v_to + 1):
+            m = self._manifest(v)
+            ch = recorded(m)
+            if ch is not None:
+                f = self.spark.read.parquet(str(ch))
+                cols = [c for c in f.columns if c != "_change_type"]
+                frames.append(f.select(
+                    *cols, "_change_type",
+                    F.lit(v).alias("_commit_version")))
+                continue
             old, new = self.read(v - 1), self.read(v)
             old_t, new_t = dict(old.dtypes), dict(new.dtypes)
             cols = list(new.columns) + [c for c in old.columns
@@ -424,16 +530,31 @@ class AcidTable:
 
     # ------------------------------------------------------------ hygiene
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2,
+               keep_changes_last: int | None = None) -> list[str]:
         """Drop data dirs not referenced by the ``keep_last`` newest
         manifests — including orphans from conflicted (never-committed)
         writes.  Old manifests stay as history; their data is gone, which
-        is exactly Delta's VACUUM trade-off."""
+        is exactly Delta's VACUUM trade-off.
+
+        Recorded CHANGE files have their own retention: by default every
+        committed version's change files are kept (they are the small,
+        append-only CDC log — the whole point of recording them is that
+        the feed outlives the snapshots), so the change feed keeps
+        serving from version 0 after snapshot vacuum. Pass
+        ``keep_changes_last=N`` to also prune change files beyond the N
+        newest versions (Delta's logRetentionDuration knob)."""
         latest = self.latest_version()
         if latest is None:
             return []
         keep = {self._manifest(v)["data"]
                 for v in range(max(0, latest - keep_last + 1), latest + 1)}
+        ch_from = 0 if keep_changes_last is None \
+            else max(0, latest - keep_changes_last + 1)
+        for v in range(ch_from, latest + 1):
+            ch = self._manifest(v).get("changes")
+            if ch:
+                keep.add(ch)
         removed = []
         for d in self._data.iterdir():
             rel = f"data/{d.name}"

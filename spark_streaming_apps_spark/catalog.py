@@ -1134,6 +1134,11 @@ register("acid_cdf_stream",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: pysource.acid_cdf_stream(s, d, SCRATCH))
 
+register("acid_cdf_parallel_stream",
+         oracle=pysource.ACID_CDF_STREAM_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: pysource.acid_cdf_parallel_stream(s, d, SCRATCH))
+
 register("kafka_mock_stream", oracle=pysource.KAFKA_MOCK_ORACLE
          )(lambda s, d: pysource.kafka_mock_stream(s, d, SCRATCH))
 

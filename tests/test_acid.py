@@ -663,3 +663,63 @@ def test_cdf_stream_resumes_across_vacuum_of_drained_versions(
          .queryName("cdf_vac_fresh").trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException, match="vacuumed"):
         q.awaitTermination(120)
+
+
+def test_cdf_recorded_changes_equal_snapshot_diff(spark, tmp_path):
+    """A CDF-enabled table's recorded change files must reproduce
+    EXACTLY what the snapshot-diff path derives on an identical twin —
+    across append, merge (update pairs), layout-only relayout (empty
+    delta), and schema evolution."""
+    def scenario(t):
+        t.append(spark.createDataFrame([(100, 1)], "id long, s int"))
+        t.merge(spark.createDataFrame([(3, 9)], "id long, s int"),
+                key=["id"])
+        t.relayout(["id"], target_files=2)
+        t.append_evolve(spark.createDataFrame(
+            [(200, 0, "x")], "id long, s int, tag string"))
+
+    base = spark.createDataFrame([(i, 0) for i in range(10)],
+                                 "id long, s int")
+    rec = AcidTable.create(spark, tmp_path / "rec", base, enable_cdf=True)
+    diff = AcidTable.create(spark, tmp_path / "diff", base)
+    scenario(rec)
+    scenario(diff)
+    assert rec.cdf_enabled() and not diff.cdf_enabled()
+    assert all("changes" in rec._manifest(v) for v in range(1, 5))
+    assert all("changes" not in diff._manifest(v) for v in range(1, 5))
+
+    def rows(t):
+        return sorted((r.id, r.s, r.tag, r._change_type, r._commit_version)
+                      for r in t.read_changes(0, 4).collect())
+
+    got, want = rows(rec), rows(diff)
+    assert got == want
+    assert (3, 0, None, "delete", 2) in got       # merge = delete+insert
+    assert (3, 9, None, "insert", 2) in got
+    assert not [r for r in got if r[4] == 3]      # relayout: empty delta
+
+
+def test_cdf_feed_survives_snapshot_vacuum(spark, tmp_path):
+    """The point of commit-time change files: vacuum every snapshot but
+    the newest and the FULL-history feed still serves from the recorded
+    changes — while keep_changes_last pruning makes the pruned range
+    fail loudly again."""
+    import pytest
+
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "id long, s int"), enable_cdf=True)
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i, 0)], "id long, s int"))  # v1-v4
+    before = sorted((r.id, r._change_type, r._commit_version)
+                    for r in t.read_changes(0, 4).collect())
+    t.vacuum(keep_last=1)
+    assert sorted((r.id, r._change_type, r._commit_version)
+                  for r in t.read_changes(0, 4).collect()) == before
+    # prune the change log itself: only the 2 newest versions keep theirs
+    t.vacuum(keep_last=1, keep_changes_last=2)
+    assert t.read_changes(2, 4).count() == 2      # retained tail (v3, v4)
+    with pytest.raises(VersionVacuumedError):
+        t.read_changes(0, 4)                      # pruned range is loud

@@ -256,3 +256,79 @@ def test_acid_cdf_read_limit_one_version_per_batch(spark, tmp_path):
     assert nb == 3                           # one batch per version 1..3
     rows = spark.table("cdf_mb").collect()
     assert {r._commit_version for r in rows} == {1, 2, 3}
+
+
+def test_cdf_parallel_stream_multibatch_and_resume(spark, tmp_path):
+    """Partition-parallel CDF connector: recorded change files are the
+    splits; a read-limited drain is one micro-batch per version, and a
+    restarted stream with the same checkpoint emits ONLY versions
+    committed since — served entirely from change files (no snapshots
+    needed: they are vacuumed before the resume)."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfParallelStreamDataSource, _drain_incremental)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(20)],
+                              "file_id long, status int"), enable_cdf=True)
+    t.merge(spark.createDataFrame([(3, 1)], "file_id long, status int"),
+            key=["file_id"])                                   # v1
+    t.append(spark.createDataFrame([(100, 0)],
+                                   "file_id long, status int"))  # v2
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("acidtable-cdf-parallel")
+             .option("path", str(tmp_path / "t"))
+             .option("maxVersionsPerTrigger", "1").load()
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+
+    drain()                                       # v1 + v2: 2 limited batches
+    first = spark.read.parquet(out)
+    assert first.count() == 3                     # del+ins (v1) + ins (v2)
+    assert {r._commit_version for r in first.collect()} == {1, 2}
+
+    t.vacuum(keep_last=1)                         # snapshots gone, feed lives
+    t.append(spark.createDataFrame([(200, 0)],
+                                   "file_id long, status int"))  # v3
+    drain()                                       # resume: only v3
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    v3 = [r for r in rows if r._commit_version == 3]
+    assert len(v3) == 1 and v3[0].file_id == 200
+
+    # memory-sink multi-batch proof on a fresh checkpoint
+    nb, _ = _drain_incremental(
+        spark.readStream.format("acidtable-cdf-parallel")
+        .option("path", str(tmp_path / "t"))
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("cdfp_mb"))
+    assert nb == 3                                # one batch per version
+
+
+def test_cdf_parallel_stream_requires_cdf_table(spark, tmp_path):
+    import pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfParallelStreamDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(2, 0)], "file_id long, status int"))
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    q = (spark.readStream.format("acidtable-cdf-parallel")
+         .option("path", str(tmp_path / "t")).load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName("cdfp_nocdf").start())
+    with pytest.raises(StreamingQueryException,
+                       match="recorded no change files"):
+        q.processAllAvailable()
+    q.stop()
