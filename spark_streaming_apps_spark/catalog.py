@@ -1119,6 +1119,11 @@ register("acid_change_feed",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.acid_change_feed(s, d, SCRATCH))
 
+register("acid_cdf_recorded",
+         oracle=extensions.ACID_CDF_RECORDED_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_cdf_recorded(s, d, SCRATCH))
+
 register("acid_cdf_consumer",
          oracle=extensions.ACID_CDF_CONSUMER_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

@@ -650,6 +650,62 @@ FROM v2 GROUP BY status
 """
 
 
+def acid_cdf_recorded(spark: SparkSession, sf_dir: str,
+                      scratch: Path) -> DataFrame:
+    """The change feed served ENTIRELY from commit-time recorded change
+    files (AcidTable.create(enable_cdf=True)): the acid_change_feed
+    scenario, then every snapshot but the newest is VACUUMED before the
+    feed is read — `read_changes(0, 2)` must still produce the exact
+    delta census, because no snapshot is touched on the recorded path
+    (a non-CDF table raises VersionVacuumedError here, test-pinned).
+    This is the architecture Delta CDC ships: the feed is its own
+    small append-only log, with retention independent of the data."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "acid_cdf_recorded"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state, enable_cdf=True)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                                # v1: claimed
+    t.append(spark.createDataFrame(
+        [(999999901, 0), (999999902, 1), (999999903, 0)],
+        "file_id long, status int"))                        # v2: new files
+    t.vacuum(keep_last=1)                 # v0, v1 snapshots GONE
+    ch = t.read_changes(0, 2)             # serves from recorded changes
+    return (ch.groupBy(F.col("_commit_version").alias("version"),
+                       F.col("_change_type").alias("change_type"), "status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
+ACID_CDF_RECORDED_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+deltas AS (
+  SELECT 1 AS version, 'delete' AS change_type, file_id, status
+  FROM queue WHERE file_id IN (SELECT file_id FROM low5)
+  UNION ALL
+  SELECT 1, 'insert', file_id, 1 FROM low5
+  UNION ALL
+  SELECT 2, 'insert', file_id, status
+  FROM (VALUES (999999901, 0), (999999902, 1),
+               (999999903, 0)) AS a(file_id, status))
+SELECT version, change_type, status, COUNT(*) AS n,
+       min(file_id) AS min_id, max(file_id) AS max_id
+FROM deltas GROUP BY version, change_type, status
+"""
+
+
 ACID_TIME_TRAVEL_ORACLE = """
 WITH queue AS ({queue_sql}),
 low5 AS (SELECT file_id FROM queue WHERE status = 0
