@@ -124,7 +124,10 @@ BENCH_KEYS = [
     "streaming_observe",
     # round 7
     "merge_upsert_sql",
+    "merge_full_sync_sql",
     "jdbc_exactly_once_stream",
+    "acid_cdf_parallel_stream",
+    "acid_cdf_recorded",
 ]
 
 
