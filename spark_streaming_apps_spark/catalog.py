@@ -1111,6 +1111,11 @@ register("acid_time_travel",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.acid_time_travel(s, d, SCRATCH))
 
+register("time_travel_sql",
+         oracle=extensions.ACID_TIME_TRAVEL_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.time_travel_sql(s, d, SCRATCH))
+
 register("acid_file_skipping", oracle=extensions.ACID_SKIP_ORACLE
          )(lambda s, d: extensions.acid_file_skipping(s, d, SCRATCH))
 

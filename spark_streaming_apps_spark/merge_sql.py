@@ -250,3 +250,55 @@ def merge_into_sql(spark: SparkSession, stmt: str,
         return table._commit_loop(build, "merge_sql")
     finally:
         spark.catalog.dropTempView(tv)
+
+
+_VERSION_AS_OF_RE = re.compile(
+    r"(?P<tbl>[\w.]+)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?P<v>\d+)",
+    re.IGNORECASE)
+
+
+def acid_sql(spark: SparkSession, stmt: str,
+             tables: dict[str, AcidTable]) -> DataFrame | int:
+    """The table format's SQL front door — reference users write SQL, so
+    AcidTable's full surface is reachable from one entry point:
+
+    * ``MERGE INTO <t> ...`` → :func:`merge_into_sql` (returns the
+      committed version);
+    * ``... <t> VERSION AS OF n ...`` (Delta spelling; Iceberg's
+      ``FOR VERSION AS OF`` accepted too) → each time-travel reference
+      is bound to that registered table's snapshot ``n`` as a temp view
+      and the rewritten statement runs through ``spark.sql`` — any
+      number of versions of any number of tables in one query (e.g. a
+      self-join diffing v0 against v2);
+    * anything else → ``spark.sql(stmt)`` with each registered table's
+      LATEST snapshot bound under its name.
+
+    Rewrites are name-scoped to the ``tables`` registry — unknown names
+    in a VERSION AS OF clause raise rather than silently reading a
+    catalog table of the same name."""
+    if re.match(r"\s*MERGE\s+INTO\b", stmt, re.IGNORECASE):
+        return merge_into_sql(spark, stmt, tables)
+    bound: list[str] = []
+    try:
+        def bind(m: re.Match) -> str:
+            name, v = m.group("tbl"), int(m.group("v"))
+            if name not in tables:
+                raise ValueError(
+                    f"VERSION AS OF on unregistered table {name!r}; "
+                    f"registered: {sorted(tables)}")
+            view = f"__tt_{name}_{v}_{uuid.uuid4().hex[:6]}"
+            tables[name].read(v).createOrReplaceTempView(view)
+            bound.append(view)
+            return view
+        rewritten = _VERSION_AS_OF_RE.sub(bind, stmt)
+        for name, t in tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", rewritten):
+                t.read().createOrReplaceTempView(name)
+                bound.append(name)
+        return spark.sql(rewritten)
+    finally:
+        for v in bound:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:                      # noqa: BLE001
+                pass                               # best-effort cleanup

@@ -706,6 +706,44 @@ FROM deltas GROUP BY version, change_type, status
 """
 
 
+def time_travel_sql(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """acid_time_travel's statement twin: the three-version claim
+    scenario queried as the user writes it — one `acid_sql` statement
+    unioning `VERSION AS OF 0/1/2` censuses (Delta spelling; the
+    binding resolves each reference to its committed snapshot). Same
+    oracle as the API form: the SQL surface and `t.read(v)` must be
+    indistinguishable at the data level."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import acid_sql
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "time_travel_sql"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                                # v1: claimed
+    t.merge(low5.select("file_id", F.lit(3).alias("status")),
+            key=["file_id"])                                # v2: completed
+    return acid_sql(spark, """
+        SELECT 0 AS version, status, COUNT(*) AS n
+        FROM queue_hist VERSION AS OF 0 GROUP BY status
+        UNION ALL
+        SELECT 1, status, COUNT(*) FROM queue_hist VERSION AS OF 1
+        GROUP BY status
+        UNION ALL
+        SELECT 2, status, COUNT(*) FROM queue_hist VERSION AS OF 2
+        GROUP BY status
+    """, tables={"queue_hist": t})
+
+
 ACID_TIME_TRAVEL_ORACLE = """
 WITH queue AS ({queue_sql}),
 low5 AS (SELECT file_id FROM queue WHERE status = 0

@@ -140,3 +140,32 @@ def test_by_source_insert_rejected(spark):
     with pytest.raises(ValueError, match="BY SOURCE/TARGET"):
         parse_merge("MERGE INTO a t USING b s ON t.x = s.x "
                     "WHEN MATCHED BY SOURCE THEN DELETE")
+
+
+def test_acid_sql_version_as_of_and_dispatch(spark, tmp_path):
+    """acid_sql front door: VERSION AS OF binds committed snapshots
+    (both Delta and Iceberg spellings, several versions in one query),
+    bare names bind the latest snapshot, MERGE INTO dispatches to the
+    merge compiler, and unknown time-travel names raise."""
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = _mk(spark, tmp_path)                       # v0: {1:10,2:20,3:30}
+    t.append(spark.createDataFrame([(4, 40)], "id long, val int"))  # v1
+    got = {(r.version, r.n) for r in acid_sql(spark, """
+        SELECT 0 AS version, COUNT(*) AS n FROM tbl VERSION AS OF 0
+        UNION ALL
+        SELECT 1, COUNT(*) FROM tbl FOR VERSION AS OF 1
+        UNION ALL
+        SELECT 2, COUNT(*) FROM tbl
+    """, tables={"tbl": t}).collect()}
+    assert got == {(0, 3), (1, 4), (2, 4)}
+
+    v = acid_sql(spark, """
+        MERGE INTO tbl t USING (SELECT 1 AS id, 99 AS val) s
+        ON t.id = s.id WHEN MATCHED THEN UPDATE SET val = s.val
+    """, tables={"tbl": t})
+    assert v == 2 and _state(t) == {(1, 99), (2, 20), (3, 30), (4, 40)}
+
+    with pytest.raises(ValueError, match="unregistered"):
+        acid_sql(spark, "SELECT * FROM ghost VERSION AS OF 0",
+                 tables={"tbl": t})
