@@ -446,8 +446,9 @@ FROM events
 # is Delta's readChangeFeed re-expressed through Spark 4's Python
 # streaming DataSource seam. This uses SimpleDataSourceStreamReader
 # (driver-side reads — right for a low-rate control table); the
-# partition-parallel variant is DataSourceStreamReader with one split
-# per write-time change file, same offsets.
+# partition-parallel variant EXISTS above (`acidtable-cdf-parallel`,
+# AcidCdfParallelStreamDataSource): one split per recorded change file,
+# same version offsets, executors stream the Arrow batches.
 
 class AcidCdfStreamDataSource(DataSource):
     """Options: ``path`` (table root), ``startingVersion`` (default 0:

@@ -56,7 +56,11 @@ KEYS = {
     "url_dedup": "canonical-key shuffle on the URL column alone",
     "histogram_quantiles": "additive bucket counts; window over grid, not rows",
     "hypertable_rollup": "daily grain re-aggregates hourly DECIMAL partials",
-    "ivf_adc_rerank_topk": "cell prune x ADC scan x 50-row exact rerank funnel",
+    "ivf_adc_rerank_topk": "calibrated 8-probe funnel: cell prune x ADC scan x 200-row exact rerank",
+    "merge_upsert_sql": "compiled MERGE: one keyed full-outer exchange, same plan as the API form",
+    "merge_full_sync_sql": "NOT MATCHED BY SOURCE sync: still the single full-outer exchange",
+    "cogroup_user_profile": "pre-agged sides + pinned seam parallelism: python stage sized by groups",
+    "acid_cdf_recorded": "recorded change files: plain parquet scan, zero diff shuffles",
 }
 
 
