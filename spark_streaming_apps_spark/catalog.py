@@ -1116,6 +1116,11 @@ register("time_travel_sql",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.time_travel_sql(s, d, SCRATCH))
 
+register("update_delete_sql",
+         oracle=extensions.UPDATE_DELETE_SQL_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.update_delete_sql(s, d, SCRATCH))
+
 register("acid_file_skipping", oracle=extensions.ACID_SKIP_ORACLE
          )(lambda s, d: extensions.acid_file_skipping(s, d, SCRATCH))
 

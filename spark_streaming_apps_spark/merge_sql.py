@@ -256,6 +256,61 @@ _VERSION_AS_OF_RE = re.compile(
     r"(?P<tbl>[\w.]+)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?P<v>\d+)",
     re.IGNORECASE)
 
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<tbl>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def delete_sql(spark: SparkSession, stmt: str,
+               tables: dict[str, AcidTable]) -> int:
+    """``DELETE FROM <t> [WHERE cond]`` as one atomic commit: the new
+    snapshot keeps exactly the rows the predicate does NOT match —
+    declarative anti-filter, no row locks, old versions stay readable.
+    Returns the committed version."""
+    m = _DELETE_RE.match(stmt)
+    if not m:
+        raise ValueError(f"not a DELETE statement: {stmt[:80]!r}")
+    name, cond = m.group("tbl"), (m.group("cond") or "TRUE").strip()
+    if name not in tables:
+        raise ValueError(f"unknown DELETE target {name!r}")
+    return tables[name]._commit_loop(
+        lambda cur: cur.filter(f"NOT ({cond}) OR ({cond}) IS NULL"),
+        "delete_sql")
+
+
+def update_sql(spark: SparkSession, stmt: str,
+               tables: dict[str, AcidTable]) -> int:
+    """``UPDATE <t> SET col = expr [, ...] [WHERE cond]`` as one atomic
+    commit: every column becomes a CASE over the predicate — one scan,
+    one write, no shuffle at all (the narrow-transformation mutation).
+    Returns the committed version."""
+    m = _UPDATE_RE.match(stmt)
+    if not m:
+        raise ValueError(f"not an UPDATE statement: {stmt[:80]!r}")
+    name, cond = m.group("tbl"), (m.group("cond") or "TRUE").strip()
+    if name not in tables:
+        raise ValueError(f"unknown UPDATE target {name!r}")
+    assigns = {}
+    for a in _split_top_level(m.group("sets")):
+        col, expr = a.split("=", 1)
+        assigns[col.strip().lower()] = expr.strip()
+
+    def build(cur: DataFrame) -> DataFrame:
+        unknown = set(assigns) - {c.lower() for c in cur.columns}
+        if unknown:
+            raise ValueError(f"UPDATE SET of unknown column(s) {unknown}")
+        return cur.selectExpr(*[
+            (f"CASE WHEN ({cond}) THEN ({assigns[c.lower()]}) "
+             f"ELSE {c} END AS {c}") if c.lower() in assigns else c
+            for c in cur.columns])
+    return tables[name]._commit_loop(build, "update_sql")
+
 
 def acid_sql(spark: SparkSession, stmt: str,
              tables: dict[str, AcidTable]) -> DataFrame | int:
@@ -264,6 +319,9 @@ def acid_sql(spark: SparkSession, stmt: str,
 
     * ``MERGE INTO <t> ...`` → :func:`merge_into_sql` (returns the
       committed version);
+    * ``DELETE FROM <t> [WHERE ...]`` / ``UPDATE <t> SET ... [WHERE
+      ...]`` → :func:`delete_sql` / :func:`update_sql` — atomic
+      row-level mutations (returns the committed version);
     * ``... <t> VERSION AS OF n ...`` (Delta spelling; Iceberg's
       ``FOR VERSION AS OF`` accepted too) → each time-travel reference
       is bound to that registered table's snapshot ``n`` as a temp view
@@ -278,6 +336,10 @@ def acid_sql(spark: SparkSession, stmt: str,
     catalog table of the same name."""
     if re.match(r"\s*MERGE\s+INTO\b", stmt, re.IGNORECASE):
         return merge_into_sql(spark, stmt, tables)
+    if re.match(r"\s*DELETE\s+FROM\b", stmt, re.IGNORECASE):
+        return delete_sql(spark, stmt, tables)
+    if re.match(r"\s*UPDATE\b", stmt, re.IGNORECASE):
+        return update_sql(spark, stmt, tables)
     bound: list[str] = []
     try:
         def bind(m: re.Match) -> str:

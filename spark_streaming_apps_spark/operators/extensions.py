@@ -706,6 +706,51 @@ FROM deltas GROUP BY version, change_type, status
 """
 
 
+def update_delete_sql(spark: SparkSession, sf_dir: str,
+                      scratch: Path) -> DataFrame:
+    """Row-level mutation STATEMENTS through the SQL front door — the
+    two DMLs the reference's worker runs constantly as embedded SQL
+    (status transitions + purges, FileWorkerApp.scala:207-227): one
+    atomic `UPDATE ... SET ... WHERE` (a pure narrow transformation —
+    CASE projection, no shuffle) then one atomic `DELETE FROM ...
+    WHERE` (anti-filter), each its own committed version with history
+    retained. Census oracle over the final snapshot."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import acid_sql
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "update_delete_sql"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status", "error_status")
+    t = AcidTable.create(spark, table_dir, state)
+    acid_sql(spark, "UPDATE q SET status = 3 WHERE status = 2",
+             tables={"q": t})                               # v1
+    acid_sql(spark,
+             "DELETE FROM q WHERE error_status > 0 AND status = 0",
+             tables={"q": t})                               # v2
+    return (t.read().groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id")))
+
+
+UPDATE_DELETE_SQL_ORACLE = """
+WITH queue AS ({queue_sql}),
+upd AS (SELECT file_id,
+               CASE WHEN status = 2 THEN 3 ELSE status END AS status,
+               error_status
+        FROM queue),
+fin AS (SELECT * FROM upd
+        WHERE NOT (error_status > 0 AND status = 0))
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id, max(file_id) AS max_id
+FROM fin GROUP BY status
+"""
+
+
 def time_travel_sql(spark: SparkSession, sf_dir: str,
                     scratch: Path) -> DataFrame:
     """acid_time_travel's statement twin: the three-version claim

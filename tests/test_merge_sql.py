@@ -169,3 +169,35 @@ def test_acid_sql_version_as_of_and_dispatch(spark, tmp_path):
     with pytest.raises(ValueError, match="unregistered"):
         acid_sql(spark, "SELECT * FROM ghost VERSION AS OF 0",
                  tables={"tbl": t})
+
+
+def test_update_and_delete_statements(spark, tmp_path):
+    """acid_sql row-level DML: UPDATE is a CASE projection (matched rows
+    take the SET expressions, NULL-predicate rows untouched), DELETE
+    drops only predicate-TRUE rows (three-valued logic: NULL keeps)."""
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, 20, 5), (3, 30, 0)],
+        "id long, val int, flag int")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    v = acid_sql(spark, "UPDATE tbl SET val = val * 2 WHERE flag > 0",
+                 tables={"tbl": t})
+    assert v == 1
+    rows = {(r.id, r.val) for r in t.read().collect()}
+    assert rows == {(1, 10), (2, 40), (3, 30)}    # NULL flag untouched
+    v = acid_sql(spark, "DELETE FROM tbl WHERE flag IS NULL",
+                 tables={"tbl": t})
+    assert v == 2
+    assert {r.id for r in t.read().collect()} == {2, 3}
+    # NULL predicate rows survive a different DELETE
+    v = acid_sql(spark, "DELETE FROM tbl WHERE flag > 100",
+                 tables={"tbl": t})
+    assert {r.id for r in t.read().collect()} == {2, 3}
+    assert {r.id for r in t.read(1).collect()} == {1, 2, 3}  # history
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown column"):
+        acid_sql(spark, "UPDATE tbl SET ghost = 1", tables={"tbl": t})
+    with pytest.raises(ValueError, match="unknown UPDATE target"):
+        acid_sql(spark, "UPDATE nope SET val = 1", tables={"tbl": t})
