@@ -213,10 +213,15 @@ def merge_into_sql(spark: SparkSession, stmt: str,
         s_side = f"(SELECT *, 1 AS {sp} FROM {src} __src) AS {s}"
         matched = f"{t}.{tp} IS NOT NULL AND {s}.{sp} IS NOT NULL"
         if check_cardinality:
-            # ANSI rule: no target row may match two source rows
+            # ANSI rule: no target ROW may match two source rows. The
+            # grouping key is a per-row id, not the value columns — two
+            # legitimately identical target rows each matching one
+            # source row must NOT trip the check.
+            t_chk = (f"(SELECT *, monotonically_increasing_id() AS __rid "
+                     f"FROM {tv}) AS {t}")
             dup = spark.sql(
-                f"SELECT count(*) AS n FROM {t_side} JOIN {s_side} "
-                f"ON {mg.on} GROUP BY {', '.join(f'{t}.{c}' for c in cur.columns)} "
+                f"SELECT count(*) AS n FROM {t_chk} JOIN {s_side} "
+                f"ON {mg.on} GROUP BY {t}.__rid "
                 f"HAVING count(*) > 1 LIMIT 1").take(1)
             if dup:
                 raise ValueError(

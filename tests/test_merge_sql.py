@@ -201,3 +201,22 @@ def test_update_and_delete_statements(spark, tmp_path):
         acid_sql(spark, "UPDATE tbl SET ghost = 1", tables={"tbl": t})
     with pytest.raises(ValueError, match="unknown UPDATE target"):
         acid_sql(spark, "UPDATE nope SET val = 1", tables={"tbl": t})
+
+
+def test_cardinality_check_allows_duplicate_target_rows(spark, tmp_path):
+    """The ANSI rule is per target ROW: two identical target rows each
+    matching the same single source row is legal (each row matched
+    once) — the check must key on row identity, not row values."""
+    from spark_streaming_apps_spark.merge_sql import merge_into_sql
+
+    df = spark.createDataFrame([(1, 10), (1, 10), (2, 20)],
+                               "id long, val int")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    spark.createDataFrame([(1, 99)], "id long, val int") \
+        .createOrReplaceTempView("dup_tgt_src")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t USING dup_tgt_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+    """, tables={"tgt": t})
+    rows = sorted((r.id, r.val) for r in t.read().collect())
+    assert rows == [(1, 99), (1, 99), (2, 20)]
