@@ -1154,6 +1154,11 @@ register("acid_cdf_parallel_stream",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: pysource.acid_cdf_parallel_stream(s, d, SCRATCH))
 
+register("streaming_cdf_ivm",
+         oracle=pysource.STREAMING_CDF_IVM_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: pysource.streaming_cdf_ivm(s, d, SCRATCH))
+
 register("kafka_mock_stream", oracle=pysource.KAFKA_MOCK_ORACLE
          )(lambda s, d: pysource.kafka_mock_stream(s, d, SCRATCH))
 

@@ -791,6 +791,80 @@ def acid_cdf_parallel_stream(spark: SparkSession, sf_dir: str,
             .withColumn("n_batches", F.lit(n_batches)))
 
 
+def streaming_cdf_ivm(spark: SparkSession, sf_dir: str,
+                      scratch) -> DataFrame:
+    """The full CDC architecture in one flow — recorded change files →
+    partition-parallel CDF stream → incrementally-maintained downstream
+    table: a per-status count table is seeded from the source's v0
+    census, then each micro-batch of the `acidtable-cdf-parallel`
+    stream (one commit per batch, read-limited) applies its deltas
+    (+1 per insert, −1 per delete) through `AcidTable.merge_add` — an
+    atomic commit per batch on the downstream side. The final
+    downstream state must equal the census of the source's LATEST
+    snapshot (the oracle computes that directly), with `n_batches`
+    pinned: the consumer read two bounded delta batches, never the
+    source table. At 100 TB this is the whole point of the stack: churn
+    flows as change files sized by the delta, the stream fans them over
+    executors, and the maintained aggregate never rescans anything."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..operators.queue import queue_df
+    from .tables import load_table
+
+    src_dir = scratch / "cdf_ivm_src"
+    down_dir = scratch / "cdf_ivm_down"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(down_dir, ignore_errors=True)
+    state = (queue_df(load_table(spark, sf_dir, "orders"))
+             .filter(F.col("file_id") % 10 == 0)
+             .select("file_id", "status"))
+    src = AcidTable.create(spark, src_dir, state, enable_cdf=True)
+    down = AcidTable.create(
+        spark, down_dir,
+        src.read().groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n")))          # seeded from v0
+    low5 = (src.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    src.merge(low5.select("file_id", F.lit(1).alias("status")),
+              key=["file_id"])                               # v1
+    src.append(spark.createDataFrame(
+        [(999999901, 0), (999999902, 1), (999999903, 0)],
+        "file_id long, status int"))                         # v2
+
+    def apply_deltas(batch: DataFrame, batch_id: int) -> None:
+        partial = (batch.groupBy("status")
+                   .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                              .otherwise(-1)).alias("n")))
+        down.merge_add(partial, key=["status"])
+
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    n_batches, _ = _drain_incremental(
+        spark.readStream.format("acidtable-cdf-parallel")
+        .option("path", str(src_dir))
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").foreachBatch(apply_deltas))
+    return (down.read().filter(F.col("n") > 0)
+            .withColumn("n_batches", F.lit(n_batches)))
+
+
+STREAMING_CDF_IVM_ORACLE = """
+WITH queue AS (SELECT * FROM ({queue_sql}) q WHERE file_id % 10 = 0),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+latest AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM low5) THEN 1
+              ELSE status END AS status
+  FROM queue
+  UNION ALL
+  SELECT * FROM (VALUES (999999901, 0), (999999902, 1),
+                        (999999903, 0)) AS a(file_id, status))
+SELECT status, COUNT(*) AS n, 2 AS n_batches
+FROM latest GROUP BY status
+"""
+
+
 def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
     """The CDF consumed as a STREAM: commit the three-version claim
     scenario, then drain `readStream.format("acidtable-cdf")` from
