@@ -38,6 +38,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def collect_parquet_stats(dir_path) -> list[dict]:
+    """Per-file [min, max] column stats harvested from the parquet
+    footers just written — the manifest-level data-skipping index
+    (Delta/Iceberg file stats): a reader with a range predicate opens
+    only files whose extent overlaps it, without touching the others'
+    footers. JSON-safe types only (int/float/str); columns without
+    usable stats are simply absent (reader treats absent as
+    can't-skip, never as wrong-skip). Module-level so SparkSession-free
+    contexts (the Python DataSource stream WRITER's driver-side commit)
+    can build manifests with the same index."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(Path(dir_path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        stats: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str)):
+                    continue
+                name = col.path_in_schema
+                if name in stats:
+                    stats[name] = [min(stats[name][0], mn),
+                                   max(stats[name][1], mx)]
+                else:
+                    stats[name] = [mn, mx]
+        out.append({"path": f.name, "rows": md.num_rows, "stats": stats})
+    return out
+
+
 class CommitConflict(Exception):
     """Another writer owns the attempted version; caller must re-read."""
 
@@ -174,42 +215,7 @@ class AcidTable:
         return rel
 
     def _collect_stats(self, data_rel: str) -> list[dict]:
-        """Per-file [min, max] column stats harvested from the parquet
-        footers just written — the manifest-level data-skipping index
-        (Delta/Iceberg file stats): a reader with a range predicate opens
-        only files whose extent overlaps it, without touching the others'
-        footers. JSON-safe types only (int/float/str); columns without
-        usable stats are simply absent (reader treats absent as
-        can't-skip, never as wrong-skip)."""
-        import pyarrow.parquet as pq
-
-        out = []
-        for f in sorted((self.path / data_rel).glob("*.parquet")):
-            md = pq.ParquetFile(f).metadata
-            stats: dict[str, list] = {}
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                for ci in range(row_group.num_columns):
-                    col = row_group.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    mn, mx = st.min, st.max
-                    if isinstance(mn, bytes):
-                        try:
-                            mn, mx = mn.decode(), mx.decode()
-                        except UnicodeDecodeError:
-                            continue
-                    if not isinstance(mn, (int, float, str)):
-                        continue
-                    name = col.path_in_schema
-                    if name in stats:
-                        stats[name] = [min(stats[name][0], mn),
-                                       max(stats[name][1], mx)]
-                    else:
-                        stats[name] = [mn, mx]
-            out.append({"path": f.name, "rows": md.num_rows, "stats": stats})
-        return out
+        return collect_parquet_stats(self.path / data_rel)
 
     def _parent_txns(self, version: int) -> dict:
         """The cumulative {app_id: latest batch_id} writer-transaction map

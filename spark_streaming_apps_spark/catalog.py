@@ -1159,6 +1159,16 @@ register("streaming_cdf_ivm",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: pysource.streaming_cdf_ivm(s, d, SCRATCH))
 
+
+def _acid_sink_oracle() -> str:
+    from .streaming.jobs import N_STREAM_FILES
+    return pysource.ACID_STREAM_SINK_ORACLE.format(
+        n_stream_files=N_STREAM_FILES)
+
+
+register("acid_stream_sink", oracle=_acid_sink_oracle()
+         )(lambda s, d: pysource.acid_stream_sink(s, d, SCRATCH))
+
 register("kafka_mock_stream", oracle=pysource.KAFKA_MOCK_ORACLE
          )(lambda s, d: pysource.kafka_mock_stream(s, d, SCRATCH))
 

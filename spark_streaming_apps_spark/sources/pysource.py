@@ -17,8 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 LCG_A = 1103515245
 LCG_C = 12345
@@ -122,11 +124,27 @@ class AcidTableDataSource(DataSource):
       extent on ``col`` cannot overlap [lo, hi] (the reader still
       applies no residual filter — pair with `.filter` for exactness,
       as `read_range` does; pruning here only removes provably-empty
-      IO, never rows that could match)."""
+      IO, never rows that could match).
+
+    WRITE side (`df.writeStream.format("acidtable")`): an exactly-once
+    streaming SINK through the same seam — executors write each
+    partition's rows as staged parquet, and one driver-side commit per
+    micro-batch links staged + parent files into a new version with the
+    (appId, batchId) fence riding the manifest's txn map, so a replayed
+    batch after restart is a no-op (the `AcidTable.append_txn` contract
+    without a SparkSession anywhere in the sink path). Option ``appId``
+    names the writer (default ``acid-sink``)."""
 
     @classmethod
     def name(cls) -> str:
         return "acidtable"
+
+    def streamWriter(self, schema, overwrite: bool):
+        from pyspark.sql.pandas.types import to_arrow_type
+        pa_fields = [(f.name, to_arrow_type(f.dataType))
+                     for f in schema.fields]
+        return AcidStreamWriter(self.options["path"], pa_fields,
+                                self.options.get("appid", "acid-sink"))
 
     def _manifest(self) -> dict:
         import json
@@ -160,6 +178,144 @@ class AcidTableDataSource(DataSource):
             keep = ([f["path"] for f in files] if files else
                     sorted(p.name for p in Path(base).glob("*.parquet")))
         return AcidTableReader([f"{base}/{p}" for p in keep])
+
+
+class AcidSinkMessage(WriterCommitMessage):
+    def __init__(self, files: list, stages: list):
+        self.files, self.stages = files, stages
+
+
+class AcidStreamWriter(DataSourceStreamWriter):
+    """Exactly-once AcidTable sink — the data plane is pure executor
+    parquet IO, the control plane one optimistic manifest swap:
+
+    * ``write(iterator)`` (executor, per partition): batch the rows
+      into one staged parquet file under ``data/stage-*`` via pyarrow.
+    * ``commit(messages, batchId)`` (driver): if the manifest's txn map
+      already fences (appId, batchId) → clean staging and return (the
+      replayed-batch no-op); else build ``data/commit-*`` by
+      HARDLINKING the parent snapshot's files plus the staged files
+      (metadata ops, no data copied — the local-FS stand-in for a
+      manifest-list format, where this step is pure metadata too),
+      harvest footer stats, and O_EXCL-create the next manifest.
+      Conflicts with concurrent writers retry against the winner, same
+      as every AcidTable commit. On CDF tables the staged rows are also
+      recorded as insert change files.
+    * ``abort``: remove staged files.
+    """
+
+    def __init__(self, path: str, pa_fields, app_id: str):
+        self.path = path
+        self.pa_fields = pa_fields
+        self.app_id = app_id
+
+    def write(self, iterator):
+        import uuid as _uuid
+        from pathlib import Path
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return AcidSinkMessage([], [])
+        cols = list(zip(*rows))
+        arrays = [pa.array(list(c), type=t)
+                  for c, (_, t) in zip(cols, self.pa_fields)]
+        tbl = pa.Table.from_arrays(arrays,
+                                   [n for n, _ in self.pa_fields])
+        stage = Path(self.path) / "data" / f"stage-{_uuid.uuid4().hex}"
+        stage.mkdir(parents=True, exist_ok=True)
+        f = stage / f"sink-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, f)
+        return AcidSinkMessage([str(f)], [str(stage)])
+
+    def _cleanup(self, messages) -> None:
+        import shutil
+        for m in messages:
+            for s in getattr(m, "stages", []):
+                shutil.rmtree(s, ignore_errors=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        import shutil
+        import uuid as _uuid
+        from pathlib import Path
+
+        from ..acid import collect_parquet_stats
+
+        root = Path(self.path)
+        manifests = root / "manifests"
+        staged = [f for m in messages for f in getattr(m, "files", [])]
+        try:
+            for _ in range(20):
+                vs = [int(p.stem[1:]) for p in manifests.glob("v*.json")]
+                v = max(vs)
+                m = json.loads((manifests / f"v{v}.json").read_text())
+                txns = m.get("txns") or {}
+                if batchId <= txns.get(self.app_id, -1):
+                    return                    # replayed batch: fenced
+                table_cols = [f["name"] for f in m["schema"]["fields"]]
+                if table_cols != [n for n, _ in self.pa_fields]:
+                    raise RuntimeError(
+                        f"acidtable sink schema {self.pa_fields} does "
+                        f"not match table columns {table_cols}")
+                new_rel = f"data/commit-{_uuid.uuid4().hex}"
+                dest = root / new_rel
+                dest.mkdir(parents=True)
+                for f in sorted((root / m["data"]).glob("*.parquet")):
+                    os.link(f, dest / f.name)         # parent snapshot
+                for fp in staged:
+                    os.link(fp, dest / Path(fp).name)  # this batch
+                manifest = {
+                    "version": v + 1, "data": new_rel,
+                    "schema": m["schema"], "op": "stream_sink",
+                    "parent": v,
+                    "txns": {**txns, self.app_id: batchId},
+                    "txn": f"{self.app_id}#{batchId}",
+                    "files": collect_parquet_stats(dest),
+                }
+                v0 = json.loads((manifests / "v0.json").read_text())
+                if v0.get("props", {}).get("cdf"):
+                    ch_rel = f"data/changes-{_uuid.uuid4().hex}"
+                    self._record_changes(root, ch_rel, staged)
+                    manifest["changes"] = ch_rel
+                try:
+                    with open(manifests / f"v{v + 1}.json", "x") as fh:
+                        json.dump(manifest, fh)
+                    return
+                except FileExistsError:       # lost the race: retry on top
+                    shutil.rmtree(dest, ignore_errors=True)
+                    if "changes" in manifest:
+                        shutil.rmtree(root / manifest["changes"],
+                                      ignore_errors=True)
+            raise RuntimeError(
+                f"acidtable sink gave up after 20 conflicted commits "
+                f"at {self.path}")
+        finally:
+            self._cleanup(messages)
+
+    def _record_changes(self, root, ch_rel: str, staged: list) -> None:
+        """CDF tables: the appended rows ARE the delta — rewrite each
+        staged file with a constant _change_type='insert' column into
+        the commit's change dir."""
+        from pathlib import Path
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        chdir = root / ch_rel
+        chdir.mkdir(parents=True)
+        for fp in staged:
+            tbl = pq.read_table(fp)
+            tbl = tbl.append_column(
+                "_change_type",
+                pa.array(["insert"] * tbl.num_rows, pa.string()))
+            pq.write_table(tbl, chdir / Path(fp).name)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
 
 
 class AcidTableReader(DataSourceReader):
@@ -789,6 +945,61 @@ def acid_cdf_parallel_stream(spark: SparkSession, sf_dir: str,
                  F.min("file_id").alias("min_id"),
                  F.max("file_id").alias("max_id"))
             .withColumn("n_batches", F.lit(n_batches)))
+
+
+def acid_stream_sink(spark: SparkSession, sf_dir: str,
+                     scratch) -> DataFrame:
+    """The Python DataSource WRITE seam, exactly-once: the staged events
+    backlog streams INTO an AcidTable via
+    ``writeStream.format("acidtable")`` — executors stage parquet,
+    each micro-batch lands as one batch-fenced manifest commit (one
+    table version per micro-batch). The stream is drained TWICE against
+    the same checkpoint (restart/replay: the second drain's batches are
+    fenced no-ops), then the committed snapshot's census must equal the
+    batch aggregate over the events table exactly — no row lost, none
+    doubled — and the version history must show one stream_sink commit
+    per micro-batch."""
+    import shutil
+    from pathlib import Path as _P
+
+    from ..acid import AcidTable
+    from ..streaming.jobs import _fresh, _run_available_now, events_stream
+
+    table_dir = scratch / "acid_stream_sink"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    AcidTable.create(
+        spark, table_dir,
+        spark.createDataFrame([], "event_id long, user_id long, "
+                              "value6 long"))
+    spark.dataSource.register(AcidTableDataSource)
+    _, ckpt = _fresh(f"acid_sink_{_P(sf_dir).name}")
+    for _ in range(2):                     # second drain = restart/replay
+        _run_available_now(
+            events_stream(spark, sf_dir)
+            .select("event_id", "user_id",
+                    (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                    .cast("bigint").alias("value6"))
+            .writeStream.format("acidtable")
+            .option("path", str(table_dir)).option("appId", "eo-acid")
+            .option("checkpointLocation", ckpt))
+    t = AcidTable(spark, table_dir)
+    n_commits = sum(
+        1 for v in range(t.latest_version() + 1)
+        if t._manifest(v)["op"] == "stream_sink")
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        (F.sum("value6").cast("double") / 1e6).alias("sum_value"))
+        .withColumn("n_commits", F.lit(n_commits)))
+
+
+ACID_STREAM_SINK_ORACLE = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            AS DOUBLE) / 1e6 AS sum_value,
+       {n_stream_files} AS n_commits
+FROM events
+"""
 
 
 def streaming_cdf_ivm(spark: SparkSession, sf_dir: str,

@@ -332,3 +332,57 @@ def test_cdf_parallel_stream_requires_cdf_table(spark, tmp_path):
                        match="recorded no change files"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_acid_stream_sink_exactly_once_and_cdf(spark, tmp_path):
+    """writeStream.format('acidtable'): one batch-fenced commit per
+    micro-batch; a re-drain of the same checkpoint replays nothing; on
+    a CDF-enabled table the sink records its batches as insert change
+    files readable via read_changes after snapshot vacuum."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    con = duckdb.connect()
+    for i in range(3):
+        con.execute(f"""
+            COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                         CAST({i} AS BIGINT) AS user_id
+                  FROM range({i * 10}, {i * 10 + 10}))
+            TO '{src}/f{i}.parquet' (FORMAT PARQUET)""")
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "event_id long, user_id long"),
+        enable_cdf=True)
+    spark.dataSource.register(AcidTableDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.schema("event_id long, user_id long")
+             .option("maxFilesPerTrigger", 1).parquet(str(src))
+             .writeStream.format("acidtable")
+             .option("path", str(tmp_path / "t"))
+             .option("appId", "sinkT")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    v_after = t.latest_version()
+    assert t.read().count() == 30
+    ops = [t._manifest(v)["op"] for v in range(v_after + 1)]
+    assert ops.count("stream_sink") == 3          # one commit per batch
+    drain()                                       # replay: all fenced
+    assert t.latest_version() == v_after
+    assert t.read().count() == 30
+    # CDF recorded by the sink: feed survives snapshot vacuum
+    t.vacuum(keep_last=1)
+    ch = t.read_changes(0, v_after)
+    assert ch.count() == 30
+    assert {r._change_type for r in ch.collect()} == {"insert"}
+    # pruning still works off the sink-built manifest stats
+    files, total = t.pruned_files("event_id", 0, 5)
+    assert len(files) < total
