@@ -317,6 +317,27 @@ def update_sql(spark: SparkSession, stmt: str,
     return tables[name]._commit_loop(build, "update_sql")
 
 
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<tbl>[\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[\w.,\s]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE)
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<tbl>[\w.]+)"
+    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def _lookup(tables: dict[str, AcidTable], name: str, verb: str) -> AcidTable:
+    if name not in tables:
+        raise ValueError(f"unknown {verb} target {name!r}; "
+                         f"registered: {sorted(tables)}")
+    return tables[name]
+
+
 def acid_sql(spark: SparkSession, stmt: str,
              tables: dict[str, AcidTable]) -> DataFrame | int:
     """The table format's SQL front door — reference users write SQL, so
@@ -327,6 +348,10 @@ def acid_sql(spark: SparkSession, stmt: str,
     * ``DELETE FROM <t> [WHERE ...]`` / ``UPDATE <t> SET ... [WHERE
       ...]`` → :func:`delete_sql` / :func:`update_sql` — atomic
       row-level mutations (returns the committed version);
+    * ``DESCRIBE HISTORY <t>`` → the audit DataFrame;
+      ``OPTIMIZE <t> [ZORDER BY (cols)]`` → compact / relayout;
+      ``VACUUM <t> [RETAIN n VERSIONS]`` → snapshot retention — the
+      Delta maintenance-statement trio;
     * ``... <t> VERSION AS OF n ...`` (Delta spelling; Iceberg's
       ``FOR VERSION AS OF`` accepted too) → each time-travel reference
       is bound to that registered table's snapshot ``n`` as a temp view
@@ -345,6 +370,22 @@ def acid_sql(spark: SparkSession, stmt: str,
         return delete_sql(spark, stmt, tables)
     if re.match(r"\s*UPDATE\b", stmt, re.IGNORECASE):
         return update_sql(spark, stmt, tables)
+    m = _HISTORY_RE.match(stmt)
+    if m:                                # DESCRIBE HISTORY <t>
+        return _lookup(tables, m.group("tbl"), "DESCRIBE HISTORY").history()
+    m = _OPTIMIZE_RE.match(stmt)
+    if m:                                # OPTIMIZE <t> [ZORDER BY (cols)]
+        t = _lookup(tables, m.group("tbl"), "OPTIMIZE")
+        cols = m.group("cols")
+        if cols:
+            return t.relayout([c.strip() for c in cols.split(",")])
+        return t.compact()
+    m = _VACUUM_RE.match(stmt)
+    if m:                                # VACUUM <t> [RETAIN n VERSIONS]
+        t = _lookup(tables, m.group("tbl"), "VACUUM")
+        keep = int(m.group("keep")) if m.group("keep") else 2
+        t.vacuum(keep_last=keep)
+        return t.latest_version()
     bound: list[str] = []
     try:
         def bind(m: re.Match) -> str:

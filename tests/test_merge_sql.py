@@ -220,3 +220,27 @@ def test_cardinality_check_allows_duplicate_target_rows(spark, tmp_path):
     """, tables={"tgt": t})
     rows = sorted((r.id, r.val) for r in t.read().collect())
     assert rows == [(1, 99), (1, 99), (2, 20)]
+
+
+def test_maintenance_statements(spark, tmp_path):
+    """DESCRIBE HISTORY / OPTIMIZE [ZORDER BY] / VACUUM RETAIN through
+    the SQL front door — the Delta maintenance trio."""
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)],
+                               "id long, s int")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    acid_sql(spark, "UPDATE tbl SET s = 9 WHERE id < 5", tables={"tbl": t})
+    v = acid_sql(spark, "OPTIMIZE tbl ZORDER BY (id)", tables={"tbl": t})
+    assert t._manifest(v)["op"] == "relayout"
+    v = acid_sql(spark, "OPTIMIZE tbl", tables={"tbl": t})
+    assert t._manifest(v)["op"] == "compact"
+    hist = acid_sql(spark, "DESCRIBE HISTORY tbl", tables={"tbl": t})
+    assert [r.op for r in hist.orderBy("version").collect()] == \
+        ["create", "update_sql", "relayout", "compact"]
+    acid_sql(spark, "VACUUM tbl RETAIN 1 VERSIONS", tables={"tbl": t})
+    assert t.read().count() == 100                 # latest still serves
+    import pytest
+    with pytest.raises(VersionVacuumedError):
+        t.read(0)
