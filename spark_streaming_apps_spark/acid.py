@@ -83,6 +83,12 @@ class CommitConflict(Exception):
     """Another writer owns the attempted version; caller must re-read."""
 
 
+class ConstraintViolation(Exception):
+    """A commit produced rows that fail a table CHECK constraint; the
+    commit is refused before any manifest is written (Delta CHECK
+    semantics: the expression must evaluate TRUE — NULL violates)."""
+
+
 class VersionVacuumedError(RuntimeError):
     """A read needs a version whose data files were vacuumed. Raised
     LOUDLY instead of serving a silently-empty snapshot or a partial
@@ -280,10 +286,59 @@ class AcidTable:
         ch.write.parquet(str(self.path / rel))
         return rel
 
+    def constraints(self) -> dict[str, str]:
+        """{name: CHECK expression} currently in force (rides every
+        manifest from the add_constraint commit onward)."""
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return self._manifest(v).get("constraints", {})
+
+    def _check_constraints(self, out: DataFrame,
+                           cons: dict[str, str]) -> None:
+        for name, expr in cons.items():
+            bad = out.filter(f"NOT ({expr}) OR ({expr}) IS NULL") \
+                .limit(1).take(1)
+            if bad:
+                raise ConstraintViolation(
+                    f"constraint {name!r} ({expr}) violated, e.g. by row "
+                    f"{bad[0].asDict()}; commit refused")
+
+    def add_constraint(self, name: str, expr: str,
+                       max_retries: int = 20) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): existing rows
+        must already satisfy it (Delta's rule), then the constraint
+        rides every future manifest and every subsequent commit is
+        validated against it before any manifest is written. The commit
+        SHARES the parent's data dir — a pure metadata version."""
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            self._check_constraints(cur, {name: expr})
+            m = self._manifest(v)
+            if self._try_commit(
+                    v + 1, m["data"], m["schema"], "add_constraint",
+                    constraints={**m.get("constraints", {}), name: expr}):
+                return v + 1
+        raise CommitConflict(
+            f"gave up adding constraint after {max_retries} conflicts")
+
+    def drop_constraint(self, name: str, max_retries: int = 20) -> int:
+        for _ in range(max_retries):
+            v, _cur = self.snapshot()
+            m = self._manifest(v)
+            cons = {k: x for k, x in m.get("constraints", {}).items()
+                    if k != name}
+            if self._try_commit(v + 1, m["data"], m["schema"],
+                                "drop_constraint", constraints=cons):
+                return v + 1
+        raise CommitConflict(
+            f"gave up dropping constraint after {max_retries} conflicts")
+
     def _try_commit(self, version: int, data_rel: str, schema,
                     op: str, txn: str | None = None,
                     changes_rel: str | None = None,
-                    props: dict | None = None) -> bool:
+                    props: dict | None = None,
+                    constraints: dict | None = None) -> bool:
         # Every manifest carries the CUMULATIVE {app_id: latest batch_id}
         # map (Delta's setTransactions pattern), so the streaming replay
         # check in append_txn reads ONE manifest — O(1) per commit instead
@@ -302,6 +357,12 @@ class AcidTable:
             manifest["changes"] = changes_rel
         if props is not None:
             manifest["props"] = props
+        # constraints ride every manifest once added (like txns):
+        # explicit param on the add/drop commits, inherited otherwise
+        if constraints is None and version > 0:
+            constraints = self._manifest(version - 1).get("constraints")
+        if constraints:
+            manifest["constraints"] = constraints
         try:
             # the atomic swap: exactly one creator per manifest path
             with open(self._manifests / f"v{version}.json", "x") as fh:
@@ -324,6 +385,12 @@ class AcidTable:
         for _ in range(max_retries):
             v, cur = self.snapshot()
             out = build(cur)
+            cons = self._manifest(v).get("constraints", {})
+            if cons:                     # refuse BEFORE any data IO;
+                # pure appends only need the NEW rows checked (existing
+                # rows passed at their own commit time)
+                self._check_constraints(
+                    insert_hint if insert_hint is not None else out, cons)
             rel = self._write_data(out)
             ch_rel = (self._write_changes(cur, out, op, insert_hint)
                       if cdf else None)
@@ -414,6 +481,10 @@ class AcidTable:
                      for i in range(v + 1)):
                 return None  # legacy manifest chain: one-time full scan
             out = cur.unionByName(rows)
+            cons = newest.get("constraints", {})
+            if cons:
+                # appends only need the NEW rows checked
+                self._check_constraints(rows, cons)
             rel = self._write_data(out)
             ch_rel = (self._write_changes(cur, out, "append_txn",
                                           insert_hint=rows)

@@ -1121,6 +1121,11 @@ register("update_delete_sql",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.update_delete_sql(s, d, SCRATCH))
 
+register("acid_constraints",
+         oracle=extensions.ACID_CONSTRAINTS_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_constraints(s, d, SCRATCH))
+
 register("acid_file_skipping", oracle=extensions.ACID_SKIP_ORACLE
          )(lambda s, d: extensions.acid_file_skipping(s, d, SCRATCH))
 

@@ -317,6 +317,15 @@ def update_sql(spark: SparkSession, stmt: str,
     return tables[name]._commit_loop(build, "update_sql")
 
 
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
+
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
 
@@ -370,6 +379,14 @@ def acid_sql(spark: SparkSession, stmt: str,
         return delete_sql(spark, stmt, tables)
     if re.match(r"\s*UPDATE\b", stmt, re.IGNORECASE):
         return update_sql(spark, stmt, tables)
+    m = _ADD_CONSTRAINT_RE.match(stmt)
+    if m:                                # ALTER TABLE ADD CONSTRAINT
+        return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
+            .add_constraint(m.group("name"), m.group("expr").strip())
+    m = _DROP_CONSTRAINT_RE.match(stmt)
+    if m:                                # ALTER TABLE DROP CONSTRAINT
+        return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
+            .drop_constraint(m.group("name"))
     m = _HISTORY_RE.match(stmt)
     if m:                                # DESCRIBE HISTORY <t>
         return _lookup(tables, m.group("tbl"), "DESCRIBE HISTORY").history()

@@ -751,6 +751,65 @@ FROM fin GROUP BY status
 """
 
 
+def acid_constraints(spark: SparkSession, sf_dir: str,
+                     scratch: Path) -> DataFrame:
+    """Table CHECK constraints enforced at commit time (Delta's ALTER
+    TABLE ADD CONSTRAINT): the queue table takes `status BETWEEN 0 AND
+    4` and `file_id IS NOT NULL` via SQL, a legal claim transition
+    commits, and an illegal one (status 99) is REFUSED before any
+    manifest is written — the census proves the violating batch left no
+    trace. Validation is one filter scan of the commit's result
+    (appends check only the new rows); at 100 TB the check rides the
+    same job that writes the data."""
+    import shutil
+
+    from ..acid import AcidTable, ConstraintViolation
+    from ..merge_sql import acid_sql
+    from ..operators.queue import queue_df
+    from ..sources.tables import load_table
+
+    table_dir = scratch / "acid_constraints"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    state = queue_df(load_table(spark, sf_dir, "orders")) \
+        .select("file_id", "status")
+    t = AcidTable.create(spark, table_dir, state)
+    acid_sql(spark, "ALTER TABLE q ADD CONSTRAINT status_band "
+                    "CHECK (status BETWEEN 0 AND 4)", tables={"q": t})
+    acid_sql(spark, "ALTER TABLE q ADD CONSTRAINT pk_not_null "
+                    "CHECK (file_id IS NOT NULL)", tables={"q": t})
+    low5 = (t.read().filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    t.merge(low5.select("file_id", F.lit(1).alias("status")),
+            key=["file_id"])                       # legal transition
+    refused = 0
+    try:
+        acid_sql(spark, "UPDATE q SET status = 99 WHERE status = 1",
+                 tables={"q": t})
+    except ConstraintViolation:
+        refused = 1                                # illegal: no trace
+    return (t.read().groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"),
+                 F.max("file_id").alias("max_id"))
+            .withColumn("n_constraints", F.lit(len(t.constraints())))
+            .withColumn("refused", F.lit(refused)))
+
+
+ACID_CONSTRAINTS_ORACLE = """
+WITH queue AS ({queue_sql}),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+post AS (
+  SELECT file_id,
+         CASE WHEN file_id IN (SELECT file_id FROM low5) THEN 1
+              ELSE status END AS status
+  FROM queue)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       max(file_id) AS max_id, 2 AS n_constraints, 1 AS refused
+FROM post GROUP BY status
+"""
+
+
 def time_travel_sql(spark: SparkSession, sf_dir: str,
                     scratch: Path) -> DataFrame:
     """acid_time_travel's statement twin: the three-version claim

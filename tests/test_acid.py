@@ -723,3 +723,42 @@ def test_cdf_feed_survives_snapshot_vacuum(spark, tmp_path):
     assert t.read_changes(2, 4).count() == 2      # retained tail (v3, v4)
     with pytest.raises(VersionVacuumedError):
         t.read_changes(0, 4)                      # pruned range is loud
+
+
+def test_check_constraints_enforced_on_commits(spark, tmp_path):
+    """Delta CHECK semantics: adding a constraint validates existing
+    rows; every later commit (merge, append, append_txn, SQL DML) is
+    refused before any manifest is written if its result violates; NULL
+    violates; drop lifts enforcement."""
+    import pytest
+
+    from spark_streaming_apps_spark.acid import ConstraintViolation
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0), (2, 3)], "id long, s int"))
+    acid_sql(spark,
+             "ALTER TABLE tbl ADD CONSTRAINT s_band CHECK (s BETWEEN 0 AND 4)",
+             tables={"tbl": t})
+    assert t.constraints() == {"s_band": "s BETWEEN 0 AND 4"}
+    v_ok = t.append(spark.createDataFrame([(3, 4)], "id long, s int"))
+    with pytest.raises(ConstraintViolation, match="s_band"):
+        t.append(spark.createDataFrame([(4, 9)], "id long, s int"))
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(1, -1)], "id long, s int"),
+                key=["id"])
+    with pytest.raises(ConstraintViolation):    # NULL violates
+        t.append(spark.createDataFrame([(5, None)], "id long, s int"))
+    with pytest.raises(ConstraintViolation):
+        acid_sql(spark, "UPDATE tbl SET s = 99 WHERE id = 1",
+                 tables={"tbl": t})
+    assert t.latest_version() == v_ok           # nothing committed
+    assert t.read().count() == 3
+    # existing violations block ADD
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("impossible", "s > 100")
+    acid_sql(spark, "ALTER TABLE tbl DROP CONSTRAINT s_band",
+             tables={"tbl": t})
+    t.append(spark.createDataFrame([(4, 9)], "id long, s int"))  # now fine
+    assert t.read().count() == 4
