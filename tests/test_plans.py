@@ -302,3 +302,47 @@ def test_aqe_splits_skewed_join_partition(spark):
     after = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in after
     assert "skew=true" in after, after[:3000]
+
+
+def test_merge_sql_compiles_to_single_keyed_exchange(spark, tmp_path):
+    """The compiled MERGE's data plane must stay ONE keyed full-outer
+    shuffle — the statement form may not plan worse than the
+    AcidTable.merge API it mirrors (cardinality check off: that extra
+    aggregate is an opt-out validation pass, not the data plane)."""
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.merge_sql import parse_merge
+    from spark_streaming_apps_spark.plans import _op_count
+
+    df = spark.createDataFrame([(i, i) for i in range(100)],
+                               "id long, val long")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    spark.createDataFrame([(1, 99), (200, 5)], "id long, val long") \
+        .createOrReplaceTempView("plan_merge_src")
+    # compile the statement's build plan without committing
+    import spark_streaming_apps_spark.merge_sql as M
+    mg = parse_merge("""
+        MERGE INTO tgt t USING plan_merge_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+    """)
+    captured = {}
+    orig = AcidTable._commit_loop
+
+    def spy(self, build, op, max_retries=20, insert_hint=None):
+        captured["plan_df"] = build(self.read())
+        return orig(self, build, op, max_retries, insert_hint)
+    AcidTable._commit_loop = spy
+    try:
+        M.merge_into_sql(spark, """
+            MERGE INTO tgt t USING plan_merge_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET val = s.val
+            WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+        """, tables={"tgt": t}, check_cardinality=False)
+    finally:
+        AcidTable._commit_loop = orig
+    out = captured["plan_df"]
+    # small source side: AQE/Catalyst may broadcast it (0 join exchange)
+    # or shuffle both sides (2); it must never exceed the keyed pair
+    assert _op_count(out, "Exchange") <= 2
+    assert _op_count(out, "CartesianProduct") == 0
+    assert mg.update_set == {"val": "s.val"}
