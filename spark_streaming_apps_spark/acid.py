@@ -440,6 +440,34 @@ class AcidTable:
                     .filter(F.col("__rn") == 1).drop("__rn"))
         return self._commit_loop(build, "merge_keep_latest", max_retries)
 
+    def restore(self, version: int, max_retries: int = 20) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: make ``version``'s state
+        the NEW latest as a forward commit (history is never rewritten —
+        the restore is itself a version, Delta semantics). Pure metadata:
+        the new manifest shares the target version's data dir and file
+        stats; on CDF tables the restore records its effective deltas
+        (current→target diff) so downstream feeds see the rollback as
+        ordinary changes. Raises VersionVacuumedError if the target's
+        data is gone."""
+        target = self._manifest(version)
+        if not (self.path / target["data"]).is_dir():
+            raise VersionVacuumedError(
+                f"cannot restore {self.path} to vacuumed version {version}")
+        cdf = self.cdf_enabled()
+        for _ in range(max_retries):
+            v = self.latest_version()
+            ch_rel = None
+            if cdf:
+                ch_rel = self._write_changes(
+                    self.read(v), self.read(version), "restore")
+            if self._try_commit(v + 1, target["data"], target["schema"],
+                                "restore", changes_rel=ch_rel):
+                return v + 1
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up restoring after {max_retries} conflicted commits")
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per committed version straight from
         the manifests (version, op, parent, file/row counts) — the audit

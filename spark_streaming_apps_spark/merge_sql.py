@@ -326,6 +326,10 @@ _DROP_CONSTRAINT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+DROP\s+CONSTRAINT\s+"
     r"(?P<name>\w+)\s*;?\s*$", re.IGNORECASE)
 
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<v>\d+)\s*;?\s*$", re.IGNORECASE)
+
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
 
@@ -387,6 +391,10 @@ def acid_sql(spark: SparkSession, stmt: str,
     if m:                                # ALTER TABLE DROP CONSTRAINT
         return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
             .drop_constraint(m.group("name"))
+    m = _RESTORE_RE.match(stmt)
+    if m:                                # RESTORE TABLE <t> TO VERSION
+        return _lookup(tables, m.group("tbl"), "RESTORE") \
+            .restore(int(m.group("v")))
     m = _HISTORY_RE.match(stmt)
     if m:                                # DESCRIBE HISTORY <t>
         return _lookup(tables, m.group("tbl"), "DESCRIBE HISTORY").history()

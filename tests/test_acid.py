@@ -762,3 +762,37 @@ def test_check_constraints_enforced_on_commits(spark, tmp_path):
              tables={"tbl": t})
     t.append(spark.createDataFrame([(4, 9)], "id long, s int"))  # now fine
     assert t.read().count() == 4
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE is a forward commit sharing the target's data: history
+    survives, constraints stay in force, and on CDF tables the rollback
+    emits ordinary deltas so incremental consumers track it."""
+    import pytest
+
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0), (2, 0)], "id long, s int"),
+        enable_cdf=True)
+    t.merge(spark.createDataFrame([(1, 5)], "id long, s int"),
+            key=["id"])                                      # v1
+    t.append(spark.createDataFrame([(3, 0)], "id long, s int"))  # v2
+    v = acid_sql(spark, "RESTORE TABLE tbl TO VERSION AS OF 0",
+                 tables={"tbl": t})
+    assert v == 3
+    assert {(r.id, r.s) for r in t.read().collect()} == {(1, 0), (2, 0)}
+    assert t.read(2).count() == 3                  # history intact
+    # CDF sees the rollback as deltas: v3 deletes (1,5) and (3,0),
+    # inserts (1,0)
+    ch = {(r.id, r.s, r._change_type)
+          for r in t.read_changes(2, 3).collect()}
+    assert ch == {(1, 5, "delete"), (3, 0, "delete"), (1, 0, "insert")}
+    with pytest.raises(ValueError):
+        acid_sql(spark, "RESTORE TABLE ghost TO VERSION AS OF 0",
+                 tables={"tbl": t})
+    t.vacuum(keep_last=1)
+    with pytest.raises(VersionVacuumedError):
+        t.restore(1)
