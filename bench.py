@@ -128,6 +128,11 @@ BENCH_KEYS = [
     "jdbc_exactly_once_stream",
     "acid_cdf_parallel_stream",
     "acid_cdf_recorded",
+    "update_delete_sql",
+    "time_travel_sql",
+    "acid_constraints",
+    "streaming_cdf_ivm",
+    "acid_stream_sink",
 ]
 
 
