@@ -386,3 +386,50 @@ def test_acid_stream_sink_exactly_once_and_cdf(spark, tmp_path):
     # pruning still works off the sink-built manifest stats
     files, total = t.pruned_files("event_id", 0, 5)
     assert len(files) < total
+
+
+def test_acid_stream_sink_concurrent_writers(spark, tmp_path):
+    """Two streaming writers (distinct appIds) race commits into ONE
+    table: the optimistic manifest swap serializes them — every batch
+    from both lands exactly once, whatever the interleaving."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    con = duckdb.connect()
+    srcs = []
+    for w in range(2):
+        src = tmp_path / f"src{w}"
+        src.mkdir()
+        for i in range(3):
+            con.execute(f"""
+                COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                             CAST({w} AS BIGINT) AS user_id
+                      FROM range({w * 1000 + i * 10},
+                                 {w * 1000 + i * 10 + 10}))
+                TO '{src}/f{i}.parquet' (FORMAT PARQUET)""")
+        srcs.append(src)
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "event_id long, user_id long"))
+    spark.dataSource.register(AcidTableDataSource)
+
+    qs = []
+    for w, src in enumerate(srcs):
+        qs.append(
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+            .writeStream.format("acidtable")
+            .option("path", str(tmp_path / "t"))
+            .option("appId", f"w{w}")
+            .option("checkpointLocation", str(tmp_path / f"ck{w}"))
+            .trigger(availableNow=True).start())
+    for q in qs:
+        q.awaitTermination(180)
+    assert t.read().count() == 60                 # 2 writers x 30 rows
+    assert t.read().select("event_id").distinct().count() == 60
+    ops = [t._manifest(v)["op"] for v in range(t.latest_version() + 1)]
+    assert ops.count("stream_sink") == 6          # 3 commits per writer
+    txns = t._manifest(t.latest_version())["txns"]
+    assert txns == {"w0": 2, "w1": 2}             # both fenced at batch 2
