@@ -220,6 +220,170 @@ class AcidTable:
         df.write.parquet(str(self.path / rel))
         return rel
 
+    def _write_data_linked(self, parent: dict,
+                           rows: DataFrame) -> tuple[str, list[dict]]:
+        """APPEND fast path — O(delta), not O(table): write ONLY the new
+        rows as parquet, then build the commit's data dir by hardlinking
+        the parent snapshot's files next to them (metadata ops — the
+        local-FS stand-in for a manifest-list format, where this step is
+        a file-list concat). Manifest stats = parent's recorded stats +
+        footers of just the new files, so commit cost never scans old
+        data. Returns (data_rel, files stats list)."""
+        import os
+
+        rel = f"data/commit-{uuid.uuid4().hex}"
+        dest = self.path / rel
+        tmp = self.path / f"data/tmp-{uuid.uuid4().hex}"
+        rows.write.parquet(str(tmp))
+        dest.mkdir(parents=True)
+        tag = uuid.uuid4().hex[:8]
+        for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
+            shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_stats = collect_parquet_stats(dest)     # new files only so far
+        for f in sorted((self.path / parent["data"]).glob("*.parquet")):
+            os.link(f, dest / f.name)
+        return rel, (parent.get("files") or []) + new_stats
+
+    def _assemble_commit(self, rows: DataFrame, base: Path,
+                         link: list[dict]) -> tuple[str, list[dict]]:
+        """Build a commit's data dir from freshly-written ``rows`` plus
+        hardlinks to the specific parent files in ``link`` (each a
+        manifest stats entry whose file lives under ``base``). Stats are
+        harvested from the NEW files' footers only; linked files reuse
+        their recorded entries — no old data is opened."""
+        import os
+
+        rel = f"data/commit-{uuid.uuid4().hex}"
+        dest = self.path / rel
+        tmp = self.path / f"data/tmp-{uuid.uuid4().hex}"
+        rows.write.parquet(str(tmp))
+        dest.mkdir(parents=True)
+        tag = uuid.uuid4().hex[:8]
+        for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
+            shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+        new_stats = collect_parquet_stats(dest)     # new files only so far
+        for f in link:
+            os.link(base / f["path"], dest / f["path"])
+        return rel, list(link) + new_stats
+
+    def _cow_commit(self, probe, rewrite, op: str,
+                    max_retries: int = 20,
+                    empty_noop: bool = True) -> int:
+        """File-pruned copy-on-write commit — the Delta/Iceberg DML
+        discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
+        files), never O(table):
+
+        1. **Find pass** — scan ONLY the predicate columns (Catalyst
+           prunes the rest; parquet row-group stats skip inside the
+           scan) and collect the distinct ``_metadata.file_path`` of
+           rows ``probe`` says need rewriting. Driver state is a file
+           list — bounded by the manifest, which it already holds.
+        2. **Rewrite pass** — read just the touched files, apply
+           ``rewrite``, write the replacements; every untouched file is
+           carried into the new commit as a hardlink with its recorded
+           manifest stats (a file-list concat in a manifest-list
+           format — no data IO).
+
+        On a CDF table the change files are derived from the touched
+        subset only (one exceptAll pair over the rewritten files, not
+        the table). Falls back to the full-rewrite loop for legacy
+        manifests without per-file stats. Sets ``self.last_cow_stats``
+        = {files_rewritten, files_linked} for observability."""
+        import os
+
+        cdf = self.cdf_enabled()
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            files = m.get("files")
+            if not files:      # legacy manifest: no per-file bookkeeping
+                return self._commit_loop(rewrite, op, max_retries)
+            base = self.path / m["data"]
+            touched_names = {
+                os.path.basename(r["__path"]) for r in
+                probe(cur.withColumn("__path",
+                                     F.col("_metadata.file_path")))
+                .select("__path").distinct().collect()}
+            untouched = [f for f in files
+                         if f["path"] not in touched_names]
+            self.last_cow_stats = {
+                "files_rewritten": len(files) - len(untouched),
+                "files_linked": len(untouched)}
+            cons = m.get("constraints", {})
+            if not touched_names and empty_noop:
+                # predicate matched nothing: pure-metadata commit that
+                # shares the parent's data dir (the version still exists,
+                # so the op is observable and CDF-consistent)
+                ch_rel = (self._write_changes_pair(cur.limit(0),
+                                                   cur.limit(0))
+                          if cdf else None)
+                if self._try_commit(v + 1, m["data"], m["schema"], op,
+                                    changes_rel=ch_rel, files=files):
+                    return v + 1
+                if ch_rel:
+                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+                continue
+            schema = StructType.fromJson(m["schema"])
+            t_paths = [str(base / f["path"]) for f in files
+                       if f["path"] in touched_names]
+            touched = (self.spark.read.schema(schema).parquet(*t_paths)
+                       if t_paths
+                       else self.spark.createDataFrame([], schema))
+            out = rewrite(touched).select(*cur.columns)
+            if cons:
+                # untouched files are untouched rows — only the
+                # rewritten output needs re-validation
+                self._check_constraints(out, cons)
+            rel, stats = self._assemble_commit(out, base, untouched)
+            ch_rel = None
+            if cdf:
+                t_w, o_w = self._widen_for_diff(touched, out)
+                ch_rel = self._write_changes_pair(o_w.exceptAll(t_w),
+                                                  t_w.exceptAll(o_w))
+            if self._try_commit(v + 1, rel, m["schema"], op,
+                                changes_rel=ch_rel, files=stats):
+                return v + 1
+            shutil.rmtree(self.path / rel, ignore_errors=True)
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at {self.path}")
+
+    def delete_where(self, cond: str, max_retries: int = 20,
+                     op: str = "delete") -> int:
+        """Row-level DELETE as file-pruned copy-on-write: only files
+        holding a row where ``cond`` is TRUE are rewritten (without
+        their matching rows); the rest of the table is carried by
+        reference. NULL predicate rows survive (SQL DELETE semantics)."""
+        return self._cow_commit(
+            probe=lambda df: df.filter(cond),
+            rewrite=lambda df: df.filter(
+                f"NOT ({cond}) OR ({cond}) IS NULL"),
+            op=op, max_retries=max_retries)
+
+    def update_where(self, assigns: dict[str, str], cond: str,
+                     max_retries: int = 20, op: str = "update") -> int:
+        """Row-level UPDATE as file-pruned copy-on-write: files with no
+        row matching ``cond`` are provably unchanged and carried by
+        reference; touched files are rewritten with each assigned
+        column as a CASE over the predicate."""
+        low = {c.lower(): e for c, e in assigns.items()}
+
+        def rewrite(df: DataFrame) -> DataFrame:
+            unknown = set(low) - {c.lower() for c in df.columns}
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET of unknown column(s) {unknown}")
+            return df.selectExpr(*[
+                (f"CASE WHEN ({cond}) THEN ({low[c.lower()]}) "
+                 f"ELSE {c} END AS {c}") if c.lower() in low else c
+                for c in df.columns])
+        return self._cow_commit(
+            probe=lambda df: df.filter(cond), rewrite=rewrite,
+            op=op, max_retries=max_retries)
+
     def _collect_stats(self, data_rel: str) -> list[dict]:
         return collect_parquet_stats(self.path / data_rel)
 
@@ -279,6 +443,10 @@ class AcidTable:
         else:
             cur_w, out_w = self._widen_for_diff(cur, out)
             ins, dels = out_w.exceptAll(cur_w), cur_w.exceptAll(out_w)
+        return self._write_changes_pair(ins, dels)
+
+    def _write_changes_pair(self, ins: DataFrame, dels: DataFrame) -> str:
+        """Write an (inserts, deletes) pair as this commit's change files."""
         ch = (ins.withColumn("_change_type", F.lit("insert"))
               .unionByName(dels.withColumn("_change_type",
                                            F.lit("delete"))))
@@ -338,7 +506,8 @@ class AcidTable:
                     op: str, txn: str | None = None,
                     changes_rel: str | None = None,
                     props: dict | None = None,
-                    constraints: dict | None = None) -> bool:
+                    constraints: dict | None = None,
+                    files: list | None = None) -> bool:
         # Every manifest carries the CUMULATIVE {app_id: latest batch_id}
         # map (Delta's setTransactions pattern), so the streaming replay
         # check in append_txn reads ONE manifest — O(1) per commit instead
@@ -350,7 +519,8 @@ class AcidTable:
         manifest = {"version": version, "data": data_rel, "schema": schema,
                     "op": op, "parent": version - 1 if version else None,
                     "txns": txns,
-                    "files": self._collect_stats(data_rel)}
+                    "files": (files if files is not None
+                              else self._collect_stats(data_rel))}
         if txn is not None:
             manifest["txn"] = txn
         if changes_rel is not None:
@@ -384,18 +554,34 @@ class AcidTable:
         cdf = self.cdf_enabled()
         for _ in range(max_retries):
             v, cur = self.snapshot()
-            out = build(cur)
-            cons = self._manifest(v).get("constraints", {})
+            m = self._manifest(v)
+            cons = m.get("constraints", {})
+            # pure same-schema appends take the O(delta) linked path:
+            # only the new rows are written; the parent's files are
+            # hardlinked and its recorded stats reused — commit cost
+            # scales with the batch, never the table
+            linked = (insert_hint is not None
+                      and set(insert_hint.columns) == set(cur.columns))
             if cons:                     # refuse BEFORE any data IO;
-                # pure appends only need the NEW rows checked (existing
-                # rows passed at their own commit time)
+                # appends only need the NEW rows checked (existing rows
+                # passed at their own commit time)
                 self._check_constraints(
-                    insert_hint if insert_hint is not None else out, cons)
-            rel = self._write_data(out)
-            ch_rel = (self._write_changes(cur, out, op, insert_hint)
+                    insert_hint if insert_hint is not None
+                    else build(cur), cons)
+            if linked:
+                rows = insert_hint.select(*cur.columns)
+                rel, files = self._write_data_linked(m, rows)
+                schema_json = cur.schema.jsonValue()
+            else:
+                out = build(cur)
+                rel = self._write_data(out)
+                files = None
+                schema_json = out.schema.jsonValue()
+            ch_rel = (self._write_changes(cur, None if linked else out,
+                                          op, insert_hint)
                       if cdf else None)
-            if self._try_commit(v + 1, rel, out.schema.jsonValue(), op,
-                                changes_rel=ch_rel):
+            if self._try_commit(v + 1, rel, schema_json, op,
+                                changes_rel=ch_rel, files=files):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
             if ch_rel:
@@ -423,6 +609,33 @@ class AcidTable:
                             *[F.coalesce(f"__u_{c}", c).alias(c)
                               for c in val_cols]))
         return self._commit_loop(build, "merge", max_retries)
+
+    def merge_pruned(self, updates: DataFrame, key: list[str],
+                     max_retries: int = 20) -> int:
+        """``merge()`` with Delta-style touched-file pruning: the find
+        pass is a key-column-only semi-join scan collecting the files
+        that share a key with the update batch; only those files join
+        the updates (matched rows take update values), every other file
+        is carried by reference, and updates matching NO file insert —
+        they fall out of the same full-outer join, because a key absent
+        from every touched file is by construction absent from the
+        table. On a key-clustered table (``relayout(key)``) a narrow
+        update batch touches O(batch-extent) files, not the table."""
+        dedup_keys = updates.select(*key).distinct()
+
+        def probe(df: DataFrame) -> DataFrame:
+            return df.join(dedup_keys, key, "semi")
+
+        def rewrite(touched: DataFrame) -> DataFrame:
+            val_cols = [c for c in touched.columns if c not in key]
+            u = updates.select(*key, *[F.col(c).alias(f"__u_{c}")
+                                       for c in val_cols])
+            return (touched.join(u, key, "full_outer")
+                    .select(*key,
+                            *[F.coalesce(f"__u_{c}", c).alias(c)
+                              for c in val_cols]))
+        return self._cow_commit(probe, rewrite, "merge_pruned",
+                                max_retries, empty_noop=False)
 
     def merge_keep_latest(self, updates: DataFrame, key: list[str],
                           version_col: str, max_retries: int = 20) -> int:
@@ -508,18 +721,19 @@ class AcidTable:
             elif any(self._manifest(i).get("txn") == txn
                      for i in range(v + 1)):
                 return None  # legacy manifest chain: one-time full scan
-            out = cur.unionByName(rows)
             cons = newest.get("constraints", {})
             if cons:
                 # appends only need the NEW rows checked
                 self._check_constraints(rows, cons)
-            rel = self._write_data(out)
-            ch_rel = (self._write_changes(cur, out, "append_txn",
+            # O(delta) linked append — same fast path as append()
+            rel, files = self._write_data_linked(
+                newest, rows.select(*cur.columns))
+            ch_rel = (self._write_changes(cur, None, "append_txn",
                                           insert_hint=rows)
                       if self.cdf_enabled() else None)
-            if self._try_commit(v + 1, rel, out.schema.jsonValue(),
+            if self._try_commit(v + 1, rel, cur.schema.jsonValue(),
                                 op="append_txn", txn=txn,
-                                changes_rel=ch_rel):
+                                changes_rel=ch_rel, files=files):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
             if ch_rel:

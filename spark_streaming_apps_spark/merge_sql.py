@@ -276,25 +276,27 @@ def delete_sql(spark: SparkSession, stmt: str,
                tables: dict[str, AcidTable]) -> int:
     """``DELETE FROM <t> [WHERE cond]`` as one atomic commit: the new
     snapshot keeps exactly the rows the predicate does NOT match —
-    declarative anti-filter, no row locks, old versions stay readable.
-    Returns the committed version."""
+    no row locks, old versions stay readable. Served by the
+    file-pruned copy-on-write path (AcidTable.delete_where): only
+    files holding a matching row are rewritten, the rest carry over
+    by reference. Returns the committed version."""
     m = _DELETE_RE.match(stmt)
     if not m:
         raise ValueError(f"not a DELETE statement: {stmt[:80]!r}")
     name, cond = m.group("tbl"), (m.group("cond") or "TRUE").strip()
     if name not in tables:
         raise ValueError(f"unknown DELETE target {name!r}")
-    return tables[name]._commit_loop(
-        lambda cur: cur.filter(f"NOT ({cond}) OR ({cond}) IS NULL"),
-        "delete_sql")
+    return tables[name].delete_where(cond, op="delete_sql")
 
 
 def update_sql(spark: SparkSession, stmt: str,
                tables: dict[str, AcidTable]) -> int:
     """``UPDATE <t> SET col = expr [, ...] [WHERE cond]`` as one atomic
-    commit: every column becomes a CASE over the predicate — one scan,
-    one write, no shuffle at all (the narrow-transformation mutation).
-    Returns the committed version."""
+    commit: every column becomes a CASE over the predicate — a pure
+    narrow transformation, no shuffle at all. Served by the file-pruned
+    copy-on-write path (AcidTable.update_where): files with no matching
+    row are provably unchanged and carry over by reference. Returns
+    the committed version."""
     m = _UPDATE_RE.match(stmt)
     if not m:
         raise ValueError(f"not an UPDATE statement: {stmt[:80]!r}")
@@ -305,16 +307,7 @@ def update_sql(spark: SparkSession, stmt: str,
     for a in _split_top_level(m.group("sets")):
         col, expr = a.split("=", 1)
         assigns[col.strip().lower()] = expr.strip()
-
-    def build(cur: DataFrame) -> DataFrame:
-        unknown = set(assigns) - {c.lower() for c in cur.columns}
-        if unknown:
-            raise ValueError(f"UPDATE SET of unknown column(s) {unknown}")
-        return cur.selectExpr(*[
-            (f"CASE WHEN ({cond}) THEN ({assigns[c.lower()]}) "
-             f"ELSE {c} END AS {c}") if c.lower() in assigns else c
-            for c in cur.columns])
-    return tables[name]._commit_loop(build, "update_sql")
+    return tables[name].update_where(assigns, cond, op="update_sql")
 
 
 _ADD_CONSTRAINT_RE = re.compile(
