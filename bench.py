@@ -133,6 +133,7 @@ BENCH_KEYS = [
     "acid_constraints",
     "streaming_cdf_ivm",
     "acid_stream_sink",
+    "acid_pruned_dml",
 ]
 
 

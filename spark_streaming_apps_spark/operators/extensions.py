@@ -1279,6 +1279,71 @@ FROM lineitem WHERE l_orderkey BETWEEN {SKIP_LO} AND {SKIP_HI}
 """
 
 
+#: disjoint l_orderkey bands for the COW DML demo (populated at every sf)
+COW_DEL_LO, COW_DEL_HI = 320, 960
+COW_UPD_LO, COW_UPD_HI = 64, 256
+
+
+def acid_pruned_dml(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """Row-level DELETE + UPDATE as file-pruned copy-on-write — the
+    Delta/Iceberg DML discipline the reference's queue mutations
+    (FileWorkerApp.scala:207-227) need at 100 TB: a find pass scans
+    ONLY the predicate column and collects the touched
+    ``_metadata.file_path`` set, the rewrite pass rewrites just those
+    files, and every untouched file carries into the new commit as a
+    reference with its recorded manifest stats. On this key-clustered
+    table each narrow band touches O(band-extent) of the
+    {n_files} files; the ``*_pruned`` columns PROVE files were carried
+    by reference (the census oracle proves the rows are exactly the
+    logical filter/CASE result)."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_cow_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartitionByRange(N_RANGE_FILES, "l_orderkey")
+          .sortWithinPartitions("l_orderkey"))
+    t = AcidTable.create(spark, path, li)
+    t.delete_where(f"l_orderkey BETWEEN {COW_DEL_LO} AND {COW_DEL_HI}")
+    del_st = t.last_cow_stats
+    t.update_where({"l_quantity": "l_quantity + 100"},
+                   f"l_orderkey BETWEEN {COW_UPD_LO} AND {COW_UPD_HI}")
+    upd_st = t.last_cow_stats
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("double").alias("price"))
+        .withColumn("delete_pruned",
+                    F.lit(del_st["files_linked"] > 0
+                          and del_st["files_rewritten"] > 0))
+        .withColumn("update_pruned",
+                    F.lit(upd_st["files_linked"] > 0
+                          and upd_st["files_rewritten"] > 0)))
+
+
+ACID_COW_ORACLE = f"""
+WITH fin AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey BETWEEN {COW_UPD_LO} AND {COW_UPD_HI}
+              THEN l_quantity + 100 ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM lineitem
+  WHERE NOT (l_orderkey BETWEEN {COW_DEL_LO} AND {COW_DEL_HI}))
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+       TRUE AS delete_pruned, TRUE AS update_pruned
+FROM fin
+"""
+
+
 # ------------------------------------------------- Observation metrics
 
 def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
