@@ -134,6 +134,7 @@ BENCH_KEYS = [
     "streaming_cdf_ivm",
     "acid_stream_sink",
     "acid_pruned_dml",
+    "acid_deletion_vectors",
 ]
 
 

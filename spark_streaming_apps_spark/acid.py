@@ -167,8 +167,41 @@ class AcidTable:
             raise VersionVacuumedError(
                 f"version {v} of {self.path} was vacuumed; its manifest "
                 f"survives as history but the data files are gone")
-        return (self.spark.read.schema(StructType.fromJson(m["schema"]))
+        schema = StructType.fromJson(m["schema"])
+        base = (self.spark.read.schema(schema)
                 .parquet(str(self.path / m["data"])))
+        if "dv" not in m:
+            return base
+        if not (self.path / m["dv"]).is_dir():
+            raise VersionVacuumedError(
+                f"version {v} of {self.path} lost its deletion vector "
+                f"to vacuum; serving the bare files would RESURRECT "
+                f"deleted rows")
+        return (self._apply_dv(self._with_pos(base), m)
+                .select(*[f.name for f in schema.fields]))
+
+    # ------------------------------------------- deletion-vector plumbing
+
+    def _with_pos(self, scan: DataFrame) -> DataFrame:
+        """Tag a file-scan frame with the stable physical row identity
+        ``(__dv_file, __dv_pos)`` = (file name, row index within the
+        file). Data files are immutable and carried by NAME across
+        linked commits, so the pair identifies a row for the life of
+        the file — the anchor deletion vectors hang off."""
+        return (scan
+                .withColumn("__dv_file", F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1))
+                .withColumn("__dv_pos", F.col("_metadata.row_index")))
+
+    def _apply_dv(self, tagged: DataFrame, m: dict) -> DataFrame:
+        """Anti-join out the rows a manifest's deletion vector marks
+        dead. The DV is small by construction (it holds MATCHED rows —
+        bulk deletes take the COW path), so AQE broadcasts it and the
+        scan stays shuffle-free."""
+        dv = (self.spark.read.parquet(str(self.path / m["dv"]))
+              .select(F.col("file").alias("__dv_file"),
+                      F.col("pos").alias("__dv_pos")))
+        return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
 
     def snapshot(self) -> tuple[int, DataFrame]:
         v = self.latest_version()
@@ -210,8 +243,11 @@ class AcidTable:
         if not paths:
             return (self.spark.createDataFrame([], schema)
                     .filter(F.col(col).between(lo, hi)))
-        return (self.spark.read.schema(schema).parquet(*paths)
-                .filter(F.col(col).between(lo, hi)))
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if "dv" in m:
+            df = (self._apply_dv(self._with_pos(df), m)
+                  .select(*[f.name for f in schema.fields]))
+        return df.filter(F.col(col).between(lo, hi))
 
     # ------------------------------------------------------------ commits
 
@@ -291,8 +327,6 @@ class AcidTable:
         the table). Falls back to the full-rewrite loop for legacy
         manifests without per-file stats. Sets ``self.last_cow_stats``
         = {files_rewritten, files_linked} for observability."""
-        import os
-
         cdf = self.cdf_enabled()
         for _ in range(max_retries):
             v, cur = self.snapshot()
@@ -301,11 +335,15 @@ class AcidTable:
             if not files:      # legacy manifest: no per-file bookkeeping
                 return self._commit_loop(rewrite, op, max_retries)
             base = self.path / m["data"]
+            schema = StructType.fromJson(m["schema"])
+            scols = [f.name for f in schema.fields]
+            tagged = self._with_pos(
+                self.spark.read.schema(schema).parquet(str(base)))
+            if "dv" in m:
+                tagged = self._apply_dv(tagged, m)
             touched_names = {
-                os.path.basename(r["__path"]) for r in
-                probe(cur.withColumn("__path",
-                                     F.col("_metadata.file_path")))
-                .select("__path").distinct().collect()}
+                r["__dv_file"] for r in
+                probe(tagged).select("__dv_file").distinct().collect()}
             untouched = [f for f in files
                          if f["path"] not in touched_names]
             self.last_cow_stats = {
@@ -320,32 +358,53 @@ class AcidTable:
                                                    cur.limit(0))
                           if cdf else None)
                 if self._try_commit(v + 1, m["data"], m["schema"], op,
-                                    changes_rel=ch_rel, files=files):
+                                    changes_rel=ch_rel, files=files,
+                                    dv_rel=m.get("dv"),
+                                    dv_rows=m.get("dv_rows", 0)):
                     return v + 1
                 if ch_rel:
                     shutil.rmtree(self.path / ch_rel, ignore_errors=True)
                 continue
-            schema = StructType.fromJson(m["schema"])
             t_paths = [str(base / f["path"]) for f in files
                        if f["path"] in touched_names]
-            touched = (self.spark.read.schema(schema).parquet(*t_paths)
-                       if t_paths
-                       else self.spark.createDataFrame([], schema))
+            if t_paths:
+                tg = self._with_pos(
+                    self.spark.read.schema(schema).parquet(*t_paths))
+                if "dv" in m:
+                    tg = self._apply_dv(tg, m)
+                touched = tg.select(*scols)
+            else:
+                touched = self.spark.createDataFrame([], schema)
             out = rewrite(touched).select(*cur.columns)
             if cons:
                 # untouched files are untouched rows — only the
                 # rewritten output needs re-validation
                 self._check_constraints(out, cons)
             rel, stats = self._assemble_commit(out, base, untouched)
+            # rewritten files materialize their share of the parent's
+            # deletion vector; entries for carried files stay live
+            dv_rel, dv_rows = None, 0
+            if "dv" in m:
+                live = (self.spark.read.parquet(str(self.path / m["dv"]))
+                        .filter(F.col("file").isin(
+                            [f["path"] for f in untouched])))
+                dv_rows = live.count()
+                if dv_rows:
+                    dv_rel = f"data/dv-{uuid.uuid4().hex}"
+                    live.coalesce(1).write.parquet(
+                        str(self.path / dv_rel))
             ch_rel = None
             if cdf:
                 t_w, o_w = self._widen_for_diff(touched, out)
                 ch_rel = self._write_changes_pair(o_w.exceptAll(t_w),
                                                   t_w.exceptAll(o_w))
             if self._try_commit(v + 1, rel, m["schema"], op,
-                                changes_rel=ch_rel, files=stats):
+                                changes_rel=ch_rel, files=stats,
+                                dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
+            if dv_rel:
+                shutil.rmtree(self.path / dv_rel, ignore_errors=True)
             if ch_rel:
                 shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
@@ -362,6 +421,75 @@ class AcidTable:
             rewrite=lambda df: df.filter(
                 f"NOT ({cond}) OR ({cond}) IS NULL"),
             op=op, max_retries=max_retries)
+
+    def delete_where_mor(self, cond: str, max_retries: int = 20) -> int:
+        """Row-level DELETE as merge-on-read deletion vectors — the
+        third tier of the mutation-cost ladder (appends are O(batch),
+        COW DML is O(matched files), this is O(matched rows)): no data
+        file is read in full or rewritten. The find pass scans only the
+        predicate columns and records each matched row's stable
+        physical identity (file name, row index) into a small sidecar
+        parquet (Delta/Iceberg deletion vectors); the commit is pure
+        metadata sharing the parent's data dir. Every read applies the
+        vector as a broadcast anti-join; ``compact``/``relayout`` (and
+        any full-rewrite commit) materialize it away. Matching nothing
+        still commits a metadata version. Sets ``last_mor_stats`` =
+        {rows_deleted, dv_rows_total}."""
+        cdf = self.cdf_enabled()
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            schema = StructType.fromJson(m["schema"])
+            scols = [f.name for f in schema.fields]
+            tagged = self._with_pos(
+                self.spark.read.schema(schema)
+                .parquet(str(self.path / m["data"])))
+            if "dv" in m:
+                tagged = self._apply_dv(tagged, m)
+            matched = tagged.filter(cond)
+            new_entries = matched.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"))
+            if "dv" in m:
+                old = self.spark.read.parquet(str(self.path / m["dv"]))
+                dv_all = old.unionByName(new_entries)
+            else:
+                dv_all = new_entries
+            n_new = new_entries.count()
+            self.last_mor_stats = {
+                "rows_deleted": n_new,
+                "dv_rows_total": m.get("dv_rows", 0) + n_new}
+            if n_new == 0:
+                ch_rel = (self._write_changes_pair(cur.limit(0),
+                                                   cur.limit(0))
+                          if cdf else None)
+                if self._try_commit(v + 1, m["data"], m["schema"],
+                                    "delete_mor", changes_rel=ch_rel,
+                                    files=m.get("files"),
+                                    dv_rel=m.get("dv"),
+                                    dv_rows=m.get("dv_rows", 0)):
+                    return v + 1
+                if ch_rel:
+                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+                continue
+            dv_rel = f"data/dv-{uuid.uuid4().hex}"
+            # the vector holds MATCHED rows only — small by contract
+            # (bulk deletes belong on the COW path), so one file reads
+            # back broadcast-cheap on every scan
+            dv_all.coalesce(1).write.parquet(str(self.path / dv_rel))
+            ch_rel = (self._write_changes_pair(
+                matched.select(*scols).limit(0),
+                matched.select(*scols)) if cdf else None)
+            if self._try_commit(v + 1, m["data"], m["schema"],
+                                "delete_mor", changes_rel=ch_rel,
+                                files=m.get("files"), dv_rel=dv_rel,
+                                dv_rows=m.get("dv_rows", 0) + n_new):
+                return v + 1
+            shutil.rmtree(self.path / dv_rel, ignore_errors=True)
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at {self.path}")
 
     def update_where(self, assigns: dict[str, str], cond: str,
                      max_retries: int = 20, op: str = "update") -> int:
@@ -485,7 +613,9 @@ class AcidTable:
             m = self._manifest(v)
             if self._try_commit(
                     v + 1, m["data"], m["schema"], "add_constraint",
-                    constraints={**m.get("constraints", {}), name: expr}):
+                    constraints={**m.get("constraints", {}), name: expr},
+                    files=m.get("files"), dv_rel=m.get("dv"),
+                    dv_rows=m.get("dv_rows", 0)):
                 return v + 1
         raise CommitConflict(
             f"gave up adding constraint after {max_retries} conflicts")
@@ -497,7 +627,9 @@ class AcidTable:
             cons = {k: x for k, x in m.get("constraints", {}).items()
                     if k != name}
             if self._try_commit(v + 1, m["data"], m["schema"],
-                                "drop_constraint", constraints=cons):
+                                "drop_constraint", constraints=cons,
+                                files=m.get("files"), dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
                 return v + 1
         raise CommitConflict(
             f"gave up dropping constraint after {max_retries} conflicts")
@@ -507,7 +639,8 @@ class AcidTable:
                     changes_rel: str | None = None,
                     props: dict | None = None,
                     constraints: dict | None = None,
-                    files: list | None = None) -> bool:
+                    files: list | None = None,
+                    dv_rel: str | None = None, dv_rows: int = 0) -> bool:
         # Every manifest carries the CUMULATIVE {app_id: latest batch_id}
         # map (Delta's setTransactions pattern), so the streaming replay
         # check in append_txn reads ONE manifest — O(1) per commit instead
@@ -525,6 +658,9 @@ class AcidTable:
             manifest["txn"] = txn
         if changes_rel is not None:
             manifest["changes"] = changes_rel
+        if dv_rel is not None:
+            manifest["dv"] = dv_rel
+            manifest["dv_rows"] = dv_rows
         if props is not None:
             manifest["props"] = props
         # constraints ride every manifest once added (like txns):
@@ -572,16 +708,24 @@ class AcidTable:
                 rows = insert_hint.select(*cur.columns)
                 rel, files = self._write_data_linked(m, rows)
                 schema_json = cur.schema.jsonValue()
+                # linked files keep their names, so the parent's
+                # deletion vector stays valid and is shared, not copied
+                dv_rel, dv_rows = m.get("dv"), m.get("dv_rows", 0)
             else:
+                # a full rewrite reads through read(v) with the DV
+                # applied, so the output MATERIALIZES the deletes and
+                # the new manifest carries no vector
                 out = build(cur)
                 rel = self._write_data(out)
                 files = None
                 schema_json = out.schema.jsonValue()
+                dv_rel, dv_rows = None, 0
             ch_rel = (self._write_changes(cur, None if linked else out,
                                           op, insert_hint)
                       if cdf else None)
             if self._try_commit(v + 1, rel, schema_json, op,
-                                changes_rel=ch_rel, files=files):
+                                changes_rel=ch_rel, files=files,
+                                dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
             if ch_rel:
@@ -674,7 +818,10 @@ class AcidTable:
                 ch_rel = self._write_changes(
                     self.read(v), self.read(version), "restore")
             if self._try_commit(v + 1, target["data"], target["schema"],
-                                "restore", changes_rel=ch_rel):
+                                "restore", changes_rel=ch_rel,
+                                files=target.get("files"),
+                                dv_rel=target.get("dv"),
+                                dv_rows=target.get("dv_rows", 0)):
                 return v + 1
             if ch_rel:
                 shutil.rmtree(self.path / ch_rel, ignore_errors=True)
@@ -689,8 +836,9 @@ class AcidTable:
         for v in range(self.latest_version() + 1):
             m = self._manifest(v)
             files = m.get("files") or []
-            rows.append((m["version"], m["op"], m["parent"],
-                         len(files), sum(f.get("rows", 0) for f in files)))
+            rows.append((m["version"], m["op"], m["parent"], len(files),
+                         sum(f.get("rows", 0) for f in files)
+                         - m.get("dv_rows", 0)))
         return self.spark.createDataFrame(
             rows, "version int, op string, parent int, n_files int, "
                   "n_rows long")
@@ -733,7 +881,9 @@ class AcidTable:
                       if self.cdf_enabled() else None)
             if self._try_commit(v + 1, rel, cur.schema.jsonValue(),
                                 op="append_txn", txn=txn,
-                                changes_rel=ch_rel, files=files):
+                                changes_rel=ch_rel, files=files,
+                                dv_rel=newest.get("dv"),
+                                dv_rows=newest.get("dv_rows", 0)):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
             if ch_rel:
@@ -866,8 +1016,12 @@ class AcidTable:
         latest = self.latest_version()
         if latest is None:
             return []
-        keep = {self._manifest(v)["data"]
-                for v in range(max(0, latest - keep_last + 1), latest + 1)}
+        keep = set()
+        for v in range(max(0, latest - keep_last + 1), latest + 1):
+            m = self._manifest(v)
+            keep.add(m["data"])
+            if "dv" in m:      # a readable version needs its vector
+                keep.add(m["dv"])
         ch_from = 0 if keep_changes_last is None \
             else max(0, latest - keep_changes_last + 1)
         for v in range(ch_from, latest + 1):

@@ -1132,6 +1132,9 @@ register("acid_file_skipping", oracle=extensions.ACID_SKIP_ORACLE
 register("acid_pruned_dml", oracle=extensions.ACID_COW_ORACLE
          )(lambda s, d: extensions.acid_pruned_dml(s, d, SCRATCH))
 
+register("acid_deletion_vectors", oracle=extensions.ACID_DV_ORACLE
+         )(lambda s, d: extensions.acid_deletion_vectors(s, d, SCRATCH))
+
 register("acid_change_feed",
          oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

@@ -1328,6 +1328,58 @@ def acid_pruned_dml(spark: SparkSession, sf_dir: str,
                           and upd_st["files_rewritten"] > 0)))
 
 
+#: l_orderkey band for the merge-on-read delete (populated at every sf)
+DV_LO, DV_HI = 500, 540
+
+
+def acid_deletion_vectors(spark: SparkSession, sf_dir: str,
+                          scratch: Path) -> DataFrame:
+    """DELETE as merge-on-read deletion vectors — O(matched rows), the
+    cheapest tier of the table's mutation-cost ladder: the find pass
+    scans only the predicate column and records each matched row's
+    stable (file, row-index) identity into a small parquet sidecar;
+    the commit is PURE METADATA (``pure_metadata`` pins that the new
+    manifest shares the parent's data dir byte-for-byte). Reads apply
+    the vector as a broadcast anti-join; ``compact``/COW rewrites
+    materialize it away. The census oracle proves row-exactness;
+    ``rows_deleted`` is pinned against the oracle's own band count."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_dv_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartitionByRange(N_RANGE_FILES, "l_orderkey")
+          .sortWithinPartitions("l_orderkey"))
+    t = AcidTable.create(spark, path, li)
+    parent = t._manifest(t.latest_version())
+    v = t.delete_where_mor(f"l_orderkey BETWEEN {DV_LO} AND {DV_HI}")
+    pure_metadata = t._manifest(v)["data"] == parent["data"]
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"))
+        .withColumn("rows_deleted",
+                    F.lit(t.last_mor_stats["rows_deleted"]).cast("long"))
+        .withColumn("pure_metadata", F.lit(bool(pure_metadata))))
+
+
+ACID_DV_ORACLE = f"""
+SELECT COUNT(*) FILTER (WHERE NOT (l_orderkey BETWEEN {DV_LO} AND {DV_HI}))
+         AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE NOT (l_orderkey BETWEEN {DV_LO} AND {DV_HI}))
+            AS DOUBLE) AS qty,
+       COUNT(*) FILTER (WHERE l_orderkey BETWEEN {DV_LO} AND {DV_HI})
+         AS rows_deleted,
+       TRUE AS pure_metadata
+FROM lineitem
+"""
+
+
 ACID_COW_ORACLE = f"""
 WITH fin AS (
   SELECT l_orderkey,

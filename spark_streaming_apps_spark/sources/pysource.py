@@ -111,8 +111,9 @@ FROM g GROUP BY bucket
 # [min, max] stats before a single file is opened.
 
 class AcidFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, dv_dir: str | None = None):
         self.path = path
+        self.dv_dir = dv_dir    # deletion-vector sidecar dir, if any
 
 
 class AcidTableDataSource(DataSource):
@@ -177,7 +178,9 @@ class AcidTableDataSource(DataSource):
             from pathlib import Path
             keep = ([f["path"] for f in files] if files else
                     sorted(p.name for p in Path(base).glob("*.parquet")))
-        return AcidTableReader([f"{base}/{p}" for p in keep])
+        dv_dir = (f'{self.options["path"]}/{m["dv"]}'
+                  if "dv" in m else None)
+        return AcidTableReader([f"{base}/{p}" for p in keep], dv_dir)
 
 
 class AcidSinkMessage(WriterCommitMessage):
@@ -319,16 +322,41 @@ class AcidStreamWriter(DataSourceStreamWriter):
 
 
 class AcidTableReader(DataSourceReader):
-    def __init__(self, paths: list[str]):
+    def __init__(self, paths: list[str], dv_dir: str | None = None):
         self.paths = paths
+        self.dv_dir = dv_dir
 
     def partitions(self):
-        return [AcidFilePartition(p) for p in self.paths]
+        return [AcidFilePartition(p, self.dv_dir) for p in self.paths]
 
     def read(self, partition: AcidFilePartition):
         import pyarrow.parquet as pq
-        # Arrow batches straight through — no per-row Python
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        if partition.dv_dir is None:
+            # Arrow batches straight through — no per-row Python
+            yield from pq.ParquetFile(partition.path).iter_batches()
+            return
+        # deletion-vector table: each split loads ONLY its own file's
+        # dead positions (predicate-pushed parquet read of the small
+        # sidecar) and drops them with one vectorized mask per batch —
+        # the executor-side twin of AcidTable._apply_dv
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+
+        name = os.path.basename(partition.path)
+        dead = pq.read_table(
+            partition.dv_dir, filters=[("file", "=", name)],
+            columns=["pos"]).column("pos").to_numpy()
+        off = 0
+        for b in pq.ParquetFile(partition.path).iter_batches():
+            n = b.num_rows
+            if len(dead):
+                mask = ~np.isin(np.arange(off, off + n), dead)
+                if not mask.all():
+                    b = b.filter(pa.array(mask))
+            off += n
+            yield b
 
 
 # --------------------------------------------- Kafka-contract WAL source

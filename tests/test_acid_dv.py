@@ -1,0 +1,184 @@
+"""Merge-on-read deletion vectors (AcidTable.delete_where_mor): DELETE
+as an O(matched rows) pure-metadata commit — no data file read in full
+or rewritten; reads apply the sidecar as an anti-join on the stable
+(file, row-index) row identity; rewrites materialize it away.  The
+third tier of the mutation-cost ladder after O(batch) linked appends
+and O(matched files) copy-on-write."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.acid import AcidTable, VersionVacuumedError
+
+
+def _mk(spark, tmp_path, n=400, files=4, cdf=False):
+    df = spark.createDataFrame(
+        [(i, i % 5, f"p{i % 3}") for i in range(n)],
+        "id long, status int, tag string")
+    t = AcidTable.create(spark, tmp_path / "t", df, enable_cdf=cdf)
+    t.relayout(["id"], target_files=files)
+    return t
+
+
+def test_mor_delete_is_pure_metadata_and_row_exact(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    parent = t._manifest(t.latest_version())
+    v = t.delete_where_mor("id BETWEEN 50 AND 69")
+    m = t._manifest(v)
+    assert m["data"] == parent["data"]          # no data rewrite at all
+    assert m["op"] == "delete_mor" and m["dv_rows"] == 20
+    assert t.last_mor_stats == {"rows_deleted": 20, "dv_rows_total": 20}
+    got = {r.id for r in t.read().select("id").collect()}
+    assert got == {i for i in range(400) if not (50 <= i <= 69)}
+    # time travel: the pre-delete version still serves every row
+    assert t.read(v - 1).count() == 400
+
+
+def test_mor_deletes_accumulate_and_never_resurrect(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor("id < 10")
+    v = t.delete_where_mor("id >= 390")
+    assert t._manifest(v)["dv_rows"] == 20
+    assert t.read().count() == 380
+    # a row already dead cannot match again: re-running the first
+    # predicate adds nothing
+    v2 = t.delete_where_mor("id < 10")
+    assert t._manifest(v2)["dv_rows"] == 20
+    assert t.last_mor_stats["rows_deleted"] == 0
+    assert t._manifest(v2)["data"] == t._manifest(v)["data"]
+
+
+def test_mor_no_match_commits_metadata_version(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=40, files=2)
+    v = t.delete_where_mor("id > 99999")
+    assert t._manifest(v)["op"] == "delete_mor"
+    assert "dv" not in t._manifest(v)
+    assert t.read().count() == 40
+
+
+def test_compact_materializes_the_vector(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor("status = 2")
+    n = t.read().count()
+    v = t.compact(target_files=2)
+    m = t._manifest(v)
+    assert "dv" not in m                        # rewrite cleared it
+    assert t.read().count() == n
+    assert t.read().filter("status = 2").count() == 0
+
+
+def test_linked_append_carries_the_vector(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where_mor("id < 20")
+    v = t.append(t.spark.createDataFrame(
+        [(1000 + i, 1, "new") for i in range(5)],
+        "id long, status int, tag string"))
+    m = t._manifest(v)
+    assert m.get("dv_rows") == 20               # vector shared forward
+    assert t.read().count() == 400 - 20 + 5
+    assert t.read().filter("id < 20").count() == 0
+
+
+def test_cow_after_mor_prunes_vector_to_carried_files(spark, tmp_path):
+    """A COW delete on a DV table materializes the touched files' dead
+    rows and keeps only the carried files' vector entries."""
+    t = _mk(spark, tmp_path, n=1000, files=8)
+    t.delete_where_mor("id BETWEEN 0 AND 4")        # extent of file 0
+    t.delete_where_mor("id BETWEEN 995 AND 999")    # extent of file 7
+    v = t.delete_where("id BETWEEN 10 AND 19")      # COW touches file 0
+    m = t._manifest(v)
+    assert t.read().count() == 1000 - 5 - 5 - 10
+    assert t.read().filter("id < 20").count() == 5   # ids 5..9 alive
+    # vector pruned: only file-7's 5 entries remain live
+    assert m.get("dv_rows") == 5
+    assert t.last_cow_stats["files_linked"] > 0
+
+
+def test_update_where_on_dv_table_does_not_resurrect(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=4)
+    t.delete_where_mor("id BETWEEN 10 AND 14")
+    t.update_where({"tag": "'upd'"}, "id BETWEEN 12 AND 20")
+    got = t.read()
+    assert got.count() == 95
+    assert got.filter("id BETWEEN 10 AND 14").count() == 0
+    assert {r.id for r in got.filter("tag = 'upd'").collect()} == \
+        set(range(15, 21))
+
+
+def test_merge_pruned_on_dv_table(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=4)
+    t.delete_where_mor("id = 30")
+    ups = spark.createDataFrame([(31, 9, "m"), (30, 9, "back")],
+                                "id long, status int, tag string")
+    t.merge_pruned(ups, key=["id"])
+    rows = {r.id: r for r in t.read().collect()}
+    assert rows[31].status == 9
+    # id=30 was deleted; the merge re-INSERTS it (unmatched source row)
+    assert rows[30].tag == "back"
+    assert len(rows) == 100
+
+
+def test_mor_delete_records_cdf_deltas(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=4, cdf=True)
+    v = t.delete_where_mor("id BETWEEN 40 AND 44")
+    ch = t.read_changes(v - 1, v)
+    assert ch.filter("_change_type = 'delete'").count() == 5
+    assert ch.filter("_change_type = 'insert'").count() == 0
+    base = t.read(v - 1).select("id", "status", "tag")
+    rebuilt = base.exceptAll(
+        ch.filter("_change_type = 'delete'").select("id", "status", "tag"))
+    assert rebuilt.exceptAll(t.read(v).select("id", "status", "tag")) \
+        .count() == 0
+
+
+def test_read_range_applies_the_vector(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=1000, files=8)
+    t.delete_where_mor("id BETWEEN 100 AND 109")
+    band = t.read_range("id", 90, 120)
+    assert {r.id for r in band.select("id").collect()} == \
+        (set(range(90, 100)) | set(range(110, 121)))
+
+
+def test_datasource_read_applies_the_vector(spark, tmp_path):
+    """`spark.read.format(\"acidtable\")` on a DV table drops dead rows
+    executor-side (vectorized mask per Arrow batch)."""
+    from spark_streaming_apps_spark.sources.pysource import \
+        AcidTableDataSource
+    spark.dataSource.register(AcidTableDataSource)
+    t = _mk(spark, tmp_path, n=300, files=4)
+    t.delete_where_mor("status = 1")
+    via_ds = (spark.read.format("acidtable")
+              .option("path", str(tmp_path / "t")).load())
+    expect = t.read()
+    assert via_ds.count() == expect.count()
+    assert via_ds.exceptAll(expect).count() == 0
+    assert expect.exceptAll(via_ds).count() == 0
+
+
+def test_vacuumed_vector_fails_loudly(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=40, files=2)
+    v_dv = t.delete_where_mor("id < 5")
+    t.compact(target_files=1)        # materializes; v_dv's dv now old
+    t.vacuum(keep_last=1)
+    with pytest.raises(VersionVacuumedError):
+        t.read(v_dv)
+    assert t.read().count() == 35    # latest unaffected
+
+
+def test_restore_to_dv_version_carries_vector(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=60, files=2)
+    v_dv = t.delete_where_mor("id < 6")
+    t.append(spark.createDataFrame([(900, 0, "x")],
+                                   "id long, status int, tag string"))
+    v = t.restore(v_dv)
+    assert t._manifest(v).get("dv_rows") == 6
+    assert t.read().count() == 54
+    assert t.read().filter("id < 6").count() == 0
+
+
+def test_history_counts_net_of_vector(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, files=2)
+    t.delete_where_mor("id < 10")
+    hist = {r.version: r.n_rows for r in t.history().collect()}
+    assert hist[t.latest_version()] == 40
