@@ -187,6 +187,33 @@ def parse_merge(stmt: str) -> _Merge:
     return merge
 
 
+_EQUI_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+def _equi_pairs(mg: _Merge) -> list[tuple[str, str]] | None:
+    """[(target_col, source_col)] when the ON clause is a flat
+    conjunction of alias-qualified column equalities between the two
+    sides — the shape that admits touched-file pruning. None otherwise
+    (any parenthesized / non-equi / same-side term falls back to the
+    full-outer rewrite, which is always correct)."""
+    if "(" in mg.on:
+        return None
+    pairs = []
+    t, s = mg.t_alias.lower(), mg.s_alias.lower()
+    for term in re.split(r"\s+AND\s+", mg.on, flags=re.IGNORECASE):
+        m = _EQUI_RE.match(term)
+        if not m:
+            return None
+        la, lc, ra, rc = m.groups()
+        if la.lower() == t and ra.lower() == s:
+            pairs.append((lc, rc))
+        elif la.lower() == s and ra.lower() == t:
+            pairs.append((rc, lc))
+        else:
+            return None
+    return pairs or None
+
+
 def merge_into_sql(spark: SparkSession, stmt: str,
                    tables: dict[str, AcidTable],
                    check_cardinality: bool = True) -> int:
@@ -252,6 +279,26 @@ def merge_into_sql(spark: SparkSession, stmt: str,
             f"FULL OUTER JOIN {s_side} ON {mg.on} WHERE {keep}")
 
     try:
+        # Delta's MERGE pruning: with a flat equi-join ON and no
+        # NOT-MATCHED-BY-SOURCE clause (those act on target rows
+        # EVERYWHERE, so every file is touched by definition), only
+        # files sharing a join key with the source can change — rewrite
+        # just those through the same compiled statement; unmatched
+        # source rows still insert out of the full-outer join over the
+        # touched subset
+        pairs = _equi_pairs(mg)
+        if pairs and not mg.nmbs_update_set \
+                and mg.nmbs_delete_cond is None:
+            src = (mg.source if mg.source.startswith("(")
+                   else f"(SELECT * FROM {mg.source})")
+            sel = ", ".join(f"{mg.s_alias}.{sc} AS {tc}"
+                            for tc, sc in pairs)
+            src_keys = spark.sql(
+                f"SELECT DISTINCT {sel} FROM {src} {mg.s_alias}")
+            tcols = [tc for tc, _ in pairs]
+            return table._cow_commit(
+                probe=lambda df: df.join(src_keys, tcols, "semi"),
+                rewrite=build, op="merge_sql", empty_noop=False)
         return table._commit_loop(build, "merge_sql")
     finally:
         spark.catalog.dropTempView(tv)

@@ -244,3 +244,76 @@ def test_maintenance_statements(spark, tmp_path):
     import pytest
     with pytest.raises(VersionVacuumedError):
         t.read(0)
+
+
+def test_merge_sql_prunes_touched_files(spark, tmp_path):
+    """An equi-ON MERGE with no BY SOURCE clause takes the COW path:
+    files sharing no join key with the source carry by reference."""
+    df = spark.createDataFrame([(i, i) for i in range(400)],
+                               "id long, val long")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    t.relayout(["id"], target_files=8)
+    spark.createDataFrame([(100, 999), (5000, 1)], "id long, val long") \
+        .createOrReplaceTempView("updp")
+    merge_into_sql(spark, """
+        MERGE INTO tgt AS t USING updp AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+    """, tables={"tgt": t})
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert len(rows) == 401
+    assert rows[100] == 999 and rows[5000] == 1 and rows[7] == 7
+    st = t.last_cow_stats
+    assert st["files_linked"] > 0            # pruning actually happened
+    assert st["files_rewritten"] < 8
+
+
+def test_merge_sql_by_source_falls_back_to_full_rewrite(spark, tmp_path):
+    """NOT MATCHED BY SOURCE acts on target rows everywhere — no
+    pruning is sound, and the full-outer rewrite must still run."""
+    df = spark.createDataFrame([(i, i) for i in range(100)],
+                               "id long, val long")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    t.relayout(["id"], target_files=4)
+    t.last_cow_stats = None
+    spark.createDataFrame([(5, 50)], "id long, val long") \
+        .createOrReplaceTempView("updnb")
+    merge_into_sql(spark, """
+        MERGE INTO tgt AS t USING updnb AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED BY SOURCE AND t.id >= 90 THEN DELETE
+    """, tables={"tgt": t})
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert len(rows) == 90 and rows[5] == 50
+    assert t.last_cow_stats is None          # COW path never ran
+
+
+def test_merge_sql_non_equi_on_falls_back(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.last_cow_stats = None
+    spark.createDataFrame([(2, 7)], "lo long, add int") \
+        .createOrReplaceTempView("updne")
+    merge_into_sql(spark, """
+        MERGE INTO tgt AS t USING updne AS s ON t.id >= s.lo
+        WHEN MATCHED THEN UPDATE SET val = t.val + s.add
+    """, tables={"tgt": t})
+    assert _state(t) == {(1, 10), (2, 27), (3, 37)}
+    assert t.last_cow_stats is None
+
+
+def test_merge_sql_pruned_insert_only_into_empty_extent(spark, tmp_path):
+    """Every source key misses the table: zero files rewritten, all
+    rows inserted (empty_noop=False path through the SQL surface)."""
+    df = spark.createDataFrame([(i, i) for i in range(40)],
+                               "id long, val long")
+    t = AcidTable.create(spark, tmp_path / "t", df)
+    t.relayout(["id"], target_files=2)
+    spark.createDataFrame([(1000, 1), (1001, 2)], "id long, val long") \
+        .createOrReplaceTempView("updio")
+    merge_into_sql(spark, """
+        MERGE INTO tgt AS t USING updio AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET val = s.val
+        WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
+    """, tables={"tgt": t})
+    assert t.read().count() == 42
+    assert t.last_cow_stats == {"files_rewritten": 0, "files_linked": 2}
