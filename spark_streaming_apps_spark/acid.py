@@ -130,6 +130,45 @@ class AcidTable:
             raise FileExistsError(f"AcidTable already exists at {path}")
         return t
 
+    def clone(self, path, version: int | None = None) -> "AcidTable":
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
+        NEW table whose v0 carries this table's ``version`` snapshot
+        entirely by reference — hardlinked data files, the recorded
+        per-file stats, and any deletion vector; zero data copied or
+        scanned. Histories fork at the clone: commits to either table
+        never affect the other, and inode refcounts make vacuum on
+        either side safe (the manifest-list file-reference semantics
+        of a real table format). Table properties (CDF) carry over."""
+        import os
+
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        if not (self.path / m["data"]).is_dir():
+            raise VersionVacuumedError(
+                f"cannot clone vacuumed version {v} of {self.path}")
+        new = AcidTable(self.spark, path)
+        if new.latest_version() is not None:
+            raise FileExistsError(f"AcidTable already exists at {path}")
+        new._manifests.mkdir(parents=True, exist_ok=True)
+        new._data.mkdir(parents=True, exist_ok=True)
+        rel = f"data/commit-{uuid.uuid4().hex}"
+        (new.path / rel).mkdir(parents=True)
+        for f in sorted((self.path / m["data"]).glob("*.parquet")):
+            os.link(f, new.path / rel / f.name)
+        dv_rel, dv_rows = None, 0
+        if "dv" in m:
+            dv_rel = f"data/dv-{uuid.uuid4().hex}"
+            (new.path / dv_rel).mkdir(parents=True)
+            for f in sorted((self.path / m["dv"]).glob("*.parquet")):
+                os.link(f, new.path / dv_rel / f.name)
+            dv_rows = m.get("dv_rows", 0)
+        props = {"cdf": True} if self.cdf_enabled() else None
+        new._try_commit(0, rel, m["schema"], "clone",
+                        props=props, files=m.get("files"),
+                        dv_rel=dv_rel, dv_rows=dv_rows,
+                        constraints=m.get("constraints"))
+        return new
+
     def cdf_enabled(self) -> bool:
         """True iff the table records commit-time change files (the v0
         manifest carries the property, like a Delta table property)."""
@@ -202,6 +241,25 @@ class AcidTable:
               .select(F.col("file").alias("__dv_file"),
                       F.col("pos").alias("__dv_pos")))
         return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+
+    def version_at(self, ts) -> int:
+        """The version serving at wall-clock ``ts`` (epoch seconds or an
+        ISO-8601 string) — Delta's ``TIMESTAMP AS OF`` resolution: the
+        NEWEST version whose commit timestamp is <= ts. Raises if ts
+        predates the table (manifests from before timestamps existed
+        count as epoch 0, i.e. always eligible)."""
+        if isinstance(ts, str):
+            from datetime import datetime
+            ts = datetime.fromisoformat(ts).timestamp()
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        ok = [v for v in range(latest + 1)
+              if self._manifest(v).get("ts", 0) <= ts]
+        if not ok:
+            raise ValueError(
+                f"TIMESTAMP AS OF {ts} predates version 0 of {self.path}")
+        return max(ok)
 
     def snapshot(self) -> tuple[int, DataFrame]:
         v = self.latest_version()
@@ -649,8 +707,10 @@ class AcidTable:
         if txn is not None:
             app_id, _, batch = txn.rpartition("#")
             txns = {**txns, app_id: max(int(batch), txns.get(app_id, -1))}
+        import time
         manifest = {"version": version, "data": data_rel, "schema": schema,
                     "op": op, "parent": version - 1 if version else None,
+                    "ts": time.time(),      # commit time: TIMESTAMP AS OF
                     "txns": txns,
                     "files": (files if files is not None
                               else self._collect_stats(data_rel))}

@@ -308,6 +308,10 @@ _VERSION_AS_OF_RE = re.compile(
     r"(?P<tbl>[\w.]+)\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(?P<v>\d+)",
     re.IGNORECASE)
 
+_TIMESTAMP_AS_OF_RE = re.compile(
+    r"(?P<tbl>[\w.]+)\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+"
+    r"'(?P<ts>[^']+)'", re.IGNORECASE)
+
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<tbl>[\w.]+)"
     r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
@@ -410,7 +414,9 @@ def acid_sql(spark: SparkSession, stmt: str,
       is bound to that registered table's snapshot ``n`` as a temp view
       and the rewritten statement runs through ``spark.sql`` — any
       number of versions of any number of tables in one query (e.g. a
-      self-join diffing v0 against v2);
+      self-join diffing v0 against v2); ``<t> TIMESTAMP AS OF
+      '<iso-8601>'`` resolves through each manifest's commit timestamp
+      to the version serving at that instant (Delta spelling);
     * anything else → ``spark.sql(stmt)`` with each registered table's
       LATEST snapshot bound under its name.
 
@@ -463,7 +469,19 @@ def acid_sql(spark: SparkSession, stmt: str,
             tables[name].read(v).createOrReplaceTempView(view)
             bound.append(view)
             return view
+        def bind_ts(m: re.Match) -> str:
+            name, ts = m.group("tbl"), m.group("ts")
+            if name not in tables:
+                raise ValueError(
+                    f"TIMESTAMP AS OF on unregistered table {name!r}; "
+                    f"registered: {sorted(tables)}")
+            v = tables[name].version_at(ts)
+            view = f"__tt_{name}_{v}_{uuid.uuid4().hex[:6]}"
+            tables[name].read(v).createOrReplaceTempView(view)
+            bound.append(view)
+            return view
         rewritten = _VERSION_AS_OF_RE.sub(bind, stmt)
+        rewritten = _TIMESTAMP_AS_OF_RE.sub(bind_ts, rewritten)
         for name, t in tables.items():
             if re.search(rf"\b{re.escape(name)}\b", rewritten):
                 t.read().createOrReplaceTempView(name)

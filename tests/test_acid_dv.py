@@ -182,3 +182,55 @@ def test_history_counts_net_of_vector(spark, tmp_path):
     t.delete_where_mor("id < 10")
     hist = {r.version: r.n_rows for r in t.history().collect()}
     assert hist[t.latest_version()] == 40
+
+
+def test_shallow_clone_shares_files_and_forks_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=4)
+    t.delete_where_mor("id < 10")                    # clone carries the DV
+    c = t.clone(tmp_path / "c")
+    assert c._manifest(0)["op"] == "clone"
+    assert c.read().count() == 90
+    assert c.read().exceptAll(t.read()).count() == 0
+    # histories fork: mutate each side independently
+    c.delete_where("id >= 95")
+    t.append(t.spark.createDataFrame([(500, 0, "src-only")],
+                                     "id long, status int, tag string"))
+    assert c.read().count() == 85
+    assert t.read().count() == 91
+    assert c.read().filter("id = 500").count() == 0
+    # vacuum on the source never breaks the clone (refcounted links)
+    t.compact(); t.vacuum(keep_last=1)
+    assert c.read().count() == 85
+    with pytest.raises(FileExistsError):
+        t.clone(tmp_path / "c")
+
+
+def test_clone_of_vacuumed_version_refuses(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, files=2)
+    t.compact()
+    t.vacuum(keep_last=1)
+    with pytest.raises(VersionVacuumedError):
+        t.clone(tmp_path / "c2", version=0)
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    import time
+
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+    t = _mk(spark, tmp_path, n=30, files=2)
+    v1 = t.latest_version()
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    t.delete_where("id < 10")
+    assert t.version_at(mid) == v1
+    assert t.version_at(time.time()) == t.latest_version()
+    with pytest.raises(ValueError):
+        t.version_at(0.5)                 # predates the table
+    from datetime import datetime
+    iso = datetime.fromtimestamp(mid).isoformat()
+    got = acid_sql(spark,
+                   f"SELECT COUNT(*) AS n FROM q TIMESTAMP AS OF '{iso}'",
+                   tables={"q": t}).collect()[0].n
+    assert got == 30
+    assert t.read().count() == 20
