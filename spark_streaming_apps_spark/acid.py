@@ -111,7 +111,8 @@ class AcidTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path, df: DataFrame,
-               enable_cdf: bool = False) -> "AcidTable":
+               enable_cdf: bool = False,
+               enable_dv: bool = False) -> "AcidTable":
         """Create the table with ``df`` as version 0 (errors if it exists).
 
         ``enable_cdf=True`` is Delta's ``enableChangeDataFeed`` table
@@ -120,13 +121,23 @@ class AcidTable:
         their deltas; layout-only ops record empty change sets), so
         ``read_changes`` and the CDF stream serve a distributed parquet
         scan instead of per-version snapshot diffs — and keep serving
-        after the underlying snapshots are vacuumed."""
+        after the underlying snapshots are vacuumed.
+
+        ``enable_dv=True`` is Delta's ``enableDeletionVectors``: the
+        SQL front door's ``DELETE FROM`` serves merge-on-read
+        (``delete_where_mor`` — O(matched rows), pure-metadata commits)
+        instead of copy-on-write; OPTIMIZE/compact materializes the
+        accumulated vectors."""
         t = cls(spark, path)
         t._manifests.mkdir(parents=True, exist_ok=True)
         t._data.mkdir(parents=True, exist_ok=True)
+        props = {}
+        if enable_cdf:
+            props["cdf"] = True
+        if enable_dv:
+            props["dv"] = True
         if not t._try_commit(0, t._write_data(df), df.schema.jsonValue(),
-                             op="create",
-                             props={"cdf": True} if enable_cdf else None):
+                             op="create", props=props or None):
             raise FileExistsError(f"AcidTable already exists at {path}")
         return t
 
@@ -162,7 +173,7 @@ class AcidTable:
             for f in sorted((self.path / m["dv"]).glob("*.parquet")):
                 os.link(f, new.path / dv_rel / f.name)
             dv_rows = m.get("dv_rows", 0)
-        props = {"cdf": True} if self.cdf_enabled() else None
+        props = dict(self._manifest(0).get("props") or {}) or None
         new._try_commit(0, rel, m["schema"], "clone",
                         props=props, files=m.get("files"),
                         dv_rel=dv_rel, dv_rows=dv_rows,
@@ -176,6 +187,14 @@ class AcidTable:
         if v is None:
             return False
         return bool(self._manifest(0).get("props", {}).get("cdf"))
+
+    def dv_enabled(self) -> bool:
+        """True iff DELETE statements serve merge-on-read (the v0
+        manifest carries Delta's enableDeletionVectors property)."""
+        v = self.latest_version()
+        if v is None:
+            return False
+        return bool(self._manifest(0).get("props", {}).get("dv"))
 
     @classmethod
     def exists(cls, spark: SparkSession, path) -> bool:

@@ -337,7 +337,10 @@ def delete_sql(spark: SparkSession, stmt: str,
     name, cond = m.group("tbl"), (m.group("cond") or "TRUE").strip()
     if name not in tables:
         raise ValueError(f"unknown DELETE target {name!r}")
-    return tables[name].delete_where(cond, op="delete_sql")
+    t = tables[name]
+    if t.dv_enabled():           # enableDeletionVectors: merge-on-read
+        return t.delete_where_mor(cond)
+    return t.delete_where(cond, op="delete_sql")
 
 
 def update_sql(spark: SparkSession, stmt: str,

@@ -234,3 +234,24 @@ def test_timestamp_as_of(spark, tmp_path):
                    tables={"q": t}).collect()[0].n
     assert got == 30
     assert t.read().count() == 20
+
+
+def test_enable_dv_routes_sql_delete_to_mor(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+    df = spark.createDataFrame([(i, i % 3) for i in range(60)],
+                               "id long, s int")
+    t = AcidTable.create(spark, tmp_path / "t", df, enable_dv=True)
+    assert t.dv_enabled()
+    parent = t._manifest(t.latest_version())
+    v = acid_sql(spark, "DELETE FROM q WHERE id < 12", tables={"q": t})
+    m = t._manifest(v)
+    assert m["op"] == "delete_mor"
+    assert m["data"] == parent["data"]       # pure metadata
+    assert t.read().count() == 48
+    # OPTIMIZE materializes the vector
+    acid_sql(spark, "OPTIMIZE q", tables={"q": t})
+    assert "dv" not in t._manifest(t.latest_version())
+    assert t.read().count() == 48
+    # the property survives a clone
+    c = t.clone(tmp_path / "c")
+    assert c.dv_enabled()
