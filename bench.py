@@ -135,6 +135,7 @@ BENCH_KEYS = [
     "acid_stream_sink",
     "acid_pruned_dml",
     "acid_deletion_vectors",
+    "acid_multi_table_txn",
 ]
 
 

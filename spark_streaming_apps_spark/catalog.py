@@ -1135,6 +1135,9 @@ register("acid_pruned_dml", oracle=extensions.ACID_COW_ORACLE
 register("acid_deletion_vectors", oracle=extensions.ACID_DV_ORACLE
          )(lambda s, d: extensions.acid_deletion_vectors(s, d, SCRATCH))
 
+register("acid_multi_table_txn", oracle=extensions.ACID_MULTI_TXN_ORACLE
+         )(lambda s, d: extensions.acid_multi_table_txn(s, d, SCRATCH))
+
 register("acid_change_feed",
          oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

@@ -1380,6 +1380,78 @@ FROM lineitem
 """
 
 
+#: l_orderkey bounds for the three highwater releases (all sf-populated)
+HW_TXN_BOUNDS = (400, 800, 1200)
+
+
+def acid_multi_table_txn(spark: SparkSession, sf_dir: str,
+                         scratch: Path) -> DataFrame:
+    """Cross-table atomic transactions through AcidCatalog — the
+    reference's multi-table writes (``get_highwater_mark`` updates
+    hw_table AND inserts into highwatermark_log in ONE PL/pgSQL call,
+    StreamingApp.scala:223-256) re-expressed as catalog-level commits:
+    each release updates the hw table and appends the log row, then
+    publishes both new versions in one O_EXCL catalog-pointer swap.
+    ``atomic`` scans EVERY catalog entry and pins that no entry ever
+    exposes a moved highwater without its log row (or vice versa) —
+    the cross-table snapshot-isolation contract itself, in-artifact."""
+    import shutil
+
+    from ..acid_catalog import AcidCatalog
+    from ..sources.tables import load_table
+
+    root = scratch / f"acid_cat_{Path(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = AcidCatalog(spark, root)
+    cat.create_table("hw", spark.createDataFrame(
+        [(0, 0)], "case_id long, hw long"))
+    cat.create_table("log", spark.createDataFrame(
+        [], "case_id long, previous long, current long"))
+    li = load_table(spark, sf_dir, "lineitem")
+    prev = 0
+    for bound in HW_TXN_BOUNDS:
+        cur = li.filter(F.col("l_orderkey") <= bound) \
+            .agg(F.max("l_orderkey")).collect()[0][0]   # bounded scalar
+        cat.commit_multi({
+            "hw": ("update", {"hw": str(cur)}, "case_id = 0"),
+            "log": ("append", spark.createDataFrame(
+                [(0, prev, cur)],
+                "case_id long, previous long, current long")),
+        })
+        prev = cur
+    atomic = True
+    for entry in range(cat.latest_entry() + 1):
+        pins = cat.snapshot(entry)
+        if not {"hw", "log"} <= set(pins):
+            continue
+        hw_v = cat.read("hw", entry=entry).collect()[0].hw
+        last = (cat.read("log", entry=entry).agg(
+            F.coalesce(F.max("current"), F.lit(0))).collect()[0][0])
+        atomic = atomic and hw_v == last
+    log = cat.read("log")
+    return (log.agg(
+        F.count(F.lit(1)).alias("n_log"),
+        F.min("current").alias("first_release"),
+        F.max("current").alias("last_release"))
+        .withColumn("hw_final",
+                    F.lit(cat.read("hw").collect()[0].hw).cast("long"))
+        .withColumn("atomic", F.lit(bool(atomic))))
+
+
+ACID_MULTI_TXN_ORACLE = f"""
+WITH m AS (SELECT
+  (SELECT MAX(l_orderkey) FROM lineitem
+    WHERE l_orderkey <= {HW_TXN_BOUNDS[0]}) AS c1,
+  (SELECT MAX(l_orderkey) FROM lineitem
+    WHERE l_orderkey <= {HW_TXN_BOUNDS[1]}) AS c2,
+  (SELECT MAX(l_orderkey) FROM lineitem
+    WHERE l_orderkey <= {HW_TXN_BOUNDS[2]}) AS c3)
+SELECT 3 AS n_log, c1 AS first_release, c3 AS last_release,
+       c3 AS hw_final, TRUE AS atomic
+FROM m
+"""
+
+
 ACID_COW_ORACLE = f"""
 WITH fin AS (
   SELECT l_orderkey,

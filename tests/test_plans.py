@@ -326,12 +326,15 @@ def test_merge_sql_compiles_to_single_keyed_exchange(spark, tmp_path):
         WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
     """)
     captured = {}
-    orig = AcidTable._commit_loop
+    # equi-join MERGE serves from the touched-file-pruned COW path;
+    # capture the compiled rewrite applied to a full snapshot (same
+    # statement plan the full-rewrite path would run)
+    orig = AcidTable._cow_commit
 
-    def spy(self, build, op, max_retries=20, insert_hint=None):
-        captured["plan_df"] = build(self.read())
-        return orig(self, build, op, max_retries, insert_hint)
-    AcidTable._commit_loop = spy
+    def spy(self, probe, rewrite, op, max_retries=20, empty_noop=True):
+        captured["plan_df"] = rewrite(self.read())
+        return orig(self, probe, rewrite, op, max_retries, empty_noop)
+    AcidTable._cow_commit = spy
     try:
         M.merge_into_sql(spark, """
             MERGE INTO tgt t USING plan_merge_src s ON t.id = s.id
@@ -339,7 +342,7 @@ def test_merge_sql_compiles_to_single_keyed_exchange(spark, tmp_path):
             WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
         """, tables={"tgt": t}, check_cardinality=False)
     finally:
-        AcidTable._commit_loop = orig
+        AcidTable._cow_commit = orig
     out = captured["plan_df"]
     # small source side: AQE/Catalyst may broadcast it (0 join exchange)
     # or shuffle both sides (2); it must never exceed the keyed pair

@@ -61,6 +61,8 @@ KEYS = {
     "merge_full_sync_sql": "NOT MATCHED BY SOURCE sync: still the single full-outer exchange",
     "cogroup_user_profile": "pre-agged sides + pinned seam parallelism: python stage sized by groups",
     "acid_cdf_recorded": "recorded change files: plain parquet scan, zero diff shuffles",
+    "acid_pruned_dml": "COW DML: column-pruned find pass, rewrites only touched files",
+    "acid_deletion_vectors": "MOR delete: pushed-band find pass; reads broadcast-anti-join the vector",
 }
 
 
