@@ -48,10 +48,18 @@ def collect_parquet_stats(dir_path) -> list[dict]:
     can't-skip, never as wrong-skip). Module-level so SparkSession-free
     contexts (the Python DataSource stream WRITER's driver-side commit)
     can build manifests with the same index."""
+    return collect_file_stats(sorted(Path(dir_path).glob("*.parquet")))
+
+
+def collect_file_stats(paths) -> list[dict]:
+    """``collect_parquet_stats`` over an explicit file list — the
+    O(delta) form: a commit that links a parent snapshot reuses the
+    parent's recorded entries and harvests footers ONLY for its new
+    files, so commit cost never grows with table size."""
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(Path(dir_path).glob("*.parquet")):
+    for f in [Path(p) for p in paths]:
         md = pq.ParquetFile(f).metadata
         stats: dict[str, list] = {}
         for rg in range(md.num_row_groups):
@@ -499,7 +507,8 @@ class AcidTable:
                 f"NOT ({cond}) OR ({cond}) IS NULL"),
             op=op, max_retries=max_retries)
 
-    def delete_where_mor(self, cond: str, max_retries: int = 20) -> int:
+    def delete_where_mor(self, cond: str, max_retries: int = 20,
+                         cow_fallback_rows: int | None = None) -> int:
         """Row-level DELETE as merge-on-read deletion vectors — the
         third tier of the mutation-cost ladder (appends are O(batch),
         COW DML is O(matched files), this is O(matched rows)): no data
@@ -536,6 +545,12 @@ class AcidTable:
             self.last_mor_stats = {
                 "rows_deleted": n_new,
                 "dv_rows_total": m.get("dv_rows", 0) + n_new}
+            if cow_fallback_rows is not None and n_new > cow_fallback_rows:
+                # Delta's large-delete rule: a vector this big costs more
+                # to anti-join on EVERY read than one COW rewrite costs
+                # once — fall back and materialize
+                return self.delete_where(cond, max_retries=max_retries,
+                                         op="delete_mor_cow")
             if n_new == 0:
                 ch_rel = (self._write_changes_pair(cur.limit(0),
                                                    cur.limit(0))

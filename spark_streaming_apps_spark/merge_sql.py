@@ -338,8 +338,16 @@ def delete_sql(spark: SparkSession, stmt: str,
     if name not in tables:
         raise ValueError(f"unknown DELETE target {name!r}")
     t = tables[name]
-    if t.dv_enabled():           # enableDeletionVectors: merge-on-read
-        return t.delete_where_mor(cond)
+    if t.dv_enabled() and cond != "TRUE":
+        # enableDeletionVectors: merge-on-read for SELECTIVE deletes
+        # only. An unconditional DELETE FROM t (no WHERE) or one whose
+        # match exceeds half the live rows takes copy-on-write instead —
+        # a table-sized vector would tax every later read with a
+        # table-sized anti-join (Delta's large-delete rule).
+        m = t._manifest(t.latest_version())
+        live = sum(f.get("rows", 0) for f in (m.get("files") or [])) \
+            - m.get("dv_rows", 0)
+        return t.delete_where_mor(cond, cow_fallback_rows=max(1, live // 2))
     return t.delete_where(cond, op="delete_sql")
 
 
@@ -486,9 +494,16 @@ def acid_sql(spark: SparkSession, stmt: str,
         rewritten = _VERSION_AS_OF_RE.sub(bind, stmt)
         rewritten = _TIMESTAMP_AS_OF_RE.sub(bind_ts, rewritten)
         for name, t in tables.items():
-            if re.search(rf"\b{re.escape(name)}\b", rewritten):
-                t.read().createOrReplaceTempView(name)
-                bound.append(name)
+            pat = rf"\b{re.escape(name)}\b"
+            if re.search(pat, rewritten):
+                # uuid-suffixed binding + reference rewrite (the same
+                # scheme VERSION AS OF uses) — claiming the bare name
+                # would silently overwrite, then delete, any user temp
+                # view that happens to share it
+                view = f"__acid_{name}_{uuid.uuid4().hex[:6]}"
+                t.read().createOrReplaceTempView(view)
+                bound.append(view)
+                rewritten = re.sub(pat, view, rewritten)
         return spark.sql(rewritten)
     finally:
         for v in bound:

@@ -318,6 +318,13 @@ def jdbc_exactly_once_stream(spark: SparkSession, sf_dir: str,
             c.setAutoCommit(False)
             if ledger_hit(c, batch_id):      # probe/commit race closed
                 c.rollback()
+                # the replay already wrote its staging table before the
+                # authoritative re-check hit — drop it (own short
+                # transaction) so the race never leaks a populated table
+                c.setAutoCommit(True)
+                st = c.createStatement()
+                st.execute(f'DROP TABLE {staging}')
+                st.close()
                 return
             st = c.createStatement()
             st.execute(

@@ -239,6 +239,35 @@ class AcidStreamWriter(DataSourceStreamWriter):
             for s in getattr(m, "stages", []):
                 shutil.rmtree(s, ignore_errors=True)
 
+    def _check_staged_constraints(self, cons: dict, staged: list) -> None:
+        """Validate the staged rows against the table's CHECK
+        constraints BEFORE the manifest exists (the AcidTable commit
+        contract: appends only need the NEW rows checked). No
+        SparkSession exists in the sink path, so the staged parquet is
+        probed with DuckDB — the CHECK grammar this engine accepts is
+        plain ANSI comparisons, which both dialects parse identically;
+        an expression DuckDB cannot evaluate refuses the commit loudly
+        rather than skipping enforcement."""
+        import duckdb
+
+        files = ", ".join(f"'{p}'" for p in staged)
+        for name, expr in cons.items():
+            try:
+                bad = duckdb.sql(
+                    f"SELECT * FROM read_parquet([{files}]) "
+                    f"WHERE NOT ({expr}) OR ({expr}) IS NULL "
+                    f"LIMIT 1").fetchall()
+            except Exception as e:             # noqa: BLE001
+                raise RuntimeError(
+                    f"acidtable sink cannot validate CHECK constraint "
+                    f"{name!r} ({expr}) over the staged batch: {e}; "
+                    f"commit refused — enforcement is never skipped"
+                ) from e
+            if bad:
+                raise RuntimeError(
+                    f"acidtable sink: constraint {name!r} ({expr}) "
+                    f"violated by streamed row {bad[0]}; commit refused")
+
     def commit(self, messages, batchId: int) -> None:
         import json
         import os
@@ -246,7 +275,7 @@ class AcidStreamWriter(DataSourceStreamWriter):
         import uuid as _uuid
         from pathlib import Path
 
-        from ..acid import collect_parquet_stats
+        from ..acid import collect_file_stats, collect_parquet_stats
 
         root = Path(self.path)
         manifests = root / "manifests"
@@ -264,6 +293,9 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     raise RuntimeError(
                         f"acidtable sink schema {self.pa_fields} does "
                         f"not match table columns {table_cols}")
+                cons = m.get("constraints") or {}
+                if cons and staged:
+                    self._check_staged_constraints(cons, staged)
                 new_rel = f"data/commit-{_uuid.uuid4().hex}"
                 dest = root / new_rel
                 dest.mkdir(parents=True)
@@ -271,14 +303,33 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     os.link(f, dest / f.name)         # parent snapshot
                 for fp in staged:
                     os.link(fp, dest / Path(fp).name)  # this batch
+                # O(delta) stats, mirroring _write_data_linked: footers
+                # of the STAGED files only; linked parent files keep
+                # their names, so their recorded entries stay valid
+                if m.get("files") is not None:
+                    files = (m["files"]
+                             + collect_file_stats(
+                                 dest / Path(fp).name for fp in staged))
+                else:                  # legacy parent: one-time harvest
+                    files = collect_parquet_stats(dest)
+                import time
                 manifest = {
                     "version": v + 1, "data": new_rel,
                     "schema": m["schema"], "op": "stream_sink",
-                    "parent": v,
+                    "parent": v, "ts": time.time(),
                     "txns": {**txns, self.app_id: batchId},
                     "txn": f"{self.app_id}#{batchId}",
-                    "files": collect_parquet_stats(dest),
+                    "files": files,
                 }
+                # table-property composability: linked files keep their
+                # names, so the parent's deletion vector stays valid —
+                # carried, not discarded (dropping it would RESURRECT
+                # MOR-deleted rows); constraints ride every manifest
+                if "dv" in m:
+                    manifest["dv"] = m["dv"]
+                    manifest["dv_rows"] = m.get("dv_rows", 0)
+                if cons:
+                    manifest["constraints"] = cons
                 v0 = json.loads((manifests / "v0.json").read_text())
                 if v0.get("props", {}).get("cdf"):
                     ch_rel = f"data/changes-{_uuid.uuid4().hex}"

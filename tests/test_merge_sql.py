@@ -317,3 +317,49 @@ def test_merge_sql_pruned_insert_only_into_empty_extent(spark, tmp_path):
     """, tables={"tgt": t})
     assert t.read().count() == 42
     assert t.last_cow_stats == {"files_rewritten": 0, "files_linked": 2}
+
+
+def test_bulk_delete_on_dv_table_takes_cow_path(spark, tmp_path):
+    """Delta's large-delete rule through the SQL front door: on an
+    enableDeletionVectors table, an unconditional DELETE (or one
+    matching more than half the live rows) must NOT build a table-sized
+    vector — it falls back to copy-on-write."""
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(500)],
+                               "id long, s long")
+    t = AcidTable.create(spark, tmp_path / "t", df, enable_dv=True)
+    # selective delete: MOR as before
+    v = acid_sql(spark, "DELETE FROM tbl WHERE id < 10", tables={"tbl": t})
+    assert t._manifest(v)["op"] == "delete_mor"
+    assert t._manifest(v)["dv_rows"] == 10
+    # bulk delete (matches ~80% of live rows): COW fallback, no vector
+    v = acid_sql(spark, "DELETE FROM tbl WHERE s > 0", tables={"tbl": t})
+    assert t._manifest(v)["op"] == "delete_mor_cow"
+    assert "dv" not in t._manifest(v)
+    assert t.read().count() == 98                 # s==0, id>=10
+    # unconditional DELETE: straight to COW
+    v = acid_sql(spark, "DELETE FROM tbl", tables={"tbl": t})
+    assert t._manifest(v)["op"] == "delete_sql"
+    assert t.read().count() == 0
+
+
+def test_acid_sql_preserves_user_temp_view_sharing_table_name(
+        spark, tmp_path):
+    """The generic read path binds registered tables under uuid views:
+    a pre-existing USER temp view that shares a registered table's name
+    survives the statement untouched (it is neither shadow-read nor
+    dropped)."""
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 100)], "id long, val long"))
+    spark.createDataFrame([(77,)], "marker long") \
+        .createOrReplaceTempView("shared_name")
+    got = acid_sql(spark, "SELECT val FROM shared_name",
+                   tables={"shared_name": t}).collect()
+    assert [r.val for r in got] == [100]          # read the ACID table
+    # the user's view is intact and still queryable afterwards
+    assert spark.table("shared_name").collect()[0].marker == 77
+    spark.catalog.dropTempView("shared_name")

@@ -433,3 +433,93 @@ def test_acid_stream_sink_concurrent_writers(spark, tmp_path):
     assert ops.count("stream_sink") == 6          # 3 commits per writer
     txns = t._manifest(t.latest_version())["txns"]
     assert txns == {"w0": 2, "w1": 2}             # both fenced at batch 2
+
+
+def test_acid_stream_sink_carries_deletion_vector(spark, tmp_path):
+    """Sinking into an enableDeletionVectors table must CARRY the
+    parent's vector (linked files keep their names, so the DV stays
+    valid) — a sink commit that dropped it would resurrect MOR-deleted
+    rows."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    duckdb.sql(f"""
+        COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                     CAST(9 AS BIGINT) AS user_id FROM range(100, 110))
+        TO '{src}/f0.parquet' (FORMAT PARQUET)""")
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(50)],
+                              "event_id long, user_id long"),
+        enable_dv=True)
+    t.delete_where_mor("event_id < 10")
+    assert t.read().count() == 40
+    spark.dataSource.register(AcidTableDataSource)
+    q = (spark.readStream.schema("event_id long, user_id long")
+         .parquet(str(src))
+         .writeStream.format("acidtable")
+         .option("path", str(tmp_path / "t")).option("appId", "dvS")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    m = t._manifest(t.latest_version())
+    assert "dv" in m and m["dv_rows"] == 10       # vector carried
+    got = {r.event_id for r in t.read().collect()}
+    assert len(got) == 50                         # 40 live + 10 streamed
+    assert not (got & set(range(10)))             # deletes NOT resurrected
+
+
+def test_acid_stream_sink_enforces_constraints(spark, tmp_path):
+    """A CHECK-constrained table refuses a streamed batch that violates
+    the constraint (validated over the staged parquet BEFORE the
+    manifest exists) and carries the constraint on every sink commit —
+    enforcement is never silently severed."""
+    import duckdb
+    import pytest
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    good, bad = tmp_path / "good", tmp_path / "bad"
+    good.mkdir(), bad.mkdir()
+    duckdb.sql(f"""
+        COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                     CAST(1 AS BIGINT) AS user_id FROM range(100, 105))
+        TO '{good}/f0.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""
+        COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                     CAST(-5 AS BIGINT) AS user_id FROM range(200, 205))
+        TO '{bad}/f0.parquet' (FORMAT PARQUET)""")
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 3)], "event_id long, user_id long"))
+    t.add_constraint("pos_user", "user_id >= 0")
+    spark.dataSource.register(AcidTableDataSource)
+
+    def drain(src, ck):
+        # distinct appId per drain: the txn fence is per-writer, and a
+        # fresh checkpoint under a reused appId would re-fence batch 0
+        q = (spark.readStream.schema("event_id long, user_id long")
+             .parquet(str(src))
+             .writeStream.format("acidtable")
+             .option("path", str(tmp_path / "t")).option("appId", ck)
+             .option("checkpointLocation", str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain(good, "ck1")                            # passes the CHECK
+    m = t._manifest(t.latest_version())
+    assert m["op"] == "stream_sink"
+    assert m.get("constraints") == {"pos_user": "user_id >= 0"}
+    with pytest.raises(Exception, match="pos_user"):
+        drain(bad, "ck2")                         # violates: refused
+    assert t.read().filter("user_id < 0").count() == 0
+    # a LATER api-side append still enforces (constraints not severed)
+    from spark_streaming_apps_spark.acid import ConstraintViolation
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(9, -1)],
+                                       "event_id long, user_id long"))
