@@ -87,6 +87,76 @@ def collect_file_stats(paths) -> list[dict]:
     return out
 
 
+def _parse_hive_value(raw: str):
+    """A Hive directory-name partition value back to a JSON-safe typed
+    value: int, then float, else unquoted string; Hive's NULL sentinel
+    maps to None."""
+    from urllib.parse import unquote
+
+    s = unquote(raw)
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
+def _partition_pins(cond: str, pcols: list[str]) -> dict | None:
+    """{partition_col: literal} for every top-level AND conjunct of
+    ``cond`` that pins a partition column with an equality — the shape
+    that admits partition pruning. Only equality conjuncts prune (a
+    range or OR term is conservatively ignored: pruning may keep too
+    much, never too little). None when nothing pins."""
+    import re
+
+    low = {c.lower(): c for c in pcols}
+    pins: dict = {}
+    # naive AND split is SAFE here: any fragment that carries a paren or
+    # OR (i.e. was split inside a nested expression) is skipped below,
+    # so a complex predicate prunes less, never wrongly
+    for term in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+        if "(" in term or ")" in term or " OR " in term.upper():
+            continue
+        m = re.match(r"^\s*(\w+)\s*=\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$",
+                     term)
+        if not m:
+            m2 = re.match(
+                r"^\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*=\s*(\w+)\s*$", term)
+            if not m2:
+                continue
+            col, lit, quoted = m2.group(3), m2.group(1), m2.group(2)
+        else:
+            col, lit, quoted = m.group(1), m.group(2), m.group(3)
+        if col.lower() not in low:
+            continue
+        if quoted is not None:
+            pins[low[col.lower()]] = quoted
+        else:
+            pins[low[col.lower()]] = (float(lit) if "." in lit
+                                      else int(lit))
+    return pins or None
+
+
+def _pins_match(part: dict | None, pins: dict) -> bool:
+    """True iff a file's recorded partition tuple can hold rows matching
+    the equality pins. Files without partition metadata (pre-partition
+    manifests, stream-sink commits) are conservatively kept."""
+    if not part:
+        return True
+    for c, v in pins.items():
+        have = part.get(c)
+        if have is None:
+            continue                    # unknown: cannot skip
+        if have != v and str(have) != str(v):
+            return False
+    return True
+
+
 class CommitConflict(Exception):
     """Another writer owns the attempted version; caller must re-read."""
 
@@ -120,7 +190,8 @@ class AcidTable:
     @classmethod
     def create(cls, spark: SparkSession, path, df: DataFrame,
                enable_cdf: bool = False,
-               enable_dv: bool = False) -> "AcidTable":
+               enable_dv: bool = False,
+               partition_by: list[str] | None = None) -> "AcidTable":
         """Create the table with ``df`` as version 0 (errors if it exists).
 
         ``enable_cdf=True`` is Delta's ``enableChangeDataFeed`` table
@@ -135,7 +206,17 @@ class AcidTable:
         SQL front door's ``DELETE FROM`` serves merge-on-read
         (``delete_where_mor`` — O(matched rows), pure-metadata commits)
         instead of copy-on-write; OPTIMIZE/compact materializes the
-        accumulated vectors."""
+        accumulated vectors.
+
+        ``partition_by=["col", ...]`` declares partition columns — the
+        Iceberg design, not Hive's: every data file holds exactly ONE
+        partition tuple, and that tuple rides the file's MANIFEST entry
+        (the partition columns stay in the data files, so reads never
+        reconstruct values from paths and no directory listing is ever
+        needed — at 100 TB the manifest IS the partition index). Every
+        scan, COW DML find pass, MERGE, and the ``acidtable``
+        DataSource split planner prunes by partition tuple BEFORE
+        consulting per-file [min, max] stats."""
         t = cls(spark, path)
         t._manifests.mkdir(parents=True, exist_ok=True)
         t._data.mkdir(parents=True, exist_ok=True)
@@ -144,8 +225,17 @@ class AcidTable:
             props["cdf"] = True
         if enable_dv:
             props["dv"] = True
-        if not t._try_commit(0, t._write_data(df), df.schema.jsonValue(),
-                             op="create", props=props or None):
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by column(s) {missing} not in schema "
+                    f"{df.columns}")
+            props["partition_by"] = list(partition_by)
+        rel, files = t._write_data_full(df, partition_by or [])
+        if not t._try_commit(0, rel, df.schema.jsonValue(),
+                             op="create", props=props or None,
+                             files=files):
             raise FileExistsError(f"AcidTable already exists at {path}")
         return t
 
@@ -203,6 +293,15 @@ class AcidTable:
         if v is None:
             return False
         return bool(self._manifest(0).get("props", {}).get("dv"))
+
+    def partition_cols(self) -> list[str]:
+        """The table's declared partition columns ([] when
+        unpartitioned) — a v0 table property, like cdf/dv."""
+        v = self.latest_version()
+        if v is None:
+            return []
+        return list(self._manifest(0).get("props", {})
+                    .get("partition_by", []) or [])
 
     @classmethod
     def exists(cls, spark: SparkSession, path) -> bool:
@@ -299,7 +398,10 @@ class AcidTable:
         """(paths overlapping [lo, hi] on ``col``, total file count) from
         the manifest's footer stats — no data file is opened to decide.
         Files without stats for ``col`` (or manifests from before stats
-        existed) are conservatively kept."""
+        existed) are conservatively kept. On a table partitioned by
+        ``col``, the file's recorded partition VALUE decides first
+        (exact, one comparison) and stats are only consulted for files
+        without one."""
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         files = m.get("files")
@@ -309,6 +411,14 @@ class AcidTable:
             return paths, len(paths)
         keep = []
         for f in files:
+            pv = (f.get("partition") or {}).get(col)
+            if pv is not None:           # partition pruning FIRST
+                try:
+                    if lo <= pv <= hi:
+                        keep.append(str(base / f["path"]))
+                    continue
+                except TypeError:        # mixed types: fall to stats
+                    pass
             st = f.get("stats", {}).get(col)
             if st is None or (st[0] <= hi and lo <= st[1]):
                 keep.append(str(base / f["path"]))
@@ -336,10 +446,65 @@ class AcidTable:
 
     # ------------------------------------------------------------ commits
 
-    def _write_data(self, df: DataFrame) -> str:
+    def _stage_rows(self, rows: DataFrame, dest: Path,
+                    pcols: list[str],
+                    order_by: list[str] | None = None) -> list[dict]:
+        """Write ``rows`` as flat, uniquely-named parquet files under
+        ``dest`` and return their manifest stats entries. On a
+        partitioned table the batch is first hash-repartitioned on the
+        partition columns (Delta optimized-write: each tuple lands on
+        ONE task, so a commit adds one file per touched tuple instead
+        of tasks×tuples small files), optionally sorted within tasks on
+        ``order_by`` (relayout's within-partition clustering), then
+        routed through ``partitionBy`` on DUPLICATED shadow columns (so
+        the real columns stay inside the data files); each hive leaf
+        file becomes one flat commit file and its partition tuple is
+        recorded on the manifest entry — the Iceberg invariant: one
+        partition tuple per file, tracked in metadata, never in
+        paths."""
+        tmp = self.path / f"data/tmp-{uuid.uuid4().hex}"
+        tag = uuid.uuid4().hex[:8]
+        if not pcols:
+            rows.write.parquet(str(tmp))
+            for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
+                shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
+            shutil.rmtree(tmp, ignore_errors=True)
+            return collect_file_stats(
+                sorted(dest.glob(f"add-{tag}-*.parquet")))
+        dup = rows.repartition(*pcols)
+        if order_by:
+            dup = dup.sortWithinPartitions(*pcols, *order_by)
+        for c in pcols:
+            dup = dup.withColumn(f"__pt_{c}", F.col(c))
+        dup.write.partitionBy(*[f"__pt_{c}" for c in pcols]) \
+            .parquet(str(tmp))
+        moved: list[tuple[str, dict]] = []
+        for i, p in enumerate(sorted(tmp.rglob("*.parquet"))):
+            part = {}
+            for seg in p.relative_to(tmp).parts[:-1]:
+                k, _, raw = seg.partition("=")
+                part[k[len("__pt_"):]] = _parse_hive_value(raw)
+            name = f"add-{tag}-{i:05d}.parquet"
+            shutil.move(str(p), dest / name)
+            moved.append((name, part))
+        shutil.rmtree(tmp, ignore_errors=True)
+        entries = collect_file_stats([dest / n for n, _ in moved])
+        for e, (_, part) in zip(entries, moved):
+            e["partition"] = part
+        return entries
+
+    def _write_data_full(self, df: DataFrame,
+                         pcols: list[str] | None = None,
+                         order_by: list[str] | None = None
+                         ) -> tuple[str, list[dict]]:
+        """Full-snapshot write into a fresh commit dir; returns
+        (data_rel, manifest stats entries)."""
+        if pcols is None:
+            pcols = self.partition_cols()
         rel = f"data/commit-{uuid.uuid4().hex}"
-        df.write.parquet(str(self.path / rel))
-        return rel
+        dest = self.path / rel
+        dest.mkdir(parents=True)
+        return rel, self._stage_rows(df, dest, pcols, order_by=order_by)
 
     def _write_data_linked(self, parent: dict,
                            rows: DataFrame) -> tuple[str, list[dict]]:
@@ -354,14 +519,8 @@ class AcidTable:
 
         rel = f"data/commit-{uuid.uuid4().hex}"
         dest = self.path / rel
-        tmp = self.path / f"data/tmp-{uuid.uuid4().hex}"
-        rows.write.parquet(str(tmp))
         dest.mkdir(parents=True)
-        tag = uuid.uuid4().hex[:8]
-        for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
-            shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
-        shutil.rmtree(tmp, ignore_errors=True)
-        new_stats = collect_parquet_stats(dest)     # new files only so far
+        new_stats = self._stage_rows(rows, dest, self.partition_cols())
         for f in sorted((self.path / parent["data"]).glob("*.parquet")):
             os.link(f, dest / f.name)
         return rel, (parent.get("files") or []) + new_stats
@@ -377,21 +536,17 @@ class AcidTable:
 
         rel = f"data/commit-{uuid.uuid4().hex}"
         dest = self.path / rel
-        tmp = self.path / f"data/tmp-{uuid.uuid4().hex}"
-        rows.write.parquet(str(tmp))
         dest.mkdir(parents=True)
-        tag = uuid.uuid4().hex[:8]
-        for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
-            shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
-        shutil.rmtree(tmp, ignore_errors=True)
-        new_stats = collect_parquet_stats(dest)     # new files only so far
+        new_stats = self._stage_rows(rows, dest, self.partition_cols())
         for f in link:
             os.link(base / f["path"], dest / f["path"])
         return rel, list(link) + new_stats
 
     def _cow_commit(self, probe, rewrite, op: str,
                     max_retries: int = 20,
-                    empty_noop: bool = True) -> int:
+                    empty_noop: bool = True,
+                    partition_pins: dict | None = None,
+                    partition_in: list[dict] | None = None) -> int:
         """File-pruned copy-on-write commit — the Delta/Iceberg DML
         discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
         files), never O(table):
@@ -410,8 +565,15 @@ class AcidTable:
         On a CDF table the change files are derived from the touched
         subset only (one exceptAll pair over the rewritten files, not
         the table). Falls back to the full-rewrite loop for legacy
-        manifests without per-file stats. Sets ``self.last_cow_stats``
-        = {files_rewritten, files_linked} for observability."""
+        manifests without per-file stats.
+
+        ``partition_pins`` ({col: literal}) / ``partition_in`` (list of
+        acceptable partition tuples) make the FIND pass itself pruned:
+        manifest entries whose recorded partition tuple cannot match
+        are never even opened — at 100 TB the find pass is
+        O(touched-partition files), not O(table files). Sets
+        ``self.last_cow_stats`` = {files_scanned, files_rewritten,
+        files_linked} for observability."""
         cdf = self.cdf_enabled()
         for _ in range(max_retries):
             v, cur = self.snapshot()
@@ -422,16 +584,43 @@ class AcidTable:
             base = self.path / m["data"]
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
-            tagged = self._with_pos(
-                self.spark.read.schema(schema).parquet(str(base)))
-            if "dv" in m:
-                tagged = self._apply_dv(tagged, m)
-            touched_names = {
-                r["__dv_file"] for r in
-                probe(tagged).select("__dv_file").distinct().collect()}
+            # partition pruning FIRST — metadata-only, before any IO
+            eligible = files
+            if partition_pins:
+                eligible = [f for f in eligible if _pins_match(
+                    f.get("partition"), partition_pins)]
+            if partition_in is not None:
+                def any_match(part):
+                    return any(_pins_match(part, pins)
+                               for pins in partition_in)
+                eligible = [f for f in eligible
+                            if not f.get("partition")
+                            or any_match(f["partition"])]
+            if len(eligible) < len(files):
+                e_paths = [str(base / f["path"]) for f in eligible]
+                if e_paths:
+                    scan = self._with_pos(self.spark.read
+                                          .schema(schema)
+                                          .parquet(*e_paths))
+                    if "dv" in m:
+                        scan = self._apply_dv(scan, m)
+                    touched_names = {
+                        r["__dv_file"] for r in probe(scan)
+                        .select("__dv_file").distinct().collect()}
+                else:
+                    touched_names = set()
+            else:
+                tagged = self._with_pos(
+                    self.spark.read.schema(schema).parquet(str(base)))
+                if "dv" in m:
+                    tagged = self._apply_dv(tagged, m)
+                touched_names = {
+                    r["__dv_file"] for r in
+                    probe(tagged).select("__dv_file").distinct().collect()}
             untouched = [f for f in files
                          if f["path"] not in touched_names]
             self.last_cow_stats = {
+                "files_scanned": len(eligible),
                 "files_rewritten": len(files) - len(untouched),
                 "files_linked": len(untouched)}
             cons = m.get("constraints", {})
@@ -500,12 +689,16 @@ class AcidTable:
         """Row-level DELETE as file-pruned copy-on-write: only files
         holding a row where ``cond`` is TRUE are rewritten (without
         their matching rows); the rest of the table is carried by
-        reference. NULL predicate rows survive (SQL DELETE semantics)."""
+        reference. NULL predicate rows survive (SQL DELETE semantics).
+        On a partitioned table, equality conjuncts pinning partition
+        columns prune the FIND pass to the matching partitions' files
+        before any data IO."""
         return self._cow_commit(
             probe=lambda df: df.filter(cond),
             rewrite=lambda df: df.filter(
                 f"NOT ({cond}) OR ({cond}) IS NULL"),
-            op=op, max_retries=max_retries)
+            op=op, max_retries=max_retries,
+            partition_pins=_partition_pins(cond, self.partition_cols()))
 
     def delete_where_mor(self, cond: str, max_retries: int = 20,
                          cow_fallback_rows: int | None = None) -> int:
@@ -522,17 +715,32 @@ class AcidTable:
         still commits a metadata version. Sets ``last_mor_stats`` =
         {rows_deleted, dv_rows_total}."""
         cdf = self.cdf_enabled()
+        pins = _partition_pins(cond, self.partition_cols())
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
-            tagged = self._with_pos(
-                self.spark.read.schema(schema)
-                .parquet(str(self.path / m["data"])))
-            if "dv" in m:
-                tagged = self._apply_dv(tagged, m)
-            matched = tagged.filter(cond)
+            files = m.get("files")
+            scan_paths = [str(self.path / m["data"])]
+            if pins and files:
+                # partition-first: the matched-row scan opens only the
+                # pinned partitions' files (metadata decision, no IO)
+                elig = [f for f in files
+                        if _pins_match(f.get("partition"), pins)]
+                scan_paths = [str(self.path / m["data"] / f["path"])
+                              for f in elig]
+            if scan_paths:
+                tagged = self._with_pos(
+                    self.spark.read.schema(schema).parquet(*scan_paths))
+                if "dv" in m:
+                    tagged = self._apply_dv(tagged, m)
+                matched = tagged.filter(cond)
+            else:                        # no partition can match
+                matched = (self.spark.createDataFrame([], schema)
+                           .withColumn("__dv_file", F.lit(""))
+                           .withColumn("__dv_pos",
+                                       F.lit(0).cast("long")))
             new_entries = matched.select(
                 F.col("__dv_file").alias("file"),
                 F.col("__dv_pos").alias("pos"))
@@ -600,9 +808,17 @@ class AcidTable:
                 (f"CASE WHEN ({cond}) THEN ({low[c.lower()]}) "
                  f"ELSE {c} END AS {c}") if c.lower() in low else c
                 for c in df.columns])
+        pcols = self.partition_cols()
+        if any(c.lower() in low for c in pcols):
+            raise ValueError(
+                f"UPDATE may not assign partition column(s) "
+                f"{[c for c in pcols if c.lower() in low]}"
+                f" — rewrite as DELETE + INSERT (the Iceberg rule: a "
+                f"row never migrates partitions in place)")
         return self._cow_commit(
             probe=lambda df: df.filter(cond), rewrite=rewrite,
-            op=op, max_retries=max_retries)
+            op=op, max_retries=max_retries,
+            partition_pins=_partition_pins(cond, pcols))
 
     def _collect_stats(self, data_rel: str) -> list[dict]:
         return collect_parquet_stats(self.path / data_rel)
@@ -772,7 +988,8 @@ class AcidTable:
             return False
 
     def _commit_loop(self, build, op: str, max_retries: int = 20,
-                     insert_hint: DataFrame | None = None) -> int:
+                     insert_hint: DataFrame | None = None,
+                     order_by: list[str] | None = None) -> int:
         """Optimistic-concurrency commit: ``build(cur)`` produces the full
         next table state from the current snapshot; on manifest conflict
         the LOSER's data dir is dropped and build re-runs against the
@@ -810,8 +1027,8 @@ class AcidTable:
                 # applied, so the output MATERIALIZES the deletes and
                 # the new manifest carries no vector
                 out = build(cur)
-                rel = self._write_data(out)
-                files = None
+                rel, files = self._write_data_full(out,
+                                                    order_by=order_by)
                 schema_json = out.schema.jsonValue()
                 dv_rel, dv_rows = None, 0
             ch_rel = (self._write_changes(cur, None if linked else out,
@@ -858,7 +1075,10 @@ class AcidTable:
         they fall out of the same full-outer join, because a key absent
         from every touched file is by construction absent from the
         table. On a key-clustered table (``relayout(key)``) a narrow
-        update batch touches O(batch-extent) files, not the table."""
+        update batch touches O(batch-extent) files, not the table. On
+        a PARTITIONED table whose partition columns appear in the
+        update batch, the find pass first prunes to the partitions the
+        batch actually touches — metadata only, before any file IO."""
         dedup_keys = updates.select(*key).distinct()
 
         def probe(df: DataFrame) -> DataFrame:
@@ -872,8 +1092,27 @@ class AcidTable:
                     .select(*key,
                             *[F.coalesce(f"__u_{c}", c).alias(c)
                               for c in val_cols]))
+        part_in = self._partition_tuples_of(updates)
         return self._cow_commit(probe, rewrite, "merge_pruned",
-                                max_retries, empty_noop=False)
+                                max_retries, empty_noop=False,
+                                partition_in=part_in)
+
+    def _partition_tuples_of(self, batch: DataFrame,
+                             cap: int = 10_000) -> list[dict] | None:
+        """The distinct partition tuples present in ``batch`` (for
+        partition-first DML pruning), or None when the table is
+        unpartitioned, the batch lacks a partition column, or the
+        batch spans more than ``cap`` tuples (at which point pruning
+        buys nothing and the collect is not worth it). The collect is
+        bounded: one small driver list of partition VALUES, the same
+        class of driver state as the touched-file name list."""
+        pcols = self.partition_cols()
+        if not pcols or any(c not in batch.columns for c in pcols):
+            return None
+        vals = (batch.select(*pcols).distinct().limit(cap + 1).collect())
+        if len(vals) > cap:
+            return None
+        return [{c: r[c] for c in pcols} for r in vals]
 
     def merge_keep_latest(self, updates: DataFrame, key: list[str],
                           version_col: str, max_retries: int = 20) -> int:
@@ -1163,7 +1402,7 @@ class AcidTable:
         return self._commit_loop(
             lambda cur: (cur.repartitionByRange(target_files, *cols)
                          .sortWithinPartitions(*cols)),
-            "relayout", max_retries)
+            "relayout", max_retries, order_by=cols)
 
     def append_evolve(self, rows: DataFrame, max_retries: int = 20) -> int:
         """Schema-evolving append: columns new to ``rows`` widen the table

@@ -296,9 +296,14 @@ def merge_into_sql(spark: SparkSession, stmt: str,
             src_keys = spark.sql(
                 f"SELECT DISTINCT {sel} FROM {src} {mg.s_alias}")
             tcols = [tc for tc, _ in pairs]
+            # on a partitioned target whose partition columns are all
+            # join keys, prune the find pass to the partitions the
+            # source batch actually names — metadata-first discipline
+            part_in = table._partition_tuples_of(src_keys)
             return table._cow_commit(
                 probe=lambda df: df.join(src_keys, tcols, "semi"),
-                rewrite=build, op="merge_sql", empty_noop=False)
+                rewrite=build, op="merge_sql", empty_noop=False,
+                partition_in=part_in)
         return table._commit_loop(build, "merge_sql")
     finally:
         spark.catalog.dropTempView(tv)

@@ -1577,3 +1577,82 @@ SELECT coalesce(c.user_id, e.user_id) AS user_id,
        max_click_id, max_error_id
 FROM c FULL OUTER JOIN e ON c.user_id = e.user_id
 """
+
+
+# ------------------------------------------ Partitioned-table pruning
+
+#: appended-batch key offset (keeps appended l_orderkey disjoint)
+PART_OFFSET = 100_000_000
+
+
+def acid_partitioned_prune(spark: SparkSession, sf_dir: str,
+                           scratch: Path) -> DataFrame:
+    """Partition columns on AcidTable (the Iceberg design: one
+    partition tuple per data file, tracked in the MANIFEST, never in
+    directory paths — no listing, partition evolution possible): the
+    layout-level analog of the reference's B-tree index
+    (StreamingApp.scala:152-155). Each staged batch hash-repartitions
+    on the partition columns (one file per touched tuple — the
+    optimized-write shape), so this table is deterministic: create
+    writes 4 files (pmod 0-3), the append adds 2 (pmod 1-2). DML pinned
+    to one partition then proves the partition-FIRST find pass: the
+    pinned DELETE/UPDATE each open exactly the 2 files of their
+    partition, never the other 4 — at 100 TB every scan, COW rewrite
+    and OPTIMIZE is O(touched partitions). The ``*_scanned``/
+    ``n_files`` columns pin those counts in the oracle; the census
+    pins the rows."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_part_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .withColumn("pmod", (F.col("l_orderkey") % 4).cast("int")))
+    t = AcidTable.create(spark, path, li, partition_by=["pmod"])
+    t.append(li.filter(F.col("pmod").isin(1, 2))
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") + F.lit(PART_OFFSET)))
+    n_files = len(t._manifest(t.latest_version())["files"])
+    t.delete_where("pmod = 1 AND l_quantity <= 5")
+    del_scanned = t.last_cow_stats["files_scanned"]
+    t.update_where({"l_extendedprice": "l_extendedprice + 1000"},
+                   "pmod = 2 AND l_quantity >= 45")
+    upd_scanned = t.last_cow_stats["files_scanned"]
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("double").alias("price"))
+        .withColumn("n_files", F.lit(n_files))
+        .withColumn("delete_scanned", F.lit(del_scanned))
+        .withColumn("update_scanned", F.lit(upd_scanned)))
+
+
+ACID_PART_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice,
+         CAST(l_orderkey % 4 AS INT) AS pmod
+  FROM lineitem),
+all_rows AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT l_orderkey + {PART_OFFSET}, l_quantity, l_extendedprice, pmod
+  FROM base WHERE pmod IN (1, 2)),
+fin AS (
+  SELECT l_orderkey, l_quantity,
+         CASE WHEN pmod = 2 AND l_quantity >= 45
+              THEN l_extendedprice + 1000
+              ELSE l_extendedprice END AS l_extendedprice
+  FROM all_rows
+  WHERE NOT (pmod = 1 AND l_quantity <= 5))
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price,
+       6 AS n_files, 2 AS delete_scanned, 2 AS update_scanned
+FROM fin
+"""

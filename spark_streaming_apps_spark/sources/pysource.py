@@ -170,10 +170,18 @@ class AcidTableDataSource(DataSource):
         col = self.options.get("col")
         if col and files:
             lo, hi = float(self.options["lo"]), float(self.options["hi"])
-            keep = [f["path"] for f in files
-                    if f.get("stats", {}).get(col) is None
-                    or (f["stats"][col][0] <= hi
-                        and lo <= f["stats"][col][1])]
+            keep = []
+            for f in files:
+                pv = (f.get("partition") or {}).get(col)
+                if isinstance(pv, (int, float)):
+                    # partition value decides FIRST (exact — one
+                    # comparison per file, before stats)
+                    if lo <= pv <= hi:
+                        keep.append(f["path"])
+                    continue
+                st = f.get("stats", {}).get(col)
+                if st is None or (st[0] <= hi and lo <= st[1]):
+                    keep.append(f["path"])
         else:
             from pathlib import Path
             keep = ([f["path"] for f in files] if files else

@@ -61,7 +61,7 @@ def test_delete_where_no_match_is_metadata_only_commit(spark, tmp_path):
     assert m["data"] == m_before["data"]        # shares the parent dir
     assert m["op"] == "delete"
     assert t.read().count() == 50
-    assert t.last_cow_stats == {"files_rewritten": 0, "files_linked": 2}
+    assert t.last_cow_stats == {"files_scanned": 2, "files_rewritten": 0, "files_linked": 2}
 
 
 def test_update_where_prunes_and_matches_case_projection(spark, tmp_path):

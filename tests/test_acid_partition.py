@@ -1,0 +1,184 @@
+"""Partition columns on AcidTable (Iceberg-style: one partition tuple
+per data file, tracked in the MANIFEST, never in paths): partition-first
+pruning in the DML find pass, MERGE, pruned_files, and the acidtable
+DataSource split planner; the one-way door rules (no UPDATE of a
+partition column)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_apps_spark.acid import (
+    AcidTable, _partition_pins, _pins_match)
+
+
+def _mk(spark, path, n=400, nb=4):
+    df = spark.createDataFrame(
+        [(i, i % nb, f"t{i % nb}") for i in range(n)],
+        "id long, bucket int, tag string")
+    return AcidTable.create(spark, path, df.repartition(nb, "bucket"),
+                            partition_by=["bucket"])
+
+
+def test_create_records_partition_tuples(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    assert t.partition_cols() == ["bucket"]
+    files = t._manifest(0)["files"]
+    assert len(files) == 4                        # one file per bucket
+    assert sorted(f["partition"]["bucket"] for f in files) == [0, 1, 2, 3]
+    # partition columns STAY in the data files — reads never
+    # reconstruct values from paths
+    assert t.read().count() == 400
+    assert t.read().filter("bucket = 2").count() == 100
+
+
+def test_append_keeps_single_tuple_invariant(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.append(spark.createDataFrame(
+        [(1000 + i, i % 2, "x") for i in range(20)],
+        "id long, bucket int, tag string"))
+    files = t._manifest(1)["files"]
+    assert len(files) == 6                        # 4 linked + 2 new
+    assert all("partition" in f for f in files)
+    assert t.read().count() == 420
+
+
+def test_delete_find_pass_scans_pinned_partition_only(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.append(spark.createDataFrame(
+        [(1000 + i, i % 4, "x") for i in range(40)],
+        "id long, bucket int, tag string").repartition(4, "bucket"))
+    # 8 files total, 2 per bucket; the pinned predicate must scan 2
+    v = t.delete_where("bucket = 1 AND id < 50")
+    assert t.last_cow_stats["files_scanned"] == 2
+    assert t.last_cow_stats["files_rewritten"] == 1
+    assert t.last_cow_stats["files_linked"] == 7
+    assert t._manifest(v)["op"] == "delete"
+    assert t.read().filter("bucket = 1 AND id < 50").count() == 0
+    assert t.read().count() == 440 - 13  # ids 1,5,...,49 in bucket 1
+
+
+def test_delete_pinned_to_absent_partition_is_metadata_noop(
+        spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    before = t._manifest(0)["data"]
+    v = t.delete_where("bucket = 99")
+    assert t.last_cow_stats["files_scanned"] == 0  # nothing opened
+    assert t._manifest(v)["data"] == before        # shares parent dir
+    assert t.read().count() == 400
+
+
+def test_update_pinned_partition_and_forbidden_partition_assign(
+        spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.update_where({"tag": "'hit'"}, "bucket = 2 AND id >= 200")
+    assert t.last_cow_stats["files_scanned"] == 1
+    assert t.read().filter("tag = 'hit'").count() == \
+        t.read().filter("bucket = 2 AND id >= 200").count() > 0
+    with pytest.raises(ValueError, match="partition column"):
+        t.update_where({"bucket": "bucket + 1"}, "id = 0")
+
+
+def test_merge_pruned_partition_discipline(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    up = spark.createDataFrame(
+        [(1, 1, "upd"), (9999, 3, "ins")],
+        "id long, bucket int, tag string")
+    t.merge_pruned(up, key=["id", "bucket"])
+    # batch touches buckets {1, 3} -> 2 of 4 files scanned
+    assert t.last_cow_stats["files_scanned"] == 2
+    assert t.read().filter("id = 1").collect()[0].tag == "upd"
+    assert t.read().filter("id = 9999").count() == 1
+
+
+def test_pruned_files_partition_value_decides_first(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    paths, total = t.pruned_files("bucket", 2, 3)
+    assert (len(paths), total) == (2, 4)
+    # range read equals exact filter
+    got = {r.id for r in t.read_range("bucket", 2, 3).collect()}
+    want = {r.id for r in t.read().filter("bucket BETWEEN 2 AND 3")
+            .collect()}
+    assert got == want
+
+
+def test_datasource_split_planner_prunes_by_partition(spark, tmp_path):
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    t = _mk(spark, tmp_path / "t")
+    spark.dataSource.register(AcidTableDataSource)
+    df = (spark.read.format("acidtable")
+          .option("path", str(tmp_path / "t"))
+          .option("col", "bucket").option("lo", "1").option("hi", "1")
+          .load())
+    assert df.rdd.getNumPartitions() == 1         # 1 split of 4 files
+    assert df.filter("bucket = 1").count() == 100
+
+
+def test_string_partition_values_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["us", "eu", "ap"][i % 3]) for i in range(90)],
+        "id long, region string")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(3, "region"),
+                         partition_by=["region"])
+    parts = {f["partition"]["region"] for f in t._manifest(0)["files"]}
+    assert parts == {"us", "eu", "ap"}
+    t.delete_where("region = 'eu' AND id < 10")
+    assert t.last_cow_stats["files_scanned"] == 1
+    assert t.read().count() == 90 - 3             # ids 1, 4, 7 in eu
+    assert t.read().filter("region = 'eu'").count() == 27
+
+
+def test_full_rewrite_ops_preserve_partition_metadata(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.compact(target_files=1)                     # full rewrite
+    files = t._manifest(t.latest_version())["files"]
+    # partitioned write re-splits by tuple: still one tuple per file
+    assert all("partition" in f for f in files)
+    assert sorted(f["partition"]["bucket"] for f in files) == [0, 1, 2, 3]
+    assert t.read().count() == 400
+
+
+def test_mor_delete_scans_pinned_partition_only(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 4, f"t{i}") for i in range(400)],
+        "id long, bucket int, tag string")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(4, "bucket"),
+                         partition_by=["bucket"], enable_dv=True)
+    v = t.delete_where_mor("bucket = 3 AND id < 20")
+    assert t._manifest(v)["op"] == "delete_mor"
+    assert t.read().filter("bucket = 3 AND id < 20").count() == 0
+    assert t.read().count() == 395                # ids 3,7,11,15,19
+    # no-match pinned partition: metadata no-op, no scan error
+    v2 = t.delete_where_mor("bucket = 77")
+    assert t.read().count() == 395
+    assert t._manifest(v2)["op"] == "delete_mor"
+
+
+def test_clone_carries_partitioning(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    c = t.clone(tmp_path / "c")
+    assert c.partition_cols() == ["bucket"]
+    c.delete_where("bucket = 0")
+    assert c.last_cow_stats["files_scanned"] == 1
+    assert c.read().count() == 300
+    assert t.read().count() == 400                # histories forked
+
+
+def test_partition_pins_parser_conservative():
+    pc = ["bucket", "region"]
+    assert _partition_pins("bucket = 3 AND id < 9", pc) == {"bucket": 3}
+    assert _partition_pins("region = 'eu' AND 2 = bucket", pc) == \
+        {"region": "eu", "bucket": 2}
+    # OR / parenthesized / range terms never pin
+    assert _partition_pins("bucket = 1 OR bucket = 2", pc) is None
+    assert _partition_pins("(bucket = 1) AND id = 5", pc) is None
+    assert _partition_pins("bucket > 2", pc) is None
+    # files without partition metadata are conservatively kept
+    assert _pins_match(None, {"bucket": 1})
+    assert _pins_match({}, {"bucket": 1})
+    assert not _pins_match({"bucket": 2}, {"bucket": 1})
+    assert _pins_match({"region": "eu"}, {"bucket": 1})

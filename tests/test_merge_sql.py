@@ -316,7 +316,7 @@ def test_merge_sql_pruned_insert_only_into_empty_extent(spark, tmp_path):
         WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)
     """, tables={"tgt": t})
     assert t.read().count() == 42
-    assert t.last_cow_stats == {"files_rewritten": 0, "files_linked": 2}
+    assert t.last_cow_stats == {"files_scanned": 2, "files_rewritten": 0, "files_linked": 2}
 
 
 def test_bulk_delete_on_dv_table_takes_cow_path(spark, tmp_path):
