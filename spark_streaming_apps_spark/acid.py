@@ -791,6 +791,200 @@ class AcidTable:
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
+    def _mor_image_commit(self, m: dict, cur: DataFrame,
+                          old_images: DataFrame, new_rows: DataFrame,
+                          op: str, n_marked: int) -> bool:
+        """Shared merge-on-read image-swap commit (Delta/Iceberg v2 DV
+        DML): the rows in ``old_images`` die by deletion-vector entry
+        (their (file, pos) identities join the vector — no data file is
+        read in full or rewritten), the replacement/insert rows in
+        ``new_rows`` land as an O(delta) linked append, and one
+        manifest publishes both — UPDATE and MERGE at O(matched rows)
+        commit cost. Constraints validate the NEW images only (carried
+        rows passed at their own commit time); CDF records the
+        delete+insert pair."""
+        schema = StructType.fromJson(m["schema"])
+        scols = [f.name for f in schema.fields]
+        # pin the staged images to the table's exact physical types —
+        # a caller's double where the table holds decimal would write
+        # mixed-type files the snapshot schema cannot read back
+        new_rows = new_rows.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        cons = m.get("constraints", {})
+        if cons:
+            self._check_constraints(new_rows, cons)
+        new_entries = old_images.select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"))
+        if "dv" in m:
+            dv_all = self.spark.read.parquet(
+                str(self.path / m["dv"])).unionByName(new_entries)
+        else:
+            dv_all = new_entries
+        dv_rel = None
+        dv_rows = m.get("dv_rows", 0) + n_marked
+        if dv_rows:
+            dv_rel = f"data/dv-{uuid.uuid4().hex}"
+            dv_all.coalesce(1).write.parquet(str(self.path / dv_rel))
+        rel, files = self._write_data_linked(m, new_rows.select(*scols))
+        ch_rel = None
+        if self.cdf_enabled():
+            ch_rel = self._write_changes_pair(
+                new_rows.select(*scols), old_images.select(*scols))
+        if self._try_commit(m["version"] + 1, rel, m["schema"], op,
+                            changes_rel=ch_rel, files=files,
+                            dv_rel=dv_rel, dv_rows=dv_rows):
+            return True
+        shutil.rmtree(self.path / rel, ignore_errors=True)
+        if dv_rel:
+            shutil.rmtree(self.path / dv_rel, ignore_errors=True)
+        if ch_rel:
+            shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        return False
+
+    def _mor_scan(self, m: dict, pins: dict | None = None,
+                  part_in: list[dict] | None = None) -> DataFrame:
+        """The (file, pos)-tagged, DV-applied snapshot scan a MOR DML
+        find pass reads — partition-pruned to the pinned/batch-touched
+        tuples when the table is partitioned."""
+        schema = StructType.fromJson(m["schema"])
+        files = m.get("files")
+        scan_paths = [str(self.path / m["data"])]
+        if files and (pins or part_in is not None):
+            elig = files
+            if pins:
+                elig = [f for f in elig
+                        if _pins_match(f.get("partition"), pins)]
+            if part_in is not None:
+                elig = [f for f in elig
+                        if not f.get("partition")
+                        or any(_pins_match(f["partition"], p)
+                               for p in part_in)]
+            scan_paths = [str(self.path / m["data"] / f["path"])
+                          for f in elig]
+        if not scan_paths:
+            return (self.spark.createDataFrame([], schema)
+                    .withColumn("__dv_file", F.lit(""))
+                    .withColumn("__dv_pos", F.lit(0).cast("long")))
+        tagged = self._with_pos(
+            self.spark.read.schema(schema).parquet(*scan_paths))
+        if "dv" in m:
+            tagged = self._apply_dv(tagged, m)
+        return tagged
+
+    def update_where_mor(self, assigns: dict[str, str], cond: str,
+                         max_retries: int = 20,
+                         cow_fallback_rows: int | None = None) -> int:
+        """Row-level UPDATE as merge-on-read: matched rows' OLD images
+        die by deletion-vector entry, their NEW images (each assigned
+        column a CASE over the predicate — here always matched, so just
+        the expression) append as an O(delta) linked commit — the whole
+        statement costs O(matched rows), never a file rewrite (Delta
+        DV-enabled UPDATE). ``compact``/``relayout`` still materialize
+        the vector away. Sets ``last_mor_stats`` = {rows_updated,
+        dv_rows_total}."""
+        low = {c.lower(): e for c, e in assigns.items()}
+        pcols = self.partition_cols()
+        if any(c.lower() in low for c in pcols):
+            raise ValueError(
+                f"UPDATE may not assign partition column(s) "
+                f"{[c for c in pcols if c.lower() in low]} — rewrite "
+                f"as DELETE + INSERT (a row never migrates partitions "
+                f"in place)")
+        pins = _partition_pins(cond, pcols)
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            scols = [f["name"] for f in m["schema"]["fields"]]
+            unknown = set(low) - {c.lower() for c in scols}
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET of unknown column(s) {unknown}")
+            matched = self._mor_scan(m, pins=pins).filter(cond)
+            n = matched.count()
+            self.last_mor_stats = {
+                "rows_updated": n,
+                "dv_rows_total": m.get("dv_rows", 0) + n}
+            if cow_fallback_rows is not None and n > cow_fallback_rows:
+                return self.update_where(assigns, cond,
+                                         max_retries=max_retries,
+                                         op="update_mor_cow")
+            if n == 0:
+                ch_rel = (self._write_changes_pair(cur.limit(0),
+                                                   cur.limit(0))
+                          if self.cdf_enabled() else None)
+                if self._try_commit(v + 1, m["data"], m["schema"],
+                                    "update_mor", changes_rel=ch_rel,
+                                    files=m.get("files"),
+                                    dv_rel=m.get("dv"),
+                                    dv_rows=m.get("dv_rows", 0)):
+                    return v + 1
+                if ch_rel:
+                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+                continue
+            new_rows = matched.selectExpr(*[
+                f"({low[c.lower()]}) AS {c}" if c.lower() in low else c
+                for c in scols])
+            if self._mor_image_commit(m, cur, matched, new_rows,
+                                      "update_mor", n):
+                return v + 1
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at {self.path}")
+
+    def merge_mor(self, updates: DataFrame, key: list[str],
+                  max_retries: int = 20) -> int:
+        """ANSI MERGE as merge-on-read (Delta/Iceberg v2 DV MERGE):
+        matched target rows die by deletion-vector entry and their new
+        images (update values, last-writer-wins like ``merge``) append
+        together with the unmatched updates' inserts in ONE O(delta)
+        linked commit — MERGE at O(matched + inserted rows), no file
+        rewrite. The matched scan is partition-pruned to the batch's
+        tuples on a partitioned table. ``updates`` must be key-unique
+        (the ANSI MERGE cardinality contract, same as ``merge``: a
+        duplicate-key batch would fan the inner join out). Sets
+        ``last_mor_stats`` = {rows_updated, rows_inserted,
+        dv_rows_total}."""
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            scols = [f["name"] for f in m["schema"]["fields"]]
+            val_cols = [c for c in scols if c not in key]
+            part_in = self._partition_tuples_of(updates)
+            tagged = self._mor_scan(m, part_in=part_in)
+            u = updates.select(*key, *[F.col(c).alias(f"__u_{c}")
+                                       for c in val_cols])
+            joined = tagged.join(u, key, "inner")
+            matched = joined.select(*scols, "__dv_file", "__dv_pos")
+            new_images = joined.select(
+                *key, *[F.coalesce(f"__u_{c}", c).alias(c)
+                        for c in val_cols]).select(*scols)
+            inserts = (updates.select(*scols)
+                       .join(cur.select(*key), key, "left_anti"))
+            n_upd = matched.count()
+            n_ins = inserts.count()
+            self.last_mor_stats = {
+                "rows_updated": n_upd, "rows_inserted": n_ins,
+                "dv_rows_total": m.get("dv_rows", 0) + n_upd}
+            new_rows = new_images.unionByName(inserts)
+            if n_upd == 0 and n_ins == 0:
+                ch_rel = (self._write_changes_pair(cur.limit(0),
+                                                   cur.limit(0))
+                          if self.cdf_enabled() else None)
+                if self._try_commit(v + 1, m["data"], m["schema"],
+                                    "merge_mor", changes_rel=ch_rel,
+                                    files=m.get("files"),
+                                    dv_rel=m.get("dv"),
+                                    dv_rows=m.get("dv_rows", 0)):
+                    return v + 1
+                if ch_rel:
+                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+                continue
+            if self._mor_image_commit(m, cur, matched, new_rows,
+                                      "merge_mor", n_upd):
+                return v + 1
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at {self.path}")
+
     def update_where(self, assigns: dict[str, str], cond: str,
                      max_retries: int = 20, op: str = "update") -> int:
         """Row-level UPDATE as file-pruned copy-on-write: files with no

@@ -1141,6 +1141,9 @@ register("acid_multi_table_txn", oracle=extensions.ACID_MULTI_TXN_ORACLE
 register("acid_partitioned_prune", oracle=extensions.ACID_PART_ORACLE
          )(lambda s, d: extensions.acid_partitioned_prune(s, d, SCRATCH))
 
+register("acid_mor_dml", oracle=extensions.ACID_MOR_ORACLE
+         )(lambda s, d: extensions.acid_mor_dml(s, d, SCRATCH))
+
 register("acid_change_feed",
          oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

@@ -374,7 +374,17 @@ def update_sql(spark: SparkSession, stmt: str,
     for a in _split_top_level(m.group("sets")):
         col, expr = a.split("=", 1)
         assigns[col.strip().lower()] = expr.strip()
-    return tables[name].update_where(assigns, cond, op="update_sql")
+    t = tables[name]
+    if t.dv_enabled() and cond != "TRUE":
+        # enableDeletionVectors: merge-on-read UPDATE (old images die
+        # by vector entry, new images append — O(matched rows)); bulk
+        # updates fall back to copy-on-write, same rule as DELETE
+        mf = t._manifest(t.latest_version())
+        live = sum(f.get("rows", 0) for f in (mf.get("files") or [])) \
+            - mf.get("dv_rows", 0)
+        return t.update_where_mor(assigns, cond,
+                                  cow_fallback_rows=max(1, live // 2))
+    return t.update_where(assigns, cond, op="update_sql")
 
 
 _ADD_CONSTRAINT_RE = re.compile(

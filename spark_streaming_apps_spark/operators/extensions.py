@@ -1656,3 +1656,113 @@ SELECT COUNT(*) AS n_rows,
        6 AS n_files, 2 AS delete_scanned, 2 AS update_scanned
 FROM fin
 """
+
+
+# ---------------------------------------- MOR UPDATE / MERGE (DV v2)
+
+#: l_orderkey bands for the merge-on-read UPDATE and MERGE images
+MOR_UPD_LO, MOR_UPD_HI = 120, 160
+MOR_MRG_LO, MOR_MRG_HI = 700, 710
+
+
+def acid_mor_dml(spark: SparkSession, sf_dir: str,
+                 scratch: Path) -> DataFrame:
+    """The FULL merge-on-read DML surface (Delta/Iceberg v2 deletion
+    vectors, not just DELETE): UPDATE swaps each matched row's image —
+    old image dies by (file, row-index) vector entry, new image appends
+    as an O(delta) linked commit — and MERGE does the same for matched
+    keys while unmatched source rows insert in the SAME commit. Whole
+    statements cost O(matched rows); no data file is read in full or
+    rewritten (``no_rewrite`` pins that every parent file was carried
+    by reference through both commits). The census oracle recomputes
+    the final table; ``rows_updated``/``rows_merged``/``dv_rows`` pin
+    the vector bookkeeping against the oracle's own band counts."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_mor_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice")
+          .repartitionByRange(N_RANGE_FILES, "l_orderkey")
+          .sortWithinPartitions("l_orderkey"))
+    t = AcidTable.create(spark, path, li, enable_dv=True)
+    parent_files = {f["path"] for f in
+                    t._manifest(t.latest_version())["files"]}
+    t.update_where_mor(
+        {"l_quantity": "l_quantity + 100"},
+        f"l_orderkey BETWEEN {MOR_UPD_LO} AND {MOR_UPD_HI}")
+    n_upd = t.last_mor_stats["rows_updated"]
+    # key-unique update batch (the ANSI MERGE cardinality contract —
+    # the fixture's lineitem holds duplicate (orderkey, linenumber)
+    # pairs): per key keep the max quantity, zero the price
+    mrg = (li.filter(F.col("l_orderkey")
+                     .between(MOR_MRG_LO, MOR_MRG_HI))
+           .groupBy("l_orderkey", "l_linenumber")
+           .agg(F.max("l_quantity").alias("l_quantity"))
+           .withColumn("l_extendedprice", F.lit(0.0)))
+    ins = spark.createDataFrame(
+        [(900000001, 1, 1.0, 1.0), (900000002, 1, 2.0, 2.0)],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double").select(*li.columns)
+    v = t.merge_mor(mrg.unionByName(ins.select(*mrg.columns)),
+                    key=["l_orderkey", "l_linenumber"])
+    m = t._manifest(v)
+    no_rewrite = parent_files <= {f["path"] for f in m["files"]}
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("double").alias("price"))
+        .withColumn("rows_updated", F.lit(n_upd).cast("long"))
+        .withColumn("rows_merged",
+                    F.lit(t.last_mor_stats["rows_updated"]).cast("long"))
+        .withColumn("rows_inserted",
+                    F.lit(t.last_mor_stats["rows_inserted"]).cast("long"))
+        .withColumn("dv_rows", F.lit(m["dv_rows"]).cast("long"))
+        .withColumn("no_rewrite", F.lit(bool(no_rewrite))))
+
+
+ACID_MOR_ORACLE = f"""
+WITH upd AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey BETWEEN {MOR_UPD_LO} AND {MOR_UPD_HI}
+              THEN l_quantity + 100 ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM lineitem),
+mrg AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey BETWEEN {MOR_MRG_LO} AND {MOR_MRG_HI}
+              THEN MAX(l_quantity) OVER (PARTITION BY l_orderkey,
+                                                      l_linenumber)
+              ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey BETWEEN {MOR_MRG_LO} AND {MOR_MRG_HI}
+              THEN 0.0 ELSE l_extendedprice END AS l_extendedprice
+  FROM upd),
+fin AS (
+  SELECT * FROM mrg
+  UNION ALL
+  SELECT * FROM (VALUES (900000001, 1, 1.0, 1.0),
+                        (900000002, 1, 2.0, 2.0))
+         AS a(l_orderkey, l_linenumber, l_quantity, l_extendedprice)),
+bands AS (
+  SELECT COUNT(*) FILTER (WHERE l_orderkey BETWEEN {MOR_UPD_LO}
+                            AND {MOR_UPD_HI}) AS n_upd,
+         COUNT(*) FILTER (WHERE l_orderkey BETWEEN {MOR_MRG_LO}
+                            AND {MOR_MRG_HI}) AS n_mrg
+  FROM lineitem)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price,
+       (SELECT n_upd FROM bands) AS rows_updated,
+       (SELECT n_mrg FROM bands) AS rows_merged,
+       2 AS rows_inserted,
+       (SELECT n_upd + n_mrg FROM bands) AS dv_rows,
+       TRUE AS no_rewrite
+FROM fin
+"""

@@ -255,3 +255,110 @@ def test_enable_dv_routes_sql_delete_to_mor(spark, tmp_path):
     # the property survives a clone
     c = t.clone(tmp_path / "c")
     assert c.dv_enabled()
+
+
+# ---------------- merge-on-read UPDATE and MERGE (DV image swap)
+
+def test_mor_update_swaps_images_without_rewrite(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    files_before = {f["path"] for f in
+                    t._manifest(t.latest_version())["files"]}
+    v = t.update_where_mor({"tag": "'hit'"}, "id BETWEEN 10 AND 19")
+    m = t._manifest(v)
+    assert m["op"] == "update_mor"
+    assert m["dv_rows"] == 10
+    assert t.last_mor_stats == {"rows_updated": 10, "dv_rows_total": 10}
+    # every parent file carried by reference (link, not rewrite)
+    files_after = {f["path"] for f in m["files"]}
+    assert files_before <= files_after
+    assert t.read().filter("tag = 'hit'").count() == 10
+    assert t.read().count() == 400                # images swapped 1:1
+    # time travel: the parent version still reads pre-update images
+    assert t.read(v - 1).filter("tag = 'hit'").count() == 0
+
+
+def test_mor_update_of_already_updated_row(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.update_where_mor({"status": "100"}, "id = 7")
+    v = t.update_where_mor({"status": "status + 1"}, "id = 7")
+    assert t.read().filter("id = 7").collect()[0].status == 101
+    assert t._manifest(v)["dv_rows"] == 2         # both old images dead
+    assert t.read().count() == 400
+
+
+def test_mor_update_empty_match_is_metadata_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = t._manifest(t.latest_version())["data"]
+    v = t.update_where_mor({"tag": "'x'"}, "id > 99999")
+    m = t._manifest(v)
+    assert m["op"] == "update_mor" and m["data"] == before
+    assert "dv" not in m
+
+
+def test_mor_merge_updates_and_inserts_one_commit(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    up = spark.createDataFrame(
+        [(3, 90, "u"), (399, 91, "u"), (9001, 1, "i"), (9002, 2, "i")],
+        "id long, status int, tag string")
+    v = t.merge_mor(up, key=["id"])
+    assert t.last_mor_stats == {"rows_updated": 2, "rows_inserted": 2,
+                                "dv_rows_total": 2}
+    assert t._manifest(v)["op"] == "merge_mor"
+    got = {(r.id, r.status) for r in
+           t.read().filter("id IN (3, 399, 9001, 9002)").collect()}
+    assert got == {(3, 90), (399, 91), (9001, 1), (9002, 2)}
+    assert t.read().count() == 402
+
+
+def test_mor_merge_cdf_records_delta_pair(spark, tmp_path):
+    t = _mk(spark, tmp_path, cdf=True)
+    up = spark.createDataFrame([(0, 77, "u"), (8888, 1, "i")],
+                               "id long, status int, tag string")
+    v = t.merge_mor(up, key=["id"])
+    ch = t.read_changes(v - 1, v)
+    ins = {(r.id, r.status) for r in
+           ch.filter("_change_type = 'insert'").collect()}
+    dels = {(r.id, r.status) for r in
+            ch.filter("_change_type = 'delete'").collect()}
+    assert ins == {(0, 77), (8888, 1)}
+    assert dels == {(0, 0)}
+
+
+def test_sql_update_routes_mor_and_bulk_falls_back(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(500)],
+                               "id long, s long")
+    t = AcidTable.create(spark, tmp_path / "t", df, enable_dv=True)
+    v = acid_sql(spark, "UPDATE tbl SET s = 99 WHERE id < 10",
+                 tables={"tbl": t})
+    assert t._manifest(v)["op"] == "update_mor"
+    assert t.read().filter("s = 99").count() == 10
+    # bulk update (~all rows): COW fallback, vector never table-sized
+    v = acid_sql(spark, "UPDATE tbl SET s = s + 1 WHERE id >= 0",
+                 tables={"tbl": t})
+    assert t._manifest(v)["op"] == "update_mor_cow"
+    assert t.read().filter("s = 100").count() == 10
+
+
+def test_mor_update_respects_constraints(spark, tmp_path):
+    from spark_streaming_apps_spark.acid import ConstraintViolation
+
+    t = _mk(spark, tmp_path)
+    t.add_constraint("s_band", "status BETWEEN 0 AND 200")
+    with pytest.raises(ConstraintViolation):
+        t.update_where_mor({"status": "999"}, "id = 1")
+    assert t.read().filter("status = 999").count() == 0
+
+
+def test_compact_materializes_update_and_merge_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.update_where_mor({"tag": "'m'"}, "id < 5")
+    t.merge_mor(spark.createDataFrame([(5, 50, "m")],
+                                      "id long, status int, tag string"),
+                key=["id"])
+    t.compact(2)
+    m = t._manifest(t.latest_version())
+    assert "dv" not in m
+    assert t.read().filter("tag = 'm'").count() == 6
+    assert t.read().count() == 400
