@@ -1524,6 +1524,43 @@ class AcidTable:
                 .unionByName(widened(df, cols, types))
         return out
 
+    def backfill_changes(self, v_from: int = 1,
+                         v_to: int | None = None) -> list[int]:
+        """Record change files for versions that predate (or lack)
+        commit-time CDF recording — the migration path onto the
+        streaming connectors, which serve ONLY recorded change files
+        (a per-row driver diff does not scale; the batch
+        ``read_changes`` keeps its distributed exceptAll fallback for
+        audits). Each missing version pays ONE distributed exceptAll
+        pair (a keyed shuffle — no rows ever touch the driver), written
+        exactly like commit-time change files; the version's manifest
+        is then atomically re-pointed at them (additive metadata
+        repair, the moral equivalent of Iceberg's rewrite_manifests —
+        data and history bytes untouched). Needs both bounding
+        snapshots retained; raises VersionVacuumedError otherwise.
+        Returns the versions backfilled."""
+        latest = self.latest_version()
+        v_to = latest if v_to is None else v_to
+        done = []
+        for v in range(max(1, v_from), v_to + 1):
+            m = self._manifest(v)
+            if "changes" in m and (self.path / m["changes"]).is_dir():
+                continue
+            new = self.read(v)
+            if m["op"] in self._NO_CHANGE_OPS:
+                ch = self._write_changes_pair(new.limit(0), new.limit(0))
+            else:
+                old = self.read(v - 1)
+                o, n = self._widen_for_diff(old, new)
+                ch = self._write_changes_pair(n.exceptAll(o),
+                                              o.exceptAll(n))
+            m["changes"] = ch
+            tmp = self._manifests / f".v{v}.json.tmp"
+            tmp.write_text(json.dumps(m))
+            tmp.replace(self._manifests / f"v{v}.json")
+            done.append(v)
+        return done
+
     # ------------------------------------------------------------ hygiene
 
     def vacuum(self, keep_last: int = 2,

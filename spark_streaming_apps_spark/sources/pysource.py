@@ -699,7 +699,12 @@ class AcidCdfStreamDataSource(DataSource):
     (default 0 = unlimited) — the read limit: each micro-batch covers at
     most that many committed versions, so a long history drains as one
     micro-batch PER version window (Delta's maxFilesPerTrigger analog
-    at version granularity)."""
+    at version granularity).
+
+    Serves RECORDED change files only (enable_cdf tables, or
+    ``AcidTable.backfill_changes()`` for historical versions); a
+    version without them fails the stream loudly — there is no
+    driver-side snapshot-diff fallback."""
 
     @classmethod
     def name(cls) -> str:
@@ -743,42 +748,6 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
               for p in (Path(self.path) / "manifests").glob("v*.json")]
         return max(vs)
 
-    def _snapshot_rows(self, version: int):
-        """Multiset of row tuples at a version, via pyarrow (driver-side
-        read of the committed snapshot — no SparkSession available, or
-        needed, inside a stream reader). Rows are projected into the
-        DECLARED column order with None for columns a (pre-evolution)
-        version lacks, so a range spanning append_evolve diffs and emits
-        consistently — the same NULL-widening the batch read_changes
-        applies."""
-        import json
-        from collections import Counter
-        from pathlib import Path
-
-        import pyarrow.parquet as pq
-        m = json.loads((Path(self.path) / "manifests"
-                        / f"v{version}.json").read_text())
-        have = {f["name"] for f in m["schema"]["fields"]}
-        base = Path(self.path) / m["data"]
-        if not base.is_dir():
-            # retention guard (AcidTable.read's VersionVacuumedError,
-            # raised here without importing driver-side modules into the
-            # stream worker): a vacuumed snapshot must fail the stream
-            # loudly, never diff as silently-empty
-            raise RuntimeError(
-                f"acidtable-cdf: version {version} of {self.path} was "
-                f"vacuumed; resume offsets must start at a retained "
-                f"version")
-        rows: Counter = Counter()
-        for f in sorted(base.glob("*.parquet")):
-            tbl = pq.read_table(f)
-            cols = [tbl.column(c).to_pylist() if c in have
-                    else [None] * tbl.num_rows
-                    for c in self.base_cols]
-            for r in zip(*cols):
-                rows[r] += 1
-        return rows
-
     def _recorded_changes(self, version: int):
         """Rows from the commit's RECORDED change files (enable_cdf
         tables), projected to the declared column order — or None when
@@ -806,22 +775,26 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def _deltas(self, v_from: int, v_to: int):
+        """Rows for versions (v_from, v_to], ALWAYS from recorded change
+        files. A version without them fails the stream LOUDLY — the old
+        per-version snapshot diff loaded whole versions into driver
+        Counters (O(table) driver memory, per-row Python), which is not
+        a streaming path at any scale; non-CDF tables migrate via
+        ``AcidTable.backfill_changes()`` (one distributed exceptAll per
+        historical version) or are created with enable_cdf=True."""
         out = []
-        prev = None           # lazy: only diffed versions need snapshots
         for v in range(v_from + 1, v_to + 1):
             rec = self._recorded_changes(v)
-            if rec is not None:
-                out.extend(rec)
-                prev = None   # next diffed version re-reads its base
-                continue
-            if prev is None:
-                prev = self._snapshot_rows(v - 1)
-            cur = self._snapshot_rows(v)
-            for row, n in (cur - prev).items():
-                out.extend([row + ("insert", v)] * n)
-            for row, n in (prev - cur).items():
-                out.extend([row + ("delete", v)] * n)
-            prev = cur
+            if rec is None:
+                raise RuntimeError(
+                    f"acidtable-cdf: version {v} of {self.path} has no "
+                    f"recorded change files (table not CDF-enabled, or "
+                    f"changes vacuumed). Create the table with "
+                    f"enable_cdf=True, or run "
+                    f"AcidTable.backfill_changes() to record deltas "
+                    f"for historical versions; resume offsets must "
+                    f"start at a version with retained change files")
+            out.extend(rec)
         return out
 
     def initialOffset(self) -> dict:
@@ -1196,6 +1169,11 @@ def acid_cdf_stream(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
     t.append(spark.createDataFrame(
         [(999999901, 0), (999999902, 1), (999999903, 0)],
         "file_id long, status int"))                        # v2
+    # the table was NOT created CDF-enabled: this is the MIGRATION
+    # path — one distributed exceptAll per historical version records
+    # its change files, after which the stream serves recorded files
+    # only (the per-row driver snapshot diff no longer exists)
+    t.backfill_changes()
 
     spark.dataSource.register(AcidCdfStreamDataSource)
     qname = f"cdfs_{_uuid.uuid4().hex[:8]}"

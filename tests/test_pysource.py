@@ -70,6 +70,7 @@ def test_acid_cdf_stream_resumes_from_version_offset(spark, tmp_path):
     t = AcidTable.create(spark, tmp_path / "t", df)
     t.merge(spark.createDataFrame([(3, 1)], "file_id long, status int"),
             key=["file_id"])                                   # v1
+    t.backfill_changes()          # non-CDF table: record deltas first
     spark.dataSource.register(AcidCdfStreamDataSource)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
@@ -88,6 +89,7 @@ def test_acid_cdf_stream_resumes_from_version_offset(spark, tmp_path):
     assert {r._commit_version for r in first.collect()} == {1}
 
     t.append(spark.createDataFrame([(100, 0)], "file_id long, status int"))
+    t.backfill_changes()                         # record v2's delta
     drain()                                      # batch 2: v1 -> v2 only
     both = spark.read.parquet(out).collect()
     assert len(both) == 3
@@ -157,6 +159,7 @@ def test_acid_cdf_stream_spans_schema_evolution(spark, tmp_path):
     t.append(spark.createDataFrame([(2, 1)], "file_id long, status int"))
     t.append_evolve(spark.createDataFrame(
         [(3, 0, "x")], "file_id long, status int, tag string"))
+    t.backfill_changes()
     spark.dataSource.register(AcidCdfStreamDataSource)
     q = (spark.readStream.format("acidtable-cdf")
          .option("path", str(tmp_path / "t")).load()
@@ -246,6 +249,7 @@ def test_acid_cdf_read_limit_one_version_per_batch(spark, tmp_path):
     t.append(spark.createDataFrame([(3, 0)], "file_id long, status int"))
     t.merge(spark.createDataFrame([(1, 9)], "file_id long, status int"),
             key=["file_id"])
+    t.backfill_changes()
     spark.dataSource.register(AcidCdfStreamDataSource)
     nb, _ = _drain_incremental(
         spark.readStream.format("acidtable-cdf")
@@ -523,3 +527,35 @@ def test_acid_stream_sink_enforces_constraints(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         t.append(spark.createDataFrame([(9, -1)],
                                        "event_id long, user_id long"))
+
+
+def test_cdf_stream_refuses_unrecorded_versions(spark, tmp_path):
+    """A non-CDF, non-backfilled table must fail the stream LOUDLY
+    (there is no driver-side snapshot-diff fallback), pointing at
+    enable_cdf / backfill_changes; after backfill the same stream
+    drains."""
+    import pytest
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfStreamDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "file_id long, status int"))
+    t.append(spark.createDataFrame([(2, 1)], "file_id long, status int"))
+    spark.dataSource.register(AcidCdfStreamDataSource)
+
+    def drain(q_name, ck):
+        q = (spark.readStream.format("acidtable-cdf")
+             .option("path", str(tmp_path / "t")).load()
+             .writeStream.outputMode("append").format("memory")
+             .queryName(q_name)
+             .option("checkpointLocation", str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="backfill_changes"):
+        drain("cdf_refuse", "ck1")
+    assert t.backfill_changes() == [1]
+    drain("cdf_ok", "ck2")
+    assert spark.table("cdf_ok").count() == 1     # v1's insert
