@@ -1122,6 +1122,43 @@ class AcidTable:
         raise CommitConflict(
             f"gave up adding constraint after {max_retries} conflicts")
 
+    def add_column(self, name: str, dtype: str,
+                   max_retries: int = 20) -> int:
+        """ALTER TABLE ADD COLUMN — PURE METADATA (the Delta/Iceberg
+        schema-evolution contract): the widened schema rides the new
+        manifest and the commit shares the parent's data dir; existing
+        files simply read NULL for the new column (schema-on-read —
+        ``read`` scans with an explicit schema, so a missing parquet
+        column materializes as NULL). No data IO at any table size.
+        Older versions keep their narrower schema (time travel
+        preserves what each version looked like)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        dt = _parse_datatype_string(dtype)
+        for _ in range(max_retries):
+            v = self.latest_version()
+            m = self._manifest(v)
+            schema = StructType.fromJson(m["schema"])
+            if any(f.name.lower() == name.lower() for f in schema.fields):
+                raise ValueError(
+                    f"column {name!r} already exists in {self.path}")
+            widened = StructType(
+                list(schema.fields) + [StructField(name, dt)])
+            ch_rel = None
+            if self.cdf_enabled():        # no row changes: empty pair
+                empty = self.spark.createDataFrame([], widened)
+                ch_rel = self._write_changes_pair(empty, empty)
+            if self._try_commit(v + 1, m["data"], widened.jsonValue(),
+                                "add_column", changes_rel=ch_rel,
+                                files=m.get("files"),
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up adding column after {max_retries} conflicts")
+
     def drop_constraint(self, name: str, max_retries: int = 20) -> int:
         for _ in range(max_retries):
             v, _cur = self.snapshot()

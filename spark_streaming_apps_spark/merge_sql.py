@@ -50,8 +50,10 @@ from __future__ import annotations
 import re
 import uuid
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .acid import AcidTable
 
@@ -413,6 +415,98 @@ _VACUUM_RE = re.compile(
     r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*;?\s*$",
     re.IGNORECASE)
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<tbl>[\w.]+)"
+    r"(?:\s*\((?P<cols>[\w,\s]+)\))?\s*"
+    r"(?P<query>VALUES\s*\(.+|SELECT\b.+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<tbl>[\w.]+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pcols>[\w,\s]+?)\s*\))?"
+    r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+    r"\s+AS\s+(?P<query>SELECT\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_ADD_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(?P<name>\w+)\s+(?P<type>[\w()<>,\s]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def insert_sql(spark: SparkSession, stmt: str,
+               tables: dict[str, AcidTable]) -> int:
+    """``INSERT INTO <t> [(cols)] VALUES (...), (...)`` or
+    ``INSERT INTO <t> [(cols)] SELECT ...`` — the O(delta) linked
+    append through the SQL front door. A named column list NULL-fills
+    the unnamed columns (ANSI semantics); values are cast to the
+    table's exact physical types; a SELECT source reads registered
+    tables' snapshots through the same binder as the read path (so
+    ``INSERT INTO a SELECT ... FROM b VERSION AS OF 2`` works).
+    Returns the committed version."""
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise ValueError(f"not an INSERT statement: {stmt[:80]!r}")
+    t = _lookup(tables, m.group("tbl"), "INSERT")
+    query = m.group("query").strip()
+    if query.upper().startswith("VALUES"):
+        df = spark.sql(f"SELECT * FROM ({query})")
+    else:
+        df = _read_sql(spark, query, tables)
+    schema = t.read().schema
+    cols = m.group("cols")
+    if cols:
+        names = [c.strip() for c in cols.split(",")]
+    else:
+        names = [f.name for f in schema.fields]
+    if len(names) != len(df.columns):
+        raise ValueError(
+            f"INSERT supplies {len(df.columns)} column(s) for "
+            f"{len(names)} target column(s) {names}")
+    unknown = {n.lower() for n in names} - \
+        {f.name.lower() for f in schema.fields}
+    if unknown:
+        raise ValueError(f"INSERT INTO unknown column(s) {unknown}")
+    df = df.toDF(*names)
+    have = {c.lower() for c in df.columns}
+    for f in schema.fields:
+        if f.name.lower() not in have:
+            df = df.withColumn(f.name, F.lit(None))
+    out = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                      for f in schema.fields])
+    return t.append(out)
+
+
+def ctas_sql(spark: SparkSession, stmt: str,
+             tables: dict[str, AcidTable],
+             base_dir=None) -> AcidTable:
+    """``CREATE TABLE <name> [PARTITIONED BY (cols)]
+    [LOCATION '<path>'] AS SELECT ...`` — CTAS onto a new AcidTable:
+    the query reads registered tables' snapshots through the shared
+    binder, the result becomes version 0 (partitioned when asked), and
+    the new table is added to the ``tables`` registry so later
+    statements in the session can address it. Location = the LOCATION
+    clause, else ``base_dir/<name>``."""
+    m = _CTAS_RE.match(stmt)
+    if not m:
+        raise ValueError(f"not a CREATE TABLE AS statement: {stmt[:80]!r}")
+    name = m.group("tbl")
+    if name in tables:
+        raise ValueError(f"table {name!r} already registered")
+    loc = m.group("loc")
+    if loc is None:
+        if base_dir is None:
+            raise ValueError(
+                "CREATE TABLE AS needs a LOCATION '<path>' clause or "
+                "acid_sql(..., base_dir=...)")
+        loc = str(Path(base_dir) / name)
+    df = _read_sql(spark, m.group("query"), tables)
+    pcols = ([c.strip() for c in m.group("pcols").split(",")]
+             if m.group("pcols") else None)
+    t = AcidTable.create(spark, loc, df, partition_by=pcols)
+    tables[name] = t
+    return t
+
 
 def _lookup(tables: dict[str, AcidTable], name: str, verb: str) -> AcidTable:
     if name not in tables:
@@ -422,7 +516,8 @@ def _lookup(tables: dict[str, AcidTable], name: str, verb: str) -> AcidTable:
 
 
 def acid_sql(spark: SparkSession, stmt: str,
-             tables: dict[str, AcidTable]) -> DataFrame | int:
+             tables: dict[str, AcidTable],
+             base_dir=None) -> DataFrame | int | AcidTable:
     """The table format's SQL front door — reference users write SQL, so
     AcidTable's full surface is reachable from one entry point:
 
@@ -431,6 +526,12 @@ def acid_sql(spark: SparkSession, stmt: str,
     * ``DELETE FROM <t> [WHERE ...]`` / ``UPDATE <t> SET ... [WHERE
       ...]`` → :func:`delete_sql` / :func:`update_sql` — atomic
       row-level mutations (returns the committed version);
+    * ``INSERT INTO <t> [(cols)] VALUES ... | SELECT ...`` →
+      :func:`insert_sql` (O(delta) linked append);
+      ``CREATE TABLE <n> [PARTITIONED BY (c)] [LOCATION 'p'] AS
+      SELECT ...`` → :func:`ctas_sql` (registers the new table);
+      ``ALTER TABLE <t> ADD COLUMN <name> <type>`` → pure-metadata
+      schema widening (``AcidTable.add_column``);
     * ``DESCRIBE HISTORY <t>`` → the audit DataFrame;
       ``OPTIMIZE <t> [ZORDER BY (cols)]`` → compact / relayout;
       ``VACUUM <t> [RETAIN n VERSIONS]`` → snapshot retention — the
@@ -455,6 +556,15 @@ def acid_sql(spark: SparkSession, stmt: str,
         return delete_sql(spark, stmt, tables)
     if re.match(r"\s*UPDATE\b", stmt, re.IGNORECASE):
         return update_sql(spark, stmt, tables)
+    if re.match(r"\s*INSERT\s+INTO\b", stmt, re.IGNORECASE):
+        return insert_sql(spark, stmt, tables)
+    m = _CTAS_RE.match(stmt)
+    if m:                                # CREATE TABLE ... AS SELECT
+        return ctas_sql(spark, stmt, tables, base_dir=base_dir)
+    m = _ADD_COLUMN_RE.match(stmt)
+    if m:                                # ALTER TABLE ADD COLUMN
+        return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
+            .add_column(m.group("name"), m.group("type").strip())
     m = _ADD_CONSTRAINT_RE.match(stmt)
     if m:                                # ALTER TABLE ADD CONSTRAINT
         return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
@@ -483,6 +593,16 @@ def acid_sql(spark: SparkSession, stmt: str,
         keep = int(m.group("keep")) if m.group("keep") else 2
         t.vacuum(keep_last=keep)
         return t.latest_version()
+    return _read_sql(spark, stmt, tables)
+
+
+def _read_sql(spark: SparkSession, stmt: str,
+              tables: dict[str, AcidTable]) -> DataFrame:
+    """The generic READ path: VERSION/TIMESTAMP AS OF references bind
+    to their snapshots, every other registered-table reference binds to
+    its latest snapshot — all under uuid-suffixed temp views with the
+    statement's references rewritten, so user views are never
+    shadowed."""
     bound: list[str] = []
     try:
         def bind(m: re.Match) -> str:

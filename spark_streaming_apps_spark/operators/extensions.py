@@ -1766,3 +1766,84 @@ SELECT COUNT(*) AS n_rows,
        TRUE AS no_rewrite
 FROM fin
 """
+
+
+# ------------------------------------- SQL INSERT / CTAS / ADD COLUMN
+
+def acid_insert_sql(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """The SQL front door's WRITE-side completion — reference users
+    speak SQL for everything (FileWorkerApp.scala:207-227 embeds its
+    whole mutation surface as SQL strings), so the table format's
+    creation/ingest path must too: CREATE TABLE ... PARTITIONED BY ...
+    AS SELECT (CTAS onto a partitioned AcidTable, registered for later
+    statements), ALTER TABLE ADD COLUMN (pure-metadata schema widening
+    — the commit shares the parent's data dir), INSERT INTO ...
+    VALUES with a named column list (ANSI NULL-fill), and INSERT INTO
+    ... SELECT reading another registered table AT A PINNED VERSION
+    through the shared time-travel binder. The census oracle recomputes
+    the final table from the same statements' algebra."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import acid_sql
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_ins_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    src = AcidTable.create(spark, path / "src", li)
+    tabs = {"src": src}
+    acid_sql(spark, """
+        CREATE TABLE summary PARTITIONED BY (bucket) AS
+        SELECT CAST(l_orderkey % 8 AS INT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS qty
+        FROM src GROUP BY CAST(l_orderkey % 8 AS INT)""",
+        tabs, base_dir=path)
+    t = tabs["summary"]
+    data_before = t._manifest(t.latest_version())["data"]
+    acid_sql(spark, "ALTER TABLE summary ADD COLUMN note string", tabs)
+    pure_metadata = \
+        t._manifest(t.latest_version())["data"] == data_before
+    acid_sql(spark, "INSERT INTO summary (bucket, n, qty, note) "
+                    "VALUES (100, 1, 0.5, 'manual')", tabs)
+    acid_sql(spark, """
+        INSERT INTO summary (bucket, n, qty)
+        SELECT CAST(200 + l_orderkey % 2 AS INT) AS bucket, COUNT(*),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM src VERSION AS OF 0 WHERE l_orderkey <= 100
+        GROUP BY CAST(200 + l_orderkey % 2 AS INT)""", tabs)
+    return (t.read()
+            .select("bucket", "n", "qty", "note")
+            .withColumn("ctas_partitioned",
+                        F.lit(t.partition_cols() == ["bucket"]))
+            .withColumn("add_col_pure_metadata",
+                        F.lit(bool(pure_metadata))))
+
+
+ACID_INSERT_SQL_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_orderkey % 8 AS INT) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         CAST(NULL AS VARCHAR) AS note
+  FROM lineitem GROUP BY 1),
+ins2 AS (
+  SELECT CAST(200 + l_orderkey % 2 AS INT) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         CAST(NULL AS VARCHAR) AS note
+  FROM lineitem WHERE l_orderkey <= 100 GROUP BY 1),
+fin AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT 100, 1, 0.5, 'manual'
+  UNION ALL
+  SELECT * FROM ins2)
+SELECT bucket, n, qty, note, TRUE AS ctas_partitioned,
+       TRUE AS add_col_pure_metadata
+FROM fin
+"""

@@ -363,3 +363,77 @@ def test_acid_sql_preserves_user_temp_view_sharing_table_name(
     # the user's view is intact and still queryable afterwards
     assert spark.table("shared_name").collect()[0].marker == 77
     spark.catalog.dropTempView("shared_name")
+
+
+def test_insert_sql_values_and_column_list(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 10.0, "a")],
+                              "id long, val double, tag string"))
+    tabs = {"tbl": t}
+    acid_sql(spark, "INSERT INTO tbl VALUES (2, 20.5, 'b'), (3, 30.0, 'c')",
+             tabs)
+    assert t.read().count() == 3
+    assert t._manifest(t.latest_version())["op"] == "append"
+    # named column list NULL-fills the rest (ANSI)
+    acid_sql(spark, "INSERT INTO tbl (id, tag) VALUES (4, 'd')", tabs)
+    r = t.read().filter("id = 4").collect()[0]
+    assert (r.val, r.tag) == (None, "d")
+    # count mismatch / unknown column refused
+    import pytest
+    with pytest.raises(ValueError, match="column"):
+        acid_sql(spark, "INSERT INTO tbl (id) VALUES (5, 6)", tabs)
+    with pytest.raises(ValueError, match="unknown"):
+        acid_sql(spark, "INSERT INTO tbl (ghost) VALUES (5)", tabs)
+
+
+def test_ctas_and_insert_select_with_time_travel(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, i % 3) for i in range(30)],
+                              "id long, s int"))
+    tabs = {"tbl": t}
+    t2 = acid_sql(spark, f"""
+        CREATE TABLE agg PARTITIONED BY (s)
+        LOCATION '{tmp_path / "agg"}' AS
+        SELECT s, COUNT(*) AS n FROM tbl GROUP BY s""", tabs)
+    assert t2.partition_cols() == ["s"]
+    assert "agg" in tabs                          # registered for later
+    assert {(r.s, r.n) for r in t2.read().collect()} == \
+        {(0, 10), (1, 10), (2, 10)}
+    t.delete_where("s = 2")                       # tbl moves on
+    acid_sql(spark, """
+        INSERT INTO agg SELECT s, COUNT(*) AS n
+        FROM tbl VERSION AS OF 0 WHERE s = 2 GROUP BY s""", tabs)
+    assert t2.read().count() == 4                 # pinned pre-delete
+    assert t2.read().filter("s = 2").count() == 2
+    # CTAS without LOCATION or base_dir refuses
+    import pytest
+    with pytest.raises(ValueError, match="LOCATION"):
+        acid_sql(spark, "CREATE TABLE x AS SELECT 1 AS a", tabs)
+
+
+def test_alter_table_add_column_is_pure_metadata(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 2)], "id long, s int"))
+    before = t._manifest(t.latest_version())["data"]
+    v = acid_sql(spark, "ALTER TABLE tbl ADD COLUMN score double", tabs := {"tbl": t})
+    m = t._manifest(v)
+    assert m["op"] == "add_column" and m["data"] == before
+    assert t.read().columns == ["id", "s", "score"]
+    assert t.read().collect()[0].score is None
+    # older version keeps its narrower schema (time travel exact)
+    assert t.read(v - 1).columns == ["id", "s"]
+    # appends carry the widened schema; duplicate add refused
+    acid_sql(spark, "INSERT INTO tbl VALUES (2, 3, 1.5)", tabs)
+    assert t.read().filter("id = 2").collect()[0].score == 1.5
+    import pytest
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("SCORE", "int")
