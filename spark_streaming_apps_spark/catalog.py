@@ -1192,6 +1192,9 @@ def _acid_sink_oracle() -> str:
 register("acid_stream_sink", oracle=_acid_sink_oracle()
          )(lambda s, d: pysource.acid_stream_sink(s, d, SCRATCH))
 
+register("acid_table_stream", oracle=pysource.ACID_TABLE_STREAM_ORACLE
+         )(lambda s, d: pysource.acid_table_stream(s, d, SCRATCH))
+
 register("kafka_mock_stream", oracle=pysource.KAFKA_MOCK_ORACLE
          )(lambda s, d: pysource.kafka_mock_stream(s, d, SCRATCH))
 

@@ -960,6 +960,262 @@ class AcidCdfParallelReader(DataSourceStreamReader):
         self._committed = max(self._committed or 0, end["version"])
 
 
+# ------------------------------- AcidTable as a plain streaming SOURCE
+#
+# Delta's bread-and-butter `readStream.format("delta")` analog: the
+# FIRST batch is the starting snapshot, every later batch is the rows
+# APPENDED by commits since the last offset — offsets are table
+# versions, splits are the manifest diff (the files a commit ADDED vs
+# its parent: pure metadata, no data compared), executors stream the
+# Arrow batches. Row-preserving commits (compact/relayout/constraints/
+# add_column/clone) contribute nothing and are skipped silently; a
+# commit that CHANGED rows (merge/delete/update/restore/*_mor) fails
+# the stream loudly unless skipChangeCommits=true (Delta's option) —
+# an appends-only contract must never silently miss churn.
+
+class AcidStreamSlice(InputPartition):
+    def __init__(self, path: str, version: int, dv_dir: str | None = None):
+        self.path, self.version, self.dv_dir = path, version, dv_dir
+
+
+#: ops whose commits change no row — nothing to emit, never an error
+_ROW_PRESERVING_OPS = frozenset({
+    "compact", "relayout", "add_constraint", "drop_constraint",
+    "add_column", "clone"})
+
+#: ops that only add rows — the appended files ARE the batch
+_APPEND_OPS = frozenset({"append", "append_txn", "stream_sink"})
+
+
+class AcidTableStreamDataSource(DataSource):
+    """``spark.readStream.format("acidtable-stream")`` — options:
+    ``path``, ``startingVersion`` (default 0: the first batch is that
+    version's full snapshot), ``maxVersionsPerTrigger`` (default 0 =
+    unlimited), ``skipChangeCommits`` (default false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acidtable-stream"
+
+    def schema(self):
+        import json
+        from pathlib import Path
+
+        from pyspark.sql.types import StructType
+        root = Path(self.options["path"])
+        vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
+        m = json.loads(
+            (root / "manifests" / f"v{max(vs)}.json").read_text())
+        return StructType.fromJson(m["schema"])
+
+    def streamReader(self, schema):
+        from pyspark.sql.pandas.types import to_arrow_type
+        pa_fields = [(f.name, to_arrow_type(f.dataType))
+                     for f in schema.fields]
+        return AcidTableStreamReader(
+            self.options["path"], pa_fields,
+            int(self.options.get("startingversion", "0")),
+            int(self.options.get("maxversionspertrigger", "0")),
+            self.options.get("skipchangecommits", "false").lower()
+            == "true")
+
+
+class AcidTableStreamReader(DataSourceStreamReader):
+    """Offsets: {"version": v, "snap": 0|1} — snap flips once the
+    starting snapshot has been planned; the same three-way monotone
+    base as the other readers keeps the read limit deterministic and
+    restart-safe (a stale capped offer plans zero duplicate
+    versions)."""
+
+    def __init__(self, path: str, pa_fields, start_version: int,
+                 max_versions: int, skip_change: bool):
+        self.path = path
+        self.pa_fields = pa_fields
+        self.start_version = start_version
+        self.max_versions = max_versions
+        self.skip_change = skip_change
+        self._committed: int | None = None
+        self._offered = start_version
+        self._floor = start_version
+        self._snap_planned = False
+        self._snap_offered = False
+
+    def _latest(self) -> int:
+        from pathlib import Path
+        return max(int(p.stem[1:])
+                   for p in (Path(self.path) / "manifests").glob("v*.json"))
+
+    def _manifest(self, v: int) -> dict:
+        import json
+        from pathlib import Path
+        return json.loads((Path(self.path) / "manifests"
+                           / f"v{v}.json").read_text())
+
+    def initialOffset(self) -> dict:
+        self._committed = self.start_version
+        return {"version": self.start_version, "snap": 0}
+
+    def latestOffset(self) -> dict:
+        latest = self._latest()
+        base = max(self._committed or 0, self._floor, self._offered)
+        if self.max_versions and not self._snap_offered:
+            # under a read limit the starting snapshot fills the FIRST
+            # micro-batch alone (versions start advancing next poll);
+            # on a checkpointed restart this offer equals the restored
+            # offset, so no duplicate snapshot batch is ever planned
+            self._snap_offered = True
+            return {"version": base, "snap": 1}
+        self._snap_offered = True
+        if self.max_versions:
+            off = max(base, min(latest, base + self.max_versions))
+        else:
+            off = max(base, latest)
+        self._offered = max(self._offered, off)
+        return {"version": off, "snap": 1}
+
+    def partitions(self, start: dict, end: dict):
+        from pathlib import Path
+
+        out = []
+        root = Path(self.path)
+        sv = start["version"]
+        if not start.get("snap") and not self._snap_planned:
+            m = self._manifest(sv)
+            base = root / m["data"]
+            if not base.is_dir():
+                raise RuntimeError(
+                    f"acidtable-stream: starting version {sv} of "
+                    f"{self.path} was vacuumed; start at a retained "
+                    f"version")
+            dv_dir = str(root / m["dv"]) if "dv" in m else None
+            out.extend(AcidStreamSlice(str(base / f["path"]), sv, dv_dir)
+                       for f in (m.get("files") or []))
+            self._snap_planned = True
+        lo = max(sv, self._floor)
+        self._floor = max(self._floor, sv, end["version"])
+        for v in range(lo + 1, end["version"] + 1):
+            m = self._manifest(v)
+            op = m["op"]
+            if op in _ROW_PRESERVING_OPS:
+                continue
+            if op not in _APPEND_OPS:
+                if self.skip_change:
+                    continue
+                raise RuntimeError(
+                    f"acidtable-stream: version {v} of {self.path} is "
+                    f"a {op!r} commit, which CHANGED existing rows — "
+                    f"an appends-only stream cannot represent it. Use "
+                    f"readStream.format('acidtable-cdf') for the full "
+                    f"change feed, or set skipChangeCommits=true to "
+                    f"ignore such commits")
+            parent_names = {f["path"] for f in
+                            (self._manifest(v - 1).get("files") or [])}
+            base = Path(self.path) / m["data"]
+            if not base.is_dir():
+                raise RuntimeError(
+                    f"acidtable-stream: version {v} of {self.path} was "
+                    f"vacuumed; resume at a retained version")
+            out.extend(
+                AcidStreamSlice(str(base / f["path"]), v)
+                for f in (m.get("files") or [])
+                if f["path"] not in parent_names)
+        return out or [AcidStreamSlice("", -1)]    # no-data batch
+
+    def read(self, sl: AcidStreamSlice):
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if sl.version < 0:
+            return
+        dead = None
+        if sl.dv_dir is not None:
+            name = os.path.basename(sl.path)
+            dead = pq.read_table(
+                sl.dv_dir, filters=[("file", "=", name)],
+                columns=["pos"]).column("pos").to_numpy()
+        off = 0
+        for b in pq.ParquetFile(sl.path).iter_batches():
+            n = b.num_rows
+            if dead is not None and len(dead):
+                mask = ~np.isin(np.arange(off, off + n), dead)
+                off += n
+                if not mask.all():
+                    b = b.filter(pa.array(mask))
+                    n = b.num_rows
+            else:
+                off += n
+            if not n:
+                continue
+            have = set(b.schema.names)
+            arrays, names = [], []
+            for cname, patype in self.pa_fields:
+                if cname in have:
+                    arrays.append(b.column(cname).cast(patype))
+                else:                  # pre-evolution file: NULL-widen
+                    arrays.append(pa.nulls(n, patype))
+                names.append(cname)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def commit(self, end: dict) -> None:
+        self._committed = max(self._committed or 0, end["version"])
+
+
+def acid_table_stream(spark: SparkSession, sf_dir: str,
+                      scratch) -> DataFrame:
+    """The appends-only table stream end-to-end: an AcidTable seeded
+    with a third of the staged events backlog (the starting snapshot),
+    grown by two O(delta) appends and one OPTIMIZE (row-preserving —
+    skipped silently, proving layout churn never duplicates a row),
+    then drained read-limited (one version per micro-batch, default
+    trigger): snapshot batch + one batch per append = exactly 3
+    micro-batches, pinned as `n_batches`. The census must equal the
+    batch aggregate over the whole events table — no row lost to the
+    manifest diff, none doubled by the compaction commit."""
+    import shutil
+    import uuid as _uuid
+
+    from ..acid import AcidTable
+    from .tables import load_table
+
+    table_dir = scratch / f"acid_tstream_{sf_dir.rstrip('/').rsplit('sf', 1)[-1]}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  (F.col("value").cast("decimal(18,6)") * 1_000_000)
+                  .cast("bigint").alias("value6")))
+    t = AcidTable.create(spark, table_dir,
+                         ev.filter(F.col("event_id") % 3 == 0))
+    t.append(ev.filter(F.col("event_id") % 3 == 1))       # v1
+    t.compact(target_files=4)                             # v2: no rows
+    t.append(ev.filter(F.col("event_id") % 3 == 2))       # v3
+
+    spark.dataSource.register(AcidTableStreamDataSource)
+    qname = f"tstream_{_uuid.uuid4().hex[:8]}"
+    n_batches, _ = _drain_incremental(
+        spark.readStream.format("acidtable-stream")
+        .option("path", str(table_dir))
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(qname))
+    return (spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        (F.sum("value6").cast("double") / 1e6).alias("sum_value"))
+        .withColumn("n_batches", F.lit(n_batches)))
+
+
+ACID_TABLE_STREAM_ORACLE = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            AS DOUBLE) / 1e6 AS sum_value,
+       3 AS n_batches
+FROM events
+"""
+
+
 def acid_cdf_parallel_stream(spark: SparkSession, sf_dir: str,
                              scratch) -> DataFrame:
     """The claim scenario streamed through the PARTITION-PARALLEL CDF

@@ -559,3 +559,112 @@ def test_cdf_stream_refuses_unrecorded_versions(spark, tmp_path):
     assert t.backfill_changes() == [1]
     drain("cdf_ok", "ck2")
     assert spark.table("cdf_ok").count() == 1     # v1's insert
+
+
+# ---------------- acidtable-stream (plain appends-only table stream)
+
+def test_acid_table_stream_snapshot_then_appends(spark, tmp_path):
+    """First batch = starting snapshot, each later append = one batch
+    (read-limited); row-preserving commits (compact) contribute
+    nothing; totals exact."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableStreamDataSource, _drain_incremental)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(10)],
+                              "id long, s int"))
+    t.append(spark.createDataFrame([(100, 1)], "id long, s int"))
+    t.compact(2)                                   # row-preserving
+    t.append(spark.createDataFrame([(200, 2)], "id long, s int"))
+    spark.dataSource.register(AcidTableStreamDataSource)
+    nb, _ = _drain_incremental(
+        spark.readStream.format("acidtable-stream")
+        .option("path", str(tmp_path / "t"))
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ts_snap"))
+    rows = spark.table("ts_snap").collect()
+    assert nb == 3                                 # snap, v1, v3
+    assert len(rows) == 12
+    assert {r.id for r in rows} == set(range(10)) | {100, 200}
+
+
+def test_acid_table_stream_fails_on_change_commit_unless_skipped(
+        spark, tmp_path):
+    """A merge commit breaks the appends-only contract: the stream
+    fails loudly by default and skips it under skipChangeCommits."""
+    import pytest
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableStreamDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0), (2, 0)], "id long, s int"))
+    t.merge(spark.createDataFrame([(1, 9)], "id long, s int"),
+            key=["id"])
+    t.append(spark.createDataFrame([(3, 1)], "id long, s int"))
+    spark.dataSource.register(AcidTableStreamDataSource)
+
+    def drain(qn, ck, skip):
+        q = (spark.readStream.format("acidtable-stream")
+             .option("path", str(tmp_path / "t"))
+             .option("skipChangeCommits", skip)
+             .option("startingVersion", "0").load()
+             .writeStream.outputMode("append").format("memory")
+             .queryName(qn)
+             .option("checkpointLocation", str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        drain("ts_fail", "ck1", "false")
+    drain("ts_skip", "ck2", "true")
+    got = {(r.id, r.s) for r in spark.table("ts_skip").collect()}
+    # snapshot v0 + v2's append; the merge's rewrite is skipped
+    assert got == {(1, 0), (2, 0), (3, 1)}
+
+
+def test_acid_table_stream_resumes_after_vacuum(spark, tmp_path):
+    """Old snapshots vacuumed between drains: the checkpointed stream
+    resumes cleanly (its offsets are past the vacuumed versions, and
+    appended files live on as links in retained dirs); a FRESH stream
+    from the vacuumed version fails loudly."""
+    import pytest
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableStreamDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0)], "id long, s int"))
+    t.append(spark.createDataFrame([(2, 0)], "id long, s int"))
+    spark.dataSource.register(AcidTableStreamDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("acidtable-stream")
+             .option("path", str(tmp_path / "t")).load()
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 2
+    t.append(spark.createDataFrame([(3, 0)], "id long, s int"))
+    t.vacuum(keep_last=1)                          # v0, v1 dirs gone
+    drain()                                        # resume: v2 only
+    assert {r.id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    # a fresh stream needing the vacuumed snapshot must refuse
+    q = (spark.readStream.format("acidtable-stream")
+         .option("path", str(tmp_path / "t"))
+         .option("startingVersion", "0").load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ts_vac")
+         .option("checkpointLocation", str(tmp_path / "ck_fresh"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="vacuumed"):
+        q.awaitTermination(120)
