@@ -1147,6 +1147,9 @@ register("acid_mor_dml", oracle=extensions.ACID_MOR_ORACLE
 register("acid_insert_sql", oracle=extensions.ACID_INSERT_SQL_ORACLE
          )(lambda s, d: extensions.acid_insert_sql(s, d, SCRATCH))
 
+register("acid_txn_sql", oracle=extensions.ACID_TXN_SQL_ORACLE
+         )(lambda s, d: extensions.acid_txn_sql(s, d, SCRATCH))
+
 register("acid_change_feed",
          oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

@@ -596,6 +596,84 @@ def acid_sql(spark: SparkSession, stmt: str,
     return _read_sql(spark, stmt, tables)
 
 
+_TARGET_RES = [re.compile(p, re.IGNORECASE) for p in (
+    r"^\s*MERGE\s+INTO\s+(?P<tbl>[\w.]+)",
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>[\w.]+)",
+    r"^\s*UPDATE\s+(?P<tbl>[\w.]+)",
+    r"^\s*INSERT\s+INTO\s+(?P<tbl>[\w.]+)",
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)",
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>[\w.]+)",
+    r"^\s*OPTIMIZE\s+(?P<tbl>[\w.]+)",
+)]
+
+
+def _stmt_target(stmt: str) -> str | None:
+    for r in _TARGET_RES:
+        m = r.match(stmt)
+        if m:
+            return m.group("tbl")
+    return None
+
+
+def _split_statements(block: str) -> list[str]:
+    """';'-separated statements, quote-aware; BEGIN/COMMIT/END wrapper
+    tokens are dropped."""
+    out, cur, q = [], [], None
+    for ch in block:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+            cur.append(ch)
+        elif ch == ";":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out
+            if s.strip() and s.strip().upper() not in
+            ("BEGIN", "COMMIT", "END")]
+
+
+def acid_sql_txn(spark: SparkSession, stmts,
+                 catalog) -> int:
+    """``BEGIN ... COMMIT`` for the SQL front door — the reference's
+    PL/pgSQL transaction (StreamingApp.scala:223-256) at CATALOG level:
+    every statement executes through :func:`acid_sql` against the
+    catalog's tables (each commit via its table's own optimistic loop),
+    then ONE catalog entry publishes all touched tables' new versions
+    together — a reader resolving tables through ``catalog.read`` sees
+    the whole transaction or none of it. (Direct AcidTable reads remain
+    read-committed per table — the documented AcidCatalog contract; a
+    writer that dies mid-block leaves committed but UNPINNED table
+    versions, invisible through the catalog and never torn.)
+
+    ``stmts``: a list of statements, or a single string of
+    ';'-separated statements optionally wrapped in BEGIN/COMMIT.
+    ``CREATE TABLE ... AS`` inside a block lands under the catalog's
+    tables dir and its v0 joins the same entry. Returns the published
+    catalog entry number."""
+    if isinstance(stmts, str):
+        stmts = _split_statements(stmts)
+    tables = {name: catalog.table(name) for name in catalog.snapshot()}
+    pins: dict[str, int] = {}
+    for stmt in stmts:
+        tgt = _stmt_target(stmt)
+        res = acid_sql(spark, stmt, tables, base_dir=catalog._tables)
+        if isinstance(res, AcidTable):               # CTAS in the block
+            m = _CTAS_RE.match(stmt)
+            pins[m.group("tbl")] = res.latest_version()
+        elif isinstance(res, int) and tgt:
+            pins[tgt] = max(res, pins.get(tgt, -1))
+    if not pins:
+        raise ValueError("transaction block committed nothing "
+                         "(no DML/DDL statement with a target)")
+    return catalog._publish(pins)
+
+
 def _read_sql(spark: SparkSession, stmt: str,
               tables: dict[str, AcidTable]) -> DataFrame:
     """The generic READ path: VERSION/TIMESTAMP AS OF references bind

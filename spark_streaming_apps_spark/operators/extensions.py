@@ -1847,3 +1847,63 @@ SELECT bucket, n, qty, note, TRUE AS ctas_partitioned,
        TRUE AS add_col_pure_metadata
 FROM fin
 """
+
+
+# ---------------------------------------- SQL transactions (catalog)
+
+def acid_txn_sql(spark: SparkSession, sf_dir: str,
+                 scratch: Path) -> DataFrame:
+    """The reference's PL/pgSQL ``get_highwater_mark`` transaction
+    (StreamingApp.scala:223-256: UPDATE hw_table + INSERT INTO
+    highwatermark_log, atomically) spoken as SQL through the catalog:
+    each release is one ``BEGIN; UPDATE hw ...; INSERT INTO log ...;
+    COMMIT`` block — every statement commits via its table's optimistic
+    loop, then ONE catalog-pointer swap publishes both versions, so no
+    catalog reader can ever see a moved highwater without its log row.
+    ``atomic`` re-verifies that invariant across EVERY catalog entry
+    in-artifact (same contract as acid_multi_table_txn, now reachable
+    from the SQL front door)."""
+    import shutil
+
+    from ..acid_catalog import AcidCatalog
+    from ..merge_sql import acid_sql_txn
+    from ..sources.tables import load_table
+
+    root = scratch / f"acid_txnsql_{Path(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = AcidCatalog(spark, root)
+    cat.create_table("hw", spark.createDataFrame(
+        [(0, 0)], "case_id long, hw long"))
+    cat.create_table("log", spark.createDataFrame(
+        [], "case_id long, previous long, current long"))
+    li = load_table(spark, sf_dir, "lineitem")
+    prev = 0
+    for bound in HW_TXN_BOUNDS:
+        cur = li.filter(F.col("l_orderkey") <= bound) \
+            .agg(F.max("l_orderkey")).collect()[0][0]   # bounded scalar
+        acid_sql_txn(spark, f"""
+            BEGIN;
+            UPDATE hw SET hw = {cur} WHERE case_id = 0;
+            INSERT INTO log VALUES (0, {prev}, {cur});
+            COMMIT;""", cat)
+        prev = cur
+    atomic = True
+    for entry in range(cat.latest_entry() + 1):
+        pins = cat.snapshot(entry)
+        if not {"hw", "log"} <= set(pins):
+            continue
+        hw_v = cat.read("hw", entry=entry).collect()[0].hw
+        last = (cat.read("log", entry=entry).agg(
+            F.coalesce(F.max("current"), F.lit(0))).collect()[0][0])
+        atomic = atomic and hw_v == last
+    log = cat.read("log")
+    return (log.agg(
+        F.count(F.lit(1)).alias("n_log"),
+        F.min("current").alias("first_release"),
+        F.max("current").alias("last_release"))
+        .withColumn("hw_final",
+                    F.lit(cat.read("hw").collect()[0].hw).cast("long"))
+        .withColumn("atomic", F.lit(bool(atomic))))
+
+
+ACID_TXN_SQL_ORACLE = ACID_MULTI_TXN_ORACLE

@@ -115,3 +115,71 @@ def test_single_table_writers_compose_with_catalog(spark, tmp_path):
     cat.commit_multi({"log": ("append", spark.createDataFrame(
         [(9, 1, 2)], "case_id long, previous long, current long"))})
     assert cat.read("log").count() == 2
+
+
+# --------------------- SQL transaction blocks through the catalog
+
+def test_acid_sql_txn_publishes_atomically(spark, tmp_path):
+    """BEGIN; UPDATE a; INSERT INTO b; COMMIT — both tables' new
+    versions land in ONE catalog entry: no entry ever pins one side of
+    the block without the other."""
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+    from spark_streaming_apps_spark.merge_sql import acid_sql_txn
+
+    cat = AcidCatalog(spark, tmp_path / "cat")
+    cat.create_table("hw", spark.createDataFrame(
+        [(0, 0)], "case_id long, hw long"))
+    cat.create_table("log", spark.createDataFrame(
+        [], "case_id long, previous long, current long"))
+    e = acid_sql_txn(spark, """
+        BEGIN;
+        UPDATE hw SET hw = 50 WHERE case_id = 0;
+        INSERT INTO log VALUES (0, 0, 50);
+        COMMIT;""", cat)
+    pins = cat.snapshot(e)
+    assert pins["hw"] == 1 and pins["log"] == 1
+    assert cat.read("hw").collect()[0].hw == 50
+    assert cat.read("log").count() == 1
+    # list form, second release
+    acid_sql_txn(spark, [
+        "UPDATE hw SET hw = 90 WHERE case_id = 0",
+        "INSERT INTO log VALUES (0, 50, 90)"], cat)
+    for entry in range(cat.latest_entry() + 1):
+        pins = cat.snapshot(entry)
+        if {"hw", "log"} <= set(pins):
+            hw = cat.read("hw", entry=entry).collect()[0].hw
+            logmax = (cat.read("log", entry=entry)
+                      .agg({"current": "max"}).collect()[0][0]) or 0
+            assert hw == logmax                   # never torn
+
+
+def test_acid_sql_txn_ctas_and_semicolon_in_string(spark, tmp_path):
+    """CTAS inside a block joins the same catalog entry; the statement
+    splitter honors quoted semicolons."""
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+    from spark_streaming_apps_spark.merge_sql import acid_sql_txn
+
+    cat = AcidCatalog(spark, tmp_path / "cat")
+    cat.create_table("src", spark.createDataFrame(
+        [(1, "a;b"), (2, "c")], "id long, tag string"))
+    e = acid_sql_txn(spark, """
+        BEGIN;
+        INSERT INTO src VALUES (3, 'x;y');
+        CREATE TABLE derived AS SELECT COUNT(*) AS n FROM src;
+        COMMIT;""", cat)
+    pins = cat.snapshot(e)
+    assert pins["src"] == 1 and pins["derived"] == 0
+    assert cat.read("derived").collect()[0].n == 3
+    assert cat.read("src").filter("tag = 'x;y'").count() == 1
+
+
+def test_acid_sql_txn_empty_block_refused(spark, tmp_path):
+    import pytest
+
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+    from spark_streaming_apps_spark.merge_sql import acid_sql_txn
+
+    cat = AcidCatalog(spark, tmp_path / "cat")
+    cat.create_table("t", spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError, match="committed nothing"):
+        acid_sql_txn(spark, "BEGIN; SELECT * FROM t; COMMIT;", cat)
