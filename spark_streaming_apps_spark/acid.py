@@ -448,7 +448,8 @@ class AcidTable:
 
     def _stage_rows(self, rows: DataFrame, dest: Path,
                     pcols: list[str],
-                    order_by: list[str] | None = None) -> list[dict]:
+                    order_by: list[str] | None = None,
+                    lanes: int = 1) -> list[dict]:
         """Write ``rows`` as flat, uniquely-named parquet files under
         ``dest`` and return their manifest stats entries. On a
         partitioned table the batch is first hash-repartitioned on the
@@ -471,7 +472,22 @@ class AcidTable:
             shutil.rmtree(tmp, ignore_errors=True)
             return collect_file_stats(
                 sorted(dest.glob(f"add-{tag}-*.parquet")))
-        dup = rows.repartition(*pcols)
+        if lanes == 0:
+            # COW-rewrite path: the input is already partition-
+            # clustered (touched files each hold ONE tuple), so
+            # partitionBy alone splits correctly with NO shuffle and
+            # full input parallelism; file fan-out is bounded by the
+            # touched subset's task count, not the table's.
+            dup = rows
+        elif lanes > 1:
+            # spread each tuple over `lanes` writer tasks (pre-shuffle
+            # task id as the salt) — Delta's optimized-write/adaptive-
+            # shuffle compromise for big shuffled batches
+            dup = rows.repartition(
+                *pcols, F.spark_partition_id() % lanes)
+        else:
+            # append path: one file per touched tuple per commit
+            dup = rows.repartition(*pcols)
         if order_by:
             dup = dup.sortWithinPartitions(*pcols, *order_by)
         for c in pcols:
@@ -537,7 +553,8 @@ class AcidTable:
         rel = f"data/commit-{uuid.uuid4().hex}"
         dest = self.path / rel
         dest.mkdir(parents=True)
-        new_stats = self._stage_rows(rows, dest, self.partition_cols())
+        new_stats = self._stage_rows(rows, dest, self.partition_cols(),
+                                     lanes=0)
         for f in link:
             os.link(base / f["path"], dest / f["path"])
         return rel, list(link) + new_stats
@@ -900,34 +917,42 @@ class AcidTable:
             if unknown:
                 raise ValueError(
                     f"UPDATE SET of unknown column(s) {unknown}")
-            matched = self._mor_scan(m, pins=pins).filter(cond)
-            n = matched.count()
-            self.last_mor_stats = {
-                "rows_updated": n,
-                "dv_rows_total": m.get("dv_rows", 0) + n}
-            if cow_fallback_rows is not None and n > cow_fallback_rows:
-                return self.update_where(assigns, cond,
-                                         max_retries=max_retries,
-                                         op="update_mor_cow")
-            if n == 0:
-                ch_rel = (self._write_changes_pair(cur.limit(0),
-                                                   cur.limit(0))
-                          if self.cdf_enabled() else None)
-                if self._try_commit(v + 1, m["data"], m["schema"],
-                                    "update_mor", changes_rel=ch_rel,
-                                    files=m.get("files"),
-                                    dv_rel=m.get("dv"),
-                                    dv_rows=m.get("dv_rows", 0)):
+            # the matched set feeds three consumers (count, the vector,
+            # the new images) — cache it so the table is scanned ONCE,
+            # not once per consumer (matched is O(statement), small)
+            matched = self._mor_scan(m, pins=pins).filter(cond).cache()
+            try:
+                n = matched.count()
+                self.last_mor_stats = {
+                    "rows_updated": n,
+                    "dv_rows_total": m.get("dv_rows", 0) + n}
+                if cow_fallback_rows is not None \
+                        and n > cow_fallback_rows:
+                    return self.update_where(assigns, cond,
+                                             max_retries=max_retries,
+                                             op="update_mor_cow")
+                if n == 0:
+                    ch_rel = (self._write_changes_pair(cur.limit(0),
+                                                       cur.limit(0))
+                              if self.cdf_enabled() else None)
+                    if self._try_commit(v + 1, m["data"], m["schema"],
+                                        "update_mor", changes_rel=ch_rel,
+                                        files=m.get("files"),
+                                        dv_rel=m.get("dv"),
+                                        dv_rows=m.get("dv_rows", 0)):
+                        return v + 1
+                    if ch_rel:
+                        shutil.rmtree(self.path / ch_rel,
+                                      ignore_errors=True)
+                    continue
+                new_rows = matched.selectExpr(*[
+                    f"({low[c.lower()]}) AS {c}" if c.lower() in low
+                    else c for c in scols])
+                if self._mor_image_commit(m, cur, matched, new_rows,
+                                          "update_mor", n):
                     return v + 1
-                if ch_rel:
-                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
-                continue
-            new_rows = matched.selectExpr(*[
-                f"({low[c.lower()]}) AS {c}" if c.lower() in low else c
-                for c in scols])
-            if self._mor_image_commit(m, cur, matched, new_rows,
-                                      "update_mor", n):
-                return v + 1
+            finally:
+                matched.unpersist()
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
@@ -953,35 +978,41 @@ class AcidTable:
             tagged = self._mor_scan(m, part_in=part_in)
             u = updates.select(*key, *[F.col(c).alias(f"__u_{c}")
                                        for c in val_cols])
-            joined = tagged.join(u, key, "inner")
-            matched = joined.select(*scols, "__dv_file", "__dv_pos")
-            new_images = joined.select(
-                *key, *[F.coalesce(f"__u_{c}", c).alias(c)
-                        for c in val_cols]).select(*scols)
-            inserts = (updates.select(*scols)
-                       .join(cur.select(*key), key, "left_anti"))
-            n_upd = matched.count()
-            n_ins = inserts.count()
-            self.last_mor_stats = {
-                "rows_updated": n_upd, "rows_inserted": n_ins,
-                "dv_rows_total": m.get("dv_rows", 0) + n_upd}
-            new_rows = new_images.unionByName(inserts)
-            if n_upd == 0 and n_ins == 0:
-                ch_rel = (self._write_changes_pair(cur.limit(0),
-                                                   cur.limit(0))
-                          if self.cdf_enabled() else None)
-                if self._try_commit(v + 1, m["data"], m["schema"],
-                                    "merge_mor", changes_rel=ch_rel,
-                                    files=m.get("files"),
-                                    dv_rel=m.get("dv"),
-                                    dv_rows=m.get("dv_rows", 0)):
+            # one keyed scan feeds matched images, the vector, and the
+            # new images — cache the (small, O(batch)) join result
+            joined = tagged.join(u, key, "inner").cache()
+            try:
+                matched = joined.select(*scols, "__dv_file", "__dv_pos")
+                new_images = joined.select(
+                    *key, *[F.coalesce(f"__u_{c}", c).alias(c)
+                            for c in val_cols]).select(*scols)
+                inserts = (updates.select(*scols)
+                           .join(cur.select(*key), key, "left_anti"))
+                n_upd = matched.count()
+                n_ins = inserts.count()
+                self.last_mor_stats = {
+                    "rows_updated": n_upd, "rows_inserted": n_ins,
+                    "dv_rows_total": m.get("dv_rows", 0) + n_upd}
+                new_rows = new_images.unionByName(inserts)
+                if n_upd == 0 and n_ins == 0:
+                    ch_rel = (self._write_changes_pair(cur.limit(0),
+                                                       cur.limit(0))
+                              if self.cdf_enabled() else None)
+                    if self._try_commit(v + 1, m["data"], m["schema"],
+                                        "merge_mor", changes_rel=ch_rel,
+                                        files=m.get("files"),
+                                        dv_rel=m.get("dv"),
+                                        dv_rows=m.get("dv_rows", 0)):
+                        return v + 1
+                    if ch_rel:
+                        shutil.rmtree(self.path / ch_rel,
+                                      ignore_errors=True)
+                    continue
+                if self._mor_image_commit(m, cur, matched, new_rows,
+                                          "merge_mor", n_upd):
                     return v + 1
-                if ch_rel:
-                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
-                continue
-            if self._mor_image_commit(m, cur, matched, new_rows,
-                                      "merge_mor", n_upd):
-                return v + 1
+            finally:
+                joined.unpersist()
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
