@@ -136,6 +136,12 @@ BENCH_KEYS = [
     "acid_pruned_dml",
     "acid_deletion_vectors",
     "acid_multi_table_txn",
+    # round 8
+    "acid_partitioned_prune",
+    "acid_mor_dml",
+    "acid_insert_sql",
+    "acid_txn_sql",
+    "acid_table_stream",
 ]
 
 

@@ -60,6 +60,7 @@ def collect_file_stats(paths) -> list[dict]:
 
     out = []
     for f in [Path(p) for p in paths]:
+        size = f.stat().st_size
         md = pq.ParquetFile(f).metadata
         stats: dict[str, list] = {}
         for rg in range(md.num_row_groups):
@@ -83,7 +84,8 @@ def collect_file_stats(paths) -> list[dict]:
                                    max(stats[name][1], mx)]
                 else:
                     stats[name] = [mn, mx]
-        out.append({"path": f.name, "rows": md.num_rows, "stats": stats})
+        out.append({"path": f.name, "rows": md.num_rows,
+                    "bytes": size, "stats": stats})
     return out
 
 
@@ -1422,6 +1424,57 @@ class AcidTable:
                 shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up restoring after {max_retries} conflicted commits")
+
+    def partitions(self) -> DataFrame:
+        """SHOW PARTITIONS: one row per partition tuple of the latest
+        snapshot with file/row counts — pure manifest metadata (plus
+        the small deletion-vector sidecar for exact live-row counts);
+        no data file is opened at any table size."""
+        pcols = self.partition_cols()
+        if not pcols:
+            raise ValueError(f"{self.path} is not partitioned")
+        m = self._manifest(self.latest_version())
+        dead: dict[str, int] = {}
+        if "dv" in m:
+            import pyarrow.parquet as pq
+            t = pq.read_table(str(self.path / m["dv"]), columns=["file"])
+            for name in t.column("file").to_pylist():
+                dead[name] = dead.get(name, 0) + 1
+        agg: dict[tuple, list] = {}
+        for f in m.get("files") or []:
+            part = f.get("partition") or {}
+            key = tuple(part.get(c) for c in pcols)
+            n_r = agg.setdefault(key, [0, 0])
+            n_r[0] += 1
+            n_r[1] += f.get("rows", 0) - dead.get(f["path"], 0)
+        schema = StructType.fromJson(m["schema"])
+        ptypes = {f.name: f.dataType for f in schema.fields}
+        rows = [(*k, n, r) for k, (n, r) in
+                sorted(agg.items(), key=lambda kv: tuple(
+                    (x is None, str(x)) for x in kv[0]))]
+        ddl = ", ".join(f"{c} {ptypes[c].simpleString()}" for c in pcols)
+        return self.spark.createDataFrame(
+            rows, f"{ddl}, n_files int, n_rows long")
+
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL: one row of table-level facts straight from
+        the newest manifest — version, file/row/byte counts, partition
+        columns, properties, constraints. O(manifest)."""
+        v = self.latest_version()
+        m = self._manifest(v)
+        files = m.get("files") or []
+        props = self._manifest(0).get("props") or {}
+        return self.spark.createDataFrame(
+            [(str(self.path), v, m["op"], len(files),
+              sum(f.get("rows", 0) for f in files) - m.get("dv_rows", 0),
+              sum(f.get("bytes", 0) for f in files),
+              self.partition_cols(),
+              bool(props.get("cdf")), bool(props.get("dv")),
+              sorted(m.get("constraints", {})))],
+            "location string, version int, last_op string, "
+            "n_files int, n_rows long, size_bytes long, "
+            "partition_by array<string>, cdf_enabled boolean, "
+            "dv_enabled boolean, constraints array<string>")
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per committed version straight from

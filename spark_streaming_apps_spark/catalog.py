@@ -1150,6 +1150,10 @@ register("acid_insert_sql", oracle=extensions.ACID_INSERT_SQL_ORACLE
 register("acid_txn_sql", oracle=extensions.ACID_TXN_SQL_ORACLE
          )(lambda s, d: extensions.acid_txn_sql(s, d, SCRATCH))
 
+register("acid_show_partitions",
+         oracle=extensions.ACID_SHOW_PARTITIONS_ORACLE
+         )(lambda s, d: extensions.acid_show_partitions(s, d, SCRATCH))
+
 register("acid_change_feed",
          oracle=extensions.ACID_CHANGE_FEED_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)

@@ -405,6 +405,12 @@ _RESTORE_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
 
+_SHOW_PARTITIONS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
+
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<tbl>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[\w.,\s]+?)\s*\))?\s*;?\s*$",
@@ -533,6 +539,8 @@ def acid_sql(spark: SparkSession, stmt: str,
       ``ALTER TABLE <t> ADD COLUMN <name> <type>`` → pure-metadata
       schema widening (``AcidTable.add_column``);
     * ``DESCRIBE HISTORY <t>`` → the audit DataFrame;
+      ``DESCRIBE DETAIL <t>`` / ``SHOW PARTITIONS <t>`` → table-level
+      facts / per-partition census, both pure manifest metadata;
       ``OPTIMIZE <t> [ZORDER BY (cols)]`` → compact / relayout;
       ``VACUUM <t> [RETAIN n VERSIONS]`` → snapshot retention — the
       Delta maintenance-statement trio;
@@ -580,6 +588,13 @@ def acid_sql(spark: SparkSession, stmt: str,
     m = _HISTORY_RE.match(stmt)
     if m:                                # DESCRIBE HISTORY <t>
         return _lookup(tables, m.group("tbl"), "DESCRIBE HISTORY").history()
+    m = _SHOW_PARTITIONS_RE.match(stmt)
+    if m:                                # SHOW PARTITIONS <t>
+        return _lookup(tables, m.group("tbl"),
+                       "SHOW PARTITIONS").partitions()
+    m = _DETAIL_RE.match(stmt)
+    if m:                                # DESCRIBE DETAIL <t>
+        return _lookup(tables, m.group("tbl"), "DESCRIBE DETAIL").detail()
     m = _OPTIMIZE_RE.match(stmt)
     if m:                                # OPTIMIZE <t> [ZORDER BY (cols)]
         t = _lookup(tables, m.group("tbl"), "OPTIMIZE")

@@ -1907,3 +1907,37 @@ def acid_txn_sql(spark: SparkSession, sf_dir: str,
 
 
 ACID_TXN_SQL_ORACLE = ACID_MULTI_TXN_ORACLE
+
+
+def acid_show_partitions(spark: SparkSession, sf_dir: str,
+                         scratch: Path) -> DataFrame:
+    """SHOW PARTITIONS through the SQL front door: one row per
+    partition tuple with file/row counts from PURE manifest metadata
+    (plus the small DV sidecar, so live-row counts stay exact after a
+    merge-on-read delete — no data file opened at any table size). The
+    oracle recomputes the per-partition census, pinning both the
+    partition bookkeeping and the DV accounting."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import acid_sql
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_showp_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .withColumn("pmod", (F.col("l_orderkey") % 4).cast("int")))
+    t = AcidTable.create(spark, path, li, partition_by=["pmod"],
+                         enable_dv=True)
+    t.delete_where_mor("pmod = 2 AND l_orderkey BETWEEN 100 AND 200")
+    return acid_sql(spark, "SHOW PARTITIONS tbl", {"tbl": t})
+
+
+ACID_SHOW_PARTITIONS_ORACLE = """
+SELECT CAST(l_orderkey % 4 AS INT) AS pmod, 1 AS n_files,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE NOT (l_orderkey % 4 = 2 AND l_orderkey BETWEEN 100 AND 200)
+GROUP BY 1
+"""

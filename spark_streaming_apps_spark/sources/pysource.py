@@ -192,8 +192,13 @@ class AcidTableDataSource(DataSource):
 
 
 class AcidSinkMessage(WriterCommitMessage):
-    def __init__(self, files: list, stages: list):
+    def __init__(self, files: list, stages: list,
+                 parts: list | None = None):
         self.files, self.stages = files, stages
+        #: per-file partition tuple ({col: val} or None), aligned with
+        #: ``files`` — lets the driver-side commit record partition
+        #: metadata without reopening the staged files
+        self.parts = parts or [None] * len(files)
 
 
 class AcidStreamWriter(DataSourceStreamWriter):
@@ -219,6 +224,17 @@ class AcidStreamWriter(DataSourceStreamWriter):
         self.path = path
         self.pa_fields = pa_fields
         self.app_id = app_id
+        self._pcols: list | None = None      # lazy v0-props read
+
+    def _partition_cols(self) -> list:
+        if self._pcols is None:
+            import json
+            from pathlib import Path
+            v0 = json.loads((Path(self.path) / "manifests"
+                             / "v0.json").read_text())
+            self._pcols = list(
+                (v0.get("props") or {}).get("partition_by") or [])
+        return self._pcols
 
     def write(self, iterator):
         import uuid as _uuid
@@ -230,16 +246,33 @@ class AcidStreamWriter(DataSourceStreamWriter):
         rows = list(iterator)
         if not rows:
             return AcidSinkMessage([], [])
-        cols = list(zip(*rows))
-        arrays = [pa.array(list(c), type=t)
-                  for c, (_, t) in zip(cols, self.pa_fields)]
-        tbl = pa.Table.from_arrays(arrays,
-                                   [n for n, _ in self.pa_fields])
         stage = Path(self.path) / "data" / f"stage-{_uuid.uuid4().hex}"
         stage.mkdir(parents=True, exist_ok=True)
-        f = stage / f"sink-{_uuid.uuid4().hex}.parquet"
-        pq.write_table(tbl, f)
-        return AcidSinkMessage([str(f)], [str(stage)])
+        names = [n for n, _ in self.pa_fields]
+
+        def write_group(group_rows):
+            cols = list(zip(*group_rows))
+            arrays = [pa.array(list(c), type=t)
+                      for c, (_, t) in zip(cols, self.pa_fields)]
+            f = stage / f"sink-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(pa.Table.from_arrays(arrays, names), f)
+            return str(f)
+
+        pcols = self._partition_cols()
+        if not pcols:
+            return AcidSinkMessage([write_group(rows)], [str(stage)])
+        # partitioned table: split this task's rows by partition tuple
+        # so every staged file keeps the one-tuple-per-file invariant
+        # (and with it, partition pruning over sink-written data)
+        idx = [names.index(c) for c in pcols]
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(tuple(r[i] for i in idx), []).append(r)
+        files, parts = [], []
+        for key, grp in groups.items():
+            files.append(write_group(grp))
+            parts.append(dict(zip(pcols, key)))
+        return AcidSinkMessage(files, [str(stage)], parts)
 
     def _cleanup(self, messages) -> None:
         import shutil
@@ -287,7 +320,12 @@ class AcidStreamWriter(DataSourceStreamWriter):
 
         root = Path(self.path)
         manifests = root / "manifests"
-        staged = [f for m in messages for f in getattr(m, "files", [])]
+        staged, staged_parts = [], []
+        for msg in messages:
+            fs = getattr(msg, "files", [])
+            ps = getattr(msg, "parts", None) or [None] * len(fs)
+            staged.extend(fs)
+            staged_parts.extend(ps)
         try:
             for _ in range(20):
                 vs = [int(p.stem[1:]) for p in manifests.glob("v*.json")]
@@ -315,9 +353,12 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 # of the STAGED files only; linked parent files keep
                 # their names, so their recorded entries stay valid
                 if m.get("files") is not None:
-                    files = (m["files"]
-                             + collect_file_stats(
-                                 dest / Path(fp).name for fp in staged))
+                    new_stats = collect_file_stats(
+                        dest / Path(fp).name for fp in staged)
+                    for e, part in zip(new_stats, staged_parts):
+                        if part is not None:   # partitioned table: the
+                            e["partition"] = part  # tuple rides the entry
+                    files = m["files"] + new_stats
                 else:                  # legacy parent: one-time harvest
                     files = collect_parquet_stats(dest)
                 import time

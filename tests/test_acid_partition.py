@@ -182,3 +182,68 @@ def test_partition_pins_parser_conservative():
     assert _pins_match({}, {"bucket": 1})
     assert not _pins_match({"bucket": 2}, {"bucket": 1})
     assert _pins_match({"region": "eu"}, {"bucket": 1})
+
+
+def test_show_partitions_and_describe_detail(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)],
+        "id long, bucket int, val double")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(3, "bucket"),
+                         partition_by=["bucket"], enable_dv=True)
+    t.delete_where_mor("bucket = 1 AND id < 30")
+    got = {(r.bucket, r.n_files, r.n_rows) for r in
+           acid_sql(spark, "SHOW PARTITIONS tbl",
+                    {"tbl": t}).collect()}
+    assert got == {(0, 1, 100), (1, 1, 90), (2, 1, 100)}
+    d = acid_sql(spark, "DESCRIBE DETAIL tbl", {"tbl": t}).collect()[0]
+    assert d.version == 1 and d.n_files == 3 and d.n_rows == 290
+    assert d.partition_by == ["bucket"]
+    assert d.dv_enabled and not d.cdf_enabled
+    assert d.size_bytes > 0
+    import pytest
+    with pytest.raises(ValueError, match="not partitioned"):
+        AcidTable.create(
+            spark, tmp_path / "u",
+            spark.createDataFrame([(1,)], "id long")).partitions()
+
+
+def test_stream_sink_into_partitioned_table_keeps_invariant(
+        spark, tmp_path):
+    """The acidtable sink on a partitioned table splits each task's
+    rows by tuple — sink-written files carry partition metadata, so
+    pruning keeps working over streamed data."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    duckdb.sql(f"""
+        COPY (SELECT CAST(range AS BIGINT) AS id,
+                     CAST(range % 3 AS INT) AS bucket
+              FROM range(0, 90))
+        TO '{src}/f0.parquet' (FORMAT PARQUET)""")
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "id long, bucket int"),
+        partition_by=["bucket"])
+    spark.dataSource.register(AcidTableDataSource)
+    q = (spark.readStream.schema("id long, bucket int")
+         .parquet(str(src))
+         .writeStream.format("acidtable")
+         .option("path", str(tmp_path / "t")).option("appId", "pS")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    files = t._manifest(t.latest_version())["files"]
+    assert all(f.get("partition") is not None for f in files)
+    assert {f["partition"]["bucket"] for f in files} == {0, 1, 2}
+    assert t.read().count() == 90
+    # pruning works over the sink-written files
+    t.delete_where("bucket = 1 AND id < 10")
+    assert t.last_cow_stats["files_scanned"] < len(files)
+    assert t.read().count() == 90 - 3             # ids 1, 4, 7 under 10

@@ -71,3 +71,21 @@ def test_priority_and_bench_keys_exist():
 
 def test_registry_scale_round4():
     assert len(catalog.REGISTRY) >= 150, len(catalog.REGISTRY)
+
+
+def test_correctness_full_covers_registry_at_head():
+    """The committed CORRECTNESS_FULL.json must cover EVERY registered
+    key — the artifact can never lag the registry (round-7 verdict ask:
+    re-run `tools/selfcheck.py --json CORRECTNESS_FULL.json` as the
+    last commit of any round that registers keys)."""
+    import json
+    from pathlib import Path
+
+    from spark_streaming_apps_spark import catalog as cat
+
+    p = Path(__file__).resolve().parents[1] / "CORRECTNESS_FULL.json"
+    full = json.loads(p.read_text())
+    missing = sorted(set(cat.REGISTRY) - set(full))
+    assert not missing, (
+        f"CORRECTNESS_FULL.json lags the registry by {missing}; re-run "
+        f"python tools/selfcheck.py --json CORRECTNESS_FULL.json")
