@@ -273,37 +273,97 @@ class AcidTable:
             for f in sorted((self.path / m["dv"]).glob("*.parquet")):
                 os.link(f, new.path / dv_rel / f.name)
             dv_rows = m.get("dv_rows", 0)
-        props = dict(self._manifest(0).get("props") or {}) or None
+        props = dict(self._props(v)) or None
         new._try_commit(0, rel, m["schema"], "clone",
                         props=props, files=m.get("files"),
                         dv_rel=dv_rel, dv_rows=dv_rows,
                         constraints=m.get("constraints"))
         return new
 
-    def cdf_enabled(self) -> bool:
-        """True iff the table records commit-time change files (the v0
-        manifest carries the property, like a Delta table property)."""
-        v = self.latest_version()
+    def _props(self, version: int | None = None) -> dict:
+        """The table properties in force at ``version`` (default:
+        latest). Properties ride every manifest (inherited by
+        _try_commit) so they can evolve; legacy chains whose newer
+        manifests lack the key fall back to the nearest older manifest
+        that has it."""
+        v = self.latest_version() if version is None else version
         if v is None:
-            return False
-        return bool(self._manifest(0).get("props", {}).get("cdf"))
+            return {}
+        for vv in range(v, -1, -1):
+            p = self._manifest(vv).get("props")
+            if p is not None:
+                return p
+        return {}
+
+    def cdf_enabled(self) -> bool:
+        """True iff the table records commit-time change files (a
+        Delta-style table property)."""
+        return bool(self._props().get("cdf"))
 
     def dv_enabled(self) -> bool:
-        """True iff DELETE statements serve merge-on-read (the v0
-        manifest carries Delta's enableDeletionVectors property)."""
-        v = self.latest_version()
-        if v is None:
-            return False
-        return bool(self._manifest(0).get("props", {}).get("dv"))
+        """True iff DELETE statements serve merge-on-read (Delta's
+        enableDeletionVectors property)."""
+        return bool(self._props().get("dv"))
 
     def partition_cols(self) -> list[str]:
-        """The table's declared partition columns ([] when
-        unpartitioned) — a v0 table property, like cdf/dv."""
-        v = self.latest_version()
-        if v is None:
+        """The partition columns declared for NEW writes ([] when
+        unpartitioned). Evolvable via ``set_partition_by`` — Iceberg
+        spec evolution: old files keep their recorded tuples (pruning
+        stays per-file and conservative), only future commits follow
+        the new spec."""
+        if self.latest_version() is None:
             return []
-        return list(self._manifest(0).get("props", {})
-                    .get("partition_by", []) or [])
+        return list(self._props().get("partition_by", []) or [])
+
+    def set_partition_by(self, cols: list[str] | None,
+                         max_retries: int = 20) -> int:
+        """Partition-spec evolution (Iceberg ALTER TABLE ... WRITE
+        ORDERED/PARTITIONED BY analog): a PURE-METADATA commit that
+        changes the spec for FUTURE writes only. Existing files keep
+        the tuples they were written with — partition pruning is
+        per-file, so mixed-spec tables prune each file by whatever it
+        recorded (files without the pruned column are conservatively
+        kept). Pass None/[] to stop partitioning new data."""
+        cols = list(cols or [])
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            missing = [c for c in cols if c not in cur.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by column(s) {missing} not in schema "
+                    f"{cur.columns}")
+            m = self._manifest(v)
+            props = dict(self._props())
+            if cols:
+                props["partition_by"] = cols
+            else:
+                props.pop("partition_by", None)
+            if self._try_commit(v + 1, m["data"], m["schema"],
+                                "set_partition_by", props=props,
+                                files=m.get("files"),
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+        raise CommitConflict(
+            f"gave up evolving partition spec after {max_retries} "
+            f"conflicts")
+
+    def compact_partition(self, pins: dict, target_files: int = 1,
+                          max_retries: int = 20) -> int:
+        """OPTIMIZE ... WHERE <partition pins>: compact ONLY the pinned
+        partitions' files — table maintenance bounded by the partition,
+        never the table (at 100 TB, OPTIMIZE runs per hot partition on
+        a schedule; cold partitions cost nothing). Rows are unchanged;
+        the pinned partitions' files rewrite into ``target_files``-ish
+        files (per tuple), everything else carries by reference."""
+        if not pins:
+            raise ValueError("compact_partition needs partition pins; "
+                             "use compact() for the whole table")
+        return self._cow_commit(
+            probe=lambda df: df,
+            rewrite=lambda df: df.coalesce(target_files),
+            op="compact_partition", max_retries=max_retries,
+            partition_pins=pins)
 
     @classmethod
     def exists(cls, spark: SparkSession, path) -> bool:
@@ -688,9 +748,13 @@ class AcidTable:
                         str(self.path / dv_rel))
             ch_rel = None
             if cdf:
-                t_w, o_w = self._widen_for_diff(touched, out)
-                ch_rel = self._write_changes_pair(o_w.exceptAll(t_w),
-                                                  t_w.exceptAll(o_w))
+                if op in self._NO_CHANGE_OPS:   # layout-only: no diff
+                    ch_rel = self._write_changes_pair(out.limit(0),
+                                                      out.limit(0))
+                else:
+                    t_w, o_w = self._widen_for_diff(touched, out)
+                    ch_rel = self._write_changes_pair(
+                        o_w.exceptAll(t_w), t_w.exceptAll(o_w))
             if self._try_commit(v + 1, rel, m["schema"], op,
                                 changes_rel=ch_rel, files=stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
@@ -1073,7 +1137,8 @@ class AcidTable:
 
     #: commits that rewrite layout only — rows identical, delta empty by
     #: construction, no diff needed
-    _NO_CHANGE_OPS = frozenset({"relayout", "compact"})
+    _NO_CHANGE_OPS = frozenset({"relayout", "compact",
+                                "compact_partition"})
 
     def _widen_for_diff(self, a: DataFrame, b: DataFrame):
         """Project both frames onto their merged column superset
@@ -1235,6 +1300,12 @@ class AcidTable:
         if dv_rel is not None:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
+        # props ride every manifest once set (like txns/constraints):
+        # explicit on create/clone/set_partition_by, inherited otherwise
+        # — so table properties can EVOLVE and readers ask the newest
+        # manifest, not v0
+        if props is None and version > 0:
+            props = self._manifest(version - 1).get("props")
         if props is not None:
             manifest["props"] = props
         # constraints ride every manifest once added (like txns):
@@ -1463,7 +1534,7 @@ class AcidTable:
         v = self.latest_version()
         m = self._manifest(v)
         files = m.get("files") or []
-        props = self._manifest(0).get("props") or {}
+        props = self._props()
         return self.spark.createDataFrame(
             [(str(self.path), v, m["op"], len(files),
               sum(f.get("rows", 0) for f in files) - m.get("dv_rows", 0),

@@ -55,7 +55,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .acid import AcidTable
+from .acid import AcidTable, _partition_pins
 
 _HEAD_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
@@ -413,8 +413,9 @@ _DETAIL_RE = re.compile(
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<tbl>[\w.]+)"
-    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[\w.,\s]+?)\s*\))?\s*;?\s*$",
-    re.IGNORECASE)
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[\w.,\s]+?)\s*\))?"
+    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
 
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<tbl>[\w.]+)"
@@ -596,9 +597,21 @@ def acid_sql(spark: SparkSession, stmt: str,
     if m:                                # DESCRIBE DETAIL <t>
         return _lookup(tables, m.group("tbl"), "DESCRIBE DETAIL").detail()
     m = _OPTIMIZE_RE.match(stmt)
-    if m:                                # OPTIMIZE <t> [ZORDER BY (cols)]
+    if m:            # OPTIMIZE <t> [ZORDER BY (cols)] [WHERE part pins]
         t = _lookup(tables, m.group("tbl"), "OPTIMIZE")
-        cols = m.group("cols")
+        cols, cond = m.group("cols"), m.group("cond")
+        if cond:
+            if cols:
+                raise ValueError(
+                    "OPTIMIZE ZORDER BY cannot be combined with WHERE "
+                    "(zorder relayout is whole-table)")
+            pins = _partition_pins(cond, t.partition_cols())
+            if not pins:
+                raise ValueError(
+                    f"OPTIMIZE WHERE must pin partition column(s) "
+                    f"{t.partition_cols()} with equality conjuncts; "
+                    f"got {cond!r}")
+            return t.compact_partition(pins)
         if cols:
             return t.relayout([c.strip() for c in cols.split(",")])
         return t.compact()

@@ -191,6 +191,25 @@ class AcidTableDataSource(DataSource):
         return AcidTableReader([f"{base}/{p}" for p in keep], dv_dir)
 
 
+def _walk_props(path) -> dict:
+    """Table properties in force at the newest manifest (SparkSession-
+    free twin of AcidTable._props: walk back to the nearest manifest
+    carrying a props key — they are inherited forward, so this is the
+    evolved value, not v0's)."""
+    import json
+    from pathlib import Path
+
+    manifests = Path(path) / "manifests"
+    vs = sorted((int(p.stem[1:]) for p in manifests.glob("v*.json")),
+                reverse=True)
+    for v in vs:
+        props = json.loads(
+            (manifests / f"v{v}.json").read_text()).get("props")
+        if props is not None:
+            return props
+    return {}
+
+
 class AcidSinkMessage(WriterCommitMessage):
     def __init__(self, files: list, stages: list,
                  parts: list | None = None):
@@ -228,12 +247,9 @@ class AcidStreamWriter(DataSourceStreamWriter):
 
     def _partition_cols(self) -> list:
         if self._pcols is None:
-            import json
-            from pathlib import Path
-            v0 = json.loads((Path(self.path) / "manifests"
-                             / "v0.json").read_text())
             self._pcols = list(
-                (v0.get("props") or {}).get("partition_by") or [])
+                (_walk_props(self.path) or {}).get("partition_by")
+                or [])
         return self._pcols
 
     def write(self, iterator):
@@ -379,8 +395,9 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     manifest["dv_rows"] = m.get("dv_rows", 0)
                 if cons:
                     manifest["constraints"] = cons
-                v0 = json.loads((manifests / "v0.json").read_text())
-                if v0.get("props", {}).get("cdf"):
+                if m.get("props") is not None:   # inherit forward
+                    manifest["props"] = m["props"]
+                if _walk_props(root).get("cdf"):
                     ch_rel = f"data/changes-{_uuid.uuid4().hex}"
                     self._record_changes(root, ch_rel, staged)
                     manifest["changes"] = ch_rel
@@ -1021,8 +1038,8 @@ class AcidStreamSlice(InputPartition):
 
 #: ops whose commits change no row — nothing to emit, never an error
 _ROW_PRESERVING_OPS = frozenset({
-    "compact", "relayout", "add_constraint", "drop_constraint",
-    "add_column", "clone"})
+    "compact", "relayout", "compact_partition", "add_constraint",
+    "drop_constraint", "add_column", "set_partition_by", "clone"})
 
 #: ops that only add rows — the appended files ARE the batch
 _APPEND_OPS = frozenset({"append", "append_txn", "stream_sink"})

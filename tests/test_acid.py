@@ -621,9 +621,10 @@ def test_vacuum_inside_cdf_range_fails_loudly(spark, tmp_path):
 def test_cdf_stream_resumes_across_vacuum_of_drained_versions(
         spark, tmp_path):
     """A CDF stream that already drained versions 0..N keeps resuming
-    after those versions' data is vacuumed — the resume diff only needs
-    the RETAINED tail — while a fresh stream forced to start at a
-    vacuumed version fails loudly instead of emitting empty deltas."""
+    after those versions' SNAPSHOTS are vacuumed — recorded change
+    files are retained independently (backfill_changes records them
+    for this non-CDF table) — while a fresh stream whose change files
+    were pruned fails loudly instead of emitting empty deltas."""
     import pytest
 
     from pyspark.errors.exceptions.captured import StreamingQueryException
@@ -635,6 +636,7 @@ def test_cdf_stream_resumes_across_vacuum_of_drained_versions(
         spark.createDataFrame([(1, 0)], "file_id long, status int"))
     t.append(spark.createDataFrame([(2, 0)], "file_id long, status int"))
     t.append(spark.createDataFrame([(3, 0)], "file_id long, status int"))
+    t.backfill_changes()
     spark.dataSource.register(AcidCdfStreamDataSource)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
@@ -651,17 +653,21 @@ def test_cdf_stream_resumes_across_vacuum_of_drained_versions(
     assert spark.read.parquet(out).count() == 2
     t.vacuum(keep_last=2)                          # v0, v1 data dropped
     t.append(spark.createDataFrame([(4, 0)], "file_id long, status int"))
-    drain()                                        # resume: diff v2 -> v3
+    t.backfill_changes()                           # records v3's delta
+    drain()                                        # resume: v3's files
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3
     assert {r._commit_version for r in rows} == {1, 2, 3}
 
-    # a FRESH stream from version 0 now crosses the retention horizon
+    # prune the recorded change files beyond the newest version: a
+    # FRESH stream from version 0 now crosses the retention horizon
+    t.vacuum(keep_last=2, keep_changes_last=1)
     q = (spark.readStream.format("acidtable-cdf")
          .option("path", str(tmp_path / "t")).load()
          .writeStream.outputMode("append").format("memory")
          .queryName("cdf_vac_fresh").trigger(availableNow=True).start())
-    with pytest.raises(StreamingQueryException, match="vacuumed"):
+    with pytest.raises(StreamingQueryException,
+                       match="backfill_changes|vacuumed"):
         q.awaitTermination(120)
 
 

@@ -247,3 +247,88 @@ def test_stream_sink_into_partitioned_table_keeps_invariant(
     t.delete_where("bucket = 1 AND id < 10")
     assert t.last_cow_stats["files_scanned"] < len(files)
     assert t.read().count() == 90 - 3             # ids 1, 4, 7 under 10
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """set_partition_by: pure-metadata spec change for FUTURE writes —
+    old files keep their recorded tuples (mixed-spec pruning stays
+    per-file and conservative), new appends follow the new spec."""
+    df = spark.createDataFrame(
+        [(i, i % 4, i % 2) for i in range(200)],
+        "id long, bucket int, half int")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(4, "bucket"),
+                         partition_by=["bucket"])
+    before = t._manifest(t.latest_version())["data"]
+    v = t.set_partition_by(["half"])
+    m = t._manifest(v)
+    assert m["op"] == "set_partition_by" and m["data"] == before
+    assert t.partition_cols() == ["half"]
+    t.append(spark.createDataFrame([(1000, 0, 0), (1001, 1, 1)],
+                                   "id long, bucket int, half int"))
+    files = t._manifest(t.latest_version())["files"]
+    new = [f for f in files if "half" in (f.get("partition") or {})]
+    old = [f for f in files if "bucket" in (f.get("partition") or {})]
+    assert len(new) == 2 and len(old) == 4        # mixed specs coexist
+    # pruning on the NEW spec: old files conservatively kept
+    v = t.delete_where("half = 1 AND id >= 1000")
+    assert t.last_cow_stats["files_scanned"] == 5  # 4 old + 1 new
+    assert t.read().count() == 201
+    # un-partition future writes
+    t.set_partition_by(None)
+    assert t.partition_cols() == []
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_partition_by(["ghost"])
+
+
+def test_compact_partition_scoped_maintenance(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = _mk(spark, tmp_path / "t")
+    # three appends -> bucket files pile up
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(2000 + 10 * i + j, j % 2, "x") for j in range(10)],
+            "id long, bucket int, tag string"))
+    files = t._manifest(t.latest_version())["files"]
+    b0 = [f for f in files if f["partition"]["bucket"] == 0]
+    assert len(b0) == 4                           # 1 create + 3 appends
+    n_before = t.read().count()
+    v = acid_sql(spark, "OPTIMIZE tbl WHERE bucket = 0", {"tbl": t})
+    m = t._manifest(v)
+    assert m["op"] == "compact_partition"
+    after = m["files"]
+    b0_after = [f for f in after if f["partition"]["bucket"] == 0]
+    b1_after = [f for f in after if f["partition"]["bucket"] == 1]
+    assert len(b0_after) == 1                     # compacted
+    assert len(b1_after) == 4                     # untouched, carried
+    assert t.last_cow_stats["files_scanned"] == 4  # only bucket 0's
+    assert t.read().count() == n_before           # rows unchanged
+    with pytest.raises(ValueError, match="pin partition"):
+        acid_sql(spark, "OPTIMIZE tbl WHERE id < 10", {"tbl": t})
+    with pytest.raises(ValueError, match="whole-table"):
+        acid_sql(spark, "OPTIMIZE tbl ZORDER BY (id) WHERE bucket = 0",
+                 {"tbl": t})
+
+
+def test_compact_partition_cdf_and_stream_transparent(spark, tmp_path):
+    """compact_partition records an EMPTY change set on CDF tables and
+    is skipped silently by the appends-only table stream."""
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableStreamDataSource)
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "id long, bucket int")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(2, "bucket"),
+                         partition_by=["bucket"], enable_cdf=True)
+    t.append(spark.createDataFrame([(100, 0)], "id long, bucket int"))
+    v = t.compact_partition({"bucket": 0}, target_files=1)
+    assert t.read_changes(v - 1, v).count() == 0  # layout-only
+    spark.dataSource.register(AcidTableStreamDataSource)
+    q = (spark.readStream.format("acidtable-stream")
+         .option("path", str(tmp_path / "t")).load()
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ts_cp").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table("ts_cp").count() == 41     # no dup from compact

@@ -331,9 +331,11 @@ def test_merge_sql_compiles_to_single_keyed_exchange(spark, tmp_path):
     # statement plan the full-rewrite path would run)
     orig = AcidTable._cow_commit
 
-    def spy(self, probe, rewrite, op, max_retries=20, empty_noop=True):
+    def spy(self, probe, rewrite, op, max_retries=20, empty_noop=True,
+            **kw):
         captured["plan_df"] = rewrite(self.read())
-        return orig(self, probe, rewrite, op, max_retries, empty_noop)
+        return orig(self, probe, rewrite, op, max_retries, empty_noop,
+                    **kw)
     AcidTable._cow_commit = spy
     try:
         M.merge_into_sql(spark, """
