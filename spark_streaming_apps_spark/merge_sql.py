@@ -41,8 +41,10 @@ the join (AQE broadcasts a small source), and the commit is the same
 O(1) manifest swap. The ANSI cardinality rule (a target row matching
 more than one source row is an error) is enforced with a cheap
 aggregate on the join keys when ``check_cardinality`` is on (default);
-at 100 TB a caller who has already deduplicated the source can turn the
-extra pass off.
+on the touched-file-pruned path the check runs over the PRUNED subset
+only (build() receives the touched frame), so its cost tracks the
+statement, not the table; a caller who has already deduplicated the
+source can turn the pass off entirely.
 """
 
 from __future__ import annotations
