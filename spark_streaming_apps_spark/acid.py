@@ -373,10 +373,38 @@ class AcidTable:
     # ------------------------------------------------------------- reads
 
     def latest_version(self) -> int | None:
+        """Newest committed version. Served from the ``_latest`` hint
+        file when present — O(1) + a short forward probe instead of an
+        O(versions) directory listing per call (Delta's
+        _last_checkpoint idea): the hint is written best-effort AFTER
+        each commit and may lag, never lead, so probing forward from it
+        is always correct; a missing/corrupt hint falls back to the
+        full listing."""
         if not self._manifests.is_dir():
             return None
-        vs = [int(p.stem[1:]) for p in self._manifests.glob("v*.json")]
-        return max(vs) if vs else None
+        hint = self._manifests / "_latest"
+        try:
+            v = int(hint.read_text())
+            if not (self._manifests / f"v{v}.json").exists():
+                raise ValueError          # corrupt/foreign hint
+        except (OSError, ValueError):
+            vs = [int(p.stem[1:])
+                  for p in self._manifests.glob("v*.json")]
+            return max(vs) if vs else None
+        while (self._manifests / f"v{v + 1}.json").exists():
+            v += 1                        # hint lagged: probe forward
+        return v
+
+    def _write_latest_hint(self, version: int) -> None:
+        """Monotone best-effort hint update (atomic replace; losers of
+        a concurrent update leave at worst a LAGGING hint, which
+        latest_version's forward probe absorbs)."""
+        try:
+            tmp = self._manifests / f"._latest.{uuid.uuid4().hex[:8]}"
+            tmp.write_text(str(version))
+            tmp.replace(self._manifests / "_latest")
+        except OSError:                   # best-effort only
+            pass
 
     def _manifest(self, version: int) -> dict:
         return json.loads((self._manifests / f"v{version}.json").read_text())
@@ -1257,6 +1285,55 @@ class AcidTable:
         raise CommitConflict(
             f"gave up adding column after {max_retries} conflicts")
 
+    def _refuse_schema_change_conflicts(self, col: str,
+                                        verb: str) -> None:
+        import re as _re
+
+        if col in self.partition_cols():
+            raise ValueError(
+                f"cannot {verb} partition column {col!r}; evolve the "
+                f"spec first (set_partition_by)")
+        for cname, expr in self.constraints().items():
+            if _re.search(rf"\b{_re.escape(col)}\b", expr,
+                          _re.IGNORECASE):
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: CHECK constraint "
+                    f"{cname!r} ({expr}) references it; drop the "
+                    f"constraint first")
+
+    def rename_column(self, old: str, new: str,
+                      max_retries: int = 20) -> int:
+        """ALTER TABLE RENAME COLUMN — served as a FULL-REWRITE commit
+        (the physical column name in every data file changes). Honest
+        trade-off vs Delta: column-mapping mode makes rename O(1)
+        metadata at the price of a logical→physical indirection on
+        every read; this engine keeps files self-describing and pays
+        the rewrite, once. Older versions keep the old name (time
+        travel exact). Partition columns and constraint-referenced
+        columns are refused — evolve/drop those first."""
+        v, cur = self.snapshot()
+        if old not in cur.columns:
+            raise ValueError(f"no column {old!r} in {cur.columns}")
+        if any(c.lower() == new.lower() for c in cur.columns):
+            raise ValueError(f"column {new!r} already exists")
+        self._refuse_schema_change_conflicts(old, "rename")
+        return self._commit_loop(
+            lambda cur: cur.withColumnRenamed(old, new),
+            "rename_column", max_retries)
+
+    def drop_column(self, name: str, max_retries: int = 20) -> int:
+        """ALTER TABLE DROP COLUMN — full-rewrite commit (same honest
+        trade-off as rename_column; Delta's mapping mode hides dropped
+        physical columns instead). Older versions keep the column."""
+        v, cur = self.snapshot()
+        if name not in cur.columns:
+            raise ValueError(f"no column {name!r} in {cur.columns}")
+        if len(cur.columns) == 1:
+            raise ValueError("cannot drop the only column")
+        self._refuse_schema_change_conflicts(name, "drop")
+        return self._commit_loop(lambda cur: cur.drop(name),
+                                 "drop_column", max_retries)
+
     def drop_constraint(self, name: str, max_retries: int = 20) -> int:
         for _ in range(max_retries):
             v, _cur = self.snapshot()
@@ -1318,6 +1395,7 @@ class AcidTable:
             # the atomic swap: exactly one creator per manifest path
             with open(self._manifests / f"v{version}.json", "x") as fh:
                 json.dump(manifest, fh)
+            self._write_latest_hint(version)
             return True
         except FileExistsError:
             return False

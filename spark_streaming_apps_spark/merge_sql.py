@@ -437,6 +437,14 @@ _CTAS_RE = re.compile(
     r"\s+AS\s+(?P<query>SELECT\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+_RENAME_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$", re.IGNORECASE)
+
+_DROP_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+DROP\s+COLUMNS?\s*"
+    r"\(?\s*(?P<name>\w+)\s*\)?\s*;?\s*$", re.IGNORECASE)
+
 _ADD_COLUMN_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<tbl>[\w.]+)\s+ADD\s+COLUMNS?\s*"
     r"\(?\s*(?P<name>\w+)\s+(?P<type>[\w()<>,\s]+?)\s*\)?\s*;?\s*$",
@@ -576,6 +584,14 @@ def acid_sql(spark: SparkSession, stmt: str,
     if m:                                # ALTER TABLE ADD COLUMN
         return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
             .add_column(m.group("name"), m.group("type").strip())
+    m = _RENAME_COLUMN_RE.match(stmt)
+    if m:                                # ALTER TABLE RENAME COLUMN
+        return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
+            .rename_column(m.group("old"), m.group("new"))
+    m = _DROP_COLUMN_RE.match(stmt)
+    if m:                                # ALTER TABLE DROP COLUMN
+        return _lookup(tables, m.group("tbl"), "ALTER TABLE") \
+            .drop_column(m.group("name"))
     m = _ADD_CONSTRAINT_RE.match(stmt)
     if m:                                # ALTER TABLE ADD CONSTRAINT
         return _lookup(tables, m.group("tbl"), "ALTER TABLE") \

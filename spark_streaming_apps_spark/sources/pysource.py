@@ -404,6 +404,12 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 try:
                     with open(manifests / f"v{v + 1}.json", "x") as fh:
                         json.dump(manifest, fh)
+                    try:                     # best-effort O(1) hint
+                        tmp = manifests / f"._latest.{_uuid.uuid4().hex[:8]}"
+                        tmp.write_text(str(v + 1))
+                        tmp.replace(manifests / "_latest")
+                    except OSError:
+                        pass
                     return
                 except FileExistsError:       # lost the race: retry on top
                     shutil.rmtree(dest, ignore_errors=True)

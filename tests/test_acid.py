@@ -802,3 +802,62 @@ def test_restore_to_version(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(VersionVacuumedError):
         t.restore(1)
+
+
+def test_rename_and_drop_column(spark, tmp_path):
+    """RENAME/DROP COLUMN as full-rewrite commits (the honest non-
+    column-mapping trade-off): new snapshot has the new shape, older
+    versions keep theirs; partition/constraint-referenced columns are
+    refused."""
+    import pytest
+
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")],
+                              "id long, val long, tag string"))
+    v = acid_sql(spark, "ALTER TABLE tbl RENAME COLUMN val TO score",
+                 {"tbl": t})
+    assert t._manifest(v)["op"] == "rename_column"
+    assert t.read().columns == ["id", "score", "tag"]
+    assert t.read(v - 1).columns == ["id", "val", "tag"]  # time travel
+    assert {(r.id, r.score) for r in t.read().collect()} == \
+        {(1, 10), (2, 20)}
+    v = acid_sql(spark, "ALTER TABLE tbl DROP COLUMN tag", {"tbl": t})
+    assert t.read().columns == ["id", "score"]
+    assert t.read(v - 1).columns == ["id", "score", "tag"]
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("ghost")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "SCORE")
+    # guarded columns refuse
+    t.add_constraint("pos", "score >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("score", "points")
+    p = AcidTable.create(
+        spark, tmp_path / "p",
+        spark.createDataFrame([(1, 0)], "id long, b int"),
+        partition_by=["b"])
+    with pytest.raises(ValueError, match="partition"):
+        p.drop_column("b")
+
+
+def test_latest_version_hint_is_lag_safe(spark, tmp_path):
+    """The _latest hint may lag (stale/missing/corrupt) but the forward
+    probe always lands on the true newest manifest."""
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    hint = t._manifests / "_latest"
+    assert hint.read_text() == "2"
+    hint.write_text("0")                           # stale: probes forward
+    assert t.latest_version() == 2
+    hint.write_text("999")                         # corrupt: full listing
+    assert t.latest_version() == 2
+    hint.unlink()                                  # missing: full listing
+    assert t.latest_version() == 2
+    t.append(spark.createDataFrame([(4,)], "id long"))
+    assert hint.read_text() == "3"                 # rewritten on commit
+    assert t.read().count() == 4
