@@ -71,10 +71,23 @@ class AcidCatalog:
     # --------------------------------------------------------- snapshots
 
     def latest_entry(self) -> int | None:
+        """Newest catalog entry — served from the ``_latest`` hint
+        plus a forward probe (the AcidTable.latest_version discipline:
+        the hint may lag, never lead; missing/corrupt falls back to
+        the listing)."""
         if not self._commits.is_dir():
             return None
-        cs = [int(p.stem[1:]) for p in self._commits.glob("c*.json")]
-        return max(cs) if cs else None
+        hint = self._commits / "_latest"
+        try:
+            e = int(hint.read_text())
+            if not (self._commits / f"c{e}.json").exists():
+                raise ValueError
+        except (OSError, ValueError):
+            cs = [int(p.stem[1:]) for p in self._commits.glob("c*.json")]
+            return max(cs) if cs else None
+        while (self._commits / f"c{e + 1}.json").exists():
+            e += 1
+        return e
 
     def snapshot(self, entry: int | None = None) -> dict[str, int]:
         """The ``{table: version}`` pins of a catalog entry (default:
@@ -112,6 +125,13 @@ class AcidCatalog:
             try:
                 with open(self._commits / f"c{nxt}.json", "x") as fh:
                     json.dump(merged, fh)
+                try:                        # best-effort O(1) hint
+                    import uuid as _uuid
+                    tmp = self._commits / f"._latest.{_uuid.uuid4().hex[:8]}"
+                    tmp.write_text(str(nxt))
+                    tmp.replace(self._commits / "_latest")
+                except OSError:
+                    pass
                 return nxt
             except FileExistsError:
                 continue                    # lost the pointer race: merge

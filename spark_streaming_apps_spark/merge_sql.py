@@ -72,7 +72,8 @@ _CLAUSE_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
     r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
     r"\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\(.+?\)\s*"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|"
+    r"INSERT\s*\(.+?\)\s*"
     r"VALUES\s*\(.+?\))\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)",
     re.IGNORECASE | re.DOTALL)
 
@@ -155,10 +156,20 @@ def parse_merge(stmt: str) -> _Merge:
                 raise ValueError("WHEN NOT MATCHED [BY TARGET] "
                                  "cannot UPDATE")
             body = action[action.upper().index("SET") + 3:]
-            assigns = {}
-            for a in _split_top_level(body):
-                col, expr = a.split("=", 1)
-                assigns[col.strip().lower()] = expr.strip()
+            if body.strip() == "*":
+                # Delta's UPDATE SET * — every target column takes the
+                # source's same-named column; expanded at compile time
+                # when the target schema is known
+                if by_source:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE cannot UPDATE "
+                        "SET * (there is no source row)")
+                assigns = {"*": "*"}
+            else:
+                assigns = {}
+                for a in _split_top_level(body):
+                    col, expr = a.split("=", 1)
+                    assigns[col.strip().lower()] = expr.strip()
             if by_source:
                 merge.nmbs_update_cond = cond or "TRUE"
                 merge.nmbs_update_set = assigns
@@ -178,11 +189,19 @@ def parse_merge(stmt: str) -> _Merge:
                 raise ValueError(
                     "INSERT requires WHEN NOT MATCHED [BY TARGET]")
             merge.insert_cond = cond or "TRUE"
-            cols_part, vals_part = re.split(r"\)\s*VALUES\s*\(", action[
-                action.index("(") + 1:].rstrip()[:-1], flags=re.IGNORECASE)
-            merge.insert_cols = [c2.strip().lower()
-                                 for c2 in _split_top_level(cols_part)]
-            merge.insert_vals = _split_top_level(vals_part)
+            if re.fullmatch(r"INSERT\s*\*", action, re.IGNORECASE):
+                # Delta's INSERT * — every target column from the
+                # source's same-named column (compile-time expansion)
+                merge.insert_cols = ["*"]
+                merge.insert_vals = ["*"]
+            else:
+                cols_part, vals_part = re.split(
+                    r"\)\s*VALUES\s*\(", action[
+                        action.index("(") + 1:].rstrip()[:-1],
+                    flags=re.IGNORECASE)
+                merge.insert_cols = [c2.strip().lower()
+                                     for c2 in _split_top_level(cols_part)]
+                merge.insert_vals = _split_top_level(vals_part)
         else:                                        # pragma: no cover
             raise ValueError(f"unsupported MERGE action: {action[:40]!r}")
     if merge.insert_cols and \
@@ -259,12 +278,23 @@ def merge_into_sql(spark: SparkSession, stmt: str,
                     "MERGE cardinality violation: a target row matches "
                     "multiple source rows")
         t_only = f"{t}.{tp} IS NOT NULL AND {s}.{sp} IS NULL"
+        # star shorthands expand HERE, where the target schema is known:
+        # SET * / INSERT * take every target column from the source's
+        # same-named column (Delta semantics; Catalyst raises on a
+        # source missing one)
+        upd_set = mg.update_set
+        if upd_set.get("*") == "*":
+            upd_set = {c.lower(): f"{s}.{c}" for c in cur.columns}
+        ins_cols, ins_vals = mg.insert_cols, mg.insert_vals
+        if ins_cols == ["*"]:
+            ins_cols = [c.lower() for c in cur.columns]
+            ins_vals = [f"{s}.{c}" for c in cur.columns]
         proj = []
         for c in cur.columns:
-            upd = mg.update_set.get(c, f"{t}.{c}")
+            upd = upd_set.get(c, f"{t}.{c}")
             nmbs_upd = mg.nmbs_update_set.get(c, f"{t}.{c}")
-            if mg.insert_cols and c in mg.insert_cols:
-                ins = mg.insert_vals[mg.insert_cols.index(c)]
+            if ins_cols and c in ins_cols:
+                ins = ins_vals[ins_cols.index(c)]
             else:
                 ins = f"CAST(NULL AS {dtypes[c]})"
             proj.append(

@@ -437,3 +437,31 @@ def test_alter_table_add_column_is_pure_metadata(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("SCORE", "int")
+
+
+def test_merge_star_shorthands(spark, tmp_path):
+    """Delta's UPDATE SET * / INSERT *: every target column takes the
+    source's same-named column."""
+    from spark_streaming_apps_spark.merge_sql import (
+        merge_into_sql, parse_merge)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")],
+                              "id long, val long, tag string"))
+    spark.createDataFrame([(2, 99, "B"), (3, 30, "c")],
+                          "id long, val long, tag string") \
+        .createOrReplaceTempView("star_src")
+    merge_into_sql(spark, """
+        MERGE INTO tgt t USING star_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """, tables={"tgt": t})
+    got = {(r.id, r.val, r.tag) for r in t.read().collect()}
+    assert got == {(1, 10, "a"), (2, 99, "B"), (3, 30, "c")}
+    import pytest
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        parse_merge("""
+            MERGE INTO tgt t USING star_src s ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *
+        """)
