@@ -434,6 +434,16 @@ _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<tbl>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
     r"(?P<v>\d+)\s*;?\s*$", re.IGNORECASE)
 
+_RESTORE_TS_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF"
+    r"\s+'(?P<ts>[^']+)'\s*;?\s*$", re.IGNORECASE)
+
+#: Delta's table_changes('t', a[, b]) table-valued function — rewritten
+#: to a bound snapshot of read_changes(a, b)
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\s*\(\s*'(?P<tbl>[\w.]+)'\s*,\s*(?P<a>\d+)"
+    r"\s*(?:,\s*(?P<b>\d+)\s*)?\)", re.IGNORECASE)
+
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<tbl>[\w.]+)\s*;?\s*$", re.IGNORECASE)
 
@@ -634,6 +644,10 @@ def acid_sql(spark: SparkSession, stmt: str,
     if m:                                # RESTORE TABLE <t> TO VERSION
         return _lookup(tables, m.group("tbl"), "RESTORE") \
             .restore(int(m.group("v")))
+    m = _RESTORE_TS_RE.match(stmt)
+    if m:                                # RESTORE TABLE <t> TO TIMESTAMP
+        t = _lookup(tables, m.group("tbl"), "RESTORE")
+        return t.restore(t.version_at(m.group("ts")))
     m = _HISTORY_RE.match(stmt)
     if m:                                # DESCRIBE HISTORY <t>
         return _lookup(tables, m.group("tbl"), "DESCRIBE HISTORY").history()
@@ -780,7 +794,21 @@ def _read_sql(spark: SparkSession, stmt: str,
             tables[name].read(v).createOrReplaceTempView(view)
             bound.append(view)
             return view
-        rewritten = _VERSION_AS_OF_RE.sub(bind, stmt)
+        def bind_changes(m: re.Match) -> str:
+            name = m.group("tbl")
+            if name not in tables:
+                raise ValueError(
+                    f"table_changes on unregistered table {name!r}; "
+                    f"registered: {sorted(tables)}")
+            t = tables[name]
+            a = int(m.group("a"))
+            b = int(m.group("b")) if m.group("b") else t.latest_version()
+            view = f"__tc_{name}_{uuid.uuid4().hex[:6]}"
+            t.read_changes(a, b).createOrReplaceTempView(view)
+            bound.append(view)
+            return view
+        rewritten = _TABLE_CHANGES_RE.sub(bind_changes, stmt)
+        rewritten = _VERSION_AS_OF_RE.sub(bind, rewritten)
         rewritten = _TIMESTAMP_AS_OF_RE.sub(bind_ts, rewritten)
         for name, t in tables.items():
             pat = rf"\b{re.escape(name)}\b"

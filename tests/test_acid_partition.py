@@ -332,3 +332,53 @@ def test_compact_partition_cdf_and_stream_transparent(spark, tmp_path):
          .queryName("ts_cp").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.table("ts_cp").count() == 41     # no dup from compact
+
+
+# ------------- property: partition pruning can never change results
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ATOMS = [
+    lambda d: f"bucket = {d.draw(st.integers(-1, 6))}",
+    lambda d: f"{d.draw(st.integers(0, 4))} = bucket",
+    lambda d: f"id < {d.draw(st.integers(0, 500))}",
+    lambda d: f"id >= {d.draw(st.integers(0, 500))}",
+    lambda d: f"bucket > {d.draw(st.integers(-1, 4))}",
+    lambda d: (f"bucket = {d.draw(st.integers(0, 3))} OR "
+               f"bucket = {d.draw(st.integers(0, 3))}"),
+    lambda d: f"(bucket = {d.draw(st.integers(0, 3))} AND id < 100)",
+    lambda d: f"tag = 't{d.draw(st.integers(0, 4))}'",
+    lambda d: "bucket IS NULL",
+]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_partition_pruned_find_pass_equals_full_scan(
+        spark, tmp_path_factory, data):
+    """For ANY predicate the pins parser sees, the partition-pruned
+    find scan must select exactly the rows the full scan selects —
+    pruning may open fewer files, never lose (or invent) a match."""
+    import spark_streaming_apps_spark.acid as A
+
+    global _PROP_T
+    try:
+        t = _PROP_T
+    except NameError:
+        d = tmp_path_factory.mktemp("pprop")
+        df = spark.createDataFrame(
+            [(i, i % 4, f"t{i % 5}") for i in range(400)],
+            "id long, bucket int, tag string")
+        t = _PROP_T = AcidTable.create(
+            spark, d / "t", df.repartition(4, "bucket"),
+            partition_by=["bucket"])
+    n_atoms = data.draw(st.integers(1, 3))
+    cond = " AND ".join(
+        data.draw(st.sampled_from(_ATOMS))(data) for _ in range(n_atoms))
+    m = t._manifest(t.latest_version())
+    pins = A._partition_pins(cond, t.partition_cols())
+    full = t._mor_scan(m).filter(cond).count()
+    pruned = t._mor_scan(m, pins=pins).filter(cond).count()
+    assert pruned == full, f"pruning changed the result for {cond!r}"

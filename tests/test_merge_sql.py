@@ -465,3 +465,44 @@ def test_merge_star_shorthands(spark, tmp_path):
             MERGE INTO tgt t USING star_src s ON t.id = s.id
             WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *
         """)
+
+
+def test_table_changes_tvf_and_restore_timestamp(spark, tmp_path):
+    """Delta parity: SELECT ... FROM table_changes('t', a[, b]) binds
+    the change feed; RESTORE TABLE ... TO TIMESTAMP AS OF resolves
+    through commit timestamps."""
+    import time
+
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 0), (2, 0)], "id long, s int"),
+        enable_cdf=True)
+    t.append(spark.createDataFrame([(3, 1)], "id long, s int"))   # v1
+    ts_mid = time.time()
+    time.sleep(0.05)
+    t.delete_where("id = 1")                                      # v2
+    got = acid_sql(spark, """
+        SELECT _change_type, COUNT(*) AS n
+        FROM table_changes('tbl', 0) GROUP BY _change_type
+    """, {"tbl": t}).collect()
+    assert {(r._change_type, r.n) for r in got} == \
+        {("insert", 1), ("delete", 1)}
+    # bounded range
+    one = acid_sql(spark, "SELECT COUNT(*) AS n FROM "
+                          "table_changes('tbl', 0, 1)",
+                   {"tbl": t}).collect()[0].n
+    assert one == 1
+    # restore to the instant between v1 and v2
+    import datetime
+    iso = datetime.datetime.fromtimestamp(ts_mid).isoformat()
+    v = acid_sql(spark,
+                 f"RESTORE TABLE tbl TO TIMESTAMP AS OF '{iso}'",
+                 {"tbl": t})
+    assert t._manifest(v)["op"] == "restore"
+    assert t.read().count() == 3                  # v1 state is back
+    import pytest
+    with pytest.raises(ValueError, match="unregistered"):
+        acid_sql(spark, "SELECT * FROM table_changes('ghost', 0)",
+                 {"tbl": t})
