@@ -1941,3 +1941,73 @@ FROM lineitem
 WHERE NOT (l_orderkey % 4 = 2 AND l_orderkey BETWEEN 100 AND 200)
 GROUP BY 1
 """
+
+
+# ------------------------------------ table_changes TVF + schema DDL
+
+TC_DEL_LO, TC_DEL_HI = 40, 80
+
+
+def acid_table_changes_sql(spark: SparkSession, sf_dir: str,
+                           scratch: Path) -> DataFrame:
+    """The change feed through its SQL spelling — Delta's
+    ``table_changes('t', a[, b])`` table-valued function — composed
+    with the round's schema DDL: the CDF table is widened by a
+    pure-metadata ADD COLUMN, a column is RENAMED (full-rewrite
+    commit, honestly priced), rows append and a band deletes, and the
+    final statement aggregates the WHOLE feed from version 0 through
+    the TVF. The oracle recomputes every (version, change_type)
+    census, so the TVF binding, the CDF recording across schema
+    changes, and the DDL commits are all value-pinned at once."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import acid_sql
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_tc_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .filter(F.col("l_orderkey") <= 200))
+    t = AcidTable.create(spark, path, li, enable_cdf=True)
+    tabs = {"tbl": t}
+    acid_sql(spark, "ALTER TABLE tbl ADD COLUMN note string", tabs)  # v1
+    acid_sql(spark, "INSERT INTO tbl (l_orderkey, l_quantity, note) "
+                    "VALUES (900000001, 5.0, 'x'), "
+                    "(900000002, 7.0, 'y')", tabs)                   # v2
+    acid_sql(spark, f"DELETE FROM tbl WHERE l_orderkey BETWEEN "
+                    f"{TC_DEL_LO} AND {TC_DEL_HI}", tabs)            # v3
+    acid_sql(spark, "ALTER TABLE tbl RENAME COLUMN note TO tag",
+             tabs)                                                   # v4
+    return acid_sql(spark, """
+        SELECT _commit_version AS version, _change_type AS change_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS qty
+        FROM table_changes('tbl', 0)
+        GROUP BY _commit_version, _change_type
+    """, tabs)
+
+
+ACID_TABLE_CHANGES_ORACLE = f"""
+WITH base AS (SELECT l_orderkey, l_quantity FROM lineitem
+              WHERE l_orderkey <= 200),
+deltas AS (
+  SELECT 2 AS version, 'insert' AS change_type, l_quantity
+  FROM (VALUES (5.0), (7.0)) AS a(l_quantity)
+  UNION ALL
+  SELECT 3, 'delete', l_quantity FROM base
+  WHERE l_orderkey BETWEEN {TC_DEL_LO} AND {TC_DEL_HI}
+  UNION ALL
+  -- the rename records deltas under the WIDENED (note ∪ tag) schema:
+  -- rows NULL in both collapse to identical images, so only the two
+  -- rows with a non-NULL note re-image as delete+insert pairs
+  SELECT 4, 'delete', l_quantity
+  FROM (VALUES (5.0), (7.0)) AS b(l_quantity)
+  UNION ALL SELECT 4, 'insert', l_quantity
+  FROM (VALUES (5.0), (7.0)) AS c(l_quantity))
+SELECT version, change_type, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM deltas GROUP BY version, change_type
+"""
