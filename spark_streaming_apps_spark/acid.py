@@ -108,21 +108,72 @@ def _parse_hive_value(raw: str):
         return s
 
 
+def _split_conjuncts(cond: str) -> list[str] | None:
+    """Split ``cond`` into its top-level AND conjuncts with a
+    quote-aware, paren-depth scanner. Returns None when the expression
+    is NOT a pure top-level conjunction — i.e. any un-parenthesized OR
+    exists (AND binds tighter than OR, so the fragments between ANDs
+    would not be conjuncts of the whole predicate; pinning from them
+    would prune WRONGLY — found by the hypothesis property test on
+    ``a = 0 AND a = 0 OR a = 1``)."""
+    terms: list[str] = []
+    cur: list[str] = []
+    depth, q, i, n = 0, None, 0, len(cond)
+    up = cond.upper()
+
+    def word_at(j: int, w: str) -> bool:
+        if not up.startswith(w, j):
+            return False
+        before = up[j - 1] if j else " "
+        after = up[j + len(w)] if j + len(w) < n else " "
+        return not (before.isalnum() or before == "_") and \
+            not (after.isalnum() or after == "_")
+
+    while i < n:
+        ch = cond[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and word_at(i, "OR"):
+            return None                  # not a conjunction at all
+        elif depth == 0 and word_at(i, "AND"):
+            terms.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        else:
+            cur.append(ch)
+        i += 1
+    terms.append("".join(cur))
+    return terms
+
+
 def _partition_pins(cond: str, pcols: list[str]) -> dict | None:
     """{partition_col: literal} for every top-level AND conjunct of
     ``cond`` that pins a partition column with an equality — the shape
-    that admits partition pruning. Only equality conjuncts prune (a
-    range or OR term is conservatively ignored: pruning may keep too
-    much, never too little). None when nothing pins."""
+    that admits partition pruning. Only pure conjunctions pin (any
+    top-level OR disables pruning entirely); range / parenthesized /
+    unparseable conjuncts are conservatively ignored — pruning may
+    keep too much, never too little. None when nothing pins."""
     import re
 
     low = {c.lower(): c for c in pcols}
     pins: dict = {}
-    # naive AND split is SAFE here: any fragment that carries a paren or
-    # OR (i.e. was split inside a nested expression) is skipped below,
-    # so a complex predicate prunes less, never wrongly
-    for term in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
-        if "(" in term or ")" in term or " OR " in term.upper():
+    terms = _split_conjuncts(cond)
+    if terms is None:
+        return None
+    for term in terms:
+        if "(" in term or ")" in term:
             continue
         m = re.match(r"^\s*(\w+)\s*=\s*('([^']*)'|-?\d+(?:\.\d+)?)\s*$",
                      term)

@@ -177,6 +177,21 @@ def test_partition_pins_parser_conservative():
     assert _partition_pins("bucket = 1 OR bucket = 2", pc) is None
     assert _partition_pins("(bucket = 1) AND id = 5", pc) is None
     assert _partition_pins("bucket > 2", pc) is None
+    # hypothesis-found: an UN-parenthesized top-level OR means the AND
+    # fragments are not conjuncts of the whole predicate (precedence);
+    # pinning from them pruned wrongly — must disable pruning entirely
+    assert _partition_pins("bucket = 0 AND bucket = 0 OR bucket = 1",
+                           pc) is None
+    assert _partition_pins("bucket = 3 AND id < 5 OR region = 'eu'",
+                           pc) is None
+    # ...but a quoted 'or'/'and' inside a string literal is just data
+    assert _partition_pins("region = 'a or b' AND bucket = 2", pc) == \
+        {"region": "a or b", "bucket": 2}
+    assert _partition_pins("region = 'x and y'", pc) == \
+        {"region": "x and y"}
+    # parenthesized OR keeps the other conjuncts pinnable
+    assert _partition_pins("(id = 1 OR id = 2) AND bucket = 3", pc) == \
+        {"bucket": 3}
     # files without partition metadata are conservatively kept
     assert _pins_match(None, {"bucket": 1})
     assert _pins_match({}, {"bucket": 1})
