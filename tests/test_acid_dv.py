@@ -362,3 +362,51 @@ def test_compact_materializes_update_and_merge_vectors(spark, tmp_path):
     assert "dv" not in m
     assert t.read().filter("tag = 'm'").count() == 6
     assert t.read().count() == 400
+
+
+# ---------- property: MOR and COW must agree on every predicate
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ATOMS = [
+    lambda d: f"status = {d.draw(st.integers(-1, 6))}",
+    lambda d: f"id < {d.draw(st.integers(0, 250))}",
+    lambda d: f"id >= {d.draw(st.integers(0, 250))}",
+    lambda d: f"tag = 'p{d.draw(st.integers(0, 3))}'",
+    lambda d: (f"status = {d.draw(st.integers(0, 4))} OR "
+               f"status = {d.draw(st.integers(0, 4))}"),
+    lambda d: "status IS NULL",
+    lambda d: f"(id % 7) = {d.draw(st.integers(0, 6))}",
+]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_mor_delete_equals_cow_delete(spark, tmp_path_factory, data):
+    """For ANY predicate, merge-on-read DELETE (vector) and
+    copy-on-write DELETE (rewrite) must leave IDENTICAL tables — the
+    vector read path is an implementation detail, never a semantic."""
+    n_atoms = data.draw(st.integers(1, 2))
+    cond = " AND ".join(
+        data.draw(st.sampled_from(_ATOMS))(data) for _ in range(n_atoms))
+    d = tmp_path_factory.mktemp("morprop")
+    df = spark.createDataFrame(
+        [(i, i % 5, f"p{i % 3}") for i in range(200)],
+        "id long, status int, tag string")
+    a = AcidTable.create(spark, d / "cow", df)
+    b = AcidTable.create(spark, d / "mor", df, enable_dv=True)
+    a.delete_where(cond)
+    b.delete_where_mor(cond)
+    rows_a = sorted(tuple(r) for r in a.read().collect())
+    rows_b = sorted(tuple(r) for r in b.read().collect())
+    assert rows_a == rows_b, f"MOR != COW for {cond!r}"
+    # and the DV table still round-trips through the connector
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+    spark.dataSource.register(AcidTableDataSource)
+    via = sorted(tuple(r) for r in
+                 spark.read.format("acidtable")
+                 .option("path", str(d / "mor")).load().collect())
+    assert via == rows_b, f"connector DV mask != anti-join for {cond!r}"
