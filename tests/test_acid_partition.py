@@ -397,3 +397,48 @@ def test_partition_pruned_find_pass_equals_full_scan(
     full = t._mor_scan(m).filter(cond).count()
     pruned = t._mor_scan(m, pins=pins).filter(cond).count()
     assert pruned == full, f"pruning changed the result for {cond!r}"
+
+
+def test_concurrent_partitioned_writers_serialize(spark, tmp_path):
+    """Racing appends + a pinned DELETE on a PARTITIONED table: the
+    optimistic loop serializes them, partition staging re-runs on every
+    retry, no batch is lost or doubled, and every surviving file still
+    records its tuple."""
+    import threading
+
+    t = _mk(spark, tmp_path / "t")
+    errs = []
+
+    def appender(w):
+        try:
+            for i in range(3):
+                t2 = AcidTable(spark, tmp_path / "t")
+                t2.append(spark.createDataFrame(
+                    [(10_000 * (w + 1) + 10 * i + j, j % 4, f"w{w}")
+                     for j in range(8)],
+                    "id long, bucket int, tag string"))
+        except Exception as e:                     # noqa: BLE001
+            errs.append(e)
+
+    def deleter():
+        try:
+            AcidTable(spark, tmp_path / "t").delete_where(
+                "bucket = 2 AND id < 100")
+        except Exception as e:                     # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(w,))
+               for w in range(3)] + [threading.Thread(target=deleter)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    # 400 base - deleted band (bucket 2, id<100 -> 25 ids) + 3x3x8
+    assert t.read().count() == 400 - 25 + 72
+    assert t.read().filter("bucket = 2 AND id < 100").count() == 0
+    files = t._manifest(t.latest_version())["files"]
+    assert all("partition" in f for f in files)
+    # every appended batch present exactly once
+    for w in range(3):
+        assert t.read().filter(f"tag = 'w{w}'").count() == 24
