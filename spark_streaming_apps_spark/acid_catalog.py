@@ -115,6 +115,7 @@ class AcidCatalog:
         """One atomic pointer swap: next entry = latest pins merged with
         ``new_pins`` (per-table ``max``, so a concurrent publisher can
         never move a pin backwards). Returns the entry number."""
+        self._commits.mkdir(parents=True, exist_ok=True)
         for _ in range(max_retries):
             e = self.latest_entry()
             pins = self.snapshot(e) if e is not None else {}
