@@ -507,7 +507,12 @@ class AcidTable:
         dv = (self.spark.read.parquet(str(self.path / m["dv"]))
               .select(F.col("file").alias("__dv_file"),
                       F.col("pos").alias("__dv_pos")))
-        return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        # explicit broadcast is CONTRACT-justified: the vector holds
+        # matched rows only (bulk deletes fall back to COW), so the
+        # side is provably bounded — no reliance on AQE's size
+        # estimate picking the right strategy at scale
+        return tagged.join(F.broadcast(dv),
+                           ["__dv_file", "__dv_pos"], "left_anti")
 
     def version_at(self, ts) -> int:
         """The version serving at wall-clock ``ts`` (epoch seconds or an
