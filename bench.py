@@ -142,6 +142,9 @@ BENCH_KEYS = [
     "acid_insert_sql",
     "acid_txn_sql",
     "acid_table_stream",
+    "acid_show_partitions",
+    "acid_table_changes_sql",
+    "acid_partition_evolution",
 ]
 
 

@@ -1154,6 +1154,10 @@ register("acid_show_partitions",
          oracle=extensions.ACID_SHOW_PARTITIONS_ORACLE
          )(lambda s, d: extensions.acid_show_partitions(s, d, SCRATCH))
 
+register("acid_partition_evolution",
+         oracle=extensions.ACID_PEVO_ORACLE
+         )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))
+
 register("acid_table_changes_sql",
          oracle=extensions.ACID_TABLE_CHANGES_ORACLE
          )(lambda s, d: extensions.acid_table_changes_sql(s, d, SCRATCH))

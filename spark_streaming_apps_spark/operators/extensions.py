@@ -2011,3 +2011,73 @@ SELECT version, change_type, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM deltas GROUP BY version, change_type
 """
+
+
+# ------------------------------------------ partition-spec evolution
+
+PE_OFF_A, PE_OFF_B = 100_000_000, 200_000_000
+
+
+def acid_partition_evolution(spark: SparkSession, sf_dir: str,
+                             scratch: Path) -> DataFrame:
+    """Iceberg-style partition-spec EVOLUTION, value-pinned: the table
+    starts partitioned by ``pmod``, appends under that spec, then
+    ``set_partition_by(["half"])`` switches the spec as a PURE-METADATA
+    commit — old files keep the tuples they were written with, new
+    appends follow the new spec, and a DML pinned on the NEW spec
+    prunes exactly as far as the metadata allows (new-spec files decide
+    by tuple; old-spec files are conservatively scanned). The pinned
+    ``*_files``/``*_scanned`` columns prove the mixed-spec discipline;
+    the census oracle proves no row was wrongly pruned."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_pevo_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    df = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") <= 400)
+          .select("l_orderkey", "l_quantity")
+          .withColumn("pmod", (F.col("l_orderkey") % 4).cast("int"))
+          .withColumn("half", (F.col("l_orderkey") % 2).cast("int")))
+    t = AcidTable.create(spark, path, df, partition_by=["pmod"])
+    t.append(df.filter(F.col("pmod") <= 1)
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") + F.lit(PE_OFF_A)))
+    t.set_partition_by(["half"])               # metadata-only
+    spec_meta = t._manifest(t.latest_version())["data"] == \
+        t._manifest(t.latest_version() - 1)["data"]
+    t.append(df.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(PE_OFF_B)))
+    n_files = len(t._manifest(t.latest_version())["files"])
+    t.delete_where(f"half = 1 AND l_orderkey >= {PE_OFF_B}")
+    st = t.last_cow_stats
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"))
+        .withColumn("spec_change_pure_metadata", F.lit(bool(spec_meta)))
+        .withColumn("n_files", F.lit(n_files))
+        .withColumn("delete_scanned", F.lit(st["files_scanned"]))
+        .withColumn("delete_rewritten", F.lit(st["files_rewritten"])))
+
+
+ACID_PEVO_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_quantity,
+         CAST(l_orderkey % 4 AS INT) AS pmod,
+         CAST(l_orderkey % 2 AS INT) AS half
+  FROM lineitem WHERE l_orderkey <= 400),
+fin AS (
+  SELECT l_quantity FROM base
+  UNION ALL
+  SELECT l_quantity FROM base WHERE pmod <= 1
+  UNION ALL
+  SELECT l_quantity FROM base WHERE half = 0)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       TRUE AS spec_change_pure_metadata,
+       8 AS n_files, 7 AS delete_scanned, 1 AS delete_rewritten
+FROM fin
+"""
