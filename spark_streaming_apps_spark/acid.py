@@ -417,6 +417,48 @@ class AcidTable:
             partition_pins=pins)
 
     @classmethod
+    def convert(cls, spark: SparkSession, parquet_dir,
+                table_path) -> "AcidTable":
+        """CONVERT TO ACID (Delta's ``CONVERT TO DELTA``): promote an
+        existing PLAIN parquet directory to an AcidTable without
+        copying or rewriting one byte of data — the files are carried
+        by reference (hardlinked) into version 0's data dir and their
+        footers harvested once into the manifest stats index. Cost is
+        O(files) metadata; at 100 TB the convert runs in seconds and
+        the full ACID surface (DML, time travel, CDF recording from v1
+        on, streaming) applies immediately. Hive-partitioned layouts
+        are refused: their files lack the partition columns this
+        format keeps IN the data — rewrite through
+        ``create(partition_by=...)`` instead."""
+        import os
+
+        src = Path(parquet_dir)
+        files = sorted(src.glob("*.parquet"))
+        if not files:
+            sub = [p for p in src.glob("*/") if "=" in p.name]
+            if sub:
+                raise ValueError(
+                    f"{src} is Hive-partitioned; its files lack the "
+                    f"partition columns — rewrite via "
+                    f"AcidTable.create(..., partition_by=[...])")
+            raise FileNotFoundError(f"no parquet files in {src}")
+        t = cls(spark, table_path)
+        if t.latest_version() is not None:
+            raise FileExistsError(
+                f"AcidTable already exists at {table_path}")
+        schema = spark.read.parquet(str(src)).schema
+        t._manifests.mkdir(parents=True, exist_ok=True)
+        t._data.mkdir(parents=True, exist_ok=True)
+        rel = f"data/commit-{uuid.uuid4().hex}"
+        dest = t.path / rel
+        dest.mkdir(parents=True)
+        for f in files:
+            os.link(f, dest / f.name)
+        t._try_commit(0, rel, schema.jsonValue(), op="convert",
+                      files=collect_parquet_stats(dest))
+        return t
+
+    @classmethod
     def exists(cls, spark: SparkSession, path) -> bool:
         t = cls(spark, path)
         return t.latest_version() is not None
@@ -1890,7 +1932,8 @@ class AcidTable:
     # ------------------------------------------------------------ hygiene
 
     def vacuum(self, keep_last: int = 2,
-               keep_changes_last: int | None = None) -> list[str]:
+               keep_changes_last: int | None = None,
+               retain_hours: float | None = None) -> list[str]:
         """Drop data dirs not referenced by the ``keep_last`` newest
         manifests — including orphans from conflicted (never-committed)
         writes.  Old manifests stay as history; their data is gone, which
@@ -1902,12 +1945,27 @@ class AcidTable:
         the feed outlives the snapshots), so the change feed keeps
         serving from version 0 after snapshot vacuum. Pass
         ``keep_changes_last=N`` to also prune change files beyond the N
-        newest versions (Delta's logRetentionDuration knob)."""
+        newest versions (Delta's logRetentionDuration knob).
+
+        ``retain_hours`` switches retention to WALL-CLOCK age (Delta's
+        own ``VACUUM ... RETAIN n HOURS`` spelling): every version
+        whose commit timestamp falls inside the window survives, plus
+        the latest version always; ``keep_last`` is ignored."""
+        import time
+
         latest = self.latest_version()
         if latest is None:
             return []
+        if retain_hours is not None:
+            cutoff = time.time() - retain_hours * 3600.0
+            keep_versions = [v for v in range(latest + 1)
+                             if self._manifest(v).get("ts", 0) >= cutoff]
+            keep_versions.append(latest)      # newest always readable
+        else:
+            keep_versions = list(
+                range(max(0, latest - keep_last + 1), latest + 1))
         keep = set()
-        for v in range(max(0, latest - keep_last + 1), latest + 1):
+        for v in keep_versions:
             m = self._manifest(v)
             keep.add(m["data"])
             if "dv" in m:      # a readable version needs its vector

@@ -1154,6 +1154,9 @@ register("acid_show_partitions",
          oracle=extensions.ACID_SHOW_PARTITIONS_ORACLE
          )(lambda s, d: extensions.acid_show_partitions(s, d, SCRATCH))
 
+register("acid_convert", oracle=extensions.ACID_CONVERT_ORACLE
+         )(lambda s, d: extensions.acid_convert(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

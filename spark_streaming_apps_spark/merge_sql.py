@@ -461,8 +461,13 @@ _OPTIMIZE_RE = re.compile(
 
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<tbl>[\w.]+)"
-    r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS)?\s*;?\s*$",
+    r"(?:\s+RETAIN\s+(?P<keep>\d+(?:\.\d+)?)\s+"
+    r"(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
     re.IGNORECASE)
+
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+ACID\s+'(?P<src>[^']+)'\s+AS\s+(?P<tbl>\w+)"
+    r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?\s*;?\s*$", re.IGNORECASE)
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<tbl>[\w.]+)"
@@ -678,11 +683,30 @@ def acid_sql(spark: SparkSession, stmt: str,
             return t.relayout([c.strip() for c in cols.split(",")])
         return t.compact()
     m = _VACUUM_RE.match(stmt)
-    if m:                                # VACUUM <t> [RETAIN n VERSIONS]
+    if m:                    # VACUUM <t> [RETAIN n VERSIONS | n HOURS]
         t = _lookup(tables, m.group("tbl"), "VACUUM")
-        keep = int(m.group("keep")) if m.group("keep") else 2
-        t.vacuum(keep_last=keep)
+        unit = (m.group("unit") or "VERSIONS").upper()
+        if m.group("keep") and unit == "HOURS":
+            t.vacuum(retain_hours=float(m.group("keep")))
+        else:
+            keep = int(float(m.group("keep"))) if m.group("keep") else 2
+            t.vacuum(keep_last=keep)
         return t.latest_version()
+    m = _CONVERT_RE.match(stmt)
+    if m:                    # CONVERT TO ACID '<dir>' AS <name>
+        name = m.group("tbl")
+        if name in tables:
+            raise ValueError(f"table {name!r} already registered")
+        loc = m.group("loc")
+        if loc is None:
+            if base_dir is None:
+                raise ValueError(
+                    "CONVERT TO ACID needs a LOCATION '<path>' clause "
+                    "or acid_sql(..., base_dir=...)")
+            loc = str(Path(base_dir) / name)
+        t = AcidTable.convert(spark, m.group("src"), loc)
+        tables[name] = t
+        return t
     return _read_sql(spark, stmt, tables)
 
 

@@ -2081,3 +2081,70 @@ SELECT COUNT(*) AS n_rows,
        8 AS n_files, 7 AS delete_scanned, 1 AS delete_rewritten
 FROM fin
 """
+
+
+# ------------------------------------------------- CONVERT TO ACID
+
+CONV_DEL_LO, CONV_DEL_HI = 128, 256
+
+
+def acid_convert(spark: SparkSession, sf_dir: str,
+                 scratch: Path) -> DataFrame:
+    """CONVERT TO ACID — the onboarding door (Delta's CONVERT TO
+    DELTA): an existing plain-parquet directory becomes an AcidTable
+    by REFERENCE — zero bytes copied (``zero_copy`` pins that every v0
+    data file shares its inode with a source file), footers harvested
+    once into the manifest stats index, and the full surface applies
+    immediately: the banded DELETE right after the convert takes the
+    file-pruned COW path off the harvested stats (``pruned`` pins
+    untouched files carried by reference). With ``backfill_changes``
+    this completes the migration story: any parquet lake walks into
+    the format without a rewrite."""
+    import os
+    import shutil
+
+    from ..acid import AcidTable
+    from ..merge_sql import acid_sql
+    from ..sources.tables import load_table
+
+    src_dir = scratch / f"conv_src_{Path(sf_dir).name}"
+    path = scratch / f"acid_conv_{Path(sf_dir).name}"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+    (load_table(spark, sf_dir, "lineitem")
+     .select("l_orderkey", "l_quantity")
+     .repartitionByRange(4, "l_orderkey")
+     .sortWithinPartitions("l_orderkey")
+     .write.parquet(str(src_dir)))
+    t = acid_sql(spark, f"CONVERT TO ACID '{src_dir}' AS conv "
+                        f"LOCATION '{path}'", {})
+    m = t._manifest(0)
+    src_inodes = {os.stat(p).st_ino
+                  for p in Path(src_dir).glob("*.parquet")}
+    zero_copy = all(
+        os.stat(t.path / m["data"] / f["path"]).st_ino in src_inodes
+        for f in m["files"])
+    n_files = len(m["files"])
+    t.delete_where(
+        f"l_orderkey BETWEEN {CONV_DEL_LO} AND {CONV_DEL_HI}")
+    st = t.last_cow_stats
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("qty"))
+        .withColumn("zero_copy", F.lit(bool(zero_copy)))
+        .withColumn("n_files", F.lit(n_files))
+        .withColumn("delete_pruned",
+                    F.lit(st["files_linked"] > 0
+                          and st["files_rewritten"] > 0)))
+
+
+ACID_CONVERT_ORACLE = f"""
+SELECT COUNT(*) FILTER (WHERE NOT (l_orderkey BETWEEN {CONV_DEL_LO}
+         AND {CONV_DEL_HI})) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE NOT (l_orderkey BETWEEN {CONV_DEL_LO}
+              AND {CONV_DEL_HI})) AS DOUBLE) AS qty,
+       TRUE AS zero_copy, 4 AS n_files, TRUE AS delete_pruned
+FROM lineitem
+"""

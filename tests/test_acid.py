@@ -861,3 +861,61 @@ def test_latest_version_hint_is_lag_safe(spark, tmp_path):
     t.append(spark.createDataFrame([(4,)], "id long"))
     assert hint.read_text() == "3"                 # rewritten on commit
     assert t.read().count() == 4
+
+
+def test_convert_to_acid_zero_copy_and_refusals(spark, tmp_path):
+    """CONVERT promotes a plain parquet dir by reference: inodes
+    shared, stats harvested, full DML immediately; hive-layout and
+    occupied targets refuse."""
+    import os
+
+    import pytest
+
+    src = tmp_path / "plain"
+    spark.createDataFrame([(i, i % 3) for i in range(300)],
+                          "id long, s int") \
+        .repartitionByRange(3, "id").write.parquet(str(src))
+    t = AcidTable.convert(spark, src, tmp_path / "t")
+    m = t._manifest(0)
+    assert m["op"] == "convert" and len(m["files"]) == 3
+    src_ino = {os.stat(p).st_ino for p in src.glob("*.parquet")}
+    assert all(os.stat(t.path / m["data"] / f["path"]).st_ino in src_ino
+               for f in m["files"])
+    assert t.read().count() == 300
+    # the harvested stats prune immediately
+    paths, total = t.pruned_files("id", 0, 10)
+    assert len(paths) < total
+    t.delete_where("id < 100")
+    assert t.read().count() == 200
+    assert t.last_cow_stats["files_linked"] > 0
+    # mutations never touch the SOURCE directory's view of the data
+    assert spark.read.parquet(str(src)).count() == 300
+    with pytest.raises(FileExistsError):
+        AcidTable.convert(spark, src, tmp_path / "t")
+    hive = tmp_path / "hive"
+    spark.createDataFrame([(1, 0)], "id long, p int") \
+        .write.partitionBy("p").parquet(str(hive))
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        AcidTable.convert(spark, hive, tmp_path / "t2")
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    """Time-based retention (Delta's RETAIN n HOURS spelling): versions
+    inside the window survive, the latest always survives."""
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    # generous window: everything survives
+    acid_sql(spark, "VACUUM tbl RETAIN 48 HOURS", {"tbl": t})
+    assert t.read(0).count() == 1
+    # zero window: only the latest survives
+    t.vacuum(retain_hours=0)
+    assert t.read().count() == 3
+    import pytest
+
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+    with pytest.raises(VersionVacuumedError):
+        t.read(0)
