@@ -35,7 +35,9 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (BooleanType, ByteType, DoubleType,
+                               FloatType, IntegerType, LongType,
+                               ShortType, StringType, StructType)
 
 
 def collect_parquet_stats(dir_path) -> list[dict]:
@@ -89,23 +91,54 @@ def collect_file_stats(paths) -> list[dict]:
     return out
 
 
-def _parse_hive_value(raw: str):
+def _entry_rel(m: dict, f: dict) -> str:
+    """Table-root-relative path of a manifest file entry.
+
+    New-scheme entries record the full relative path
+    (``data/commit-X/add-....parquet``) — a file is referenced FROM THE
+    COMMIT DIR WHERE IT WAS FIRST WRITTEN for its whole life, and
+    commits never copy/relink old data (the manifest-list discipline of
+    Delta/Iceberg: a commit is a pure metadata write, O(delta) in both
+    IO and metadata, object-store-compatible). Legacy entries record a
+    bare file name inside that manifest's own ``data`` dir; resolving
+    through this helper makes both generations readable forever."""
+    p = f["path"]
+    return p if "/" in p else f"{m['data']}/{p}"
+
+
+def _entry_name(f: dict) -> str:
+    """The entry's FILE NAME — the stable physical identity deletion
+    vectors and change-stream diffs key on (names are uuid-tagged at
+    write time, so they stay unique across commit dirs)."""
+    return f["path"].rsplit("/", 1)[-1]
+
+
+def _parse_hive_value(raw: str, dtype=None):
     """A Hive directory-name partition value back to a JSON-safe typed
-    value: int, then float, else unquoted string; Hive's NULL sentinel
-    maps to None."""
+    value, coerced by the COLUMN'S DECLARED TYPE (``dtype``, a Spark
+    DataType) — never re-guessed from the string shape. Guessing
+    corrupted metadata: string '007' became int 7 (so ``DELETE WHERE
+    c='007'`` pruned away its own file), '1.50' became 1.5, and
+    boolean True became the string 'true' (str(True)='True'!='true'
+    pruned EVERYTHING). Hive's NULL sentinel maps to None; types
+    without a JSON-native form (date/timestamp/decimal) keep the
+    directory string — `_pins_match` and `_partition_tuples_of`
+    comparisons go through str() for those. With no dtype (legacy
+    caller), strings pass through untouched."""
     from urllib.parse import unquote
 
     s = unquote(raw)
     if s == "__HIVE_DEFAULT_PARTITION__":
         return None
-    try:
-        return int(s)
-    except ValueError:
-        pass
-    try:
-        return float(s)
-    except ValueError:
+    if dtype is None:
         return s
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return int(s)
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return float(s)
+    if isinstance(dtype, BooleanType):
+        return s.lower() == "true"
+    return s
 
 
 def _split_conjuncts(cond: str) -> list[str] | None:
@@ -193,6 +226,49 @@ def _partition_pins(cond: str, pcols: list[str]) -> dict | None:
             pins[low[col.lower()]] = (float(lit) if "." in lit
                                       else int(lit))
     return pins or None
+
+
+def _check_duckdb_enforceable(name: str, expr: str, schema) -> None:
+    """Refuse a CHECK expression the streaming sink could not enforce.
+    The sink commits without a SparkSession and probes staged parquet
+    with DuckDB, so the accepted CHECK grammar is the ANSI
+    comparison/boolean intersection BOTH engines parse identically —
+    probed here by binding ``expr`` against a zero-row relation with
+    the table's exact arrow schema. Failing at ADD CONSTRAINT time
+    beats permanently refusing every future sink commit; it also makes
+    the duckdb runtime dependency loud at declaration time."""
+    try:
+        import duckdb
+        import pyarrow as pa
+    except ImportError as e:                       # pragma: no cover
+        raise ValueError(
+            f"CHECK constraint {name!r} cannot be accepted: the duckdb "
+            f"package (the streaming sink's validator) is unavailable "
+            f"({e}); install duckdb or do not constrain sink-fed "
+            f"tables") from e
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        a_schema = to_arrow_schema(schema)
+    except Exception:                              # noqa: BLE001
+        a_schema = pa.schema([(f.name, pa.string())
+                              for f in schema.fields])
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in a_schema], schema=a_schema)
+    con = duckdb.connect()
+    try:
+        con.register("__constraint_probe", empty)
+        con.sql(f"SELECT * FROM __constraint_probe "
+                f"WHERE NOT ({expr}) OR ({expr}) IS NULL").fetchall()
+    except Exception as e:
+        raise ValueError(
+            f"CHECK constraint {name!r} ({expr}) is not enforceable by "
+            f"the streaming sink's DuckDB validator: {e}. The accepted "
+            f"CHECK grammar is the ANSI comparison/boolean subset both "
+            f"Spark and DuckDB evaluate identically — refused at ADD "
+            f"CONSTRAINT time so enforcement can never diverge or "
+            f"refuse sink commits later") from e
+    finally:
+        con.close()
 
 
 def _pins_match(part: dict | None, pins: dict) -> bool:
@@ -305,7 +381,7 @@ class AcidTable:
 
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
-        if not (self.path / m["data"]).is_dir():
+        if not self._version_intact(m):
             raise VersionVacuumedError(
                 f"cannot clone vacuumed version {v} of {self.path}")
         new = AcidTable(self.spark, path)
@@ -315,8 +391,16 @@ class AcidTable:
         new._data.mkdir(parents=True, exist_ok=True)
         rel = f"data/commit-{uuid.uuid4().hex}"
         (new.path / rel).mkdir(parents=True)
-        for f in sorted((self.path / m["data"]).glob("*.parquet")):
-            os.link(f, new.path / rel / f.name)
+        cloned_files = None
+        if m.get("files") is not None:
+            cloned_files = []
+            for f in m["files"]:
+                os.link(self.path / _entry_rel(m, f),
+                        new.path / rel / _entry_name(f))
+                cloned_files.append({**f, "path": _entry_name(f)})
+        else:
+            for f in sorted((self.path / m["data"]).glob("*.parquet")):
+                os.link(f, new.path / rel / f.name)
         dv_rel, dv_rows = None, 0
         if "dv" in m:
             dv_rel = f"data/dv-{uuid.uuid4().hex}"
@@ -326,7 +410,7 @@ class AcidTable:
             dv_rows = m.get("dv_rows", 0)
         props = dict(self._props(v)) or None
         new._try_commit(0, rel, m["schema"], "clone",
-                        props=props, files=m.get("files"),
+                        props=props, files=cloned_files,
                         dv_rel=dv_rel, dv_rows=dv_rows,
                         constraints=m.get("constraints"))
         return new
@@ -502,6 +586,22 @@ class AcidTable:
     def _manifest(self, version: int) -> dict:
         return json.loads((self._manifests / f"v{version}.json").read_text())
 
+    def _version_intact(self, m: dict) -> bool:
+        """True iff every data file (and deletion vector) the manifest
+        references still exists — the vacuum probe behind time travel,
+        clone, restore and the change feed. O(files) driver stats,
+        paid only on those cold paths, never on a latest-snapshot
+        read."""
+        files = m.get("files")
+        if files is None:
+            ok = (self.path / m["data"]).is_dir()
+        else:
+            ok = all((self.path / _entry_rel(m, f)).exists()
+                     for f in files)
+        if ok and "dv" in m:
+            ok = (self.path / m["dv"]).is_dir()
+        return ok
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read of ``version`` (default: latest committed).  Only
         files named by that manifest are visible — a concurrent writer's
@@ -511,13 +611,39 @@ class AcidTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         m = self._manifest(v)
-        if not (self.path / m["data"]).is_dir():
-            raise VersionVacuumedError(
-                f"version {v} of {self.path} was vacuumed; its manifest "
-                f"survives as history but the data files are gone")
         schema = StructType.fromJson(m["schema"])
-        base = (self.spark.read.schema(schema)
-                .parquet(str(self.path / m["data"])))
+        files = m.get("files")
+        if files is None:
+            # legacy manifest (no per-file bookkeeping): plain dir scan
+            if not (self.path / m["data"]).is_dir():
+                raise VersionVacuumedError(
+                    f"version {v} of {self.path} was vacuumed; its "
+                    f"manifest survives as history but the data files "
+                    f"are gone")
+            base = (self.spark.read.schema(schema)
+                    .parquet(str(self.path / m["data"])))
+        else:
+            # MANIFEST-DRIVEN READ: the scan opens exactly the files the
+            # manifest names, wherever their commit dir lives — no
+            # physical data-dir rebuild ever happens at commit time.
+            # The LATEST version is intact by the vacuum contract (its
+            # files are always retained), so only time-travel reads pay
+            # the per-file existence probe that turns a vacuumed
+            # snapshot into a loud VersionVacuumedError instead of a
+            # mid-query scan failure.
+            if v != self.latest_version():
+                gone = next((r for r in (_entry_rel(m, f) for f in files)
+                             if not (self.path / r).exists()), None)
+                if gone is not None:
+                    raise VersionVacuumedError(
+                        f"version {v} of {self.path} was vacuumed "
+                        f"({gone} is gone); its manifest survives as "
+                        f"history but the data files do not")
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            base = (self.spark.read.schema(schema)
+                    .parquet(*[str(self.path / _entry_rel(m, f))
+                               for f in files]))
         if "dv" not in m:
             return base
         if not (self.path / m["dv"]).is_dir():
@@ -549,12 +675,19 @@ class AcidTable:
         dv = (self.spark.read.parquet(str(self.path / m["dv"]))
               .select(F.col("file").alias("__dv_file"),
                       F.col("pos").alias("__dv_pos")))
-        # explicit broadcast is CONTRACT-justified: the vector holds
-        # matched rows only (bulk deletes fall back to COW), so the
-        # side is provably bounded — no reliance on AQE's size
-        # estimate picking the right strategy at scale
-        return tagged.join(F.broadcast(dv),
-                           ["__dv_file", "__dv_pos"], "left_anti")
+        # broadcast is justified when the vector is SMALL — the normal
+        # state (MOR holds matched rows only; bulk deletes fall back to
+        # COW, and cow_fallback_rows bounds the SQL front door). But
+        # direct delete_where_mor/update_where_mor calls CAN accumulate
+        # an arbitrarily large vector across commits, and forcing a
+        # broadcast there risks driver/executor OOM where a shuffle
+        # join is right — so the hint applies only under a row
+        # threshold (the manifest tracks dv_rows exactly; ~16 bytes/row
+        # → 2M rows ≈ 32 MB, inside a default-config broadcast) and
+        # AQE picks the strategy above it.
+        if m.get("dv_rows", 0) <= 2_000_000:
+            dv = F.broadcast(dv)
+        return tagged.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
 
     def version_at(self, ts) -> int:
         """The version serving at wall-clock ``ts`` (epoch seconds or an
@@ -593,9 +726,9 @@ class AcidTable:
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         files = m.get("files")
-        base = self.path / m["data"]
         if not files:  # pre-stats manifest: no skipping possible
-            paths = sorted(str(p) for p in base.glob("*.parquet"))
+            paths = sorted(str(p) for p in
+                           (self.path / m["data"]).glob("*.parquet"))
             return paths, len(paths)
         keep = []
         for f in files:
@@ -603,13 +736,13 @@ class AcidTable:
             if pv is not None:           # partition pruning FIRST
                 try:
                     if lo <= pv <= hi:
-                        keep.append(str(base / f["path"]))
+                        keep.append(str(self.path / _entry_rel(m, f)))
                     continue
                 except TypeError:        # mixed types: fall to stats
                     pass
             st = f.get("stats", {}).get(col)
             if st is None or (st[0] <= hi and lo <= st[1]):
-                keep.append(str(base / f["path"]))
+                keep.append(str(self.path / _entry_rel(m, f)))
         return keep, len(files)
 
     def read_range(self, col: str, lo, hi,
@@ -682,12 +815,14 @@ class AcidTable:
             dup = dup.withColumn(f"__pt_{c}", F.col(c))
         dup.write.partitionBy(*[f"__pt_{c}" for c in pcols]) \
             .parquet(str(tmp))
+        ptypes = {f.name: f.dataType for f in rows.schema.fields}
         moved: list[tuple[str, dict]] = []
         for i, p in enumerate(sorted(tmp.rglob("*.parquet"))):
             part = {}
             for seg in p.relative_to(tmp).parts[:-1]:
                 k, _, raw = seg.partition("=")
-                part[k[len("__pt_"):]] = _parse_hive_value(raw)
+                col = k[len("__pt_"):]
+                part[col] = _parse_hive_value(raw, ptypes.get(col))
             name = f"add-{tag}-{i:05d}.parquet"
             shutil.move(str(p), dest / name)
             moved.append((name, part))
@@ -710,42 +845,51 @@ class AcidTable:
         dest.mkdir(parents=True)
         return rel, self._stage_rows(df, dest, pcols, order_by=order_by)
 
+    def _carried_entries(self, parent: dict) -> list[dict]:
+        """The parent snapshot's file entries, re-anchored to
+        table-root-relative paths — a pure in-memory list concat, the
+        manifest-list carry. A legacy parent (no per-file bookkeeping)
+        pays a one-time footer harvest of its data dir; from then on
+        every descendant carries entries by reference."""
+        files = parent.get("files")
+        if files is None:       # one-time legacy migration harvest
+            files = collect_parquet_stats(self.path / parent["data"])
+        return [{**f, "path": _entry_rel(parent, f)} for f in files]
+
     def _write_data_linked(self, parent: dict,
                            rows: DataFrame) -> tuple[str, list[dict]]:
-        """APPEND fast path — O(delta), not O(table): write ONLY the new
-        rows as parquet, then build the commit's data dir by hardlinking
-        the parent snapshot's files next to them (metadata ops — the
-        local-FS stand-in for a manifest-list format, where this step is
-        a file-list concat). Manifest stats = parent's recorded stats +
-        footers of just the new files, so commit cost never scans old
-        data. Returns (data_rel, files stats list)."""
-        import os
-
+        """APPEND fast path — O(delta) in IO AND metadata: write ONLY
+        the new rows as parquet into a fresh commit dir; the parent
+        snapshot's files are carried purely by MANIFEST REFERENCE (a
+        file-list concat — no links, no copies, no per-file syscalls,
+        the real Delta/Iceberg commit shape, object-store-compatible).
+        Manifest stats = parent's recorded entries + footers of just
+        the new files. Returns (data_rel, files stats list)."""
         rel = f"data/commit-{uuid.uuid4().hex}"
         dest = self.path / rel
         dest.mkdir(parents=True)
         new_stats = self._stage_rows(rows, dest, self.partition_cols())
-        for f in sorted((self.path / parent["data"]).glob("*.parquet")):
-            os.link(f, dest / f.name)
-        return rel, (parent.get("files") or []) + new_stats
+        for e in new_stats:
+            e["path"] = f"{rel}/{e['path']}"
+        return rel, self._carried_entries(parent) + new_stats
 
-    def _assemble_commit(self, rows: DataFrame, base: Path,
+    def _assemble_commit(self, rows: DataFrame, parent: dict,
                          link: list[dict]) -> tuple[str, list[dict]]:
-        """Build a commit's data dir from freshly-written ``rows`` plus
-        hardlinks to the specific parent files in ``link`` (each a
-        manifest stats entry whose file lives under ``base``). Stats are
-        harvested from the NEW files' footers only; linked files reuse
-        their recorded entries — no old data is opened."""
-        import os
-
+        """Build a commit from freshly-written ``rows`` plus the
+        specific parent entries in ``link``, carried by manifest
+        reference only (each entry resolved against ``parent``). Stats
+        are harvested from the NEW files' footers only; carried files
+        reuse their recorded entries — no old data is opened, no links
+        are made."""
         rel = f"data/commit-{uuid.uuid4().hex}"
         dest = self.path / rel
         dest.mkdir(parents=True)
         new_stats = self._stage_rows(rows, dest, self.partition_cols(),
                                      lanes=0)
-        for f in link:
-            os.link(base / f["path"], dest / f["path"])
-        return rel, list(link) + new_stats
+        for e in new_stats:
+            e["path"] = f"{rel}/{e['path']}"
+        carried = [{**f, "path": _entry_rel(parent, f)} for f in link]
+        return rel, carried + new_stats
 
     def _cow_commit(self, probe, rewrite, op: str,
                     max_retries: int = 20,
@@ -786,7 +930,6 @@ class AcidTable:
             files = m.get("files")
             if not files:      # legacy manifest: no per-file bookkeeping
                 return self._commit_loop(rewrite, op, max_retries)
-            base = self.path / m["data"]
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
             # partition pruning FIRST — metadata-only, before any IO
@@ -802,7 +945,8 @@ class AcidTable:
                             if not f.get("partition")
                             or any_match(f["partition"])]
             if len(eligible) < len(files):
-                e_paths = [str(base / f["path"]) for f in eligible]
+                e_paths = [str(self.path / _entry_rel(m, f))
+                           for f in eligible]
                 if e_paths:
                     scan = self._with_pos(self.spark.read
                                           .schema(schema)
@@ -816,14 +960,16 @@ class AcidTable:
                     touched_names = set()
             else:
                 tagged = self._with_pos(
-                    self.spark.read.schema(schema).parquet(str(base)))
+                    self.spark.read.schema(schema).parquet(
+                        *[str(self.path / _entry_rel(m, f))
+                          for f in files]))
                 if "dv" in m:
                     tagged = self._apply_dv(tagged, m)
                 touched_names = {
                     r["__dv_file"] for r in
                     probe(tagged).select("__dv_file").distinct().collect()}
             untouched = [f for f in files
-                         if f["path"] not in touched_names]
+                         if _entry_name(f) not in touched_names]
             self.last_cow_stats = {
                 "files_scanned": len(eligible),
                 "files_rewritten": len(files) - len(untouched),
@@ -844,8 +990,8 @@ class AcidTable:
                 if ch_rel:
                     shutil.rmtree(self.path / ch_rel, ignore_errors=True)
                 continue
-            t_paths = [str(base / f["path"]) for f in files
-                       if f["path"] in touched_names]
+            t_paths = [str(self.path / _entry_rel(m, f)) for f in files
+                       if _entry_name(f) in touched_names]
             if t_paths:
                 tg = self._with_pos(
                     self.spark.read.schema(schema).parquet(*t_paths))
@@ -859,14 +1005,14 @@ class AcidTable:
                 # untouched files are untouched rows — only the
                 # rewritten output needs re-validation
                 self._check_constraints(out, cons)
-            rel, stats = self._assemble_commit(out, base, untouched)
+            rel, stats = self._assemble_commit(out, m, untouched)
             # rewritten files materialize their share of the parent's
             # deletion vector; entries for carried files stay live
             dv_rel, dv_rows = None, 0
             if "dv" in m:
                 live = (self.spark.read.parquet(str(self.path / m["dv"]))
                         .filter(F.col("file").isin(
-                            [f["path"] for f in untouched])))
+                            [_entry_name(f) for f in untouched])))
                 dv_rows = live.count()
                 if dv_rows:
                     dv_rel = f"data/dv-{uuid.uuid4().hex}"
@@ -931,13 +1077,15 @@ class AcidTable:
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
             files = m.get("files")
-            scan_paths = [str(self.path / m["data"])]
-            if pins and files:
+            if files is None:
+                scan_paths = [str(self.path / m["data"])]   # legacy
+            else:
                 # partition-first: the matched-row scan opens only the
                 # pinned partitions' files (metadata decision, no IO)
-                elig = [f for f in files
-                        if _pins_match(f.get("partition"), pins)]
-                scan_paths = [str(self.path / m["data"] / f["path"])
+                elig = ([f for f in files
+                         if _pins_match(f.get("partition"), pins)]
+                        if pins else files)
+                scan_paths = [str(self.path / _entry_rel(m, f))
                               for f in elig]
             if scan_paths:
                 tagged = self._with_pos(
@@ -1058,8 +1206,9 @@ class AcidTable:
         tuples when the table is partitioned."""
         schema = StructType.fromJson(m["schema"])
         files = m.get("files")
-        scan_paths = [str(self.path / m["data"])]
-        if files and (pins or part_in is not None):
+        if files is None:
+            scan_paths = [str(self.path / m["data"])]   # legacy
+        else:
             elig = files
             if pins:
                 elig = [f for f in elig
@@ -1069,7 +1218,7 @@ class AcidTable:
                         if not f.get("partition")
                         or any(_pins_match(f["partition"], p)
                                for p in part_in)]
-            scan_paths = [str(self.path / m["data"] / f["path"])
+            scan_paths = [str(self.path / _entry_rel(m, f))
                           for f in elig]
         if not scan_paths:
             return (self.spark.createDataFrame([], schema)
@@ -1166,7 +1315,7 @@ class AcidTable:
             m = self._manifest(v)
             scols = [f["name"] for f in m["schema"]["fields"]]
             val_cols = [c for c in scols if c not in key]
-            part_in = self._partition_tuples_of(updates)
+            part_in = self._partition_tuples_of(updates, key=key)
             tagged = self._mor_scan(m, part_in=part_in)
             u = updates.select(*key, *[F.col(c).alias(f"__u_{c}")
                                        for c in val_cols])
@@ -1332,10 +1481,20 @@ class AcidTable:
         must already satisfy it (Delta's rule), then the constraint
         rides every future manifest and every subsequent commit is
         validated against it before any manifest is written. The commit
-        SHARES the parent's data dir — a pure metadata version."""
+        SHARES the parent's data dir — a pure metadata version.
+
+        The expression is validated against BOTH engines that enforce
+        it before it is accepted: Spark (every batch write path) and
+        DuckDB (the streaming sink commits without a SparkSession and
+        probes staged parquet with DuckDB). Rejecting a
+        Spark-only/dialect-divergent expression HERE — instead of at
+        the first sink commit — keeps the accepted CHECK grammar the
+        ANSI intersection and guarantees a constraint that exists can
+        always be enforced, never silently re-interpreted."""
         for _ in range(max_retries):
             v, cur = self.snapshot()
             self._check_constraints(cur, {name: expr})
+            _check_duckdb_enforceable(name, expr, cur.schema)
             m = self._manifest(v)
             if self._try_commit(
                     v + 1, m["data"], m["schema"], "add_constraint",
@@ -1603,12 +1762,13 @@ class AcidTable:
                     .select(*key,
                             *[F.coalesce(f"__u_{c}", c).alias(c)
                               for c in val_cols]))
-        part_in = self._partition_tuples_of(updates)
+        part_in = self._partition_tuples_of(updates, key=key)
         return self._cow_commit(probe, rewrite, "merge_pruned",
                                 max_retries, empty_noop=False,
                                 partition_in=part_in)
 
     def _partition_tuples_of(self, batch: DataFrame,
+                             key: list[str] | None = None,
                              cap: int = 10_000) -> list[dict] | None:
         """The distinct partition tuples present in ``batch`` (for
         partition-first DML pruning), or None when the table is
@@ -1616,9 +1776,20 @@ class AcidTable:
         batch spans more than ``cap`` tuples (at which point pruning
         buys nothing and the collect is not worth it). The collect is
         bounded: one small driver list of partition VALUES, the same
-        class of driver state as the touched-file name list."""
+        class of driver state as the touched-file name list.
+
+        When ``key`` (a MERGE key) is given, pruning is offered ONLY
+        if every partition column is part of the key: otherwise a
+        target row matching on the key may live in a partition the
+        batch does not name (the batch's partition value is data, not
+        identity), and pruning it away would make merge_pruned insert
+        a duplicate-key row and merge_mor silently drop the update."""
         pcols = self.partition_cols()
         if not pcols or any(c not in batch.columns for c in pcols):
+            return None
+        if key is not None and not (
+                {c.lower() for c in pcols}
+                <= {c.lower() for c in key}):
             return None
         vals = (batch.select(*pcols).distinct().limit(cap + 1).collect())
         if len(vals) > cap:
@@ -1651,7 +1822,7 @@ class AcidTable:
         ordinary changes. Raises VersionVacuumedError if the target's
         data is gone."""
         target = self._manifest(version)
-        if not (self.path / target["data"]).is_dir():
+        if not self._version_intact(target):
             raise VersionVacuumedError(
                 f"cannot restore {self.path} to vacuumed version {version}")
         cdf = self.cdf_enabled()
@@ -1693,15 +1864,28 @@ class AcidTable:
             key = tuple(part.get(c) for c in pcols)
             n_r = agg.setdefault(key, [0, 0])
             n_r[0] += 1
-            n_r[1] += f.get("rows", 0) - dead.get(f["path"], 0)
+            n_r[1] += f.get("rows", 0) - dead.get(_entry_name(f), 0)
         schema = StructType.fromJson(m["schema"])
         ptypes = {f.name: f.dataType for f in schema.fields}
         rows = [(*k, n, r) for k, (n, r) in
                 sorted(agg.items(), key=lambda kv: tuple(
                     (x is None, str(x)) for x in kv[0]))]
-        ddl = ", ".join(f"{c} {ptypes[c].simpleString()}" for c in pcols)
-        return self.spark.createDataFrame(
+        # date/timestamp/decimal partition values ride the manifest as
+        # their Hive directory strings (no JSON-native form) — build
+        # those columns as strings and CAST into the declared type so
+        # createDataFrame never sees a mis-typed python value
+        native = (IntegerType, LongType, ShortType, ByteType,
+                  FloatType, DoubleType, BooleanType, StringType)
+        ddl = ", ".join(
+            f"{c} {ptypes[c].simpleString()}"
+            if isinstance(ptypes[c], native) else f"{c} string"
+            for c in pcols)
+        out = self.spark.createDataFrame(
             rows, f"{ddl}, n_files int, n_rows long")
+        for c in pcols:
+            if not isinstance(ptypes[c], native):
+                out = out.withColumn(c, F.col(c).cast(ptypes[c]))
+        return out
 
     def detail(self) -> DataFrame:
         """DESCRIBE DETAIL: one row of table-level facts straight from
@@ -1830,7 +2014,7 @@ class AcidTable:
             if recorded(self._manifest(v)) is None:
                 need_data.update((v - 1, v))
         vacuumed = [v for v in sorted(need_data)
-                    if not (self.path / self._manifest(v)["data"]).is_dir()]
+                    if not self._version_intact(self._manifest(v))]
         if vacuumed:
             raise VersionVacuumedError(
                 f"read_changes({v_from}, {v_to}) needs vacuumed "
@@ -1964,24 +2148,45 @@ class AcidTable:
         else:
             keep_versions = list(
                 range(max(0, latest - keep_last + 1), latest + 1))
-        keep = set()
+        keep_dirs: set[str] = set()    # whole dirs (dv/changes/legacy)
+        keep_files: set[str] = set()   # root-relative referenced files
         for v in keep_versions:
             m = self._manifest(v)
-            keep.add(m["data"])
+            files = m.get("files")
+            if files is None:          # legacy: whole data dir
+                keep_dirs.add(m["data"])
+            else:
+                keep_files.update(_entry_rel(m, f) for f in files)
             if "dv" in m:      # a readable version needs its vector
-                keep.add(m["dv"])
+                keep_dirs.add(m["dv"])
         ch_from = 0 if keep_changes_last is None \
             else max(0, latest - keep_changes_last + 1)
         for v in range(ch_from, latest + 1):
             ch = self._manifest(v).get("changes")
             if ch:
-                keep.add(ch)
+                keep_dirs.add(ch)
         removed = []
+        # Files are shared across versions by manifest reference, so
+        # retention is PER FILE: a commit dir dies only when no kept
+        # version references anything inside it (the manifest-list
+        # vacuum discipline — never delete a dir a retained snapshot
+        # still reads through).
         for d in self._data.iterdir():
             rel = f"data/{d.name}"
-            if rel not in keep:
+            if rel in keep_dirs or not d.is_dir():
+                continue
+            children = list(d.iterdir())
+            victims = [p for p in children
+                       if f"{rel}/{p.name}" not in keep_files]
+            for p in victims:
+                (shutil.rmtree(p, ignore_errors=True) if p.is_dir()
+                 else p.unlink(missing_ok=True))
+            if len(victims) == len(children):
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(rel)
+            elif victims:
+                removed.append(
+                    f"{rel} ({len(victims)}/{len(children)} files)")
         return removed
 
     def merge_add(self, partials: DataFrame, key: list[str],

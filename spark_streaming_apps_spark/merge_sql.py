@@ -788,6 +788,136 @@ def acid_sql_txn(spark: SparkSession, stmts,
     return catalog._publish(pins)
 
 
+_SQL_TOKEN_RE = re.compile(
+    r"'(?:[^']|'')*'"         # single-quoted string ('' escape)
+    r'|"(?:[^"]|"")*"'        # double-quoted identifier
+    r"|`[^`]*`"               # backquoted identifier
+    r"|--[^\n]*"              # line comment
+    r"|/\*.*?\*/"             # block comment
+    r"|[A-Za-z_][\w$]*"       # bare word
+    r"|\S",                   # any other single char
+    re.S)
+
+# keywords that put the parser in "next word is a table reference"
+_TABLE_ARMS = {"from", "join", "into", "update", "table"}
+# words allowed BETWEEN a FROM-item and the JOIN keyword without
+# leaving the from-clause (so `LEFT OUTER JOIN x` still arms on JOIN)
+_JOIN_MODS = {"inner", "left", "right", "full", "outer", "cross",
+              "semi", "anti", "natural", "lateral", "as"}
+# clause keywords that END the from-clause (a comma after these is a
+# select-list comma, never a table separator)
+_CLAUSE_RESETS = {"select", "where", "group", "order", "having",
+                  "limit", "on", "set", "union", "intersect", "except",
+                  "window", "values", "when", "qualify", "distribute",
+                  "sort", "cluster"}
+
+
+def _rewrite_table_refs(sql: str, names, repl) -> str:
+    """Rewrite registered-table names to bound views ONLY where they
+    are table references — after FROM / JOIN / INTO / UPDATE / TABLE,
+    and after commas in a FROM list. Quote-aware: string literals,
+    quoted identifiers, and comments pass through untouched; columns
+    that share a table's name (``SELECT hw FROM hw``), aliases, and
+    dotted field accesses (``t.hw``) are never rewritten. WITH-clause
+    CTE names shadow registered tables, matching standard SQL scoping.
+    ``repl(name)`` is called lazily on first real reference (it binds
+    the snapshot view); names never referenced bind nothing.
+
+    A rewritten reference with NO alias of its own gets ``AS <name>``
+    appended (deferred one token, to see whether an alias follows) —
+    the original name is a table's implicit alias, and qualified
+    column references like ``u.id`` must keep resolving."""
+    low_names = {n.lower(): n for n in names}
+    nonalias = (_TABLE_ARMS | _CLAUSE_RESETS
+                | (_JOIN_MODS - {"as"}) | {"using"})
+    out: list[str] = []
+    pos = 0
+    expect_table = False      # next bare word is a table reference
+    in_from = False           # inside a FROM list (commas re-arm)
+    in_with = False           # inside a WITH prelude at depth 0
+    expect_cte = False        # next bare word names a CTE
+    cte_names: set[str] = set()
+    # paren stack: entering a subquery suspends the outer from-state
+    stack: list[tuple[bool, bool]] = []
+    pending: tuple[int, str, str] | None = None  # (out idx, view, name)
+    prev = ""
+
+    def resolve(nxt_word: str | None) -> None:
+        nonlocal pending
+        idx, view, orig = pending
+        has_alias = nxt_word is not None and (
+            nxt_word == "as" or nxt_word not in nonalias)
+        out[idx] = view if has_alias else f"{view} AS {orig}"
+        pending = None
+
+    for m in _SQL_TOKEN_RE.finditer(sql):
+        tok = m.group(0)
+        out.append(sql[pos:m.start()])
+        pos = m.end()
+        ch = tok[0]
+        if ch == "'" or ch == '"' or ch == "`" \
+                or tok.startswith("--") or tok.startswith("/*"):
+            if pending:
+                resolve(None)
+            out.append(tok)
+            prev = tok
+            continue
+        if ch.isalpha() or ch == "_":
+            lw = tok.lower()
+            if pending:
+                resolve(lw)
+            if expect_cte:
+                cte_names.add(lw)
+                expect_cte = False
+            elif expect_table and prev != ".":
+                if lw in low_names and lw not in cte_names:
+                    out.append("")            # placeholder; resolved
+                    pending = (len(out) - 1, repl(low_names[lw]), tok)
+                    expect_table = False      # on the NEXT token
+                    prev = tok
+                    continue
+                expect_table = False
+            if lw == "with" and not stack:
+                in_with, expect_cte = True, True
+            elif lw in _TABLE_ARMS:
+                expect_table = True
+                if lw == "from":
+                    in_from = True
+                if not stack:
+                    in_with = False
+            elif lw in _CLAUSE_RESETS:
+                expect_table, in_from = False, False
+                if not stack:
+                    in_with = False
+            elif lw in _JOIN_MODS:
+                pass                      # stay in the from-clause
+        elif ch == "(":
+            if pending:
+                resolve(None)
+            stack.append((expect_table, in_from))
+            expect_table, in_from = False, False
+        elif ch == ")":
+            if pending:
+                resolve(None)
+            _, in_from = stack.pop() if stack else (False, False)
+            expect_table = False          # the item just closed
+        elif ch == ",":
+            if pending:
+                resolve(None)
+            if in_from:
+                expect_table = True       # FROM a, b
+            elif in_with and not stack:
+                expect_cte = True         # WITH a AS (...), b AS (...)
+        elif pending:
+            resolve(None)
+        out.append(tok)
+        prev = tok
+    if pending:
+        resolve(None)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _read_sql(spark: SparkSession, stmt: str,
               tables: dict[str, AcidTable]) -> DataFrame:
     """The generic READ path: VERSION/TIMESTAMP AS OF references bind
@@ -834,17 +964,23 @@ def _read_sql(spark: SparkSession, stmt: str,
         rewritten = _TABLE_CHANGES_RE.sub(bind_changes, stmt)
         rewritten = _VERSION_AS_OF_RE.sub(bind, rewritten)
         rewritten = _TIMESTAMP_AS_OF_RE.sub(bind_ts, rewritten)
-        for name, t in tables.items():
-            pat = rf"\b{re.escape(name)}\b"
-            if re.search(pat, rewritten):
-                # uuid-suffixed binding + reference rewrite (the same
-                # scheme VERSION AS OF uses) — claiming the bare name
-                # would silently overwrite, then delete, any user temp
-                # view that happens to share it
+        # uuid-suffixed binding + TABLE-POSITION-ONLY reference rewrite
+        # (the same scheme VERSION AS OF uses) — claiming the bare name
+        # would silently overwrite, then delete, any user temp view
+        # that happens to share it; and a blind \b-regex sub would also
+        # hit string literals ('see hw') and columns sharing the
+        # table's name (SELECT hw FROM hw), changing query semantics
+        views: dict[str, str] = {}
+
+        def bind_plain(name: str) -> str:
+            if name not in views:
                 view = f"__acid_{name}_{uuid.uuid4().hex[:6]}"
-                t.read().createOrReplaceTempView(view)
+                tables[name].read().createOrReplaceTempView(view)
                 bound.append(view)
-                rewritten = re.sub(pat, view, rewritten)
+                views[name] = view
+            return views[name]
+
+        rewritten = _rewrite_table_refs(rewritten, tables, bind_plain)
         return spark.sql(rewritten)
     finally:
         for v in bound:

@@ -2119,10 +2119,11 @@ def acid_convert(spark: SparkSession, sf_dir: str,
     t = acid_sql(spark, f"CONVERT TO ACID '{src_dir}' AS conv "
                         f"LOCATION '{path}'", {})
     m = t._manifest(0)
+    from ..acid import _entry_rel
     src_inodes = {os.stat(p).st_ino
                   for p in Path(src_dir).glob("*.parquet")}
     zero_copy = all(
-        os.stat(t.path / m["data"] / f["path"]).st_ino in src_inodes
+        os.stat(t.path / _entry_rel(m, f)).st_ino in src_inodes
         for f in m["files"])
     n_files = len(m["files"])
     t.delete_where(

@@ -255,6 +255,17 @@ def hw_release_query(events: DataFrame, orders: DataFrame,
         .filter((F.col("max_extent") >= F.col("hw_bytes") / 2) &
                 (F.col("max_extent") < F.col("hw_bytes")))
     )
-    released = F.broadcast(banded).join(
-        orders, banded.file_id == orders.o_orderkey, "left_semi")
+    # Existence check against orders WITHOUT shuffling orders: a
+    # left-semi keeping `banded` would have to BUILD from orders (Spark
+    # cannot broadcast the left/stream side of a semi join — the hint
+    # is ignored with a HintErrorLogger warning and the full orders
+    # table shuffles). Instead stream orders and broadcast the tiny
+    # release delta as the BUILD side of an inner join on the key;
+    # o_orderkey is the table's primary key (TPC-H: one row per order;
+    # reference tsk_files keys by file_id, StreamingApp.scala:253), so
+    # the inner join emits each banded row at most once — exactly the
+    # semi-join's semantics, as a supported BroadcastHashJoin with zero
+    # exchanges on the 100×-scale side.
+    released = (orders.select(F.col("o_orderkey").alias("file_id"))
+                .join(F.broadcast(banded), "file_id"))
     return released.select("file_id", "max_extent", "hw_bytes")

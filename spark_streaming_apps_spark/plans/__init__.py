@@ -86,6 +86,17 @@ def forced_broadcast_count(df: DataFrame) -> int:
         df._jdf.queryExecution().analyzed().toString()))
 
 
+def sort_merge_join_count(df: DataFrame) -> int:
+    """Shuffle-based sort-merge joins — each one is a full exchange of
+    BOTH sides on the key. Zero in a plan whose big side was supposed
+    to stream past a broadcast build."""
+    return _op_count(df, "SortMergeJoin")
+
+
+def shuffled_hash_join_count(df: DataFrame) -> int:
+    return _op_count(df, "ShuffledHashJoin")
+
+
 def global_sort_count(df: DataFrame) -> int:
     """Global (single-partition-range) sort exchanges — the scale smell the
     reference's repartition(1) had. TakeOrderedAndProject (bounded top-k)

@@ -165,8 +165,16 @@ class AcidTableDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         m = self._manifest()
-        base = f'{self.options["path"]}/{m["data"]}'
+        root = self.options["path"]
         files = m.get("files") or []
+
+        def rel(f: dict) -> str:
+            # root-relative entry (new scheme) vs bare name inside the
+            # manifest's own data dir (legacy) — same resolution rule
+            # as acid._entry_rel, kept SparkSession-free here
+            p = f["path"]
+            return p if "/" in p else f'{m["data"]}/{p}'
+
         col = self.options.get("col")
         if col and files:
             lo, hi = float(self.options["lo"]), float(self.options["hi"])
@@ -177,18 +185,18 @@ class AcidTableDataSource(DataSource):
                     # partition value decides FIRST (exact — one
                     # comparison per file, before stats)
                     if lo <= pv <= hi:
-                        keep.append(f["path"])
+                        keep.append(rel(f))
                     continue
                 st = f.get("stats", {}).get(col)
                 if st is None or (st[0] <= hi and lo <= st[1]):
-                    keep.append(f["path"])
+                    keep.append(rel(f))
         else:
             from pathlib import Path
-            keep = ([f["path"] for f in files] if files else
-                    sorted(p.name for p in Path(base).glob("*.parquet")))
-        dv_dir = (f'{self.options["path"]}/{m["dv"]}'
-                  if "dv" in m else None)
-        return AcidTableReader([f"{base}/{p}" for p in keep], dv_dir)
+            keep = ([rel(f) for f in files] if files else
+                    sorted(f'{m["data"]}/{p.name}' for p in
+                           (Path(root) / m["data"]).glob("*.parquet")))
+        dv_dir = f'{root}/{m["dv"]}' if "dv" in m else None
+        return AcidTableReader([f"{root}/{p}" for p in keep], dv_dir)
 
 
 def _walk_props(path) -> dict:
@@ -361,22 +369,34 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 new_rel = f"data/commit-{_uuid.uuid4().hex}"
                 dest = root / new_rel
                 dest.mkdir(parents=True)
-                for f in sorted((root / m["data"]).glob("*.parquet")):
-                    os.link(f, dest / f.name)         # parent snapshot
+                # the commit dir holds ONLY this batch's files (linked
+                # out of the stage dir — the stage is removed after
+                # commit); the parent snapshot is carried purely by
+                # MANIFEST REFERENCE, so the commit is O(batch) in IO
+                # and metadata regardless of table file count — the
+                # manifest-list shape (no per-table-file syscalls,
+                # object-store-compatible)
                 for fp in staged:
                     os.link(fp, dest / Path(fp).name)  # this batch
                 # O(delta) stats, mirroring _write_data_linked: footers
-                # of the STAGED files only; linked parent files keep
-                # their names, so their recorded entries stay valid
+                # of the STAGED files only; carried parent entries are
+                # re-anchored to root-relative paths (pure list concat)
+                new_stats = collect_file_stats(
+                    dest / Path(fp).name for fp in staged)
+                for e, part in zip(new_stats, staged_parts):
+                    if part is not None:   # partitioned table: the
+                        e["partition"] = part  # tuple rides the entry
+                    e["path"] = f'{new_rel}/{e["path"]}'
                 if m.get("files") is not None:
-                    new_stats = collect_file_stats(
-                        dest / Path(fp).name for fp in staged)
-                    for e, part in zip(new_stats, staged_parts):
-                        if part is not None:   # partitioned table: the
-                            e["partition"] = part  # tuple rides the entry
-                    files = m["files"] + new_stats
+                    carried = [
+                        {**f, "path": (f["path"] if "/" in f["path"]
+                                       else f'{m["data"]}/{f["path"]}')}
+                        for f in m["files"]]
                 else:                  # legacy parent: one-time harvest
-                    files = collect_parquet_stats(dest)
+                    carried = [
+                        {**f, "path": f'{m["data"]}/{f["path"]}'}
+                        for f in collect_parquet_stats(root / m["data"])]
+                files = carried + new_stats
                 import time
                 manifest = {
                     "version": v + 1, "data": new_rel,
@@ -1142,18 +1162,24 @@ class AcidTableStreamReader(DataSourceStreamReader):
 
         out = []
         root = Path(self.path)
+        def rel(m: dict, f: dict) -> str:
+            p = f["path"]
+            return p if "/" in p else f'{m["data"]}/{p}'
+
         sv = start["version"]
         if not start.get("snap") and not self._snap_planned:
             m = self._manifest(sv)
-            base = root / m["data"]
-            if not base.is_dir():
+            snaps = [root / rel(m, f) for f in (m.get("files") or [])]
+            gone = next((p for p in snaps if not p.exists()), None)
+            if gone is not None or (m.get("files") is None
+                                    and not (root / m["data"]).is_dir()):
                 raise RuntimeError(
                     f"acidtable-stream: starting version {sv} of "
                     f"{self.path} was vacuumed; start at a retained "
                     f"version")
             dv_dir = str(root / m["dv"]) if "dv" in m else None
-            out.extend(AcidStreamSlice(str(base / f["path"]), sv, dv_dir)
-                       for f in (m.get("files") or []))
+            out.extend(AcidStreamSlice(str(p), sv, dv_dir)
+                       for p in snaps)
             self._snap_planned = True
         lo = max(sv, self._floor)
         self._floor = max(self._floor, sv, end["version"])
@@ -1172,17 +1198,19 @@ class AcidTableStreamReader(DataSourceStreamReader):
                     f"readStream.format('acidtable-cdf') for the full "
                     f"change feed, or set skipChangeCommits=true to "
                     f"ignore such commits")
-            parent_names = {f["path"] for f in
+            # diff by FILE NAME (unique, stable across the re-anchoring
+            # of carried entries) — a carried file must never replay as
+            # if it were new
+            parent_names = {f["path"].rsplit("/", 1)[-1] for f in
                             (self._manifest(v - 1).get("files") or [])}
-            base = Path(self.path) / m["data"]
-            if not base.is_dir():
+            fresh = [f for f in (m.get("files") or [])
+                     if f["path"].rsplit("/", 1)[-1] not in parent_names]
+            paths = [root / rel(m, f) for f in fresh]
+            if any(not p.exists() for p in paths):
                 raise RuntimeError(
                     f"acidtable-stream: version {v} of {self.path} was "
                     f"vacuumed; resume at a retained version")
-            out.extend(
-                AcidStreamSlice(str(base / f["path"]), v)
-                for f in (m.get("files") or [])
-                if f["path"] not in parent_names)
+            out.extend(AcidStreamSlice(str(p), v) for p in paths)
         return out or [AcidStreamSlice("", -1)]    # no-data batch
 
     def read(self, sl: AcidStreamSlice):

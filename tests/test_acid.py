@@ -919,3 +919,21 @@ def test_vacuum_retain_hours(spark, tmp_path):
     from spark_streaming_apps_spark.acid import VersionVacuumedError
     with pytest.raises(VersionVacuumedError):
         t.read(0)
+
+
+def test_add_constraint_rejects_sink_unenforceable_expr(spark, tmp_path):
+    """ADVICE r8: the CHECK grammar is validated against BOTH engines
+    at ADD CONSTRAINT time — an expression only Spark can evaluate
+    (the streaming sink probes staged parquet with DuckDB) is refused
+    LOUDLY here instead of permanently refusing every sink commit."""
+    import pytest
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, "a")], "id long, tag string"))
+    with pytest.raises(ValueError, match="not enforceable"):
+        t.add_constraint("sparkonly", "crc32(tag) >= 0")
+    assert t.constraints() == {}
+    # the ANSI intersection still works end-to-end
+    t.add_constraint("id_pos", "id > 0")
+    assert t.constraints() == {"id_pos": "id > 0"}

@@ -442,3 +442,81 @@ def test_concurrent_partitioned_writers_serialize(spark, tmp_path):
     # every appended batch present exactly once
     for w in range(3):
         assert t.read().filter(f"tag = 'w{w}'").count() == 24
+
+
+def test_merge_no_prune_when_partition_not_in_key(spark, tmp_path):
+    """ADVICE r8: merging on a key that does NOT include the partition
+    columns must not prune the find pass to the batch's partition
+    tuples — the matching target row can live in a partition the batch
+    doesn't name (its partition value is data, not identity). Pruning
+    made merge_pruned insert a duplicate-key row and merge_mor
+    silently drop the update."""
+    t = _mk(spark, tmp_path / "t")          # partitioned by bucket
+    # target row id=5 lives in bucket 1; the update batch claims
+    # bucket 3 for it (bucket is a VALUE column under key=["id"])
+    up = spark.createDataFrame([(5, 3, "moved")],
+                               "id long, bucket int, tag string")
+    t.merge_pruned(up, key=["id"])
+    got = t.read().filter("id = 5").collect()
+    assert len(got) == 1                    # no duplicate-key row
+    assert (got[0].bucket, got[0].tag) == (3, "moved")
+
+    t2 = _mk(spark, tmp_path / "t2")
+    up2 = spark.createDataFrame([(6, 3, "moved2")],
+                                "id long, bucket int, tag string")
+    t2.merge_mor(up2, key=["id"])
+    got2 = t2.read().filter("id = 6").collect()
+    assert len(got2) == 1                   # update applied, not dropped
+    assert (got2[0].bucket, got2[0].tag) == (3, "moved2")
+    assert t2.last_mor_stats["rows_updated"] == 1
+    assert t2.last_mor_stats["rows_inserted"] == 0
+
+
+def test_merge_still_prunes_when_partition_in_key(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    up = spark.createDataFrame([(1, 1, "upd")],
+                               "id long, bucket int, tag string")
+    t.merge_pruned(up, key=["id", "bucket"])
+    assert t.last_cow_stats["files_scanned"] == 1   # pruned to bucket 1
+
+
+def test_string_partition_values_keep_their_type(spark, tmp_path):
+    """ADVICE r8: partition values are coerced by the column's DECLARED
+    type, never re-guessed from the directory string — string '007'
+    must stay '007' (int-guessing recorded 7, and DELETE WHERE
+    c='007' then pruned away its own file, deleting nothing)."""
+    df = spark.createDataFrame(
+        [(i, "007" if i % 2 else "1.50", "x") for i in range(40)],
+        "id long, code string, tag string")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(2, "code"),
+                         partition_by=["code"])
+    vals = sorted(f["partition"]["code"]
+                  for f in t._manifest(0)["files"])
+    assert vals == ["007", "1.50"]          # strings, not 7 / 1.5
+    t.delete_where("code = '007'")
+    assert t.last_cow_stats["files_scanned"] == 1
+    assert t.read().filter("code = '007'").count() == 0
+    assert t.read().count() == 20
+
+
+def test_boolean_partition_values_round_trip(spark, tmp_path):
+    """Boolean partitions: recorded as real bools so batch-tuple
+    pruning (str(True)='True' vs dir 'true') can never prune every
+    file and silently no-op a MERGE."""
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, "x") for i in range(20)],
+        "id long, flag boolean, tag string")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(2, "flag"),
+                         partition_by=["flag"])
+    assert sorted(f["partition"]["flag"]
+                  for f in t._manifest(0)["files"]) == [False, True]
+    up = spark.createDataFrame([(2, True, "upd")],
+                               "id long, flag boolean, tag string")
+    t.merge_pruned(up, key=["id", "flag"])
+    assert t.last_cow_stats["files_scanned"] == 1
+    got = t.read().filter("id = 2").collect()
+    assert len(got) == 1 and got[0].tag == "upd"
+    parts = {(r.flag, r.n_rows) for r in t.partitions().collect()}
+    assert parts == {(True, 10), (False, 10)}

@@ -506,3 +506,42 @@ def test_table_changes_tvf_and_restore_timestamp(spark, tmp_path):
     with pytest.raises(ValueError, match="unregistered"):
         acid_sql(spark, "SELECT * FROM table_changes('ghost', 0)",
                  {"tbl": t})
+
+
+def test_read_sql_rewrites_only_table_positions(spark, tmp_path):
+    """ADVICE r8: the generic read path's name binding must be
+    quote-aware and position-aware — a column sharing the table's
+    name, a string literal mentioning it, and a CTE shadowing it are
+    NOT table references and must survive untouched."""
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    # table named `hw` WITH a column named `hw`
+    t = AcidTable.create(
+        spark, tmp_path / "hw",
+        spark.createDataFrame([(1, 100), (2, 200)], "id long, hw long"))
+    got = acid_sql(spark, "SELECT hw FROM hw WHERE id = 2",
+                   tables={"hw": t}).collect()
+    assert [r.hw for r in got] == [200]
+
+    # string literal containing the table name must not be rewritten
+    got = acid_sql(spark,
+                   "SELECT id, 'see hw docs' AS note FROM hw",
+                   tables={"hw": t}).collect()
+    assert sorted(r.note for r in got) == ["see hw docs"] * 2
+
+    # a CTE named like the table shadows it (standard SQL scoping)
+    got = acid_sql(spark, """
+        WITH hw AS (SELECT 7 AS id)
+        SELECT id FROM hw
+    """, tables={"hw": t}).collect()
+    assert [r.id for r in got] == [7]
+
+    # FROM-list commas and joins still bind every real reference
+    u = AcidTable.create(
+        spark, tmp_path / "u",
+        spark.createDataFrame([(1, "a")], "id long, tag string"))
+    got = acid_sql(spark, """
+        SELECT h.id, u.tag FROM hw h JOIN u ON h.id = u.id
+    """, tables={"hw": t, "u": u}).collect()
+    assert [(r.id, r.tag) for r in got] == [(1, "a")]

@@ -11,7 +11,8 @@ from spark_streaming_apps_spark.operators import (
     dedup, highwater, relational, similarity)
 from spark_streaming_apps_spark.plans import (
     bnlj_count, broadcast_join_count, cartesian_join_count, equi_join_on,
-    has_pushed_filter, read_schemas)
+    has_pushed_filter, read_schemas, shuffled_hash_join_count,
+    sort_merge_join_count)
 
 
 def test_filter_pushdown_reaches_scan(tables):
@@ -40,6 +41,19 @@ def test_flagship_only_broadcast_crossjoin(tables):
     # (first-gap scalar, HW scalar)
     assert cartesian_join_count(out) == 0
     assert bnlj_count(out) <= 3
+
+
+def test_flagship_release_join_broadcasts(tables):
+    """The release existence-check must stream `orders` past a
+    broadcast build of the tiny release delta — a BroadcastHashJoin
+    with ZERO shuffle joins anywhere in the plan. (Round-8 regression:
+    a broadcast hint on the LEFT of a left-semi join is unsupported —
+    HintErrorLogger dropped it and the full orders table shuffled.)"""
+    out = highwater.hw_release_query(
+        tables["events"], tables["orders"], tables["lineitem"])
+    assert broadcast_join_count(out) >= 1
+    assert sort_merge_join_count(out) == 0
+    assert shuffled_hash_join_count(out) == 0
 
 
 def test_ngram_jaccard_no_unblocked_selfjoin(tables):
