@@ -113,6 +113,229 @@ def _entry_name(f: dict) -> str:
     return f["path"].rsplit("/", 1)[-1]
 
 
+# --------------------------------------------------------------- manifest
+# file-list scale machinery: O(delta) encoded manifests, parquet
+# checkpoints, and the vacuum write-ahead ledger. All module-level and
+# SparkSession-free so the Python DataSource (stream sink/planner) uses
+# the exact same resolution as AcidTable.
+
+#: write a parquet checkpoint of the materialized file list every N
+#: commits (Delta's checkpointInterval) — bounds delta-chain replay
+CHECKPOINT_EVERY = 10
+
+#: (root, version) -> tuple of materialized root-relative entries.
+#: Versions are immutable once committed, so the cache never goes
+#: stale; entries are shallow-copied on the way out so callers can
+#: mutate freely.
+_FILES_CACHE: "dict[tuple[str, int], tuple]" = {}
+_FILES_CACHE_CAP = 128
+
+
+def _files_cache_put(key, entries: list[dict]) -> tuple:
+    if len(_FILES_CACHE) >= _FILES_CACHE_CAP:
+        # drop an arbitrary ~quarter; versions re-resolve cheaply
+        for k in list(_FILES_CACHE)[:_FILES_CACHE_CAP // 4]:
+            _FILES_CACHE.pop(k, None)
+    val = tuple(entries)
+    _FILES_CACHE[key] = val
+    return val
+
+
+def _checkpoint_path(root, version: int) -> Path:
+    return Path(root) / "manifests" / f"ckpt-v{version}.parquet"
+
+
+def write_files_checkpoint(root, version: int,
+                           files_rr: list[dict]) -> None:
+    """Best-effort PARQUET CHECKPOINT of a version's materialized file
+    list (Delta's _checkpoint discipline): one columnar file a reader
+    loads in a single IO instead of replaying the O(delta) manifest
+    chain. Derived data only — a missing/failed checkpoint merely costs
+    the chain replay, never correctness — so failures are swallowed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pa.table({
+            "path": pa.array([f["path"] for f in files_rr], pa.string()),
+            "entry": pa.array([json.dumps(f) for f in files_rr],
+                              pa.string())})
+        final = _checkpoint_path(root, version)
+        tmp = final.with_name(f".{final.name}.{uuid.uuid4().hex[:8]}.tmp")
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.replace(final)
+    except Exception:                              # noqa: BLE001
+        pass
+
+
+def _read_files_checkpoint(path) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(path, columns=["entry"]).column("entry")
+    return [json.loads(s) for s in col.to_pylist()]
+
+
+def resolve_manifest_files(root, m: dict) -> list[dict] | None:
+    """The materialized ROOT-RELATIVE file entries of a manifest.
+    Explicit lists are re-anchored through ``_entry_rel``; O(delta)
+    manifests (``files_base``/``files_add``/``files_remove``) replay
+    the parent chain ITERATIVELY, short-circuited by the newest parquet
+    checkpoint at or below the target and by the in-process cache.
+    Returns None for legacy manifests without per-file bookkeeping."""
+    files = m.get("files")
+    if files is not None:
+        return [{**f, "path": _entry_rel(m, f)} for f in files]
+    if "files_base" not in m:
+        return None
+    root = Path(root)
+    rkey = str(root)
+    # walk DOWN the chain until something resolves without recursion
+    chain: list[dict] = []          # delta manifests to replay, newest last
+    cur = m
+    base: list[dict] | None = None
+    while True:
+        v = int(cur["version"])
+        hit = _FILES_CACHE.get((rkey, v))
+        if hit is not None:
+            base = [dict(f) for f in hit]
+            break
+        ck = _checkpoint_path(root, v)
+        if ck.exists():
+            try:
+                base = _read_files_checkpoint(ck)
+                break
+            except Exception:                      # noqa: BLE001
+                pass                # corrupt checkpoint: replay instead
+        if "files_base" not in cur:
+            cfiles = cur.get("files")
+            if cfiles is None:
+                raise ValueError(
+                    f"manifest v{m['version']} at {root} delta-encodes "
+                    f"its file list over legacy v{cur['version']} which "
+                    f"has no per-file bookkeeping")
+            base = [{**f, "path": _entry_rel(cur, f)} for f in cfiles]
+            break
+        chain.append(cur)
+        bv = int(cur["files_base"])
+        cur = json.loads(
+            (root / "manifests" / f"v{bv}.json").read_text())
+    # replay UP: oldest delta first
+    for dm in reversed(chain):
+        rm = set(dm.get("files_remove", ()))
+        if rm:
+            base = [f for f in base if _entry_name(f) not in rm]
+        base = base + [dict(f) for f in dm.get("files_add", ())]
+        _files_cache_put((rkey, int(dm["version"])), base)
+    return [dict(f) for f in base]
+
+
+def encode_manifest_files(manifest: dict, files_rr: list[dict],
+                          parent_version: int | None,
+                          parent_files_rr: list[dict] | None) -> None:
+    """Record ``files_rr`` on ``manifest`` — O(delta) encoded against
+    the parent's materialized list when that is smaller (adds + removed
+    NAMES vs the full list), explicit otherwise. Carried entries are
+    identical to the parent's by construction (files are immutable and
+    uuid-named), so name-level diffing is exact."""
+    if parent_version is None or parent_files_rr is None:
+        manifest["files"] = files_rr
+        return
+    by_name = {_entry_name(f): f for f in parent_files_rr}
+    nnames = {_entry_name(f) for f in files_rr}
+    # content-aware: an entry whose name matches the parent's but whose
+    # recorded metadata changed (e.g. a stats key dropped with its
+    # column) is a remove+add of the same name — replay filters the old
+    # entry out before appending the new one
+    adds = [f for f in files_rr if by_name.get(_entry_name(f)) != f]
+    add_names = {_entry_name(f) for f in adds}
+    removes = sorted(n for n in by_name
+                     if n not in nnames or n in add_names)
+    if len(adds) + len(removes) <= max(1, len(files_rr) // 2):
+        manifest["files_base"] = parent_version
+        manifest["files_add"] = adds
+        manifest["files_remove"] = removes
+    else:
+        manifest["files"] = files_rr
+
+
+# ---- vacuum write-ahead ledger: membership checks instead of stats
+
+#: ledger cache: root -> ((mtime_ns, size), (paths, dirs))
+_LEDGER_CACHE: "dict[str, tuple]" = {}
+
+
+def vacuumed_refs(root) -> tuple[set[str], set[str]] | None:
+    """(deleted paths, fully-deleted dirs) recorded by the table's
+    WRITE-AHEAD vacuum ledger, or None when no ledger exists (a table
+    this code never vacuumed — callers fall back to per-file stats).
+    The ledger is written BEFORE any deletion, so a file missing on
+    disk is always in the ledger; a ledger entry whose file still
+    exists (crash between ledger write and delete) errs on the loud
+    side. Cached per (mtime, size)."""
+    root = Path(root)
+    ledger = root / "manifests" / "_vacuumed.jsonl"
+    try:
+        st = ledger.stat()
+    except OSError:
+        return None
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _LEDGER_CACHE.get(str(root))
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    paths: set[str] = set()
+    dirs: set[str] = set()
+    for line in ledger.read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue                # torn tail line: ignore
+        paths.update(rec.get("paths", ()))
+        dirs.update(rec.get("dirs", ()))
+    _LEDGER_CACHE[str(root)] = (key, (paths, dirs))
+    return paths, dirs
+
+
+def first_vacuumed_ref(root, m: dict,
+                       files_rr: list[dict] | None = None) -> str | None:
+    """First data file / DV dir of manifest ``m`` that vacuum dropped,
+    or None if the version is fully intact. Ledger membership checks
+    when the table has a vacuum ledger (ZERO filesystem stats — the
+    100 TB cold-read path); per-file existence probes otherwise."""
+    root = Path(root)
+    if files_rr is None:
+        files_rr = resolve_manifest_files(root, m)
+    refs = vacuumed_refs(root)
+    if refs is not None:
+        paths, dirs = refs
+        if files_rr is None:        # legacy manifest: whole-dir check
+            if m["data"] in dirs or m["data"] in paths:
+                return m["data"]
+        else:
+            for f in files_rr:
+                r = f["path"]
+                if r in paths or r.rsplit("/", 1)[0] in dirs:
+                    return r
+        dv = m.get("dv")
+        if dv is not None and (dv in dirs or dv in paths):
+            return dv
+        return None
+    # no ledger: the original stat probe
+    if files_rr is None:
+        if not (root / m["data"]).is_dir():
+            return m["data"]
+    else:
+        for f in files_rr:
+            if not (root / f["path"]).exists():
+                return f["path"]
+    dv = m.get("dv")
+    if dv is not None and not (root / dv).is_dir():
+        return dv
+    return None
+
+
 def _parse_hive_value(raw: str, dtype=None):
     """A Hive directory-name partition value back to a JSON-safe typed
     value, coerced by the COLUMN'S DECLARED TYPE (``dtype``, a Spark
@@ -249,9 +472,16 @@ def _check_duckdb_enforceable(name: str, expr: str, schema) -> None:
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
         a_schema = to_arrow_schema(schema)
-    except Exception:                              # noqa: BLE001
-        a_schema = pa.schema([(f.name, pa.string())
-                              for f in schema.fields])
+    except Exception as e:                         # noqa: BLE001
+        # Fail CLOSED: probing against a mis-typed (all-VARCHAR)
+        # relation would accept constraints the sink later rejects and
+        # spuriously reject valid numeric ones — the probe would no
+        # longer predict sink-time enforceability.
+        raise ValueError(
+            f"CHECK constraint {name!r} cannot be validated for this "
+            f"table's schema (arrow conversion failed: {e}); "
+            f"constraints on tables with non-arrow-representable "
+            f"column types are not supported") from e
     empty = pa.Table.from_arrays(
         [pa.array([], type=f.type) for f in a_schema], schema=a_schema)
     con = duckdb.connect()
@@ -269,6 +499,87 @@ def _check_duckdb_enforceable(name: str, expr: str, schema) -> None:
             f"refuse sink commits later") from e
     finally:
         con.close()
+
+
+_DROP = object()          # sentinel: remove this recorded value
+
+
+def _recoerce_partition_value(val, dtype):
+    """A recorded manifest partition value checked against the column's
+    DECLARED type. Manifests written before typed parsing may hold
+    shape-guessed values (string '007' recorded as int 7, '1.50' as
+    1.5) that are carried forward verbatim forever — a value whose
+    python type disagrees with the declaration is re-coerced when that
+    is lossless (a stored string re-parsed as the declared type; an int
+    widened to a declared float) and DROPPED otherwise ('007'→7 lost
+    the leading zeros; nothing can recover them). An absent value is
+    conservatively kept by every pruner, so dropping can never cause a
+    wrong skip — only a lost skip. Returns ``_DROP`` to signal
+    removal."""
+    if val is None:
+        return None                     # __HIVE_DEFAULT_PARTITION__
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        if isinstance(val, bool):
+            return _DROP
+        if isinstance(val, int):
+            return val
+        if isinstance(val, str):
+            try:
+                return int(val)
+            except ValueError:
+                return _DROP
+        return _DROP
+    if isinstance(dtype, (FloatType, DoubleType)):
+        if isinstance(val, bool):
+            return _DROP
+        if isinstance(val, (int, float)):
+            return float(val)
+        if isinstance(val, str):
+            try:
+                return float(val)
+            except ValueError:
+                return _DROP
+        return _DROP
+    if isinstance(dtype, BooleanType):
+        if isinstance(val, bool):
+            return val
+        if isinstance(val, str):
+            return val.lower() == "true"
+        return _DROP
+    # string / date / timestamp / decimal columns record the directory
+    # string itself; a non-string here is a legacy mis-guess (7 for
+    # '007', 1.5 for '1.50') that str() cannot faithfully undo
+    return val if isinstance(val, str) else _DROP
+
+
+def _sanitize_manifest_partitions(m: dict) -> dict:
+    """Repair legacy shape-guessed partition values IN PLACE at
+    manifest-load time, so every consumer (pruners, ``partitions()``,
+    the carry in ``_carried_entries``) sees declaration-typed values —
+    and every FUTURE commit writes the repaired entries forward."""
+    files = m.get("files")
+    if not files or not any(f.get("partition") for f in files):
+        return m
+    try:
+        ptypes = {f.name: f.dataType
+                  for f in StructType.fromJson(m["schema"]).fields}
+    except Exception:                              # noqa: BLE001
+        return m                        # unreadable schema: leave as-is
+    for f in files:
+        part = f.get("partition")
+        if not part:
+            continue
+        fixed = {}
+        for col, val in part.items():
+            dt = ptypes.get(col)
+            if dt is None:
+                fixed[col] = val        # dropped column: keep verbatim
+                continue
+            nv = _recoerce_partition_value(val, dt)
+            if nv is not _DROP:
+                fixed[col] = nv
+        f["partition"] = fixed
+    return m
 
 
 def _pins_match(part: dict | None, pins: dict) -> bool:
@@ -425,7 +736,7 @@ class AcidTable:
         if v is None:
             return {}
         for vv in range(v, -1, -1):
-            p = self._manifest(vv).get("props")
+            p = self._manifest(vv, with_files=False).get("props")
             if p is not None:
                 return p
         return {}
@@ -583,24 +894,24 @@ class AcidTable:
         except OSError:                   # best-effort only
             pass
 
-    def _manifest(self, version: int) -> dict:
-        return json.loads((self._manifests / f"v{version}.json").read_text())
+    def _manifest(self, version: int, with_files: bool = True) -> dict:
+        m = json.loads(
+            (self._manifests / f"v{version}.json").read_text())
+        if "files_base" in m and with_files:
+            # O(delta) manifest: materialize the full root-relative
+            # list (checkpoint/cache-backed) so every consumer keeps
+            # seeing the explicit `files` shape
+            m["files"] = resolve_manifest_files(self.path, m)
+        return _sanitize_manifest_partitions(m)
 
     def _version_intact(self, m: dict) -> bool:
         """True iff every data file (and deletion vector) the manifest
         references still exists — the vacuum probe behind time travel,
-        clone, restore and the change feed. O(files) driver stats,
-        paid only on those cold paths, never on a latest-snapshot
-        read."""
-        files = m.get("files")
-        if files is None:
-            ok = (self.path / m["data"]).is_dir()
-        else:
-            ok = all((self.path / _entry_rel(m, f)).exists()
-                     for f in files)
-        if ok and "dv" in m:
-            ok = (self.path / m["dv"]).is_dir()
-        return ok
+        clone, restore and the change feed. Ledger membership checks
+        (zero filesystem stats) on tables this code vacuumed; O(files)
+        driver stats only as the no-ledger fallback, and only on those
+        cold paths, never on a latest-snapshot read."""
+        return first_vacuumed_ref(self.path, m) is None
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read of ``version`` (default: latest committed).  Only
@@ -612,6 +923,18 @@ class AcidTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         m = self._manifest(v)
         schema = StructType.fromJson(m["schema"])
+        mapping = self._mapping_at(v)
+        pschema = self._physical_struct(schema, mapping)
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            # column-mapping projection: physical scan names back to
+            # the version's logical names (identity when unmapped)
+            if not mapping:
+                return df.select(*[f.name for f in schema.fields])
+            return df.select(*[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields])
+
         files = m.get("files")
         if files is None:
             # legacy manifest (no per-file bookkeeping): plain dir scan
@@ -620,7 +943,7 @@ class AcidTable:
                     f"version {v} of {self.path} was vacuumed; its "
                     f"manifest survives as history but the data files "
                     f"are gone")
-            base = (self.spark.read.schema(schema)
+            base = (self.spark.read.schema(pschema)
                     .parquet(str(self.path / m["data"])))
         else:
             # MANIFEST-DRIVEN READ: the scan opens exactly the files the
@@ -632,8 +955,7 @@ class AcidTable:
             # snapshot into a loud VersionVacuumedError instead of a
             # mid-query scan failure.
             if v != self.latest_version():
-                gone = next((r for r in (_entry_rel(m, f) for f in files)
-                             if not (self.path / r).exists()), None)
+                gone = first_vacuumed_ref(self.path, m)
                 if gone is not None:
                     raise VersionVacuumedError(
                         f"version {v} of {self.path} was vacuumed "
@@ -641,18 +963,17 @@ class AcidTable:
                         f"history but the data files do not")
             if not files:
                 return self.spark.createDataFrame([], schema)
-            base = (self.spark.read.schema(schema)
+            base = (self.spark.read.schema(pschema)
                     .parquet(*[str(self.path / _entry_rel(m, f))
                                for f in files]))
         if "dv" not in m:
-            return base
+            return to_logical(base)
         if not (self.path / m["dv"]).is_dir():
             raise VersionVacuumedError(
                 f"version {v} of {self.path} lost its deletion vector "
                 f"to vacuum; serving the bare files would RESURRECT "
                 f"deleted rows")
-        return (self._apply_dv(self._with_pos(base), m)
-                .select(*[f.name for f in schema.fields]))
+        return to_logical(self._apply_dv(self._with_pos(base), m))
 
     # ------------------------------------------- deletion-vector plumbing
 
@@ -759,13 +1080,49 @@ class AcidTable:
         if not paths:
             return (self.spark.createDataFrame([], schema)
                     .filter(F.col(col).between(lo, hi)))
-        df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._tagged_physical_scan(m, schema, paths)
         if "dv" in m:
-            df = (self._apply_dv(self._with_pos(df), m)
-                  .select(*[f.name for f in schema.fields]))
-        return df.filter(F.col(col).between(lo, hi))
+            df = self._apply_dv(df, m)
+        return (df.select(*[f.name for f in schema.fields])
+                .filter(F.col(col).between(lo, hi)))
 
     # ------------------------------------------------------------ commits
+
+    def _mapping_at(self, version: int | None = None) -> dict:
+        """The logical→PHYSICAL column-name map in force at ``version``
+        (Delta columnMapping 'name' mode). Physical names are frozen at
+        a column's birth; RENAME/DROP COLUMN only edit this map, so
+        they are pure-metadata commits at any table size. Empty =
+        identity — tables that never rename/drop pay no indirection."""
+        return dict(self._props(version).get("column_mapping") or {})
+
+    @staticmethod
+    def _physical_struct(schema: StructType, mapping: dict) -> StructType:
+        """``schema`` with each field renamed to its physical name — the
+        schema data files are actually written/scanned with."""
+        if not mapping:
+            return schema
+        from pyspark.sql.types import StructField
+        return StructType([
+            StructField(mapping.get(f.name, f.name), f.dataType,
+                        f.nullable) for f in schema.fields])
+
+    @staticmethod
+    def _destat_entries(entries: list[dict], mapping: dict) -> list[dict]:
+        """Manifest entries keep LOGICAL column names in their stats /
+        partition metadata (harvested footers carry physical names on
+        mapped tables) — so every pruner keeps working untranslated."""
+        if not mapping:
+            return entries
+        inv = {p: l for l, p in mapping.items()}
+        for e in entries:
+            if e.get("stats"):
+                e["stats"] = {inv.get(k, k): v
+                              for k, v in e["stats"].items()}
+            if e.get("partition"):
+                e["partition"] = {inv.get(k, k): v
+                                  for k, v in e["partition"].items()}
+        return entries
 
     def _stage_rows(self, rows: DataFrame, dest: Path,
                     pcols: list[str],
@@ -784,6 +1141,15 @@ class AcidTable:
         recorded on the manifest entry — the Iceberg invariant: one
         partition tuple per file, tracked in metadata, never in
         paths."""
+        mapping = self._mapping_at()
+        if mapping:
+            # column-mapping mode: data files ALWAYS hold the frozen
+            # physical names; stats/partition metadata stays logical
+            rows = rows.select([F.col(c).alias(mapping.get(c, c))
+                                for c in rows.columns])
+            pcols = [mapping.get(c, c) for c in pcols]
+            if order_by:
+                order_by = [mapping.get(c, c) for c in order_by]
         tmp = self.path / f"data/tmp-{uuid.uuid4().hex}"
         tag = uuid.uuid4().hex[:8]
         if not pcols:
@@ -791,8 +1157,8 @@ class AcidTable:
             for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
                 shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
             shutil.rmtree(tmp, ignore_errors=True)
-            return collect_file_stats(
-                sorted(dest.glob(f"add-{tag}-*.parquet")))
+            return self._destat_entries(collect_file_stats(
+                sorted(dest.glob(f"add-{tag}-*.parquet"))), mapping)
         if lanes == 0:
             # COW-rewrite path: the input is already partition-
             # clustered (touched files each hold ONE tuple), so
@@ -830,7 +1196,7 @@ class AcidTable:
         entries = collect_file_stats([dest / n for n, _ in moved])
         for e, (_, part) in zip(entries, moved):
             e["partition"] = part
-        return entries
+        return self._destat_entries(entries, mapping)
 
     def _write_data_full(self, df: DataFrame,
                          pcols: list[str] | None = None,
@@ -891,6 +1257,25 @@ class AcidTable:
         carried = [{**f, "path": _entry_rel(parent, f)} for f in link]
         return rel, carried + new_stats
 
+    def _tagged_physical_scan(self, m: dict, schema: StructType,
+                              paths: list[str]) -> DataFrame:
+        """(file, pos)-tagged scan of explicit file paths under the
+        version's column mapping: the parquet read binds PHYSICAL
+        names, the projection restores the version's logical names —
+        so caller predicates (DML conditions) keep binding correctly
+        on renamed tables."""
+        mapping = self._mapping_at(m["version"])
+        tagged = self._with_pos(
+            self.spark.read
+            .schema(self._physical_struct(schema, mapping))
+            .parquet(*paths))
+        if mapping:
+            tagged = tagged.select(
+                *[F.col(mapping.get(f.name, f.name)).alias(f.name)
+                  for f in schema.fields],
+                F.col("__dv_file"), F.col("__dv_pos"))
+        return tagged
+
     def _cow_commit(self, probe, rewrite, op: str,
                     max_retries: int = 20,
                     empty_noop: bool = True,
@@ -948,9 +1333,8 @@ class AcidTable:
                 e_paths = [str(self.path / _entry_rel(m, f))
                            for f in eligible]
                 if e_paths:
-                    scan = self._with_pos(self.spark.read
-                                          .schema(schema)
-                                          .parquet(*e_paths))
+                    scan = self._tagged_physical_scan(m, schema,
+                                                      e_paths)
                     if "dv" in m:
                         scan = self._apply_dv(scan, m)
                     touched_names = {
@@ -959,10 +1343,9 @@ class AcidTable:
                 else:
                     touched_names = set()
             else:
-                tagged = self._with_pos(
-                    self.spark.read.schema(schema).parquet(
-                        *[str(self.path / _entry_rel(m, f))
-                          for f in files]))
+                tagged = self._tagged_physical_scan(
+                    m, schema, [str(self.path / _entry_rel(m, f))
+                                for f in files])
                 if "dv" in m:
                     tagged = self._apply_dv(tagged, m)
                 touched_names = {
@@ -993,8 +1376,7 @@ class AcidTable:
             t_paths = [str(self.path / _entry_rel(m, f)) for f in files
                        if _entry_name(f) in touched_names]
             if t_paths:
-                tg = self._with_pos(
-                    self.spark.read.schema(schema).parquet(*t_paths))
+                tg = self._tagged_physical_scan(m, schema, t_paths)
                 if "dv" in m:
                     tg = self._apply_dv(tg, m)
                 touched = tg.select(*scols)
@@ -1088,8 +1470,8 @@ class AcidTable:
                 scan_paths = [str(self.path / _entry_rel(m, f))
                               for f in elig]
             if scan_paths:
-                tagged = self._with_pos(
-                    self.spark.read.schema(schema).parquet(*scan_paths))
+                tagged = self._tagged_physical_scan(m, schema,
+                                                    scan_paths)
                 if "dv" in m:
                     tagged = self._apply_dv(tagged, m)
                 matched = tagged.filter(cond)
@@ -1205,6 +1587,8 @@ class AcidTable:
         find pass reads — partition-pruned to the pinned/batch-touched
         tuples when the table is partitioned."""
         schema = StructType.fromJson(m["schema"])
+        mapping = self._mapping_at(m["version"])
+        pschema = self._physical_struct(schema, mapping)
         files = m.get("files")
         if files is None:
             scan_paths = [str(self.path / m["data"])]   # legacy
@@ -1225,7 +1609,12 @@ class AcidTable:
                     .withColumn("__dv_file", F.lit(""))
                     .withColumn("__dv_pos", F.lit(0).cast("long")))
         tagged = self._with_pos(
-            self.spark.read.schema(schema).parquet(*scan_paths))
+            self.spark.read.schema(pschema).parquet(*scan_paths))
+        if mapping:    # logical names for the caller's predicates
+            tagged = tagged.select(
+                *[F.col(mapping.get(f.name, f.name)).alias(f.name)
+                  for f in schema.fields],
+                F.col("__dv_file"), F.col("__dv_pos"))
         if "dv" in m:
             tagged = self._apply_dv(tagged, m)
         return tagged
@@ -1399,7 +1788,7 @@ class AcidTable:
         after)."""
         if version == 0:
             return {}
-        parent = self._manifest(version - 1)
+        parent = self._manifest(version - 1, with_files=False)
         if "txns" in parent:
             return parent["txns"]
         txns: dict = {}
@@ -1527,12 +1916,28 @@ class AcidTable:
                     f"column {name!r} already exists in {self.path}")
             widened = StructType(
                 list(schema.fields) + [StructField(name, dt)])
+            # column-mapping mode: if the new logical name collides
+            # with a LIVE or RETIRED physical name, mint a fresh
+            # physical identity — old files must read NULL for the new
+            # column, never resurrect a dropped/renamed-away column's
+            # bytes (Delta mapping semantics)
+            props = None
+            mprops = self._props(v)
+            if "column_mapping" in mprops:
+                mapping = dict(mprops["column_mapping"] or {})
+                used = ({mapping.get(f.name, f.name)
+                         for f in schema.fields}
+                        | set(mprops.get("retired_physical", ())))
+                if name in used:
+                    mapping[name] = f"col_{uuid.uuid4().hex[:8]}"
+                    props = {**mprops, "column_mapping": mapping}
             ch_rel = None
             if self.cdf_enabled():        # no row changes: empty pair
                 empty = self.spark.createDataFrame([], widened)
                 ch_rel = self._write_changes_pair(empty, empty)
             if self._try_commit(v + 1, m["data"], widened.jsonValue(),
                                 "add_column", changes_rel=ch_rel,
+                                props=props,
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
@@ -1560,36 +1965,99 @@ class AcidTable:
 
     def rename_column(self, old: str, new: str,
                       max_retries: int = 20) -> int:
-        """ALTER TABLE RENAME COLUMN — served as a FULL-REWRITE commit
-        (the physical column name in every data file changes). Honest
-        trade-off vs Delta: column-mapping mode makes rename O(1)
-        metadata at the price of a logical→physical indirection on
-        every read; this engine keeps files self-describing and pays
-        the rewrite, once. Older versions keep the old name (time
-        travel exact). Partition columns and constraint-referenced
-        columns are refused — evolve/drop those first."""
-        v, cur = self.snapshot()
-        if old not in cur.columns:
-            raise ValueError(f"no column {old!r} in {cur.columns}")
-        if any(c.lower() == new.lower() for c in cur.columns):
-            raise ValueError(f"column {new!r} already exists")
-        self._refuse_schema_change_conflicts(old, "rename")
-        return self._commit_loop(
-            lambda cur: cur.withColumnRenamed(old, new),
-            "rename_column", max_retries)
+        """ALTER TABLE RENAME COLUMN — PURE METADATA via column
+        mapping (Delta columnMapping 'name' mode): the logical name
+        changes in the manifest schema while the PHYSICAL parquet
+        column name stays frozen at the column's birth and is recorded
+        in the table's logical→physical map. No data file is touched
+        at any table size; reads scan by physical name and project
+        back; new writes keep writing the physical name. Older
+        versions keep the old logical name (time travel exact).
+        Partition columns and constraint-referenced columns are
+        refused — evolve/drop those first."""
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            if old not in cur.columns:
+                raise ValueError(f"no column {old!r} in {cur.columns}")
+            if any(c.lower() == new.lower() for c in cur.columns):
+                raise ValueError(f"column {new!r} already exists")
+            self._refuse_schema_change_conflicts(old, "rename")
+            m = self._manifest(v)
+            schema = StructType.fromJson(m["schema"])
+            from pyspark.sql.types import StructField
+            renamed = StructType([
+                StructField(new if f.name == old else f.name,
+                            f.dataType, f.nullable)
+                for f in schema.fields])
+            mapping = self._mapping_at(v)
+            mapping[new] = mapping.pop(old, old)   # physical is frozen
+            props = {**self._props(v), "column_mapping": mapping}
+            ch_rel = None
+            if self.cdf_enabled():       # no row changes: empty pair
+                empty = self.spark.createDataFrame([], renamed)
+                ch_rel = self._write_changes_pair(empty, empty)
+            if self._try_commit(v + 1, m["data"], renamed.jsonValue(),
+                                "rename_column", props=props,
+                                changes_rel=ch_rel,
+                                files=m.get("files"),
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up renaming column after {max_retries} conflicts")
 
     def drop_column(self, name: str, max_retries: int = 20) -> int:
-        """ALTER TABLE DROP COLUMN — full-rewrite commit (same honest
-        trade-off as rename_column; Delta's mapping mode hides dropped
-        physical columns instead). Older versions keep the column."""
-        v, cur = self.snapshot()
-        if name not in cur.columns:
-            raise ValueError(f"no column {name!r} in {cur.columns}")
-        if len(cur.columns) == 1:
-            raise ValueError("cannot drop the only column")
-        self._refuse_schema_change_conflicts(name, "drop")
-        return self._commit_loop(lambda cur: cur.drop(name),
-                                 "drop_column", max_retries)
+        """ALTER TABLE DROP COLUMN — PURE METADATA via column mapping:
+        the field leaves the manifest schema; the physical column stays
+        in the old data files but is never scanned (explicit-schema
+        reads project only mapped fields). The retired physical name is
+        recorded so a later ADD COLUMN of the same name gets a FRESH
+        physical identity — re-adding a dropped column must read NULL,
+        never resurrect the dropped values (Delta mapping semantics).
+        Older versions keep the column (time travel exact)."""
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            if name not in cur.columns:
+                raise ValueError(f"no column {name!r} in {cur.columns}")
+            if len(cur.columns) == 1:
+                raise ValueError("cannot drop the only column")
+            self._refuse_schema_change_conflicts(name, "drop")
+            m = self._manifest(v)
+            schema = StructType.fromJson(m["schema"])
+            narrowed = StructType(
+                [f for f in schema.fields if f.name != name])
+            mapping = self._mapping_at(v)
+            phys = mapping.pop(name, name)
+            mprops = self._props(v)
+            retired = sorted(set(mprops.get("retired_physical", ()))
+                             | {phys})
+            props = {**mprops, "column_mapping": mapping,
+                     "retired_physical": retired}
+            # stats/partition metadata of carried entries stay keyed by
+            # logical names — drop the dead key so pruners never match
+            # a future column of the same name against stale extents
+            files = m.get("files")
+            if files is not None:
+                files = [{**f,
+                          "stats": {k: s for k, s in
+                                    (f.get("stats") or {}).items()
+                                    if k != name}} for f in files]
+            ch_rel = None
+            if self.cdf_enabled():       # no row changes: empty pair
+                empty = self.spark.createDataFrame([], narrowed)
+                ch_rel = self._write_changes_pair(empty, empty)
+            if self._try_commit(v + 1, m["data"], narrowed.jsonValue(),
+                                "drop_column", props=props,
+                                changes_rel=ch_rel, files=files,
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up dropping column after {max_retries} conflicts")
 
     def drop_constraint(self, name: str, max_retries: int = 20) -> int:
         for _ in range(max_retries):
@@ -1624,9 +2092,27 @@ class AcidTable:
         manifest = {"version": version, "data": data_rel, "schema": schema,
                     "op": op, "parent": version - 1 if version else None,
                     "ts": time.time(),      # commit time: TIMESTAMP AS OF
-                    "txns": txns,
-                    "files": (files if files is not None
-                              else self._collect_stats(data_rel))}
+                    "txns": txns}
+        files_full = (files if files is not None
+                      else self._collect_stats(data_rel))
+        # normalize to ROOT-RELATIVE paths (bare names were staged into
+        # this commit's own data dir), then record O(delta) against the
+        # parent when that is smaller — commit metadata scales with the
+        # batch, never the table (Delta log-action discipline)
+        files_full = [f if "/" in f["path"]
+                      else {**f, "path": f"{data_rel}/{f['path']}"}
+                      for f in files_full]
+        parent_m: dict = {}
+        if version > 0:
+            try:
+                parent_m = self._manifest(version - 1)
+            except (OSError, ValueError):
+                parent_m = {}
+        parent_files = parent_m.get("files")
+        encode_manifest_files(
+            manifest, files_full,
+            version - 1 if parent_files is not None else None,
+            parent_files)
         if txn is not None:
             manifest["txn"] = txn
         if changes_rel is not None:
@@ -1639,13 +2125,13 @@ class AcidTable:
         # — so table properties can EVOLVE and readers ask the newest
         # manifest, not v0
         if props is None and version > 0:
-            props = self._manifest(version - 1).get("props")
+            props = parent_m.get("props")
         if props is not None:
             manifest["props"] = props
         # constraints ride every manifest once added (like txns):
         # explicit param on the add/drop commits, inherited otherwise
         if constraints is None and version > 0:
-            constraints = self._manifest(version - 1).get("constraints")
+            constraints = parent_m.get("constraints")
         if constraints:
             manifest["constraints"] = constraints
         try:
@@ -1653,6 +2139,12 @@ class AcidTable:
             with open(self._manifests / f"v{version}.json", "x") as fh:
                 json.dump(manifest, fh)
             self._write_latest_hint(version)
+            # seed the resolution cache (we hold the materialized list)
+            _files_cache_put((str(self.path), version), files_full)
+            if version > 0 and version % CHECKPOINT_EVERY == 0:
+                # periodic parquet checkpoint bounds delta-chain replay
+                # for cold readers (best-effort, derived data only)
+                write_files_checkpoint(self.path, version, files_full)
             return True
         except FileExistsError:
             return False
@@ -1997,6 +2489,16 @@ class AcidTable:
             raise ValueError(
                 f"read_changes({v_from}, {v_to}) outside committed range "
                 f"[0, {latest}] at {self.path}")
+        for vv in range(v_from + 1, v_to + 1):
+            if self._manifest(vv, with_files=False)["op"] \
+                    == "rename_column":
+                raise ValueError(
+                    f"read_changes({v_from}, {v_to}) spans the column "
+                    f"rename at version {vv}; the change feed cannot "
+                    f"mix schema epochs with different logical names "
+                    f"(Delta refuses CDF across column-mapping schema "
+                    f"changes the same way) — read each epoch "
+                    f"separately")
 
         def recorded(m: dict):
             """change dir path if this commit recorded its deltas."""
@@ -2146,6 +2648,13 @@ class AcidTable:
                              if self._manifest(v).get("ts", 0) >= cutoff]
             keep_versions.append(latest)      # newest always readable
         else:
+            # clamp to >=1: read() trusts that the latest version's
+            # files always survive vacuum (it skips the per-file
+            # existence probe there), so keep_last=0 (reachable via
+            # `VACUUM t RETAIN 0 VERSIONS`) must still retain the
+            # newest snapshot — mirroring the retain_hours path's
+            # "newest always readable" append above
+            keep_last = max(1, keep_last)
             keep_versions = list(
                 range(max(0, latest - keep_last + 1), latest + 1))
         keep_dirs: set[str] = set()    # whole dirs (dv/changes/legacy)
@@ -2171,6 +2680,9 @@ class AcidTable:
         # version references anything inside it (the manifest-list
         # vacuum discipline — never delete a dir a retained snapshot
         # still reads through).
+        plan: list[tuple[Path, list[Path], bool, str, int]] = []
+        ledger_paths: list[str] = []
+        ledger_dirs: list[str] = []
         for d in self._data.iterdir():
             rel = f"data/{d.name}"
             if rel in keep_dirs or not d.is_dir():
@@ -2178,15 +2690,32 @@ class AcidTable:
             children = list(d.iterdir())
             victims = [p for p in children
                        if f"{rel}/{p.name}" not in keep_files]
+            if not victims:
+                continue
+            whole = len(victims) == len(children)
+            plan.append((d, victims, whole, rel, len(children)))
+            ledger_paths.extend(f"{rel}/{p.name}" for p in victims)
+            if whole:
+                ledger_dirs.append(rel)
+        if plan:
+            # WRITE-AHEAD ledger: record what dies BEFORE deleting, so
+            # cold reads answer "was this vacuumed?" with membership
+            # checks instead of O(files) filesystem stats — and a crash
+            # mid-delete still fails loudly, never silently partially
+            with open(self._manifests / "_vacuumed.jsonl", "a") as fh:
+                fh.write(json.dumps(
+                    {"ts": time.time(),
+                     "paths": ledger_paths, "dirs": ledger_dirs}) + "\n")
+        for d, victims, whole, rel, n_children in plan:
             for p in victims:
                 (shutil.rmtree(p, ignore_errors=True) if p.is_dir()
                  else p.unlink(missing_ok=True))
-            if len(victims) == len(children):
+            if whole:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(rel)
-            elif victims:
+            else:
                 removed.append(
-                    f"{rel} ({len(victims)}/{len(children)} files)")
+                    f"{rel} ({len(victims)}/{n_children} files)")
         return removed
 
     def merge_add(self, partials: DataFrame, key: list[str],

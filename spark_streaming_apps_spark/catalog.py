@@ -1157,6 +1157,12 @@ register("acid_show_partitions",
 register("acid_convert", oracle=extensions.ACID_CONVERT_ORACLE
          )(lambda s, d: extensions.acid_convert(s, d, SCRATCH))
 
+register("acid_column_mapping", oracle=extensions.ACID_COLUMN_MAPPING_ORACLE
+         )(lambda s, d: extensions.acid_column_mapping(s, d, SCRATCH))
+
+register("acid_checkpoint", oracle=extensions.ACID_CHECKPOINT_ORACLE
+         )(lambda s, d: extensions.acid_checkpoint(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))
@@ -1261,6 +1267,56 @@ except ImportError:
 # import-time probe, so they agree in any environment: on a standard
 # cluster image (protobuf present) the row flips to available=true and
 # the real key below registers and runs.
+def _jar_present(pattern: str) -> bool:
+    """True iff a jar matching ``pattern`` sits in the pyspark jars dir
+    (pip pyspark ships without the kafka/avro connector modules; a
+    cluster image that bundles them flips the gate rows to
+    available=true and the real keys light up)."""
+    import glob
+
+    import pyspark
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, pattern)))
+
+
+_HAS_KAFKA_JAR = _jar_present("*sql-kafka*")
+_HAS_AVRO_JAR = _jar_present("*spark-avro*")
+
+_KAFKA_REASON = ("ok" if _HAS_KAFKA_JAR else
+                 "spark-sql-kafka connector jar absent from the "
+                 "pyspark classpath in this container")
+register("kafka_gate", oracle=f"""
+SELECT 'kafka_source_real' AS key,
+       {str(_HAS_KAFKA_JAR).lower()} AS available,
+       '{_KAFKA_REASON}' AS reason,
+       'streaming/kafka.py:kafka_stream' AS impl
+""")(lambda s, d: s.createDataFrame(
+    [("kafka_source_real", _HAS_KAFKA_JAR, _KAFKA_REASON,
+      "streaming/kafka.py:kafka_stream")],
+    "key string, available boolean, reason string, impl string"))
+
+_AVRO_REASON = ("ok" if _HAS_AVRO_JAR else
+                "spark-avro JVM module absent; functions/avro.py:168 "
+                "serves the Arrow-batched wire decode instead")
+register("avro_jvm_gate", oracle=f"""
+SELECT 'avro_jvm_from_avro' AS key,
+       {str(_HAS_AVRO_JAR).lower()} AS available,
+       '{_AVRO_REASON}' AS reason,
+       'functions/avro.py:decode_image_blocks' AS impl
+""")(lambda s, d: s.createDataFrame(
+    [("avro_jvm_from_avro", _HAS_AVRO_JAR, _AVRO_REASON,
+      "functions/avro.py:decode_image_blocks")],
+    "key string, available boolean, reason string, impl string"))
+
+if _HAS_AVRO_JAR:
+    # wire-equality: with spark-avro on the classpath,
+    # decode_image_blocks serves the JVM from_avro path over the SAME
+    # wire bytes the Arrow fallback decodes — running the binary-decode
+    # builder against its unchanged oracle IS the equality proof
+    register("avro_jvm_decode",
+             oracle=REGISTRY["avro_decode_binary"].oracle
+             )(REGISTRY["avro_decode_binary"].builder)
+
 _TWS_REASON = ("ok" if _HAS_PROTOBUF
                else "google.protobuf runtime absent in this container")
 register("transform_with_state_gate", oracle=f"""

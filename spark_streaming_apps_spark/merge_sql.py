@@ -819,7 +819,14 @@ def _rewrite_table_refs(sql: str, names, repl) -> str:
     quoted identifiers, and comments pass through untouched; columns
     that share a table's name (``SELECT hw FROM hw``), aliases, and
     dotted field accesses (``t.hw``) are never rewritten. WITH-clause
-    CTE names shadow registered tables, matching standard SQL scoping.
+    CTE names shadow registered tables, matching standard SQL scoping:
+    a (non-recursive) CTE's name is visible only AFTER its own body
+    closes, so ``WITH hw AS (SELECT * FROM hw ...)`` still rewrites the
+    inner ``hw`` to the registered table (the outer scope), while later
+    references resolve to the CTE. ``WITH RECURSIVE`` names shadow
+    inside their own body too. Qualified references (``FROM hw.tbl``)
+    are left untouched — the bare registered name is only an implicit
+    match when it IS the whole table reference.
     ``repl(name)`` is called lazily on first real reference (it binds
     the snapshot view); names never referenced bind nothing.
 
@@ -837,8 +844,13 @@ def _rewrite_table_refs(sql: str, names, repl) -> str:
     in_with = False           # inside a WITH prelude at depth 0
     expect_cte = False        # next bare word names a CTE
     cte_names: set[str] = set()
-    # paren stack: entering a subquery suspends the outer from-state
-    stack: list[tuple[bool, bool]] = []
+    recursive_with = False    # WITH RECURSIVE: self-name shadows early
+    pending_cte: str | None = None   # declared, body not yet opened
+    cte_saw_as = False        # saw AS since pending_cte (skips (a,b))
+    # paren stack: entering a subquery suspends the outer from-state;
+    # third slot = CTE name whose body this paren opened (visible to
+    # the outer scope only once it closes)
+    stack: list[tuple[bool, bool, str | None]] = []
     pending: tuple[int, str, str] | None = None  # (out idx, view, name)
     prev = ""
 
@@ -867,8 +879,15 @@ def _rewrite_table_refs(sql: str, names, repl) -> str:
             if pending:
                 resolve(lw)
             if expect_cte:
-                cte_names.add(lw)
-                expect_cte = False
+                if lw == "recursive" and not cte_names \
+                        and pending_cte is None:
+                    recursive_with = True   # keyword, not a CTE name
+                elif recursive_with:
+                    cte_names.add(lw)       # self-name shadows early
+                    expect_cte = False
+                else:
+                    pending_cte, cte_saw_as = lw, False
+                    expect_cte = False
             elif expect_table and prev != ".":
                 if lw in low_names and lw not in cte_names:
                     out.append("")            # placeholder; resolved
@@ -890,16 +909,27 @@ def _rewrite_table_refs(sql: str, names, repl) -> str:
                 if not stack:
                     in_with = False
             elif lw in _JOIN_MODS:
-                pass                      # stay in the from-clause
+                if lw == "as" and pending_cte is not None and not stack:
+                    cte_saw_as = True
         elif ch == "(":
             if pending:
                 resolve(None)
-            stack.append((expect_table, in_from))
+            opens_cte = None
+            if pending_cte is not None and not stack:
+                if cte_saw_as:
+                    opens_cte, pending_cte = pending_cte, None
+                # else: the CTE's (col, ...) list — body paren follows
+            stack.append((expect_table, in_from, opens_cte))
             expect_table, in_from = False, False
         elif ch == ")":
             if pending:
                 resolve(None)
-            _, in_from = stack.pop() if stack else (False, False)
+            if stack:
+                _, in_from, closed_cte = stack.pop()
+                if closed_cte is not None:
+                    cte_names.add(closed_cte)   # visible from here on
+            else:
+                in_from = False
             expect_table = False          # the item just closed
         elif ch == ",":
             if pending:
@@ -908,6 +938,11 @@ def _rewrite_table_refs(sql: str, names, repl) -> str:
                 expect_table = True       # FROM a, b
             elif in_with and not stack:
                 expect_cte = True         # WITH a AS (...), b AS (...)
+        elif ch == "." and pending:
+            # qualifier, not a bare table ref: FROM hw.tbl — restore
+            idx, _view, orig = pending
+            out[idx] = orig
+            pending = None
         elif pending:
             resolve(None)
         out.append(tok)

@@ -1953,12 +1953,13 @@ def acid_table_changes_sql(spark: SparkSession, sf_dir: str,
     """The change feed through its SQL spelling — Delta's
     ``table_changes('t', a[, b])`` table-valued function — composed
     with the round's schema DDL: the CDF table is widened by a
-    pure-metadata ADD COLUMN, a column is RENAMED (full-rewrite
-    commit, honestly priced), rows append and a band deletes, and the
-    final statement aggregates the WHOLE feed from version 0 through
-    the TVF. The oracle recomputes every (version, change_type)
-    census, so the TVF binding, the CDF recording across schema
-    changes, and the DDL commits are all value-pinned at once."""
+    pure-metadata ADD COLUMN, rows append and a band deletes, then a
+    column is RENAMED (pure-metadata column-mapping commit). The feed
+    ACROSS the rename is gated (Delta refuses CDF across
+    column-mapping schema changes); the pre-rename epoch aggregates
+    through the TVF's two-version form, and the ``gated`` column pins
+    that the cross-epoch read refused loudly. The oracle recomputes
+    every (version, change_type) census."""
     import shutil
 
     from ..acid import AcidTable
@@ -1980,14 +1981,21 @@ def acid_table_changes_sql(spark: SparkSession, sf_dir: str,
                     f"{TC_DEL_LO} AND {TC_DEL_HI}", tabs)            # v3
     acid_sql(spark, "ALTER TABLE tbl RENAME COLUMN note TO tag",
              tabs)                                                   # v4
+    # the WHOLE-feed read spans the rename: must refuse loudly
+    try:
+        acid_sql(spark,
+                 "SELECT * FROM table_changes('tbl', 0)", tabs)
+        gated = False
+    except ValueError:
+        gated = True
     return acid_sql(spark, """
         SELECT _commit_version AS version, _change_type AS change_type,
                COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                  AS qty
-        FROM table_changes('tbl', 0)
+        FROM table_changes('tbl', 0, 3)
         GROUP BY _commit_version, _change_type
-    """, tabs)
+    """, tabs).withColumn("gated", F.lit(bool(gated)))
 
 
 ACID_TABLE_CHANGES_ORACLE = f"""
@@ -1998,17 +2006,12 @@ deltas AS (
   FROM (VALUES (5.0), (7.0)) AS a(l_quantity)
   UNION ALL
   SELECT 3, 'delete', l_quantity FROM base
-  WHERE l_orderkey BETWEEN {TC_DEL_LO} AND {TC_DEL_HI}
-  UNION ALL
-  -- the rename records deltas under the WIDENED (note ∪ tag) schema:
-  -- rows NULL in both collapse to identical images, so only the two
-  -- rows with a non-NULL note re-image as delete+insert pairs
-  SELECT 4, 'delete', l_quantity
-  FROM (VALUES (5.0), (7.0)) AS b(l_quantity)
-  UNION ALL SELECT 4, 'insert', l_quantity
-  FROM (VALUES (5.0), (7.0)) AS c(l_quantity))
+  WHERE l_orderkey BETWEEN {TC_DEL_LO} AND {TC_DEL_HI})
+  -- the rename at v4 is a PURE-METADATA column-mapping commit: no row
+  -- changes, nothing in the feed; reads across it are gated
 SELECT version, change_type, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       true AS gated
 FROM deltas GROUP BY version, change_type
 """
 
@@ -2148,4 +2151,148 @@ SELECT COUNT(*) FILTER (WHERE NOT (l_orderkey BETWEEN {CONV_DEL_LO}
               AND {CONV_DEL_HI})) AS DOUBLE) AS qty,
        TRUE AS zero_copy, 4 AS n_files, TRUE AS delete_pruned
 FROM lineitem
+"""
+
+
+# ------------------------------------------------ round 10: scale metadata
+
+CMAP_MAX_KEY = 400
+CMAP_DEL_LO, CMAP_DEL_HI = 50, 80
+
+
+def acid_column_mapping(spark: SparkSession, sf_dir: str,
+                        scratch: Path) -> DataFrame:
+    """RENAME/DROP COLUMN as PURE-METADATA commits (Delta columnMapping
+    'name' mode), end-to-end: the physical parquet column name is
+    frozen at birth and recorded in a logical→physical map, so a
+    rename touches no data file at any table size. The scenario:
+    create from lineitem → RENAME l_quantity→qty (pin: the file set is
+    IDENTICAL across the commit) → INSERT through the mapping (new
+    files write the frozen physical name) → DELETE binding the logical
+    name → DROP l_returnflag → re-ADD it (pin: reads NULL — a fresh
+    physical identity, never the dropped bytes) → time travel serves
+    the old names. (Reference analog: the work tables evolve only by
+    DDL re-creation, StreamingApp.scala:201-219 — this engine evolves
+    in place.)"""
+    import shutil
+
+    from ..acid import AcidTable, _entry_name
+    from ..merge_sql import acid_sql
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_cmap_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .filter(F.col("l_orderkey") <= CMAP_MAX_KEY))
+    t = AcidTable.create(spark, path, li)
+    tabs = {"tbl": t}
+    names0 = {_entry_name(f) for f in t._manifest(0)["files"]}
+    acid_sql(spark, "ALTER TABLE tbl RENAME COLUMN l_quantity TO qty",
+             tabs)                                               # v1
+    m1 = t._manifest(1)
+    metadata_only = (m1["op"] == "rename_column" and
+                     {_entry_name(f) for f in m1["files"]} == names0)
+    acid_sql(spark, "INSERT INTO tbl (l_orderkey, qty, l_returnflag) "
+                    "VALUES (900000001, 5.0, 'through-mapping')",
+             tabs)                                               # v2
+    acid_sql(spark, f"DELETE FROM tbl WHERE l_orderkey BETWEEN "
+                    f"{CMAP_DEL_LO} AND {CMAP_DEL_HI}", tabs)    # v3
+    acid_sql(spark, "ALTER TABLE tbl DROP COLUMN l_returnflag", tabs)  # v4
+    t.add_column("l_returnflag", "string")                          # v5
+    null_readd = (t.read().filter("l_returnflag IS NOT NULL").count() == 0)
+    tt_ok = (t.read(0).columns
+             == ["l_orderkey", "l_quantity", "l_returnflag"])
+    mapping = t._props().get("column_mapping", {})
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty").cast("decimal(18,2)"))
+         .cast("double").alias("qty_sum"))
+        .withColumn("metadata_only", F.lit(bool(metadata_only)))
+        .withColumn("mapping_ok",
+                    F.lit(mapping.get("qty") == "l_quantity"))
+        .withColumn("null_readd", F.lit(bool(null_readd)))
+        .withColumn("time_travel_ok", F.lit(bool(tt_ok))))
+
+
+ACID_COLUMN_MAPPING_ORACLE = f"""
+WITH live AS (
+  SELECT l_orderkey, l_quantity AS qty FROM lineitem
+  WHERE l_orderkey <= {CMAP_MAX_KEY}
+    AND NOT (l_orderkey BETWEEN {CMAP_DEL_LO} AND {CMAP_DEL_HI})
+  UNION ALL SELECT 900000001, 5.0)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+       TRUE AS metadata_only, TRUE AS mapping_ok,
+       TRUE AS null_readd, TRUE AS time_travel_ok
+FROM live
+"""
+
+
+def acid_checkpoint(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """O(delta) manifest encoding + the PARQUET CHECKPOINT (Delta's
+    _checkpoint discipline): each commit's manifest records only its
+    adds/removes against the parent (metadata cost scales with the
+    batch, never the table); every CHECKPOINT_EVERY commits the
+    materialized file list lands in ONE columnar file, so a cold
+    reader resolves the snapshot in one IO instead of replaying the
+    chain. Pins: the periodic checkpoint EXISTS; resolving through it
+    yields the SAME file set as the pure chain replay (checkpoint
+    moved aside, caches cleared); post-v0 manifests are delta-encoded;
+    and the snapshot content matches the oracle. At the 100 TB
+    contract's 100k-file tables this is what keeps commits and cold
+    reads O(delta)/O(1)-IO."""
+    import json as _json
+    import shutil
+
+    from ..acid import (CHECKPOINT_EVERY, AcidTable, _FILES_CACHE,
+                        _checkpoint_path, resolve_manifest_files)
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_ckpt_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_totalprice"))
+    t = AcidTable.create(spark, path, od.filter("o_orderkey % 13 = 0"))
+    for k in range(1, 13):                        # v1..v12
+        t.append(od.filter(f"o_orderkey % 13 = {k}"))
+    v = t.latest_version()
+    ckv = (v // CHECKPOINT_EVERY) * CHECKPOINT_EVERY
+    ck = _checkpoint_path(t.path, ckv)
+    ck_exists = ck.exists()
+    raw_latest = _json.loads((t._manifests / f"v{v}.json").read_text())
+    delta_encoded = "files_base" in raw_latest
+    m_ck = _json.loads((t._manifests / f"v{ckv}.json").read_text())
+    ck_matches = False
+    if ck_exists:
+        _FILES_CACHE.clear()
+        via_ckpt = {f["path"]
+                    for f in resolve_manifest_files(t.path, m_ck)}
+        aside = ck.with_suffix(".aside")
+        ck.rename(aside)                  # force the pure chain replay
+        try:
+            _FILES_CACHE.clear()
+            replay = {f["path"]
+                      for f in resolve_manifest_files(t.path, m_ck)}
+        finally:
+            aside.rename(ck)
+            _FILES_CACHE.clear()
+        ck_matches = bool(via_ckpt) and via_ckpt == replay
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("price_sum"))
+        .withColumn("ckpt_exists", F.lit(bool(ck_exists)))
+        .withColumn("ckpt_matches_replay", F.lit(bool(ck_matches)))
+        .withColumn("delta_encoded", F.lit(bool(delta_encoded))))
+
+
+ACID_CHECKPOINT_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum,
+       TRUE AS ckpt_exists, TRUE AS ckpt_matches_replay,
+       TRUE AS delta_encoded
+FROM orders
 """

@@ -111,9 +111,13 @@ FROM g GROUP BY bucket
 # [min, max] stats before a single file is opened.
 
 class AcidFilePartition(InputPartition):
-    def __init__(self, path: str, dv_dir: str | None = None):
+    def __init__(self, path: str, dv_dir: str | None = None,
+                 fields=None):
         self.path = path
         self.dv_dir = dv_dir    # deletion-vector sidecar dir, if any
+        #: column-mapping projection: [(physical, logical, pa type)]
+        #: per declared field, or None for identity tables
+        self.fields = fields
 
 
 class AcidTableDataSource(DataSource):
@@ -151,13 +155,18 @@ class AcidTableDataSource(DataSource):
         import json
         from pathlib import Path
 
+        from ..acid import resolve_manifest_files
+
         root = Path(self.options["path"])
         v = self.options.get("version")
         if v is None:
             vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
             v = max(vs)
-        return json.loads(
+        m = json.loads(
             (root / "manifests" / f"v{int(v)}.json").read_text())
+        if "files_base" in m:    # O(delta) manifest: materialize
+            m["files"] = resolve_manifest_files(root, m)
+        return m
 
     def schema(self):
         from pyspark.sql.types import StructType
@@ -196,7 +205,16 @@ class AcidTableDataSource(DataSource):
                     sorted(f'{m["data"]}/{p.name}' for p in
                            (Path(root) / m["data"]).glob("*.parquet")))
         dv_dir = f'{root}/{m["dv"]}' if "dv" in m else None
-        return AcidTableReader([f"{root}/{p}" for p in keep], dv_dir)
+        fields = None
+        mapping = _walk_props(root).get("column_mapping") or {}
+        if any(l != p for l, p in mapping.items()):
+            from pyspark.sql.pandas.types import to_arrow_type
+            from pyspark.sql.types import StructType
+            base = StructType.fromJson(m["schema"])
+            fields = [(mapping.get(f.name, f.name), f.name,
+                       to_arrow_type(f.dataType)) for f in base.fields]
+        return AcidTableReader([f"{root}/{p}" for p in keep], dv_dir,
+                               fields)
 
 
 def _walk_props(path) -> dict:
@@ -216,6 +234,22 @@ def _walk_props(path) -> dict:
         if props is not None:
             return props
     return {}
+
+
+def _refuse_column_mapped(path, what: str) -> None:
+    """Streaming readers and the sink scan parquet by PHYSICAL name
+    with a schema fixed at start; a table whose logical names diverged
+    (RENAME/DROP COLUMN under column mapping) would silently misread —
+    refuse loudly instead (Delta gates streaming across column-mapping
+    schema changes the same way)."""
+    mapping = _walk_props(path).get("column_mapping") or {}
+    if any(l != p for l, p in mapping.items()):
+        raise RuntimeError(
+            f"{what}: table at {path} uses column mapping (a column "
+            f"was renamed); streaming reads/writes of column-mapped "
+            f"tables are not supported — use batch reads, or CREATE "
+            f"TABLE AS SELECT into a fresh table to materialize the "
+            f"current names")
 
 
 class AcidSinkMessage(WriterCommitMessage):
@@ -343,6 +377,7 @@ class AcidStreamWriter(DataSourceStreamWriter):
         from ..acid import collect_file_stats, collect_parquet_stats
 
         root = Path(self.path)
+        _refuse_column_mapped(root, "acidtable sink")
         manifests = root / "manifests"
         staged, staged_parts = [], []
         for msg in messages:
@@ -387,12 +422,11 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     if part is not None:   # partitioned table: the
                         e["partition"] = part  # tuple rides the entry
                     e["path"] = f'{new_rel}/{e["path"]}'
-                if m.get("files") is not None:
-                    carried = [
-                        {**f, "path": (f["path"] if "/" in f["path"]
-                                       else f'{m["data"]}/{f["path"]}')}
-                        for f in m["files"]]
-                else:                  # legacy parent: one-time harvest
+                from ..acid import (encode_manifest_files,
+                                    resolve_manifest_files)
+                carried = resolve_manifest_files(root, m)
+                legacy_parent = carried is None
+                if legacy_parent:      # legacy parent: one-time harvest
                     carried = [
                         {**f, "path": f'{m["data"]}/{f["path"]}'}
                         for f in collect_parquet_stats(root / m["data"])]
@@ -404,8 +438,13 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     "parent": v, "ts": time.time(),
                     "txns": {**txns, self.app_id: batchId},
                     "txn": f"{self.app_id}#{batchId}",
-                    "files": files,
                 }
+                # O(delta) encoding vs the parent (explicit when the
+                # parent was legacy-harvested), same rule as AcidTable
+                encode_manifest_files(
+                    manifest, files,
+                    None if legacy_parent else v,
+                    None if legacy_parent else carried)
                 # table-property composability: linked files keep their
                 # names, so the parent's deletion vector stays valid —
                 # carried, not discarded (dropping it would RESURRECT
@@ -424,6 +463,12 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 try:
                     with open(manifests / f"v{v + 1}.json", "x") as fh:
                         json.dump(manifest, fh)
+                    from ..acid import (CHECKPOINT_EVERY,
+                                        _files_cache_put,
+                                        write_files_checkpoint)
+                    _files_cache_put((str(root), v + 1), files)
+                    if (v + 1) % CHECKPOINT_EVERY == 0:
+                        write_files_checkpoint(root, v + 1, files)
                     try:                     # best-effort O(1) hint
                         tmp = manifests / f"._latest.{_uuid.uuid4().hex[:8]}"
                         tmp.write_text(str(v + 1))
@@ -465,18 +510,38 @@ class AcidStreamWriter(DataSourceStreamWriter):
 
 
 class AcidTableReader(DataSourceReader):
-    def __init__(self, paths: list[str], dv_dir: str | None = None):
+    def __init__(self, paths: list[str], dv_dir: str | None = None,
+                 fields=None):
         self.paths = paths
         self.dv_dir = dv_dir
+        self.fields = fields
 
     def partitions(self):
-        return [AcidFilePartition(p, self.dv_dir) for p in self.paths]
+        return [AcidFilePartition(p, self.dv_dir, self.fields)
+                for p in self.paths]
+
+    @staticmethod
+    def _project(b, fields):
+        """Column-mapping projection executor-side: physical parquet
+        columns out, LOGICAL declared columns in (missing physical =
+        a column added after this file was written: NULL)."""
+        import pyarrow as pa
+        have = {n: i for i, n in enumerate(b.schema.names)}
+        arrays, names = [], []
+        for phys, logical, patype in fields:
+            names.append(logical)
+            arrays.append(b.column(have[phys]).cast(patype)
+                          if phys in have
+                          else pa.nulls(b.num_rows, patype))
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
     def read(self, partition: AcidFilePartition):
         import pyarrow.parquet as pq
         if partition.dv_dir is None:
             # Arrow batches straight through — no per-row Python
-            yield from pq.ParquetFile(partition.path).iter_batches()
+            for b in pq.ParquetFile(partition.path).iter_batches():
+                yield (self._project(b, partition.fields)
+                       if partition.fields else b)
             return
         # deletion-vector table: each split loads ONLY its own file's
         # dead positions (predicate-pushed parquet read of the small
@@ -499,7 +564,8 @@ class AcidTableReader(DataSourceReader):
                 if not mask.all():
                     b = b.filter(pa.array(mask))
             off += n
-            yield b
+            yield (self._project(b, partition.fields)
+                   if partition.fields else b)
 
 
 # --------------------------------------------- Kafka-contract WAL source
@@ -801,6 +867,7 @@ class AcidCdfStreamDataSource(DataSource):
         from pyspark.sql.types import (IntegerType, StringType, StructField,
                                        StructType)
         root = Path(self.options["path"])
+        _refuse_column_mapped(root, "acidtable-cdf")
         vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
         m = json.loads(
             (root / "manifests" / f"v{max(vs)}.json").read_text())
@@ -936,6 +1003,7 @@ class AcidCdfParallelStreamDataSource(DataSource):
         from pyspark.sql.types import (IntegerType, StringType, StructField,
                                        StructType)
         root = Path(self.options["path"])
+        _refuse_column_mapped(root, "acidtable-cdf")
         vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
         m = json.loads(
             (root / "manifests" / f"v{max(vs)}.json").read_text())
@@ -980,8 +1048,13 @@ class AcidCdfParallelReader(DataSourceStreamReader):
     def _manifest(self, v: int) -> dict:
         import json
         from pathlib import Path
-        return json.loads((Path(self.path) / "manifests"
-                           / f"v{v}.json").read_text())
+
+        from ..acid import resolve_manifest_files
+        m = json.loads((Path(self.path) / "manifests"
+                        / f"v{v}.json").read_text())
+        if "files_base" in m:    # O(delta) manifest: materialize
+            m["files"] = resolve_manifest_files(Path(self.path), m)
+        return m
 
     def initialOffset(self) -> dict:
         self._committed = self.start_version
@@ -1087,6 +1160,7 @@ class AcidTableStreamDataSource(DataSource):
 
         from pyspark.sql.types import StructType
         root = Path(self.options["path"])
+        _refuse_column_mapped(root, "acidtable-stream")
         vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
         m = json.loads(
             (root / "manifests" / f"v{max(vs)}.json").read_text())
@@ -1132,8 +1206,13 @@ class AcidTableStreamReader(DataSourceStreamReader):
     def _manifest(self, v: int) -> dict:
         import json
         from pathlib import Path
-        return json.loads((Path(self.path) / "manifests"
-                           / f"v{v}.json").read_text())
+
+        from ..acid import resolve_manifest_files
+        m = json.loads((Path(self.path) / "manifests"
+                        / f"v{v}.json").read_text())
+        if "files_base" in m:    # O(delta) manifest: materialize
+            m["files"] = resolve_manifest_files(Path(self.path), m)
+        return m
 
     def initialOffset(self) -> dict:
         self._committed = self.start_version

@@ -591,10 +591,13 @@ def test_append_txn_harvests_legacy_txn_markers(spark, tmp_path):
 
 
 def test_vacuum_inside_cdf_range_fails_loudly(spark, tmp_path):
-    """Retention guard: read_changes over a range containing a vacuumed
-    version must raise VersionVacuumedError, never return partial
-    deltas; ranges entirely within retained versions keep working, and
-    snapshot reads of vacuumed versions fail loudly too."""
+    """Retention guard under PER-FILE reference retention: on an
+    append-only history every file is still referenced by the latest
+    manifest, so vacuum correctly drops NOTHING and every old version
+    stays readable (Delta semantics). Files only orphan when a COW
+    rewrite replaces them — after that, vacuum drops the replaced
+    images and read_changes/read over the vacuumed range must raise
+    VersionVacuumedError, never return partial deltas."""
     import pytest
 
     from spark_streaming_apps_spark.acid import VersionVacuumedError
@@ -605,7 +608,14 @@ def test_vacuum_inside_cdf_range_fails_loudly(spark, tmp_path):
     for i in range(2, 5):
         t.append(spark.createDataFrame([(i, 0)],
                                        "file_id long, status int"))   # v1-v3
-    removed = t.vacuum(keep_last=2)                 # keeps v2, v3 data
+    # append-only: nothing is orphaned, ALL history keeps serving
+    assert t.vacuum(keep_last=2) == []
+    assert t.read(0).count() == 1
+    assert t.read_changes(0, 3).count() == 3
+    assert t.read_changes(1, 2).count() == 1
+    # COW rewrite replaces every touched file → old images orphan
+    t.update_where({"status": "9"}, "file_id >= 1")            # v4
+    removed = t.vacuum(keep_last=1)                 # keeps v4 only
     assert removed                                  # something was dropped
     with pytest.raises(VersionVacuumedError, match=r"vacuumed"):
         t.read_changes(0, 3)
@@ -613,9 +623,9 @@ def test_vacuum_inside_cdf_range_fails_loudly(spark, tmp_path):
         t.read_changes(1, 2)                        # diff base v1 is gone
     with pytest.raises(VersionVacuumedError):
         t.read(0)                                   # snapshot read, too
-    # fully-retained range still serves
-    assert t.read_changes(2, 3).count() == 1
-    assert t.read(3).count() == 4
+    # the retained latest still serves
+    assert t.read().count() == 4
+    assert t.read().filter("status = 9").count() == 4
 
 
 def test_cdf_stream_resumes_across_vacuum_of_drained_versions(
@@ -708,8 +718,10 @@ def test_cdf_recorded_changes_equal_snapshot_diff(spark, tmp_path):
 def test_cdf_feed_survives_snapshot_vacuum(spark, tmp_path):
     """The point of commit-time change files: vacuum every snapshot but
     the newest and the FULL-history feed still serves from the recorded
-    changes — while keep_changes_last pruning makes the pruned range
-    fail loudly again."""
+    changes. Under per-file retention an append-only history even
+    survives change-log pruning (snapshot-diff fallback still has its
+    files); the feed only fails loudly once a COW rewrite orphans the
+    old snapshots AND the change log is pruned."""
     import pytest
 
     from spark_streaming_apps_spark.acid import VersionVacuumedError
@@ -724,9 +736,18 @@ def test_cdf_feed_survives_snapshot_vacuum(spark, tmp_path):
     t.vacuum(keep_last=1)
     assert sorted((r.id, r._change_type, r._commit_version)
                   for r in t.read_changes(0, 4).collect()) == before
-    # prune the change log itself: only the 2 newest versions keep theirs
+    # prune the change log: only the 2 newest versions keep theirs.
+    # Append-only history → every old snapshot file is still referenced
+    # by the latest manifest, so the pruned range KEEPS serving via
+    # snapshot diffs (strictly better than failing)
     t.vacuum(keep_last=1, keep_changes_last=2)
     assert t.read_changes(2, 4).count() == 2      # retained tail (v3, v4)
+    assert sorted((r.id, r._change_type, r._commit_version)
+                  for r in t.read_changes(0, 4).collect()) == before
+    # COW rewrite orphans the old images; with change files pruned AND
+    # snapshots vacuumed, the pruned range must refuse loudly
+    t.update_where({"s": "1"}, "id >= 1")                        # v5
+    t.vacuum(keep_last=1, keep_changes_last=1)
     with pytest.raises(VersionVacuumedError):
         t.read_changes(0, 4)                      # pruned range is loud
 
@@ -805,28 +826,48 @@ def test_restore_to_version(spark, tmp_path):
 
 
 def test_rename_and_drop_column(spark, tmp_path):
-    """RENAME/DROP COLUMN as full-rewrite commits (the honest non-
-    column-mapping trade-off): new snapshot has the new shape, older
-    versions keep theirs; partition/constraint-referenced columns are
-    refused."""
+    """RENAME/DROP COLUMN as PURE-METADATA commits via column mapping
+    (Delta columnMapping 'name' mode): the physical parquet column name
+    is frozen at birth, so no data file is touched; new snapshot has
+    the new shape, older versions keep theirs; partition/constraint-
+    referenced columns are refused."""
     import pytest
 
+    from spark_streaming_apps_spark.acid import _entry_name
     from spark_streaming_apps_spark.merge_sql import acid_sql
 
     t = AcidTable.create(
         spark, tmp_path / "t",
         spark.createDataFrame([(1, 10, "a"), (2, 20, "b")],
                               "id long, val long, tag string"))
+    names_before = {_entry_name(f) for f in t._manifest(0)["files"]}
     v = acid_sql(spark, "ALTER TABLE tbl RENAME COLUMN val TO score",
                  {"tbl": t})
     assert t._manifest(v)["op"] == "rename_column"
+    # PURE METADATA: every data file carried by reference, none written
+    assert {_entry_name(f) for f in t._manifest(v)["files"]} \
+        == names_before
+    assert t._props(v)["column_mapping"] == {"score": "val"}
     assert t.read().columns == ["id", "score", "tag"]
     assert t.read(v - 1).columns == ["id", "val", "tag"]  # time travel
     assert {(r.id, r.score) for r in t.read().collect()} == \
         {(1, 10), (2, 20)}
+    # writes through the mapping: appended rows land under the FROZEN
+    # physical name and read back logically
+    t.append(spark.createDataFrame([(3, 30, "c")],
+                                   "id long, score long, tag string"))
+    assert {(r.id, r.score) for r in t.read().collect()} == \
+        {(1, 10), (2, 20), (3, 30)}
+    # predicates and DML bind to the logical name
+    t.delete_where("score = 30")
+    assert t.read().count() == 2
     v = acid_sql(spark, "ALTER TABLE tbl DROP COLUMN tag", {"tbl": t})
     assert t.read().columns == ["id", "score"]
     assert t.read(v - 1).columns == ["id", "score", "tag"]
+    # re-adding a dropped column must read NULL, never resurrect bytes
+    t.add_column("tag", "string")
+    assert [r.tag for r in t.read().collect()] == [None, None]
+    assert t._props()["column_mapping"]["tag"].startswith("col_")
     with pytest.raises(ValueError, match="no column"):
         t.drop_column("ghost")
     with pytest.raises(ValueError, match="already exists"):
@@ -878,8 +919,9 @@ def test_convert_to_acid_zero_copy_and_refusals(spark, tmp_path):
     t = AcidTable.convert(spark, src, tmp_path / "t")
     m = t._manifest(0)
     assert m["op"] == "convert" and len(m["files"]) == 3
+    from spark_streaming_apps_spark.acid import _entry_rel
     src_ino = {os.stat(p).st_ino for p in src.glob("*.parquet")}
-    assert all(os.stat(t.path / m["data"] / f["path"]).st_ino in src_ino
+    assert all(os.stat(t.path / _entry_rel(m, f)).st_ino in src_ino
                for f in m["files"])
     assert t.read().count() == 300
     # the harvested stats prune immediately
@@ -911,9 +953,18 @@ def test_vacuum_retain_hours(spark, tmp_path):
     # generous window: everything survives
     acid_sql(spark, "VACUUM tbl RETAIN 48 HOURS", {"tbl": t})
     assert t.read(0).count() == 1
-    # zero window: only the latest survives
+    # zero window on an APPEND-ONLY history: per-file retention keeps
+    # every file (all are referenced by the latest manifest), so old
+    # snapshots stay readable — correct, not a missed delete
     t.vacuum(retain_hours=0)
     assert t.read().count() == 3
+    assert t.read(0).count() == 1
+    # a COW rewrite orphans the old images; NOW the zero window drops
+    # them and the old snapshots fail loudly
+    t.update_where({"id": "id + 0"}, "id >= 1")                  # v3
+    removed = t.vacuum(retain_hours=0)
+    assert removed
+    assert t.read().count() == 3                  # newest always readable
     import pytest
 
     from spark_streaming_apps_spark.acid import VersionVacuumedError

@@ -260,17 +260,22 @@ def test_enable_dv_routes_sql_delete_to_mor(spark, tmp_path):
 # ---------------- merge-on-read UPDATE and MERGE (DV image swap)
 
 def test_mor_update_swaps_images_without_rewrite(spark, tmp_path):
+    from spark_streaming_apps_spark.acid import _entry_name
+
     t = _mk(spark, tmp_path)
-    files_before = {f["path"] for f in
+    names_before = {_entry_name(f) for f in
                     t._manifest(t.latest_version())["files"]}
     v = t.update_where_mor({"tag": "'hit'"}, "id BETWEEN 10 AND 19")
     m = t._manifest(v)
     assert m["op"] == "update_mor"
     assert m["dv_rows"] == 10
     assert t.last_mor_stats == {"rows_updated": 10, "dv_rows_total": 10}
-    # every parent file carried by reference (link, not rewrite)
-    files_after = {f["path"] for f in m["files"]}
-    assert files_before <= files_after
+    # every parent file carried by MANIFEST REFERENCE (not rewritten):
+    # identity is the uuid-tagged FILE NAME (_entry_name) — carried
+    # entries are re-anchored to root-relative paths, so path strings
+    # differ while the physical file is the same
+    names_after = {_entry_name(f) for f in m["files"]}
+    assert names_before <= names_after
     assert t.read().filter("tag = 'hit'").count() == 10
     assert t.read().count() == 400                # images swapped 1:1
     # time travel: the parent version still reads pre-update images

@@ -520,3 +520,66 @@ def test_boolean_partition_values_round_trip(spark, tmp_path):
     assert len(got) == 1 and got[0].tag == "upd"
     parts = {(r.flag, r.n_rows) for r in t.partitions().collect()}
     assert parts == {(True, 10), (False, 10)}
+
+
+def test_legacy_misguessed_partition_values_repaired_at_load(
+        spark, tmp_path):
+    """ADVICE r9: manifests written before typed parsing recorded
+    shape-guessed values (string '007' as int 7, '1.50' as float 1.5).
+    _manifest() repairs them against the DECLARED schema at load time:
+    string-typed columns DROP the unrecoverable guess (absent = kept
+    by every pruner, so DML can never silently no-op), numeric-typed
+    columns re-coerce stored strings losslessly. partitions() and
+    DELETE on such tables work again."""
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "007"), (2, "007"), (3, "100")], "id long, code string")
+    t = AcidTable.create(spark, tmp_path / "t",
+                         df.repartition(2, "code"),
+                         partition_by=["code"])
+    # corrupt the manifest the way the pre-fix parser did: '007' -> 7
+    mp = t._manifests / "v0.json"
+    m = json.loads(mp.read_text())
+    for f in m["files"]:
+        if f["partition"].get("code") == "007":
+            f["partition"]["code"] = 7            # legacy guess
+    mp.write_text(json.dumps(m))
+    # loader drops the unrecoverable value -> file conservatively kept
+    loaded = t._manifest(0)
+    assert all("code" not in f["partition"] or
+               isinstance(f["partition"]["code"], str)
+               for f in loaded["files"])
+    # partitions() no longer crashes on the int-in-string-column value
+    assert t.partitions().count() >= 1
+    # DELETE WHERE code='007' finds its rows (no silent prune-away)
+    t.delete_where("code = '007'")
+    assert t.read().count() == 1
+    assert t.read().collect()[0].id == 3
+
+    # numeric declared type with a stored STRING re-coerces losslessly
+    df2 = spark.createDataFrame([(1, 7), (2, 8)], "id long, b int")
+    t2 = AcidTable.create(spark, tmp_path / "t2",
+                          df2.repartition(2, "b"), partition_by=["b"])
+    mp2 = t2._manifests / "v0.json"
+    m2 = json.loads(mp2.read_text())
+    for f in m2["files"]:
+        f["partition"]["b"] = str(f["partition"]["b"])   # legacy string
+    mp2.write_text(json.dumps(m2))
+    assert sorted(f["partition"]["b"] for f in t2._manifest(0)["files"]) \
+        == [7, 8]
+    t2.delete_where("b = 7")
+    assert [r.b for r in t2.read().collect()] == [8]
+
+
+def test_vacuum_keep_last_zero_clamped_to_latest(spark, tmp_path):
+    """ADVICE r9: `VACUUM t RETAIN 0 VERSIONS` (keep_last=0) must still
+    retain the latest version's files — read() skips the existence
+    probe for the latest snapshot on that contract."""
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.createDataFrame([(1,)], "id long"))
+    t.update_where({"id": "id + 10"}, "id >= 0")   # COW: v0 orphans
+    acid_sql(spark, "VACUUM tbl RETAIN 0 VERSIONS", {"tbl": t})
+    assert [r.id for r in t.read().collect()] == [11]

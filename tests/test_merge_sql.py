@@ -545,3 +545,48 @@ def test_read_sql_rewrites_only_table_positions(spark, tmp_path):
         SELECT h.id, u.tag FROM hw h JOIN u ON h.id = u.id
     """, tables={"hw": t, "u": u}).collect()
     assert [(r.id, r.tag) for r in got] == [(1, "a")]
+
+
+def test_cte_self_reference_resolves_to_outer_table(spark, tmp_path):
+    """ADVICE r9: a (non-recursive) CTE's name is visible only AFTER
+    its own body closes — `WITH hw AS (SELECT ... FROM hw)` reads the
+    REGISTERED table inside the body (standard SQL scoping), while the
+    outer query reads the CTE. A registered name used as a QUALIFIER
+    (`hw.tbl`) must pass through untouched, not be mangled."""
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(
+        spark, tmp_path / "hw",
+        spark.createDataFrame([(1, 100), (2, 200), (3, 300)],
+                              "id long, v long"))
+    # self-named CTE: inner `hw` = registered table, outer `hw` = CTE
+    got = acid_sql(spark, """
+        WITH hw AS (SELECT id, v FROM hw WHERE v > 100)
+        SELECT count(*) AS n, sum(v) AS s FROM hw
+    """, tables={"hw": t}).collect()
+    assert (got[0].n, got[0].s) == (2, 500)
+    # column-list CTE spelling binds the same way
+    got = acid_sql(spark, """
+        WITH hw(a, b) AS (SELECT id, v FROM hw WHERE v >= 200)
+        SELECT max(b) AS m FROM hw
+    """, tables={"hw": t}).collect()
+    assert got[0].m == 300
+    # a later CTE sees the earlier one, not the table
+    got = acid_sql(spark, """
+        WITH a AS (SELECT v FROM hw WHERE id = 1),
+             b AS (SELECT v + 1 AS v FROM a)
+        SELECT v FROM b
+    """, tables={"hw": t}).collect()
+    assert [r.v for r in got] == [101]
+    # registered name as a QUALIFIER is NOT a table reference: the
+    # rewriter must restore the original token when the '.' arrives,
+    # never emit the invalid `V_hw AS hw.tbl`
+    from spark_streaming_apps_spark.merge_sql import _rewrite_table_refs
+    out = _rewrite_table_refs("SELECT * FROM hw.tbl",
+                              ["hw"], lambda n: "V_" + n)
+    assert out == "SELECT * FROM hw.tbl"
+    out = _rewrite_table_refs(
+        "SELECT * FROM hw.tbl t JOIN hw ON t.k = hw.k",
+        ["hw"], lambda n: "V_" + n)
+    assert out == "SELECT * FROM hw.tbl t JOIN V_hw AS hw ON t.k = hw.k"

@@ -627,10 +627,11 @@ def test_acid_table_stream_fails_on_change_commit_unless_skipped(
 
 
 def test_acid_table_stream_resumes_after_vacuum(spark, tmp_path):
-    """Old snapshots vacuumed between drains: the checkpointed stream
-    resumes cleanly (its offsets are past the vacuumed versions, and
-    appended files live on as links in retained dirs); a FRESH stream
-    from the vacuumed version fails loudly."""
+    """Vacuum between drains: on an append-only history per-file
+    retention drops nothing (every file is referenced by the latest
+    manifest), so the checkpointed stream resumes cleanly; after a COW
+    rewrite genuinely orphans the old snapshots, a FRESH stream from
+    the vacuumed version fails loudly."""
     import pytest
 
     from spark_streaming_apps_spark.sources.pysource import (
@@ -655,9 +656,12 @@ def test_acid_table_stream_resumes_after_vacuum(spark, tmp_path):
     drain()
     assert spark.read.parquet(out).count() == 2
     t.append(spark.createDataFrame([(3, 0)], "id long, s int"))
-    t.vacuum(keep_last=1)                          # v0, v1 dirs gone
+    assert t.vacuum(keep_last=1) == []             # append-only: no-op
     drain()                                        # resume: v2 only
     assert {r.id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    # COW rewrite orphans v0-v2's images; vacuum drops them
+    t.update_where({"s": "s + 1"}, "id >= 1")                    # v3
+    assert t.vacuum(keep_last=1)
     # a fresh stream needing the vacuumed snapshot must refuse
     q = (spark.readStream.format("acidtable-stream")
          .option("path", str(tmp_path / "t"))
