@@ -123,11 +123,13 @@ def _entry_name(f: dict) -> str:
 #: commits (Delta's checkpointInterval) — bounds delta-chain replay
 CHECKPOINT_EVERY = 10
 
-#: (root, version) -> tuple of materialized root-relative entries.
-#: Versions are immutable once committed, so the cache never goes
-#: stale; entries are shallow-copied on the way out so callers can
-#: mutate freely.
-_FILES_CACHE: "dict[tuple[str, int], tuple]" = {}
+#: (root, version, commit ts) -> tuple of materialized root-relative
+#: entries. Versions are immutable once committed; the commit TIMESTAMP
+#: in the key fences table re-incarnations at the same path (a scratch
+#: table dropped and recreated must never serve the old incarnation's
+#: file lists). Entries are shallow-copied on the way out so callers
+#: can mutate freely.
+_FILES_CACHE: "dict[tuple[str, int, float], tuple]" = {}
 _FILES_CACHE_CAP = 128
 
 
@@ -195,7 +197,7 @@ def resolve_manifest_files(root, m: dict) -> list[dict] | None:
     base: list[dict] | None = None
     while True:
         v = int(cur["version"])
-        hit = _FILES_CACHE.get((rkey, v))
+        hit = _FILES_CACHE.get((rkey, v, cur.get("ts", 0.0)))
         if hit is not None:
             base = [dict(f) for f in hit]
             break
@@ -225,7 +227,8 @@ def resolve_manifest_files(root, m: dict) -> list[dict] | None:
         if rm:
             base = [f for f in base if _entry_name(f) not in rm]
         base = base + [dict(f) for f in dm.get("files_add", ())]
-        _files_cache_put((rkey, int(dm["version"])), base)
+        _files_cache_put((rkey, int(dm["version"]), dm.get("ts", 0.0)),
+                         base)
     return [dict(f) for f in base]
 
 
@@ -2140,7 +2143,8 @@ class AcidTable:
                 json.dump(manifest, fh)
             self._write_latest_hint(version)
             # seed the resolution cache (we hold the materialized list)
-            _files_cache_put((str(self.path), version), files_full)
+            _files_cache_put(
+                (str(self.path), version, manifest["ts"]), files_full)
             if version > 0 and version % CHECKPOINT_EVERY == 0:
                 # periodic parquet checkpoint bounds delta-chain replay
                 # for cold readers (best-effort, derived data only)

@@ -1317,6 +1317,30 @@ if _HAS_AVRO_JAR:
              oracle=REGISTRY["avro_decode_binary"].oracle
              )(REGISTRY["avro_decode_binary"].builder)
 
+def _importable(mod: str) -> bool:
+    import importlib.util
+    return importlib.util.find_spec(mod) is not None
+
+
+_HAS_PIL = _importable("PIL")
+_HAS_SOUNDFILE = _importable("soundfile")
+
+_CODEC_REASON = (
+    "ok" if (_HAS_PIL and _HAS_SOUNDFILE) else
+    "PIL/soundfile absent in this container (installs are forbidden); "
+    "multimodal decode serves the deterministic fake plus the genuine "
+    "P6 PPM parser (multimodal_real_decode); fake=False raises with "
+    "install guidance — a marked seam, never silent wrongness")
+register("multimodal_codec_gate", oracle=f"""
+SELECT 'multimodal_real_codecs' AS key,
+       {str(_HAS_PIL and _HAS_SOUNDFILE).lower()} AS available,
+       '{_CODEC_REASON}' AS reason,
+       'operators/multimodal.py:decode_metadata' AS impl
+""")(lambda s, d: s.createDataFrame(
+    [("multimodal_real_codecs", _HAS_PIL and _HAS_SOUNDFILE,
+      _CODEC_REASON, "operators/multimodal.py:decode_metadata")],
+    "key string, available boolean, reason string, impl string"))
+
 _TWS_REASON = ("ok" if _HAS_PROTOBUF
                else "google.protobuf runtime absent in this container")
 register("transform_with_state_gate", oracle=f"""

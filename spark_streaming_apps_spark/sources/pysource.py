@@ -466,7 +466,8 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     from ..acid import (CHECKPOINT_EVERY,
                                         _files_cache_put,
                                         write_files_checkpoint)
-                    _files_cache_put((str(root), v + 1), files)
+                    _files_cache_put(
+                        (str(root), v + 1, manifest["ts"]), files)
                     if (v + 1) % CHECKPOINT_EVERY == 0:
                         write_files_checkpoint(root, v + 1, files)
                     try:                     # best-effort O(1) hint
@@ -1046,15 +1047,13 @@ class AcidCdfParallelReader(DataSourceStreamReader):
                    for p in (Path(self.path) / "manifests").glob("v*.json"))
 
     def _manifest(self, v: int) -> dict:
+        # this reader consumes only "changes"/"schema"/"op" — never the
+        # file list — so O(delta) manifests need NO materialization
+        # (and the planner worker never pays the acid-module import)
         import json
         from pathlib import Path
-
-        from ..acid import resolve_manifest_files
-        m = json.loads((Path(self.path) / "manifests"
-                        / f"v{v}.json").read_text())
-        if "files_base" in m:    # O(delta) manifest: materialize
-            m["files"] = resolve_manifest_files(Path(self.path), m)
-        return m
+        return json.loads((Path(self.path) / "manifests"
+                           / f"v{v}.json").read_text())
 
     def initialOffset(self) -> dict:
         self._committed = self.start_version

@@ -988,3 +988,56 @@ def test_add_constraint_rejects_sink_unenforceable_expr(spark, tmp_path):
     # the ANSI intersection still works end-to-end
     t.add_constraint("id_pos", "id > 0")
     assert t.constraints() == {"id_pos": "id > 0"}
+
+
+def test_recreated_table_at_same_path_never_serves_stale_cache(
+        spark, tmp_path):
+    """The file-list resolution cache is fenced by commit TIMESTAMP: a
+    table dropped and recreated at the SAME path (bench/scratch reuse)
+    must resolve the new incarnation's files, never the old one's."""
+    import shutil
+
+    p = tmp_path / "t"
+    t = AcidTable.create(spark, p,
+                         spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    assert t.read().count() == 2          # warms the resolution cache
+    shutil.rmtree(p)
+    t2 = AcidTable.create(spark, p,
+                          spark.createDataFrame([(7,), (8,), (9,)],
+                                                "id long"))
+    t2.append(spark.createDataFrame([(10,)], "id long"))
+    assert sorted(r.id for r in t2.read().collect()) == [7, 8, 9, 10]
+
+
+def test_column_mapping_clone_restore_partitioned(spark, tmp_path):
+    """Column mapping composes with the rest of the surface: a clone
+    carries the logical→physical map in its props (hardlinked physical
+    files read back logically); RESTORE to a pre-rename version serves
+    the old logical names (the inherited mapping entry is simply
+    unused); renames on a PARTITIONED table work for non-partition
+    columns (partition columns stay identity — renames refused)."""
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(8)],
+        "id long, b int, val double")
+    t = AcidTable.create(spark, tmp_path / "t", df.repartition(2, "b"),
+                         partition_by=["b"])
+    t.rename_column("val", "score")                               # v1
+    t.append(spark.createDataFrame([(100, 0, 9.5)],
+                                   "id long, b int, score double"))
+    c = t.clone(tmp_path / "c")
+    assert c.read().columns == ["id", "b", "score"]
+    assert c.read().filter("score = 9.5").count() == 1
+    assert c._props().get("column_mapping") == {"score": "val"}
+    # partition pruning still binds after the rename
+    assert t.read().filter("b = 0").count() == 5
+    t.delete_where("score = 9.5")
+    assert t.read().count() == 8
+    # restore to the pre-rename shape: old logical names serve
+    v = t.restore(0)
+    assert t.read().columns == ["id", "b", "val"]
+    assert t.read(v).count() == 8
+    # and appends after the restore write/read correctly
+    t.append(spark.createDataFrame([(200, 1, 3.25)],
+                                   "id long, b int, val double"))
+    assert t.read().filter("val = 3.25").count() == 1
