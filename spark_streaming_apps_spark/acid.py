@@ -143,6 +143,28 @@ def _files_cache_put(key, entries: list[dict]) -> tuple:
     return val
 
 
+def latest_committed_version(manifests_dir) -> int | None:
+    """Newest committed version under a manifests dir — O(1) ``_latest``
+    hint + forward probe, O(versions) glob only as the fallback.
+    SparkSession-free and module-level so the Python DataSource stream
+    planners (which poll this EVERY trigger) and the sink share the
+    exact logic of ``AcidTable.latest_version``."""
+    manifests = Path(manifests_dir)
+    if not manifests.is_dir():
+        return None
+    hint = manifests / "_latest"
+    try:
+        v = int(hint.read_text())
+        if not (manifests / f"v{v}.json").exists():
+            raise ValueError              # corrupt/foreign hint
+    except (OSError, ValueError):
+        vs = [int(p.stem[1:]) for p in manifests.glob("v*.json")]
+        return max(vs) if vs else None
+    while (manifests / f"v{v + 1}.json").exists():
+        v += 1                            # hint lagged: probe forward
+    return v
+
+
 def _checkpoint_path(root, version: int) -> Path:
     return Path(root) / "manifests" / f"ckpt-v{version}.parquet"
 
@@ -871,20 +893,7 @@ class AcidTable:
         each commit and may lag, never lead, so probing forward from it
         is always correct; a missing/corrupt hint falls back to the
         full listing."""
-        if not self._manifests.is_dir():
-            return None
-        hint = self._manifests / "_latest"
-        try:
-            v = int(hint.read_text())
-            if not (self._manifests / f"v{v}.json").exists():
-                raise ValueError          # corrupt/foreign hint
-        except (OSError, ValueError):
-            vs = [int(p.stem[1:])
-                  for p in self._manifests.glob("v*.json")]
-            return max(vs) if vs else None
-        while (self._manifests / f"v{v + 1}.json").exists():
-            v += 1                        # hint lagged: probe forward
-        return v
+        return latest_committed_version(self._manifests)
 
     def _write_latest_hint(self, version: int) -> None:
         """Monotone best-effort hint update (atomic replace; losers of
@@ -2720,6 +2729,22 @@ class AcidTable:
             else:
                 removed.append(
                     f"{rel} ({len(victims)}/{n_children} files)")
+        # checkpoint retention: keep the parquet checkpoints of
+        # retained versions plus the NEWEST one at-or-below the oldest
+        # retained version (the chain-replay short-circuit for every
+        # retained delta manifest); the rest are derived data —
+        # dropping one only costs a replay, never correctness
+        keep_set = set(keep_versions)
+        ck_vs = sorted(int(p.stem[len("ckpt-v"):])
+                       for p in self._manifests.glob("ckpt-v*.parquet"))
+        floor_candidates = [cv for cv in ck_vs
+                            if cv <= min(keep_set, default=0)]
+        ck_floor = max(floor_candidates, default=None)
+        for cv in ck_vs:
+            if cv in keep_set or cv == ck_floor:
+                continue
+            (self._manifests / f"ckpt-v{cv}.parquet").unlink(
+                missing_ok=True)
         return removed
 
     def merge_add(self, partials: DataFrame, key: list[str],

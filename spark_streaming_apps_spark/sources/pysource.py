@@ -160,8 +160,8 @@ class AcidTableDataSource(DataSource):
         root = Path(self.options["path"])
         v = self.options.get("version")
         if v is None:
-            vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
-            v = max(vs)
+            from ..acid import latest_committed_version
+            v = latest_committed_version(root / "manifests")
         m = json.loads(
             (root / "manifests" / f"v{int(v)}.json").read_text())
         if "files_base" in m:    # O(delta) manifest: materialize
@@ -225,9 +225,11 @@ def _walk_props(path) -> dict:
     import json
     from pathlib import Path
 
+    from ..acid import latest_committed_version
+
     manifests = Path(path) / "manifests"
-    vs = sorted((int(p.stem[1:]) for p in manifests.glob("v*.json")),
-                reverse=True)
+    latest = latest_committed_version(manifests)
+    vs = range(latest, -1, -1) if latest is not None else ()
     for v in vs:
         props = json.loads(
             (manifests / f"v{v}.json").read_text()).get("props")
@@ -386,9 +388,9 @@ class AcidStreamWriter(DataSourceStreamWriter):
             staged.extend(fs)
             staged_parts.extend(ps)
         try:
+            from ..acid import latest_committed_version
             for _ in range(20):
-                vs = [int(p.stem[1:]) for p in manifests.glob("v*.json")]
-                v = max(vs)
+                v = latest_committed_version(manifests)
                 m = json.loads((manifests / f"v{v}.json").read_text())
                 txns = m.get("txns") or {}
                 if batchId <= txns.get(self.app_id, -1):
@@ -869,9 +871,11 @@ class AcidCdfStreamDataSource(DataSource):
                                        StructType)
         root = Path(self.options["path"])
         _refuse_column_mapped(root, "acidtable-cdf")
-        vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
+        from ..acid import latest_committed_version
         m = json.loads(
-            (root / "manifests" / f"v{max(vs)}.json").read_text())
+            (root / "manifests" /
+             f"v{latest_committed_version(root / 'manifests')}.json"
+             ).read_text())
         base = StructType.fromJson(m["schema"])
         return StructType(list(base.fields) + [
             StructField("_change_type", StringType()),
@@ -896,9 +900,9 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
 
     def _latest(self) -> int:
         from pathlib import Path
-        vs = [int(p.stem[1:])
-              for p in (Path(self.path) / "manifests").glob("v*.json")]
-        return max(vs)
+
+        from ..acid import latest_committed_version
+        return latest_committed_version(Path(self.path) / "manifests")
 
     def _recorded_changes(self, version: int):
         """Rows from the commit's RECORDED change files (enable_cdf
@@ -1005,9 +1009,11 @@ class AcidCdfParallelStreamDataSource(DataSource):
                                        StructType)
         root = Path(self.options["path"])
         _refuse_column_mapped(root, "acidtable-cdf")
-        vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
+        from ..acid import latest_committed_version
         m = json.loads(
-            (root / "manifests" / f"v{max(vs)}.json").read_text())
+            (root / "manifests" /
+             f"v{latest_committed_version(root / 'manifests')}.json"
+             ).read_text())
         base = StructType.fromJson(m["schema"])
         return StructType(list(base.fields) + [
             StructField("_change_type", StringType()),
@@ -1043,8 +1049,9 @@ class AcidCdfParallelReader(DataSourceStreamReader):
 
     def _latest(self) -> int:
         from pathlib import Path
-        return max(int(p.stem[1:])
-                   for p in (Path(self.path) / "manifests").glob("v*.json"))
+
+        from ..acid import latest_committed_version
+        return latest_committed_version(Path(self.path) / "manifests")
 
     def _manifest(self, v: int) -> dict:
         # this reader consumes only "changes"/"schema"/"op" — never the
@@ -1160,9 +1167,11 @@ class AcidTableStreamDataSource(DataSource):
         from pyspark.sql.types import StructType
         root = Path(self.options["path"])
         _refuse_column_mapped(root, "acidtable-stream")
-        vs = [int(p.stem[1:]) for p in (root / "manifests").glob("v*.json")]
+        from ..acid import latest_committed_version
         m = json.loads(
-            (root / "manifests" / f"v{max(vs)}.json").read_text())
+            (root / "manifests" /
+             f"v{latest_committed_version(root / 'manifests')}.json"
+             ).read_text())
         return StructType.fromJson(m["schema"])
 
     def streamReader(self, schema):
@@ -1199,8 +1208,9 @@ class AcidTableStreamReader(DataSourceStreamReader):
 
     def _latest(self) -> int:
         from pathlib import Path
-        return max(int(p.stem[1:])
-                   for p in (Path(self.path) / "manifests").glob("v*.json"))
+
+        from ..acid import latest_committed_version
+        return latest_committed_version(Path(self.path) / "manifests")
 
     def _manifest(self, v: int) -> dict:
         import json

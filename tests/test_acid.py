@@ -1041,3 +1041,31 @@ def test_column_mapping_clone_restore_partitioned(spark, tmp_path):
     t.append(spark.createDataFrame([(200, 1, 3.25)],
                                    "id long, b int, val double"))
     assert t.read().filter("val = 3.25").count() == 1
+
+
+def test_vacuum_prunes_stale_checkpoints_but_keeps_replay_floor(
+        spark, tmp_path):
+    """Vacuum drops parquet checkpoints of unretained versions but
+    keeps the newest one at-or-below the oldest retained version — the
+    chain-replay short-circuit every retained delta manifest resolves
+    through. Dropping a checkpoint is always safe (replay fallback);
+    this pins the retention RULE."""
+    from spark_streaming_apps_spark.acid import (CHECKPOINT_EVERY,
+                                                 _checkpoint_path)
+
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.createDataFrame([(0,)], "id long"))
+    for i in range(1, 2 * CHECKPOINT_EVERY + 2):      # v1..v21
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    v = t.latest_version()
+    assert _checkpoint_path(t.path, CHECKPOINT_EVERY).exists()
+    assert _checkpoint_path(t.path, 2 * CHECKPOINT_EVERY).exists()
+    t.vacuum(keep_last=2)            # keeps v20, v21
+    # v20's own checkpoint is retained (in keep window); v10's is the
+    # floor ONLY if no newer ckpt <= min(keep) exists — here v20 <= 20
+    # is itself the floor, so v10's checkpoint goes
+    assert _checkpoint_path(t.path, 2 * CHECKPOINT_EVERY).exists()
+    assert not _checkpoint_path(t.path, CHECKPOINT_EVERY).exists()
+    # everything still reads (append-only: no data was orphaned)
+    assert t.read().count() == 2 * CHECKPOINT_EVERY + 2
+    assert t.read(CHECKPOINT_EVERY).count() == CHECKPOINT_EVERY + 1
