@@ -672,3 +672,32 @@ def test_acid_table_stream_resumes_after_vacuum(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(Exception, match="vacuumed"):
         q.awaitTermination(120)
+
+
+def test_acidtable_format_reads_column_mapped_table(spark, tmp_path):
+    """The batch Python DataSource projects PHYSICAL parquet columns to
+    the declared LOGICAL names on column-mapped tables (executor-side
+    arrow rename), null-fills columns a file predates, and serves a
+    re-added dropped column as NULL (fresh physical identity)."""
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 10.0, "a"), (2, 20.0, "b")],
+                              "id long, val double, tag string"))
+    t.rename_column("val", "score")                              # v1
+    t.append(spark.createDataFrame([(3, 30.0, "c")],
+                                   "id long, score double, tag string"))
+    t.drop_column("tag")                                         # v3
+    t.add_column("tag", "string")                                # v4
+    spark.dataSource.register(AcidTableDataSource)
+    df = (spark.read.format("acidtable")
+          .option("path", str(tmp_path / "t")).load())
+    assert df.columns == ["id", "score", "tag"]
+    got = {(r.id, r.score, r.tag) for r in df.collect()}
+    assert got == {(1, 10.0, None), (2, 20.0, None), (3, 30.0, None)}
+    # matches the AcidTable read path exactly
+    a = {(r.id, r.score, r.tag) for r in t.read().collect()}
+    assert got == a
