@@ -925,6 +925,38 @@ class AcidTable:
         cold paths, never on a latest-snapshot read."""
         return first_vacuumed_ref(self.path, m) is None
 
+    def _scan_paths(self, m: dict, files: list[dict]) -> list[str]:
+        """Paths handed to the parquet scan: per-file paths COLLAPSED to
+        their commit dir whenever the manifest references the dir's
+        complete parquet set. Spark's file index pays a driver
+        getFileStatus per explicit path — at a 100k-file table that is
+        100k object-store HEADs per read; after collapse a compacted
+        table costs O(commit dirs) listings instead. Sound because a
+        commit dir's files are written exactly once by its creating
+        commit (losers rmtree whole dirs) and vacuum only ever deletes
+        files NO retained manifest references, so for an intact version
+        referenced ⊆ existing ⊆ created — count equality ⇒ set
+        equality. Any mismatch (e.g. a concurrent vacuum mid-listing)
+        falls back to that dir's per-file paths, never wrong reads."""
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            rel = _entry_rel(m, f)
+            d, _, _name = rel.rpartition("/")
+            by_dir.setdefault(d, []).append(rel)
+        out: list[str] = []
+        for d, rels in by_dir.items():
+            dp = self.path / d
+            try:
+                n_dir = sum(1 for p in dp.iterdir()
+                            if p.name.endswith(".parquet"))
+            except OSError:
+                n_dir = -1
+            if n_dir == len(rels):
+                out.append(str(dp))
+            else:
+                out.extend(str(self.path / r) for r in rels)
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read of ``version`` (default: latest committed).  Only
         files named by that manifest are visible — a concurrent writer's
@@ -976,8 +1008,7 @@ class AcidTable:
             if not files:
                 return self.spark.createDataFrame([], schema)
             base = (self.spark.read.schema(pschema)
-                    .parquet(*[str(self.path / _entry_rel(m, f))
-                               for f in files]))
+                    .parquet(*self._scan_paths(m, files)))
         if "dv" not in m:
             return to_logical(base)
         if not (self.path / m["dv"]).is_dir():

@@ -1069,3 +1069,32 @@ def test_vacuum_prunes_stale_checkpoints_but_keeps_replay_floor(
     # everything still reads (append-only: no data was orphaned)
     assert t.read().count() == 2 * CHECKPOINT_EVERY + 2
     assert t.read(CHECKPOINT_EVERY).count() == CHECKPOINT_EVERY + 1
+
+
+def test_scan_paths_collapse_to_dirs_when_fully_referenced(
+        spark, tmp_path):
+    """read() hands the parquet scan COMMIT DIRS when the manifest
+    references a dir's complete file set (O(dirs) driver listings, not
+    O(files) statuses at 100k-file tables), and falls back to per-file
+    paths for partially-referenced dirs (post-COW parents)."""
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, i % 4) for i in range(40)],
+                              "id long, s int").repartition(4))
+    t.append(spark.createDataFrame([(100, 9)], "id long, s int"))
+    m = t._manifest(t.latest_version())
+    paths = t._scan_paths(m, m["files"])
+    # fully-referenced dirs collapse: 2 commit dirs, not 5 files
+    assert len(paths) == 2
+    assert all(not p.endswith(".parquet") for p in paths)
+    assert t.read().count() == 41
+    # COW rewrite: the parent dir is now PARTIALLY referenced (the
+    # rewritten file's old image stays for time travel) → per-file
+    t.update_where({"s": "99"}, "id = 0")
+    m2 = t._manifest(t.latest_version())
+    paths2 = t._scan_paths(m2, m2["files"])
+    assert any(p.endswith(".parquet") for p in paths2)
+    assert t.read().count() == 41
+    assert t.read().filter("s = 99").count() == 1
+    # time travel still exact through the collapsed scan
+    assert t.read(0).count() == 40
