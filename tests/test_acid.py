@@ -1098,3 +1098,32 @@ def test_scan_paths_collapse_to_dirs_when_fully_referenced(
     assert t.read().filter("s = 99").count() == 1
     # time travel still exact through the collapsed scan
     assert t.read(0).count() == 40
+
+
+def test_readded_column_stats_strip_survives_delta_encoding(
+        spark, tmp_path):
+    """DROP COLUMN strips the dead column's stats from carried entries
+    (through the CONTENT-AWARE delta encoder: same-name entries with
+    changed metadata re-record as remove+add). A re-added column of
+    the same name therefore never prunes against the old extents:
+    pre-drop files read NULL, only the post-re-add file serves the
+    range."""
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, i) for i in range(10)],
+                              "id long, v long").coalesce(1))
+    assert "v" in t._manifest(0)["files"][0]["stats"]
+    t.drop_column("v")                                           # v1
+    assert all("v" not in f.get("stats", {})
+               for f in t._manifest(1)["files"])
+    t.add_column("v", "long")                                    # v2
+    t.append(spark.createDataFrame([(100, 100)], "id long, v long"))
+    # stats for the re-added logical column ride the NEW file only
+    m = t._manifest(t.latest_version())
+    with_v = [f for f in m["files"] if "v" in f.get("stats", {})]
+    assert len(with_v) == 1
+    # range reads: old rows are NULL in v — never resurrected, never
+    # wrong-skipped
+    assert t.read_range("v", 100, 100).count() == 1
+    assert t.read_range("v", 0, 9).count() == 0
+    assert t.read().filter("v IS NULL").count() == 10
