@@ -324,11 +324,22 @@ def vacuumed_refs(root) -> tuple[set[str], set[str]] | None:
 
 
 def first_vacuumed_ref(root, m: dict,
-                       files_rr: list[dict] | None = None) -> str | None:
+                       files_rr: list[dict] | None = None,
+                       probe: bool = False) -> str | None:
     """First data file / DV dir of manifest ``m`` that vacuum dropped,
     or None if the version is fully intact. Ledger membership checks
     when the table has a vacuum ledger (ZERO filesystem stats — the
-    100 TB cold-read path); per-file existence probes otherwise."""
+    100 TB cold-read path); per-file existence probes otherwise.
+
+    ``probe=True`` (restore/clone cold paths) backs an intact ledger
+    verdict with one existence stat PER REFERENCED COMMIT DIR: files
+    deleted before this build's ledger existed (an old-build vacuum,
+    or out-of-band cleanup) are absent from the ledger, and committing
+    a new LATEST manifest against them would surface as a mid-query
+    scan failure. Old vacuums delete whole commit dirs (or the
+    not-kept files within one), so a per-dir probe catches them at
+    O(dirs) stats — never the O(files) sweep the ledger exists to
+    avoid."""
     root = Path(root)
     if files_rr is None:
         files_rr = resolve_manifest_files(root, m)
@@ -346,6 +357,20 @@ def first_vacuumed_ref(root, m: dict,
         dv = m.get("dv")
         if dv is not None and (dv in dirs or dv in paths):
             return dv
+        if probe:
+            by_dir: dict[str, str] = {}
+            if files_rr is None:
+                if not (root / m["data"]).is_dir():
+                    return m["data"]
+            else:
+                for f in files_rr:
+                    by_dir.setdefault(
+                        f["path"].rsplit("/", 1)[0], f["path"])
+                for _d, r in by_dir.items():
+                    if not (root / r).exists():
+                        return r
+            if dv is not None and not (root / dv).is_dir():
+                return dv
         return None
     # no ledger: the original stat probe
     if files_rr is None:
@@ -717,7 +742,7 @@ class AcidTable:
 
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
-        if not self._version_intact(m):
+        if not self._version_intact(m, probe=True):
             raise VersionVacuumedError(
                 f"cannot clone vacuumed version {v} of {self.path}")
         new = AcidTable(self.spark, path)
@@ -916,16 +941,20 @@ class AcidTable:
             m["files"] = resolve_manifest_files(self.path, m)
         return _sanitize_manifest_partitions(m)
 
-    def _version_intact(self, m: dict) -> bool:
+    def _version_intact(self, m: dict, probe: bool = False) -> bool:
         """True iff every data file (and deletion vector) the manifest
         references still exists — the vacuum probe behind time travel,
         clone, restore and the change feed. Ledger membership checks
         (zero filesystem stats) on tables this code vacuumed; O(files)
         driver stats only as the no-ledger fallback, and only on those
-        cold paths, never on a latest-snapshot read."""
-        return first_vacuumed_ref(self.path, m) is None
+        cold paths, never on a latest-snapshot read. ``probe=True``
+        (restore/clone: verdicts that COMMIT new manifests against the
+        files) additionally spot-checks one file per referenced commit
+        dir against pre-ledger/out-of-band deletions."""
+        return first_vacuumed_ref(self.path, m, probe=probe) is None
 
-    def _scan_paths(self, m: dict, files: list[dict]) -> list[str]:
+    def _scan_paths(self, m: dict, files: list[dict],
+                    collapse: bool = True) -> list[str]:
         """Paths handed to the parquet scan: per-file paths COLLAPSED to
         their commit dir whenever the manifest references the dir's
         complete parquet set. Spark's file index pays a driver
@@ -937,7 +966,18 @@ class AcidTable:
         files NO retained manifest references, so for an intact version
         referenced ⊆ existing ⊆ created — count equality ⇒ set
         equality. Any mismatch (e.g. a concurrent vacuum mid-listing)
-        falls back to that dir's per-file paths, never wrong reads."""
+        falls back to that dir's per-file paths, never wrong reads.
+
+        ``collapse=False`` (time-travel reads): the count check runs at
+        PLAN time but Spark lists the collapsed dir slightly later when
+        the relation is built — a concurrent vacuum of a non-latest
+        version in that window would make the dir scan silently return
+        fewer rows, where explicit per-file paths fail loudly on the
+        missing file. The latest version is vacuum-retained by contract
+        (keep_last clamps to >=1), so only it collapses; a time-travel
+        read keeps the loud per-file behavior."""
+        if not collapse:
+            return [str(self.path / _entry_rel(m, f)) for f in files]
         by_dir: dict[str, list[str]] = {}
         for f in files:
             rel = _entry_rel(m, f)
@@ -998,7 +1038,8 @@ class AcidTable:
             # the per-file existence probe that turns a vacuumed
             # snapshot into a loud VersionVacuumedError instead of a
             # mid-query scan failure.
-            if v != self.latest_version():
+            is_latest = v == self.latest_version()
+            if not is_latest:
                 gone = first_vacuumed_ref(self.path, m)
                 if gone is not None:
                     raise VersionVacuumedError(
@@ -1008,7 +1049,8 @@ class AcidTable:
             if not files:
                 return self.spark.createDataFrame([], schema)
             base = (self.spark.read.schema(pschema)
-                    .parquet(*self._scan_paths(m, files)))
+                    .parquet(*self._scan_paths(m, files,
+                                               collapse=is_latest)))
         if "dv" not in m:
             return to_logical(base)
         if not (self.path / m["dv"]).is_dir():
@@ -1968,12 +2010,34 @@ class AcidTable:
             mprops = self._props(v)
             if "column_mapping" in mprops:
                 mapping = dict(mprops["column_mapping"] or {})
+                retired = set(mprops.get("retired_physical", ()))
+                live = {f.name for f in schema.fields}
+                changed = False
+                stale = [k for k in mapping if k not in live]
+                for k in stale:
+                    # STALE mapping key (not a live column — e.g. props
+                    # inherited across a legacy restore that predated
+                    # restore carrying the target's mapping): drop it,
+                    # or the inherited entry would bind a re-added
+                    # column of the same logical name to the
+                    # renamed-away column's bytes
+                    stale_phys = mapping.pop(k)
+                    changed = True
+                    live_phys = {mapping.get(f.name, f.name)
+                                 for f in schema.fields}
+                    if stale_phys not in live_phys:
+                        # the physical may still hold bytes in
+                        # referenced data files — retire it so no
+                        # future column ever binds to it
+                        retired.add(stale_phys)
                 used = ({mapping.get(f.name, f.name)
-                         for f in schema.fields}
-                        | set(mprops.get("retired_physical", ())))
+                         for f in schema.fields} | retired)
                 if name in used:
                     mapping[name] = f"col_{uuid.uuid4().hex[:8]}"
-                    props = {**mprops, "column_mapping": mapping}
+                    changed = True
+                if changed:
+                    props = {**mprops, "column_mapping": mapping,
+                             "retired_physical": sorted(retired)}
             ch_rel = None
             if self.cdf_enabled():        # no row changes: empty pair
                 empty = self.spark.createDataFrame([], widened)
@@ -2358,18 +2422,40 @@ class AcidTable:
         ordinary changes. Raises VersionVacuumedError if the target's
         data is gone."""
         target = self._manifest(version)
-        if not self._version_intact(target):
+        if not self._version_intact(target, probe=True):
             raise VersionVacuumedError(
                 f"cannot restore {self.path} to vacuumed version {version}")
         cdf = self.cdf_enabled()
         for _ in range(max_retries):
             v = self.latest_version()
+            # the restored state must carry the TARGET version's
+            # column-mapping identity, not inherit the latest's: the
+            # restored manifest references the target's data files,
+            # whose physical layout the target's mapping describes.
+            # Inheriting the latest mapping left a stale {new: old_phys}
+            # entry after restore(pre-rename), and a later
+            # add_column(new) silently bound the fresh column to the
+            # renamed-away column's bytes. Other props (cdf/dv/
+            # partition spec) stay at their latest values — Delta
+            # RESTORE likewise restores data+schema, not properties.
+            props = dict(self._props(v))
+            tprops = self._props(version)
+            restore_changed = False
+            for k in ("column_mapping", "retired_physical"):
+                if tprops.get(k) != props.get(k):
+                    restore_changed = True
+                if k in tprops:
+                    props[k] = tprops[k]
+                else:
+                    props.pop(k, None)
             ch_rel = None
             if cdf:
                 ch_rel = self._write_changes(
                     self.read(v), self.read(version), "restore")
             if self._try_commit(v + 1, target["data"], target["schema"],
                                 "restore", changes_rel=ch_rel,
+                                props=props if (props or restore_changed)
+                                else None,
                                 files=target.get("files"),
                                 dv_rel=target.get("dv"),
                                 dv_rows=target.get("dv_rows", 0)):
@@ -2533,16 +2619,38 @@ class AcidTable:
             raise ValueError(
                 f"read_changes({v_from}, {v_to}) outside committed range "
                 f"[0, {latest}] at {self.path}")
+        # Epoch gate: the feed cannot mix schema epochs whose COLUMN
+        # IDENTITIES differ (Delta refuses CDF across column-mapping
+        # schema changes the same way). That is any commit that edits
+        # the logical→physical map or the retired set — rename_column,
+        # drop_column (recorded change files written before the drop
+        # still carry the dropped column's values; after a re-add of
+        # the same name the union would resurrect them under the new
+        # column identity), and an add_column that minted a fresh
+        # physical identity for a previously-recorded name. Plain
+        # add_column inherits props unchanged and passes. One O(range)
+        # forward walk over raw manifests, no per-version props chase.
+        eff = self._props(v_from)
+        ident = (eff.get("column_mapping"),
+                 eff.get("retired_physical"))
         for vv in range(v_from + 1, v_to + 1):
-            if self._manifest(vv, with_files=False)["op"] \
-                    == "rename_column":
+            mv = self._manifest(vv, with_files=False)
+            p = mv.get("props")
+            if p is not None:
+                eff = p
+            nxt = (eff.get("column_mapping"),
+                   eff.get("retired_physical"))
+            if mv["op"] == "rename_column" or nxt != ident:
                 raise ValueError(
-                    f"read_changes({v_from}, {v_to}) spans the column "
-                    f"rename at version {vv}; the change feed cannot "
-                    f"mix schema epochs with different logical names "
-                    f"(Delta refuses CDF across column-mapping schema "
-                    f"changes the same way) — read each epoch "
-                    f"separately")
+                    f"read_changes({v_from}, {v_to}) spans the column-"
+                    f"mapping schema change ({mv['op']}) at version "
+                    f"{vv}; the change feed cannot mix schema epochs "
+                    f"with different column identities (Delta refuses "
+                    f"CDF across column-mapping schema changes the "
+                    f"same way) — read each epoch separately, or use "
+                    f"read_changes_mapped for a rename-spanning feed "
+                    f"served in the target schema")
+            ident = nxt
 
         def recorded(m: dict):
             """change dir path if this commit recorded its deltas."""
@@ -2742,6 +2850,48 @@ class AcidTable:
             if whole:
                 ledger_dirs.append(rel)
         if plan:
+            ledger = self._manifests / "_vacuumed.jsonl"
+            if not ledger.exists():
+                # SEED the new ledger from one full stat sweep: files a
+                # PRE-LEDGER vacuum (old build) already deleted must be
+                # members too, or ledger-mode intact checks would call
+                # their versions readable. One-time cost at the first
+                # ledgered vacuum of a legacy table; the sweep covers
+                # every manifest's referenced files + DV/legacy dirs.
+                seen: set[str] = set()
+                seed_paths: list[str] = []
+                seed_dirs: set[str] = set()
+                for v in range(latest + 1):
+                    mv = self._manifest(v)
+                    fv = mv.get("files")
+                    if fv is None:
+                        d = mv["data"]
+                        if d not in seen:
+                            seen.add(d)
+                            if not (self.path / d).is_dir():
+                                seed_dirs.add(d)
+                    else:
+                        for f in fv:
+                            r = _entry_rel(mv, f)
+                            if r not in seen:
+                                seen.add(r)
+                                if not (self.path / r).exists():
+                                    seed_paths.append(r)
+                    dvd = mv.get("dv")
+                    if dvd and dvd not in seen:
+                        seen.add(dvd)
+                        if not (self.path / dvd).is_dir():
+                            seed_dirs.add(dvd)
+                for r in seed_paths:
+                    d = r.rsplit("/", 1)[0]
+                    if not (self.path / d).is_dir():
+                        seed_dirs.add(d)
+                if seed_paths or seed_dirs:
+                    with open(ledger, "a") as fh:
+                        fh.write(json.dumps(
+                            {"ts": time.time(), "seed": True,
+                             "paths": seed_paths,
+                             "dirs": sorted(seed_dirs)}) + "\n")
             # WRITE-AHEAD ledger: record what dies BEFORE deleting, so
             # cold reads answer "was this vacuumed?" with membership
             # checks instead of O(files) filesystem stats — and a crash

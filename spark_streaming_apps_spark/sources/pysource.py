@@ -206,8 +206,19 @@ class AcidTableDataSource(DataSource):
                            (Path(root) / m["data"]).glob("*.parquet")))
         dv_dir = f'{root}/{m["dv"]}' if "dv" in m else None
         fields = None
-        mapping = _walk_props(root).get("column_mapping") or {}
-        if any(l != p for l, p in mapping.items()):
+        # props AT THE READ VERSION (time travel must apply that
+        # version's mapping, not the latest's — a drop-then-re-add
+        # after ``m`` would otherwise bind the old logical name to the
+        # re-added column's fresh physical and read NULL)
+        props = _walk_props(root, version=m["version"])
+        mapping = props.get("column_mapping") or {}
+        if mapping or props.get("retired_physical"):
+            # build an explicit projection whenever ANY mapped or
+            # dropped column exists. A drop-only table (never renamed)
+            # has mapping == {} but its data files still carry the
+            # dropped physical column; without the projection the
+            # reader yields batches with an extra column and pyspark
+            # fails the DATA_SOURCE_RETURN_SCHEMA_MISMATCH count check.
             from pyspark.sql.pandas.types import to_arrow_type
             from pyspark.sql.types import StructType
             base = StructType.fromJson(m["schema"])
@@ -217,18 +228,19 @@ class AcidTableDataSource(DataSource):
                                fields)
 
 
-def _walk_props(path) -> dict:
-    """Table properties in force at the newest manifest (SparkSession-
-    free twin of AcidTable._props: walk back to the nearest manifest
-    carrying a props key — they are inherited forward, so this is the
-    evolved value, not v0's)."""
+def _walk_props(path, version: int | None = None) -> dict:
+    """Table properties in force at ``version`` (default: the newest
+    manifest) — SparkSession-free twin of AcidTable._props: walk back
+    to the nearest manifest carrying a props key — they are inherited
+    forward, so this is the evolved value, not v0's."""
     import json
     from pathlib import Path
 
     from ..acid import latest_committed_version
 
     manifests = Path(path) / "manifests"
-    latest = latest_committed_version(manifests)
+    latest = (latest_committed_version(manifests)
+              if version is None else int(version))
     vs = range(latest, -1, -1) if latest is not None else ()
     for v in vs:
         props = json.loads(
