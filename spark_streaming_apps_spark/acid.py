@@ -35,6 +35,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .storage import get_store
 from pyspark.sql.types import (BooleanType, ByteType, DoubleType,
                                FloatType, IntegerType, LongType,
                                ShortType, StringType, StructType)
@@ -187,7 +189,7 @@ def write_files_checkpoint(root, version: int,
         final = _checkpoint_path(root, version)
         tmp = final.with_name(f".{final.name}.{uuid.uuid4().hex[:8]}.tmp")
         pq.write_table(tbl, tmp, compression="zstd")
-        tmp.replace(final)
+        get_store().atomic_replace(tmp, final)
     except Exception:                              # noqa: BLE001
         pass
 
@@ -756,18 +758,19 @@ class AcidTable:
         if m.get("files") is not None:
             cloned_files = []
             for f in m["files"]:
-                os.link(self.path / _entry_rel(m, f),
-                        new.path / rel / _entry_name(f))
+                get_store().link_or_copy(
+                    self.path / _entry_rel(m, f),
+                    new.path / rel / _entry_name(f))
                 cloned_files.append({**f, "path": _entry_name(f)})
         else:
             for f in sorted((self.path / m["data"]).glob("*.parquet")):
-                os.link(f, new.path / rel / f.name)
+                get_store().link_or_copy(f, new.path / rel / f.name)
         dv_rel, dv_rows = None, 0
         if "dv" in m:
             dv_rel = f"data/dv-{uuid.uuid4().hex}"
             (new.path / dv_rel).mkdir(parents=True)
             for f in sorted((self.path / m["dv"]).glob("*.parquet")):
-                os.link(f, new.path / dv_rel / f.name)
+                get_store().link_or_copy(f, new.path / dv_rel / f.name)
             dv_rows = m.get("dv_rows", 0)
         props = dict(self._props(v)) or None
         new._try_commit(0, rel, m["schema"], "clone",
@@ -898,7 +901,7 @@ class AcidTable:
         dest = t.path / rel
         dest.mkdir(parents=True)
         for f in files:
-            os.link(f, dest / f.name)
+            get_store().link_or_copy(f, dest / f.name)
         t._try_commit(0, rel, schema.jsonValue(), op="convert",
                       files=collect_parquet_stats(dest))
         return t
@@ -927,7 +930,7 @@ class AcidTable:
         try:
             tmp = self._manifests / f"._latest.{uuid.uuid4().hex[:8]}"
             tmp.write_text(str(version))
-            tmp.replace(self._manifests / "_latest")
+            get_store().atomic_replace(tmp, self._manifests / "_latest")
         except OSError:                   # best-effort only
             pass
 
@@ -2241,10 +2244,12 @@ class AcidTable:
             constraints = parent_m.get("constraints")
         if constraints:
             manifest["constraints"] = constraints
-        try:
-            # the atomic swap: exactly one creator per manifest path
-            with open(self._manifests / f"v{version}.json", "x") as fh:
-                json.dump(manifest, fh)
+        # the atomic swap: exactly one creator per manifest path —
+        # routed through the FileStore seam so the fence primitive is
+        # pluggable per storage backend (LogStore pattern)
+        if get_store().create_exclusive(
+                self._manifests / f"v{version}.json",
+                json.dumps(manifest)):
             self._write_latest_hint(version)
             # seed the resolution cache (we hold the materialized list)
             _files_cache_put(
@@ -2254,8 +2259,7 @@ class AcidTable:
                 # for cold readers (best-effort, derived data only)
                 write_files_checkpoint(self.path, version, files_full)
             return True
-        except FileExistsError:
-            return False
+        return False
 
     def _commit_loop(self, build, op: str, max_retries: int = 20,
                      insert_hint: DataFrame | None = None,
@@ -2763,7 +2767,8 @@ class AcidTable:
             m["changes"] = ch
             tmp = self._manifests / f".v{v}.json.tmp"
             tmp.write_text(json.dumps(m))
-            tmp.replace(self._manifests / f"v{v}.json")
+            get_store().atomic_replace(
+                tmp, self._manifests / f"v{v}.json")
             done.append(v)
         return done
 

@@ -41,6 +41,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from .acid import AcidTable, CommitConflict
+from .storage import get_store
 
 
 class AcidCatalog:
@@ -123,19 +124,21 @@ class AcidCatalog:
             for name, v in new_pins.items():
                 merged[name] = max(v, merged.get(name, -1))
             nxt = (e if e is not None else -1) + 1
-            try:
-                with open(self._commits / f"c{nxt}.json", "x") as fh:
-                    json.dump(merged, fh)
+            # the catalog pointer swap IS the natural CAS point on
+            # object stores — routed through the same FileStore seam
+            # as table manifests
+            if get_store().create_exclusive(
+                    self._commits / f"c{nxt}.json", json.dumps(merged)):
                 try:                        # best-effort O(1) hint
                     import uuid as _uuid
                     tmp = self._commits / f"._latest.{_uuid.uuid4().hex[:8]}"
                     tmp.write_text(str(nxt))
-                    tmp.replace(self._commits / "_latest")
+                    get_store().atomic_replace(
+                        tmp, self._commits / "_latest")
                 except OSError:
                     pass
                 return nxt
-            except FileExistsError:
-                continue                    # lost the pointer race: merge
+            continue                        # lost the pointer race: merge
         raise CommitConflict(
             f"gave up publishing catalog entry after {max_retries} races")
 

@@ -78,12 +78,10 @@ def try_claim(claim_dir, file_id: int, worker_id: str) -> bool:
     (FileWorkerApp.scala:207-227: BEGIN; SELECT … LIMIT 1; UPDATE …;
     COMMIT). The marker records the winning worker for audit."""
     from pathlib import Path
-    try:
-        with open(Path(claim_dir) / f"{int(file_id)}.claim", "x") as fh:
-            fh.write(worker_id)
-        return True
-    except FileExistsError:
-        return False
+
+    from ..storage import get_store
+    return get_store().create_exclusive(
+        Path(claim_dir) / f"{int(file_id)}.claim", worker_id)
 
 
 def claim_one_exclusive(q: DataFrame, claim_dir, worker_id: str,

@@ -425,8 +425,10 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 # and metadata regardless of table file count — the
                 # manifest-list shape (no per-table-file syscalls,
                 # object-store-compatible)
+                from ..storage import get_store
                 for fp in staged:
-                    os.link(fp, dest / Path(fp).name)  # this batch
+                    # this batch (hardlink or copy per the FileStore)
+                    get_store().link_or_copy(fp, dest / Path(fp).name)
                 # O(delta) stats, mirroring _write_data_linked: footers
                 # of the STAGED files only; carried parent entries are
                 # re-anchored to root-relative paths (pure list concat)
@@ -474,9 +476,9 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     ch_rel = f"data/changes-{_uuid.uuid4().hex}"
                     self._record_changes(root, ch_rel, staged)
                     manifest["changes"] = ch_rel
-                try:
-                    with open(manifests / f"v{v + 1}.json", "x") as fh:
-                        json.dump(manifest, fh)
+                if get_store().create_exclusive(
+                        manifests / f"v{v + 1}.json",
+                        json.dumps(manifest)):
                     from ..acid import (CHECKPOINT_EVERY,
                                         _files_cache_put,
                                         write_files_checkpoint)
@@ -487,11 +489,12 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     try:                     # best-effort O(1) hint
                         tmp = manifests / f"._latest.{_uuid.uuid4().hex[:8]}"
                         tmp.write_text(str(v + 1))
-                        tmp.replace(manifests / "_latest")
+                        get_store().atomic_replace(
+                            tmp, manifests / "_latest")
                     except OSError:
                         pass
                     return
-                except FileExistsError:       # lost the race: retry on top
+                else:                         # lost the race: retry on top
                     shutil.rmtree(dest, ignore_errors=True)
                     if "changes" in manifest:
                         shutil.rmtree(root / manifest["changes"],

@@ -1,0 +1,202 @@
+"""FileStore: the storage seam under every ACID commit fence.
+
+Every atomicity guarantee in the table layer reduces to three storage
+primitives, isolated here behind one interface (Delta's LogStore
+pattern — io.delta.storage.LogStore exists for exactly this reason):
+
+* ``create_exclusive(path, data)`` — the COMMIT FENCE: publish a small
+  metadata file iff absent, atomically; exactly one concurrent writer
+  wins. This is what makes a manifest/catalog-entry/claim swap safe
+  (reference analog: the transactional claim, FileWorkerApp.scala:
+  207-227).
+* ``link_or_copy(src, dst)`` — share an IMMUTABLE data file into a new
+  commit dir without rewriting it (clone/convert).
+* ``atomic_replace(tmp, final)`` — last-writer-wins replace for
+  DERIVED data only (the ``_latest`` hint, parquet checkpoints):
+  readers must never see a torn file, but losing a race only costs a
+  lagging hint, never correctness.
+
+Two implementations ship:
+
+* :class:`PosixFileStore` (default) — ``open(..., "x")`` (O_CREAT|
+  O_EXCL), ``os.link`` hardlinks, ``rename``-replace. Correct on local
+  filesystems, NFSv4+, and HDFS mounted with POSIX semantics.
+* :class:`RenameFileStore` — for stores WITHOUT hardlinks or O_EXCL
+  open but WITH atomic no-overwrite rename (HDFS's
+  ``FileContext.rename(..., Options.Rename.NONE)`` contract): the
+  fence stages a temp file and atomically renames it onto the final
+  path, failing if the destination exists; immutable files are COPIED
+  (the real degradation on such stores — clone/convert pay O(bytes)
+  instead of O(files)).
+
+Object stores (S3/GCS) have NEITHER primitive natively; their
+implementation maps ``create_exclusive`` to a conditional PUT
+(``If-None-Match: *`` / ``x-goog-if-generation-match: 0``) or an
+external CAS (Delta's DynamoDB LogStore), and ``link_or_copy`` to a
+server-side COPY. The seam is the point: the ACID layer calls these
+three verbs and nothing else, so porting to a new store is one class,
+not an audit of every commit path.
+
+Selection: ``set_store()`` / the ``SPARK_GRAFT_FILESTORE`` env var
+(``posix`` | ``rename``). Data-plane IO (parquet writes/scans) never
+goes through this seam — only the metadata fences do, so the
+indirection costs nothing per row.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import errno
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+__all__ = ["FileStore", "PosixFileStore", "RenameFileStore",
+           "get_store", "set_store"]
+
+
+class FileStore:
+    """The three-verb storage contract every commit path routes through."""
+
+    name = "abstract"
+
+    def create_exclusive(self, path, data: str) -> bool:
+        """Atomically create ``path`` holding ``data`` iff it does not
+        exist. Returns True if THIS caller created it, False if the
+        path already existed (a concurrent writer won). Must never
+        leave a partially-visible file at ``path``."""
+        raise NotImplementedError
+
+    def link_or_copy(self, src, dst) -> None:
+        """Make the immutable file ``src`` available at ``dst``.
+        Implementations may hardlink (O(1)) or copy (O(bytes)); callers
+        must treat both ends as immutable afterwards."""
+        raise NotImplementedError
+
+    def atomic_replace(self, tmp, final) -> None:
+        """Atomically replace ``final`` with the fully-written ``tmp``
+        (last writer wins). For derived/advisory data only — the caller
+        must tolerate losing the race."""
+        raise NotImplementedError
+
+
+class PosixFileStore(FileStore):
+    """O_EXCL + hardlinks + rename: the POSIX-semantics default."""
+
+    name = "posix"
+
+    def create_exclusive(self, path, data: str) -> bool:
+        try:
+            with open(path, "x") as fh:
+                fh.write(data)
+            return True
+        except FileExistsError:
+            return False
+
+    def link_or_copy(self, src, dst) -> None:
+        try:
+            os.link(src, dst)
+        except OSError as e:
+            if e.errno not in (errno.EXDEV, errno.EPERM, errno.EMLINK):
+                raise
+            # cross-device / link-forbidden mount: degrade to a copy
+            shutil.copy2(src, dst)
+
+    def atomic_replace(self, tmp, final) -> None:
+        Path(tmp).replace(final)
+
+
+_RENAME_NOREPLACE = 1  # linux/include/uapi/linux/fs.h
+
+
+def _rename_noreplace(src: str, dst: str) -> None:
+    """Atomic no-overwrite rename — renameat2(..., RENAME_NOREPLACE)
+    on Linux (one syscall, kernel-atomic); emulated with a hardlink+
+    unlink pair elsewhere (same visible contract: fails with EEXIST
+    when dst exists, dst appears fully-written or not at all)."""
+    libc = getattr(_rename_noreplace, "_libc", None)
+    if libc is None:
+        try:
+            libc = ctypes.CDLL("libc.so.6", use_errno=True)
+            libc.renameat2  # probe
+        except (OSError, AttributeError):
+            libc = False
+        _rename_noreplace._libc = libc
+    if libc:
+        AT_FDCWD = -100
+        r = libc.renameat2(AT_FDCWD, src.encode(), AT_FDCWD,
+                           dst.encode(), _RENAME_NOREPLACE)
+        if r != 0:
+            err = ctypes.get_errno()
+            raise OSError(err, os.strerror(err), dst)
+        return
+    os.link(src, dst)       # emulation: link fails if dst exists
+    os.unlink(src)
+
+
+class RenameFileStore(FileStore):
+    """No hardlinks, no O_EXCL open — the HDFS-contract store: the
+    fence is stage + atomic no-overwrite rename; immutable sharing is
+    a copy."""
+
+    name = "rename"
+
+    def create_exclusive(self, path, data: str) -> bool:
+        path = Path(path)
+        if path.exists():       # cheap fast-path; the rename still fences
+            return False
+        tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex[:8]}.stage")
+        tmp.write_text(data)
+        try:
+            _rename_noreplace(str(tmp), str(path))
+            return True
+        except FileExistsError:
+            tmp.unlink(missing_ok=True)
+            return False
+        except OSError as e:
+            tmp.unlink(missing_ok=True)
+            if e.errno == errno.EEXIST:
+                return False
+            raise
+
+    def link_or_copy(self, src, dst) -> None:
+        shutil.copy2(src, dst)
+
+    def atomic_replace(self, tmp, final) -> None:
+        # plain rename IS atomic-replace on rename-capable stores
+        Path(tmp).replace(final)
+
+
+_STORES = {"posix": PosixFileStore, "rename": RenameFileStore}
+_ACTIVE: FileStore | None = None
+
+
+def get_store() -> FileStore:
+    """The process-wide FileStore: explicit ``set_store`` wins, else
+    the ``SPARK_GRAFT_FILESTORE`` env var, else POSIX."""
+    global _ACTIVE
+    if _ACTIVE is None:
+        name = os.environ.get("SPARK_GRAFT_FILESTORE", "posix").lower()
+        cls = _STORES.get(name)
+        if cls is None:
+            raise ValueError(
+                f"unknown SPARK_GRAFT_FILESTORE {name!r}; "
+                f"expected one of {sorted(_STORES)}")
+        _ACTIVE = cls()
+    return _ACTIVE
+
+
+def set_store(store: FileStore | str | None) -> FileStore | None:
+    """Install a FileStore (instance or registered name); ``None``
+    resets to env/default resolution. Returns the PREVIOUS store so
+    tests can restore it."""
+    global _ACTIVE
+    prev = _ACTIVE
+    if store is None:
+        _ACTIVE = None
+    elif isinstance(store, str):
+        _ACTIVE = _STORES[store]()
+    else:
+        _ACTIVE = store
+    return prev
