@@ -2734,6 +2734,137 @@ class AcidTable:
                 .unionByName(widened(df, cols, types))
         return out
 
+    def _translate_to_schema(self, df: DataFrame, src_mapping: dict,
+                             target_schema: StructType,
+                             target_mapping: dict,
+                             extra: list[str] = ()) -> DataFrame:
+        """Project ``df`` (whose columns are one epoch's LOGICAL names
+        under ``src_mapping``) onto ``target_schema``'s logical names,
+        matching columns by their frozen PHYSICAL identity — the
+        schema-tracking translation (Delta's schemaTrackingLocation
+        idea): a rename is a no-op in physical space, a column absent
+        from the target identity set is dropped, a target column with
+        no source identity reads NULL. ``extra`` columns (metadata like
+        _change_type) pass through untouched."""
+        have = set(df.columns)
+        # physical identity of every SOURCE column: an explicit mapping
+        # entry wins; an unmapped column's physical is its own name —
+        # but only for columns the frame actually has. (Matching a
+        # target physical by bare name would mis-bind when a source
+        # LOGICAL of that name is mapped elsewhere: post-drop re-added
+        # 'score' has physical 'score', but epoch-v frame column
+        # 'score' may represent physical 'val'.)
+        phys_to_src = {src_mapping.get(l, l): l
+                       for l in have if l not in extra}
+        cols = []
+        for fld in target_schema.fields:
+            phys = target_mapping.get(fld.name, fld.name)
+            src = phys_to_src.get(phys)
+            if src is not None:
+                cols.append(F.col(src).cast(fld.dataType)
+                            .alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType)
+                            .alias(fld.name))
+        return df.select(*cols, *[F.col(c) for c in extra if c in have])
+
+    def read_mapped(self, version: int, schema_of: int) -> DataFrame:
+        """``read(version)`` served in the LOGICAL schema of
+        ``schema_of`` — columns matched by physical identity (renames
+        collapse, dropped-then-re-added columns read NULL). The
+        projection half of the mapped change feed's multiset
+        contract."""
+        return self._translate_to_schema(
+            self.read(version), self._mapping_at(version),
+            StructType.fromJson(
+                self._manifest(schema_of, with_files=False)["schema"]),
+            self._mapping_at(schema_of))
+
+    def read_changes_mapped(self, v_from: int, v_to: int,
+                            schema_of: int | None = None) -> DataFrame:
+        """Change data feed ACROSS column-mapping schema changes,
+        served in one declared target schema (default: ``v_to``'s) —
+        the schema-tracking read ``read_changes`` refuses to fake.
+        Delta answers this with a schemaTrackingLocation; here the
+        table's own logical→physical map IS the tracking state, so the
+        translation needs no side files: every epoch's deltas are
+        projected onto the target schema by frozen physical identity
+        (``_translate_to_schema``): renames collapse to one column,
+        columns dropped before the target read as absent, re-added
+        columns (fresh physical identity) read NULL for pre-add
+        epochs — never the old bytes.
+
+        Contract (the mapped multiset equation, pinned in tests):
+        ``read_mapped(v_from, schema_of)`` ⊎ inserts ∖ deletes ==
+        ``read_mapped(v_to, schema_of)``. Serving cost matches
+        ``read_changes``: recorded change files stream as parquet
+        scans; unrecorded versions pay one distributed exceptAll pair
+        (translated FIRST, so the diff runs in one schema)."""
+        latest = self.latest_version()
+        if not (0 <= v_from <= v_to
+                <= (latest if latest is not None else -1)):
+            raise ValueError(
+                f"read_changes_mapped({v_from}, {v_to}) outside "
+                f"committed range [0, {latest}] at {self.path}")
+        tv = v_to if schema_of is None else schema_of
+        target_schema = StructType.fromJson(
+            self._manifest(tv, with_files=False)["schema"])
+        target_mapping = self._mapping_at(tv)
+
+        def recorded(m: dict):
+            if "changes" not in m:
+                return None
+            p = self.path / m["changes"]
+            return p if p.is_dir() else None
+
+        # retention guard — identical to read_changes: every snapshot a
+        # fallback diff needs must still exist
+        need_data: set[int] = set()
+        for v in range(v_from + 1, v_to + 1):
+            if recorded(self._manifest(v, with_files=False)) is None:
+                need_data.update((v - 1, v))
+        vacuumed = [v for v in sorted(need_data)
+                    if not self._version_intact(self._manifest(v))]
+        if vacuumed:
+            raise VersionVacuumedError(
+                f"read_changes_mapped({v_from}, {v_to}) needs vacuumed "
+                f"version(s) {vacuumed} of {self.path}")
+
+        frames = []
+        meta = ["_change_type", "_commit_version"]
+        for v in range(v_from + 1, v_to + 1):
+            m = self._manifest(v, with_files=False)
+            mv = self._mapping_at(v)
+            ch = recorded(m)
+            if ch is not None:
+                f = (self.spark.read.parquet(str(ch))
+                     .withColumn("_commit_version", F.lit(v)))
+                frames.append(self._translate_to_schema(
+                    f, mv, target_schema, target_mapping, extra=meta))
+                continue
+            # fallback diff: translate BOTH snapshots into the target
+            # schema first, then diff — a pure-rename commit diffs
+            # empty here, exactly as its recorded (empty) pair would
+            old = self.read_mapped(v - 1, tv)
+            new = self.read_mapped(v, tv)
+            frames.append(
+                new.exceptAll(old)
+                .select("*", F.lit("insert").alias("_change_type"),
+                        F.lit(v).alias("_commit_version"))
+                .unionByName(
+                    old.exceptAll(new)
+                    .select("*", F.lit("delete").alias("_change_type"),
+                            F.lit(v).alias("_commit_version"))))
+        if not frames:
+            base = self.read_mapped(v_to, tv)
+            return (base.select(
+                "*", F.lit("").alias("_change_type"),
+                F.lit(0).alias("_commit_version")).limit(0))
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
+        return out
+
     def backfill_changes(self, v_from: int = 1,
                          v_to: int | None = None) -> list[int]:
         """Record change files for versions that predate (or lack)

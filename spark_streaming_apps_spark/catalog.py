@@ -1160,6 +1160,9 @@ register("acid_convert", oracle=extensions.ACID_CONVERT_ORACLE
 register("acid_column_mapping", oracle=extensions.ACID_COLUMN_MAPPING_ORACLE
          )(lambda s, d: extensions.acid_column_mapping(s, d, SCRATCH))
 
+register("acid_cdf_mapped", oracle=extensions.ACID_CDF_MAPPED_ORACLE
+         )(lambda s, d: extensions.acid_cdf_mapped(s, d, SCRATCH))
+
 register("acid_checkpoint", oracle=extensions.ACID_CHECKPOINT_ORACLE
          )(lambda s, d: extensions.acid_checkpoint(s, d, SCRATCH))
 

@@ -2229,6 +2229,77 @@ FROM live
 """
 
 
+def acid_cdf_mapped(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """Change feed ACROSS a column-mapping RENAME — the schema-tracking
+    read (Delta's schemaTrackingLocation semantics, served from the
+    table's own logical→physical map): create a CDF table from
+    lineitem → append → RENAME l_quantity→qty (pure metadata) →
+    append through the new name → DELETE — then ``read_changes_mapped``
+    serves ONE feed over the whole span in the target (renamed)
+    schema, pre-rename values carried through the frozen physical
+    identity (never NULLed, never resurrected). Pins: per-type
+    counts/sums of the feed AND the mapped multiset contract
+    read_mapped(0) ⊎ inserts ∖ deletes == read_mapped(latest),
+    verified with two distributed exceptAlls. (Reference analog:
+    schema DDL on the work tables, StreamingApp.scala:140-259.)"""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_cdfmap_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity")
+          .filter(F.col("l_orderkey") <= CMAP_MAX_KEY))
+    t = AcidTable.create(spark, path, li.filter("l_orderkey % 7 = 0"),
+                         enable_cdf=True)
+    t.append(li.filter("l_orderkey % 7 = 1"))                    # v1
+    t.rename_column("l_quantity", "qty")                         # v2
+    t.append(li.filter("l_orderkey % 7 = 2")
+             .withColumnRenamed("l_quantity", "qty"))            # v3
+    t.delete_where("l_orderkey % 3 = 0")                         # v4
+    feed = t.read_changes_mapped(0, 4)
+    # mapped multiset contract, distributed: base ⊎ ins ∖ dels == final
+    ins = feed.filter("_change_type = 'insert'").drop(
+        "_change_type", "_commit_version")
+    dels = feed.filter("_change_type = 'delete'").drop(
+        "_change_type", "_commit_version")
+    lhs = t.read_mapped(0, 4).unionByName(ins).exceptAll(dels)
+    rhs = t.read_mapped(4, 4)
+    contract_ok = (lhs.exceptAll(rhs).count() == 0
+                   and rhs.exceptAll(lhs).count() == 0)
+    return (feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("qty").cast("decimal(18,2)"))
+                  .cast("double").alias("qty_sum"))
+            .withColumn("contract_ok", F.lit(bool(contract_ok)))
+            .orderBy("_change_type"))
+
+
+ACID_CDF_MAPPED_ORACLE = f"""
+WITH sub AS (
+  SELECT l_orderkey, l_quantity AS qty FROM lineitem
+  WHERE l_orderkey <= {CMAP_MAX_KEY}),
+ins AS (
+  SELECT * FROM sub WHERE l_orderkey % 7 IN (1, 2)),
+dels AS (
+  SELECT * FROM sub
+  WHERE l_orderkey % 7 IN (0, 1, 2) AND l_orderkey % 3 = 0)
+SELECT * FROM (
+  SELECT 'insert' AS _change_type, COUNT(*) AS n,
+         CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+         TRUE AS contract_ok
+  FROM ins
+  UNION ALL
+  SELECT 'delete', COUNT(*),
+         CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE), TRUE
+  FROM dels)
+ORDER BY _change_type
+"""
+
+
 def acid_checkpoint(spark: SparkSession, sf_dir: str,
                     scratch: Path) -> DataFrame:
     """O(delta) manifest encoding + the PARQUET CHECKPOINT (Delta's

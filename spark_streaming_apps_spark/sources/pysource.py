@@ -148,8 +148,14 @@ class AcidTableDataSource(DataSource):
         from pyspark.sql.pandas.types import to_arrow_type
         pa_fields = [(f.name, to_arrow_type(f.dataType))
                      for f in schema.fields]
+        # column-mapped tables: staged files must write the FROZEN
+        # physical names; the mapping is captured at stream start and
+        # re-checked at every commit (identity-epoch fence)
+        mapping = (_walk_props(self.options["path"])
+                   .get("column_mapping") or {})
         return AcidStreamWriter(self.options["path"], pa_fields,
-                                self.options.get("appid", "acid-sink"))
+                                self.options.get("appid", "acid-sink"),
+                                mapping)
 
     def _manifest(self) -> dict:
         import json
@@ -250,22 +256,6 @@ def _walk_props(path, version: int | None = None) -> dict:
     return {}
 
 
-def _refuse_column_mapped(path, what: str) -> None:
-    """Streaming readers and the sink scan parquet by PHYSICAL name
-    with a schema fixed at start; a table whose logical names diverged
-    (RENAME/DROP COLUMN under column mapping) would silently misread —
-    refuse loudly instead (Delta gates streaming across column-mapping
-    schema changes the same way)."""
-    mapping = _walk_props(path).get("column_mapping") or {}
-    if any(l != p for l, p in mapping.items()):
-        raise RuntimeError(
-            f"{what}: table at {path} uses column mapping (a column "
-            f"was renamed); streaming reads/writes of column-mapped "
-            f"tables are not supported — use batch reads, or CREATE "
-            f"TABLE AS SELECT into a fresh table to materialize the "
-            f"current names")
-
-
 class AcidSinkMessage(WriterCommitMessage):
     def __init__(self, files: list, stages: list,
                  parts: list | None = None):
@@ -295,10 +285,16 @@ class AcidStreamWriter(DataSourceStreamWriter):
     * ``abort``: remove staged files.
     """
 
-    def __init__(self, path: str, pa_fields, app_id: str):
+    def __init__(self, path: str, pa_fields, app_id: str,
+                 mapping: dict | None = None):
         self.path = path
         self.pa_fields = pa_fields
         self.app_id = app_id
+        #: logical->physical map captured at stream start; staged
+        #: parquet writes physical names, everything else stays logical
+        self.mapping = dict(mapping or {})
+        self.phys_names = [self.mapping.get(n, n)
+                           for n, _ in pa_fields]
         self._pcols: list | None = None      # lazy v0-props read
 
     def _partition_cols(self) -> list:
@@ -327,7 +323,9 @@ class AcidStreamWriter(DataSourceStreamWriter):
             arrays = [pa.array(list(c), type=t)
                       for c, (_, t) in zip(cols, self.pa_fields)]
             f = stage / f"sink-{_uuid.uuid4().hex}.parquet"
-            pq.write_table(pa.Table.from_arrays(arrays, names), f)
+            # data files ALWAYS hold the frozen physical names
+            pq.write_table(
+                pa.Table.from_arrays(arrays, self.phys_names), f)
             return str(f)
 
         pcols = self._partition_cols()
@@ -364,10 +362,16 @@ class AcidStreamWriter(DataSourceStreamWriter):
         import duckdb
 
         files = ", ".join(f"'{p}'" for p in staged)
+        # mapped tables: staged files carry physical names, CHECK
+        # expressions bind logical ones — alias in the probe
+        sel = ", ".join(
+            f'"{p}" AS "{l}"' for (l, _t), p
+            in zip(self.pa_fields, self.phys_names))
         for name, expr in cons.items():
             try:
                 bad = duckdb.sql(
-                    f"SELECT * FROM read_parquet([{files}]) "
+                    f"SELECT * FROM (SELECT {sel} "
+                    f"FROM read_parquet([{files}])) "
                     f"WHERE NOT ({expr}) OR ({expr}) IS NULL "
                     f"LIMIT 1").fetchall()
             except Exception as e:             # noqa: BLE001
@@ -391,7 +395,19 @@ class AcidStreamWriter(DataSourceStreamWriter):
         from ..acid import collect_file_stats, collect_parquet_stats
 
         root = Path(self.path)
-        _refuse_column_mapped(root, "acidtable sink")
+        # identity-epoch fence (Delta schema-tracking): the sink may
+        # stream INTO a column-mapped table — staged files write the
+        # physical names captured at start — but if the identity map
+        # changed mid-stream (RENAME/DROP/re-ADD COLUMN), those
+        # physicals may be stale; refuse and ask for a restart, which
+        # re-resolves the mapping
+        cur_mapping = _walk_props(root).get("column_mapping") or {}
+        if cur_mapping != self.mapping:
+            raise RuntimeError(
+                f"acidtable sink: column-mapping identity of "
+                f"{self.path} changed since this stream started "
+                f"({self.mapping} -> {cur_mapping}); restart the "
+                f"streaming query to pick up the new schema")
         manifests = root / "manifests"
         staged, staged_parts = [], []
         for msg in messages:
@@ -434,7 +450,13 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 # re-anchored to root-relative paths (pure list concat)
                 new_stats = collect_file_stats(
                     dest / Path(fp).name for fp in staged)
+                inv = {p: l for l, p in self.mapping.items()}
                 for e, part in zip(new_stats, staged_parts):
+                    if inv and e.get("stats"):
+                        # manifest stats stay LOGICAL (pruners never
+                        # translate) — same rule as _destat_entries
+                        e["stats"] = {inv.get(k, k): v
+                                      for k, v in e["stats"].items()}
                     if part is not None:   # partitioned table: the
                         e["partition"] = part  # tuple rides the entry
                     e["path"] = f'{new_rel}/{e["path"]}'
@@ -516,8 +538,11 @@ class AcidStreamWriter(DataSourceStreamWriter):
 
         chdir = root / ch_rel
         chdir.mkdir(parents=True)
+        logical = [n for n, _ in self.pa_fields]
         for fp in staged:
             tbl = pq.read_table(fp)
+            if self.mapping:      # physical names back to logical —
+                tbl = tbl.rename_columns(logical)  # CDF stays logical
             tbl = tbl.append_column(
                 "_change_type",
                 pa.array(["insert"] * tbl.num_rows, pa.string()))
@@ -885,7 +910,6 @@ class AcidCdfStreamDataSource(DataSource):
         from pyspark.sql.types import (IntegerType, StringType, StructField,
                                        StructType)
         root = Path(self.options["path"])
-        _refuse_column_mapped(root, "acidtable-cdf")
         from ..acid import latest_committed_version
         m = json.loads(
             (root / "manifests" /
@@ -897,19 +921,34 @@ class AcidCdfStreamDataSource(DataSource):
             StructField("_commit_version", IntegerType())])
 
     def simpleStreamReader(self, schema):
-        base_cols = [f.name for f in schema.fields
-                     if f.name not in ("_change_type", "_commit_version")]
+        # schema-tracking stream over mapped tables: the stream serves
+        # the CURRENT logical schema; each field carries its frozen
+        # PHYSICAL identity so every epoch's recorded change files
+        # translate onto it (renames collapse, re-added columns read
+        # NULL for pre-add epochs) — Delta's schemaTrackingLocation
+        # semantics with the table's own map as the tracking state
+        mapping = (_walk_props(self.options["path"])
+                   .get("column_mapping") or {})
+        base_fields = [(f.name, mapping.get(f.name, f.name))
+                       for f in schema.fields
+                       if f.name not in ("_change_type",
+                                         "_commit_version")]
         return AcidCdfStreamReader(
-            self.options["path"], base_cols,
+            self.options["path"], base_fields,
             int(self.options.get("startingversion", "0")),
             int(self.options.get("maxversionspertrigger", "0")))
 
 
 class AcidCdfStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, path: str, base_cols: list, starting_version: int,
-                 max_versions: int = 0):
+    def __init__(self, path: str, base_fields: list,
+                 starting_version: int, max_versions: int = 0):
         self.path = path
-        self.base_cols = base_cols   # declared output order, fixed at start
+        #: [(logical, physical)] — declared output order and the
+        #: frozen identity each column matches change files by
+        self.base_fields = ([(c, c) for c in base_fields]
+                            if base_fields and
+                            isinstance(base_fields[0], str)
+                            else base_fields)
         self.start_version = starting_version
         self.max_versions = max_versions          # 0 = unlimited
 
@@ -934,12 +973,24 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         chdir = Path(self.path) / m["changes"]
         if not chdir.is_dir():
             return None
+        # the epoch's logical->physical map (inherited props walk)
+        # decides which recorded column carries each declared field's
+        # physical identity; a field whose identity has no source in
+        # this epoch (dropped/not-yet-added) reads NULL
+        mapping_v = (_walk_props(self.path, version=version)
+                     .get("column_mapping") or {})
         out = []
         for f in sorted(chdir.glob("*.parquet")):
             tbl = pq.read_table(f)
             have = set(tbl.column_names)
-            cols = [tbl.column(c).to_pylist() if c in have
-                    else [None] * tbl.num_rows for c in self.base_cols]
+            phys_to_src = {mapping_v.get(c, c): c for c in have
+                           if c != "_change_type"}
+            cols = []
+            for _logical, phys in self.base_fields:
+                src = phys_to_src.get(phys)
+                cols.append(tbl.column(src).to_pylist()
+                            if src is not None
+                            else [None] * tbl.num_rows)
             ctypes = tbl.column("_change_type").to_pylist()
             for r, ct in zip(zip(*cols), ctypes):
                 out.append(r + (ct, version))
@@ -1002,8 +1053,11 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
 # written as N files fans out over N tasks exactly like a native scan.
 
 class CdfFileSlice(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, colmap=None):
         self.path, self.version = path, version
+        #: source column per declared field (None = no identity in
+        #: this epoch: NULL), resolved driver-side at plan time
+        self.colmap = colmap
 
 
 class AcidCdfParallelStreamDataSource(DataSource):
@@ -1023,7 +1077,6 @@ class AcidCdfParallelStreamDataSource(DataSource):
         from pyspark.sql.types import (IntegerType, StringType, StructField,
                                        StructType)
         root = Path(self.options["path"])
-        _refuse_column_mapped(root, "acidtable-cdf")
         from ..acid import latest_committed_version
         m = json.loads(
             (root / "manifests" /
@@ -1036,7 +1089,14 @@ class AcidCdfParallelStreamDataSource(DataSource):
 
     def streamReader(self, schema):
         from pyspark.sql.pandas.types import to_arrow_type
-        pa_fields = [(f.name, to_arrow_type(f.dataType))
+        # (logical, physical identity, arrow type) per served field —
+        # the schema-tracking translation state (see the simple
+        # reader's docstring); the driver resolves each VERSION's
+        # source column at plan time and ships it on the slice
+        mapping = (_walk_props(self.options["path"])
+                   .get("column_mapping") or {})
+        pa_fields = [(f.name, mapping.get(f.name, f.name),
+                      to_arrow_type(f.dataType))
                      for f in schema.fields
                      if f.name not in ("_change_type", "_commit_version")]
         return AcidCdfParallelReader(
@@ -1109,7 +1169,16 @@ class AcidCdfParallelReader(DataSourceStreamReader):
                 raise RuntimeError(
                     f"acidtable-cdf-parallel: version {v} change files "
                     f"were vacuumed; resume at a retained version")
-            out.extend(CdfFileSlice(str(f), v)
+            # epoch translation: which of version v's logical columns
+            # (the manifest schema = the change files' columns)
+            # carries each declared field's physical identity
+            mapping_v = (_walk_props(self.path, version=v)
+                         .get("column_mapping") or {})
+            epoch_cols = [f["name"] for f in m["schema"]["fields"]]
+            phys_to_src = {mapping_v.get(c, c): c for c in epoch_cols}
+            colmap = [phys_to_src.get(phys)
+                      for _l, phys, _t in self.pa_fields]
+            out.extend(CdfFileSlice(str(f), v, colmap)
                        for f in sorted(chdir.glob("*.parquet")))
         return out or [CdfFileSlice("", -1)]        # no-data batch
 
@@ -1124,11 +1193,14 @@ class AcidCdfParallelReader(DataSourceStreamReader):
         if not n:
             return
         have = set(tbl.column_names)
+        colmap = sl.colmap or [l for l, _p, _t in self.pa_fields]
         arrays, names = [], []
-        for name, patype in self.pa_fields:
-            arrays.append(tbl.column(name).combine_chunks().cast(patype)
-                          if name in have else pa.nulls(n, patype))
-            names.append(name)
+        for (logical, _phys, patype), src in zip(self.pa_fields, colmap):
+            arrays.append(
+                tbl.column(src).combine_chunks().cast(patype)
+                if src is not None and src in have
+                else pa.nulls(n, patype))
+            names.append(logical)
         arrays.append(tbl.column("_change_type").combine_chunks())
         arrays.append(pa.array([sl.version] * n, pa.int32()))
         names += ["_change_type", "_commit_version"]
@@ -1156,10 +1228,15 @@ class AcidStreamSlice(InputPartition):
         self.path, self.version, self.dv_dir = path, version, dv_dir
 
 
-#: ops whose commits change no row — nothing to emit, never an error
+#: ops whose commits change no row — nothing to emit, never an error.
+#: rename/drop_column qualify: under column mapping they are pure
+#: metadata, and this reader matches files by FROZEN physical name,
+#: which a rename never changes (a re-added column mints a fresh
+#: physical, so old files correctly read NULL for it)
 _ROW_PRESERVING_OPS = frozenset({
     "compact", "relayout", "compact_partition", "add_constraint",
-    "drop_constraint", "add_column", "set_partition_by", "clone"})
+    "drop_constraint", "add_column", "set_partition_by", "clone",
+    "rename_column", "drop_column"})
 
 #: ops that only add rows — the appended files ARE the batch
 _APPEND_OPS = frozenset({"append", "append_txn", "stream_sink"})
@@ -1181,7 +1258,6 @@ class AcidTableStreamDataSource(DataSource):
 
         from pyspark.sql.types import StructType
         root = Path(self.options["path"])
-        _refuse_column_mapped(root, "acidtable-stream")
         from ..acid import latest_committed_version
         m = json.loads(
             (root / "manifests" /
@@ -1191,7 +1267,14 @@ class AcidTableStreamDataSource(DataSource):
 
     def streamReader(self, schema):
         from pyspark.sql.pandas.types import to_arrow_type
-        pa_fields = [(f.name, to_arrow_type(f.dataType))
+        # data files hold FROZEN physical names at every epoch, so one
+        # start-time resolution (logical -> physical identity) serves
+        # the whole stream: later renames change nothing physical,
+        # later drops/re-adds NULL-widen exactly like schema evolution
+        mapping = (_walk_props(self.options["path"])
+                   .get("column_mapping") or {})
+        pa_fields = [(mapping.get(f.name, f.name), f.name,
+                      to_arrow_type(f.dataType))
                      for f in schema.fields]
         return AcidTableStreamReader(
             self.options["path"], pa_fields,
@@ -1344,14 +1427,17 @@ class AcidTableStreamReader(DataSourceStreamReader):
                 off += n
             if not n:
                 continue
-            have = set(b.schema.names)
+            have = {n2: i for i, n2 in enumerate(b.schema.names)}
             arrays, names = [], []
-            for cname, patype in self.pa_fields:
-                if cname in have:
-                    arrays.append(b.column(cname).cast(patype))
-                else:                  # pre-evolution file: NULL-widen
+            for field in self.pa_fields:
+                phys, logical, patype = (
+                    field if len(field) == 3
+                    else (field[0], field[0], field[1]))
+                if phys in have:
+                    arrays.append(b.column(have[phys]).cast(patype))
+                else:   # pre-evolution / post-drop file: NULL-widen
                     arrays.append(pa.nulls(n, patype))
-                names.append(cname)
+                names.append(logical)
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     def commit(self, end: dict) -> None:
