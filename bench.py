@@ -324,8 +324,20 @@ def main() -> None:
                 + times.get("stream_stream_full_outer", 0.0), 3),
         },
     }
+    def _git_head():
+        import subprocess
+        try:
+            return subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip() or None
+        except Exception:                              # noqa: BLE001
+            return None
+
     detail = {
         "metric": "headline_queries_detail",
+        "verified_at": _git_head(),
         "queries": times,
         "recall_at_10": recall,
         "train_once_sec": {k: cold[k] for k in train_keys if k in cold},

@@ -2907,7 +2907,8 @@ class AcidTable:
 
     def vacuum(self, keep_last: int = 2,
                keep_changes_last: int | None = None,
-               retain_hours: float | None = None) -> list[str]:
+               retain_hours: float | None = None,
+               orphan_grace_s: float = 300.0) -> list[str]:
         """Drop data dirs not referenced by the ``keep_last`` newest
         manifests — including orphans from conflicted (never-committed)
         writes.  Old manifests stay as history; their data is gone, which
@@ -2924,7 +2925,15 @@ class AcidTable:
         ``retain_hours`` switches retention to WALL-CLOCK age (Delta's
         own ``VACUUM ... RETAIN n HOURS`` spelling): every version
         whose commit timestamp falls inside the window survives, plus
-        the latest version always; ``keep_last`` is ignored."""
+        the latest version always; ``keep_last`` is ignored.
+
+        ``orphan_grace_s``: a file NO manifest has ever referenced is
+        either a dead writer's leftover or a LIVE writer's in-flight
+        staging (``tmp-``/``stage-``/not-yet-committed commit dirs) —
+        indistinguishable by path, so never-referenced files are only
+        deleted once older than this grace window (Delta's retention-
+        window rationale: VACUUM must not race in-flight writers).
+        Committed-but-unretained history deletes regardless of age."""
         import time
 
         latest = self.latest_version()
@@ -2963,6 +2972,37 @@ class AcidTable:
             if ch:
                 keep_dirs.add(ch)
         removed = []
+        # EVER-REFERENCED sweep: every file/dir any manifest (retained
+        # or not) has ever named. Committed history outside the keep
+        # window deletes regardless of age; a path NO manifest knows is
+        # either crash garbage or an IN-FLIGHT writer's staging — only
+        # deletable past the grace window (never race a live writer).
+        ever_files: set[str] = set()
+        ever_dirs: set[str] = set()
+        for v in range(latest + 1):
+            # RAW manifests: the union over versions is v0's list plus
+            # every delta's adds — O(distinct files) total, no chain
+            # replay per version
+            mv = json.loads(
+                (self._manifests / f"v{v}.json").read_text())
+            for f in (mv.get("files") or []) + (mv.get("files_add")
+                                                or []):
+                ever_files.add(_entry_rel(mv, f))
+            if mv.get("files") is None and "files_base" not in mv:
+                ever_dirs.add(mv["data"])
+            if "dv" in mv:
+                ever_dirs.add(mv["dv"])
+            if mv.get("changes"):
+                ever_dirs.add(mv["changes"])
+        grace_cutoff = time.time() - orphan_grace_s
+
+        def _deletable(p: Path, rel_child: str, rel_dir: str) -> bool:
+            if rel_child in ever_files or rel_dir in ever_dirs:
+                return True                     # committed history
+            try:
+                return p.stat().st_mtime < grace_cutoff
+            except OSError:
+                return True                     # already gone: moot
         # Files are shared across versions by manifest reference, so
         # retention is PER FILE: a commit dir dies only when no kept
         # version references anything inside it (the manifest-list
@@ -2977,7 +3017,8 @@ class AcidTable:
                 continue
             children = list(d.iterdir())
             victims = [p for p in children
-                       if f"{rel}/{p.name}" not in keep_files]
+                       if f"{rel}/{p.name}" not in keep_files
+                       and _deletable(p, f"{rel}/{p.name}", rel)]
             if not victims:
                 continue
             whole = len(victims) == len(children)

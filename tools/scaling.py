@@ -131,6 +131,15 @@ def main() -> None:
         marker = "## Extended curves"
         if marker in old:
             ext = "\n" + old[old.index(marker):]
+    try:
+        import subprocess
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+            cwd=Path(__file__).resolve().parents[1]).stdout.strip()
+        lines.append(f"\n_verified at commit {head}_")
+    except Exception:                                  # noqa: BLE001
+        pass
     out_path.write_text("\n".join(lines) + "\n" + ext)
     print("\n".join(lines))
 

@@ -130,9 +130,27 @@ def main() -> int:
         n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
     if json_out:
+        # provenance header: "green at HEAD" must be checkable from the
+        # artifact itself, not from commit messages
+        report = {"_meta": {"verified_at": _git_head(),
+                            "ts": time.time(),
+                            "n_pass": n_pass, "n_fail": n_fail,
+                            "n_rows_only": n_rows_only}, **report}
         Path(json_out).write_text(json.dumps(report, indent=2) + "\n")
-        print(f"wrote {json_out} ({len(report)} keys)")
+        print(f"wrote {json_out} ({len(report) - 1} keys)")
     return 1 if n_fail else 0
+
+
+def _git_head() -> str | None:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True,
+            text=True, timeout=10,
+            cwd=Path(__file__).resolve().parent.parent,
+        ).stdout.strip() or None
+    except Exception:                                  # noqa: BLE001
+        return None
 
 
 if __name__ == "__main__":
