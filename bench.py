@@ -304,6 +304,30 @@ def main() -> None:
     for key, r in recall.items():
         print(f"  recall@10 {key}: {r}", file=sys.stderr)
 
+    # The Structured Streaming machinery FLOOR: an empty 2-micro-batch
+    # rate stream through the memory sink — no rows, no state, no table.
+    # Six of the ten most expensive bench keys are ~this floor x their
+    # batch count; recording it lets every streaming key be read as
+    # floor + work (the train_once_sec discipline applied to streams).
+    stream_floor = None
+    try:
+        t0 = time.perf_counter()
+        q = (spark.readStream.format("rate")
+             .option("rowsPerSecond", "1").load().limit(0)
+             .writeStream.format("memory").queryName("bench_floor")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        q2 = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "1").load().limit(0)
+              .writeStream.format("memory").queryName("bench_floor2")
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(60)
+        stream_floor = round((time.perf_counter() - t0) / 2, 3)
+        print(f"  stream_floor_sec (per start+drain): {stream_floor}",
+              file=sys.stderr)
+    except Exception as e:                             # noqa: BLE001
+        print(f"  stream_floor probe failed: {e}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Two stdout lines, both valid JSON. The FULL per-query/recall map goes
     # first; the LAST line is a compact headline that always fits a bounded
@@ -341,6 +365,7 @@ def main() -> None:
         "queries": times,
         "recall_at_10": recall,
         "train_once_sec": {k: cold[k] for k in train_keys if k in cold},
+        "stream_floor_sec": stream_floor,
         "shared_cost_groups": shared_groups,
         "sf": float(sf),
     }

@@ -325,6 +325,84 @@ def vacuumed_refs(root) -> tuple[set[str], set[str]] | None:
     return paths, dirs
 
 
+#: compact the ledger once it accumulates this many records — keeps
+#: the cold-read GET bounded by the DELETED SET, not vacuum history
+_LEDGER_COMPACT_AFTER = 64
+
+
+def _locked_ledger_handle(ledger):
+    """Open the ledger for append under an exclusive flock, re-opening
+    if a concurrent compaction replaced the inode between open and
+    lock (the classic lockfile-vs-rename race): every writer holds the
+    lock on the LIVE file, so no append can land on an orphaned inode
+    and vanish."""
+    import fcntl
+    import os
+
+    while True:
+        fh = open(ledger, "a")
+        fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+        try:
+            if os.fstat(fh.fileno()).st_ino == os.stat(ledger).st_ino:
+                return fh
+        except OSError:
+            pass
+        fh.close()
+
+
+def ledger_append(root, rec: dict) -> None:
+    """Append one vacuum record, compacting the ledger in the same
+    critical section once it exceeds ``_LEDGER_COMPACT_AFTER`` records.
+
+    Compaction is SEMANTICS-PRESERVING — membership answers are
+    identical before and after:
+    * records merge into one canonical (paths, dirs) pair (dedup across
+      vacuum history — repeated paths stop costing);
+    * a path covered by a recorded dir entry drops (the dir answers);
+    * paths whose parent dir no longer EXISTS collapse into a dir
+      entry — exactly correct, since a file cannot outlive its dir, so
+      claiming 'vacuumed' for any child of a gone dir is the truth.
+    The steady-state ledger is O(vacuumed commit dirs) + O(files in
+    PARTIALLY-live dirs), bounded by the table's live layout instead
+    of growing with maintenance cadence forever."""
+    import os
+
+    root = Path(root)
+    ledger = root / "manifests" / "_vacuumed.jsonl"
+    fh = _locked_ledger_handle(ledger)
+    try:
+        fh.write(json.dumps(rec) + "\n")
+        fh.flush()
+        lines = [ln for ln in ledger.read_text().splitlines()
+                 if ln.strip()]
+        if len(lines) <= _LEDGER_COMPACT_AFTER:
+            return
+        paths: set[str] = set()
+        dirs: set[str] = set()
+        newest_ts = 0.0
+        for ln in lines:
+            try:
+                r = json.loads(ln)
+            except ValueError:
+                continue                     # torn tail: superseded now
+            paths.update(r.get("paths", ()))
+            dirs.update(r.get("dirs", ()))
+            newest_ts = max(newest_ts, r.get("ts", 0.0))
+        for p in list(paths):
+            d = p.rsplit("/", 1)[0]
+            if d in dirs or not (root / d).is_dir():
+                paths.discard(p)
+                dirs.add(d)
+        tmp = ledger.with_name(f".{ledger.name}.{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps(
+            {"ts": newest_ts, "compacted": True,
+             "paths": sorted(paths), "dirs": sorted(dirs)}) + "\n")
+        os.replace(tmp, ledger)
+        _LEDGER_CACHE.pop(str(root), None)
+    finally:
+        fh.close()                           # releases the flock
+
+
 def first_vacuumed_ref(root, m: dict,
                        files_rr: list[dict] | None = None,
                        probe: bool = False) -> str | None:
@@ -3064,19 +3142,19 @@ class AcidTable:
                     if not (self.path / d).is_dir():
                         seed_dirs.add(d)
                 if seed_paths or seed_dirs:
-                    with open(ledger, "a") as fh:
-                        fh.write(json.dumps(
-                            {"ts": time.time(), "seed": True,
-                             "paths": seed_paths,
-                             "dirs": sorted(seed_dirs)}) + "\n")
+                    ledger_append(self.path, {
+                        "ts": time.time(), "seed": True,
+                        "paths": seed_paths,
+                        "dirs": sorted(seed_dirs)})
             # WRITE-AHEAD ledger: record what dies BEFORE deleting, so
             # cold reads answer "was this vacuumed?" with membership
             # checks instead of O(files) filesystem stats — and a crash
-            # mid-delete still fails loudly, never silently partially
-            with open(self._manifests / "_vacuumed.jsonl", "a") as fh:
-                fh.write(json.dumps(
-                    {"ts": time.time(),
-                     "paths": ledger_paths, "dirs": ledger_dirs}) + "\n")
+            # mid-delete still fails loudly, never silently partially.
+            # Appends flock the live inode and auto-compact past the
+            # record threshold (ledger_append).
+            ledger_append(self.path, {
+                "ts": time.time(),
+                "paths": ledger_paths, "dirs": ledger_dirs})
         for d, victims, whole, rel, n_children in plan:
             for p in victims:
                 (shutil.rmtree(p, ignore_errors=True) if p.is_dir()

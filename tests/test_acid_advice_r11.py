@@ -184,6 +184,51 @@ def test_restore_probe_catches_out_of_band_deletion(spark, tmp_path):
         t.clone(tmp_path / "c1", version=1)
 
 
+def test_vacuum_ledger_compacts_and_keeps_membership(spark, tmp_path):
+    """Heavy maintenance cadence must not grow the ledger forever: past
+    the record threshold the ledger compacts to its canonical deleted
+    set (dedup + gone-dir collapse) under an flock, and every
+    membership answer is unchanged — all vacuumed versions still gate,
+    all retained versions still serve."""
+    import json
+
+    from spark_streaming_apps_spark.acid import (_LEDGER_CACHE,
+                                                 _LEDGER_COMPACT_AFTER,
+                                                 vacuumed_refs)
+
+    t = AcidTable.create(spark, tmp_path / "t",
+                         _df(spark, [(0,)], "id long"))
+    n_cycles = _LEDGER_COMPACT_AFTER + 8
+    for i in range(n_cycles):                 # each: rewrite + vacuum
+        t.compact(target_files=1)
+        t.vacuum(keep_last=1)
+    ledger = tmp_path / "t" / "manifests" / "_vacuumed.jsonl"
+    recs = [json.loads(x) for x in ledger.read_text().splitlines()]
+    # bounded: far fewer records than vacuum invocations
+    assert len(recs) < _LEDGER_COMPACT_AFTER
+    assert any(r.get("compacted") for r in recs)
+    # membership semantics: every pre-latest version gates, latest serves
+    latest = t.latest_version()
+    gated = 0
+    for v in range(latest):
+        try:
+            t.read(v).count()
+        except VersionVacuumedError:
+            gated += 1
+    assert gated == latest                    # all history vacuumed
+    assert t.read().count() == 1
+    # the cache revalidates against the compacted file
+    _LEDGER_CACHE.clear()
+    paths, dirs = vacuumed_refs(tmp_path / "t")
+    assert dirs                               # gone dirs collapsed
+    # within the COMPACTED record itself, no path is redundant with a
+    # dir entry (post-compaction appends may briefly duplicate until
+    # the next threshold crossing — that is the design)
+    comp = next(r for r in recs if r.get("compacted"))
+    assert all(p.rsplit("/", 1)[0] not in set(comp["dirs"])
+               for p in comp["paths"])
+
+
 def test_scan_paths_collapse_only_latest(spark, tmp_path):
     """Dir-collapse applies to the latest (vacuum-retained) version
     only; time-travel reads keep explicit per-file paths so a missing
