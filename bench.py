@@ -177,7 +177,8 @@ def ann_recall(spark) -> dict[str, float]:
 
     recalls: dict[str, list[float]] = {
         "similarity_ivf_topk": [], "ivf_topk_trained": [],
-        "matryoshka_topk": [], "pq_adc_topk": [],
+        "matryoshka_topk": [], "matryoshka_trained_topk": [],
+        "pq_adc_topk": [],
         "pq_rerank_topk": [], "matryoshka_rerank_topk": [],
         "ivf_adc_rerank_topk": []}
     for qid in RECALL_QUERY_IDS:
@@ -194,6 +195,12 @@ def ann_recall(spark) -> dict[str, float]:
             / len(cos_truth))
         recalls["matryoshka_topk"].append(
             len(cos_truth & topk_ids(S.matryoshka_topk(emb, qid)))
+            / len(cos_truth))
+        # untrained (above) stays as the contrast row; the TRAINED
+        # prefix must clear the 0.5 pre-rerank floor (MRL_TRAINED_DIM
+        # calibration)
+        recalls["matryoshka_trained_topk"].append(
+            len(cos_truth & topk_ids(S.matryoshka_trained_topk(emb, qid)))
             / len(cos_truth))
         recalls["pq_adc_topk"].append(
             len(l2_truth & topk_ids(S.pq_adc_topk(emb, qid))) / len(l2_truth))

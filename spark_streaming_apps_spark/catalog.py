@@ -1492,6 +1492,14 @@ register("ivf_adc_rerank_topk", oracle=similarity.ivf_adc_rerank_oracle_sql()
          )(lambda s, d: similarity.ivf_adc_rerank_topk(
              _t(s, d, "embeddings")))
 
+register("matryoshka_trained_topk",
+         # LAZY oracle: evaluated at oracle_sql() time so the callable
+         # can ensure the trained artifact exists (numpy twin) and
+         # embed its path — see matryoshka_trained_oracle_sql
+         oracle=similarity.matryoshka_trained_oracle_sql
+         )(lambda s, d: similarity.matryoshka_trained_topk(
+             _t(s, d, "embeddings")))
+
 register("matryoshka_rerank_topk",
          oracle=similarity.matryoshka_rerank_oracle_sql()
          )(lambda s, d: similarity.matryoshka_rerank_topk(
@@ -1617,5 +1625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracles() -> dict[str, str]:
-    return {k: REGISTRY[k].oracle for k in _ordered_keys()
-            if REGISTRY[k].oracle is not None}
+    out = {}
+    for k in _ordered_keys():
+        o = REGISTRY[k].oracle
+        if o is None:
+            continue
+        # callables are LAZY oracles: evaluated here (oracle_sql()
+        # call time) so they can materialize trained artifacts and
+        # embed their paths
+        out[k] = o() if callable(o) else o
+    return out

@@ -1389,6 +1389,228 @@ def matryoshka_rerank_topk(embeddings: DataFrame, query_vec_id: int = 0,
             .limit(k))
 
 
+MRL_TRAINED_DIM = 48
+# ^ the TRAINED prefix dimension, calibrated like SERVE_PROBES: the
+# smallest ladder step (32/40/48/56) whose measured recall@10 clears a
+# 0.5 pre-rerank floor on the reference corpus (PCA-32 measures ~0.36,
+# PCA-48 0.54 at sf0.1, 0.70 at sf0.01 — the fixture embeddings are
+# near-isotropic, so a linear projection to half the dims cannot hit
+# the floor; real MRL-trained embeddings would). Bench telemetry
+# re-measures trained AND untrained recall every round.
+
+
+def _mrl_fingerprint(paths) -> str:
+    """Spark-free corpus fingerprint for the PCA artifact: (normalized
+    path, size, mtime_ns) of the input parquet files — computable by
+    the Spark builder (from inputFiles) AND by the DuckDB-oracle
+    generator, so both resolve the SAME artifact without a plan hash."""
+    import hashlib
+
+    sig = hashlib.md5()
+    for p in sorted(os.path.normpath(str(p).removeprefix("file:"))
+                    for p in paths):
+        st = os.stat(p)
+        sig.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"v{_ANN_STORE_V}_{sig.hexdigest()[:16]}"
+
+
+def _mrl_eigh(n: int, s_i, s_ij, m: int = MRL_TRAINED_DIM):
+    """Shared trainer tail: EXACT integer moment sums (Σ x6, Σ x6·x6ᵀ
+    over 6-dp-widened coordinates — order-independent, so the Spark
+    partial-sum path and the numpy oracle twin produce bit-identical
+    covariance) → float64 covariance → eigh → top-``m`` components,
+    sign-normalized (largest-|entry| positive) for a stable artifact.
+    Returns (mean list[d], components [d][m] list-of-lists)."""
+    import numpy as np
+
+    s_i = np.asarray(s_i, dtype=np.float64)
+    s_ij = np.asarray(s_ij, dtype=np.float64)
+    mu6 = s_i / n
+    cov = (s_ij / n - np.outer(mu6, mu6)) / 1e12
+    _w, v = np.linalg.eigh(cov)
+    p = v[:, ::-1][:, :m].copy()
+    for j in range(p.shape[1]):
+        i = int(np.argmax(np.abs(p[:, j])))
+        if p[i, j] < 0:
+            p[:, j] = -p[:, j]
+    return (mu6 / 1e6).tolist(), p.tolist()
+
+
+def _mrl_write_artifact(path: Path, mu: list, comps: list) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = _artifact_tmp(path)
+    tmp.mkdir(parents=True)
+    d, m = len(comps), len(comps[0])
+    pq.write_table(pa.table({
+        "k": pa.array([k for k in range(d) for _ in range(m)],
+                      pa.int32()),
+        "j": pa.array([j for _ in range(d) for j in range(m)],
+                      pa.int32()),
+        "p": pa.array([comps[k][j] for k in range(d)
+                       for j in range(m)], pa.float64()),
+    }), tmp / "components.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array(list(range(d)), pa.int32()),
+        "mu": pa.array(mu, pa.float64()),
+    }), tmp / "mean.parquet")
+    (tmp / "_DONE").touch()
+    _publish_artifact(tmp, path)
+
+
+def mrl_train_numpy(embeddings_parquet: str,
+                    m: int = MRL_TRAINED_DIM) -> Path:
+    """Train (or reuse) the PCA-prefix artifact from a LOCAL embeddings
+    parquet — the oracle generator's twin of the distributed trainer:
+    identical integer moments ⇒ identical artifact, so whichever side
+    trains first, both serve the same projection."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = _ANN_STORE / f"mrl{m}_{_mrl_fingerprint([embeddings_parquet])}"
+    if (path / "_DONE").exists():
+        return path
+    x = np.array(pq.read_table(
+        embeddings_parquet, columns=["embedding"])
+        .column("embedding").to_pylist(), dtype=np.float64)
+    x6 = np.rint(x * 1_000_000).astype(np.int64)
+    mu, comps = _mrl_eigh(len(x6), x6.sum(0), x6.T @ x6, m)
+    _mrl_write_artifact(path, mu, comps)
+    return path
+
+
+def _mrl_artifact(embeddings: DataFrame,
+                  m: int = MRL_TRAINED_DIM) -> Path:
+    """The trained-prefix artifact for a corpus DataFrame — served from
+    the store when present, else trained DISTRIBUTED: one mapInPandas
+    pass emits per-partition exact integer moment partials (d ints +
+    d² ints, a few KB — never rows), the driver combines with Python
+    ints (no overflow at any n) and eigendecomposes the d×d covariance
+    (d=64: trivial). Training cost is ONE corpus scan at any scale."""
+    import numpy as np
+
+    key = _mrl_fingerprint(embeddings.inputFiles())
+    path = _ANN_STORE / f"mrl{m}_{key}"
+    if (path / "_DONE").exists():
+        return path
+
+    def partials(batches):
+        import pandas as pd
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if not len(x):
+                continue
+            x6 = np.rint(x * 1_000_000).astype(np.int64)
+            n += len(x6)
+            s = x6.sum(0) if s is None else s + x6.sum(0)
+            g = x6.T @ x6
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame({
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.reshape(-1).tolist()]})
+
+    parts = (embeddings.select("embedding")
+             .mapInPandas(partials,
+                          schema="n long, s array<long>, "
+                                 "ss array<long>")
+             .collect())
+    d = len(parts[0].s)
+    n_total = sum(r.n for r in parts)
+    s_i = [sum(int(r.s[i]) for r in parts) for i in range(d)]
+    ss_flat = [sum(int(r.ss[i]) for r in parts) for i in range(d * d)]
+    s_ij = np.array(ss_flat, dtype=np.float64).reshape(d, d)
+    mu, comps = _mrl_eigh(n_total, s_i, s_ij, m)
+    _mrl_write_artifact(path, mu, comps)
+    return path
+
+
+def matryoshka_trained_topk(embeddings: DataFrame,
+                            query_vec_id: int = 0,
+                            k: int = TOP_K,
+                            m: int = MRL_TRAINED_DIM) -> DataFrame:
+    """Matryoshka ANN over a TRAINED prefix: rank by cosine in the
+    top-{MRL_TRAINED_DIM} PCA subspace (variance-ordered — what an
+    MRL-trained model bakes into its prefix, learned post-hoc here for
+    untrained embeddings). The projection artifact is trained once per
+    corpus (write-once store, same discipline as the Lloyd centroids)
+    and applied scan-side: the component matrix rides ONE broadcast
+    row, the per-vector matmul is a codegen'd higher-order expression —
+    no shuffle, no UDF, O(corpus·d·m) FLOPs. Recall@10 vs full-dim
+    cosine clears the 0.5 pre-rerank floor the untrained 32-prefix
+    misses (0.54 vs 0.26 at sf0.1); bench telemetry tracks both."""
+    spark = embeddings.sparkSession
+    path = _mrl_artifact(embeddings, m)
+    comp = spark.read.parquet(str(path / "components.parquet"))
+    mu = spark.read.parquet(str(path / "mean.parquet"))
+    d = mu.count()
+    # one broadcast row: P[k][j] (k-major) + mu[k]
+    pm = (comp.groupBy("k")
+          .agg(F.expr("transform(array_sort(collect_list("
+                      "struct(j, p))), s -> s.p)").alias("row"))
+          .join(mu, "k")
+          .groupBy()
+          .agg(F.expr("transform(array_sort(collect_list("
+                      "struct(k, row))), s -> s.row)").alias("P"),
+               F.expr("transform(array_sort(collect_list("
+                      "struct(k, mu))), s -> s.mu)").alias("m0")))
+    emb = embeddings.withColumn(
+        "x", F.expr("transform(embedding, v -> cast(v as double))"))
+    proj = (emb.join(F.broadcast(pm))
+            .withColumn("e", F.expr(
+                f"transform(sequence(0, {m - 1}), j -> round("
+                f"aggregate(sequence(0, {d - 1}), cast(0.0 as double), "
+                f"(acc, kk) -> acc + (x[kk] - m0[kk]) * P[kk][j]), 6))"))
+            .select("vec_id", "label", "e"))
+    qv = (proj.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    return (proj.filter(F.col("vec_id") != query_vec_id)
+            .join(F.broadcast(qv))
+            .select("vec_id", "label", _cosine("e", "q").alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k))
+
+
+def matryoshka_trained_oracle_sql(query_vec_id: int = 0,
+                                  k: int = TOP_K,
+                                  m: int = MRL_TRAINED_DIM) -> str:
+    """LAZY oracle (evaluated at oracle_sql() call time): ensures the
+    PCA artifact exists for the correctness corpus (training the numpy
+    twin if the Spark side hasn't yet — identical by the exact-integer
+    moment contract) and replays projection + cosine + top-k in DuckDB
+    from the PERSISTED components, so the oracle checks the full
+    serving math end-to-end."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                            "/root/testdata/sf0.01")
+    path = mrl_train_numpy(f"{sf_dir}/embeddings.parquet", m)
+    cos = _cosine_duck("e", "q")
+    return f"""
+WITH comp AS (SELECT k, j, p
+              FROM read_parquet('{path}/components.parquet')),
+mu AS (SELECT k, mu FROM read_parquet('{path}/mean.parquet')),
+dims AS (SELECT vec_id, d.i - 1 AS k,
+                CAST(embedding[d.i] AS DOUBLE) AS x
+         FROM embeddings,
+              LATERAL (SELECT unnest(generate_series(1,
+                       len(embedding))) AS i) d),
+pj AS (SELECT vec_id, j, round(SUM((x - mu) * p), 6) AS ej
+       FROM dims JOIN mu USING (k) JOIN comp USING (k)
+       GROUP BY vec_id, j),
+pe AS (SELECT vec_id, list(ej ORDER BY j) AS e
+       FROM pj GROUP BY vec_id),
+q AS (SELECT e AS q FROM pe WHERE vec_id = {query_vec_id})
+SELECT pe.vec_id, emb.label, {cos} AS sim
+FROM pe JOIN embeddings emb USING (vec_id), q
+WHERE pe.vec_id != {query_vec_id}
+ORDER BY sim DESC, pe.vec_id LIMIT {k}
+"""
+
+
 def matryoshka_rerank_oracle_sql(query_vec_id: int = 0, k: int = TOP_K,
                                  shortlist: int = MRL_RERANK_N) -> str:
     pcos = _cosine_duck("p", "qp")

@@ -199,6 +199,40 @@ def test_matryoshka_recall_vs_full_dim(tables):
     assert mean >= 0.15, f"matryoshka mean recall@10 = {mean} ({recalls})"
 
 
+def test_matryoshka_trained_prefix_clears_recall_floor(tables):
+    """The TRAINED prefix (PCA at MRL_TRAINED_DIM, exact-integer
+    moments, artifact-cached) must clear the 0.5 pre-rerank recall
+    floor the untrained 32-prefix misses — the calibration
+    MRL_TRAINED_DIM encodes. Also pins trained > untrained on the same
+    queries, and that the second serve reuses the artifact (no
+    retrain)."""
+    emb = tables["embeddings"]
+    trained, untrained = [], []
+    for qid in (0, 3, 7, 11, 40):
+        truth = {r.vec_id
+                 for r in similarity.cosine_topk(emb, qid).collect()}
+        trained.append(len(truth & {
+            r.vec_id for r in
+            similarity.matryoshka_trained_topk(emb, qid).collect()})
+            / len(truth))
+        untrained.append(len(truth & {
+            r.vec_id for r in
+            similarity.matryoshka_topk(emb, qid).collect()})
+            / len(truth))
+    m = lambda xs: sum(xs) / len(xs)        # noqa: E731
+    assert m(trained) >= 0.5, (trained, untrained)
+    assert m(trained) > m(untrained), (trained, untrained)
+    # artifact is cached: the store holds exactly one trained dir for
+    # this corpus+dim and a re-serve resolves it without retraining
+    key = similarity._mrl_fingerprint(emb.inputFiles())
+    path = similarity._ANN_STORE / \
+        f"mrl{similarity.MRL_TRAINED_DIM}_{key}"
+    assert (path / "_DONE").exists()
+    mtime = (path / "_DONE").stat().st_mtime_ns
+    similarity.matryoshka_trained_topk(emb, 0).collect()
+    assert (path / "_DONE").stat().st_mtime_ns == mtime
+
+
 def test_rerank_beats_raw_quantized_recall(tables):
     """The funnel's whole claim: exact rerank over a quantized shortlist
     must recover (nearly) the exact top-10 that the raw quantized scan
