@@ -2349,12 +2349,76 @@ class AcidTable:
         twice (serializable: every commit is a function of its direct
         parent). On a CDF-enabled table each attempt also writes the
         commit's change files (``insert_hint`` short-circuits the diff
-        for pure appends)."""
+        for pure appends).
+
+        Logical conflict resolution (Delta's reconciliation rules): a
+        loser that staged parent-independent bytes re-parents them
+        against the winner instead of re-staging, provided the winner
+        changed nothing the staged bytes depend on (schema, props
+        [column-mapping identity, partition spec, cdf/dv flags],
+        constraints). Two shapes qualify:
+
+        - **append-wins**: a LINKED append's files never referenced the
+          old parent — rebased commit = winner's entries + staged
+          batch. A lost race costs ONE manifest write; under N
+          concurrent appenders total IO is O(N batches), not O(N²
+          retried stages).
+        - **layout-vs-append**: ``compact``/``relayout`` output replaces
+          exactly the BASE snapshot's rows; if every base file is still
+          in the winner (pure additions) and the deletion vector is
+          unchanged, rebased commit = staged layout + the winner's
+          added files (which simply stay unclustered — Delta's OPTIMIZE
+          rule). A lost compaction costs one manifest write, not a full
+          table rewrite."""
         cdf = self.cdf_enabled()
+        layout_op = op in ("relayout", "compact")
+        staged = None  # (kind, rel, new_stats, ch_rel, schema_json, base_m)
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
             cons = m.get("constraints", {})
+            if staged is not None:
+                kind, rel, new_stats, ch_rel, schema_json, base_m = staged
+                rebased = None
+                if (m.get("schema") == base_m.get("schema")
+                        and m.get("props") == base_m.get("props")
+                        and m.get("constraints")
+                        == base_m.get("constraints")):
+                    if kind == "append":
+                        # constraints already passed (unchanged set)
+                        rebased = (self._carried_entries(m) + new_stats,
+                                   m.get("dv"), m.get("dv_rows", 0))
+                    elif (m.get("dv") == base_m.get("dv")
+                          and m.get("dv_rows", 0)
+                          == base_m.get("dv_rows", 0)
+                          and base_m.get("files") is not None):
+                        # layout rebase: sound iff the winner only ADDED
+                        # files (its commits carried every base file) —
+                        # the staged output materializes exactly the
+                        # base rows, the winner's additions ride along
+                        base = self._carried_entries(base_m)
+                        cur_ents = self._carried_entries(m)
+                        cur_paths = {f["path"] for f in cur_ents}
+                        if {f["path"] for f in base} <= cur_paths:
+                            added = [f for f in cur_ents
+                                     if f["path"] not in
+                                     {b["path"] for b in base}]
+                            rebased = (new_stats + added, None, 0)
+                if rebased is not None:
+                    files, dv_rel, dv_rows = rebased
+                    if self._try_commit(
+                            v + 1, rel, schema_json, op,
+                            changes_rel=ch_rel, files=files,
+                            dv_rel=dv_rel, dv_rows=dv_rows):
+                        return v + 1
+                    continue
+                # the winner changed schema/props/constraints (or
+                # removed files under a layout rebase): the staged
+                # bytes may be stale — drop them and rebuild
+                shutil.rmtree(self.path / rel, ignore_errors=True)
+                if ch_rel:
+                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+                staged = None
             # pure same-schema appends take the O(delta) linked path:
             # only the new rows are written; the parent's files are
             # hardlinked and its recorded stats reused — commit cost
@@ -2390,9 +2454,30 @@ class AcidTable:
                                 changes_rel=ch_rel, files=files,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
+            if linked:
+                # lost the race, but the staged files are parent-free:
+                # keep them for the append-wins rebase next iteration
+                staged = ("append", rel,
+                          [f for f in files
+                           if f["path"].startswith(f"{rel}/")],
+                          ch_rel, schema_json, m)
+                continue
+            if layout_op:
+                # full-rewrite of a row-preserving layout op: keep the
+                # staged output for the layout-vs-append rebase
+                staged = ("layout", rel,
+                          [f if "/" in f["path"]
+                           else {**f, "path": f"{rel}/{f['path']}"}
+                           for f in files],
+                          ch_rel, schema_json, m)
+                continue
             shutil.rmtree(self.path / rel, ignore_errors=True)
             if ch_rel:
                 shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+        if staged is not None:
+            shutil.rmtree(self.path / staged[1], ignore_errors=True)
+            if staged[3]:
+                shutil.rmtree(self.path / staged[3], ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
