@@ -1446,7 +1446,8 @@ class AcidTable:
                     max_retries: int = 20,
                     empty_noop: bool = True,
                     partition_pins: dict | None = None,
-                    partition_in: list[dict] | None = None) -> int:
+                    partition_in: list[dict] | None = None,
+                    row_local: bool = False) -> int:
         """File-pruned copy-on-write commit — the Delta/Iceberg DML
         discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
         files), never O(table):
@@ -1473,14 +1474,49 @@ class AcidTable:
         are never even opened — at 100 TB the find pass is
         O(touched-partition files), not O(table files). Sets
         ``self.last_cow_stats`` = {files_scanned, files_rewritten,
-        files_linked} for observability."""
+        files_linked} for observability.
+
+        DML-vs-append reconciliation (``row_local=True``; Delta's
+        conflict rule for DELETE/UPDATE): a lost race keeps the staged
+        replacements and re-probes ONLY the winner's added files —
+        Delta raises ConcurrentAppendException on possible overlap, but
+        a row-local op (probe = pure filter, rewrite = per-row map with
+        no insertions) can do better: added files the predicate misses
+        ride along untouched; added files it hits are incrementally
+        rewritten (O(added files), never a re-run of the whole DML).
+        Winners that changed schema/props/constraints, removed files,
+        or moved the deletion vector force the full fallback."""
         cdf = self.cdf_enabled()
+        staged = None  # (rel, stats, dv_rel, dv_rows, ch_rel, base_m)
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
             files = m.get("files")
             if not files:      # legacy manifest: no per-file bookkeeping
+                if staged is not None:
+                    shutil.rmtree(self.path / staged[0],
+                                  ignore_errors=True)
+                    for r in (staged[2], staged[4]):
+                        if r:
+                            shutil.rmtree(self.path / r,
+                                          ignore_errors=True)
                 return self._commit_loop(rewrite, op, max_retries)
+            if staged is not None:
+                rel0, stats0, dv_rel0, dv_rows0, ch_rel0, base_m = staged
+                done = self._cow_rebase(
+                    v, m, base_m, rel0, stats0, dv_rel0, dv_rows0,
+                    ch_rel0, probe, rewrite, op, cur, row_local, cdf,
+                    partition_pins, partition_in)
+                if done is not None:
+                    if done >= 0:
+                        return done
+                    continue           # lost again; staged still valid
+                # incompatible winner: drop the staged attempt, rebuild
+                shutil.rmtree(self.path / rel0, ignore_errors=True)
+                for r in (dv_rel0, ch_rel0):
+                    if r:
+                        shutil.rmtree(self.path / r, ignore_errors=True)
+                staged = None
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
             # partition pruning FIRST — metadata-only, before any IO
@@ -1579,13 +1615,90 @@ class AcidTable:
                                 changes_rel=ch_rel, files=stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
-            shutil.rmtree(self.path / rel, ignore_errors=True)
-            if dv_rel:
-                shutil.rmtree(self.path / dv_rel, ignore_errors=True)
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+            # lost the race: the staged replacements only depend on the
+            # BASE touched files — keep them for the rebase pass
+            staged = (rel, stats, dv_rel, dv_rows, ch_rel, m)
+        if staged is not None:
+            shutil.rmtree(self.path / staged[0], ignore_errors=True)
+            for r in (staged[2], staged[4]):
+                if r:
+                    shutil.rmtree(self.path / r, ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
+
+    def _cow_rebase(self, v, m, base_m, rel0, stats0, dv_rel0,
+                    dv_rows0, ch_rel0, probe, rewrite, op, cur,
+                    row_local, cdf, partition_pins, partition_in):
+        """One rebase attempt of a lost COW DML against winner ``m``.
+        Returns the committed version (>=0), -1 when the rebase itself
+        lost another race (staged state still valid), or None when the
+        winner is incompatible and the caller must rebuild fully."""
+        if not (m.get("schema") == base_m.get("schema")
+                and m.get("props") == base_m.get("props")
+                and m.get("constraints") == base_m.get("constraints")
+                and m.get("dv") == base_m.get("dv")
+                and m.get("dv_rows", 0) == base_m.get("dv_rows", 0)
+                and base_m.get("files") is not None):
+            return None
+        base = self._carried_entries(base_m)
+        cur_ents = self._carried_entries(m)
+        base_paths = {f["path"] for f in base}
+        if not base_paths <= {f["path"] for f in cur_ents}:
+            return None          # winner removed/rewrote base files
+        added = [f for f in cur_ents if f["path"] not in base_paths]
+        extra_rel, extra_stats, un_added = None, [], added
+        if added:
+            if not row_local:
+                return None      # rewrite may insert: can't compose
+            # prune the added-file probe exactly like the find pass
+            eligible = added
+            if partition_pins:
+                eligible = [f for f in eligible if _pins_match(
+                    f.get("partition"), partition_pins)]
+            if partition_in is not None:
+                eligible = [f for f in eligible
+                            if not f.get("partition")
+                            or any(_pins_match(f["partition"], p)
+                                   for p in partition_in)]
+            touched_add = set()
+            if eligible:
+                schema = StructType.fromJson(m["schema"])
+                tg = self._tagged_physical_scan(
+                    m, schema,
+                    [str(self.path / f["path"]) for f in eligible])
+                # the winner's dv equals the base's, whose entries name
+                # only base files — added files carry no dv rows
+                touched_add = {
+                    r["__dv_file"] for r in probe(tg)
+                    .select("__dv_file").distinct().collect()}
+            if touched_add:
+                if cdf:
+                    # incremental change files would need a second
+                    # changes dir per manifest — not worth the surface
+                    return None
+                schema = StructType.fromJson(m["schema"])
+                scols = [f.name for f in schema.fields]
+                t_paths = [str(self.path / f["path"]) for f in added
+                           if _entry_name(f) in touched_add]
+                out2 = rewrite(self._tagged_physical_scan(
+                    m, schema, t_paths).select(*scols)
+                ).select(*cur.columns)
+                cons = m.get("constraints", {})
+                if cons:
+                    self._check_constraints(out2, cons)
+                extra_rel, extra = self._write_data_full(out2)
+                extra_stats = [{**f, "path": f"{extra_rel}/{f['path']}"}
+                               for f in extra]
+                un_added = [f for f in added
+                            if _entry_name(f) not in touched_add]
+        files = stats0 + un_added + extra_stats
+        if self._try_commit(v + 1, rel0, m["schema"], op,
+                            changes_rel=ch_rel0, files=files,
+                            dv_rel=dv_rel0, dv_rows=dv_rows0):
+            return v + 1
+        if extra_rel:            # recompute against the next winner
+            shutil.rmtree(self.path / extra_rel, ignore_errors=True)
+        return -1
 
     def delete_where(self, cond: str, max_retries: int = 20,
                      op: str = "delete") -> int:
@@ -1601,7 +1714,8 @@ class AcidTable:
             rewrite=lambda df: df.filter(
                 f"NOT ({cond}) OR ({cond}) IS NULL"),
             op=op, max_retries=max_retries,
-            partition_pins=_partition_pins(cond, self.partition_cols()))
+            partition_pins=_partition_pins(cond, self.partition_cols()),
+            row_local=True)
 
     def delete_where_mor(self, cond: str, max_retries: int = 20,
                          cow_fallback_rows: int | None = None) -> int:
@@ -1939,7 +2053,8 @@ class AcidTable:
         return self._cow_commit(
             probe=lambda df: df.filter(cond), rewrite=rewrite,
             op=op, max_retries=max_retries,
-            partition_pins=_partition_pins(cond, pcols))
+            partition_pins=_partition_pins(cond, pcols),
+            row_local=True)
 
     def _collect_stats(self, data_rel: str) -> list[dict]:
         return collect_parquet_stats(self.path / data_rel)

@@ -203,6 +203,82 @@ def test_lost_compaction_vs_mor_delete_restages(spark, tmp_path):
     assert got == {(i, i * 10) for i in range(8)}   # deletes honored
 
 
+def _count_dml_stages(t):
+    """Count _assemble_commit calls (each is one staged DML rewrite)."""
+    real = t._assemble_commit
+    box = {"n": 0}
+
+    def counted(rows, parent, link):
+        box["n"] += 1
+        return real(rows, parent, link)
+
+    t._assemble_commit = counted
+    return box
+
+
+def test_lost_delete_race_vs_nonmatching_append_rebases(spark, tmp_path):
+    """DELETE loses to an append whose rows the predicate MISSES: the
+    staged replacements re-parent, the winner's file rides along —
+    no second find/rewrite pass (Delta would abort here only if the
+    added files might match; ours re-probes just the added file)."""
+    t1 = AcidTable.create(
+        spark, tmp_path / "t",
+        _df(spark, [(i, i % 3) for i in range(30)], "id long, k long"))
+    t2 = AcidTable(spark, tmp_path / "t")
+    state = _race(t1, t2, lambda: t2.append(
+        _df(spark, [(1000, 2)], "id long, k long")))
+    stages = _count_dml_stages(t1)
+
+    v = t1.delete_where("k = 0")
+
+    assert stages["n"] == 1          # ONE staged rewrite despite loss
+    assert state["tries"] == 2
+    assert v == 2
+    got = {r.id for r in t1.read().collect()}
+    assert got == ({i for i in range(30) if i % 3} | {1000})
+
+
+def test_lost_delete_race_vs_matching_append_incremental(spark,
+                                                         tmp_path):
+    """DELETE loses to an append whose rows MATCH the predicate: the
+    added file is incrementally rewritten (serial-equivalent to
+    append-then-delete) — never a full re-run of the DML."""
+    t1 = AcidTable.create(
+        spark, tmp_path / "t",
+        _df(spark, [(i, i % 3) for i in range(30)], "id long, k long"))
+    t2 = AcidTable(spark, tmp_path / "t")
+    _race(t1, t2, lambda: t2.append(
+        _df(spark, [(1000, 0), (1001, 1)], "id long, k long")))
+    stages = _count_dml_stages(t1)
+
+    v = t1.delete_where("k = 0")
+
+    assert stages["n"] == 1          # base rewrite staged exactly once
+    assert v == 2
+    got = {r.id for r in t1.read().collect()}
+    # 1000 (k=0) deleted with the rest; 1001 (k=1) survives
+    assert got == ({i for i in range(30) if i % 3} | {1001})
+
+
+def test_lost_delete_race_vs_file_rewrite_restages(spark, tmp_path):
+    """Winner UPDATEd rows (rewrote base files): base files are gone
+    from the winner's snapshot, so the staged delete must rebuild —
+    and the final state reflects update-then-delete serially."""
+    t1 = AcidTable.create(
+        spark, tmp_path / "t",
+        _df(spark, [(i, i % 3) for i in range(30)], "id long, k long"))
+    t2 = AcidTable(spark, tmp_path / "t")
+    _race(t1, t2, lambda: t2.update_where({"k": "0"}, "id = 5"))
+    stages = _count_dml_stages(t1)
+
+    t1.delete_where("k = 0")
+
+    assert stages["n"] == 2          # staged, fell back, re-staged
+    got = {r.id for r in t1.read().collect()}
+    expect = {i for i in range(30) if i % 3} - {5}
+    assert got == expect
+
+
 def test_rebase_chain_under_many_losses(spark, tmp_path):
     """Several consecutive lost races: the staged batch is written once
     and re-parented each time until it wins."""
