@@ -1733,12 +1733,59 @@ class AcidTable:
         {rows_deleted, dv_rows_total}."""
         cdf = self.cdf_enabled()
         pins = _partition_pins(cond, self.partition_cols())
+        staged = None          # (dv_rel, ch_rel, base_m, n_new)
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
             files = m.get("files")
+            if staged is not None:
+                dv_rel0, ch_rel0, base_m, n_new = staged
+                ok = (m.get("schema") == base_m.get("schema")
+                      and m.get("props") == base_m.get("props")
+                      and m.get("constraints")
+                      == base_m.get("constraints")
+                      and m.get("dv") == base_m.get("dv")
+                      and m.get("dv_rows", 0)
+                      == base_m.get("dv_rows", 0)
+                      and base_m.get("files") is not None
+                      and files is not None)
+                if ok:
+                    base_paths = {f["path"] for f in
+                                  self._carried_entries(base_m)}
+                    cur_ents = self._carried_entries(m)
+                    ok = base_paths <= {f["path"] for f in cur_ents}
+                if ok:
+                    # the staged vector (parent entries + this delete's
+                    # matches) is valid iff the winner's ADDED files
+                    # hold no matching rows — re-probe only those
+                    added = [f for f in cur_ents
+                             if f["path"] not in base_paths]
+                    if pins:
+                        added = [f for f in added if _pins_match(
+                            f.get("partition"), pins)]
+                    hits = 0
+                    if added:
+                        hits = (self._tagged_physical_scan(
+                            m, schema,
+                            [str(self.path / f["path"]) for f in added])
+                            .filter(cond).limit(1).count())
+                    if hits == 0 and self._try_commit(
+                            v + 1, m["data"], m["schema"], "delete_mor",
+                            changes_rel=ch_rel0, files=files,
+                            dv_rel=dv_rel0,
+                            dv_rows=m.get("dv_rows", 0) + n_new):
+                        return v + 1
+                    if hits == 0:
+                        continue       # lost again; staged still valid
+                # winner incompatible (or its added files match the
+                # predicate): drop the staged vector, recompute fully
+                shutil.rmtree(self.path / dv_rel0, ignore_errors=True)
+                if ch_rel0:
+                    shutil.rmtree(self.path / ch_rel0,
+                                  ignore_errors=True)
+                staged = None
             if files is None:
                 scan_paths = [str(self.path / m["data"])]   # legacy
             else:
@@ -1804,9 +1851,13 @@ class AcidTable:
                                 files=m.get("files"), dv_rel=dv_rel,
                                 dv_rows=m.get("dv_rows", 0) + n_new):
                 return v + 1
-            shutil.rmtree(self.path / dv_rel, ignore_errors=True)
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
+            # lost the race: the vector's entries name base files only —
+            # keep it for the append-wins rebase next iteration
+            staged = (dv_rel, ch_rel, m, n_new)
+        if staged is not None:
+            shutil.rmtree(self.path / staged[0], ignore_errors=True)
+            if staged[1]:
+                shutil.rmtree(self.path / staged[1], ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 

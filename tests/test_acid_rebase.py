@@ -279,6 +279,56 @@ def test_lost_delete_race_vs_file_rewrite_restages(spark, tmp_path):
     assert got == expect
 
 
+def test_lost_mor_delete_race_rebases_vector(spark, tmp_path):
+    """MOR DELETE loses to a non-matching append: the staged deletion
+    vector re-parents after probing ONLY the winner's added file —
+    never a second full find scan."""
+    t1 = AcidTable.create(
+        spark, tmp_path / "t",
+        _df(spark, [(i, i % 3) for i in range(30)], "id long, k long"),
+        enable_dv=True)
+    t2 = AcidTable(spark, tmp_path / "t")
+    state = _race(t1, t2, lambda: t2.append(
+        _df(spark, [(1000, 2)], "id long, k long")))
+    real_scan = t1._tagged_physical_scan
+    scans = []
+
+    def counted(m, schema, paths):
+        scans.append(len(paths))
+        return real_scan(m, schema, paths)
+
+    t1._tagged_physical_scan = counted
+
+    v = t1.delete_where_mor("k = 0")
+
+    assert state["tries"] == 2
+    assert v == 2
+    # scan #1: the full find pass; scan #2: the rebase probe over just
+    # the winner's added file(s) — strictly narrower than the table
+    assert len(scans) == 2 and scans[1] < scans[0], scans
+    got = {r.id for r in t1.read().collect()}
+    assert got == ({i for i in range(30) if i % 3} | {1000})
+
+
+def test_lost_mor_delete_vs_matching_append_recomputes(spark,
+                                                       tmp_path):
+    """MOR DELETE loses to an append whose rows MATCH: the staged
+    vector misses them, so the delete recomputes against the winner
+    and the appended matching row dies too (serial equivalence)."""
+    t1 = AcidTable.create(
+        spark, tmp_path / "t",
+        _df(spark, [(i, i % 3) for i in range(30)], "id long, k long"),
+        enable_dv=True)
+    t2 = AcidTable(spark, tmp_path / "t")
+    _race(t1, t2, lambda: t2.append(
+        _df(spark, [(1000, 0), (1001, 1)], "id long, k long")))
+
+    t1.delete_where_mor("k = 0")
+
+    got = {r.id for r in t1.read().collect()}
+    assert got == ({i for i in range(30) if i % 3} | {1001})
+
+
 def test_rebase_chain_under_many_losses(spark, tmp_path):
     """Several consecutive lost races: the staged batch is written once
     and re-parented each time until it wins."""
