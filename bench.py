@@ -145,6 +145,8 @@ BENCH_KEYS = [
     "acid_show_partitions",
     "acid_table_changes_sql",
     "acid_partition_evolution",
+    # round 11
+    "acid_liquid_optimize",
 ]
 
 

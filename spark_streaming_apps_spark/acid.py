@@ -1375,7 +1375,14 @@ class AcidTable:
         rel = f"data/commit-{uuid.uuid4().hex}"
         dest = self.path / rel
         dest.mkdir(parents=True)
-        return rel, self._stage_rows(df, dest, pcols, order_by=order_by)
+        entries = self._stage_rows(df, dest, pcols, order_by=order_by)
+        if order_by:
+            # clustering provenance (Delta liquid's ZCube id analog):
+            # files born range-clustered on these keys carry the fact,
+            # so optimize_incremental can skip them by METADATA alone
+            for e in entries:
+                e["sort"] = list(order_by)
+        return rel, entries
 
     def _carried_entries(self, parent: dict) -> list[dict]:
         """The parent snapshot's file entries, re-anchored to
@@ -2134,7 +2141,8 @@ class AcidTable:
     #: commits that rewrite layout only — rows identical, delta empty by
     #: construction, no diff needed
     _NO_CHANGE_OPS = frozenset({"relayout", "compact",
-                                "compact_partition"})
+                                "compact_partition",
+                                "optimize_incremental"})
 
     def _widen_for_diff(self, a: DataFrame, b: DataFrame):
         """Project both frames onto their merged column superset
@@ -3468,6 +3476,81 @@ class AcidTable:
             lambda cur: (cur.repartitionByRange(target_files, *cols)
                          .sortWithinPartitions(*cols)),
             "relayout", max_retries, order_by=cols)
+
+    def optimize_incremental(self, cols: list[str],
+                             target_files: int = 4,
+                             max_retries: int = 20) -> int:
+        """Incremental clustering — Delta liquid clustering's OPTIMIZE
+        shape: rewrite ONLY the files not already range-clustered on
+        ``cols`` (append-born files, COW replacements), carrying every
+        clustered file untouched by manifest reference. The candidate
+        set is a pure METADATA decision (the ``sort`` provenance each
+        relayout/optimize stamps on its entries) — no probe scan. Cost
+        is O(unclustered bytes) per run regardless of table size, which
+        is the only clustering maintenance shape that survives 100 TB:
+        a full ``relayout`` re-writes the table, this re-writes the
+        day's arrivals. Extents of successive generations overlap, so
+        per-file stats pruning stays correct and merely loses a little
+        selectivity vs a full re-cluster (Delta makes the same trade).
+        Returns the current version unchanged when everything is
+        already clustered (no empty commits)."""
+        key = list(cols)
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            files = m.get("files")
+            if files is None:               # legacy: no provenance
+                return self.relayout(key, target_files, max_retries)
+            stale = [f for f in files if f.get("sort") != key]
+            if not stale:
+                self.last_optimize_stats = {"files_rewritten": 0,
+                                            "files_carried": len(files)}
+                return v
+            keep = [f for f in files if f.get("sort") == key]
+            schema = StructType.fromJson(m["schema"])
+            scols = [f.name for f in schema.fields]
+            tg = self._tagged_physical_scan(
+                m, schema,
+                [str(self.path / _entry_rel(m, f)) for f in stale])
+            if "dv" in m:
+                # rewritten files materialize their share of the vector
+                tg = self._apply_dv(tg, m)
+            out = (tg.select(*scols)
+                   .repartitionByRange(target_files, *key)
+                   .sortWithinPartitions(*key))
+            rel, new_stats = self._write_data_full(out, order_by=key)
+            new_stats = [f if "/" in f["path"]
+                         else {**f, "path": f"{rel}/{f['path']}"}
+                         for f in new_stats]
+            carried = [{**f, "path": _entry_rel(m, f)} for f in keep]
+            dv_rel, dv_rows = None, 0
+            if "dv" in m:
+                live = (self.spark.read
+                        .parquet(str(self.path / m["dv"]))
+                        .filter(F.col("file").isin(
+                            [_entry_name(f) for f in keep])))
+                dv_rows = live.count()
+                if dv_rows:
+                    dv_rel = f"data/dv-{uuid.uuid4().hex}"
+                    live.coalesce(1).write.parquet(
+                        str(self.path / dv_rel))
+            ch_rel = (self._write_changes_pair(cur.limit(0),
+                                               cur.limit(0))
+                      if self.cdf_enabled() else None)
+            self.last_optimize_stats = {"files_rewritten": len(stale),
+                                        "files_carried": len(keep)}
+            if self._try_commit(v + 1, rel, m["schema"],
+                                "optimize_incremental",
+                                changes_rel=ch_rel,
+                                files=carried + new_stats,
+                                dv_rel=dv_rel, dv_rows=dv_rows):
+                return v + 1
+            shutil.rmtree(self.path / rel, ignore_errors=True)
+            for r in (dv_rel, ch_rel):
+                if r:
+                    shutil.rmtree(self.path / r, ignore_errors=True)
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at {self.path}")
 
     def append_evolve(self, rows: DataFrame, max_retries: int = 20) -> int:
         """Schema-evolving append: columns new to ``rows`` widen the table

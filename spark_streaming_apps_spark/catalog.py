@@ -1166,6 +1166,9 @@ register("acid_cdf_mapped", oracle=extensions.ACID_CDF_MAPPED_ORACLE
 register("acid_checkpoint", oracle=extensions.ACID_CHECKPOINT_ORACLE
          )(lambda s, d: extensions.acid_checkpoint(s, d, SCRATCH))
 
+register("acid_liquid_optimize", oracle=extensions.ACID_LIQUID_ORACLE
+         )(lambda s, d: extensions.acid_liquid_optimize(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

@@ -455,7 +455,8 @@ _DETAIL_RE = re.compile(
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<tbl>[\w.]+)"
-    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[\w.,\s]+?)\s*\))?"
+    r"(?:\s+(?P<kind>ZORDER|CLUSTER)\s+BY\s*"
+    r"\(\s*(?P<cols>[\w.,\s]+?)\s*\))?"
     r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -664,14 +665,15 @@ def acid_sql(spark: SparkSession, stmt: str,
     if m:                                # DESCRIBE DETAIL <t>
         return _lookup(tables, m.group("tbl"), "DESCRIBE DETAIL").detail()
     m = _OPTIMIZE_RE.match(stmt)
-    if m:            # OPTIMIZE <t> [ZORDER BY (cols)] [WHERE part pins]
+    if m:  # OPTIMIZE <t> [ZORDER|CLUSTER BY (cols)] [WHERE part pins]
         t = _lookup(tables, m.group("tbl"), "OPTIMIZE")
         cols, cond = m.group("cols"), m.group("cond")
         if cond:
             if cols:
                 raise ValueError(
-                    "OPTIMIZE ZORDER BY cannot be combined with WHERE "
-                    "(zorder relayout is whole-table)")
+                    "OPTIMIZE ZORDER/CLUSTER BY cannot be combined "
+                    "with WHERE (clustering maintenance is key-scoped, "
+                    "not partition-scoped)")
             pins = _partition_pins(cond, t.partition_cols())
             if not pins:
                 raise ValueError(
@@ -680,7 +682,12 @@ def acid_sql(spark: SparkSession, stmt: str,
                     f"got {cond!r}")
             return t.compact_partition(pins)
         if cols:
-            return t.relayout([c.strip() for c in cols.split(",")])
+            names = [c.strip() for c in cols.split(",")]
+            if (m.group("kind") or "").upper() == "CLUSTER":
+                # Delta liquid clustering's OPTIMIZE: rewrite only the
+                # files not already clustered on these keys
+                return t.optimize_incremental(names)
+            return t.relayout(names)
         return t.compact()
     m = _VACUUM_RE.match(stmt)
     if m:                    # VACUUM <t> [RETAIN n VERSIONS | n HOURS]

@@ -2367,3 +2367,70 @@ SELECT COUNT(*) AS n_rows,
        TRUE AS delta_encoded
 FROM orders
 """
+
+def acid_liquid_optimize(spark: SparkSession, sf_dir: str,
+                         scratch: Path) -> DataFrame:
+    """Incremental clustering (Delta liquid clustering's OPTIMIZE
+    shape; reference analog: the nightly Solr re-index the worker
+    pipeline replaces, FileWorkerApp.scala:94-117 — maintenance must
+    not scale with the corpus). ``optimize_incremental(cols)`` rewrites
+    ONLY files not already range-clustered on ``cols`` — a metadata
+    decision via the ``sort`` provenance stamped on manifest entries —
+    and carries clustered files by reference, so clustering maintenance
+    is O(arrivals), never O(table). Pins: only the stale files were
+    rewritten (clustered files carried BY PATH), every entry ends
+    stamped, range pruning tightens back to (or below) the pre-append
+    file count, a second run is a no-op WITHOUT a commit, and the
+    content is byte-identical to the oracle."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_liquid_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_totalprice"))
+    t = AcidTable.create(spark, path, od.filter("o_orderkey % 3 = 0"))
+    t.relayout(["o_orderkey"], target_files=4)               # v1
+    t.append(od.filter("o_orderkey % 3 = 1"))                # v2
+    t.append(od.filter("o_orderkey % 3 = 2"))                # v3
+    m3 = t._manifest(3)
+    keep_paths = {f["path"] for f in m3["files"]
+                  if f.get("sort") == ["o_orderkey"]}
+    n_stale = sum(1 for f in m3["files"]
+                  if f.get("sort") != ["o_orderkey"])
+    lo, hi = 1000, 2000
+    before = len(t.pruned_files("o_orderkey", lo, hi)[0])
+
+    v4 = t.optimize_incremental(["o_orderkey"], target_files=4)
+
+    m4 = t._manifest(v4)
+    after = len(t.pruned_files("o_orderkey", lo, hi)[0])
+    stats = dict(t.last_optimize_stats)
+    noop_v = t.optimize_incremental(["o_orderkey"], target_files=4)
+    ok_scope = (stats == {"files_rewritten": n_stale,
+                          "files_carried": len(keep_paths)}
+                and keep_paths <= {f["path"] for f in m4["files"]})
+    ok_stamped = all(f.get("sort") == ["o_orderkey"]
+                     for f in m4["files"])
+    ok_pruning = after < before
+    ok_noop = (noop_v == v4 and t.latest_version() == v4)
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("price_sum"))
+        .withColumn("only_stale_rewritten", F.lit(bool(ok_scope)))
+        .withColumn("all_stamped", F.lit(bool(ok_stamped)))
+        .withColumn("pruning_tightened", F.lit(bool(ok_pruning)))
+        .withColumn("second_run_noop", F.lit(bool(ok_noop))))
+
+
+ACID_LIQUID_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum,
+       TRUE AS only_stale_rewritten, TRUE AS all_stamped,
+       TRUE AS pruning_tightened, TRUE AS second_run_noop
+FROM orders
+"""

@@ -1234,7 +1234,8 @@ class AcidStreamSlice(InputPartition):
 #: which a rename never changes (a re-added column mints a fresh
 #: physical, so old files correctly read NULL for it)
 _ROW_PRESERVING_OPS = frozenset({
-    "compact", "relayout", "compact_partition", "add_constraint",
+    "compact", "relayout", "compact_partition",
+    "optimize_incremental", "add_constraint",
     "drop_constraint", "add_column", "set_partition_by", "clone",
     "rename_column", "drop_column"})
 
