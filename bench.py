@@ -147,6 +147,7 @@ BENCH_KEYS = [
     "acid_partition_evolution",
     # round 11
     "acid_liquid_optimize",
+    "acid_bloom_index",
 ]
 
 

@@ -93,6 +93,73 @@ def collect_file_stats(paths) -> list[dict]:
     return out
 
 
+_BLOOM_K = 7            # bits/n ~9.6 at the sizing below -> ~1% FPP
+_BLOOM_MAX_BITS = 1 << 22          # 512 KiB sidecar cap per file-col
+
+
+def _bloom_pair(value) -> tuple[int, int] | None:
+    """Two independent 64-bit hashes of a JSON-scalar value (one md5,
+    split — Kirsch-Mitzenmacher double hashing derives all K probe
+    positions). Type-tagged so 1 and "1" never collide; md5 is stable
+    across processes/executors, which PYTHONHASHSEED-salted hash() is
+    not. None/unsupported types return None (never indexed, reader
+    keeps the file conservatively)."""
+    import hashlib
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        raw = b"i" + str(value).encode()
+    elif isinstance(value, str):
+        raw = b"s" + value.encode()
+    else:
+        return None
+    d = hashlib.md5(raw).digest()
+    return (int.from_bytes(d[:8], "big"),
+            int.from_bytes(d[8:], "big") | 1)
+
+
+def build_bloom(values) -> bytes:
+    """Bloom bitset over ``values``, sized for ~1% FPP at the observed
+    distinct count (pow2 bits, capped at 512 KiB). An empty input
+    yields the minimum all-zero filter — 'value absent' is then exact,
+    not probabilistic."""
+    vals = {v for v in values if v is not None}
+    bits = 1 << max(10, int(len(vals) * 9.6).bit_length())
+    bits = min(bits, _BLOOM_MAX_BITS)
+    mask = bits - 1
+    buf = bytearray(bits >> 3)
+    for v in vals:
+        pair = _bloom_pair(v)
+        if pair is None:
+            continue
+        h1, h2 = pair
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) & mask
+            buf[p >> 3] |= 1 << (p & 7)
+    return bytes(buf)
+
+
+def bloom_may_contain(buf: bytes, value) -> bool:
+    """Membership test against a ``build_bloom`` bitset. True means
+    'maybe present' (open the file); False is definitive absence."""
+    pair = _bloom_pair(value)
+    if pair is None or not buf:
+        return True
+    h1, h2 = pair
+    mask = (len(buf) << 3) - 1
+    for i in range(_BLOOM_K):
+        p = (h1 + i * h2) & mask
+        if not buf[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
+def _entry_refs(m: dict, f: dict) -> list[str]:
+    """Every root-relative path a manifest entry pins: the data file
+    plus any bloom sidecars — the reference set vacuum must respect."""
+    return [_entry_rel(m, f)] + sorted((f.get("bloom") or {}).values())
+
+
 def _entry_rel(m: dict, f: dict) -> str:
     """Table-root-relative path of a manifest file entry.
 
@@ -761,7 +828,8 @@ class AcidTable:
     def create(cls, spark: SparkSession, path, df: DataFrame,
                enable_cdf: bool = False,
                enable_dv: bool = False,
-               partition_by: list[str] | None = None) -> "AcidTable":
+               partition_by: list[str] | None = None,
+               bloom_by: list[str] | None = None) -> "AcidTable":
         """Create the table with ``df`` as version 0 (errors if it exists).
 
         ``enable_cdf=True`` is Delta's ``enableChangeDataFeed`` table
@@ -802,7 +870,19 @@ class AcidTable:
                     f"partition_by column(s) {missing} not in schema "
                     f"{df.columns}")
             props["partition_by"] = list(partition_by)
+        if bloom_by:
+            missing = [c for c in bloom_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"bloom_by column(s) {missing} not in schema "
+                    f"{df.columns}")
+            props["bloom_by"] = list(bloom_by)
         rel, files = t._write_data_full(df, partition_by or [])
+        if bloom_by:
+            # props aren't committed yet, so v0's staging couldn't see
+            # them — index its files explicitly
+            files = t._attach_blooms(files, t.path / rel,
+                                     cols=list(bloom_by))
         if not t._try_commit(0, rel, df.schema.jsonValue(),
                              op="create", props=props or None,
                              files=files):
@@ -839,7 +919,18 @@ class AcidTable:
                 get_store().link_or_copy(
                     self.path / _entry_rel(m, f),
                     new.path / rel / _entry_name(f))
-                cloned_files.append({**f, "path": _entry_name(f)})
+                e = {**f, "path": _entry_name(f)}
+                if f.get("bloom"):
+                    # bloom sidecars share their data file's lifecycle:
+                    # link them too and re-anchor the entry's map
+                    bl = {}
+                    for c, side in f["bloom"].items():
+                        name = Path(side).name
+                        get_store().link_or_copy(
+                            self.path / side, new.path / rel / name)
+                        bl[c] = f"{rel}/{name}"
+                    e["bloom"] = bl
+                cloned_files.append(e)
         else:
             for f in sorted((self.path / m["data"]).glob("*.parquet")):
                 get_store().link_or_copy(f, new.path / rel / f.name)
@@ -1323,8 +1414,10 @@ class AcidTable:
             for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
                 shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
             shutil.rmtree(tmp, ignore_errors=True)
-            return self._destat_entries(collect_file_stats(
-                sorted(dest.glob(f"add-{tag}-*.parquet"))), mapping)
+            return self._attach_blooms(self._destat_entries(
+                collect_file_stats(
+                    sorted(dest.glob(f"add-{tag}-*.parquet"))),
+                mapping), dest, mapping)
         if lanes == 0:
             # COW-rewrite path: the input is already partition-
             # clustered (touched files each hold ONE tuple), so
@@ -1362,7 +1455,151 @@ class AcidTable:
         entries = collect_file_stats([dest / n for n, _ in moved])
         for e, (_, part) in zip(entries, moved):
             e["partition"] = part
-        return self._destat_entries(entries, mapping)
+        return self._attach_blooms(
+            self._destat_entries(entries, mapping), dest, mapping)
+
+    def bloom_cols(self) -> list[str]:
+        """Columns with a per-file bloom-filter index (Delta's bloom
+        filter index): point-equality reads skip files whose bitset
+        proves the value absent — the needle-in-haystack complement to
+        [min, max] stats, which are useless on high-cardinality
+        unclustered columns. [] when unindexed."""
+        if self.latest_version() is None:
+            return []
+        return list(self._props().get("bloom_by", []) or [])
+
+    def set_bloom_by(self, cols: list[str] | None,
+                     max_retries: int = 20) -> int:
+        """Declare (or clear) the bloom-indexed columns for FUTURE
+        writes — a pure-metadata commit, same evolution contract as
+        ``set_partition_by``: existing files without a sidecar are
+        conservatively kept by every point read, and re-index
+        naturally when a compact/relayout/optimize rewrites them."""
+        cols = list(cols or [])
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            missing = [c for c in cols if c not in cur.columns]
+            if missing:
+                raise ValueError(
+                    f"bloom_by column(s) {missing} not in schema "
+                    f"{cur.columns}")
+            m = self._manifest(v)
+            props = dict(self._props())
+            if cols:
+                props["bloom_by"] = cols
+            else:
+                props.pop("bloom_by", None)
+            if self._try_commit(v + 1, m["data"], m["schema"],
+                                "set_bloom_by", props=props,
+                                files=m.get("files"),
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+        raise CommitConflict(
+            f"gave up setting bloom index after {max_retries} "
+            f"conflicts")
+
+    def _attach_blooms(self, entries: list[dict], dest: Path,
+                       mapping: dict | None = None,
+                       cols: list[str] | None = None) -> list[dict]:
+        """Build per-file bloom sidecars for the staged ``entries`` —
+        ONE distributed pass over the new files only (the O(delta)
+        discipline: index cost scales with the batch, never the
+        table). Sidecars are hidden files (``_bloom-...``) in the same
+        commit dir, so they share the data files' lifecycle and dir
+        scans never see them; the entry records root-relative sidecar
+        paths keyed by LOGICAL column (stats discipline under column
+        mapping)."""
+        cols = self.bloom_cols() if cols is None else list(cols)
+        cols = [c for c in cols if c]
+        if not cols or not entries:
+            return entries
+        mapping = mapping or {}
+        rel = dest.relative_to(self.path).as_posix()
+        jobs = [(str(dest / e["path"]), e["path"],
+                 c, mapping.get(c, c)) for e in entries for c in cols]
+
+        def work(it):
+            import pyarrow.parquet as pq
+            for path, name, logical, physical in it:
+                try:
+                    col = pq.read_table(
+                        path, columns=[physical]).column(physical)
+                    buf = build_bloom(col.to_pylist())
+                except (OSError, KeyError):
+                    continue          # unindexable: reader keeps file
+                side = f"_bloom-{name}-{logical}.bin"
+                with open(Path(path).parent / side, "wb") as fh:
+                    fh.write(buf)
+                yield (name, logical, side)
+
+        made = self.spark.sparkContext.parallelize(
+            jobs, max(1, min(len(jobs), 64))).mapPartitions(
+            work).collect()
+        by_file: dict[str, dict] = {}
+        for name, logical, side in made:
+            by_file.setdefault(name, {})[logical] = f"{rel}/{side}"
+        for e in entries:
+            if e["path"] in by_file:
+                e["bloom"] = by_file[e["path"]]
+        return entries
+
+    def pruned_files_eq(self, col: str, value,
+                        version: int | None = None
+                        ) -> tuple[list[str], int]:
+        """(paths that may hold ``col = value``, total file count):
+        partition pins and [min, max] stats decide first (pure
+        manifest), then each surviving file's bloom sidecar — ~KBs
+        read per file instead of the file itself, a definitive skip on
+        a miss. Files without a sidecar (pre-index history, foreign
+        writers) are conservatively kept."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        files = m.get("files")
+        if not files:
+            paths = sorted(str(p) for p in
+                           (self.path / m["data"]).glob("*.parquet"))
+            return paths, len(paths)
+        keep = []
+        for f in files:
+            pv = (f.get("partition") or {}).get(col)
+            if pv is not None and pv != value:
+                continue
+            st = f.get("stats", {}).get(col)
+            if st is not None:
+                try:
+                    if not st[0] <= value <= st[1]:
+                        continue
+                except TypeError:
+                    pass
+            side = (f.get("bloom") or {}).get(col)
+            if side:
+                try:
+                    buf = (self.path / side).read_bytes()
+                    if not bloom_may_contain(buf, value):
+                        continue
+                except OSError:
+                    pass              # sidecar gone: keep the file
+            keep.append(str(self.path / _entry_rel(m, f)))
+        return keep, len(files)
+
+    def read_eq(self, col: str, value,
+                version: int | None = None) -> DataFrame:
+        """Point-equality read through partition + stats + bloom
+        skipping; the residual predicate still applies (bloom
+        survivors are candidates, not matches)."""
+        v = self.latest_version() if version is None else version
+        paths, _ = self.pruned_files_eq(col, value, v)
+        m = self._manifest(v)
+        schema = StructType.fromJson(m["schema"])
+        if not paths:
+            return (self.spark.createDataFrame([], schema)
+                    .filter(F.col(col) == F.lit(value)))
+        tagged = self._tagged_physical_scan(m, schema, paths)
+        if "dv" in m:
+            tagged = self._apply_dv(tagged, m)
+        return (tagged.select(*[f.name for f in schema.fields])
+                .filter(F.col(col) == F.lit(value)))
 
     def _write_data_full(self, df: DataFrame,
                          pcols: list[str] | None = None,
@@ -3299,7 +3536,8 @@ class AcidTable:
             if files is None:          # legacy: whole data dir
                 keep_dirs.add(m["data"])
             else:
-                keep_files.update(_entry_rel(m, f) for f in files)
+                for f in files:        # data file + bloom sidecars
+                    keep_files.update(_entry_refs(m, f))
             if "dv" in m:      # a readable version needs its vector
                 keep_dirs.add(m["dv"])
         ch_from = 0 if keep_changes_last is None \
@@ -3324,7 +3562,7 @@ class AcidTable:
                 (self._manifests / f"v{v}.json").read_text())
             for f in (mv.get("files") or []) + (mv.get("files_add")
                                                 or []):
-                ever_files.add(_entry_rel(mv, f))
+                ever_files.update(_entry_refs(mv, f))
             if mv.get("files") is None and "files_base" not in mv:
                 ever_dirs.add(mv["data"])
             if "dv" in mv:

@@ -1169,6 +1169,9 @@ register("acid_checkpoint", oracle=extensions.ACID_CHECKPOINT_ORACLE
 register("acid_liquid_optimize", oracle=extensions.ACID_LIQUID_ORACLE
          )(lambda s, d: extensions.acid_liquid_optimize(s, d, SCRATCH))
 
+register("acid_bloom_index", oracle=extensions.ACID_BLOOM_ORACLE
+         )(lambda s, d: extensions.acid_bloom_index(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

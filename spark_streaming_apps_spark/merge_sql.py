@@ -672,8 +672,8 @@ def acid_sql(spark: SparkSession, stmt: str,
             if cols:
                 raise ValueError(
                     "OPTIMIZE ZORDER/CLUSTER BY cannot be combined "
-                    "with WHERE (clustering maintenance is key-scoped, "
-                    "not partition-scoped)")
+                    "with WHERE (zorder relayout is whole-table; "
+                    "CLUSTER BY maintenance is key-scoped)")
             pins = _partition_pins(cond, t.partition_cols())
             if not pins:
                 raise ValueError(

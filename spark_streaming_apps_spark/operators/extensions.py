@@ -2434,3 +2434,66 @@ SELECT COUNT(*) AS n_rows,
        TRUE AS pruning_tightened, TRUE AS second_run_noop
 FROM orders
 """
+
+def acid_bloom_index(spark: SparkSession, sf_dir: str,
+                     scratch: Path) -> DataFrame:
+    """Per-file bloom-filter index for point lookups (Delta's bloom
+    filter index; reference analog: the Solr hash-lookup the worker
+    pipeline consults per file, FileWorkerApp.scala:129-141 — a
+    needle-in-haystack membership probe that must not scan the
+    corpus). [min, max] stats are useless on a high-cardinality
+    unclustered column (every file's range spans the space), so
+    ``bloom_by`` columns get a per-file bitset sidecar built in ONE
+    distributed pass over each commit's new files; ``read_eq`` skips
+    files whose bitset proves the value absent — KBs of sidecar read
+    instead of the file. Pins: a present-value lookup opens a strict
+    minority of files and returns exactly the oracle rows; an absent
+    value skips EVERY file; the false-negative-free contract holds for
+    a sample of present keys; vacuum keeps sidecars alive with their
+    data files."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_bloom_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey",
+                  F.md5(F.col("o_orderkey").cast("string"))
+                   .alias("order_hash"),
+                  "o_totalprice"))
+    t = AcidTable.create(spark, path, od.filter("o_orderkey % 4 = 0"),
+                         bloom_by=["order_hash"])
+    for k in (1, 2, 3):
+        t.append(od.filter(f"o_orderkey % 4 = {k}"))
+    t.vacuum(keep_last=1, orphan_grace_s=0.0)
+    probe = od.orderBy("o_orderkey").limit(6).collect()
+    needle = probe[0].order_hash
+
+    paths, total = t.pruned_files_eq("order_hash", needle)
+    skipped_some = 0 < len(paths) < total
+    absent_all_skipped = (
+        t.pruned_files_eq("order_hash", "absent")[0] == [])
+    no_false_neg = all(
+        t.read_eq("order_hash", r.order_hash).count() == 1
+        for r in probe)
+    return (t.read_eq("order_hash", needle)
+            .select("o_orderkey", "order_hash",
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                     .cast("double").alias("price"))
+            .withColumn("skipped_files", F.lit(bool(skipped_some)))
+            .withColumn("absent_skips_all",
+                        F.lit(bool(absent_all_skipped)))
+            .withColumn("no_false_negatives",
+                        F.lit(bool(no_false_neg))))
+
+
+ACID_BLOOM_ORACLE = """
+SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS order_hash,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       TRUE AS skipped_files, TRUE AS absent_skips_all,
+       TRUE AS no_false_negatives
+FROM orders
+WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+"""

@@ -1236,8 +1236,8 @@ class AcidStreamSlice(InputPartition):
 _ROW_PRESERVING_OPS = frozenset({
     "compact", "relayout", "compact_partition",
     "optimize_incremental", "add_constraint",
-    "drop_constraint", "add_column", "set_partition_by", "clone",
-    "rename_column", "drop_column"})
+    "drop_constraint", "add_column", "set_partition_by",
+    "set_bloom_by", "clone", "rename_column", "drop_column"})
 
 #: ops that only add rows — the appended files ARE the batch
 _APPEND_OPS = frozenset({"append", "append_txn", "stream_sink"})
