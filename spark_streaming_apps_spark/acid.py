@@ -154,6 +154,18 @@ def bloom_may_contain(buf: bytes, value) -> bool:
     return True
 
 
+def normalize_change_types(df: DataFrame) -> DataFrame:
+    """Fold Delta's UPDATE image types back to the two-type algebra:
+    update_preimage counts as a delete, update_postimage as an insert —
+    so every multiset consumer (IVM, contract checks) works unchanged
+    on feeds from tables with ``cdf_update_images`` enabled."""
+    return df.withColumn(
+        "_change_type",
+        F.when(F.col("_change_type") == "update_preimage", "delete")
+         .when(F.col("_change_type") == "update_postimage", "insert")
+         .otherwise(F.col("_change_type")))
+
+
 def _entry_refs(m: dict, f: dict) -> list[str]:
     """Every root-relative path a manifest entry pins: the data file
     plus any bloom sidecars — the reference set vacuum must respect."""
@@ -829,7 +841,8 @@ class AcidTable:
                enable_cdf: bool = False,
                enable_dv: bool = False,
                partition_by: list[str] | None = None,
-               bloom_by: list[str] | None = None) -> "AcidTable":
+               bloom_by: list[str] | None = None,
+               cdf_update_images: bool = False) -> "AcidTable":
         """Create the table with ``df`` as version 0 (errors if it exists).
 
         ``enable_cdf=True`` is Delta's ``enableChangeDataFeed`` table
@@ -861,6 +874,15 @@ class AcidTable:
         props = {}
         if enable_cdf:
             props["cdf"] = True
+        if cdf_update_images:
+            if not enable_cdf:
+                raise ValueError(
+                    "cdf_update_images requires enable_cdf=True")
+            # opt-in Delta parity: COW UPDATE records changed rows as
+            # update_preimage/update_postimage instead of delete/insert
+            # (consumers that fold the feed should map pre->delete,
+            # post->insert: normalize_change_types)
+            props["cdf_update_images"] = True
         if enable_dv:
             props["dv"] = True
         if partition_by:
@@ -1853,8 +1875,19 @@ class AcidTable:
                                                       out.limit(0))
                 else:
                     t_w, o_w = self._widen_for_diff(touched, out)
-                    ch_rel = self._write_changes_pair(
-                        o_w.exceptAll(t_w), t_w.exceptAll(o_w))
+                    if (op.startswith("update")
+                            and self._props().get("cdf_update_images")):
+                        # Delta UPDATE image types (opt-in property):
+                        # only CHANGED rows appear (unchanged images
+                        # cancel in the exceptAll pair), labeled as
+                        # post/pre instead of insert/delete
+                        ch_rel = self._write_changes_pair(
+                            o_w.exceptAll(t_w), t_w.exceptAll(o_w),
+                            ins_label="update_postimage",
+                            del_label="update_preimage")
+                    else:
+                        ch_rel = self._write_changes_pair(
+                            o_w.exceptAll(t_w), t_w.exceptAll(o_w))
             if self._try_commit(v + 1, rel, m["schema"], op,
                                 changes_rel=ch_rel, files=stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
@@ -2414,11 +2447,15 @@ class AcidTable:
             ins, dels = out_w.exceptAll(cur_w), cur_w.exceptAll(out_w)
         return self._write_changes_pair(ins, dels)
 
-    def _write_changes_pair(self, ins: DataFrame, dels: DataFrame) -> str:
-        """Write an (inserts, deletes) pair as this commit's change files."""
-        ch = (ins.withColumn("_change_type", F.lit("insert"))
+    def _write_changes_pair(self, ins: DataFrame, dels: DataFrame,
+                            ins_label: str = "insert",
+                            del_label: str = "delete") -> str:
+        """Write an (inserts, deletes) pair as this commit's change
+        files. Non-default labels carry Delta's UPDATE image types
+        (update_postimage/update_preimage) when the table opted in."""
+        ch = (ins.withColumn("_change_type", F.lit(ins_label))
               .unionByName(dels.withColumn("_change_type",
-                                           F.lit("delete"))))
+                                           F.lit(del_label))))
         rel = f"data/changes-{uuid.uuid4().hex}"
         ch.write.parquet(str(self.path / rel))
         return rel

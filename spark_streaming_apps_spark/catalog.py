@@ -1172,6 +1172,10 @@ register("acid_liquid_optimize", oracle=extensions.ACID_LIQUID_ORACLE
 register("acid_bloom_index", oracle=extensions.ACID_BLOOM_ORACLE
          )(lambda s, d: extensions.acid_bloom_index(s, d, SCRATCH))
 
+register("acid_cdf_update_images",
+         oracle=extensions.ACID_CDF_IMAGES_ORACLE
+         )(lambda s, d: extensions.acid_cdf_update_images(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

@@ -2497,3 +2497,59 @@ SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS order_hash,
 FROM orders
 WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
 """
+
+def acid_cdf_update_images(spark: SparkSession, sf_dir: str,
+                           scratch: Path) -> DataFrame:
+    """Delta CDF UPDATE image types, opt-in per table
+    (``cdf_update_images``): a COW UPDATE records its CHANGED rows as
+    update_preimage/update_postimage pairs instead of delete/insert
+    (unchanged rows cancel in the diff and never appear — Delta's
+    contract), while ``normalize_change_types`` folds the feed back to
+    the two-type algebra so every multiset consumer (IVM, contract
+    checks) is unaffected. (Reference analog: the status-transition
+    UPDATE audit, StreamingApp.scala:204-228 — who changed, from what,
+    to what.) Pins: the labeled feed matches the oracle's
+    reconstructed pre/post rows exactly, and the normalized multiset
+    contract read(v0) + inserts - deletes == read(v1) holds."""
+    import shutil
+
+    from ..acid import AcidTable, normalize_change_types
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_cdf_img_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .filter("o_orderkey % 7 = 0"))
+    t = AcidTable.create(spark, path, od, enable_cdf=True,
+                         cdf_update_images=True)
+    t.update_where({"o_totalprice": "o_totalprice + 1"},
+                   "o_orderkey % 14 = 0")
+    ch = t.read_changes(0, 1)
+    norm = normalize_change_types(ch)
+    ins = (norm.filter("_change_type = 'insert'")
+           .select("o_orderkey", "o_totalprice"))
+    dels = (norm.filter("_change_type = 'delete'")
+            .select("o_orderkey", "o_totalprice"))
+    lhs = t.read(0).unionByName(ins).exceptAll(dels)
+    contract = (lhs.exceptAll(t.read(1)).count() == 0
+                and t.read(1).exceptAll(lhs).count() == 0)
+    return (ch.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)")
+         .cast("double").alias("price"),
+        F.col("_change_type").alias("change_type"))
+        .withColumn("contract_holds", F.lit(bool(contract))))
+
+
+ACID_CDF_IMAGES_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       'update_preimage' AS change_type, TRUE AS contract_holds
+FROM orders WHERE o_orderkey % 14 = 0
+UNION ALL
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice + 1 AS DECIMAL(18,2)) AS DOUBLE),
+       'update_postimage', TRUE
+FROM orders WHERE o_orderkey % 14 = 0
+"""
