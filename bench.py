@@ -148,6 +148,7 @@ BENCH_KEYS = [
     # round 11
     "acid_liquid_optimize",
     "acid_bloom_index",
+    "acid_generated_columns",
 ]
 
 

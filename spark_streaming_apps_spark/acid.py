@@ -842,7 +842,8 @@ class AcidTable:
                enable_dv: bool = False,
                partition_by: list[str] | None = None,
                bloom_by: list[str] | None = None,
-               cdf_update_images: bool = False) -> "AcidTable":
+               cdf_update_images: bool = False,
+               generated: dict[str, str] | None = None) -> "AcidTable":
         """Create the table with ``df`` as version 0 (errors if it exists).
 
         ``enable_cdf=True`` is Delta's ``enableChangeDataFeed`` table
@@ -871,7 +872,28 @@ class AcidTable:
         t = cls(spark, path)
         t._manifests.mkdir(parents=True, exist_ok=True)
         t._data.mkdir(parents=True, exist_ok=True)
+        cons = None
+        if generated:
+            # GENERATED ALWAYS AS (expr) — Delta generated columns:
+            # writers that omit the column get it computed at write
+            # time; writers that provide it are validated by an
+            # implicit CHECK (cross-dialect null-safe equality, so the
+            # SparkSession-free sink enforces it via DuckDB too). The
+            # canonical use is a derived partition key (day from a
+            # timestamp): declare partition_by on the generated column
+            # and every pruner works off the recorded tuples.
+            for col, expr in generated.items():
+                if col not in df.columns:
+                    df = df.withColumn(col, F.expr(expr))
+            cons = {f"gen_{col}": f"(({col}) = ({expr})) OR "
+                                  f"(({col}) IS NULL AND "
+                                  f"({expr}) IS NULL)"
+                    for col, expr in generated.items()}
+            for name, expr in cons.items():
+                _check_duckdb_enforceable(name, expr, df.schema)
         props = {}
+        if generated:
+            props["generated"] = dict(generated)
         if enable_cdf:
             props["cdf"] = True
         if cdf_update_images:
@@ -907,9 +929,18 @@ class AcidTable:
                                      cols=list(bloom_by))
         if not t._try_commit(0, rel, df.schema.jsonValue(),
                              op="create", props=props or None,
-                             files=files):
+                             files=files, constraints=cons):
             raise FileExistsError(f"AcidTable already exists at {path}")
         return t
+
+    def _materialize_generated(self, rows: DataFrame) -> DataFrame:
+        """Compute any declared generated columns a writer omitted
+        (Delta's write-time materialization); provided values pass
+        through and are validated by the implicit CHECK instead."""
+        for col, expr in (self._props().get("generated") or {}).items():
+            if col not in rows.columns:
+                rows = rows.withColumn(col, F.expr(expr))
+        return rows
 
     def clone(self, path, version: int | None = None) -> "AcidTable":
         """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
@@ -2930,6 +2961,7 @@ class AcidTable:
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
     def append(self, rows: DataFrame, max_retries: int = 20) -> int:
+        rows = self._materialize_generated(rows)
         return self._commit_loop(lambda cur: cur.unionByName(rows),
                                  "append", max_retries, insert_hint=rows)
 
@@ -3176,6 +3208,7 @@ class AcidTable:
         map existed fall back to the full scan once; the next commit
         starts the map."""
         txn = f"{app_id}#{batch_id}"
+        rows = self._materialize_generated(rows)
         for _ in range(max_retries):
             v, cur = self.snapshot()
             newest = self._manifest(v)
@@ -3828,6 +3861,11 @@ class AcidTable:
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
     def append_evolve(self, rows: DataFrame, max_retries: int = 20) -> int:
+        rows = self._materialize_generated(rows)
+        return self._append_evolve_inner(rows, max_retries)
+
+    def _append_evolve_inner(self, rows: DataFrame,
+                             max_retries: int = 20) -> int:
         """Schema-evolving append: columns new to ``rows`` widen the table
         schema (existing rows read NULL there), columns missing from
         ``rows`` null-fill — the mergeSchema contract, but transactional:

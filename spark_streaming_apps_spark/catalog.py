@@ -1176,6 +1176,10 @@ register("acid_cdf_update_images",
          oracle=extensions.ACID_CDF_IMAGES_ORACLE
          )(lambda s, d: extensions.acid_cdf_update_images(s, d, SCRATCH))
 
+register("acid_generated_columns",
+         oracle=extensions.ACID_GENERATED_ORACLE
+         )(lambda s, d: extensions.acid_generated_columns(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

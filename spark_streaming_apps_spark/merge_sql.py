@@ -532,11 +532,16 @@ def insert_sql(spark: SparkSession, stmt: str,
         raise ValueError(f"INSERT INTO unknown column(s) {unknown}")
     df = df.toDF(*names)
     have = {c.lower() for c in df.columns}
+    gen = {c.lower() for c in (t._props().get("generated") or {})}
     for f in schema.fields:
-        if f.name.lower() not in have:
+        if f.name.lower() not in have and f.name.lower() not in gen:
+            # ANSI NULL-fill — but never for a GENERATED column: left
+            # absent, append() computes it (Delta's write-time rule)
             df = df.withColumn(f.name, F.lit(None))
+    present = {c.lower() for c in df.columns}
     out = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
-                      for f in schema.fields])
+                      for f in schema.fields
+                      if f.name.lower() in present])
     return t.append(out)
 
 

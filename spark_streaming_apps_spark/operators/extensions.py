@@ -2553,3 +2553,57 @@ SELECT o_orderkey,
        'update_postimage', TRUE
 FROM orders WHERE o_orderkey % 14 = 0
 """
+
+def acid_generated_columns(spark: SparkSession, sf_dir: str,
+                           scratch: Path) -> DataFrame:
+    """Generated columns (Delta GENERATED ALWAYS AS; reference analog:
+    the derived seq/topic columns every insert recomputes,
+    StreamingApp.scala:171-199): declared once at CREATE, computed at
+    write time for any writer that omits them, validated by an
+    implicit cross-dialect CHECK for any writer that provides them —
+    and usable as the PARTITION key, the canonical 100-TB shape
+    (partition by a derived bucket/day; writers just append facts;
+    every pruner works off recorded tuples). Pins: appends without the
+    column materialize it; the partition-pinned DML find pass scans a
+    strict subset of files; a wrong explicit value is REFUSED; content
+    equals the oracle's recomputation."""
+    import shutil
+
+    from ..acid import AcidTable, ConstraintViolation
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_gen_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_totalprice"))
+    t = AcidTable.create(spark, path, od.filter("o_orderkey % 2 = 0"),
+                         generated={"o_bucket": "o_orderkey % 8"},
+                         partition_by=["o_bucket"])
+    t.append(od.filter("o_orderkey % 2 = 1"))   # no o_bucket supplied
+    total = len(t._manifest(t.latest_version())["files"])
+    t.delete_where("o_bucket = 3 AND o_totalprice < 0")   # no-op rows,
+    pruned_find = t.last_cow_stats["files_scanned"] < total
+    refused = False
+    try:
+        t.append(spark.createDataFrame(
+            [(2, 1.0, 777)],
+            "o_orderkey long, o_totalprice double, o_bucket long"))
+    except ConstraintViolation:
+        refused = True
+    return (t.read()
+            .groupBy("o_bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("price_sum"))
+            .withColumn("pruned_find", F.lit(bool(pruned_find)))
+            .withColumn("bad_value_refused", F.lit(bool(refused))))
+
+
+ACID_GENERATED_ORACLE = """
+SELECT o_orderkey % 8 AS o_bucket, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum,
+       TRUE AS pruned_find, TRUE AS bad_value_refused
+FROM orders
+GROUP BY o_orderkey % 8
+"""
