@@ -149,6 +149,7 @@ BENCH_KEYS = [
     "acid_liquid_optimize",
     "acid_bloom_index",
     "acid_generated_columns",
+    "acid_compact_small",
 ]
 
 

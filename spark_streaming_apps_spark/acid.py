@@ -2443,7 +2443,8 @@ class AcidTable:
     #: construction, no diff needed
     _NO_CHANGE_OPS = frozenset({"relayout", "compact",
                                 "compact_partition",
-                                "optimize_incremental"})
+                                "optimize_incremental",
+                                "compact_small"})
 
     def _widen_for_diff(self, a: DataFrame, b: DataFrame):
         """Project both frames onto their merged column superset
@@ -3552,7 +3553,8 @@ class AcidTable:
     def vacuum(self, keep_last: int = 2,
                keep_changes_last: int | None = None,
                retain_hours: float | None = None,
-               orphan_grace_s: float = 300.0) -> list[str]:
+               orphan_grace_s: float = 300.0,
+               dry_run: bool = False) -> list[str]:
         """Drop data dirs not referenced by the ``keep_last`` newest
         manifests — including orphans from conflicted (never-committed)
         writes.  Old manifests stay as history; their data is gone, which
@@ -3671,6 +3673,14 @@ class AcidTable:
             ledger_paths.extend(f"{rel}/{p.name}" for p in victims)
             if whole:
                 ledger_dirs.append(rel)
+        if dry_run:
+            # Delta's VACUUM ... DRY RUN: report what WOULD die, touch
+            # nothing — no ledger entry, no deletion, no checkpoint
+            # pruning (the pre-flight a 100 TB operator runs before
+            # committing to a retention change)
+            return [rel if whole
+                    else f"{rel} ({len(victims)}/{n_children} files)"
+                    for _, victims, whole, rel, n_children in plan]
         if plan:
             ledger = self._manifests / "_vacuumed.jsonl"
             if not ledger.exists():
@@ -3803,18 +3813,61 @@ class AcidTable:
         Returns the current version unchanged when everything is
         already clustered (no empty commits)."""
         key = list(cols)
+        r = self._rewrite_subset(
+            lambda f: f.get("sort") != key,
+            lambda df: (df.repartitionByRange(target_files, *key)
+                        .sortWithinPartitions(*key)),
+            "optimize_incremental", stamp_sort=key,
+            max_retries=max_retries)
+        if r is None:                       # legacy: no provenance
+            return self.relayout(key, target_files, max_retries)
+        return r
+
+    def compact_small(self, max_bytes: int = 32 << 20,
+                      target_files: int = 1, min_files: int = 2,
+                      max_retries: int = 20) -> int:
+        """Small-file compaction — Delta auto-compaction's primitive
+        (``minFileSize``/``minNumFiles``): rewrite ONLY files under
+        ``max_bytes`` (a pure manifest decision off recorded sizes),
+        carrying every full-size file by reference. The steady-state
+        answer to streaming-sink small-file pressure: maintenance cost
+        is O(small files), never O(table), so it can run at every few
+        commits instead of as a rare whole-table OPTIMIZE. Fewer than
+        ``min_files`` candidates is a no-op without a commit."""
+        r = self._rewrite_subset(
+            lambda f: f.get("bytes", 0) < max_bytes,
+            lambda df: df.coalesce(target_files),
+            "compact_small", min_stale=min_files,
+            max_retries=max_retries)
+        if r is None:                       # legacy: no per-file sizes
+            return self.compact(target_files, max_retries)
+        return r
+
+    def _rewrite_subset(self, pick, transform, op: str,
+                        stamp_sort: list[str] | None = None,
+                        min_stale: int = 1,
+                        max_retries: int = 20) -> int | None:
+        """Partial-rewrite commit shared by ``optimize_incremental``
+        and ``compact_small``: rewrite ONLY the entries ``pick``
+        selects (a metadata-only decision — no probe scan), carry the
+        rest by reference; rewritten files materialize their deletion-
+        vector share, carried files keep their entries; CDF records an
+        empty change set (row-preserving op). Returns None on a legacy
+        manifest (caller falls back to the whole-table path), the
+        current version when there is nothing to do (no empty
+        commits)."""
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
             files = m.get("files")
-            if files is None:               # legacy: no provenance
-                return self.relayout(key, target_files, max_retries)
-            stale = [f for f in files if f.get("sort") != key]
-            if not stale:
+            if files is None:
+                return None
+            stale = [f for f in files if pick(f)]
+            if len(stale) < min_stale:
                 self.last_optimize_stats = {"files_rewritten": 0,
                                             "files_carried": len(files)}
                 return v
-            keep = [f for f in files if f.get("sort") == key]
+            keep = [f for f in files if not pick(f)]
             schema = StructType.fromJson(m["schema"])
             scols = [f.name for f in schema.fields]
             tg = self._tagged_physical_scan(
@@ -3823,10 +3876,9 @@ class AcidTable:
             if "dv" in m:
                 # rewritten files materialize their share of the vector
                 tg = self._apply_dv(tg, m)
-            out = (tg.select(*scols)
-                   .repartitionByRange(target_files, *key)
-                   .sortWithinPartitions(*key))
-            rel, new_stats = self._write_data_full(out, order_by=key)
+            out = transform(tg.select(*scols))
+            rel, new_stats = self._write_data_full(out,
+                                                   order_by=stamp_sort)
             new_stats = [f if "/" in f["path"]
                          else {**f, "path": f"{rel}/{f['path']}"}
                          for f in new_stats]
@@ -3847,8 +3899,7 @@ class AcidTable:
                       if self.cdf_enabled() else None)
             self.last_optimize_stats = {"files_rewritten": len(stale),
                                         "files_carried": len(keep)}
-            if self._try_commit(v + 1, rel, m["schema"],
-                                "optimize_incremental",
+            if self._try_commit(v + 1, rel, m["schema"], op,
                                 changes_rel=ch_rel,
                                 files=carried + new_stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):

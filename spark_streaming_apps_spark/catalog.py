@@ -1180,6 +1180,10 @@ register("acid_generated_columns",
          oracle=extensions.ACID_GENERATED_ORACLE
          )(lambda s, d: extensions.acid_generated_columns(s, d, SCRATCH))
 
+register("acid_compact_small",
+         oracle=extensions.ACID_COMPACT_SMALL_ORACLE
+         )(lambda s, d: extensions.acid_compact_small(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

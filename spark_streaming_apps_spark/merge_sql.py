@@ -463,7 +463,8 @@ _OPTIMIZE_RE = re.compile(
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<tbl>[\w.]+)"
     r"(?:\s+RETAIN\s+(?P<keep>\d+(?:\.\d+)?)\s+"
-    r"(?P<unit>VERSIONS|HOURS))?\s*;?\s*$",
+    r"(?P<unit>VERSIONS|HOURS))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE)
 
 _CONVERT_RE = re.compile(
@@ -695,14 +696,18 @@ def acid_sql(spark: SparkSession, stmt: str,
             return t.relayout(names)
         return t.compact()
     m = _VACUUM_RE.match(stmt)
-    if m:                    # VACUUM <t> [RETAIN n VERSIONS | n HOURS]
+    if m:        # VACUUM <t> [RETAIN n VERSIONS | n HOURS] [DRY RUN]
         t = _lookup(tables, m.group("tbl"), "VACUUM")
         unit = (m.group("unit") or "VERSIONS").upper()
+        dry = bool(m.group("dry"))
         if m.group("keep") and unit == "HOURS":
-            t.vacuum(retain_hours=float(m.group("keep")))
+            would = t.vacuum(retain_hours=float(m.group("keep")),
+                             dry_run=dry)
         else:
             keep = int(float(m.group("keep"))) if m.group("keep") else 2
-            t.vacuum(keep_last=keep)
+            would = t.vacuum(keep_last=keep, dry_run=dry)
+        if dry:      # Delta's DRY RUN: report, touch nothing
+            return would
         return t.latest_version()
     m = _CONVERT_RE.match(stmt)
     if m:                    # CONVERT TO ACID '<dir>' AS <name>

@@ -2607,3 +2607,57 @@ SELECT o_orderkey % 8 AS o_bucket, COUNT(*) AS n_rows,
 FROM orders
 GROUP BY o_orderkey % 8
 """
+
+def acid_compact_small(spark: SparkSession, sf_dir: str,
+                       scratch: Path) -> DataFrame:
+    """Small-file compaction (Delta auto-compaction's minFileSize/
+    minNumFiles primitive; reference analog: the chunked file-sink's
+    16 MB segments, FileChunkSink.scala:18-40 — steady small-file
+    pressure is the sink's natural output shape). Candidates are a
+    pure manifest decision off recorded sizes: rewrite only files
+    under the threshold, carry full-size files by reference —
+    O(small files) maintenance at any table size. Pins: only the
+    small files merged (big files carried BY PATH), a second run is a
+    no-op without a commit, content equality."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_csml_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_totalprice"))
+    t = AcidTable.create(spark, path,
+                         od.filter("o_orderkey % 6 = 0").coalesce(1))
+    for k in range(1, 6):                 # 5 small appends
+        t.append(od.filter(f"o_orderkey % 6 = {k}").coalesce(1))
+    m = t._manifest(t.latest_version())
+    sizes = sorted(f["bytes"] for f in m["files"])
+    cutoff = sizes[-1]                    # keep only the biggest file
+    big = {f["path"] for f in m["files"] if f["bytes"] >= cutoff}
+
+    v = t.compact_small(max_bytes=cutoff, target_files=1)
+
+    m2 = t._manifest(v)
+    stats = dict(t.last_optimize_stats)
+    ok_scope = (stats["files_carried"] == len(big)
+                and big <= {f["path"] for f in m2["files"]}
+                and len(m2["files"]) == len(big) + 1)
+    noop = (t.compact_small(max_bytes=cutoff) == v
+            and t.latest_version() == v)
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("price_sum"))
+        .withColumn("only_small_rewritten", F.lit(bool(ok_scope)))
+        .withColumn("second_run_noop", F.lit(bool(noop))))
+
+
+ACID_COMPACT_SMALL_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum,
+       TRUE AS only_small_rewritten, TRUE AS second_run_noop
+FROM orders
+"""

@@ -1235,7 +1235,7 @@ class AcidStreamSlice(InputPartition):
 #: physical, so old files correctly read NULL for it)
 _ROW_PRESERVING_OPS = frozenset({
     "compact", "relayout", "compact_partition",
-    "optimize_incremental", "add_constraint",
+    "optimize_incremental", "compact_small", "add_constraint",
     "drop_constraint", "add_column", "set_partition_by",
     "set_bloom_by", "clone", "rename_column", "drop_column"})
 

@@ -1,0 +1,55 @@
+"""compact_small (Delta auto-compaction's primitive) and
+VACUUM ... DRY RUN."""
+import pyspark.sql.functions as F
+
+from spark_streaming_apps_spark.acid import AcidTable
+
+
+def _rows(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") % 5).alias("v")))
+
+
+def test_compact_small_rewrites_only_small_files(spark, tmp_path):
+    t = AcidTable.create(spark, tmp_path / "t", _rows(spark, 0, 200_000)
+                         .coalesce(2))
+    for lo in range(200_000, 200_500, 100):       # 5 tiny appends
+        t.append(_rows(spark, lo, lo + 100).coalesce(1))
+    m = t._manifest(t.latest_version())
+    big = {f["path"] for f in m["files"] if f["bytes"] >= 100_000}
+    assert len(big) == 2 and len(m["files"]) == 7
+
+    v = t.compact_small(max_bytes=100_000, target_files=1)
+
+    m2 = t._manifest(v)
+    assert t.last_optimize_stats == {"files_rewritten": 5,
+                                     "files_carried": 2}
+    assert big <= {f["path"] for f in m2["files"]}   # carried by path
+    assert len(m2["files"]) == 3                     # 2 big + 1 merged
+    assert t.read().count() == 200_500
+    # below min_files: no-op without a commit
+    assert t.compact_small(max_bytes=100_000) == v
+    assert t.latest_version() == v
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    t = AcidTable.create(spark, tmp_path / "t", _rows(spark, 0, 1_000))
+    t.append(_rows(spark, 1_000, 2_000))
+    t.compact(1)
+    t.append(_rows(spark, 2_000, 3_000))
+
+    would = t.vacuum(keep_last=1, orphan_grace_s=0.0, dry_run=True)
+    assert would                                   # something to drop
+    # nothing deleted, no ledger written, history still readable
+    assert not (t._manifests / "_vacuumed.jsonl").exists()
+    assert t.read(0).count() == 1_000
+    sql_would = acid_sql(
+        spark, "VACUUM tbl RETAIN 1 VERSIONS DRY RUN", {"tbl": t})
+    assert sql_would == would
+    assert t.read(1).count() == 2_000
+
+    removed = t.vacuum(keep_last=1, orphan_grace_s=0.0)
+    assert sorted(removed) == sorted(would)        # the report was exact
