@@ -150,6 +150,7 @@ BENCH_KEYS = [
     "acid_bloom_index",
     "acid_generated_columns",
     "acid_compact_small",
+    "acid_reader_features",
 ]
 
 

@@ -816,6 +816,36 @@ class ConstraintViolation(Exception):
     semantics: the expression must evaluate TRUE — NULL violates)."""
 
 
+class UnsupportedTableFeature(RuntimeError):
+    """The table declares a reader feature this build doesn't
+    implement (Delta's readerFeatures protocol gate): reading anyway
+    would be silently WRONG (a column-mapping-unaware reader serves
+    physical names; a DV-unaware reader resurrects deleted rows), so
+    every access fails loudly with the feature named. This is how a
+    gradually-upgrading 100 TB fleet stays safe — old readers refuse
+    new tables instead of misreading them."""
+
+
+#: reader-relevant features THIS build implements; a table whose
+#: props declare anything else gates every read
+SUPPORTED_READER_FEATURES = frozenset({
+    "column_mapping", "deletion_vectors", "cdf_update_images"})
+
+
+def check_reader_features(props: dict | None) -> None:
+    """Raise UnsupportedTableFeature if ``props`` declares a reader
+    feature outside SUPPORTED_READER_FEATURES. Shared by AcidTable and
+    the SparkSession-free Python DataSource planners."""
+    unknown = (set((props or {}).get("reader_features", ()))
+               - SUPPORTED_READER_FEATURES)
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table requires reader feature(s) {sorted(unknown)} this "
+            f"build does not implement (supports "
+            f"{sorted(SUPPORTED_READER_FEATURES)}); upgrade before "
+            f"reading — proceeding would misread the table")
+
+
 class VersionVacuumedError(RuntimeError):
     """A read needs a version whose data files were vacuumed. Raised
     LOUDLY instead of serving a silently-empty snapshot or a partial
@@ -1159,6 +1189,9 @@ class AcidTable:
     def _manifest(self, version: int, with_files: bool = True) -> dict:
         m = json.loads(
             (self._manifests / f"v{version}.json").read_text())
+        # protocol gate: a manifest declaring a reader feature this
+        # build lacks must fail EVERY access loudly, never misread
+        check_reader_features(m.get("props"))
         if "files_base" in m and with_files:
             # O(delta) manifest: materialize the full root-relative
             # list (checkpoint/cache-backed) so every consumer keeps
@@ -2794,6 +2827,20 @@ class AcidTable:
         # manifest, not v0
         if props is None and version > 0:
             props = parent_m.get("props")
+        # auto-maintain the reader-feature declaration (Delta protocol
+        # discipline): any commit that makes the table depend on a
+        # read-semantics feature records it, so a build WITHOUT that
+        # feature gates loudly instead of misreading
+        feats = set((props or {}).get("reader_features", ()))
+        if ((props or {}).get("column_mapping")
+                or (props or {}).get("retired_physical")):
+            feats.add("column_mapping")
+        if (props or {}).get("cdf_update_images"):
+            feats.add("cdf_update_images")
+        if dv_rel is not None:
+            feats.add("deletion_vectors")
+        if feats != set((props or {}).get("reader_features", ())):
+            props = {**(props or {}), "reader_features": sorted(feats)}
         if props is not None:
             manifest["props"] = props
         # constraints ride every manifest once added (like txns):

@@ -1184,6 +1184,10 @@ register("acid_compact_small",
          oracle=extensions.ACID_COMPACT_SMALL_ORACLE
          )(lambda s, d: extensions.acid_compact_small(s, d, SCRATCH))
 
+register("acid_reader_features",
+         oracle=extensions.ACID_READER_FEATURES_ORACLE
+         )(lambda s, d: extensions.acid_reader_features(s, d, SCRATCH))
+
 register("acid_partition_evolution",
          oracle=extensions.ACID_PEVO_ORACLE
          )(lambda s, d: extensions.acid_partition_evolution(s, d, SCRATCH))

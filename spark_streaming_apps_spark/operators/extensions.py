@@ -2661,3 +2661,69 @@ SELECT COUNT(*) AS n_rows,
        TRUE AS only_small_rewritten, TRUE AS second_run_noop
 FROM orders
 """
+
+def acid_reader_features(spark: SparkSession, sf_dir: str,
+                         scratch: Path) -> DataFrame:
+    """Reader-feature protocol gate (Delta readerFeatures; reference
+    analog: the schema_version column every worker checks before
+    touching a case row, FileWorkerApp.scala:58-63). Commits that make
+    the table depend on a read-semantics feature (column mapping,
+    deletion vectors, CDF update images) record it in
+    props.reader_features; a build that lacks a declared feature
+    refuses EVERY access with the feature named — a misread (physical
+    column names, resurrected deleted rows) is never possible on a
+    gradually-upgrading fleet. Pins: features auto-record exactly when
+    first used; a declared-but-unknown feature gates reads AND the
+    SparkSession-free planner; known features pass; content equality."""
+    import json as _json
+    import shutil
+
+    from ..acid import AcidTable, UnsupportedTableFeature
+    from ..sources.pysource import _walk_props
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_feat_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_totalprice"))
+    t = AcidTable.create(spark, path, od, enable_dv=True)
+    t.delete_where_mor("o_orderkey % 100 = 7")
+    t.rename_column("o_totalprice", "price")
+    recorded = set(t._props().get("reader_features", ())) == {
+        "column_mapping", "deletion_vectors"}
+
+    mp = t._manifests / f"v{t.latest_version()}.json"
+    saved = mp.read_text()
+    m = _json.loads(saved)
+    m["props"] = {**m["props"],
+                  "reader_features": ["from_the_future"]}
+    mp.write_text(_json.dumps(m))
+    gated = planner_gated = False
+    try:
+        t.read().count()
+    except UnsupportedTableFeature:
+        gated = True
+    try:
+        _walk_props(t.path)
+    except UnsupportedTableFeature:
+        planner_gated = True
+    mp.write_text(saved)                      # restore: features known
+
+    return (t.read()
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("price").cast("decimal(18,2)"))
+                  .cast("double").alias("price_sum"))
+            .withColumn("features_recorded", F.lit(bool(recorded)))
+            .withColumn("unknown_feature_gates", F.lit(bool(gated)))
+            .withColumn("planner_gates", F.lit(bool(planner_gated))))
+
+
+ACID_READER_FEATURES_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum,
+       TRUE AS features_recorded, TRUE AS unknown_feature_gates,
+       TRUE AS planner_gates
+FROM orders
+WHERE o_orderkey % 100 != 7
+"""

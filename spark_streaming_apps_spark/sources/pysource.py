@@ -252,6 +252,11 @@ def _walk_props(path, version: int | None = None) -> dict:
         props = json.loads(
             (manifests / f"v{v}.json").read_text()).get("props")
         if props is not None:
+            # protocol gate (Delta readerFeatures): a planner on a
+            # build lacking a declared reader feature must refuse,
+            # never misread — same rule as AcidTable._manifest
+            from ..acid import check_reader_features
+            check_reader_features(props)
             return props
     return {}
 
