@@ -3218,11 +3218,16 @@ class AcidTable:
               sum(f.get("bytes", 0) for f in files),
               self.partition_cols(),
               bool(props.get("cdf")), bool(props.get("dv")),
-              sorted(m.get("constraints", {})))],
+              sorted(m.get("constraints", {})),
+              list(props.get("bloom_by", []) or []),
+              sorted(props.get("generated", {}) or {}),
+              sorted(props.get("reader_features", []) or []))],
             "location string, version int, last_op string, "
             "n_files int, n_rows long, size_bytes long, "
             "partition_by array<string>, cdf_enabled boolean, "
-            "dv_enabled boolean, constraints array<string>")
+            "dv_enabled boolean, constraints array<string>, "
+            "bloom_by array<string>, generated_columns array<string>, "
+            "reader_features array<string>")
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per committed version straight from

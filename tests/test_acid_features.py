@@ -60,3 +60,16 @@ def test_known_features_pass_the_gate(spark, tmp_path):
     t.rename_column("val", "score")
     assert t.read().count() == 15
     assert t.read().columns == ["id", "score"]
+
+
+def test_describe_detail_surfaces_round11_properties(spark, tmp_path):
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "id long, s string"),
+        bloom_by=["s"], generated={"b": "id % 2"}, enable_dv=True)
+    t.delete_where_mor("id = 2")          # real vector -> DV feature
+    d = t.detail().collect()[0]
+    assert d.bloom_by == ["s"]
+    assert d.generated_columns == ["b"]
+    assert d.reader_features == ["deletion_vectors"]
