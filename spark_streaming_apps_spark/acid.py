@@ -1638,7 +1638,12 @@ class AcidTable:
         manifest), then each surviving file's bloom sidecar — ~KBs
         read per file instead of the file itself, a definitive skip on
         a miss. Files without a sidecar (pre-index history, foreign
-        writers) are conservatively kept."""
+        writers) are conservatively kept.
+
+        Sidecar probes DISTRIBUTE past a threshold: a needle lookup on
+        a 100k-file table is 100k small sidecar reads — executors fan
+        them out (bounded driver traffic: only surviving names return);
+        small candidate sets stay driver-side (no job overhead)."""
         v = self.latest_version() if version is None else version
         m = self._manifest(v)
         files = m.get("files")
@@ -1646,7 +1651,8 @@ class AcidTable:
             paths = sorted(str(p) for p in
                            (self.path / m["data"]).glob("*.parquet"))
             return paths, len(paths)
-        keep = []
+        keep: list[str] = []
+        to_probe: list[tuple[str, str]] = []   # (sidecar rel, path)
         for f in files:
             pv = (f.get("partition") or {}).get(col)
             if pv is not None and pv != value:
@@ -1658,15 +1664,35 @@ class AcidTable:
                         continue
                 except TypeError:
                     pass
+            path = str(self.path / _entry_rel(m, f))
             side = (f.get("bloom") or {}).get(col)
             if side:
-                try:
-                    buf = (self.path / side).read_bytes()
-                    if not bloom_may_contain(buf, value):
-                        continue
-                except OSError:
-                    pass              # sidecar gone: keep the file
-            keep.append(str(self.path / _entry_rel(m, f)))
+                to_probe.append((str(self.path / side), path))
+            else:
+                keep.append(path)
+
+        def probe_one(side_path: str) -> bool:
+            try:
+                return bloom_may_contain(
+                    Path(side_path).read_bytes(), value)
+            except OSError:
+                return True           # sidecar gone: keep the file
+        if len(to_probe) <= 64:
+            keep.extend(p for s, p in to_probe if probe_one(s))
+        else:
+            val = value
+
+            def work(it):
+                for s, p in it:
+                    try:
+                        if bloom_may_contain(
+                                Path(s).read_bytes(), val):
+                            yield p
+                    except OSError:
+                        yield p
+            keep.extend(self.spark.sparkContext.parallelize(
+                to_probe, max(1, min(len(to_probe) // 32, 256)))
+                .mapPartitions(work).collect())
         return keep, len(files)
 
     def read_eq(self, col: str, value,

@@ -104,6 +104,23 @@ def test_bloom_after_delete_rewrite(spark, tmp_path):
     assert t.read().count() == 19_999
 
 
+def test_bloom_probe_distributes_past_threshold(spark, tmp_path):
+    """>64 bloom candidates fan the sidecar probes out to executors
+    (the 100k-file shape); results identical to the driver-side path:
+    present needle -> few candidates, absent -> none."""
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        _docs(spark, 0, 36_000).repartition(72), bloom_by=["doc_id"])
+    m = t._manifest(0)
+    assert len(m["files"]) == 72
+    needle = t.read().filter("k = 123").collect()[0].doc_id
+
+    paths, total = t.pruned_files_eq("doc_id", needle)
+    assert total == 72 and 1 <= len(paths) <= 4, (len(paths), total)
+    assert t.read_eq("doc_id", needle).count() == 1
+    assert t.pruned_files_eq("doc_id", "nope")[0] == []
+
+
 def test_bloom_conservative_after_rename(spark, tmp_path):
     """Column mapping: a rename leaves old sidecars keyed by the old
     logical name — lookups on the new name degrade to conservative
