@@ -3258,17 +3258,40 @@ class AcidTable:
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per committed version straight from
         the manifests (version, op, parent, file/row counts) — the audit
-        surface time travel needs to be usable."""
+        surface time travel needs to be usable. Per-commit operation
+        metrics (Delta's operationMetrics) come from the O(delta)
+        encoding itself — files/rows added and files removed are read
+        off the RAW manifest's files_add/files_remove, no chain
+        replay; v0 and legacy full-list manifests report their own
+        totals as the add."""
         rows = []
+        prev_n = 0
         for v in range(self.latest_version() + 1):
             m = self._manifest(v)
             files = m.get("files") or []
+            raw = json.loads(
+                (self._manifests / f"v{v}.json").read_text())
+            if "files_base" in raw:
+                added = raw.get("files_add") or []
+                fa, ra = len(added), sum(f.get("rows", 0)
+                                         for f in added)
+                fr = len(raw.get("files_remove") or [])
+            else:
+                # v0, or a full-list manifest (a rewrite shares nothing
+                # with its parent, so delta encoding didn't win): the
+                # whole list is the add, the parent's count the remove
+                fa, ra = len(files), sum(f.get("rows", 0)
+                                         for f in files)
+                fr = prev_n
+            prev_n = len(files)
             rows.append((m["version"], m["op"], m["parent"], len(files),
                          sum(f.get("rows", 0) for f in files)
-                         - m.get("dv_rows", 0)))
+                         - m.get("dv_rows", 0),
+                         fa, ra, fr))
         return self.spark.createDataFrame(
             rows, "version int, op string, parent int, n_files int, "
-                  "n_rows long")
+                  "n_rows long, files_added int, rows_added long, "
+                  "files_removed int")
 
     def append_txn(self, rows: DataFrame, app_id: str, batch_id: int,
                    max_retries: int = 20) -> int | None:

@@ -33,6 +33,21 @@ def test_compact_small_rewrites_only_small_files(spark, tmp_path):
     assert t.latest_version() == v
 
 
+def test_history_operation_metrics(spark, tmp_path):
+    """DESCRIBE HISTORY carries per-commit operationMetrics read off
+    the O(delta) encoding — no chain replay."""
+    t = AcidTable.create(spark, tmp_path / "t",
+                         _rows(spark, 0, 1_000).coalesce(2))
+    t.append(_rows(spark, 1_000, 1_500).coalesce(1))
+    t.compact(1)
+    h = {r.version: r for r in t.history().collect()}
+    assert (h[0].files_added, h[0].rows_added) == (2, 1_000)
+    assert (h[1].files_added, h[1].rows_added,
+            h[1].files_removed) == (1, 500, 0)
+    assert h[2].rows_added == 1_500 and h[2].files_removed == 3
+    assert h[2].n_rows == 1_500
+
+
 def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     from spark_streaming_apps_spark.merge_sql import acid_sql
 
