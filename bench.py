@@ -329,15 +329,26 @@ def main() -> None:
              .option("rowsPerSecond", "1").load().limit(0)
              .writeStream.format("memory").queryName("bench_floor")
              .trigger(availableNow=True).start())
-        q.awaitTermination(60)
+        done1 = q.awaitTermination(60)
+        if not done1:
+            q.stop()
         q2 = (spark.readStream.format("rate")
               .option("rowsPerSecond", "1").load().limit(0)
               .writeStream.format("memory").queryName("bench_floor2")
               .trigger(availableNow=True).start())
-        q2.awaitTermination(60)
-        stream_floor = round((time.perf_counter() - t0) / 2, 3)
-        print(f"  stream_floor_sec (per start+drain): {stream_floor}",
-              file=sys.stderr)
+        done2 = q2.awaitTermination(60)
+        if not done2:
+            q2.stop()
+        if done1 and done2:
+            stream_floor = round((time.perf_counter() - t0) / 2, 3)
+            print(f"  stream_floor_sec (per start+drain): "
+                  f"{stream_floor}", file=sys.stderr)
+        else:
+            # a query outlived its 60 s window: the second start would
+            # overlap the first and the clamped wall-clock would be
+            # poisoned telemetry — discard rather than record
+            print("  stream_floor probe timed out; floor discarded",
+                  file=sys.stderr)
     except Exception as e:                             # noqa: BLE001
         print(f"  stream_floor probe failed: {e}", file=sys.stderr)
 

@@ -29,6 +29,7 @@ data write dominates while the swap stays instant.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -36,7 +37,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .storage import get_store
+from .storage import crash_point, get_store
 from pyspark.sql.types import (BooleanType, ByteType, DoubleType,
                                FloatType, IntegerType, LongType,
                                ShortType, StringType, StructType)
@@ -137,6 +138,48 @@ def build_bloom(values) -> bytes:
             p = (h1 + i * h2) & mask
             buf[p >> 3] |= 1 << (p & 7)
     return bytes(buf)
+
+
+_BLOOM_TYPES = ("byte", "short", "integer", "long", "string")
+
+
+def _bloom_indexable(dtype) -> bool:
+    """True when a column's declared Spark type can carry a bloom
+    sidecar: only integral and string columns hash stably AND match
+    the residual predicate's coercion under a canonicalized probe.
+    Doubles/decimals/dates etc. are refused at declaration time — an
+    all-zero bitset over them would read as definitive absence."""
+    return dtype.typeName() in _BLOOM_TYPES
+
+
+def _canon_probe(value, dtype) -> tuple[object, bool]:
+    """(canonical probe value, probeable) for a point-equality probe
+    against a column of declared ``dtype``. Canonicalizing to the
+    column's type makes sidecar hashing agree with the residual Spark
+    predicate's cast semantics (ANSI casts a string literal to the
+    int column's type, so ``col = '5'`` matches rows holding 5 — the
+    probe must hash the INT 5). Any mapping that could diverge from
+    Spark's coercion (a STRING column probed with a number: ANSI casts
+    each string VALUE to the numeric type, so '05' rows match lit 5 —
+    no single string hash covers that) returns probeable=False and
+    the reader keeps files conservatively."""
+    name = dtype.typeName()
+    if isinstance(value, bool) or value is None:
+        return value, False
+    if name in ("byte", "short", "integer", "long"):
+        if isinstance(value, int):
+            return value, True
+        if isinstance(value, float) and value.is_integer():
+            return int(value), True
+        if isinstance(value, str):
+            try:
+                return int(value.strip()), True
+            except ValueError:
+                return value, False
+        return value, False
+    if name == "string" and isinstance(value, str):
+        return value, True
+    return value, False
 
 
 def bloom_may_contain(buf: bytes, value) -> bool:
@@ -476,7 +519,10 @@ def ledger_append(root, rec: dict) -> None:
         tmp.write_text(json.dumps(
             {"ts": newest_ts, "compacted": True,
              "paths": sorted(paths), "dirs": sorted(dirs)}) + "\n")
-        os.replace(tmp, ledger)
+        # through the FileStore seam, like every other metadata swap
+        # (write_files_checkpoint, the _latest hint) — a non-POSIX
+        # store's replace contract must govern the ledger rewrite too
+        get_store().atomic_replace(tmp, ledger)
         _LEDGER_CACHE.pop(str(root), None)
     finally:
         fh.close()                           # releases the flock
@@ -491,14 +537,14 @@ def first_vacuumed_ref(root, m: dict,
     100 TB cold-read path); per-file existence probes otherwise.
 
     ``probe=True`` (restore/clone cold paths) backs an intact ledger
-    verdict with one existence stat PER REFERENCED COMMIT DIR: files
-    deleted before this build's ledger existed (an old-build vacuum,
-    or out-of-band cleanup) are absent from the ledger, and committing
-    a new LATEST manifest against them would surface as a mid-query
-    scan failure. Old vacuums delete whole commit dirs (or the
-    not-kept files within one), so a per-dir probe catches them at
-    O(dirs) stats — never the O(files) sweep the ledger exists to
-    avoid."""
+    verdict with one ``listdir`` PER REFERENCED COMMIT DIR plus
+    name-set membership for every referenced file: files deleted
+    before this build's ledger existed (an old-build vacuum, or
+    out-of-band cleanup) are absent from the ledger, and committing a
+    new LATEST manifest against them would surface as a mid-query scan
+    failure. The listdir-per-dir shape catches whole-dir AND partial
+    deletions at O(dirs) syscalls — never the O(files) stat sweep the
+    ledger exists to avoid."""
     root = Path(root)
     if files_rr is None:
         files_rr = resolve_manifest_files(root, m)
@@ -517,17 +563,28 @@ def first_vacuumed_ref(root, m: dict,
         if dv is not None and (dv in dirs or dv in paths):
             return dv
         if probe:
-            by_dir: dict[str, str] = {}
             if files_rr is None:
                 if not (root / m["data"]).is_dir():
                     return m["data"]
             else:
+                # one listdir per referenced dir (still O(dirs)
+                # syscalls), then NAME-SET membership for every
+                # referenced file — catches a partial out-of-band
+                # deletion that a single representative stat would
+                # miss (some-but-not-all files gone while the probed
+                # one survives)
+                by_dir: dict[str, list[str]] = {}
                 for f in files_rr:
-                    by_dir.setdefault(
-                        f["path"].rsplit("/", 1)[0], f["path"])
-                for _d, r in by_dir.items():
-                    if not (root / r).exists():
-                        return r
+                    d, name = f["path"].rsplit("/", 1)
+                    by_dir.setdefault(d, []).append(name)
+                for d, names in by_dir.items():
+                    try:
+                        on_disk = set(os.listdir(root / d))
+                    except OSError:
+                        return f"{d}/{names[0]}"
+                    for n in names:
+                        if n not in on_disk:
+                            return f"{d}/{n}"
             if dv is not None and not (root / dv).is_dir():
                 return dv
         return None
@@ -950,6 +1007,12 @@ class AcidTable:
                 raise ValueError(
                     f"bloom_by column(s) {missing} not in schema "
                     f"{df.columns}")
+            bad = [c for c in bloom_by
+                   if not _bloom_indexable(df.schema[c].dataType)]
+            if bad:
+                raise ValueError(
+                    f"bloom_by column(s) {bad} are not integral/string"
+                    " — bloom sidecars only index those types")
             props["bloom_by"] = list(bloom_by)
         rel, files = t._write_data_full(df, partition_by or [])
         if bloom_by:
@@ -1500,10 +1563,14 @@ class AcidTable:
             for i, p in enumerate(sorted(tmp.glob("*.parquet"))):
                 shutil.move(str(p), dest / f"add-{tag}-{i:05d}.parquet")
             shutil.rmtree(tmp, ignore_errors=True)
-            return self._attach_blooms(self._destat_entries(
+            entries = self._destat_entries(
                 collect_file_stats(
                     sorted(dest.glob(f"add-{tag}-*.parquet"))),
-                mapping), dest, mapping)
+                mapping)
+            crash_point("after_stage_data")
+            entries = self._attach_blooms(entries, dest, mapping)
+            crash_point("after_bloom_sidecars")
+            return entries
         if lanes == 0:
             # COW-rewrite path: the input is already partition-
             # clustered (touched files each hold ONE tuple), so
@@ -1541,8 +1608,11 @@ class AcidTable:
         entries = collect_file_stats([dest / n for n, _ in moved])
         for e, (_, part) in zip(entries, moved):
             e["partition"] = part
-        return self._attach_blooms(
-            self._destat_entries(entries, mapping), dest, mapping)
+        entries = self._destat_entries(entries, mapping)
+        crash_point("after_stage_data")
+        entries = self._attach_blooms(entries, dest, mapping)
+        crash_point("after_bloom_sidecars")
+        return entries
 
     def bloom_cols(self) -> list[str]:
         """Columns with a per-file bloom-filter index (Delta's bloom
@@ -1569,6 +1639,12 @@ class AcidTable:
                 raise ValueError(
                     f"bloom_by column(s) {missing} not in schema "
                     f"{cur.columns}")
+            bad = [c for c in cols
+                   if not _bloom_indexable(cur.schema[c].dataType)]
+            if bad:
+                raise ValueError(
+                    f"bloom_by column(s) {bad} are not integral/string"
+                    " — bloom sidecars only index those types")
             m = self._manifest(v)
             props = dict(self._props())
             if cols:
@@ -1611,9 +1687,18 @@ class AcidTable:
                 try:
                     col = pq.read_table(
                         path, columns=[physical]).column(physical)
-                    buf = build_bloom(col.to_pylist())
+                    vals = {v for v in col.to_pylist()
+                            if v is not None}
+                    buf = build_bloom(vals)
                 except (OSError, KeyError):
                     continue          # unindexable: reader keeps file
+                if vals and not any(_bloom_pair(v) is not None
+                                    for v in vals):
+                    # values present but none hashable (legacy table
+                    # declared a non-int/str column): an all-zero
+                    # sidecar would be a false definitive-absence —
+                    # write none, reader keeps the file
+                    continue
                 side = f"_bloom-{name}-{logical}.bin"
                 with open(Path(path).parent / side, "wb") as fh:
                     fh.write(buf)
@@ -1651,12 +1736,30 @@ class AcidTable:
             paths = sorted(str(p) for p in
                            (self.path / m["data"]).glob("*.parquet"))
             return paths, len(paths)
+        # canonicalize the probe to the column's DECLARED type so
+        # sidecar hashing + partition/stats pruning agree with the
+        # residual predicate's coercion (col = '5' on an int column
+        # matches rows holding 5); unprobeable combos skip the bloom
+        # and keep files conservatively
+        try:
+            dt = StructType.fromJson(m["schema"])[col].dataType
+            value, probeable = _canon_probe(value, dt)
+        except (KeyError, TypeError):
+            probeable = isinstance(value, (int, str)) and \
+                not isinstance(value, bool)
         keep: list[str] = []
         to_probe: list[tuple[str, str]] = []   # (sidecar rel, path)
         for f in files:
             pv = (f.get("partition") or {}).get(col)
             if pv is not None and pv != value:
-                continue
+                # only prune on a type-compatible mismatch — a str/int
+                # mismatch here may still match under Spark coercion
+                num = (int, float)
+                if type(pv) is type(value) or (
+                        isinstance(pv, num) and isinstance(value, num)
+                        and not isinstance(pv, bool)
+                        and not isinstance(value, bool)):
+                    continue
             st = f.get("stats", {}).get(col)
             if st is not None:
                 try:
@@ -1666,7 +1769,7 @@ class AcidTable:
                     pass
             path = str(self.path / _entry_rel(m, f))
             side = (f.get("bloom") or {}).get(col)
-            if side:
+            if side and probeable:
                 to_probe.append((str(self.path / side), path))
             else:
                 keep.append(path)
@@ -2210,6 +2313,7 @@ class AcidTable:
             # (bulk deletes belong on the COW path), so one file reads
             # back broadcast-cheap on every scan
             dv_all.coalesce(1).write.parquet(str(self.path / dv_rel))
+            crash_point("after_dv_sidecar")
             ch_rel = (self._write_changes_pair(
                 matched.select(*scols).limit(0),
                 matched.select(*scols)) if cdf else None)
@@ -2878,9 +2982,11 @@ class AcidTable:
         # the atomic swap: exactly one creator per manifest path —
         # routed through the FileStore seam so the fence primitive is
         # pluggable per storage backend (LogStore pattern)
+        crash_point("before_manifest_fence")
         if get_store().create_exclusive(
                 self._manifests / f"v{version}.json",
                 json.dumps(manifest)):
+            crash_point("after_manifest_fence")
             self._write_latest_hint(version)
             # seed the resolution cache (we hold the materialized list)
             _files_cache_put(
@@ -3003,6 +3109,7 @@ class AcidTable:
             ch_rel = (self._write_changes(cur, None if linked else out,
                                           op, insert_hint)
                       if cdf else None)
+            crash_point("after_change_files")
             if self._try_commit(v + 1, rel, schema_json, op,
                                 changes_rel=ch_rel, files=files,
                                 dv_rel=dv_rel, dv_rows=dv_rows):

@@ -41,7 +41,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from .acid import AcidTable, CommitConflict
-from .storage import get_store
+from .storage import crash_point, get_store
 
 
 class AcidCatalog:
@@ -177,4 +177,8 @@ class AcidCatalog:
                 raise ValueError(f"unknown write kind {kind!r} for "
                                  f"table {name!r}")
             new_pins[name] = v
+        # crash window the catalog contract closes: table versions are
+        # committed but UNPINNED until the entry publishes — catalog
+        # readers must keep serving the previous entry's pins
+        crash_point("before_catalog_pin")
         return self._publish(new_pins)

@@ -433,6 +433,21 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     raise RuntimeError(
                         f"acidtable sink schema {self.pa_fields} does "
                         f"not match table columns {table_cols}")
+                # re-check the identity epoch INSIDE the CAS loop: a
+                # drop+re-add pair landing mid-retry restores the
+                # LOGICAL names (so the check above passes) while
+                # minting a fresh physical identity — committing the
+                # staged files' stale physicals would make the re-added
+                # column read NULL for these rows
+                live_mapping = (_walk_props(root).get("column_mapping")
+                                or {})
+                if live_mapping != self.mapping:
+                    raise RuntimeError(
+                        f"acidtable sink: column-mapping identity of "
+                        f"{self.path} changed since this stream "
+                        f"started ({self.mapping} -> {live_mapping}); "
+                        f"restart the streaming query to pick up the "
+                        f"new schema")
                 cons = m.get("constraints") or {}
                 if cons and staged:
                     self._check_staged_constraints(cons, staged)

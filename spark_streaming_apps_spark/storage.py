@@ -53,7 +53,23 @@ import uuid
 from pathlib import Path
 
 __all__ = ["FileStore", "PosixFileStore", "RenameFileStore",
-           "get_store", "set_store"]
+           "get_store", "set_store", "crash_point"]
+
+
+def crash_point(name: str) -> None:
+    """Fault-injection seam for crash-recovery tests: when the
+    ``SPARK_GRAFT_CRASH_POINT`` env var names this point, the process
+    dies by SIGKILL — no exception handlers, no ``finally`` cleanup,
+    exactly a writer crash at this boundary. One env-dict read when
+    unset, so the production cost is nil. Points are planted at every
+    stage boundary of the commit protocol (data staged, sidecars
+    staged, change files staged, either side of the manifest fence,
+    before the catalog pin); tests/test_crash_injection.py drives a
+    subprocess writer into each and asserts the reader/vacuum/retry
+    invariants the protocol claims."""
+    if os.environ.get("SPARK_GRAFT_CRASH_POINT") == name:
+        import signal
+        os.kill(os.getpid(), signal.SIGKILL)
 
 
 class FileStore:

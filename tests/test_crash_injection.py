@@ -1,0 +1,206 @@
+"""Crash-point fault injection over the ACID commit protocol.
+
+The commit path stages data files, bloom sidecars, change files, and
+deletion vectors BEFORE the manifest fence; the design claims (argued
+individually in round 10, reasoned-not-injected until now) are:
+
+* a reader never sees a torn version — everything staged before the
+  fence is invisible until the manifest lands, and a manifest that
+  landed is complete;
+* ``vacuum(orphan_grace_s=0)`` reclaims every orphan a dead writer
+  left behind;
+* a retried writer completes normally on top of the crash debris;
+* the catalog never exposes committed-but-unpinned table versions
+  (reference analog: the transactional claim fence,
+  FileWorkerApp.scala:207-227).
+
+This test makes each claim an injected fact: a SUBPROCESS writer with
+``SPARK_GRAFT_CRASH_POINT=<point>`` dies by real SIGKILL (no excepts,
+no ``finally`` cleanup — see storage.crash_point) at every stage
+boundary, parametrized over BOTH FileStores, and the parent asserts
+the invariants on the survivor state.
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from spark_streaming_apps_spark.acid import AcidTable
+from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+
+REPO = str(Path(__file__).resolve().parents[1])
+
+WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CRASH_POINT"] = {point!r}
+os.environ["SPARK_GRAFT_FILESTORE"] = {store!r}
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+from spark_streaming_apps_spark.acid import AcidTable
+from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+op = {op!r}
+if op == "append":
+    t = AcidTable(spark, {root!r})
+    t.append(spark.createDataFrame(
+        [(100 + i, f"new{{i}}") for i in range(5)], "k long, s string"))
+elif op == "delete_mor":
+    t = AcidTable(spark, {root!r})
+    t.delete_where_mor("k >= 8")
+elif op == "commit_multi":
+    cat = AcidCatalog(spark, {root!r})
+    cat.commit_multi({{
+        "a": ("append", spark.createDataFrame(
+            [(200, "txa")], "k long, s string")),
+        "b": ("append", spark.createDataFrame(
+            [(300, "txb")], "k long, s string")),
+    }})
+print("COMMIT-COMPLETED", flush=True)
+"""
+
+# (crash point, op, commit lands?)
+POINTS = [
+    ("after_stage_data", "append", False),
+    ("after_bloom_sidecars", "append", False),
+    ("after_change_files", "append", False),
+    ("before_manifest_fence", "append", False),
+    ("after_manifest_fence", "append", True),
+    ("after_dv_sidecar", "delete_mor", False),
+]
+
+
+def _run_writer(point, store, root, op):
+    script = WRITER.format(repo=REPO, point=point, store=store,
+                           root=str(root), op=op)
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL, (
+        f"writer was expected to die at {point}, got rc="
+        f"{proc.returncode}\n{proc.stderr[-2000:]}")
+    assert "COMMIT-COMPLETED" not in proc.stdout
+    return proc
+
+
+def _data_listing(root: Path) -> set[str]:
+    return {str(p.relative_to(root))
+            for p in (root / "data").rglob("*") if p.is_file()}
+
+
+def _referenced(root: Path) -> set[str]:
+    """Every root-relative path any RETAINABLE manifest references
+    (data files + bloom sidecars + dv dirs + change dirs)."""
+    from spark_streaming_apps_spark.acid import (_entry_refs,
+                                                 resolve_manifest_files)
+    refs: set[str] = set()
+    for mp in sorted((root / "manifests").glob("v*.json")):
+        m = json.loads(mp.read_text())
+        for f in resolve_manifest_files(root, m) or []:
+            refs.update(_entry_refs(m, f))
+        for key in ("dv", "changes"):
+            d = m.get(key)
+            if d:
+                refs.update(str(p.relative_to(root))
+                            for p in (root / d).rglob("*")
+                            if p.is_file())
+    return refs
+
+
+@pytest.mark.parametrize("store", ["posix", "rename"])
+@pytest.mark.parametrize("point,op,lands", POINTS,
+                         ids=[p for p, _, _ in POINTS])
+def test_writer_crash_leaves_consistent_table(spark, tmp_path, store,
+                                              point, op, lands):
+    root = tmp_path / "t"
+    t = AcidTable.create(
+        spark, root,
+        spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                              "k long, s string"),
+        enable_cdf=True, enable_dv=True, bloom_by=["s"])
+    t.append(spark.createDataFrame([(10, "s10")], "k long, s string"))
+    v_before = t.latest_version()
+    rows_before = {(r.k, r.s) for r in t.read().collect()}
+    listing_before = _data_listing(root)
+
+    _run_writer(point, store, root, op)
+
+    # 1. the reader never sees a torn version
+    t2 = AcidTable(spark, root)           # fresh handle: no warm caches
+    v_after = t2.latest_version()
+    if not lands:
+        assert v_after == v_before, f"torn version visible at {point}"
+        assert {(r.k, r.s) for r in t2.read().collect()} == rows_before
+    else:
+        # the fence landed before the crash: the commit is COMPLETE
+        # (all 5 rows) even though hint/checkpoint staging died
+        assert v_after == v_before + 1
+        got = {(r.k, r.s) for r in t2.read().collect()}
+        assert got == rows_before | {(100 + i, f"new{i}")
+                                     for i in range(5)}
+
+    # 2. vacuum with zero grace reclaims every orphan the dead writer
+    # staged (data, sidecars, change files, dv) and nothing referenced
+    t2.vacuum(keep_last=1, keep_changes_last=1, orphan_grace_s=0.0)
+    leftover = _data_listing(root) - _referenced(root)
+    orphans = leftover & (  # staged-then-crashed debris only
+        _data_listing(root) - listing_before)
+    assert not orphans, f"unreclaimed crash debris at {point}: {orphans}"
+
+    # 3. a retried writer completes on top of the debris
+    t3 = AcidTable(spark, root)
+    if op == "append":
+        t3.append(spark.createDataFrame([(500, "retry")],
+                                        "k long, s string"))
+        assert (500, "retry") in {(r.k, r.s) for r in t3.read().collect()}
+    else:
+        t3.delete_where_mor("k >= 8")
+        assert {r.k for r in t3.read().collect()} == set(range(8))
+
+
+@pytest.mark.parametrize("store", ["posix", "rename"])
+def test_catalog_never_exposes_unpinned_versions(spark, tmp_path, store):
+    """Crash between the per-table commits and the catalog pin: the
+    table versions are durable but UNPINNED — catalog readers must
+    keep serving the previous entry in full, and the next successful
+    publish exposes a consistent (max-merged) snapshot."""
+    croot = tmp_path / "cat"
+    cat = AcidCatalog(spark, croot)
+    cat.create_table("a", spark.createDataFrame([(1, "a1")],
+                                                "k long, s string"))
+    cat.create_table("b", spark.createDataFrame([(2, "b1")],
+                                                "k long, s string"))
+    entry_before = cat.latest_entry()
+    pins_before = cat.snapshot()
+
+    _run_writer("before_catalog_pin", store, croot, "commit_multi")
+
+    cat2 = AcidCatalog(spark, croot)
+    # both tables advanced durably...
+    assert cat2.table("a").latest_version() > pins_before["a"]
+    assert cat2.table("b").latest_version() > pins_before["b"]
+    # ...but the catalog exposes NONE of it: same entry, same pins,
+    # same rows
+    assert cat2.latest_entry() == entry_before
+    assert cat2.snapshot() == pins_before
+    assert {r.k for r in cat2.read("a").collect()} == {1}
+    assert {r.k for r in cat2.read("b").collect()} == {2}
+
+    # a retried transaction publishes; the new entry pins max versions,
+    # so the crashed txn's durable commits become visible ATOMICALLY
+    # with it — all-or-none per entry, never a half-exposed txn.
+    # (writers needing exactly-once across the crash use append_txn's
+    # per-table batch fence; commit_multi is at-least-once by design)
+    cat2.commit_multi({
+        "a": ("append", spark.createDataFrame([(9, "a2")],
+                                              "k long, s string")),
+        "b": ("append", spark.createDataFrame([(9, "b2")],
+                                              "k long, s string"))})
+    assert {r.k for r in cat2.read("a").collect()} == {1, 200, 9}
+    assert {r.k for r in cat2.read("b").collect()} == {2, 300, 9}
