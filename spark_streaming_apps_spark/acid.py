@@ -2179,13 +2179,15 @@ class AcidTable:
         On a partitioned table, equality conjuncts pinning partition
         columns prune the FIND pass to the matching partitions' files
         before any data IO."""
-        return self._cow_commit(
-            probe=lambda df: df.filter(cond),
-            rewrite=lambda df: df.filter(
-                f"NOT ({cond}) OR ({cond}) IS NULL"),
-            op=op, max_retries=max_retries,
-            partition_pins=_partition_pins(cond, self.partition_cols()),
-            row_local=True)
+        with self._op_params(predicate=cond):
+            return self._cow_commit(
+                probe=lambda df: df.filter(cond),
+                rewrite=lambda df: df.filter(
+                    f"NOT ({cond}) OR ({cond}) IS NULL"),
+                op=op, max_retries=max_retries,
+                partition_pins=_partition_pins(cond,
+                                               self.partition_cols()),
+                row_local=True)
 
     def delete_where_mor(self, cond: str, max_retries: int = 20,
                          cow_fallback_rows: int | None = None) -> int:
@@ -2201,6 +2203,12 @@ class AcidTable:
         any full-rewrite commit) materialize it away. Matching nothing
         still commits a metadata version. Sets ``last_mor_stats`` =
         {rows_deleted, dv_rows_total}."""
+        with self._op_params(predicate=cond):
+            return self._delete_where_mor(cond, max_retries,
+                                          cow_fallback_rows)
+
+    def _delete_where_mor(self, cond: str, max_retries: int = 20,
+                          cow_fallback_rows: int | None = None) -> int:
         cdf = self.cdf_enabled()
         pins = _partition_pins(cond, self.partition_cols())
         staged = None          # (dv_rel, ch_rel, base_m, n_new)
@@ -2440,6 +2448,16 @@ class AcidTable:
                 f"{[c for c in pcols if c.lower() in low]} — rewrite "
                 f"as DELETE + INSERT (a row never migrates partitions "
                 f"in place)")
+        with self._op_params(predicate=cond,
+                             set_columns=sorted(assigns)):
+            return self._update_where_mor(assigns, low, cond,
+                                          max_retries,
+                                          cow_fallback_rows, pcols)
+
+    def _update_where_mor(self, assigns: dict, low: dict, cond: str,
+                          max_retries: int,
+                          cow_fallback_rows: int | None,
+                          pcols: list) -> int:
         pins = _partition_pins(cond, pcols)
         for _ in range(max_retries):
             v, cur = self.snapshot()
@@ -2572,11 +2590,13 @@ class AcidTable:
                 f"{[c for c in pcols if c.lower() in low]}"
                 f" — rewrite as DELETE + INSERT (the Iceberg rule: a "
                 f"row never migrates partitions in place)")
-        return self._cow_commit(
-            probe=lambda df: df.filter(cond), rewrite=rewrite,
-            op=op, max_retries=max_retries,
-            partition_pins=_partition_pins(cond, pcols),
-            row_local=True)
+        with self._op_params(predicate=cond,
+                             set_columns=sorted(assigns)):
+            return self._cow_commit(
+                probe=lambda df: df.filter(cond), rewrite=rewrite,
+                op=op, max_retries=max_retries,
+                partition_pins=_partition_pins(cond, pcols),
+                row_local=True)
 
     def _collect_stats(self, data_rel: str) -> list[dict]:
         return collect_parquet_stats(self.path / data_rel)
@@ -2904,6 +2924,23 @@ class AcidTable:
         raise CommitConflict(
             f"gave up dropping constraint after {max_retries} conflicts")
 
+    def _op_params(self, **params):
+        """Scope Delta-style operationParameters onto every manifest
+        committed inside the ``with`` block (the DML predicate, MERGE
+        key, layout columns). Pure audit metadata — readers never
+        consult it; ``history()`` surfaces it JSON-encoded."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def scope():
+            self._pending_op_params = {
+                k: v for k, v in params.items() if v is not None}
+            try:
+                yield
+            finally:
+                self._pending_op_params = None
+        return scope()
+
     def _try_commit(self, version: int, data_rel: str, schema,
                     op: str, txn: str | None = None,
                     changes_rel: str | None = None,
@@ -2979,6 +3016,8 @@ class AcidTable:
             constraints = parent_m.get("constraints")
         if constraints:
             manifest["constraints"] = constraints
+        if getattr(self, "_pending_op_params", None):
+            manifest["op_params"] = self._pending_op_params
         # the atomic swap: exactly one creator per manifest path —
         # routed through the FileStore seam so the fence primitive is
         # pluggable per storage backend (LogStore pattern)
@@ -3161,7 +3200,8 @@ class AcidTable:
                     .select(*key,
                             *[F.coalesce(f"__u_{c}", c).alias(c)
                               for c in val_cols]))
-        return self._commit_loop(build, "merge", max_retries)
+        with self._op_params(merge_key=list(key)):
+            return self._commit_loop(build, "merge", max_retries)
 
     def merge_pruned(self, updates: DataFrame, key: list[str],
                      max_retries: int = 20) -> int:
@@ -3191,9 +3231,10 @@ class AcidTable:
                             *[F.coalesce(f"__u_{c}", c).alias(c)
                               for c in val_cols]))
         part_in = self._partition_tuples_of(updates, key=key)
-        return self._cow_commit(probe, rewrite, "merge_pruned",
-                                max_retries, empty_noop=False,
-                                partition_in=part_in)
+        with self._op_params(merge_key=list(key)):
+            return self._cow_commit(probe, rewrite, "merge_pruned",
+                                    max_retries, empty_noop=False,
+                                    partition_in=part_in)
 
     def _partition_tuples_of(self, batch: DataFrame,
                              key: list[str] | None = None,
@@ -3366,39 +3407,55 @@ class AcidTable:
         """DESCRIBE HISTORY: one row per committed version straight from
         the manifests (version, op, parent, file/row counts) — the audit
         surface time travel needs to be usable. Per-commit operation
-        metrics (Delta's operationMetrics) come from the O(delta)
-        encoding itself — files/rows added and files removed are read
-        off the RAW manifest's files_add/files_remove, no chain
-        replay; v0 and legacy full-list manifests report their own
-        totals as the add."""
+        metrics (Delta's operationMetrics) AND the snapshot totals come
+        from the O(delta) encoding itself: each RAW manifest is read
+        exactly once and ``n_files``/``n_rows`` roll forward from the
+        parent's totals via files_add/files_remove (a name→rows map
+        supplies removed-file row counts), so the whole audit is
+        O(versions + delta entries) driver work — never a per-version
+        full-list resolution. ``operation_parameters`` is Delta's
+        operationParameters: the DML predicate / MERGE key / layout
+        columns a commit ran with, JSON-encoded (null for commits
+        predating the column or carrying none)."""
         rows = []
-        prev_n = 0
+        rowmap: dict[str, int] = {}       # live file name -> row count
+        total_rows = 0
         for v in range(self.latest_version() + 1):
-            m = self._manifest(v)
-            files = m.get("files") or []
             raw = json.loads(
                 (self._manifests / f"v{v}.json").read_text())
             if "files_base" in raw:
                 added = raw.get("files_add") or []
-                fa, ra = len(added), sum(f.get("rows", 0)
-                                         for f in added)
-                fr = len(raw.get("files_remove") or [])
+                removed = raw.get("files_remove") or []
+                fa = len(added)
+                ra = sum(f.get("rows", 0) for f in added)
+                fr = len(removed)
+                for n in removed:
+                    total_rows -= rowmap.pop(n, 0)
+                for f in added:
+                    rowmap[_entry_name(f)] = f.get("rows", 0)
+                total_rows += ra
             else:
                 # v0, or a full-list manifest (a rewrite shares nothing
                 # with its parent, so delta encoding didn't win): the
                 # whole list is the add, the parent's count the remove
-                fa, ra = len(files), sum(f.get("rows", 0)
-                                         for f in files)
-                fr = prev_n
-            prev_n = len(files)
-            rows.append((m["version"], m["op"], m["parent"], len(files),
-                         sum(f.get("rows", 0) for f in files)
-                         - m.get("dv_rows", 0),
-                         fa, ra, fr))
+                files = raw.get("files") or []
+                fa = len(files)
+                ra = sum(f.get("rows", 0) for f in files)
+                fr = len(rowmap)
+                rowmap = {_entry_name(f): f.get("rows", 0)
+                          for f in files}
+                total_rows = ra
+            params = raw.get("op_params")
+            rows.append((raw["version"], raw["op"], raw["parent"],
+                         len(rowmap),
+                         total_rows - raw.get("dv_rows", 0),
+                         fa, ra, fr,
+                         json.dumps(params, sort_keys=True)
+                         if params else None))
         return self.spark.createDataFrame(
             rows, "version int, op string, parent int, n_files int, "
                   "n_rows long, files_added int, rows_added long, "
-                  "files_removed int")
+                  "files_removed int, operation_parameters string")
 
     def append_txn(self, rows: DataFrame, app_id: str, batch_id: int,
                    max_retries: int = 20) -> int | None:
@@ -3998,10 +4055,12 @@ class AcidTable:
         become maximally selective, so ``read_range`` on those columns
         prunes to the matching extent. The table-format answer to a
         B-tree rebuild: cluster once, skip on every read after."""
-        return self._commit_loop(
-            lambda cur: (cur.repartitionByRange(target_files, *cols)
-                         .sortWithinPartitions(*cols)),
-            "relayout", max_retries, order_by=cols)
+        with self._op_params(cluster_by=list(cols),
+                             target_files=target_files):
+            return self._commit_loop(
+                lambda cur: (cur.repartitionByRange(target_files, *cols)
+                             .sortWithinPartitions(*cols)),
+                "relayout", max_retries, order_by=cols)
 
     def optimize_incremental(self, cols: list[str],
                              target_files: int = 4,
@@ -4021,12 +4080,14 @@ class AcidTable:
         Returns the current version unchanged when everything is
         already clustered (no empty commits)."""
         key = list(cols)
-        r = self._rewrite_subset(
-            lambda f: f.get("sort") != key,
-            lambda df: (df.repartitionByRange(target_files, *key)
-                        .sortWithinPartitions(*key)),
-            "optimize_incremental", stamp_sort=key,
-            max_retries=max_retries)
+        with self._op_params(cluster_by=key,
+                             target_files=target_files):
+            r = self._rewrite_subset(
+                lambda f: f.get("sort") != key,
+                lambda df: (df.repartitionByRange(target_files, *key)
+                            .sortWithinPartitions(*key)),
+                "optimize_incremental", stamp_sort=key,
+                max_retries=max_retries)
         if r is None:                       # legacy: no provenance
             return self.relayout(key, target_files, max_retries)
         return r
@@ -4164,5 +4225,7 @@ class AcidTable:
         on any version see identical rows; small-file pressure from many
         incremental commits resets without blocking writers (a conflicting
         writer just wins the version and the compaction retries on top)."""
-        return self._commit_loop(
-            lambda cur: cur.coalesce(target_files), "compact", max_retries)
+        with self._op_params(target_files=target_files):
+            return self._commit_loop(
+                lambda cur: cur.coalesce(target_files), "compact",
+                max_retries)

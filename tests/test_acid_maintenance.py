@@ -68,3 +68,44 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
 
     removed = t.vacuum(keep_last=1, orphan_grace_s=0.0)
     assert sorted(removed) == sorted(would)        # the report was exact
+
+
+def test_history_cumulative_totals_equal_full_resolution(spark, tmp_path):
+    """history()'s n_files/n_rows are maintained cumulatively from the
+    O(delta) encoding (no per-version full-list resolve); pin equality
+    against the independently-resolved file lists over a mixed chain
+    of appends, COW + MOR DML, compact, and restore — and pin the new
+    operation_parameters column."""
+    import json
+
+    t = AcidTable.create(
+        spark, tmp_path / "t", _rows(spark, 0, 1_000).coalesce(2),
+        enable_cdf=True)
+    t.append(_rows(spark, 1_000, 1_500).coalesce(1))       # v1
+    t.delete_where("k >= 1400")                            # v2 COW
+    t.delete_where_mor("k < 10")                           # v3 DV
+    t.update_where({"v": "v + 1"}, "k BETWEEN 100 AND 110")  # v4
+    t.compact(2)                                           # v5
+    t.restore(1)                                           # v6
+    t.append(_rows(spark, 9_000, 9_100))                   # v7
+
+    h = {r.version: r for r in t.history().collect()}
+    assert len(h) == t.latest_version() + 1
+    for v in range(t.latest_version() + 1):
+        m = t._manifest(v)                 # the old O(V×F) computation
+        files = m.get("files") or []
+        assert h[v].n_files == len(files), f"v{v} n_files"
+        assert h[v].n_rows == (sum(f.get("rows", 0) for f in files)
+                               - m.get("dv_rows", 0)), f"v{v} n_rows"
+        # and the audit row agrees with the actual snapshot
+        assert h[v].n_rows == t.read(v).count(), f"v{v} vs read()"
+
+    assert json.loads(h[2].operation_parameters) == {
+        "predicate": "k >= 1400"}
+    assert json.loads(h[3].operation_parameters) == {
+        "predicate": "k < 10"}
+    assert json.loads(h[4].operation_parameters) == {
+        "predicate": "k BETWEEN 100 AND 110", "set_columns": ["v"]}
+    assert json.loads(h[5].operation_parameters) == {"target_files": 2}
+    assert h[0].operation_parameters is None
+    assert h[7].operation_parameters is None
