@@ -3186,25 +3186,85 @@ class AcidTable:
                                  "append", max_retries, insert_hint=rows)
 
     def merge(self, updates: DataFrame, key: list[str],
-              max_retries: int = 20) -> int:
+              max_retries: int = 20,
+              evolve_schema: bool = False) -> int:
         """ANSI MERGE, last-writer-wins per key: matched target rows take
         the update's non-key columns, unmatched updates insert, untouched
         target rows carry over.  The full-outer formulation keeps the
         merge one keyed shuffle — at scale both sides hash-partition on
-        the key and AQE broadcasts a small update batch on its own."""
+        the key and AQE broadcasts a small update batch on its own.
+
+        ``evolve_schema=True`` is Delta's ``withSchemaEvolution()``:
+        source-only columns WIDEN the target schema in the same commit
+        (carried/unmatched target rows read NULL there), exactly the
+        ``append_evolve`` contract — transactional, time travel keeps
+        each version's own width, CDF diffs ride ``_widen_for_diff``.
+        Without it a source-only column is silently dropped (the
+        historical MERGE projection, Delta's default too). Shared
+        columns must agree on type either way — so partition,
+        constraint, and generated columns can never be rewritten
+        implicitly (they are always live schema columns); a new column
+        that merely case-varies an existing name is refused."""
         def build(cur: DataFrame) -> DataFrame:
+            u_all = updates
+            if evolve_schema:
+                cur = self._widen_target(cur, u_all, "merge")
             val_cols = [c for c in cur.columns if c not in key]
-            u = updates.select(*key, *[F.col(c).alias(f"__u_{c}")
-                                       for c in val_cols])
-            return (cur.join(u, key, "full_outer")
-                    .select(*key,
-                            *[F.coalesce(f"__u_{c}", c).alias(c)
-                              for c in val_cols]))
-        with self._op_params(merge_key=list(key)):
+            u = u_all.select(
+                *key, *[F.col(c).alias(f"__u_{c}")
+                        for c in val_cols if c in u_all.columns])
+            merged = cur.join(u, key, "full_outer")
+            return merged.select(
+                *key,
+                *[(F.coalesce(f"__u_{c}", c) if f"__u_{c}" in
+                   merged.columns else F.col(c)).alias(c)
+                  for c in val_cols])
+        with self._op_params(merge_key=list(key),
+                             schema_evolution=evolve_schema or None):
             return self._commit_loop(build, "merge", max_retries)
 
+    def _widen_target(self, cur: DataFrame, source: DataFrame,
+                      op: str) -> DataFrame:
+        """``cur`` widened with ``source``-only columns (NULL-filled) —
+        the schema-evolution half every evolving writer shares. Shared
+        columns must agree on type (silently widening int→bigint or
+        dying in an opaque Spark cast is worse than refusing); new
+        columns are refused when a constraint or generated-column
+        definition already names them."""
+        cur_t, new_t = dict(cur.dtypes), dict(source.dtypes)
+        conflicts = {c: (cur_t[c], new_t[c]) for c in new_t
+                     if c in cur_t and cur_t[c] != new_t[c]}
+        if conflicts:
+            detail = ", ".join(f"{c}: table={a} vs source={b}"
+                               for c, (a, b) in sorted(conflicts.items()))
+            raise TypeError(
+                f"{op} schema-evolution conflict at {self.path} — "
+                f"shared column(s) change type ({detail}); cast the "
+                f"source explicitly to evolve a column's type")
+        new_cols = [c for c in source.columns if c not in cur_t]
+        if not new_cols:
+            return cur
+        # partition / constraint / generated columns are always LIVE
+        # schema columns (drop_column refuses referenced ones), so a
+        # same-named source column is a SHARED column handled above;
+        # the reachable hazard is a case-variant name minting a
+        # duplicate under Spark's case-insensitive resolution
+        lower = {c.lower() for c in cur_t}
+        clash = [c for c in new_cols if c.lower() in lower]
+        if clash:
+            raise ValueError(
+                f"{op} schema evolution refuses new column(s) {clash}:"
+                f" case-insensitive clash with existing columns "
+                f"(partition/constraint/generated columns included) — "
+                f"match the target's spelling or rename the source "
+                f"column")
+        for c in new_cols:
+            cur = cur.withColumn(c, F.lit(None).cast(new_t[c]))
+        return cur
+
     def merge_pruned(self, updates: DataFrame, key: list[str],
-                     max_retries: int = 20) -> int:
+                     max_retries: int = 20,
+                     evolve_schema: bool = False) -> int:
         """``merge()`` with Delta-style touched-file pruning: the find
         pass is a key-column-only semi-join scan collecting the files
         that share a key with the update batch; only those files join
@@ -3217,6 +3277,14 @@ class AcidTable:
         a PARTITIONED table whose partition columns appear in the
         update batch, the find pass first prunes to the partitions the
         batch actually touches — metadata only, before any file IO."""
+        if evolve_schema:
+            _, cur = self.snapshot()
+            if any(c not in cur.columns for c in updates.columns):
+                # a WIDENING merge rewrites through the full path (the
+                # rare schema-change commit pays O(table) once; routine
+                # same-width batches keep the pruned fast path)
+                return self.merge(updates, key, max_retries,
+                                  evolve_schema=True)
         dedup_keys = updates.select(*key).distinct()
 
         def probe(df: DataFrame) -> DataFrame:

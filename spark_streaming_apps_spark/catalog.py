@@ -1180,6 +1180,10 @@ register("acid_generated_columns",
          oracle=extensions.ACID_GENERATED_ORACLE
          )(lambda s, d: extensions.acid_generated_columns(s, d, SCRATCH))
 
+register("acid_merge_evolve",
+         oracle=extensions.ACID_MERGE_EVOLVE_ORACLE
+         )(lambda s, d: extensions.acid_merge_evolve(s, d, SCRATCH))
+
 register("acid_compact_small",
          oracle=extensions.ACID_COMPACT_SMALL_ORACLE
          )(lambda s, d: extensions.acid_compact_small(s, d, SCRATCH))

@@ -60,7 +60,8 @@ from pyspark.sql import functions as F
 from .acid import AcidTable, _partition_pins
 
 _HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>[\w.]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
     r"USING\s+", re.IGNORECASE | re.DOTALL)
 
 _TAIL_RE = re.compile(
@@ -95,6 +96,9 @@ class _Merge:
     nmbs_update_cond: str | None = None
     nmbs_update_set: dict = field(default_factory=dict)
     nmbs_delete_cond: str | None = None
+    # MERGE WITH SCHEMA EVOLUTION (Delta syntax): source-only columns
+    # widen the target schema in the same commit
+    evolve: bool = False
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -141,7 +145,8 @@ def parse_merge(stmt: str) -> _Merge:
     g = tail.groupdict()
     merge = _Merge(target=head.group("target"), t_alias=head.group("talias"),
                    source=source, s_alias=g["salias"],
-                   on=g["on"].strip())
+                   on=g["on"].strip(),
+                   evolve=bool(head.group("evolve")))
     for c in _CLAUSE_RE.finditer(g["clauses"] or ""):
         is_not = bool(c.group("not"))
         by = (c.group("by") or "").upper() or None
@@ -255,7 +260,17 @@ def merge_into_sql(spark: SparkSession, stmt: str,
     tp, sp = "__tp", "__sp"
     t, s = mg.t_alias, mg.s_alias
 
+    src0 = (mg.source if mg.source.startswith("(")
+            else f"(SELECT * FROM {mg.source})")
+    # MERGE WITH SCHEMA EVOLUTION: resolve the source's schema once so
+    # build() can widen the target with source-only columns (the
+    # AcidTable._widen_target contract — type-checked, NULL-filled)
+    src_schema = (spark.sql(f"SELECT * FROM {src0} __s LIMIT 0")
+                  if mg.evolve else None)
+
     def build(cur: DataFrame) -> DataFrame:
+        if src_schema is not None:
+            cur = table._widen_target(cur, src_schema, "merge_sql")
         cur.createOrReplaceTempView(tv)
         dtypes = dict(cur.dtypes)
         src = mg.source if mg.source.startswith("(") else f"(SELECT * FROM {mg.source})"
@@ -320,9 +335,12 @@ def merge_into_sql(spark: SparkSession, stmt: str,
         # just those through the same compiled statement; unmatched
         # source rows still insert out of the full-outer join over the
         # touched subset
+        widening = src_schema is not None and any(
+            c not in {tc.lower() for tc in table.snapshot()[1].columns}
+            for c in (cc.lower() for cc in src_schema.columns))
         pairs = _equi_pairs(mg)
         if pairs and not mg.nmbs_update_set \
-                and mg.nmbs_delete_cond is None:
+                and mg.nmbs_delete_cond is None and not widening:
             src = (mg.source if mg.source.startswith("(")
                    else f"(SELECT * FROM {mg.source})")
             sel = ", ".join(f"{mg.s_alias}.{sc} AS {tc}"
@@ -621,7 +639,8 @@ def acid_sql(spark: SparkSession, stmt: str,
     Rewrites are name-scoped to the ``tables`` registry — unknown names
     in a VERSION AS OF clause raise rather than silently reading a
     catalog table of the same name."""
-    if re.match(r"\s*MERGE\s+INTO\b", stmt, re.IGNORECASE):
+    if re.match(r"\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\b",
+                stmt, re.IGNORECASE):
         return merge_into_sql(spark, stmt, tables)
     if re.match(r"\s*DELETE\s+FROM\b", stmt, re.IGNORECASE):
         return delete_sql(spark, stmt, tables)
@@ -728,7 +747,8 @@ def acid_sql(spark: SparkSession, stmt: str,
 
 
 _TARGET_RES = [re.compile(p, re.IGNORECASE) for p in (
-    r"^\s*MERGE\s+INTO\s+(?P<tbl>[\w.]+)",
+    r"^\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+    r"(?P<tbl>[\w.]+)",
     r"^\s*DELETE\s+FROM\s+(?P<tbl>[\w.]+)",
     r"^\s*UPDATE\s+(?P<tbl>[\w.]+)",
     r"^\s*INSERT\s+INTO\s+(?P<tbl>[\w.]+)",

@@ -2727,3 +2727,93 @@ SELECT COUNT(*) AS n_rows,
 FROM orders
 WHERE o_orderkey % 100 != 7
 """
+
+
+def acid_merge_evolve(spark: SparkSession, sf_dir: str,
+                      scratch: Path) -> DataFrame:
+    """MERGE schema evolution (Delta ``withSchemaEvolution``): one
+    widening MERGE both updates matched keys AND adds a source-only
+    ``tier`` column to the table schema in the same commit — carried
+    target rows read NULL there, time travel keeps the pre-merge
+    width, and the recorded CDF for the widened commit serves at the
+    new width. The oracle recomputes the merged table and the change
+    counts from the same orders parquet in DuckDB."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_evolve_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    o = (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_totalprice"))
+    t = AcidTable.create(
+        spark, path,
+        o.repartitionByRange(N_RANGE_FILES, "o_orderkey")
+         .sortWithinPartitions("o_orderkey"),
+        enable_cdf=True)
+    tier = (F.when(F.col("o_totalprice") > 100000, "big")
+            .otherwise("small"))
+    # tier binds the ORIGINAL price (compute before the price bump —
+    # the oracle does the same); the bumped price casts back to the
+    # table's exact decimal type (shared columns must agree on type)
+    ptype = dict(o.dtypes)["o_totalprice"]
+    matched = (o.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("tier", tier)
+               .withColumn("o_totalprice",
+                           (F.col("o_totalprice") + 1000).cast(ptype)))
+    inserted = (o.filter(F.col("o_orderkey") % 10 == 7)
+                .withColumn("o_orderkey",
+                            F.col("o_orderkey") + 900000000)
+                .withColumn("tier", tier)
+                .withColumn("o_totalprice",
+                            (F.col("o_totalprice") + 1000).cast(ptype)))
+    v = t.merge(matched.unionByName(inserted), ["o_orderkey"],
+                evolve_schema=True)
+    assert t.read(v - 1).columns == ["o_orderkey", "o_totalprice"]
+    ch = t.read_changes(v - 1, v)
+    n_ins = ch.filter("_change_type = 'insert'").count()
+    n_del = ch.filter("_change_type = 'delete'").count()
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("total_price"),
+        F.count(F.when(F.col("tier") == "big", 1)).alias("n_big"),
+        F.count(F.when(F.col("tier").isNull(), 1)).alias("n_null_tier"))
+        .withColumn("cdf_inserts", F.lit(n_ins).cast("long"))
+        .withColumn("cdf_deletes", F.lit(n_del).cast("long"))
+        .withColumn("n_cols", F.lit(len(t.read().columns))
+                    .cast("int")))
+
+
+ACID_MERGE_EVOLVE_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+         CASE WHEN o_totalprice > 100000 THEN 'big'
+              ELSE 'small' END AS tier
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 900000000, o_totalprice + 1000,
+         CASE WHEN o_totalprice > 100000 THEN 'big'
+              ELSE 'small' END
+  FROM orders WHERE o_orderkey % 10 = 7),
+tgt AS (SELECT o_orderkey, o_totalprice FROM orders),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         s.tier AS tier
+  FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey),
+counts AS (
+  SELECT COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS n_matched,
+         COUNT(*) FILTER (WHERE o_orderkey % 10 = 7) AS n_new
+  FROM orders)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) FILTER (WHERE tier = 'big') AS n_big,
+       COUNT(*) FILTER (WHERE tier IS NULL) AS n_null_tier,
+       (SELECT n_matched + n_new FROM counts) AS cdf_inserts,
+       (SELECT n_matched FROM counts) AS cdf_deletes,
+       3 AS n_cols
+FROM merged
+"""
