@@ -53,6 +53,7 @@ import uuid
 from pathlib import Path
 
 __all__ = ["FileStore", "PosixFileStore", "RenameFileStore",
+           "FaultyFileStore", "TransientStoreError",
            "get_store", "set_store", "crash_point"]
 
 
@@ -184,7 +185,103 @@ class RenameFileStore(FileStore):
         Path(tmp).replace(final)
 
 
-_STORES = {"posix": PosixFileStore, "rename": RenameFileStore}
+class TransientStoreError(OSError):
+    """A 503-style retriable failure injected by FaultyFileStore."""
+
+
+class FaultyFileStore(FileStore):
+    """Object-store semantics TEST DOUBLE: proves the 3-verb seam is
+    sufficient for the store class it was designed for (S3/GCS with a
+    conditional-PUT fence). Semantics modeled:
+
+    * ``create_exclusive`` = conditional PUT (``If-None-Match: *``).
+      A fault may land before OR after the server applied the PUT; a
+      client retry that then sees the key existing resolves ownership
+      by CONTENT equality (the etag discipline Delta's S3 LogStores
+      use) — byte-identical content means our payload won, so the
+      retry reports success instead of a phantom lost race.
+    * ``link_or_copy`` = server-side COPY, O(bytes). Never a hardlink
+      (object stores have no inodes).
+    * ``atomic_replace`` = unconditional PUT (last writer wins).
+    * Every call pays injected latency and every ``fail_every``-th
+      call raises a transient 503 that the client-side retry loop
+      (the SDK discipline) absorbs with bounded retries.
+
+    The double is deterministic (a call counter, no clocks/randomness)
+    so failures land on different verbs across a run, and it counts
+    ``faults``/``calls`` for assertions. NOT for multi-writer races
+    across processes — each instance is its own 'server'; contention
+    tests share one instance across threads."""
+
+    name = "faulty"
+
+    def __init__(self, fail_every: int = 7,
+                 latency_s: float = 0.001, max_retries: int = 6):
+        self.fail_every = fail_every
+        self.latency_s = latency_s
+        self.max_retries = max_retries
+        self.calls = 0
+        self.faults = 0
+
+    def _roll(self) -> None:
+        import time
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        self.calls += 1
+        if self.fail_every and self.calls % self.fail_every == 0:
+            self.faults += 1
+            raise TransientStoreError("503 slow down (injected)")
+
+    def _retrying(self, fn):
+        last = None
+        for _ in range(self.max_retries):
+            try:
+                self._roll()
+                return fn()
+            except TransientStoreError as e:
+                last = e
+                continue
+        raise last
+
+    def create_exclusive(self, path, data: str) -> bool:
+        path = Path(path)
+
+        def put():
+            # the server's internal atomicity (a real store provides
+            # this server-side); fault injection may fire between
+            # apply and response via the NEXT _roll of a retry
+            tmp = path.with_name(
+                f".{path.name}.{uuid.uuid4().hex[:8]}.put")
+            tmp.write_text(data)
+            try:
+                _rename_noreplace(str(tmp), str(path))
+                # response leg: a fault HERE is a success lost on the
+                # wire — the retry's conditional PUT sees the key and
+                # the etag check resolves it as our win
+                self._roll()
+                return True
+            except (FileExistsError, OSError) as e:
+                tmp.unlink(missing_ok=True)
+                if isinstance(e, FileExistsError) or \
+                        getattr(e, "errno", None) == errno.EEXIST:
+                    # precondition failed — OURS iff content matches
+                    # (etag self-win resolution for retried PUTs)
+                    try:
+                        return path.read_text() == data
+                    except OSError:
+                        return False
+                raise
+        return self._retrying(put)
+
+    def link_or_copy(self, src, dst) -> None:
+        self._retrying(lambda: shutil.copy2(src, dst))
+
+    def atomic_replace(self, tmp, final) -> None:
+        self._retrying(lambda: Path(tmp).replace(final))
+
+
+_STORES = {"posix": PosixFileStore, "rename": RenameFileStore,
+           "faulty": FaultyFileStore}
 _ACTIVE: FileStore | None = None
 
 

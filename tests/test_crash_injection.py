@@ -204,3 +204,16 @@ def test_catalog_never_exposes_unpinned_versions(spark, tmp_path, store):
                                               "k long, s string"))})
     assert {r.k for r in cat2.read("a").collect()} == {1, 200, 9}
     assert {r.k for r in cat2.read("b").collect()} == {2, 300, 9}
+
+
+@pytest.mark.parametrize("point,op,lands", [
+    ("before_manifest_fence", "append", False),
+    ("after_manifest_fence", "append", True),
+], ids=["before_fence", "after_fence"])
+def test_writer_crash_under_faulty_object_store(spark, tmp_path,
+                                                point, op, lands):
+    """Composition of the crash harness with the object-store double:
+    the fence-adjacent crash invariants hold when the fence is a
+    conditional PUT with injected transients and copy-only sharing."""
+    test_writer_crash_leaves_consistent_table(
+        spark, tmp_path, "faulty", point, op, lands)

@@ -23,7 +23,7 @@ from spark_streaming_apps_spark.storage import (PosixFileStore,
                                                 get_store, set_store)
 
 
-@pytest.fixture(params=["posix", "rename"])
+@pytest.fixture(params=["posix", "rename", "faulty"])
 def store(request):
     prev = set_store(request.param)
     yield get_store()
@@ -155,3 +155,66 @@ def test_concurrent_appends_under_rename_store(spark, tmp_path):
         assert t.latest_version() == 16             # serial chain
     finally:
         set_store(prev)
+
+
+# ----------------------------------- object-store double under faults
+
+def test_faulty_store_injects_and_absorbs_transients(tmp_path):
+    """The double actually faults (counters prove it) and the client
+    retry loop absorbs every transient — including a success lost on
+    the response leg, resolved by the etag self-win check instead of
+    reported as a phantom lost race."""
+    from spark_streaming_apps_spark.storage import FaultyFileStore
+
+    s = FaultyFileStore(fail_every=3, latency_s=0.0)
+    wins = 0
+    for i in range(40):
+        assert s.create_exclusive(tmp_path / f"f{i}.json",
+                                  f'{{"i": {i}}}') is True
+        wins += 1
+        # duplicate PUT of DIFFERENT content still loses
+        assert s.create_exclusive(tmp_path / f"f{i}.json",
+                                  '{"other": 1}') is False
+    assert wins == 40 and s.faults > 10
+    # copy-only sharing + unconditional replace survive faults too
+    src = tmp_path / "a.bin"
+    src.write_bytes(b"x" * 100)
+    s.link_or_copy(src, tmp_path / "b.bin")
+    assert (tmp_path / "b.bin").read_bytes() == src.read_bytes()
+    import os
+    assert os.stat(tmp_path / "b.bin").st_nlink == 1   # never a link
+    tmp = tmp_path / ".h.tmp"
+    tmp.write_text("new")
+    s.atomic_replace(tmp, tmp_path / "h")
+    assert (tmp_path / "h").read_text() == "new"
+
+
+def test_faulty_store_threaded_fence_contention(tmp_path):
+    """4 threads share one 'server' instance and race 24 fence paths
+    under injected faults: exactly one winner per path, content is
+    the winner's, no path lost to a transient."""
+    from spark_streaming_apps_spark.storage import FaultyFileStore
+
+    s = FaultyFileStore(fail_every=5, latency_s=0.0)
+    n, out, errs = 24, {w: [] for w in range(4)}, []
+
+    def contender(wid):
+        try:
+            for i in range(n):
+                if s.create_exclusive(tmp_path / f"f{i}.json",
+                                      json.dumps({"w": wid, "i": i})):
+                    out[wid].append(i)
+        except Exception as e:                       # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=contender, args=(w,)) for w in range(4)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    all_wins = sorted(i for wins in out.values() for i in wins)
+    assert all_wins == list(range(n))
+    for i in range(n):
+        rec = json.loads((tmp_path / f"f{i}.json").read_text())
+        assert i in out[rec["w"]]
