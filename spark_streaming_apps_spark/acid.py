@@ -1547,6 +1547,10 @@ class AcidTable:
         recorded on the manifest entry — the Iceberg invariant: one
         partition tuple per file, tracked in metadata, never in
         paths."""
+        # observability: distributed staging passes this handle paid
+        # (contention tests assert O(committed writes), proving lost
+        # races re-parent instead of re-staging)
+        self.stage_count = getattr(self, "stage_count", 0) + 1
         mapping = self._mapping_at()
         if mapping:
             # column-mapping mode: data files ALWAYS hold the frozen
@@ -2165,6 +2169,8 @@ class AcidTable:
         if self._try_commit(v + 1, rel0, m["schema"], op,
                             changes_rel=ch_rel0, files=files,
                             dv_rel=dv_rel0, dv_rows=dv_rows0):
+            self.rebase_commits = getattr(
+                self, "rebase_commits", 0) + 1
             return v + 1
         if extra_rel:            # recompute against the next winner
             shutil.rmtree(self.path / extra_rel, ignore_errors=True)
@@ -3108,6 +3114,10 @@ class AcidTable:
                             v + 1, rel, schema_json, op,
                             changes_rel=ch_rel, files=files,
                             dv_rel=dv_rel, dv_rows=dv_rows):
+                        # observability: lost races resolved WITHOUT
+                        # re-staging (contention tests read this)
+                        self.rebase_commits = getattr(
+                            self, "rebase_commits", 0) + 1
                         return v + 1
                     continue
                 # the winner changed schema/props/constraints (or

@@ -104,12 +104,23 @@ class PosixFileStore(FileStore):
     name = "posix"
 
     def create_exclusive(self, path, data: str) -> bool:
+        # stage + hardlink-publish, NOT open(O_EXCL)+write: link() is
+        # the atomic O_EXCL primitive whose target appears FULLY
+        # WRITTEN or not at all. The naive open("x")+write exposes a
+        # torn window — a concurrent reader that stats the manifest
+        # between create and write reads 0 bytes / partial JSON, and a
+        # writer crash inside the window leaves a permanently corrupt
+        # "committed" version. Caught by the 4-process contention test.
+        path = Path(path)
+        tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex[:8]}.x")
+        tmp.write_text(data)
         try:
-            with open(path, "x") as fh:
-                fh.write(data)
+            os.link(tmp, path)
             return True
         except FileExistsError:
             return False
+        finally:
+            tmp.unlink(missing_ok=True)
 
     def link_or_copy(self, src, dst) -> None:
         try:

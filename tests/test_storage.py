@@ -218,3 +218,42 @@ def test_faulty_store_threaded_fence_contention(tmp_path):
     for i in range(n):
         rec = json.loads((tmp_path / f"f{i}.json").read_text())
         assert i in out[rec["w"]]
+
+
+def test_create_exclusive_never_exposes_torn_content(tmp_path):
+    """A reader that opens a fence file the INSTANT it exists must see
+    the full payload — the manifest-read guarantee every planner poll
+    rests on. The naive open(O_EXCL)+write had a torn window here
+    (caught by the 4-process rebase-contention test: a sink planner
+    read a 0-byte manifest mid-publish)."""
+    from spark_streaming_apps_spark.storage import (PosixFileStore,
+                                                    RenameFileStore,
+                                                    FaultyFileStore)
+
+    payload = json.dumps({"files": ["x"] * 2000})   # big enough to tear
+    for store in (PosixFileStore(), RenameFileStore(),
+                  FaultyFileStore(fail_every=0, latency_s=0.0)):
+        torn, stop = [], threading.Event()
+        d = tmp_path / store.name
+        d.mkdir()
+
+        def reader():
+            seen = set()
+            while not stop.is_set():
+                for i in range(200):
+                    if i in seen:
+                        continue
+                    p = d / f"f{i}.json"
+                    if p.exists():
+                        txt = p.read_text()
+                        if txt != payload:
+                            torn.append((i, len(txt)))
+                        seen.add(i)
+
+        th = threading.Thread(target=reader)
+        th.start()
+        for i in range(200):
+            assert store.create_exclusive(d / f"f{i}.json", payload)
+        stop.set()
+        th.join()
+        assert not torn, f"{store.name}: torn reads {torn[:5]}"
