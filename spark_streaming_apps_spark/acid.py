@@ -4170,6 +4170,86 @@ class AcidTable:
             return self.relayout(key, target_files, max_retries)
         return r
 
+    _ZBITS = 8           # 2^8 rank buckets per dimension
+
+    def _z_transform(self, cols: list[str], target_files: int):
+        """Morton-curve shaper: per-column 256-way width bucket over
+        the SUBSET's [min, max] (two driver scalars per column), bits
+        round-robin-interleaved across the N dimensions, then one
+        range shuffle + in-task sort on the z value. Generations
+        bucket by their own extent, so successive incremental passes
+        tile independently — overlapping tiles lose a little
+        selectivity, never correctness (the stats-pruning trade
+        optimize_incremental already documents)."""
+        def transform(df: DataFrame) -> DataFrame:
+            n = len(cols)
+            nums = []
+            for c in cols:
+                dt = df.schema[c].dataType.typeName()
+                if dt == "date":
+                    nums.append(F.datediff(F.col(c),
+                                           F.lit("1970-01-01")))
+                elif dt == "timestamp":
+                    nums.append(F.unix_timestamp(F.col(c)))
+                elif dt in ("byte", "short", "integer", "long",
+                            "float", "double", "decimal"):
+                    nums.append(F.col(c).cast("double"))
+                else:
+                    raise ValueError(
+                        f"ZORDER BY column {c!r} has non-orderable-"
+                        f"numeric type {dt}; use relayout() for "
+                        f"lexicographic clustering")
+            bounds = df.agg(*[f(x).alias(f"{k}{i}")
+                              for i, x in enumerate(nums)
+                              for k, f in (("lo", F.min),
+                                           ("hi", F.max))]).collect()[0]
+            buckets = 1 << self._ZBITS
+            codes = []
+            for i, x in enumerate(nums):
+                lo = float(bounds[f"lo{i}"] or 0)
+                hi = float(bounds[f"hi{i}"] or 0)
+                span = (hi - lo) or 1.0
+                codes.append(F.least(
+                    F.lit(buckets - 1),
+                    F.floor((x.cast("double") - F.lit(lo))
+                            / F.lit(span) * buckets)).cast("long"))
+            z = F.lit(0).cast("long")
+            for b in range(self._ZBITS):
+                for i, code in enumerate(codes):
+                    z = z + F.shiftleft(
+                        F.shiftright(code, b).bitwiseAND(1), b * n + i)
+            return (df.withColumn("__z", z)
+                    .repartitionByRange(target_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z"))
+        return transform
+
+    def zorder(self, cols: list[str], target_files: int = 8,
+               max_retries: int = 20) -> int:
+        """OPTIMIZE ZORDER BY — Morton-curve clustering with
+        INCREMENTAL maintenance built in: files already stamped with
+        this curve's provenance are carried untouched by metadata
+        alone; only unclustered arrivals (and files clustered on a
+        different key set) are rewritten. The first run over an
+        unstamped table therefore rewrites everything (the classic
+        full ZORDER), and every later run costs O(arrivals) — the
+        liquid-clustering maintenance shape, now for 2-D+ curves.
+        Returns the current version unchanged when everything is
+        already clustered."""
+        key = list(cols)
+        with self._op_params(zorder_by=key,
+                             target_files=target_files):
+            r = self._rewrite_subset(
+                lambda f: f.get("zorder") != key,
+                self._z_transform(key, target_files),
+                "zorder", stamp_zorder=key,
+                max_retries=max_retries)
+        if r is None:           # legacy manifest: no per-file metadata
+            return self._commit_loop(
+                self._z_transform(key, target_files), "zorder",
+                max_retries)
+        return r
+
     def compact_small(self, max_bytes: int = 32 << 20,
                       target_files: int = 1, min_files: int = 2,
                       max_retries: int = 20) -> int:
@@ -4192,6 +4272,7 @@ class AcidTable:
 
     def _rewrite_subset(self, pick, transform, op: str,
                         stamp_sort: list[str] | None = None,
+                        stamp_zorder: list[str] | None = None,
                         min_stale: int = 1,
                         max_retries: int = 20) -> int | None:
         """Partial-rewrite commit shared by ``optimize_incremental``
@@ -4226,6 +4307,11 @@ class AcidTable:
             out = transform(tg.select(*scols))
             rel, new_stats = self._write_data_full(out,
                                                    order_by=stamp_sort)
+            if stamp_zorder:
+                # curve provenance (the liquid ZCube analog for Morton
+                # layouts): the next zorder() skips these by metadata
+                for e in new_stats:
+                    e["zorder"] = list(stamp_zorder)
             new_stats = [f if "/" in f["path"]
                          else {**f, "path": f"{rel}/{f['path']}"}
                          for f in new_stats]

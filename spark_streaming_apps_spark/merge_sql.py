@@ -712,6 +712,10 @@ def acid_sql(spark: SparkSession, stmt: str,
                 # Delta liquid clustering's OPTIMIZE: rewrite only the
                 # files not already clustered on these keys
                 return t.optimize_incremental(names)
+            if len(names) >= 2:
+                # true Morton curve with built-in incremental
+                # maintenance: only unstamped arrivals rewrite
+                return t.zorder(names)
             return t.relayout(names)
         return t.compact()
     m = _VACUUM_RE.match(stmt)
