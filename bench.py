@@ -151,6 +151,7 @@ BENCH_KEYS = [
     "acid_generated_columns",
     "acid_compact_small",
     "acid_reader_features",
+    "acid_merge_evolve",
 ]
 
 
