@@ -142,7 +142,14 @@ def _rename_noreplace(src: str, dst: str) -> None:
     """Atomic no-overwrite rename — renameat2(..., RENAME_NOREPLACE)
     on Linux (one syscall, kernel-atomic); emulated with a hardlink+
     unlink pair elsewhere (same visible contract: fails with EEXIST
-    when dst exists, dst appears fully-written or not at all)."""
+    when dst exists, dst appears fully-written or not at all).
+
+    CAVEAT: the non-Linux fallback uses os.link, which contradicts
+    RenameFileStore's no-hardlink premise — unreachable on Linux
+    (renameat2 always resolves), so today it documents intent rather
+    than behavior; a macOS/mount port of the rename store must replace
+    it with the platform's own no-replace rename (RENAME_EXCL on
+    Darwin) before the no-hardlink claim holds there."""
     libc = getattr(_rename_noreplace, "_libc", None)
     if libc is None:
         try:
