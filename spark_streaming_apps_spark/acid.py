@@ -4075,16 +4075,50 @@ class AcidTable:
             ledger_append(self.path, {
                 "ts": time.time(),
                 "paths": ledger_paths, "dirs": ledger_dirs})
-        for d, victims, whole, rel, n_children in plan:
-            for p in victims:
-                (shutil.rmtree(p, ignore_errors=True) if p.is_dir()
-                 else p.unlink(missing_ok=True))
-            if whole:
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(rel)
-            else:
-                removed.append(
-                    f"{rel} ({len(victims)}/{n_children} files)")
+        # DELETE EXECUTION distributes past a threshold (the
+        # pruned_files_eq discipline): a 100k-orphan vacuum on a real
+        # table is an executor fan-out of unlinks, not 100k serial
+        # driver syscalls; small plans stay driver-side (no job
+        # overhead). Dir removal stays on the driver — O(dirs).
+        all_victims = [str(p) for _, victims, *_ in plan
+                       for p in victims]
+        if len(all_victims) > 512 and self.spark is not None:
+            def _rm(it):
+                import os as _os
+                import shutil as _shutil
+                from pathlib import Path as _P
+                for s in it:
+                    p = _P(s)
+                    if p.is_dir():
+                        _shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        try:
+                            _os.unlink(s)
+                        except OSError:
+                            pass
+                return iter(())
+            (self.spark.sparkContext
+             .parallelize(all_victims,
+                          max(1, min(len(all_victims) // 256, 256)))
+             .mapPartitions(_rm).count())
+            for d, victims, whole, rel, n_children in plan:
+                if whole:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(rel)
+                else:
+                    removed.append(
+                        f"{rel} ({len(victims)}/{n_children} files)")
+        else:
+            for d, victims, whole, rel, n_children in plan:
+                for p in victims:
+                    (shutil.rmtree(p, ignore_errors=True) if p.is_dir()
+                     else p.unlink(missing_ok=True))
+                if whole:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(rel)
+                else:
+                    removed.append(
+                        f"{rel} ({len(victims)}/{n_children} files)")
         # checkpoint retention: keep the parquet checkpoints of
         # retained versions plus the NEWEST one at-or-below the oldest
         # retained version (the chain-replay short-circuit for every

@@ -109,3 +109,20 @@ def test_history_cumulative_totals_equal_full_resolution(spark, tmp_path):
     assert json.loads(h[5].operation_parameters) == {"target_files": 2}
     assert h[0].operation_parameters is None
     assert h[7].operation_parameters is None
+
+
+def test_vacuum_distributes_large_victim_sets(spark, tmp_path):
+    """Past 512 victims the delete execution fans out to executors
+    (the pruned_files_eq discipline) — a 100k-orphan vacuum must not
+    be 100k serial driver syscalls. Same observable outcome as the
+    driver-side path: victims gone, retained snapshot intact."""
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.range(0, 6000).repartition(600)
+                         .selectExpr("id AS k"))
+    assert len(t._manifest(0)["files"]) == 600
+    t.compact(2)
+    removed = t.vacuum(keep_last=1, orphan_grace_s=0.0)
+    assert removed
+    live = list((t.path / "data").rglob("*.parquet"))
+    assert len(live) == 2                       # only the compacted files
+    assert t.read().count() == 6000
