@@ -2513,7 +2513,8 @@ class AcidTable:
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
     def merge_mor(self, updates: DataFrame, key: list[str],
-                  max_retries: int = 20) -> int:
+                  max_retries: int = 20,
+                  evolve_schema: bool = False) -> int:
         """ANSI MERGE as merge-on-read (Delta/Iceberg v2 DV MERGE):
         matched target rows die by deletion-vector entry and their new
         images (update values, last-writer-wins like ``merge``) append
@@ -2524,7 +2525,16 @@ class AcidTable:
         (the ANSI MERGE cardinality contract, same as ``merge``: a
         duplicate-key batch would fan the inner join out). Sets
         ``last_mor_stats`` = {rows_updated, rows_inserted,
-        dv_rows_total}."""
+        dv_rows_total}.
+
+        ``evolve_schema=True`` on a WIDENING batch delegates to the
+        COW ``merge`` (a schema change can't ride a same-schema linked
+        commit); same-width batches keep the O(delta) MOR path."""
+        if evolve_schema:
+            _, cur0 = self.snapshot()
+            if any(c not in cur0.columns for c in updates.columns):
+                return self.merge(updates, key, max_retries,
+                                  evolve_schema=True)
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
@@ -2934,18 +2944,31 @@ class AcidTable:
         """Scope Delta-style operationParameters onto every manifest
         committed inside the ``with`` block (the DML predicate, MERGE
         key, layout columns). Pure audit metadata — readers never
-        consult it; ``history()`` surfaces it JSON-encoded."""
+        consult it; ``history()`` surfaces it JSON-encoded. Keyed per
+        THREAD so concurrent statements on one handle never stamp each
+        other's params (the threaded-appender pattern in
+        tests/test_storage.py is supported usage)."""
+        import threading
         from contextlib import contextmanager
 
         @contextmanager
         def scope():
-            self._pending_op_params = {
+            by_thread = getattr(self, "_pending_op_params", None)
+            if by_thread is None:
+                by_thread = self._pending_op_params = {}
+            tid = threading.get_ident()
+            by_thread[tid] = {
                 k: v for k, v in params.items() if v is not None}
             try:
                 yield
             finally:
-                self._pending_op_params = None
+                by_thread.pop(tid, None)
         return scope()
+
+    def _current_op_params(self) -> dict | None:
+        import threading
+        by_thread = getattr(self, "_pending_op_params", None) or {}
+        return by_thread.get(threading.get_ident())
 
     def _try_commit(self, version: int, data_rel: str, schema,
                     op: str, txn: str | None = None,
@@ -3022,8 +3045,9 @@ class AcidTable:
             constraints = parent_m.get("constraints")
         if constraints:
             manifest["constraints"] = constraints
-        if getattr(self, "_pending_op_params", None):
-            manifest["op_params"] = self._pending_op_params
+        cur_params = self._current_op_params()
+        if cur_params:
+            manifest["op_params"] = cur_params
         # the atomic swap: exactly one creator per manifest path —
         # routed through the FileStore seam so the fence primitive is
         # pluggable per storage backend (LogStore pattern)

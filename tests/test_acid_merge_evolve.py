@@ -156,3 +156,60 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path):
         WHEN NOT MATCHED THEN INSERT *
         """, tables={"tbl": t2})
     assert t2.read().columns == ["k", "v"]
+
+
+def test_merge_mor_evolve_delegates_on_widening(spark, tmp_path):
+    t = AcidTable.create(spark, tmp_path / "t",
+                         _df(spark, [(1, 10), (2, 20)], "k long, v long"),
+                         enable_dv=True)
+    v = t.merge_mor(_df(spark, [(2, 99, "w")],
+                        "k long, v long, note string"),
+                    ["k"], evolve_schema=True)
+    assert t._manifest(v)["op"] == "merge"       # delegated: COW widen
+    got = {(r.k, r.v, r.note) for r in t.read().collect()}
+    assert got == {(1, 10, None), (2, 99, "w")}
+    # same-width batch keeps the MOR fast path
+    v2 = t.merge_mor(_df(spark, [(3, 30, None)],
+                         "k long, v long, note string"),
+                     ["k"], evolve_schema=True)
+    assert t._manifest(v2)["op"] == "merge_mor"
+
+
+def test_op_params_thread_isolated(spark, tmp_path):
+    """Concurrent statements on ONE handle never stamp each other's
+    operationParameters (keyed per thread)."""
+    import json
+    import threading
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(i, i) for i in range(2000)],
+                              "k long, v long").repartition(4))
+    errs = []
+
+    def deleter(lo):
+        try:
+            for i in range(3):
+                t.delete_where(f"k >= {lo + i * 10} AND "
+                               f"k < {lo + i * 10 + 5}")
+        except Exception as e:                   # noqa: BLE001
+            errs.append(e)
+
+    a = threading.Thread(target=deleter, args=(0,))
+    b = threading.Thread(target=deleter, args=(1000,))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs
+    h = {r.version: r for r in t.history().collect()}
+    for v, row in h.items():
+        if row.op != "delete":
+            continue
+        params = json.loads(row.operation_parameters)
+        # every delete commit's recorded predicate matches the rows it
+        # actually removed (no cross-thread stamp)
+        pred = params["predicate"]
+        before = {r.k for r in t.read(v - 1).collect()}
+        after = {r.k for r in t.read(v).collect()}
+        lo = int(pred.split(">=")[1].split("AND")[0])
+        hi = int(pred.split("<")[1])
+        assert before - after == {k for k in before
+                                  if lo <= k < hi}
