@@ -4200,7 +4200,8 @@ class AcidTable:
 
     def optimize_incremental(self, cols: list[str],
                              target_files: int = 4,
-                             max_retries: int = 20) -> int:
+                             max_retries: int = 20,
+                             partition_pins: dict | None = None) -> int:
         """Incremental clustering — Delta liquid clustering's OPTIMIZE
         shape: rewrite ONLY the files not already range-clustered on
         ``cols`` (append-born files, COW replacements), carrying every
@@ -4216,10 +4217,17 @@ class AcidTable:
         Returns the current version unchanged when everything is
         already clustered (no empty commits)."""
         key = list(cols)
+        pins = dict(partition_pins or {})
+
+        def pick(f):
+            if pins and not _pins_match(f.get("partition"), pins):
+                return False      # out-of-scope partitions untouched
+            return f.get("sort") != key
         with self._op_params(cluster_by=key,
-                             target_files=target_files):
+                             target_files=target_files,
+                             partition_pins=pins or None):
             r = self._rewrite_subset(
-                lambda f: f.get("sort") != key,
+                pick,
                 lambda df: (df.repartitionByRange(target_files, *key)
                             .sortWithinPartitions(*key)),
                 "optimize_incremental", stamp_sort=key,
@@ -4283,7 +4291,8 @@ class AcidTable:
         return transform
 
     def zorder(self, cols: list[str], target_files: int = 8,
-               max_retries: int = 20) -> int:
+               max_retries: int = 20,
+               partition_pins: dict | None = None) -> int:
         """OPTIMIZE ZORDER BY — Morton-curve clustering with
         INCREMENTAL maintenance built in: files already stamped with
         this curve's provenance are carried untouched by metadata
@@ -4295,10 +4304,17 @@ class AcidTable:
         Returns the current version unchanged when everything is
         already clustered."""
         key = list(cols)
+        pins = dict(partition_pins or {})
+
+        def pick(f):
+            if pins and not _pins_match(f.get("partition"), pins):
+                return False      # out-of-scope partitions untouched
+            return f.get("zorder") != key
         with self._op_params(zorder_by=key,
-                             target_files=target_files):
+                             target_files=target_files,
+                             partition_pins=pins or None):
             r = self._rewrite_subset(
-                lambda f: f.get("zorder") != key,
+                pick,
                 self._z_transform(key, target_files),
                 "zorder", stamp_zorder=key,
                 max_retries=max_retries)

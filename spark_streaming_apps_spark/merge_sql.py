@@ -473,9 +473,16 @@ _DETAIL_RE = re.compile(
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<tbl>[\w.]+)"
-    r"(?:\s+(?P<kind>ZORDER|CLUSTER)\s+BY\s*"
-    r"\(\s*(?P<cols>[\w.,\s]+?)\s*\))?"
-    r"(?:\s+WHERE\s+(?P<cond>.+?))?\s*;?\s*$",
+    r"(?:"
+    # with a clustering clause, WHERE may come before (Delta's order)
+    # or after it
+    r"(?:\s+WHERE\s+(?P<cond1>.+?))?"
+    r"\s+(?P<kind>ZORDER|CLUSTER)\s+BY\s*"
+    r"\(\s*(?P<cols>[\w.,\s]+?)\s*\)"
+    r"(?:\s+WHERE\s+(?P<cond2>.+?))?"
+    r"|"
+    r"(?:\s+WHERE\s+(?P<cond3>.+?))?"        # plain [scoped] compact
+    r")\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _VACUUM_RE = re.compile(
@@ -692,30 +699,34 @@ def acid_sql(spark: SparkSession, stmt: str,
     m = _OPTIMIZE_RE.match(stmt)
     if m:  # OPTIMIZE <t> [ZORDER|CLUSTER BY (cols)] [WHERE part pins]
         t = _lookup(tables, m.group("tbl"), "OPTIMIZE")
-        cols, cond = m.group("cols"), m.group("cond")
+        cols = m.group("cols")
+        cond = m.group("cond1") or m.group("cond2") or m.group("cond3")
+        pins = None
         if cond:
-            if cols:
-                raise ValueError(
-                    "OPTIMIZE ZORDER/CLUSTER BY cannot be combined "
-                    "with WHERE (zorder relayout is whole-table; "
-                    "CLUSTER BY maintenance is key-scoped)")
             pins = _partition_pins(cond, t.partition_cols())
             if not pins:
                 raise ValueError(
                     f"OPTIMIZE WHERE must pin partition column(s) "
                     f"{t.partition_cols()} with equality conjuncts; "
                     f"got {cond!r}")
-            return t.compact_partition(pins)
+            if not cols:
+                return t.compact_partition(pins)
         if cols:
             names = [c.strip() for c in cols.split(",")]
             if (m.group("kind") or "").upper() == "CLUSTER":
                 # Delta liquid clustering's OPTIMIZE: rewrite only the
-                # files not already clustered on these keys
-                return t.optimize_incremental(names)
+                # files not already clustered on these keys (scoped to
+                # the pinned partitions when WHERE is given)
+                return t.optimize_incremental(names,
+                                              partition_pins=pins)
             if len(names) >= 2:
                 # true Morton curve with built-in incremental
                 # maintenance: only unstamped arrivals rewrite
-                return t.zorder(names)
+                return t.zorder(names, partition_pins=pins)
+            if pins:
+                raise ValueError(
+                    "OPTIMIZE WHERE ... ZORDER BY needs >=2 columns "
+                    "(single-column scoped maintenance is CLUSTER BY)")
             return t.relayout(names)
         return t.compact()
     m = _VACUUM_RE.match(stmt)

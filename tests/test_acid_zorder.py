@@ -92,3 +92,42 @@ def test_zorder_refuses_string_dim_points_at_relayout(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "x long, s string"))
     with pytest.raises(ValueError, match="relayout"):
         t.zorder(["x", "s"])
+
+
+def test_partition_scoped_incremental_maintenance(spark, tmp_path):
+    """OPTIMIZE t WHERE <partition pins> ZORDER/CLUSTER BY: clustering
+    maintenance scoped to the pinned partitions — out-of-scope
+    partitions' files are carried untouched BY PATH, so a hot-partition
+    re-cluster never pays for the cold ones."""
+    from spark_streaming_apps_spark.acid import (AcidTable,
+                                                 resolve_manifest_files)
+    from spark_streaming_apps_spark.merge_sql import acid_sql
+
+    df = (_grid(spark, 0, 40_000)
+          .withColumn("bucket", F.col("rid") % 2))
+    t = AcidTable.create(spark, tmp_path / "t", df.repartition(4),
+                         partition_by=["bucket"])
+    before = {f["path"]: f for f in resolve_manifest_files(
+        t.path, t._manifest(t.latest_version()))}
+    acid_sql(spark, "OPTIMIZE tbl WHERE bucket = 1 ZORDER BY (x, y)",
+             {"tbl": t})
+    st = t.last_optimize_stats
+    assert st["files_rewritten"] > 0
+    after = {f["path"]: f for f in resolve_manifest_files(
+        t.path, t._manifest(t.latest_version()))}
+    # bucket-0 files carried byte-identical by path; bucket-1 rewritten
+    for p, f in after.items():
+        if (f.get("partition") or {}).get("bucket") == 0:
+            assert p in before and f.get("zorder") is None
+        else:
+            assert f.get("zorder") == ["x", "y"]
+    assert t.read().count() == 40_000
+    # scoped CLUSTER BY takes the same path
+    acid_sql(spark, "OPTIMIZE tbl WHERE bucket = 0 CLUSTER BY (x)",
+             {"tbl": t})
+    after2 = {f["path"]: f for f in resolve_manifest_files(
+        t.path, t._manifest(t.latest_version()))}
+    for f in after2.values():
+        b = (f.get("partition") or {}).get("bucket")
+        assert (f.get("sort") == ["x"]) == (b == 0)
+    assert t.read().count() == 40_000
