@@ -2384,8 +2384,21 @@ class AcidTable:
         rel, files = self._write_data_linked(m, new_rows.select(*scols))
         ch_rel = None
         if self.cdf_enabled():
-            ch_rel = self._write_changes_pair(
-                new_rows.select(*scols), old_images.select(*scols))
+            ins = new_rows.select(*scols)
+            dels = old_images.select(*scols)
+            if (op.startswith("update")
+                    and self._props().get("cdf_update_images")):
+                # Delta UPDATE image types, same contract as the COW
+                # path: only CHANGED rows appear (no-op assignments
+                # cancel in the exceptAll pair), labeled post/pre.
+                # MERGE keeps plain insert/delete (its new_rows mix
+                # matched updates with unmatched inserts).
+                ch_rel = self._write_changes_pair(
+                    ins.exceptAll(dels), dels.exceptAll(ins),
+                    ins_label="update_postimage",
+                    del_label="update_preimage")
+            else:
+                ch_rel = self._write_changes_pair(ins, dels)
         if self._try_commit(m["version"] + 1, rel, m["schema"], op,
                             changes_rel=ch_rel, files=files,
                             dv_rel=dv_rel, dv_rows=dv_rows):
