@@ -152,6 +152,7 @@ BENCH_KEYS = [
     "acid_compact_small",
     "acid_reader_features",
     "acid_merge_evolve",
+    "acid_zorder_incremental",
 ]
 
 

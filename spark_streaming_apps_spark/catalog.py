@@ -1184,6 +1184,11 @@ register("acid_merge_evolve",
          oracle=extensions.ACID_MERGE_EVOLVE_ORACLE
          )(lambda s, d: extensions.acid_merge_evolve(s, d, SCRATCH))
 
+register("acid_zorder_incremental",
+         oracle=extensions.ACID_ZORDER_ORACLE
+         )(lambda s, d: extensions.acid_zorder_incremental(s, d,
+                                                           SCRATCH))
+
 register("acid_compact_small",
          oracle=extensions.ACID_COMPACT_SMALL_ORACLE
          )(lambda s, d: extensions.acid_compact_small(s, d, SCRATCH))

@@ -2817,3 +2817,72 @@ SELECT COUNT(*) AS n_rows,
        3 AS n_cols
 FROM merged
 """
+
+
+def acid_zorder_incremental(spark: SparkSession, sf_dir: str,
+                            scratch: Path) -> DataFrame:
+    """Morton ZORDER with built-in incremental maintenance (OPTIMIZE t
+    ZORDER BY (a, b) — Delta's multi-dimensional clustering, extended
+    with the liquid O(arrivals) maintenance shape). Pins: the first
+    run rewrites everything and stamps curve provenance; arrivals are
+    the ONLY files the second run rewrites (tiles carried BY PATH); a
+    2-D range query's candidate set (files surviving BOTH single-dim
+    prunes) tightens back after maintenance; a third run is a no-op
+    without a commit; content stays byte-identical to the oracle."""
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+
+    path = scratch / f"acid_zorder_{Path(sf_dir).name}"
+    shutil.rmtree(path, ignore_errors=True)
+    od = (load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+    t = AcidTable.create(spark, path,
+                         od.filter("o_orderkey % 3 > 0").repartition(4))
+    v1 = t.zorder(["o_custkey", "o_totalprice"], target_files=8)
+    m1 = t._manifest(v1)
+    ok_first = (t.last_optimize_stats["files_carried"] == 0
+                and all(f.get("zorder") == ["o_custkey", "o_totalprice"]
+                        for f in m1["files"]))
+    tiles = {f["path"] for f in m1["files"]}
+
+    def cands():
+        a = set(t.pruned_files("o_custkey", 100, 400)[0])
+        b = set(t.pruned_files("o_totalprice", 50_000, 90_000)[0])
+        return len(a & b)
+    tiled = cands()
+    t.append(od.filter("o_orderkey % 3 = 0").repartition(3))
+    polluted = cands()
+    v3 = t.zorder(["o_custkey", "o_totalprice"], target_files=2)
+    stats = dict(t.last_optimize_stats)
+    m3 = t._manifest(v3)
+    ok_scope = (stats == {"files_rewritten": 3,
+                          "files_carried": len(tiles)}
+                and tiles <= {f["path"] for f in m3["files"]})
+    ok_pruning = cands() <= polluted and tiled <= polluted
+    ok_noop = (t.zorder(["o_custkey", "o_totalprice"]) == v3
+               and t.latest_version() == v3)
+    return (t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("price_sum"),
+        F.sum("o_custkey").alias("cust_sum"))
+        .withColumn("first_run_full_and_stamped",
+                    F.lit(bool(ok_first)))
+        .withColumn("arrivals_only_rewritten", F.lit(bool(ok_scope)))
+        .withColumn("pruning_recovered", F.lit(bool(ok_pruning)))
+        .withColumn("third_run_noop", F.lit(bool(ok_noop))))
+
+
+ACID_ZORDER_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS price_sum,
+       SUM(o_custkey) AS cust_sum,
+       TRUE AS first_run_full_and_stamped,
+       TRUE AS arrivals_only_rewritten,
+       TRUE AS pruning_recovered,
+       TRUE AS third_run_noop
+FROM orders
+"""
