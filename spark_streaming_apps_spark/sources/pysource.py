@@ -461,10 +461,11 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 # and metadata regardless of table file count — the
                 # manifest-list shape (no per-table-file syscalls,
                 # object-store-compatible)
-                from ..storage import get_store
+                from ..storage import crash_point, get_store
                 for fp in staged:
                     # this batch (hardlink or copy per the FileStore)
                     get_store().link_or_copy(fp, dest / Path(fp).name)
+                crash_point("sink_after_link")
                 # O(delta) stats, mirroring _write_data_linked: footers
                 # of the STAGED files only; carried parent entries are
                 # re-anchored to root-relative paths (pure list concat)
@@ -518,9 +519,12 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     ch_rel = f"data/changes-{_uuid.uuid4().hex}"
                     self._record_changes(root, ch_rel, staged)
                     manifest["changes"] = ch_rel
+                from ..storage import crash_point
+                crash_point("sink_before_fence")
                 if get_store().create_exclusive(
                         manifests / f"v{v + 1}.json",
                         json.dumps(manifest)):
+                    crash_point("sink_after_fence")
                     from ..acid import (CHECKPOINT_EVERY,
                                         _files_cache_put,
                                         write_files_checkpoint)

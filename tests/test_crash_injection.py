@@ -217,3 +217,78 @@ def test_writer_crash_under_faulty_object_store(spark, tmp_path,
     conditional PUT with injected transients and copy-only sharing."""
     test_writer_crash_leaves_consistent_table(
         spark, tmp_path, "faulty", point, op, lands)
+
+
+SINK_WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CRASH_POINT"] = {point!r}
+os.environ["SPARK_GRAFT_FILESTORE"] = {store!r}
+import pyarrow as pa
+from spark_streaming_apps_spark.sources.pysource import AcidStreamWriter
+w = AcidStreamWriter({root!r}, [("k", pa.int64()), ("s", pa.string())],
+                     "crash-sink")
+msg = w.write(iter([(100 + j, f"new{{j}}") for j in range(5)]))
+w.commit([msg], 0)
+print("COMMIT-COMPLETED", flush=True)
+"""
+
+SINK_POINTS = [
+    ("sink_after_link", False),
+    ("sink_before_fence", False),
+    ("sink_after_fence", True),
+]
+
+
+@pytest.mark.parametrize("store", ["posix", "rename", "faulty"])
+@pytest.mark.parametrize("point,lands", SINK_POINTS,
+                         ids=[p for p, _ in SINK_POINTS])
+def test_sink_writer_crash(spark, tmp_path, store, point, lands):
+    """The SparkSession-free streaming sink shares the fence but has
+    its OWN staging sequence (stage dir -> linked commit dir -> change
+    files -> manifest CAS) — same invariants, subprocess cost ~1 s."""
+    root = tmp_path / "t"
+    t = AcidTable.create(
+        spark, root,
+        spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                              "k long, s string"), enable_cdf=True)
+    v_before = t.latest_version()
+    rows_before = {(r.k, r.s) for r in t.read().collect()}
+    listing_before = _data_listing(root)
+
+    script = SINK_WRITER.format(repo=REPO, point=point, store=store,
+                                root=str(root))
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-1500:]
+    assert "COMMIT-COMPLETED" not in proc.stdout
+
+    t2 = AcidTable(spark, root)
+    if not lands:
+        assert t2.latest_version() == v_before
+        assert {(r.k, r.s) for r in t2.read().collect()} == rows_before
+    else:
+        assert t2.latest_version() == v_before + 1
+        got = {(r.k, r.s) for r in t2.read().collect()}
+        assert got == rows_before | {(100 + j, f"new{j}")
+                                     for j in range(5)}
+        # the CDF record landed with the fence, not after it
+        ch = t2.read_changes(v_before, v_before + 1)
+        assert ch.filter("_change_type = 'insert'").count() == 5
+
+    t2.vacuum(keep_last=1, keep_changes_last=1, orphan_grace_s=0.0)
+    orphans = (_data_listing(root) - _referenced(root)) & (
+        _data_listing(root) - listing_before)
+    assert not orphans, orphans
+    # a retried sink writer completes (fresh app id: the crashed batch
+    # never fenced, so at-least-once redelivery is the contract)
+    import pyarrow as pa
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidSinkMessage, AcidStreamWriter)
+    w = AcidStreamWriter(str(root), [("k", pa.int64()),
+                                     ("s", pa.string())], "retry-app")
+    msg = w.write(iter([(500, "retry")]))
+    w.commit([msg], 0)
+    assert (500, "retry") in {(r.k, r.s)
+                              for r in AcidTable(spark, root)
+                              .read().collect()}
