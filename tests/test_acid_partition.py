@@ -321,7 +321,9 @@ def test_compact_partition_scoped_maintenance(spark, tmp_path):
     assert t.read().count() == n_before           # rows unchanged
     with pytest.raises(ValueError, match="pin partition"):
         acid_sql(spark, "OPTIMIZE tbl WHERE id < 10", {"tbl": t})
-    with pytest.raises(ValueError, match="whole-table"):
+    # round 12: scoped ZORDER/CLUSTER BY is now supported; a scoped
+    # SINGLE-column ZORDER still refuses, pointing at CLUSTER BY
+    with pytest.raises(ValueError, match="CLUSTER BY"):
         acid_sql(spark, "OPTIMIZE tbl ZORDER BY (id) WHERE bucket = 0",
                  {"tbl": t})
 
