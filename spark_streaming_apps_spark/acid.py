@@ -3501,6 +3501,18 @@ class AcidTable:
         m = self._manifest(v)
         files = m.get("files") or []
         props = self._props()
+        # clustering health: files per curve/sort provenance — the
+        # number an operator reads before deciding whether OPTIMIZE
+        # CLUSTER/ZORDER maintenance is due (unclustered = arrivals)
+        clustered: dict[str, int] = {}
+        for f in files:
+            if f.get("zorder"):
+                tag = "zorder(" + ",".join(f["zorder"]) + ")"
+            elif f.get("sort"):
+                tag = "sort(" + ",".join(f["sort"]) + ")"
+            else:
+                tag = "unclustered"
+            clustered[tag] = clustered.get(tag, 0) + 1
         return self.spark.createDataFrame(
             [(str(self.path), v, m["op"], len(files),
               sum(f.get("rows", 0) for f in files) - m.get("dv_rows", 0),
@@ -3510,13 +3522,14 @@ class AcidTable:
               sorted(m.get("constraints", {})),
               list(props.get("bloom_by", []) or []),
               sorted(props.get("generated", {}) or {}),
-              sorted(props.get("reader_features", []) or []))],
+              sorted(props.get("reader_features", []) or []),
+              sorted(f"{k}:{n}" for k, n in clustered.items()))],
             "location string, version int, last_op string, "
             "n_files int, n_rows long, size_bytes long, "
             "partition_by array<string>, cdf_enabled boolean, "
             "dv_enabled boolean, constraints array<string>, "
             "bloom_by array<string>, generated_columns array<string>, "
-            "reader_features array<string>")
+            "reader_features array<string>, clustering array<string>")
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per committed version straight from

@@ -438,9 +438,13 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 # LOGICAL names (so the check above passes) while
                 # minting a fresh physical identity — committing the
                 # staged files' stale physicals would make the re-added
-                # column read NULL for these rows
-                live_mapping = (_walk_props(root).get("column_mapping")
-                                or {})
+                # column read NULL for these rows. The CAS parent m is
+                # already in hand and props ride every manifest once
+                # set, so the common case costs ZERO extra reads; only
+                # a props-less legacy chain pays the walk.
+                live_mapping = ((m["props"] or {}) if "props" in m
+                                else _walk_props(root)
+                                ).get("column_mapping") or {}
                 if live_mapping != self.mapping:
                     raise RuntimeError(
                         f"acidtable sink: column-mapping identity of "

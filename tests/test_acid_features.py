@@ -73,3 +73,22 @@ def test_describe_detail_surfaces_round11_properties(spark, tmp_path):
     assert d.bloom_by == ["s"]
     assert d.generated_columns == ["b"]
     assert d.reader_features == ["deletion_vectors"]
+
+
+def test_describe_detail_clustering_summary(spark, tmp_path):
+    """DESCRIBE DETAIL reports files per clustering provenance — the
+    operator's is-maintenance-due signal."""
+    import pyspark.sql.functions as F
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.range(0, 20_000).selectExpr(
+            "id AS k", "id % 100 AS x", "(id * 7) % 100 AS y")
+        .repartition(4))
+    assert t.detail().collect()[0].clustering == ["unclustered:4"]
+    t.zorder(["x", "y"], target_files=2)
+    assert t.detail().collect()[0].clustering == ["zorder(x,y):2"]
+    t.append(spark.range(30_000, 31_000).selectExpr(
+        "id AS k", "id % 100 AS x", "(id * 7) % 100 AS y").coalesce(1))
+    got = t.detail().collect()[0].clustering
+    assert sorted(got) == ["unclustered:1", "zorder(x,y):2"]
