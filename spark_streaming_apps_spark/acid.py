@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from pathlib import Path
@@ -846,6 +847,55 @@ def _sanitize_manifest_partitions(m: dict) -> dict:
                 fixed[col] = nv
         f["partition"] = fixed
     return m
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Top-level AND conjuncts of a SQL predicate (paren- and
+    string-literal-aware). ORs stay inside their conjunct."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, i, inq = 0, 0, False
+    up = cond.upper()
+    while i < len(cond):
+        ch = cond[i]
+        if inq:
+            cur.append(ch)
+            if ch == "'":
+                inq = False
+            i += 1
+            continue
+        if ch == "'":
+            inq = True
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (depth == 0 and up.startswith("AND", i)
+                and (i == 0 or not (cond[i - 1].isalnum()
+                                    or cond[i - 1] == "_"))
+                and (i + 3 >= len(cond)
+                     or not (cond[i + 3].isalnum()
+                             or cond[i + 3] == "_"))):
+            parts.append("".join(cur).strip())
+            cur = []
+            i += 3
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+#: functions whose value could differ between the prune evaluation and
+#: the residual row evaluation — conjuncts naming them are never used
+#: for partition pruning (conservative keep)
+_NONPRUNABLE_FN = re.compile(
+    r"\b(rand|randn|uuid|shuffle|monotonically_increasing_id|"
+    r"current_date|current_timestamp|now|localtimestamp|"
+    r"unix_timestamp)\s*\(", re.IGNORECASE)
 
 
 def _pins_match(part: dict | None, pins: dict) -> bool:
@@ -1905,11 +1955,76 @@ class AcidTable:
                 F.col("__dv_file"), F.col("__dv_pos"))
         return tagged
 
+    def _tuples_matching_cond(self, cond: str,
+                              parts: list) -> set | None:
+        """Partition tuples that MAY satisfy ``cond`` — the range
+        extension of the equality-pin fast path (`DELETE WHERE day <
+        '2025-01-01'` opens only matching partitions' files; retention
+        deletes are THE canonical 100 TB DML). Top-level AND conjuncts
+        that (a) ANALYZE against a schema holding ONLY the partition
+        columns, (b) reference at least one column (checked by also
+        analyzing against an EMPTY schema — a column-free conjunct
+        like `rand() < 0.5` must not be evaluated per-tuple), and (c)
+        name no time/randomness function are evaluated over the
+        DISTINCT recorded tuples in one local DataFrame pass —
+        Catalyst does the parsing and coercion, so '2025-01-01' vs a
+        date partition behaves exactly like the residual predicate.
+        Every other conjunct is ignored (conservative keep). Returns a
+        set of tuple keys, or None when nothing was applicable."""
+        pcols = self.partition_cols()
+        tuples = {tuple(sorted(p.items())) for p in parts if p}
+        if not pcols or not tuples:
+            return None
+        # files from OLDER partition specs carry different key sets
+        # (spec evolution); a conjunct may only prune tuples whose
+        # key set it analyzes against — evaluate PER KEY-SET GROUP so
+        # an old-spec file is never NULL-pruned by a new-spec conjunct
+        groups: dict[frozenset, set] = {}
+        for t in tuples:
+            groups.setdefault(frozenset(k for k, _ in t), set()).add(t)
+        try:
+            conjs = [c for c in _split_top_and(cond)
+                     if not _NONPRUNABLE_FN.search(c)]
+            empty = self.spark.createDataFrame([], "__never int")
+
+            def column_free(conj) -> bool:
+                try:
+                    empty.filter(conj).schema
+                    return True
+                except Exception:                # noqa: BLE001
+                    return False
+
+            keep: set = set()
+            pruned_any = False
+            for keyset, grp in groups.items():
+                tdf = self.spark.createDataFrame(
+                    [dict(t) for t in sorted(grp)])
+                applicable = []
+                for conj in conjs:
+                    try:
+                        tdf.filter(conj).schema  # group-keys-only refs
+                    except Exception:            # noqa: BLE001
+                        continue
+                    if column_free(conj):
+                        continue
+                    applicable.append(conj)
+                if not applicable:
+                    keep |= grp                  # conservative keep
+                    continue
+                pruned_any = True
+                keep |= {tuple(sorted(r.asDict().items()))
+                         for r in tdf.filter(" AND ".join(
+                             f"({c})" for c in applicable)).collect()}
+            return keep if pruned_any else None
+        except Exception:                        # noqa: BLE001
+            return None                          # conservative: no prune
+
     def _cow_commit(self, probe, rewrite, op: str,
                     max_retries: int = 20,
                     empty_noop: bool = True,
                     partition_pins: dict | None = None,
                     partition_in: list[dict] | None = None,
+                    partition_cond: str | None = None,
                     row_local: bool = False) -> int:
         """File-pruned copy-on-write commit — the Delta/Iceberg DML
         discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
@@ -1969,7 +2084,8 @@ class AcidTable:
                 done = self._cow_rebase(
                     v, m, base_m, rel0, stats0, dv_rel0, dv_rows0,
                     ch_rel0, probe, rewrite, op, cur, row_local, cdf,
-                    partition_pins, partition_in)
+                    partition_pins, partition_in,
+                    partition_cond)
                 if done is not None:
                     if done >= 0:
                         return done
@@ -1994,6 +2110,18 @@ class AcidTable:
                 eligible = [f for f in eligible
                             if not f.get("partition")
                             or any_match(f["partition"])]
+            if partition_cond:
+                # range/general predicate pruning, recomputed against
+                # THIS attempt's manifest (a winner's new partitions
+                # are re-evaluated, never skipped by a stale list)
+                keep_t = self._tuples_matching_cond(
+                    partition_cond,
+                    [f.get("partition") for f in eligible])
+                if keep_t is not None:
+                    eligible = [
+                        f for f in eligible if not f.get("partition")
+                        or tuple(sorted(f["partition"].items()))
+                        in keep_t]
             if len(eligible) < len(files):
                 e_paths = [str(self.path / _entry_rel(m, f))
                            for f in eligible]
@@ -2102,7 +2230,8 @@ class AcidTable:
 
     def _cow_rebase(self, v, m, base_m, rel0, stats0, dv_rel0,
                     dv_rows0, ch_rel0, probe, rewrite, op, cur,
-                    row_local, cdf, partition_pins, partition_in):
+                    row_local, cdf, partition_pins, partition_in,
+                    partition_cond=None):
         """One rebase attempt of a lost COW DML against winner ``m``.
         Returns the committed version (>=0), -1 when the rebase itself
         lost another race (staged state still valid), or None when the
@@ -2134,6 +2263,15 @@ class AcidTable:
                             if not f.get("partition")
                             or any(_pins_match(f["partition"], p)
                                    for p in partition_in)]
+            if partition_cond:
+                keep_t = self._tuples_matching_cond(
+                    partition_cond,
+                    [f.get("partition") for f in eligible])
+                if keep_t is not None:
+                    eligible = [
+                        f for f in eligible if not f.get("partition")
+                        or tuple(sorted(f["partition"].items()))
+                        in keep_t]
             touched_add = set()
             if eligible:
                 schema = StructType.fromJson(m["schema"])
@@ -2193,6 +2331,7 @@ class AcidTable:
                 op=op, max_retries=max_retries,
                 partition_pins=_partition_pins(cond,
                                                self.partition_cols()),
+                partition_cond=cond,
                 row_local=True)
 
     def delete_where_mor(self, cond: str, max_retries: int = 20,
@@ -2625,6 +2764,7 @@ class AcidTable:
                 probe=lambda df: df.filter(cond), rewrite=rewrite,
                 op=op, max_retries=max_retries,
                 partition_pins=_partition_pins(cond, pcols),
+                partition_cond=cond,
                 row_local=True)
 
     def _collect_stats(self, data_rel: str) -> list[dict]:

@@ -585,3 +585,52 @@ def test_vacuum_keep_last_zero_clamped_to_latest(spark, tmp_path):
     t.update_where({"id": "id + 10"}, "id >= 0")   # COW: v0 orphans
     acid_sql(spark, "VACUUM tbl RETAIN 0 VERSIONS", {"tbl": t})
     assert [r.id for r in t.read().collect()] == [11]
+
+
+def test_range_predicate_partition_pruning(spark, tmp_path):
+    """Retention DELETE (`day < cutoff`) prunes the FIND pass to the
+    matching partitions by metadata — the range extension of the
+    equality-pin fast path (the canonical 100-TB DML shape)."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_apps_spark.acid import AcidTable
+
+    df = (spark.range(0, 40_000)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 8).alias("day"),
+                  F.floor(F.col("id") / 8).alias("v")))
+    t = AcidTable.create(spark, tmp_path / "t", df,
+                         partition_by=["day"])
+    n_parts = 8
+    v = t.delete_where("day < 2")
+    st = t.last_cow_stats
+    # find pass opened ONLY the 2 matching partitions' files
+    assert st["files_scanned"] < st["files_scanned"] + 1  # present
+    total = len(t._manifest(0)["files"])
+    per_part = total // n_parts
+    assert st["files_scanned"] <= 2 * per_part + 1, st
+    assert {r.day for r in t.read().collect()} == set(range(2, 8))
+
+    # mixed conjuncts: only the partition-only conjunct prunes, the
+    # residual still applies exactly
+    t.delete_where("day >= 6 AND v % 2 = 0")
+    st = t.last_cow_stats
+    assert st["files_scanned"] <= 2 * per_part + 1, st
+    got = {(r.day, r.v % 2) for r in t.read().collect()}
+    assert (6, 0) not in got and (7, 0) not in got
+    assert (6, 1) in got and (7, 1) in got   # odd-v rows survive
+
+    # an OR mixing partition and data columns must NOT prune (sound:
+    # a row in any partition could match) — and still answers right
+    before = t.read().count()
+    t.delete_where("day = 5 OR v = 9")     # v=9 -> k in 72..79, all days
+    st = t.last_cow_stats
+    assert st["files_scanned"] >= 6 * per_part - 1, st  # no false prune
+    after = {(r.k, r.day) for r in t.read().collect()}
+    assert all(d != 5 for _, d in after)
+    assert (75, 3) not in after            # v=9 victim outside day 5
+    assert before - t.read().count() > 0
+
+    # column-free / nondeterministic conjuncts never prune
+    t.update_where({"v": "v + 1"}, "rand() < 2.0 AND day >= 0")
+    assert t.read().count() > 0
