@@ -2413,10 +2413,17 @@ class AcidTable:
                 scan_paths = [str(self.path / m["data"])]   # legacy
             else:
                 # partition-first: the matched-row scan opens only the
-                # pinned partitions' files (metadata decision, no IO)
+                # pinned/predicate-matching partitions' files
+                # (metadata decision, no IO)
                 elig = ([f for f in files
                          if _pins_match(f.get("partition"), pins)]
                         if pins else files)
+                keep_t = self._tuples_matching_cond(
+                    cond, [f.get("partition") for f in elig])
+                if keep_t is not None:
+                    elig = [f for f in elig if not f.get("partition")
+                            or tuple(sorted(f["partition"].items()))
+                            in keep_t]
                 scan_paths = [str(self.path / _entry_rel(m, f))
                               for f in elig]
             if scan_paths:
@@ -2550,10 +2557,13 @@ class AcidTable:
         return False
 
     def _mor_scan(self, m: dict, pins: dict | None = None,
-                  part_in: list[dict] | None = None) -> DataFrame:
+                  part_in: list[dict] | None = None,
+                  cond: str | None = None) -> DataFrame:
         """The (file, pos)-tagged, DV-applied snapshot scan a MOR DML
         find pass reads — partition-pruned to the pinned/batch-touched
-        tuples when the table is partitioned."""
+        tuples when the table is partitioned; ``cond`` extends the
+        prune to range predicates on partition columns (same
+        _tuples_matching_cond machinery as the COW find pass)."""
         schema = StructType.fromJson(m["schema"])
         mapping = self._mapping_at(m["version"])
         pschema = self._physical_struct(schema, mapping)
@@ -2570,6 +2580,13 @@ class AcidTable:
                         if not f.get("partition")
                         or any(_pins_match(f["partition"], p)
                                for p in part_in)]
+            if cond:
+                keep_t = self._tuples_matching_cond(
+                    cond, [f.get("partition") for f in elig])
+                if keep_t is not None:
+                    elig = [f for f in elig if not f.get("partition")
+                            or tuple(sorted(f["partition"].items()))
+                            in keep_t]
             scan_paths = [str(self.path / _entry_rel(m, f))
                           for f in elig]
         if not scan_paths:
@@ -2628,7 +2645,8 @@ class AcidTable:
             # the matched set feeds three consumers (count, the vector,
             # the new images) — cache it so the table is scanned ONCE,
             # not once per consumer (matched is O(statement), small)
-            matched = self._mor_scan(m, pins=pins).filter(cond).cache()
+            matched = self._mor_scan(
+                m, pins=pins, cond=cond).filter(cond).cache()
             try:
                 n = matched.count()
                 self.last_mor_stats = {

@@ -634,3 +634,23 @@ def test_range_predicate_partition_pruning(spark, tmp_path):
     # column-free / nondeterministic conjuncts never prune
     t.update_where({"v": "v + 1"}, "rand() < 2.0 AND day >= 0")
     assert t.read().count() > 0
+
+
+def test_range_predicate_pruning_mor_paths(spark, tmp_path):
+    """The MOR find scans share the range partition prune."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_apps_spark.acid import AcidTable
+
+    df = (spark.range(0, 8_000)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 4).alias("day"),
+                  F.floor(F.col("id") / 4).alias("v")))
+    t = AcidTable.create(spark, tmp_path / "t", df,
+                         partition_by=["day"], enable_dv=True)
+    t.delete_where_mor("day < 1 AND v < 10")
+    assert t.read().filter("day < 1 AND v < 10").count() == 0
+    assert t.read().count() == 8_000 - 10
+    t.update_where_mor({"v": "v + 1000000"}, "day >= 3 AND v < 5")
+    assert t.read().filter("v >= 1000000").count() == 5
+    assert t.read().count() == 8_000 - 10
