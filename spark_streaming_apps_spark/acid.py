@@ -851,11 +851,28 @@ def _sanitize_manifest_partitions(m: dict) -> dict:
 
 def _split_top_and(cond: str) -> list[str]:
     """Top-level AND conjuncts of a SQL predicate (paren- and
-    string-literal-aware). ORs stay inside their conjunct."""
+    string-literal-aware). Parenthesized ORs stay inside their
+    conjunct; an UN-parenthesized depth-0 OR means the expression is
+    not a pure conjunction at all (SQL precedence: ``A OR B AND C`` is
+    ``A OR (B AND C)``, so the fragments between ANDs are NOT
+    conjuncts of the whole predicate — pruning on them would silently
+    skip rows matched via the OR arm). In that case return [] so the
+    caller skips pruning entirely — the same guard `_split_conjuncts`
+    documents."""
     parts: list[str] = []
     cur: list[str] = []
     depth, i, inq = 0, 0, False
     up = cond.upper()
+
+    def _word(j: int, w: str) -> bool:
+        if not up.startswith(w, j):
+            return False
+        before = cond[j - 1] if j else " "
+        k = j + len(w)
+        after = cond[k] if k < len(cond) else " "
+        return not (before.isalnum() or before == "_") and \
+            not (after.isalnum() or after == "_")
+
     while i < len(cond):
         ch = cond[i]
         if inq:
@@ -873,12 +890,9 @@ def _split_top_and(cond: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if (depth == 0 and up.startswith("AND", i)
-                and (i == 0 or not (cond[i - 1].isalnum()
-                                    or cond[i - 1] == "_"))
-                and (i + 3 >= len(cond)
-                     or not (cond[i + 3].isalnum()
-                             or cond[i + 3] == "_"))):
+        if depth == 0 and _word(i, "OR"):
+            return []                    # not a conjunction: no prune
+        if depth == 0 and _word(i, "AND"):
             parts.append("".join(cur).strip())
             cur = []
             i += 3
@@ -893,9 +907,13 @@ def _split_top_and(cond: str) -> list[str]:
 #: the residual row evaluation — conjuncts naming them are never used
 #: for partition pruning (conservative keep)
 _NONPRUNABLE_FN = re.compile(
-    r"\b(rand|randn|uuid|shuffle|monotonically_increasing_id|"
-    r"current_date|current_timestamp|now|localtimestamp|"
-    r"unix_timestamp)\s*\(", re.IGNORECASE)
+    r"\b(?:(?:rand|randn|uuid|shuffle|monotonically_increasing_id|"
+    r"now|unix_timestamp)\s*\(|"
+    # Spark accepts these as bare keywords (no parens): `day <
+    # current_date` evaluated at prune time vs residual time can
+    # straddle midnight and wrongly prune
+    r"(?:current_date|current_timestamp|localtimestamp)\b)",
+    re.IGNORECASE)
 
 
 def _pins_match(part: dict | None, pins: dict) -> bool:
@@ -1869,6 +1887,118 @@ class AcidTable:
             tagged = self._apply_dv(tagged, m)
         return (tagged.select(*[f.name for f in schema.fields])
                 .filter(F.col(col) == F.lit(value)))
+
+    def pruned_files_in(self, col: str, values: list,
+                        version: int | None = None
+                        ) -> tuple[list[str], int]:
+        """Batched variant of ``pruned_files_eq``: (paths that may
+        hold ``col IN (values)``, total file count). One manifest
+        resolution and ONE sidecar read per candidate file serve ALL
+        needles — a K-needle lookup is O(files + surviving bytes),
+        never K serial prune passes. This is the point-lookup shape a
+        serving layer actually runs (fetch these 50 ids), and the
+        bench scenario's no-false-negative audit collapses from K
+        Spark jobs to one."""
+        v = self.latest_version() if version is None else version
+        m = self._manifest(v)
+        files = m.get("files")
+        if not files:
+            paths = sorted(str(p) for p in
+                           (self.path / m["data"]).glob("*.parquet"))
+            return paths, len(paths)
+        try:
+            dt = StructType.fromJson(m["schema"])[col].dataType
+        except (KeyError, TypeError):
+            dt = None
+        canon: list[tuple[object, bool]] = []
+        for value in values:
+            if dt is not None:
+                canon.append(_canon_probe(value, dt))
+            else:
+                canon.append((value,
+                              isinstance(value, (int, str))
+                              and not isinstance(value, bool)))
+        num = (int, float)
+
+        def may_hold(f, value, probeable) -> tuple[bool, str | None]:
+            """(survives partition+stats, sidecar rel to probe or
+            None when the verdict is already final)."""
+            pv = (f.get("partition") or {}).get(col)
+            if pv is not None and pv != value:
+                if type(pv) is type(value) or (
+                        isinstance(pv, num) and isinstance(value, num)
+                        and not isinstance(pv, bool)
+                        and not isinstance(value, bool)):
+                    return False, None
+            st = f.get("stats", {}).get(col)
+            if st is not None:
+                try:
+                    if not st[0] <= value <= st[1]:
+                        return False, None
+                except TypeError:
+                    pass
+            side = (f.get("bloom") or {}).get(col)
+            if side and probeable:
+                return True, side
+            return True, None
+        keep: list[str] = []
+        to_probe: list[tuple[str, str, list]] = []
+        for f in files:
+            path = str(self.path / _entry_rel(m, f))
+            side_vals: list = []
+            side_rel: str | None = None
+            kept = False
+            for value, probeable in canon:
+                ok, side = may_hold(f, value, probeable)
+                if not ok:
+                    continue
+                if side is None:
+                    kept = True      # survives without a bloom verdict
+                    break
+                side_rel = side
+                side_vals.append(value)
+            if kept:
+                keep.append(path)
+            elif side_vals:
+                to_probe.append(
+                    (str(self.path / side_rel), path, side_vals))
+
+        def probe_one(side_path: str, vals: list) -> bool:
+            try:
+                buf = Path(side_path).read_bytes()
+            except OSError:
+                return True           # sidecar gone: keep the file
+            return any(bloom_may_contain(buf, v) for v in vals)
+        if len(to_probe) <= 64:
+            keep.extend(p for s, p, vals in to_probe
+                        if probe_one(s, vals))
+        else:
+            def work(it):
+                for s, p, vals in it:
+                    if probe_one(s, vals):
+                        yield p
+            keep.extend(self.spark.sparkContext.parallelize(
+                to_probe, max(1, min(len(to_probe) // 32, 256)))
+                .mapPartitions(work).collect())
+        return keep, len(files)
+
+    def read_eq_any(self, col: str, values: list,
+                    version: int | None = None) -> DataFrame:
+        """``col IN (values)`` read through the batched prune: one
+        scan over the union of surviving files, the residual IN
+        predicate applied on top — K point lookups in ONE Spark job."""
+        v = self.latest_version() if version is None else version
+        paths, _ = self.pruned_files_in(col, values, v)
+        m = self._manifest(v)
+        schema = StructType.fromJson(m["schema"])
+        if not paths:
+            return (self.spark.createDataFrame([], schema)
+                    .filter(F.col(col).isin(list(values))))
+        tagged = self._tagged_physical_scan(m, schema, paths)
+        if "dv" in m:
+            tagged = self._apply_dv(tagged, m)
+        return (tagged.select(*[f.name for f in schema.fields])
+                .filter(F.col(col).isin(list(values))))
 
     def _write_data_full(self, df: DataFrame,
                          pcols: list[str] | None = None,
@@ -3415,6 +3545,22 @@ class AcidTable:
             if evolve_schema:
                 cur = self._widen_target(cur, u_all, "merge")
             val_cols = [c for c in cur.columns if c not in key]
+            if not evolve_schema:
+                # strict projection: a target value column missing
+                # from the source is an error, not a silent carry —
+                # otherwise a typo'd source column becomes a no-op
+                # update. The lenient carry (target keeps its value
+                # where the source has no such column) is reserved
+                # for evolve_schema=True, where mixed-width sources
+                # are the declared contract.
+                missing = [c for c in val_cols
+                           if c not in u_all.columns]
+                if missing:
+                    raise ValueError(
+                        f"merge source is missing target value "
+                        f"column(s) {missing} at {self.path}; pass "
+                        f"evolve_schema=True to merge a narrower "
+                        f"source (target keeps its value there)")
             u = u_all.select(
                 *key, *[F.col(c).alias(f"__u_{c}")
                         for c in val_cols if c in u_all.columns])
@@ -4327,6 +4473,25 @@ class AcidTable:
                 else:
                     removed.append(
                         f"{rel} ({len(victims)}/{n_children} files)")
+        # STALE STAGING-TEMP sweep: a writer crash between write_text
+        # and the publish primitive leaks dotfile temps next to the
+        # manifests ('.{name}.{hex}.x' hardlink stages, '.*.stage'
+        # rename stages, '._latest.*' pointer stages, '.*.tmp'
+        # checkpoint/repair stages) — no manifest ever references
+        # them, so the ever-referenced sweep above never sees them.
+        # Same grace discipline as data orphans: only delete past the
+        # window, never race a live writer mid-publish.
+        for p in self._manifests.iterdir():
+            if not p.name.startswith("."):
+                continue
+            if not (p.name.endswith((".x", ".stage", ".tmp"))
+                    or p.name.startswith("._latest.")):
+                continue
+            try:
+                if p.stat().st_mtime < grace_cutoff:
+                    p.unlink(missing_ok=True)
+            except OSError:
+                pass
         # checkpoint retention: keep the parquet checkpoints of
         # retained versions plus the NEWEST one at-or-below the oldest
         # retained version (the chain-replay short-circuit for every
@@ -4433,6 +4598,10 @@ class AcidTable:
         optimize_incremental already documents)."""
         def transform(df: DataFrame) -> DataFrame:
             n = len(cols)
+            # interleaved bit positions run to bits*n - 1; keep them
+            # off long bit 63 (sign) — Java shift masking would wrap
+            # b*n+i >= 64 and corrupt curve ordering silently
+            bits = min(self._ZBITS, 63 // n)
             nums = []
             for c in cols:
                 dt = df.schema[c].dataType.typeName()
@@ -4453,7 +4622,7 @@ class AcidTable:
                               for i, x in enumerate(nums)
                               for k, f in (("lo", F.min),
                                            ("hi", F.max))]).collect()[0]
-            buckets = 1 << self._ZBITS
+            buckets = 1 << bits
             codes = []
             for i, x in enumerate(nums):
                 lo = float(bounds[f"lo{i}"] or 0)
@@ -4464,7 +4633,7 @@ class AcidTable:
                     F.floor((x.cast("double") - F.lit(lo))
                             / F.lit(span) * buckets)).cast("long"))
             z = F.lit(0).cast("long")
-            for b in range(self._ZBITS):
+            for b in range(bits):
                 for i, code in enumerate(codes):
                     z = z + F.shiftleft(
                         F.shiftright(code, b).bitwiseAND(1), b * n + i)

@@ -2475,9 +2475,15 @@ def acid_bloom_index(spark: SparkSession, sf_dir: str,
     skipped_some = 0 < len(paths) < total
     absent_all_skipped = (
         t.pruned_files_eq("order_hash", "absent")[0] == [])
-    no_false_neg = all(
-        t.read_eq("order_hash", r.order_hash).count() == 1
-        for r in probe)
+    # no-false-negative audit over ALL sample keys in ONE Spark job:
+    # the batched prune reads each sidecar once for every needle
+    # (read_eq_any), instead of K serial point-lookup jobs
+    hashes = [r.order_hash for r in probe]
+    found = {r.order_hash: r.n for r in
+             (t.read_eq_any("order_hash", hashes)
+              .groupBy("order_hash")
+              .agg(F.count(F.lit(1)).alias("n")).collect())}
+    no_false_neg = all(found.get(h) == 1 for h in hashes)
     return (t.read_eq("order_hash", needle)
             .select("o_orderkey", "order_hash",
                     F.col("o_totalprice").cast("decimal(18,2)")

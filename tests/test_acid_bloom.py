@@ -132,3 +132,51 @@ def test_bloom_conservative_after_rename(spark, tmp_path):
     paths, total = t.pruned_files_eq("fingerprint", needle)
     assert len(paths) == total            # conservative, not skipped
     assert t.read_eq("fingerprint", needle).count() == 1
+
+
+def test_read_eq_any_batched_lookup(spark, tmp_path):
+    """K-needle batched lookup: union of the per-needle pruned sets,
+    one sidecar read per candidate file, one Spark job — results equal
+    the union of K read_eq calls; absent needles add nothing; pruning
+    still skips a strict majority of files."""
+    t = AcidTable.create(spark, tmp_path / "t", _docs(spark, 0, 50_000),
+                         bloom_by=["doc_id"])
+    for lo in (50_000, 60_000, 70_000):
+        t.append(_docs(spark, lo, lo + 10_000))
+    ks = [7, 51_234, 61_234, 79_999]
+    needles = [r.doc_id for r in
+               t.read().filter(F.col("k").isin(ks)).collect()]
+    assert len(needles) == len(ks)
+
+    paths, total = t.pruned_files_in("doc_id", needles)
+    # union prune: more than one needle's files, still a minority
+    per = [set(t.pruned_files_eq("doc_id", n)[0]) for n in needles]
+    assert set(paths) == set().union(*per)
+    assert len(paths) < total
+
+    got = {(r.k, r.doc_id) for r in
+           t.read_eq_any("doc_id", needles).collect()}
+    assert len(got) == len(ks)
+    assert {r[0] for r in got} == set(ks)
+    assert {r[1] for r in got} == set(needles)
+    # absent-only batch: every file skipped, empty result
+    misses = ["no-such-1", "no-such-2"]
+    assert t.pruned_files_in("doc_id", misses)[0] == []
+    assert t.read_eq_any("doc_id", misses).count() == 0
+    # mixed present/absent == present-only result
+    mixed = {(r.k, r.doc_id) for r in
+             t.read_eq_any("doc_id", needles + misses).collect()}
+    assert mixed == got
+
+
+def test_read_eq_any_distributes_and_canonicalizes(spark, tmp_path):
+    """Past the 64-candidate threshold the batched probe fans out to
+    executors; int-typed columns canonicalize string spellings of the
+    probe the same way read_eq does."""
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        _docs(spark, 0, 36_000).repartition(72), bloom_by=["k"])
+    m = t._manifest(0)
+    assert len(m["files"]) == 72
+    got = {r.k for r in t.read_eq_any("k", [123, "456"]).collect()}
+    assert got == {123, 456}

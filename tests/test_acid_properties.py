@@ -51,6 +51,51 @@ def test_split_top_and_edge_cases():
     assert _split_top_and("(a = 1 AND b = 2)") == ["(a = 1 AND b = 2)"]
 
 
+def test_split_top_and_bare_or_disables_pruning():
+    """SQL precedence: 'A OR B AND C' is 'A OR (B AND C)' — the
+    fragments between ANDs are NOT conjuncts, so the splitter must
+    return [] (prune nothing) on any un-parenthesized depth-0 OR."""
+    assert _split_top_and("flag = 1 OR day = 'a' AND day = 'b'") == []
+    assert _split_top_and("a = 1 AND b = 2 OR c = 3") == []
+    assert _split_top_and("a = 1 OR b = 2") == []
+    # parenthesized OR still splits fine
+    assert _split_top_and("(a = 1 OR b = 2) AND c = 3") == \
+        ["(a = 1 OR b = 2)", "c = 3"]
+    # OR inside a string literal is data
+    assert _split_top_and("tag = 'x OR y' AND v = 1") == \
+        ["tag = 'x OR y'", "v = 1"]
+    # identifier containing 'or' as a substring never trips the guard
+    assert _split_top_and("ord = 1 AND sponsor = 2") == \
+        ["ord = 1", "sponsor = 2"]
+
+
+@given(st.lists(_factor, min_size=1, max_size=4), _term, _term)
+@settings(max_examples=200, deadline=None)
+def test_split_top_and_bare_or_property(conjs, a, b):
+    """Splicing a bare 'x OR y' term anywhere into an AND chain makes
+    the whole predicate non-conjunctive → must return []."""
+    parts = list(conjs)
+    parts.insert(len(parts) // 2, f"{a} OR {b}")
+    assert _split_top_and(" AND ".join(parts)) == []
+
+
+def test_nonprunable_fn_matches_bare_keywords():
+    """Spark accepts current_date / current_timestamp / localtimestamp
+    without parens; prune-time vs residual-time evaluation can straddle
+    midnight, so the conjunct must be declared non-prunable."""
+    from spark_streaming_apps_spark.acid import _NONPRUNABLE_FN
+    assert _NONPRUNABLE_FN.search("day < current_date")
+    assert _NONPRUNABLE_FN.search("ts < CURRENT_TIMESTAMP")
+    assert _NONPRUNABLE_FN.search("ts < localtimestamp")
+    assert _NONPRUNABLE_FN.search("day < current_date()")
+    assert _NONPRUNABLE_FN.search("rand() < 0.5")
+    # plain column names that merely contain the words don't trip it
+    assert not _NONPRUNABLE_FN.search("current_dateish = 1")
+    assert not _NONPRUNABLE_FN.search("day = '2025-01-01'")
+    # rand as a bare identifier (column named rand) is NOT a call
+    assert not _NONPRUNABLE_FN.search("rand = 3")
+
+
 # -------------------------------------------------------- _canon_probe
 
 @given(st.integers(-2**62, 2**62))
