@@ -153,6 +153,8 @@ BENCH_KEYS = [
     "acid_reader_features",
     "acid_merge_evolve",
     "acid_zorder_incremental",
+    # round 13
+    "dedup_incremental",
 ]
 
 

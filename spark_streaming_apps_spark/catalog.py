@@ -634,6 +634,9 @@ register("url_dedup", oracle=dedup.url_dedup_oracle_sql()
 register("dedup_minhash_lsh", oracle=dedup.minhash_oracle_sql()
          )(lambda s, d: dedup.minhash_pairs(_t(s, d, "documents")))
 
+register("dedup_incremental", oracle=dedup.dedup_incremental_oracle_sql()
+         )(lambda s, d: dedup.dedup_incremental(s, d, SCRATCH))
+
 register("dedup_simhash", oracle=dedup.simhash_oracle_sql()
          )(lambda s, d: dedup.simhash_pairs(_t(s, d, "documents")))
 

@@ -86,3 +86,43 @@ def test_collapse_lsh_is_copy_invariant(spark, tables):
            for r in dedup.dedup_collapse_lsh(rep).collect()}
     assert set(got) == set(base)
     assert all(got[k] == (5 * base[k][0], 5 * base[k][1]) for k in base)
+
+
+def test_dedup_incremental_maintains_index(spark, tmp_path):
+    """Incremental dedup mechanics: the batch probe never re-signs the
+    corpus, the linked commit appends exactly the batch's rows to BOTH
+    index tables atomically, and the maintained index equals a
+    from-scratch build (pinned in-result)."""
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup.dedup_incremental(spark, sf, tmp_path)
+    rows = out.collect()
+    assert rows, "expected at least one batch-touching near-dup pair"
+    assert all(r.matches_full for r in rows)
+    assert all(r.index_fresh_equal for r in rows)
+    # every reported pair touches the batch
+    assert all(r.doc1 % dedup.BATCH_MOD == dedup.BATCH_REM
+               or r.doc2 % dedup.BATCH_MOD == dedup.BATCH_REM
+               for r in rows)
+    # at least one CORPUS<->BATCH pair exists (the plant split
+    # guarantees it), not just batch-internal ones
+    assert any((r.doc1 % dedup.BATCH_MOD == dedup.BATCH_REM)
+               != (r.doc2 % dedup.BATCH_MOD == dedup.BATCH_REM)
+               for r in rows)
+
+    # the index catalog: v0 create + ONE linked append entry covering
+    # both tables; appended row count == 4 bands + 1 sig per batch doc
+    from pathlib import Path
+    cat = AcidCatalog(spark, Path(tmp_path) / "dedup_index_sf0.001")
+    sigs, bands = cat.table("sigs"), cat.table("bands")
+    assert sigs.latest_version() == 1 and bands.latest_version() == 1
+    n_batch = (dedup.planted_corpus(
+        spark.read.parquet(f"{sf}/documents.parquet"))
+        .filter(F.col("doc_id") % dedup.BATCH_MOD == dedup.BATCH_REM)
+        .count())
+    assert (sigs.read().count() - sigs.read(0).count()) == n_batch
+    assert (bands.read().count() - bands.read(0).count()) == 4 * n_batch
+    # catalog readers see both appends or neither (one entry pins both)
+    snap = cat.snapshot()
+    assert snap == {"sigs": 1, "bands": 1}

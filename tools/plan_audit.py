@@ -84,8 +84,18 @@ def main() -> None:
         ))
         print(f"audited {key}", file=sys.stderr)
 
+    import subprocess
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True,
+            text=True, cwd=Path(__file__).resolve().parents[1],
+            check=True).stdout.strip()
+    except Exception:                                # noqa: BLE001
+        sha = "unknown"
     lines = [
         "# PLANS — physical-plan audit (sf0.01, local[8])",
+        "",
+        f"verified_at: {sha}",
         "",
         "Counts from `df.explain('formatted')` via the `plans` helpers.",
         "`exch` = Exchange operators (shuffles); `bhj` = broadcast hash",
