@@ -1114,56 +1114,40 @@ def _sig_of(docs: DataFrame) -> DataFrame:
           .alias(f"mh{i}") for i in range(N_HASHES)])
 
 
-def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
-    """Dedup a NEW BATCH against a PERSISTED corpus index in O(batch)
-    compute — the 100 TB arrival path. Every other dedup key re-signs
-    the whole corpus per run; at scale new data arrives in batches and
-    O(corpus)-per-batch is the real-world killer. Generalizes the
-    reference's per-micro-batch hash verify (StreamingApp.scala:377-380
-    — verify the NEW chunk against stored state, never re-hash the
-    disk) to near-duplicate detection.
-
-    The index is two AcidTables under one AcidCatalog:
+def build_dedup_index(spark, root, corpus: DataFrame):
+    """One-time persisted dedup index over an existing corpus — two
+    AcidTables under one AcidCatalog:
       * ``bands`` (band_id, band_hash, doc_id) — the LSH probe surface,
         scanned with only these 3 columns;
       * ``sigs``  (doc_id, mh0..mh15) — the verify surface.
+    Paid once, amortized over every future batch."""
+    import shutil
 
-    Batch arrival = (1) SIGN THE BATCH ONLY (the expensive
-    tokenize/md5/shingle pass runs over O(batch) text, never the
-    corpus); (2) candidate retrieval: broadcast the batch's band rows
-    (bounded, 4/doc) against a column-pruned scan of the persisted
+    from ..acid_catalog import AcidCatalog
+
+    shutil.rmtree(root, ignore_errors=True)
+    cat = AcidCatalog(spark, root)
+    cat.create_table("sigs", _sig_of(corpus))
+    cat.create_table("bands", _bands_of(cat.read("sigs"))
+                     .select("band_id", "band_hash", "doc_id"))
+    return cat
+
+
+def dedup_batch(spark, cat, batch: DataFrame,
+                append: bool = True) -> DataFrame:
+    """Dedup a NEW BATCH against the persisted index in O(batch)
+    compute: (1) SIGN THE BATCH ONLY (the expensive tokenize/md5/
+    shingle pass runs over O(batch) text, never the corpus); (2)
+    candidate retrieval: broadcast the batch's band rows (bounded,
+    {N_BANDS}/doc) against a column-pruned scan of the persisted
     ``bands`` table — the index side is never shuffled and its TEXT is
     never re-read; (3) verify est_jaccard >= 0.5 with stored
     signatures from ``sigs`` (corpus side) and the in-hand batch
-    signatures; (4) append the batch's band+sig rows to the index in
-    ONE linked catalog transaction (commit_multi), so the next batch
-    probes corpus+this-batch atomically — O(batch) maintenance.
-
-    Pins (in-result booleans): the incremental pair set hash-equals
-    the FULL recompute over corpus+batch restricted to batch-touching
-    pairs, and the maintained index equals a from-scratch signature
-    build over corpus+batch."""
-    import shutil
-    from pathlib import Path as _P
-
-    from ..acid_catalog import AcidCatalog
-    from ..sources.tables import load_table
-
-    docs = planted_corpus(load_table(spark, sf_dir, "documents"))
-    in_batch = F.col("doc_id") % BATCH_MOD == BATCH_REM
-    corpus, batch = docs.filter(~in_batch), docs.filter(in_batch)
-
-    root = _P(scratch) / f"dedup_index_{_P(sf_dir).name}"
-    shutil.rmtree(root, ignore_errors=True)
-    cat = AcidCatalog(spark, root)
-    # ---- one-time index BUILD over the existing corpus (paid once,
-    # amortized over every future batch)
-    sig_c = _sig_of(corpus)
-    cat.create_table("sigs", sig_c)
-    cat.create_table("bands", _bands_of(cat.read("sigs"))
-                     .select("band_id", "band_hash", "doc_id"))
-
-    # ---- batch arrival -------------------------------------- O(batch)
+    signatures; (4) ``append=True`` adds the batch's band+sig rows to
+    the index in ONE linked catalog transaction (commit_multi), so the
+    next batch probes corpus+this-batch atomically — O(batch)
+    maintenance. Returns the (doc1, doc2, est_jaccard) batch-touching
+    near-dup pairs, materialized."""
     sig_b = _materialize(_sig_of(batch))
     bands_b = _bands_of(sig_b)
     bands_idx = cat.read("bands")
@@ -1202,14 +1186,42 @@ def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
                      (agree / F.lit(float(N_HASHES))).alias("est_jaccard"))
              .filter(F.col("est_jaccard") >= 0.5))
     pairs = _materialize(pairs)
+    if append:
+        # ---- index maintenance: ONE linked commit, O(batch) rows
+        cat.commit_multi({"sigs": ("append", sig_b),
+                          "bands": ("append",
+                                    _bands_of(sig_b)
+                                    .select("band_id", "band_hash",
+                                            "doc_id"))},
+                         op="dedup_index_append")
+    return pairs
 
-    # ---- index maintenance: ONE linked commit, O(batch) rows
-    cat.commit_multi({"sigs": ("append", sig_b),
-                      "bands": ("append",
-                                _bands_of(sig_b)
-                                .select("band_id", "band_hash",
-                                        "doc_id"))},
-                     op="dedup_index_append")
+
+def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
+    """Dedup a NEW BATCH against a PERSISTED corpus index in O(batch)
+    compute — the 100 TB arrival path. Every other dedup key re-signs
+    the whole corpus per run; at scale new data arrives in batches and
+    O(corpus)-per-batch is the real-world killer. Generalizes the
+    reference's per-micro-batch hash verify (StreamingApp.scala:377-380
+    — verify the NEW chunk against stored state, never re-hash the
+    disk) to near-duplicate detection. See ``build_dedup_index`` /
+    ``dedup_batch`` for the index layout and the arrival path.
+
+    Pins (in-result booleans): the incremental pair set hash-equals
+    the FULL recompute over corpus+batch restricted to batch-touching
+    pairs, and the maintained index equals a from-scratch signature
+    build over corpus+batch."""
+    from pathlib import Path as _P
+
+    from ..sources.tables import load_table
+
+    docs = planted_corpus(load_table(spark, sf_dir, "documents"))
+    in_batch = F.col("doc_id") % BATCH_MOD == BATCH_REM
+    corpus, batch = docs.filter(~in_batch), docs.filter(in_batch)
+
+    root = _P(scratch) / f"dedup_index_{_P(sf_dir).name}"
+    cat = build_dedup_index(spark, root, corpus)
+    pairs = dedup_batch(spark, cat, batch)
 
     # ---- pins ----------------------------------------------------
     # (1) incremental result == FULL recompute restricted to pairs
