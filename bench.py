@@ -155,6 +155,7 @@ BENCH_KEYS = [
     "acid_zorder_incremental",
     # round 13
     "dedup_incremental",
+    "ivf_incremental_index",
 ]
 
 

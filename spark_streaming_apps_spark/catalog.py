@@ -1542,6 +1542,10 @@ register("matryoshka_rerank_topk",
 register("ivf_partitioned_probe", oracle=similarity.ivf_topk_oracle_sql()
          )(lambda s, d: similarity.ivf_partitioned_probe(s, d, SCRATCH))
 
+register("ivf_incremental_index",
+         oracle=similarity.ivf_incremental_index_oracle_sql()
+         )(lambda s, d: similarity.ivf_incremental_index(s, d, SCRATCH))
+
 register("embedding_quantize", oracle=similarity.embedding_quantize_oracle_sql()
          )(lambda s, d: similarity.embedding_quantize(_t(s, d, "embeddings")))
 

@@ -696,17 +696,25 @@ _KM_SQ = ("list_sum(list_transform(range(1, 1 + len(a.e)), "
           "i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))")
 
 
-def _km_ctes(iters: int = KM_ITERS) -> list[str]:
+def _km_ctes(iters: int = KM_ITERS,
+             train_pred: str | None = None) -> list[str]:
     """DuckDB CTE chain of the Lloyd loop — the exact twin of
     _km_assign/_km_means, shared by the kmeans_refine and
-    ivf_topk_trained oracles (one committed derivation, two checks)."""
-    prev = f"(SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS})"
+    ivf_topk_trained oracles (one committed derivation, two checks).
+    ``train_pred`` restricts the TRAINING corpus (seeds + every Lloyd
+    assignment) to a subset of ``emb`` — the incremental-index oracle
+    trains on the initial corpus only, then assigns everyone."""
+    src = "emb"
     ctes = ["emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
             "FROM embeddings)"]
+    if train_pred:
+        ctes.append(f"temb AS (SELECT * FROM emb WHERE {train_pred})")
+        src = "temb"
+    prev = f"(SELECT vec_id AS cell, e AS c FROM {src} WHERE vec_id < {N_CELLS})"
     for it in range(iters):
         ctes.append(f"""
 asg{it} AS (SELECT a.vec_id, a.label, a.e, c.cell
-            FROM emb a, {prev} c
+            FROM {src} a, {prev} c
             QUALIFY row_number() OVER (PARTITION BY a.vec_id
                                        ORDER BY {_KM_SQ}, c.cell) = 1)""")
         ctes.append(f"""
@@ -1627,4 +1635,149 @@ short AS (SELECT vec_id FROM emb, qq
 SELECT e.vec_id, e.label, {cos} AS sim
 FROM emb e JOIN short s ON e.vec_id = s.vec_id, qq
 ORDER BY sim DESC, e.vec_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------- self-maintaining IVF
+
+#: incremental-index corpus split: vec_id % 10 < 8 is the initial
+#: corpus the quantizer trains on; % 10 == 8 and == 9 arrive later as
+#: two append batches the maintenance stream must absorb.
+IVF_INC_TRAIN_PRED = "vec_id % 10 < 8"
+
+
+def ivf_incremental_index(spark, sf_dir: str, scratch,
+                          query_vec_id: int = 0,
+                          k: int = TOP_K) -> DataFrame:
+    """SELF-MAINTAINING ANN index: `ivf_partitioned_probe` writes a
+    one-shot cell-partitioned layout that appends silently stale; here
+    the index is an AcidTable fed by the VECTOR TABLE'S OWN CDF STREAM
+    — new vectors are assigned to the persisted trained centroids and
+    appended to the index per micro-batch (O(batch)), and probes keep
+    partition-directory pruning via the manifest. (Reference analog:
+    the per-micro-batch Solr index maintenance the worker pipeline
+    performs, FileWorkerApp.scala:129-141 — the index follows the
+    data, never a rebuild.)
+
+    Flow: train the Lloyd quantizer on the INITIAL corpus only
+    (``{IVF_INC_TRAIN_PRED}``, frozen artifact) → seed the `vectors`
+    AcidTable (CDF-enabled) and the cell-partitioned `ivf_index`
+    AcidTable → start `acidtable-cdf-parallel` maintenance
+    (foreachBatch: assign inserts to the frozen centroids, one index
+    append per source commit) → append the two arrival batches →
+    drain → serve the query by probing only its {N_PROBES} nearest
+    cells' PARTITIONS (pruned_files_in opens matching partition files
+    only). Deletes would ride the same feed as `delete_where` on the
+    index; the scenario's source is append-only, like a training
+    corpus.
+
+    Pins (in-result): `index_fresh_equal` — the maintained index
+    hash-equals a from-scratch assignment of corpus+arrivals at the
+    SAME centroids; `recall_ok` — recall@10 of the served result vs
+    brute-force cosine stays >= 0.5 (re-pinned after maintenance);
+    `n_batches` — the arrivals landed as exactly 2 read-limited
+    micro-batches. Result rows are the served top-{TOP_K}, which the
+    DuckDB oracle recomputes independently (train-on-subset Lloyd +
+    assign-all + probe)."""
+    import shutil as _sh
+
+    from ..acid import AcidTable
+    from ..sources.pysource import (AcidCdfParallelStreamDataSource,
+                                    _drain_incremental)
+    from ..sources.tables import load_table
+
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    emb = emb_raw.select("vec_id", "label",
+                         _as_double("embedding").alias("e"))
+    cents = _trained_centroids(emb_raw.filter(IVF_INC_TRAIN_PRED))
+    initial = emb.filter(IVF_INC_TRAIN_PRED)
+
+    vec_dir = Path(scratch) / f"ivf_inc_vec_{Path(sf_dir).name}"
+    idx_dir = Path(scratch) / f"ivf_inc_idx_{Path(sf_dir).name}"
+    _sh.rmtree(vec_dir, ignore_errors=True)
+    _sh.rmtree(idx_dir, ignore_errors=True)
+    src = AcidTable.create(spark, vec_dir, initial, enable_cdf=True)
+    idx = AcidTable.create(
+        spark, idx_dir,
+        _km_assign(initial, cents).select("vec_id", "label", "e", "cell"),
+        partition_by=["cell"])
+
+    def maintain(batch: DataFrame, batch_id: int) -> None:
+        ins = (batch.filter(F.col("_change_type") == "insert")
+               .select("vec_id", "label", "e"))
+        rows = _km_assign(ins, cents).select(
+            "vec_id", "label", "e", "cell")
+        if rows.isEmpty():
+            return
+        idx.append(rows)
+
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    stream = (spark.readStream.format("acidtable-cdf-parallel")
+              .option("path", str(vec_dir))
+              # offsets are exclusive-start: version 0 (the initial
+              # snapshot, already in the index) is never delivered
+              .option("startingVersion", "0")
+              .option("maxVersionsPerTrigger", "1").load()
+              .writeStream.outputMode("append").foreachBatch(maintain))
+    # two arrival batches land as two source commits BEFORE the drain
+    src.append(emb.filter("vec_id % 10 = 8"))                  # v1
+    src.append(emb.filter("vec_id % 10 = 9"))                  # v2
+    n_batches, _ = _drain_incremental(stream)
+
+    # ---- pins ------------------------------------------------------
+    fresh = _km_assign(emb, cents).select("vec_id", "label", "e", "cell")
+    now = idx.read().select("vec_id", "label", "e", "cell")
+    index_fresh_equal = (now.exceptAll(fresh).count() == 0
+                         and fresh.exceptAll(now).count() == 0)
+
+    # ---- serve: probe cells' PARTITIONS only ------------------------
+    qe = (emb.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("e").alias("q")))
+    probe_cells = [int(r.cell) for r in
+                   (cents.join(F.broadcast(qe))
+                    .select("cell", F.expr(_sq_dist_fixed("c", "q", SRP_DIM))
+                            .alias("dist"))
+                    .orderBy("dist", "cell").limit(N_PROBES)
+                    .collect())]
+    served = (idx.read_eq_any("cell", probe_cells)
+              .filter(F.col("vec_id") != query_vec_id)
+              .join(F.broadcast(qe))
+              .select("vec_id", "label", "cell",
+                      _cosine("e", "q").alias("sim"))
+              .orderBy(F.desc("sim"), "vec_id")
+              .limit(k))
+    got = {r.vec_id for r in served.collect()}
+    truth = {r.vec_id for r in
+             (emb.filter(F.col("vec_id") != query_vec_id)
+              .join(F.broadcast(qe))
+              .select("vec_id", _cosine("e", "q").alias("sim"))
+              .orderBy(F.desc("sim"), "vec_id").limit(k).collect())}
+    recall_ok = len(got & truth) / float(k) >= 0.5
+    return (served
+            .withColumn("index_fresh_equal", F.lit(bool(index_fresh_equal)))
+            .withColumn("recall_ok", F.lit(bool(recall_ok)))
+            .withColumn("n_batches", F.lit(int(n_batches))))
+
+
+def ivf_incremental_index_oracle_sql(query_vec_id: int = 0,
+                                     k: int = TOP_K,
+                                     iters: int = KM_ITERS) -> str:
+    last = iters - 1
+    qsq = ("list_sum(list_transform(range(1, 1 + len(c.c)), "
+           "i -> (c.c[i] - q.q[i]) * (c.c[i] - q.q[i])))")
+    cos = _cosine_duck("m.e", "q.q")
+    return f"""
+WITH {','.join(_km_ctes(iters, train_pred=IVF_INC_TRAIN_PRED))},
+assigned AS (SELECT a.vec_id, a.label, a.e, c.cell
+             FROM emb a, cents{last} c
+             QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                        ORDER BY {_KM_SQ}, c.cell) = 1),
+q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id}),
+probe AS (SELECT c.cell FROM cents{last} c, q
+          ORDER BY {qsq}, c.cell LIMIT {N_PROBES})
+SELECT m.vec_id, m.label, m.cell, {cos} AS sim,
+       TRUE AS index_fresh_equal, TRUE AS recall_ok, 2 AS n_batches
+FROM assigned m JOIN probe USING (cell), q
+WHERE m.vec_id != {query_vec_id}
+ORDER BY sim DESC, m.vec_id LIMIT {k}
 """

@@ -326,3 +326,73 @@ def test_trained_artifacts_serve_from_disk(tables, tmp_path, monkeypatch):
     lloyds = list((tmp_path / "ann_store").glob("lloyd_*"))
     assert len(lloyds) == 1 and (lloyds[0] / "_DONE").exists()
     dedup.clear_sketch_cache()
+
+
+def test_ivf_incremental_index_maintains_and_prunes(spark, tmp_path):
+    """Self-maintaining IVF: the CDF-fed maintenance keeps the index
+    hash-equal to a from-scratch build at the same frozen centroids
+    (pinned in-result), arrivals land as 2 micro-batches, the probe
+    read opens ONLY the probe cells' partition files, and a THIRD
+    append after the drain is absorbed by restarting the maintenance
+    stream (the index follows the data, never a rebuild)."""
+    from pathlib import Path
+
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidCdfParallelStreamDataSource, _drain_incremental)
+    from spark_streaming_apps_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = similarity.ivf_incremental_index(spark, sf, tmp_path)
+    rows = out.collect()
+    assert len(rows) == similarity.TOP_K
+    assert all(r.index_fresh_equal for r in rows)
+    assert all(r.recall_ok for r in rows)
+    assert rows[0].n_batches == 2
+
+    idx = AcidTable(spark, Path(tmp_path) / "ivf_inc_idx_sf0.001")
+    # maintenance committed one index append per source commit
+    assert idx.latest_version() == 2
+    # probe-side partition pruning: the 2 probe cells' files are a
+    # strict minority of the index's files
+    some_cell = int(idx.read().limit(1).collect()[0].cell)
+    paths, total = idx.pruned_files_in("cell", [some_cell])
+    assert 0 < len(paths) < total
+
+    # third arrival after the first drain: restart the maintenance
+    # stream (checkpoint-free restart re-reads from startingVersion 0
+    # exclusive; already-applied versions would re-apply, so restart
+    # from the INDEX's high water = source version it last absorbed)
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label",
+        similarity._as_double("embedding").alias("e"))
+    cents = similarity._trained_centroids(
+        load_table(spark, sf, "embeddings")
+        .filter(similarity.IVF_INC_TRAIN_PRED))
+    src = AcidTable(spark, Path(tmp_path) / "ivf_inc_vec_sf0.001")
+    late = emb.filter("vec_id % 10 = 7").select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "label", "e")
+    src.append(late)                                           # v3
+
+    def maintain(batch, batch_id):
+        ins = (batch.filter(F.col("_change_type") == "insert")
+               .select("vec_id", "label", "e"))
+        rows2 = similarity._km_assign(ins, cents).select(
+            "vec_id", "label", "e", "cell")
+        if not rows2.isEmpty():
+            idx.append(rows2)
+
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    n2, _ = _drain_incremental(
+        spark.readStream.format("acidtable-cdf-parallel")
+        .option("path", str(Path(tmp_path) / "ivf_inc_vec_sf0.001"))
+        .option("startingVersion", "2")       # exclusive: v3 only
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append").foreachBatch(maintain))
+    assert n2 == 1
+    fresh = similarity._km_assign(
+        emb.unionByName(late), cents).select("vec_id", "label", "e",
+                                             "cell")
+    now = idx.read().select("vec_id", "label", "e", "cell")
+    assert now.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(now).count() == 0
