@@ -156,6 +156,7 @@ BENCH_KEYS = [
     # round 13
     "dedup_incremental",
     "ivf_incremental_index",
+    "acid_wap_publish",
 ]
 
 

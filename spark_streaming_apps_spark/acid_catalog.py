@@ -182,3 +182,207 @@ class AcidCatalog:
         # readers must keep serving the previous entry's pins
         crash_point("before_catalog_pin")
         return self._publish(new_pins)
+
+    # ------------------------------------------------ named refs
+
+    def branch(self, name: str) -> CatalogBranch:
+        """Get-or-create branch ``name``, forked from the CURRENT main
+        entry (its pins become the branch's base — Iceberg's
+        branch-from-snapshot)."""
+        b = CatalogBranch(self, name)
+        if b.head() is None:
+            base = self.latest_entry()
+            if base is None:
+                raise FileNotFoundError(
+                    f"catalog at {self.root} has no entries to branch "
+                    f"from")
+            b._dir.mkdir(parents=True, exist_ok=True)
+            get_store().create_exclusive(
+                b._dir / "b0.json",
+                json.dumps({"pins": self.snapshot(base), "base": base}))
+            # lost race: another forker created b0 — both forked from
+            # a live entry; first writer wins, semantics identical
+        return b
+
+    def tag(self, name: str, entry: int | None = None) -> int:
+        """IMMUTABLE named ref: pin ``entry`` (default latest) under
+        ``refs/tags/<name>.json``. Re-tagging an existing name is
+        refused — tags never move (Iceberg tag semantics)."""
+        e = self.latest_entry() if entry is None else entry
+        if e is None:
+            raise FileNotFoundError(f"catalog at {self.root} is empty")
+        tags = self.root / "refs" / "tags"
+        tags.mkdir(parents=True, exist_ok=True)
+        if not get_store().create_exclusive(
+                tags / f"{name}.json",
+                json.dumps({"entry": e, "pins": self.snapshot(e)})):
+            raise FileExistsError(
+                f"tag {name!r} already exists (tags are immutable)")
+        return e
+
+    def read_tag(self, tag_name: str, table: str) -> DataFrame:
+        """Snapshot-isolated read at a tag — time travel by name."""
+        p = self.root / "refs" / "tags" / f"{tag_name}.json"
+        pins = json.loads(p.read_text())["pins"]
+        if table not in pins:
+            raise FileNotFoundError(
+                f"table {table!r} not pinned by tag {tag_name!r}")
+        return self.table(table).read(pins[table])
+
+    def publish(self, branch_name: str, audit=None,
+                max_retries: int = 50) -> int:
+        """WRITE-AUDIT-PUBLISH: fast-forward the MAIN pointer to the
+        branch head in one catalog entry — Iceberg's WAP publish, the
+        production answer to "validate before readers see it".
+
+        * ``audit`` (optional callable ``branch -> bool``) runs against
+          the BRANCH's snapshot first; a falsy return raises
+          ``AuditFailed`` and the main pointer is untouched — readers
+          keep serving the old entry.
+        * Fast-forward safety: for every table the branch CHANGED, the
+          main pointer must still pin the branch's BASE version —
+          a concurrent main-side write to the same table makes the
+          branch non-fast-forwardable and the publish refuses
+          (``CommitConflict``) rather than silently dropping the main
+          write. Main-side writes to OTHER tables merge fine (the
+          pointer merge is per-table).
+        * The swap itself is the same one-entry CAS as every
+          ``commit_multi`` — atomic, all-or-nothing."""
+        b = CatalogBranch(self, branch_name)
+        h = b.head()
+        if h is None:
+            raise FileNotFoundError(f"branch {branch_name!r} not found")
+        ent = b._entry(h)
+        pins_b, base = ent["pins"], ent["base"]
+        base_pins = self.snapshot(base)
+        changed = {t: v for t, v in pins_b.items()
+                   if base_pins.get(t) != v}
+        if audit is not None and not audit(b):
+            raise AuditFailed(
+                f"audit rejected branch {branch_name!r}; main pointer "
+                f"untouched")
+        cur = self.snapshot()
+        stale = {t for t in changed
+                 if cur.get(t) != base_pins.get(t)}
+        if stale:
+            raise CommitConflict(
+                f"branch {branch_name!r} is not fast-forwardable: "
+                f"main moved on table(s) {sorted(stale)} since the "
+                f"fork (base entry {base}); rebase the branch")
+        crash_point("before_wap_publish")
+        return self._publish(changed)
+
+
+class AuditFailed(Exception):
+    """The write-audit-publish audit rejected the branch; the main
+    pointer was not touched — readers keep the pre-branch snapshot."""
+
+
+class CatalogBranch:
+    """A NAMED, MOVABLE ref over catalog pins — Iceberg/Nessie branch
+    semantics for the write-audit-publish pattern: commits land on the
+    branch's own pointer chain (each table's versions still commit
+    through that table's normal optimistic loop, so single-table
+    writers serialize with branch writers as usual), main-catalog
+    readers never see them, and ``AcidCatalog.publish`` fast-forwards
+    the main pointer to the branch head in ONE entry after an audit
+    passes. (Reference analog: the staged claim/status machine —
+    FileWorkerApp.scala:207-227 — where work becomes visible only at
+    the status flip, never mid-processing.)
+
+    The branch chain lives at ``refs/heads/<name>/b{N}.json``; each
+    entry is ``{"pins": {...}, "base": <main entry at fork>}`` and
+    advances with the same create_exclusive CAS as every other pointer
+    in the stack."""
+
+    def __init__(self, catalog: "AcidCatalog", name: str) -> None:
+        self.catalog = catalog
+        self.name = name
+        self._dir = catalog.root / "refs" / "heads" / name
+
+    # ----------------------------------------------------- pointer chain
+
+    def head(self) -> int | None:
+        if not self._dir.is_dir():
+            return None
+        es = [int(p.stem[1:]) for p in self._dir.glob("b*.json")]
+        return max(es) if es else None
+
+    def _entry(self, n: int) -> dict:
+        return json.loads((self._dir / f"b{n}.json").read_text())
+
+    def base_entry(self) -> int | None:
+        h = self.head()
+        return None if h is None else self._entry(h).get("base")
+
+    def snapshot(self) -> dict[str, int]:
+        """The branch's ``{table: version}`` pins (base pins + every
+        branch commit's overrides)."""
+        h = self.head()
+        if h is None:
+            raise FileNotFoundError(
+                f"branch {self.name!r} does not exist under "
+                f"{self.catalog.root}")
+        return dict(self._entry(h)["pins"])
+
+    def read(self, name: str) -> DataFrame:
+        """Snapshot-isolated read AT THE BRANCH HEAD."""
+        pins = self.snapshot()
+        if name not in pins:
+            raise FileNotFoundError(
+                f"table {name!r} not pinned on branch {self.name!r}; "
+                f"pinned: {sorted(pins)}")
+        return self.catalog.table(name).read(pins[name])
+
+    def _advance(self, new_pins: dict[str, int],
+                 max_retries: int = 50) -> int:
+        """CAS-advance the branch pointer with merged pins (per-table
+        max — same monotonicity as the main chain)."""
+        for _ in range(max_retries):
+            h = self.head()
+            if h is None:
+                raise FileNotFoundError(
+                    f"branch {self.name!r} does not exist")
+            cur = self._entry(h)
+            merged = dict(cur["pins"])
+            for t, v in new_pins.items():
+                merged[t] = max(v, merged.get(t, -1))
+            crash_point("before_branch_pin")
+            if get_store().create_exclusive(
+                    self._dir / f"b{h + 1}.json",
+                    json.dumps({"pins": merged, "base": cur["base"]})):
+                return h + 1
+        raise CommitConflict(
+            f"gave up advancing branch {self.name!r} after "
+            f"{max_retries} races")
+
+    # ----------------------------------------------------------- writes
+
+    def commit_multi(self, writes: dict[str, tuple], op: str = "multi",
+                     max_retries: int = 20) -> int:
+        """The catalog ``commit_multi`` contract, but the publish lands
+        on the BRANCH pointer: table versions commit normally (and are
+        therefore visible to direct table readers — the documented
+        read-committed/single-table carve-out), while catalog and
+        branch readers each see their own pointer's pins."""
+        new_pins: dict[str, int] = {}
+        for name, spec in writes.items():
+            t = self.catalog.table(name)
+            kind = spec[0]
+            if kind == "append":
+                v = t.append(spec[1], max_retries=max_retries)
+            elif kind == "merge":
+                v = t.merge(spec[1], spec[2], max_retries=max_retries)
+            elif kind == "merge_add":
+                v = t.merge_add(spec[1], spec[2],
+                                max_retries=max_retries)
+            elif kind == "delete":
+                v = t.delete_where(spec[1], max_retries=max_retries)
+            elif kind == "update":
+                v = t.update_where(spec[1], spec[2],
+                                   max_retries=max_retries)
+            else:
+                raise ValueError(f"unknown write kind {kind!r} for "
+                                 f"table {name!r}")
+            new_pins[name] = v
+        return self._advance(new_pins)

@@ -1138,6 +1138,11 @@ register("acid_pruned_dml", oracle=extensions.ACID_COW_ORACLE
 register("acid_deletion_vectors", oracle=extensions.ACID_DV_ORACLE
          )(lambda s, d: extensions.acid_deletion_vectors(s, d, SCRATCH))
 
+register("acid_wap_publish",
+         oracle=extensions.ACID_WAP_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_wap_publish(s, d, SCRATCH))
+
 register("acid_multi_table_txn", oracle=extensions.ACID_MULTI_TXN_ORACLE
          )(lambda s, d: extensions.acid_multi_table_txn(s, d, SCRATCH))
 

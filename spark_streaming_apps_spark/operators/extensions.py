@@ -2892,3 +2892,94 @@ SELECT COUNT(*) AS n_rows,
        TRUE AS third_run_noop
 FROM orders
 """
+
+
+def acid_wap_publish(spark: SparkSession, sf_dir: str,
+                     scratch: Path) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH over named catalog refs (Iceberg's WAP /
+    Nessie branch pattern; reference analog: the staged claim/status
+    machine, FileWorkerApp.scala:207-227 — work becomes visible only
+    at the status flip). A branch takes the writes, a data-quality
+    audit gates them, and `publish` fast-forwards the MAIN catalog
+    pointer in one atomic entry.
+
+    Script: tag v0 → fork branch `wap` → branch commit claims the 5
+    lowest available files AND inserts an out-of-contract row
+    (status=9) → audit ("no status outside the state machine") FAILS
+    → main readers still serve v0 (pinned) → branch commit deletes the
+    bad row → audit passes → publish (one pointer CAS) → main serves
+    the branch head; tag v0 still time-travels by name. Pins
+    (in-result booleans): audit_blocked, main_was_unchanged after the
+    failed audit, tag_ok after publish."""
+    import shutil
+
+    from ..acid_catalog import AcidCatalog, AuditFailed
+    from ..sources.tables import load_table
+    from .queue import queue_df
+
+    root = scratch / f"acid_wap_{Path(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    state = (queue_df(load_table(spark, sf_dir, "orders"))
+             .filter(F.col("file_id") % 10 == 0)
+             .select("file_id", "status"))
+    cat = AcidCatalog(spark, root)
+    cat.create_table("q", state)
+    cat.tag("v0")
+    v0_census = {(r.status, r.n) for r in
+                 (cat.read("q").groupBy("status")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())}
+
+    br = cat.branch("wap")
+    low5 = (br.read("q").filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    br.commit_multi({"q": ("merge",
+                           low5.select("file_id",
+                                       F.lit(1).alias("status"))
+                           .unionByName(spark.createDataFrame(
+                               [(999999909, 9)],
+                               "file_id long, status int")),
+                           ["file_id"])})
+
+    def audit(b) -> bool:
+        return b.read("q").filter(
+            "status NOT IN (0, 1, 2, 3)").count() == 0
+
+    audit_blocked = False
+    try:
+        cat.publish("wap", audit=audit)
+    except AuditFailed:
+        audit_blocked = True
+    main_census = {(r.status, r.n) for r in
+                   (cat.read("q").groupBy("status")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())}
+    main_was_unchanged = main_census == v0_census
+
+    br.commit_multi({"q": ("delete", "status NOT IN (0, 1, 2, 3)")})
+    cat.publish("wap", audit=audit)         # passes: one pointer CAS
+
+    tag_census = {(r.status, r.n) for r in
+                  (cat.read_tag("v0", "q").groupBy("status")
+                   .agg(F.count(F.lit(1)).alias("n")).collect())}
+    tag_ok = tag_census == v0_census
+    return (cat.read("q").groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"))
+            .withColumn("audit_blocked", F.lit(bool(audit_blocked)))
+            .withColumn("main_was_unchanged",
+                        F.lit(bool(main_was_unchanged)))
+            .withColumn("tag_ok", F.lit(bool(tag_ok))))
+
+
+ACID_WAP_ORACLE = """
+WITH queue AS (SELECT * FROM ({queue_sql}) q WHERE file_id % 10 = 0),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+final AS (SELECT file_id,
+                 CASE WHEN file_id IN (SELECT file_id FROM low5)
+                      THEN 1 ELSE status END AS status
+          FROM queue)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       TRUE AS audit_blocked, TRUE AS main_was_unchanged,
+       TRUE AS tag_ok
+FROM final GROUP BY status
+"""

@@ -1777,6 +1777,61 @@ FROM deltas GROUP BY version, change_type, status
 """
 
 
+def _parse_size_conf(v: str) -> int:
+    """Spark size conf string → bytes ('10485760b', '10MB', '-1')."""
+    import re
+    m = re.fullmatch(r"\s*(-?\d+)\s*([kmgt]?)b?\s*", str(v),
+                     re.IGNORECASE)
+    if not m:
+        return -1
+    n = int(m.group(1))
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20,
+            "g": 1 << 30, "t": 1 << 40}[m.group(2).lower()]
+    return n * mult
+
+
+def read_acid(spark: SparkSession, path, version: int | None = None
+              ) -> DataFrame:
+    """``spark.read.format("acidtable")`` with PLANNER-VISIBLE sizing.
+
+    DOCUMENTED GATE (the transform_with_state stance): the Python
+    DataSource API in this Spark build exposes no statistics hook
+    (DataSourceReader has pushFilters but no SupportsReportStatistics
+    analog), so every ``format("acidtable")`` relation plans at
+    ``spark.sql.defaultSizeInBytes`` = Long.Max — a 3-row acidtable
+    dimension joins as sort-merge unless hand-broadcast. Until the
+    hook exists, this wrapper makes the SAME decision the planner
+    would make with real stats: it sums the manifest's RECORDED
+    per-file byte totals (an O(files) driver read of metadata the
+    manifest already holds — no filesystem stats) and applies the
+    broadcast hint when the snapshot is at or under
+    ``spark.sql.autoBroadcastJoinThreshold``. Entries without recorded
+    bytes (foreign/legacy manifests) disable the hint — conservative,
+    never a forced broadcast of an unknown size. When the stats hook
+    lands, delete the hint and report the same number through it."""
+    from ..acid import AcidTable, resolve_manifest_files
+
+    spark.dataSource.register(AcidTableDataSource)
+    reader = spark.read.format("acidtable").option("path", str(path))
+    if version is not None:
+        reader = reader.option("version", version)
+    df = reader.load()
+    try:
+        t = AcidTable(spark, path)
+        v = t.latest_version() if version is None else version
+        m = t._manifest(v)
+        files = resolve_manifest_files(t.path, m)
+        sizes = [f.get("bytes") for f in (files or [])]
+        thresh = _parse_size_conf(spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760b"))
+    except Exception:                                # noqa: BLE001
+        return df
+    if (files is not None and all(s is not None for s in sizes)
+            and thresh > 0 and sum(sizes) <= thresh):
+        return F.broadcast(df)
+    return df
+
+
 def acid_datasource(spark: SparkSession, sf_dir: str, scratch) -> DataFrame:
     """Time travel THROUGH the connector: three committed versions —
     v0 = queue loaded, v1 = five lowest claimed (MERGE), v2 = relayout

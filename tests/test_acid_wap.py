@@ -1,0 +1,209 @@
+"""Named catalog refs + write-audit-publish (round 13).
+
+Branches are movable pointer chains under ``refs/heads/<name>`` (pins
+maps, CAS-advanced); tags are immutable pins under ``refs/tags``.
+``publish`` fast-forwards the MAIN pointer to the branch head in one
+entry after the audit passes — crash and contention coverage ride the
+existing harnesses (crash_point subprocess SIGKILL; concurrent
+publishers through the CAS loop).
+"""
+import json
+import signal
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from spark_streaming_apps_spark.acid_catalog import (AcidCatalog,
+                                                     AuditFailed,
+                                                     CatalogBranch)
+from spark_streaming_apps_spark.acid import CommitConflict
+
+REPO = str(Path(__file__).resolve().parents[1])
+
+
+def _df(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def _seed(spark, root) -> AcidCatalog:
+    cat = AcidCatalog(spark, root)
+    cat.create_table("q", _df(spark, [(1, 0), (2, 0), (3, 3)],
+                              "file_id long, status int"))
+    return cat
+
+
+def _census(df):
+    return {(r.file_id, r.status) for r in df.collect()}
+
+
+def test_branch_isolation_and_publish(spark, tmp_path):
+    cat = _seed(spark, tmp_path / "c")
+    before = _census(cat.read("q"))
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    # branch sees its write; main does not
+    assert (1, 1) in _census(br.read("q"))
+    assert _census(cat.read("q")) == before
+    # publish: one pointer fast-forward exposes it
+    e = cat.publish("wap")
+    assert cat.latest_entry() == e
+    assert (1, 1) in _census(cat.read("q"))
+
+
+def test_audit_failure_leaves_main_untouched(spark, tmp_path):
+    cat = _seed(spark, tmp_path / "c")
+    entry0, before = cat.latest_entry(), _census(cat.read("q"))
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("append", _df(spark, [(9, 9)],
+                                         "file_id long, status int"))})
+    with pytest.raises(AuditFailed):
+        cat.publish("wap", audit=lambda b: b.read("q")
+                    .filter("status > 3").count() == 0)
+    assert cat.latest_entry() == entry0
+    assert _census(cat.read("q")) == before
+    # fix on the branch, audit passes, publish lands
+    br.commit_multi({"q": ("delete", "status > 3")})
+    cat.publish("wap", audit=lambda b: b.read("q")
+                .filter("status > 3").count() == 0)
+    assert _census(cat.read("q")) == before
+
+
+def test_publish_refuses_non_fast_forward(spark, tmp_path):
+    """A main-side write to a branch-changed table between fork and
+    publish makes the branch non-fast-forwardable — refused, never a
+    silent lost update; main writes to OTHER tables merge fine."""
+    cat = _seed(spark, tmp_path / "c")
+    cat.create_table("other", _df(spark, [(1, 1)], "k long, v int"))
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "2"}, "file_id = 2")})
+    # concurrent main write to the SAME table
+    cat.commit_multi({"q": ("append", _df(spark, [(50, 0)],
+                                          "file_id long, status int"))})
+    with pytest.raises(CommitConflict, match="not fast-forwardable"):
+        cat.publish("wap")
+    # a branch touching only an unrelated table publishes fine
+    br2 = cat.branch("side")
+    br2.commit_multi({"other": ("append", _df(spark, [(2, 2)],
+                                              "k long, v int"))})
+    cat.commit_multi({"q": ("append", _df(spark, [(60, 0)],
+                                          "file_id long, status int"))})
+    cat.publish("side")
+    assert (2, 2) in {(r.k, r.v) for r in cat.read("other").collect()}
+    # and the merged entry kept main's own q pin
+    assert 60 in {r.file_id for r in cat.read("q").collect()}
+
+
+def test_tags_are_immutable_time_travel(spark, tmp_path):
+    cat = _seed(spark, tmp_path / "c")
+    cat.tag("v0")
+    before = _census(cat.read("q"))
+    cat.commit_multi({"q": ("append", _df(spark, [(7, 0)],
+                                          "file_id long, status int"))})
+    assert _census(cat.read_tag("v0", "q")) == before
+    with pytest.raises(FileExistsError, match="immutable"):
+        cat.tag("v0")
+
+
+def test_branch_survives_contended_advance(spark, tmp_path):
+    """Two logical writers advancing the same branch: the CAS loop
+    serializes them; both pins land (per-table max, no lost update)."""
+    cat = _seed(spark, tmp_path / "c")
+    cat.create_table("b2", _df(spark, [(1, 1)], "k long, v int"))
+    br = cat.branch("wap")
+    h0 = br.head()
+    br.commit_multi({"q": ("append", _df(spark, [(70, 0)],
+                                         "file_id long, status int"))})
+    # a second handle to the same branch (stale head view) advances too
+    br_b = CatalogBranch(cat, "wap")
+    br_b.commit_multi({"b2": ("append", _df(spark, [(2, 2)],
+                                            "k long, v int"))})
+    assert br.head() == h0 + 2
+    pins = br.snapshot()
+    assert pins["q"] >= 1 and pins["b2"] >= 1
+    cat.publish("wap")
+    assert 70 in {r.file_id for r in cat.read("q").collect()}
+    assert (2, 2) in {(r.k, r.v) for r in cat.read("b2").collect()}
+
+
+# --------------------------------------------------- crash injection
+
+WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CRASH_POINT"] = {point!r}
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+cat = AcidCatalog(spark, {root!r})
+op = {op!r}
+if op == "branch_commit":
+    br = cat.branch("wap")
+    br.commit_multi({{"q": ("append", spark.createDataFrame(
+        [(500, 0)], "file_id long, status int"))}})
+elif op == "publish":
+    cat.publish("wap")
+print("COMMIT-COMPLETED", flush=True)
+"""
+
+
+def _run_crash(point, root, op):
+    script = WRITER.format(repo=REPO, point=point, root=str(root),
+                           op=op)
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL, (
+        f"writer expected to die at {point}, got rc="
+        f"{proc.returncode}\n{proc.stderr[-2000:]}")
+    assert "COMMIT-COMPLETED" not in proc.stdout
+
+
+def test_crash_before_branch_pin_leaves_branch_clean(spark, tmp_path):
+    """SIGKILL between the table commit and the branch-pointer CAS:
+    the table version is durable but the branch head is unmoved —
+    branch readers keep the old pins; a retry re-publishes (the
+    at-least-once commit_multi contract, scoped to the branch)."""
+    root = tmp_path / "c"
+    cat = _seed(spark, root)
+    br = cat.branch("wap")
+    h0, pins0 = br.head(), br.snapshot()
+    main0 = cat.latest_entry()
+
+    _run_crash("before_branch_pin", root, "branch_commit")
+
+    cat2 = AcidCatalog(spark, root)
+    br2 = CatalogBranch(cat2, "wap")
+    assert br2.head() == h0 and br2.snapshot() == pins0
+    assert cat2.latest_entry() == main0      # main never involved
+    # durable-but-unpinned table version exists
+    assert cat2.table("q").latest_version() > pins0["q"]
+    # retry lands and max-merge exposes the crashed commit atomically
+    br2.commit_multi({"q": ("append", _df(spark, [(501, 0)],
+                                          "file_id long, status int"))})
+    ids = {r.file_id for r in br2.read("q").collect()}
+    assert {500, 501} <= ids
+
+
+def test_crash_before_wap_publish_keeps_readers_on_old_pointer(
+        spark, tmp_path):
+    """SIGKILL inside publish after the audit but before the main CAS:
+    readers keep the old entry; a re-publish is idempotent and lands
+    the same pins."""
+    root = tmp_path / "c"
+    cat = _seed(spark, root)
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    main0, census0 = cat.latest_entry(), _census(cat.read("q"))
+
+    _run_crash("before_wap_publish", root, "publish")
+
+    cat2 = AcidCatalog(spark, root)
+    assert cat2.latest_entry() == main0
+    assert _census(cat2.read("q")) == census0
+    cat2.publish("wap")
+    assert (1, 1) in _census(cat2.read("q"))
