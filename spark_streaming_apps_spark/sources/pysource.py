@@ -422,12 +422,20 @@ class AcidStreamWriter(DataSourceStreamWriter):
             staged_parts.extend(ps)
         try:
             from ..acid import latest_committed_version
-            for _ in range(20):
+            from ..storage import crash_point
+            for attempt in range(20):
                 v = latest_committed_version(manifests)
                 m = json.loads((manifests / f"v{v}.json").read_text())
                 txns = m.get("txns") or {}
                 if batchId <= txns.get(self.app_id, -1):
                     return                    # replayed batch: fenced
+                if attempt:
+                    # kill window INSIDE the CAS retry loop: a writer
+                    # that lost a race, re-read the winner's parent,
+                    # and dies before its own create_exclusive — the
+                    # winner's commit must stand untouched and the
+                    # crashed batch must stay unfenced (redeliverable)
+                    crash_point("sink_retry_after_parent_reread")
                 table_cols = [f["name"] for f in m["schema"]["fields"]]
                 if table_cols != [n for n, _ in self.pa_fields]:
                     raise RuntimeError(

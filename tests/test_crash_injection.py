@@ -292,3 +292,108 @@ def test_sink_writer_crash(spark, tmp_path, store, point, lands):
     assert (500, "retry") in {(r.k, r.s)
                               for r in AcidTable(spark, root)
                               .read().collect()}
+
+
+RETRY_SINK_WRITER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CRASH_POINT"] = "sink_retry_after_parent_reread"
+import pyarrow as pa
+from spark_streaming_apps_spark.storage import FaultyFileStore, set_store
+from spark_streaming_apps_spark.sources.pysource import AcidStreamWriter
+
+APP = "crash-sink"
+
+class RacingStore(FaultyFileStore):
+    '''FaultyFileStore (lost-response/etag semantics + injected 503s
+    intact) whose FIRST manifest create_exclusive is won by a
+    synthetic competitor: a row-neutral carry-only manifest derived
+    from the loser's own attempt (our staged adds and txn fence
+    stripped), written under the contended name. The sink must then
+    re-enter its CAS loop — where the planted kill point fires.'''
+    def __init__(self):
+        super().__init__(fail_every=5)
+        self.raced = False
+    def create_exclusive(self, path, data):
+        p = str(path)
+        if not self.raced and "manifests" in p and "/v" in p \
+                and p.endswith(".json"):
+            self.raced = True
+            comp = json.loads(data)
+            comp["op"] = "competitor_noop"
+            comp["txns"] = {{k: v for k, v in
+                             (comp.get("txns") or {{}}).items()
+                             if k != APP}}
+            comp.pop("txn", None)
+            comp.pop("changes", None)
+            if "files" in comp:
+                comp["files"] = [f for f in comp["files"]
+                                 if not f["path"].startswith(
+                                     comp["data"])]
+            else:
+                comp["files_add"] = []
+                comp["files_remove"] = []
+            assert super().create_exclusive(path, json.dumps(comp))
+            return False                     # the loser's view
+        return super().create_exclusive(path, data)
+
+set_store(RacingStore())
+w = AcidStreamWriter({root!r}, [("k", pa.int64()), ("s", pa.string())],
+                     APP)
+msg = w.write(iter([(100 + j, f"new{{j}}") for j in range(5)]))
+w.commit([msg], 0)
+print("COMMIT-COMPLETED", flush=True)
+"""
+
+
+def test_sink_crash_inside_cas_retry_loop(spark, tmp_path):
+    """Round-13 point: SIGKILL INSIDE the sink's CAS retry loop —
+    after losing a manifest race (FaultyFileStore lost-response mode:
+    the competitor's PUT stands, ours resolved as a loss), re-reading
+    the winner's parent, and dying before our own create_exclusive.
+    The winner's commit must be the table's head, the crashed batch
+    stays unfenced, vacuum sweeps the loser's staging, and a retried
+    sink delivers the batch exactly once on top."""
+    root = tmp_path / "t"
+    t = AcidTable.create(
+        spark, root,
+        spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                              "k long, s string"))
+    v0 = t.latest_version()
+    rows0 = {(r.k, r.s) for r in t.read().collect()}
+
+    script = RETRY_SINK_WRITER.format(repo=REPO, root=str(root))
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert "COMMIT-COMPLETED" not in proc.stdout
+
+    t2 = AcidTable(spark, root)
+    # the competitor's carry-only commit IS the head; no batch rows
+    assert t2.latest_version() == v0 + 1
+    assert t2._manifest(v0 + 1)["op"] == "competitor_noop"
+    assert {(r.k, r.s) for r in t2.read().collect()} == rows0
+    # the crashed batch never fenced
+    assert "crash-sink" not in (t2._manifest(v0 + 1).get("txns") or {})
+
+    # loser staging is crash garbage: vacuum past the grace sweeps it
+    t2.vacuum(keep_last=2, orphan_grace_s=0.0)
+    orphans = _data_listing(root) - _referenced(root)
+    assert not orphans, orphans
+
+    # redelivery lands exactly once
+    import pyarrow as pa
+    from spark_streaming_apps_spark.sources.pysource import \
+        AcidStreamWriter
+    w = AcidStreamWriter(str(root), [("k", pa.int64()),
+                                     ("s", pa.string())], "crash-sink")
+    msg = w.write(iter([(100 + j, f"new{j}") for j in range(5)]))
+    w.commit([msg], 0)
+    got = {(r.k, r.s) for r in AcidTable(spark, root).read().collect()}
+    assert got == rows0 | {(100 + j, f"new{j}") for j in range(5)}
+    # a REPLAY of the same batch is fenced to a no-op
+    w2 = AcidStreamWriter(str(root), [("k", pa.int64()),
+                                      ("s", pa.string())], "crash-sink")
+    msg2 = w2.write(iter([(100 + j, f"new{j}") for j in range(5)]))
+    w2.commit([msg2], 0)
+    assert AcidTable(spark, root).latest_version() == v0 + 2
