@@ -623,18 +623,62 @@ def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
     blocking (never all-pairs); only bucket-collision pairs pay the
     O(len²) DP, and both engines run the same classic Levenshtein, so
     the pair decisions are value-hash-checkable. Keep pairs with
-    relative distance ≤ {LEV_REL_MAX} of the longer text."""
-    cand = _minhash_band_candidates(documents)
+    relative distance ≤ {LEV_REL_MAX} of the longer text.
+
+    Composition (round 13 — the collapse-first lesson from
+    dedup_collapse_lsh, found by the sf1 all-duplicate rung: raw
+    band-collision pairs grow with the SQUARE of the copy factor and
+    every one paid a DP — 306 s at sf1 vs 1.4 s at sf0.1):
+    exact-collapse identical payloads to one representative, band +
+    DP over DISTINCT texts only, then expand pairs back across the
+    copy groups (copies share their representative's signature, so
+    expansion reproduces exactly the band-collision pair set —
+    intra-group pairs are distance 0 by definition). DP cost now
+    tracks distinct payloads; the expansion is the OUTPUT itself."""
     corpus = planted_corpus(documents)
-    t1 = corpus.select(F.col("doc_id").alias("doc1"), F.col("text").alias("text1"))
-    t2 = corpus.select(F.col("doc_id").alias("doc2"), F.col("text").alias("text2"))
+    keyed = _memo(corpus, "lev_keyed", lambda: _materialize(
+        corpus.withColumn("tkey", F.md5("text"))))
+    groups = (keyed.groupBy("tkey")
+              .agg(F.min("doc_id").alias("doc_id"),
+                   F.any_value("text").alias("text")))
+    sig = _sig_of(groups.select("doc_id", "text"))
+    bands = _bands_of(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("r1"),
+                    F.col("b.doc_id").alias("r2"))
+            .distinct())
+    t1 = groups.select(F.col("doc_id").alias("r1"),
+                       F.col("tkey").alias("k1"),
+                       F.col("text").alias("text1"))
+    t2 = groups.select(F.col("doc_id").alias("r2"),
+                       F.col("tkey").alias("k2"),
+                       F.col("text").alias("text2"))
     rel = (F.col("lev").cast("double")
            / F.greatest(F.length("text1"), F.length("text2")))
-    return (cand.join(t1, "doc1").join(t2, "doc2")
-            .withColumn("lev", F.levenshtein("text1", "text2"))
-            .select("doc1", "doc2", "lev",
-                    F.round(rel, 6).alias("rel_dist"))
-            .filter(F.col("rel_dist") <= LEV_REL_MAX))
+    rep_pairs = (cand.join(t1, "r1").join(t2, "r2")
+                 .withColumn("lev", F.levenshtein("text1", "text2"))
+                 .select("k1", "k2", "lev",
+                         F.round(rel, 6).alias("rel_dist"))
+                 .filter(F.col("rel_dist") <= LEV_REL_MAX))
+    m1 = keyed.select(F.col("tkey").alias("k1"),
+                      F.col("doc_id").alias("m1"))
+    m2 = keyed.select(F.col("tkey").alias("k2"),
+                      F.col("doc_id").alias("m2"))
+    cross = (rep_pairs.join(m1, "k1").join(m2, "k2")
+             .select(F.least("m1", "m2").alias("doc1"),
+                     F.greatest("m1", "m2").alias("doc2"),
+                     "lev", "rel_dist"))
+    ia, ib = keyed.alias("ia"), keyed.alias("ib")
+    intra = (ia.join(ib, (F.col("ia.tkey") == F.col("ib.tkey"))
+                     & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+             .select(F.col("ia.doc_id").alias("doc1"),
+                     F.col("ib.doc_id").alias("doc2"),
+                     F.lit(0).alias("lev"),
+                     F.lit(0.0).alias("rel_dist")))
+    return cross.unionByName(intra)
 
 
 def levenshtein_oracle_sql() -> str:

@@ -63,6 +63,9 @@ KEYS = {
     "acid_cdf_recorded": "recorded change files: plain parquet scan, zero diff shuffles",
     "acid_pruned_dml": "COW DML: column-pruned find pass, rewrites only touched files",
     "acid_deletion_vectors": "MOR delete: pushed-band find pass; reads broadcast-anti-join the vector",
+    "dedup_incremental": "batch signed alone; broadcast band probe vs 3-col index scan, corpus never shuffled",
+    "ivf_incremental_index": "CDF-fed index appends; probe reads only probe-cell partition files",
+    "acid_wap_publish": "branch writes + one pointer CAS; census aggregates only",
 }
 
 
