@@ -161,6 +161,7 @@ def clear_sketch_cache() -> None:
     one-time build cost exactly once, with no stale blocks accumulating."""
     while _SKETCH_CACHE:
         _release(_SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE))))
+    _DUP_GATE_CACHE.clear()
 
 
 def _memo(corpus: DataFrame, tag: str, build) -> DataFrame:
@@ -561,6 +562,61 @@ FROM canon GROUP BY canonical_url
 CONTAINMENT_MIN = 0.8
 
 
+def _exact_collapsed(documents: DataFrame) -> DataFrame:
+    """The planted corpus with an exact-payload key (tkey = md5(text))
+    — the shared collapse-first layer: pairwise verifiers (containment,
+    levenshtein) run over one representative per distinct payload and
+    expand results back across copy groups, so their compute tracks
+    DISTINCT payloads while raw band collisions grow with the square
+    of the copy factor (measured: levenshtein 306 s -> 2.3 s at the
+    sf1 all-duplicate rung). Materialized + memoized once per corpus
+    per session."""
+    corpus = planted_corpus(documents)
+    return _memo(corpus, "exact_collapsed", lambda: _materialize(
+        corpus.withColumn("tkey", F.md5("text"))))
+
+
+#: duplicate-ratio gate cache: (appId, corpus plan hash) -> bool
+_DUP_GATE_CACHE: dict = {}
+DUP_GATE_RATIO = 0.9
+
+
+def _dup_light(documents: DataFrame) -> bool:
+    """True when the corpus is exact-duplicate-LIGHT (distinct/total >=
+    {DUP_GATE_RATIO}) — the adaptive switch for the pairwise verifiers:
+    a clean corpus skips the collapse/expansion machinery entirely (the
+    raw band path is cheaper when the rep set IS the corpus), a
+    duplicate-heavy one takes the collapse-first path that stays flat
+    in the copy factor. One map-side approx-distinct pass (no shuffle
+    of text, sketch merge only), memoized per corpus — the AQE spirit:
+    a runtime statistic picks the physical strategy, the RESULT is
+    path-independent (both paths are value-hash-equal; the expansion
+    proof is in the collapse docstrings)."""
+    corpus = planted_corpus(documents)
+    try:
+        key = (corpus.sparkSession.sparkContext.applicationId,
+               corpus._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:                                # noqa: BLE001
+        key = None
+    if key is not None and key in _DUP_GATE_CACHE:
+        return _DUP_GATE_CACHE[key]
+    # measure over the MEMOIZED signature layer (16 ints/doc, already
+    # materialized by any family detector in the pass — the gate agg
+    # is a cached narrow scan, not a fresh text scan). Signature
+    # identity is a faithful exact-dup proxy: identical text ->
+    # identical signature; a collision-induced false dup-heavy trigger
+    # only changes the physical path, never the result.
+    sig = _minhash_sig(documents)
+    fp = F.xxhash64(*[F.col(f"mh{i}") for i in range(N_HASHES)])
+    r = sig.agg(F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(fp, 0.01).alias("nd")
+                ).collect()[0]
+    light = r.nd >= DUP_GATE_RATIO * r.n
+    if key is not None:
+        _DUP_GATE_CACHE[key] = light
+    return light
+
+
 def minhash_containment(documents: DataFrame) -> DataFrame:
     """ASYMMETRIC containment C(A→B) = |A∩B| / |A| over distinct shingle
     sets for band-candidate pairs — the doc-in-doc signal symmetric
@@ -569,9 +625,62 @@ def minhash_containment(documents: DataFrame) -> DataFrame:
     templates inside completions). Same blocking as minhash/levenshtein
     (shared band candidates), exact intersection counts over the shared
     shingle-hash layer; keeps pairs where either direction reaches
-    {CONTAINMENT_MIN}."""
-    cand = _minhash_band_candidates(documents)
+    {CONTAINMENT_MIN}.
+
+    Collapse-first (round 13, same lesson as levenshtein_near_dup's
+    sf1 rung: band-collision pairs grow with the SQUARE of the copy
+    factor): containment is a pure function of the two TEXTS, so the
+    intersection counting runs over distinct-payload representatives
+    only and the pair set expands back across copy groups (identical
+    texts share their representative's signature, so expansion
+    reproduces exactly the band-collision pair set; intra-group pairs
+    have containment 1.0/1.0 by definition — included only when the
+    payload has >= 1 shingle, matching the raw path, where
+    shingle-less docs never reach the intersection join)."""
+    if _dup_light(documents):
+        # duplicate-light corpus: the rep set IS the corpus — skip the
+        # collapse/expansion machinery (raw band path, family layers
+        # shared as always); result is path-independent
+        cand = _minhash_band_candidates(documents)
+        sh = (_with_shingle_hashes(planted_corpus(documents))
+              .select("doc_id", F.explode("hs").alias("sh_h")))
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh"))
+        sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
+        sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
+        inter = (sh1.join(cand, "doc1").join(sh2, ["doc2", "sh_h"])
+                 .groupBy("doc1", "doc2")
+                 .agg(F.count(F.lit(1)).alias("n_inter")))
+        s1 = (sizes.withColumnRenamed("doc_id", "doc1")
+              .withColumnRenamed("n_sh", "n1"))
+        s2 = (sizes.withColumnRenamed("doc_id", "doc2")
+              .withColumnRenamed("n_sh", "n2"))
+        c1 = F.round(F.col("n_inter") / F.col("n1").cast("double"), 6)
+        c2 = F.round(F.col("n_inter") / F.col("n2").cast("double"), 6)
+        return (inter.join(s1, "doc1").join(s2, "doc2")
+                .select("doc1", "doc2", c1.alias("containment1"),
+                        c2.alias("containment2"))
+                .filter((F.col("containment1") >= CONTAINMENT_MIN)
+                        | (F.col("containment2") >= CONTAINMENT_MIN)))
+    keyed = _exact_collapsed(documents)
+    groups = keyed.groupBy("tkey").agg(F.min("doc_id").alias("doc_id"))
+    rep_ids = groups.select("doc_id")
+    # REUSE the family-shared full-corpus layers (one signature and
+    # one shingle pass per session for minhash/containment/levenshtein
+    # together), filtered to representatives — a doc's signature is a
+    # function of its text, so the rep's rows ARE the group's
+    sig = (_minhash_sig(documents)
+           .join(rep_ids, "doc_id", "left_semi"))
+    bands = _bands_of(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"))
+            .distinct())
     sh = (_with_shingle_hashes(planted_corpus(documents))
+          .join(rep_ids, "doc_id", "left_semi")
           .select("doc_id", F.explode("hs").alias("sh_h")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
@@ -584,11 +693,41 @@ def minhash_containment(documents: DataFrame) -> DataFrame:
     s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
     c1 = F.round(F.col("n_inter") / F.col("n1").cast("double"), 6)
     c2 = F.round(F.col("n_inter") / F.col("n2").cast("double"), 6)
-    return (inter.join(s1, "doc1").join(s2, "doc2")
-            .select("doc1", "doc2", c1.alias("containment1"),
-                    c2.alias("containment2"))
-            .filter((F.col("containment1") >= CONTAINMENT_MIN)
-                    | (F.col("containment2") >= CONTAINMENT_MIN)))
+    rep_keys = groups.select("doc_id", "tkey")
+    rep_pairs = (inter.join(s1, "doc1").join(s2, "doc2")
+                 .select("doc1", "doc2", c1.alias("c1"), c2.alias("c2"))
+                 .filter((F.col("c1") >= CONTAINMENT_MIN)
+                         | (F.col("c2") >= CONTAINMENT_MIN))
+                 .join(rep_keys.select(F.col("doc_id").alias("doc1"),
+                                       F.col("tkey").alias("k1")), "doc1")
+                 .join(rep_keys.select(F.col("doc_id").alias("doc2"),
+                                       F.col("tkey").alias("k2")), "doc2"))
+    m1 = keyed.select(F.col("tkey").alias("k1"),
+                      F.col("doc_id").alias("m1"))
+    m2 = keyed.select(F.col("tkey").alias("k2"),
+                      F.col("doc_id").alias("m2"))
+    # containment is DIRECTIONAL: when the expanded pair flips order,
+    # the two values swap sides with it
+    flip = F.col("m1") > F.col("m2")
+    cross = (rep_pairs.join(m1, "k1").join(m2, "k2")
+             .select(F.least("m1", "m2").alias("doc1"),
+                     F.greatest("m1", "m2").alias("doc2"),
+                     F.when(flip, F.col("c2")).otherwise(F.col("c1"))
+                      .alias("containment1"),
+                     F.when(flip, F.col("c1")).otherwise(F.col("c2"))
+                      .alias("containment2")))
+    # intra-group: identical payloads, containment 1.0 both ways —
+    # only for groups whose payload has >= 1 shingle (size join)
+    sized = keyed.join(sizes.join(rep_keys, "doc_id")
+                       .select("tkey"), "tkey")
+    ia, ib = sized.alias("ia"), sized.alias("ib")
+    intra = (ia.join(ib, (F.col("ia.tkey") == F.col("ib.tkey"))
+                     & (F.col("ia.doc_id") < F.col("ib.doc_id")))
+             .select(F.col("ia.doc_id").alias("doc1"),
+                     F.col("ib.doc_id").alias("doc2"),
+                     F.lit(1.0).alias("containment1"),
+                     F.lit(1.0).alias("containment2")))
+    return cross.unionByName(intra)
 
 
 def minhash_containment_oracle_sql() -> str:
@@ -635,13 +774,30 @@ def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
     expansion reproduces exactly the band-collision pair set —
     intra-group pairs are distance 0 by definition). DP cost now
     tracks distinct payloads; the expansion is the OUTPUT itself."""
-    corpus = planted_corpus(documents)
-    keyed = _memo(corpus, "lev_keyed", lambda: _materialize(
-        corpus.withColumn("tkey", F.md5("text"))))
+    if _dup_light(documents):
+        # duplicate-light corpus: skip the collapse machinery (the rep
+        # set IS the corpus); same adaptive gate as containment
+        cand = _minhash_band_candidates(documents)
+        corpus = planted_corpus(documents)
+        t1r = corpus.select(F.col("doc_id").alias("doc1"),
+                            F.col("text").alias("text1"))
+        t2r = corpus.select(F.col("doc_id").alias("doc2"),
+                            F.col("text").alias("text2"))
+        rel_r = (F.col("lev").cast("double")
+                 / F.greatest(F.length("text1"), F.length("text2")))
+        return (cand.join(t1r, "doc1").join(t2r, "doc2")
+                .withColumn("lev", F.levenshtein("text1", "text2"))
+                .select("doc1", "doc2", "lev",
+                        F.round(rel_r, 6).alias("rel_dist"))
+                .filter(F.col("rel_dist") <= LEV_REL_MAX))
+    keyed = _exact_collapsed(documents)
     groups = (keyed.groupBy("tkey")
               .agg(F.min("doc_id").alias("doc_id"),
                    F.any_value("text").alias("text")))
-    sig = _sig_of(groups.select("doc_id", "text"))
+    # REUSE the family-shared full-corpus signature layer, filtered to
+    # representatives (a doc's signature is a function of its text)
+    sig = (_minhash_sig(documents)
+           .join(groups.select("doc_id"), "doc_id", "left_semi"))
     bands = _bands_of(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))

@@ -126,3 +126,45 @@ def test_dedup_incremental_maintains_index(spark, tmp_path):
     # catalog readers see both appends or neither (one entry pins both)
     snap = cat.snapshot()
     assert snap == {"sigs": 1, "bands": 1}
+
+
+def test_pairwise_verifiers_collapse_path_equals_raw(spark, tables):
+    """The adaptive duplicate gate: a dup-heavy corpus takes the
+    collapse-first path; its result must be ROW-IDENTICAL to the raw
+    band path (the expansion proof, executed). Built from sf0.001 docs
+    replicated 3x by id offset — every payload has 3 exact copies."""
+    import pyspark.sql.functions as F
+
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    docs = base
+    for i in (1, 2):
+        docs = docs.unionByName(base.select(
+            (F.col("doc_id") + 100_000 * i).alias("doc_id"), "text"))
+
+    dedup.clear_sketch_cache()
+    assert not dedup._dup_light(docs)          # gate: dup-heavy
+    assert dedup._dup_light(base)              # gate: clean corpus
+
+    collapse = {tuple(r) for r in
+                dedup.minhash_containment(docs).collect()}
+    lev_collapse = {tuple(r) for r in
+                    dedup.levenshtein_near_dup(docs).collect()}
+    # force the raw path over the same corpus
+    try:
+        key = (docs.sparkSession.sparkContext.applicationId,
+               dedup.planted_corpus(docs)._jdf.queryExecution()
+               .analyzed().semanticHash())
+        dedup._DUP_GATE_CACHE[key] = True
+        raw = {tuple(r) for r in
+               dedup.minhash_containment(docs).collect()}
+        lev_raw = {tuple(r) for r in
+                   dedup.levenshtein_near_dup(docs).collect()}
+    finally:
+        dedup.clear_sketch_cache()
+    assert collapse == raw
+    assert lev_collapse == lev_raw
+    # the copies actually produced intra-group pairs (the expansion
+    # did real work, this wasn't a trivially-empty comparison)
+    assert any(r[2] == 0 for r in lev_collapse)          # lev == 0
+    assert any(r[2] == 1.0 and r[3] == 1.0 for r in collapse)
