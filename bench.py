@@ -157,6 +157,7 @@ BENCH_KEYS = [
     "dedup_incremental",
     "ivf_incremental_index",
     "acid_wap_publish",
+    "dedup_incremental_stream",
 ]
 
 

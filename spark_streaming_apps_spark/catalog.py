@@ -637,6 +637,10 @@ register("dedup_minhash_lsh", oracle=dedup.minhash_oracle_sql()
 register("dedup_incremental", oracle=dedup.dedup_incremental_oracle_sql()
          )(lambda s, d: dedup.dedup_incremental(s, d, SCRATCH))
 
+register("dedup_incremental_stream",
+         oracle=dedup.dedup_incremental_stream_oracle_sql()
+         )(lambda s, d: dedup.dedup_incremental_stream(s, d, SCRATCH))
+
 register("dedup_simhash", oracle=dedup.simhash_oracle_sql()
          )(lambda s, d: dedup.simhash_pairs(_t(s, d, "documents")))
 

@@ -1458,3 +1458,100 @@ FROM cand JOIN sig s1 ON cand.doc1 = s1.doc_id JOIN sig s2 ON cand.doc2 = s2.doc
 WHERE ({agree}) / {float(N_HASHES)} >= 0.5
   AND (doc1 % {BATCH_MOD} = {BATCH_REM} OR doc2 % {BATCH_MOD} = {BATCH_REM})
 """
+
+
+def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
+    """The incremental-dedup index as a STREAMING consumer — the full
+    self-maintenance loop: a `documents` AcidTable (CDF-enabled) takes
+    arrival batches; an `acidtable-cdf-parallel` maintenance stream
+    signs each micro-batch, detects its near-dups against the
+    persisted index (`dedup_batch`), appends the batch's band+sig rows
+    in the same per-batch turn (one linked catalog transaction), and
+    MERGEs the detected pairs into a `pairs` results AcidTable — so
+    both the index and the findings follow the data with no rebuild.
+    (Reference analog: the per-micro-batch hash verify + Solr index
+    maintenance, StreamingApp.scala:377-380 / FileWorkerApp.scala:
+    129-141.)
+
+    Pins: the arrivals land as exactly 2 read-limited micro-batches;
+    the accumulated pair table hash-equals the full recompute over
+    corpus+arrivals restricted to arrival-touching pairs; the
+    maintained index equals a from-scratch signature build."""
+    import shutil
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    from ..acid import AcidTable
+    from ..acid_catalog import AcidCatalog
+    from ..sources.pysource import (AcidCdfParallelStreamDataSource,
+                                    _drain_incremental)
+    from ..sources.tables import load_table
+
+    docs = planted_corpus(load_table(spark, sf_dir, "documents"))
+    in_b1 = F.col("doc_id") % BATCH_MOD == BATCH_REM
+    in_b2 = F.col("doc_id") % BATCH_MOD == (BATCH_REM + 1) % BATCH_MOD
+    corpus = docs.filter(~in_b1 & ~in_b2)
+
+    root = _P(scratch) / f"dedup_stream_{_P(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = AcidTable.create(spark, root / "documents", corpus,
+                           enable_cdf=True)
+    cat = build_dedup_index(spark, root / "index", corpus)
+    pairs_t = AcidTable.create(
+        spark, root / "pairs",
+        spark.createDataFrame(
+            [], "doc1 long, doc2 long, est_jaccard double"))
+
+    def maintain(batch: DataFrame, batch_id: int) -> None:
+        ins = (batch.filter(F.col("_change_type") == "insert")
+               .select("doc_id", "text"))
+        if ins.isEmpty():
+            return
+        found = dedup_batch(spark, cat, ins)   # probes + ONE linked
+        pairs_t.merge(found, key=["doc1", "doc2"])  # index append
+
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    stream = (spark.readStream.format("acidtable-cdf-parallel")
+              .option("path", str(root / "documents"))
+              .option("startingVersion", "0")     # exclusive: v1+
+              .option("maxVersionsPerTrigger", "1").load()
+              .writeStream.outputMode("append").foreachBatch(maintain))
+    src.append(docs.filter(in_b1))                           # v1
+    src.append(docs.filter(in_b2))                           # v2
+    n_batches, _ = _drain_incremental(stream)
+
+    # pins ------------------------------------------------------------
+    touches = (F.col("doc1") % BATCH_MOD).isin(
+        BATCH_REM, (BATCH_REM + 1) % BATCH_MOD) | \
+        (F.col("doc2") % BATCH_MOD).isin(
+            BATCH_REM, (BATCH_REM + 1) % BATCH_MOD)
+    full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
+            .filter(touches))
+    got = pairs_t.read()
+    matches_full = (got.exceptAll(full).count() == 0
+                    and full.exceptAll(got).count() == 0)
+    fresh = _sig_of(docs)
+    idx_now = cat.read("sigs")
+    index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
+                         and fresh.exceptAll(idx_now).count() == 0)
+    return (got
+            .withColumn("matches_full", F.lit(bool(matches_full)))
+            .withColumn("index_fresh_equal",
+                        F.lit(bool(index_fresh_equal)))
+            .withColumn("n_batches", F.lit(int(n_batches))))
+
+
+def dedup_incremental_stream_oracle_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES))
+    b1, b2 = BATCH_REM, (BATCH_REM + 1) % BATCH_MOD
+    return f"""
+WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},{_minhash_cand_ctes()}
+SELECT doc1, doc2, ({agree}) / {float(N_HASHES)} AS est_jaccard,
+       TRUE AS matches_full, TRUE AS index_fresh_equal, 2 AS n_batches
+FROM cand JOIN sig s1 ON cand.doc1 = s1.doc_id JOIN sig s2 ON cand.doc2 = s2.doc_id
+WHERE ({agree}) / {float(N_HASHES)} >= 0.5
+  AND (doc1 % {BATCH_MOD} IN ({b1}, {b2})
+       OR doc2 % {BATCH_MOD} IN ({b1}, {b2}))
+"""

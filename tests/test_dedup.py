@@ -168,3 +168,29 @@ def test_pairwise_verifiers_collapse_path_equals_raw(spark, tables):
     # did real work, this wasn't a trivially-empty comparison)
     assert any(r[2] == 0 for r in lev_collapse)          # lev == 0
     assert any(r[2] == 1.0 and r[3] == 1.0 for r in collapse)
+
+
+def test_dedup_incremental_stream_maintains_both_tables(spark, tmp_path):
+    """Streaming self-maintenance: 2 CDF micro-batches each sign their
+    batch, append band+sig rows (one linked catalog commit per batch),
+    and MERGE found pairs into the results table — pins ride the
+    result; the index version count proves per-batch maintenance."""
+    from pathlib import Path
+
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+
+    out = dedup.dedup_incremental_stream(spark, "/root/testdata/sf0.001",
+                                         tmp_path)
+    rows = out.collect()
+    assert rows, "expected arrival-touching near-dup pairs"
+    assert all(r.matches_full for r in rows)
+    assert all(r.index_fresh_equal for r in rows)
+    assert rows[0].n_batches == 2
+    root = Path(tmp_path) / "dedup_stream_sf0.001"
+    cat = AcidCatalog(spark, root / "index")
+    # one linked append per arrival batch on BOTH index tables
+    assert cat.table("sigs").latest_version() == 2
+    assert cat.table("bands").latest_version() == 2
+    # one pairs MERGE per batch that found pairs (<= 2, >= 1)
+    assert 1 <= AcidTable(spark, root / "pairs").latest_version() <= 2
