@@ -609,7 +609,7 @@ def _dup_light(documents: DataFrame) -> bool:
     sig = _minhash_sig(documents)
     fp = F.xxhash64(*[F.col(f"mh{i}") for i in range(N_HASHES)])
     r = sig.agg(F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct(fp, 0.01).alias("nd")
+                F.approx_count_distinct(fp, 0.02).alias("nd")
                 ).collect()[0]
     light = r.nd >= DUP_GATE_RATIO * r.n
     if key is not None:
