@@ -112,14 +112,29 @@ class AcidCatalog:
     # ----------------------------------------------------------- commits
 
     def _publish(self, new_pins: dict[str, int],
-                 max_retries: int = 50) -> int:
+                 max_retries: int = 50,
+                 expect: dict[str, int] | None = None) -> int:
         """One atomic pointer swap: next entry = latest pins merged with
         ``new_pins`` (per-table ``max``, so a concurrent publisher can
-        never move a pin backwards). Returns the entry number."""
+        never move a pin backwards). ``expect`` ({table: pin}) makes
+        the swap CONDITIONAL: each attempt re-validates that the live
+        entry still pins those exact versions, raising CommitConflict
+        otherwise — the WAP publish's fast-forward guard evaluated
+        INSIDE the CAS loop, so a concurrent main write landing between
+        the caller's check and the swap can never be silently
+        max-merged away. Returns the entry number."""
         self._commits.mkdir(parents=True, exist_ok=True)
         for _ in range(max_retries):
             e = self.latest_entry()
             pins = self.snapshot(e) if e is not None else {}
+            if expect is not None:
+                stale = {t for t, v in expect.items()
+                         if pins.get(t) != v}
+                if stale:
+                    raise CommitConflict(
+                        f"conditional publish refused: table(s) "
+                        f"{sorted(stale)} moved past the expected "
+                        f"pins at {self.root}; rebase and retry")
             merged = dict(pins)
             for name, v in new_pins.items():
                 merged[name] = max(v, merged.get(name, -1))
@@ -247,7 +262,18 @@ class AcidCatalog:
           write. Main-side writes to OTHER tables merge fine (the
           pointer merge is per-table).
         * The swap itself is the same one-entry CAS as every
-          ``commit_multi`` — atomic, all-or-nothing."""
+          ``commit_multi`` — atomic, all-or-nothing — and CONDITIONAL:
+          the expected base pins are re-validated inside the CAS loop,
+          so a main write landing between this method's check and the
+          swap raises instead of being silently max-merged away.
+
+        Carve-out (linear table histories): a main writer that writes
+        a branch-DIRTY table builds on the branch's committed-but-
+        unpinned table version (read-committed per table, as
+        documented on commit_multi) — the guarantee here is
+        POINTER-level: branch work is never published without passing
+        this gate, and main readers resolving through the catalog only
+        ever see pinned versions."""
         b = CatalogBranch(self, branch_name)
         h = b.head()
         if h is None:
@@ -270,7 +296,12 @@ class AcidCatalog:
                 f"main moved on table(s) {sorted(stale)} since the "
                 f"fork (base entry {base}); rebase the branch")
         crash_point("before_wap_publish")
-        return self._publish(changed)
+        # conditional swap: the fast-forward guard above re-validates
+        # INSIDE the CAS loop (expect=), so a main write landing in
+        # this window raises instead of being silently max-merged away
+        return self._publish(changed,
+                             expect={t: base_pins.get(t)
+                                     for t in changed})
 
 
 class AuditFailed(Exception):

@@ -207,3 +207,39 @@ def test_crash_before_wap_publish_keeps_readers_on_old_pointer(
     assert _census(cat2.read("q")) == census0
     cat2.publish("wap")
     assert (1, 1) in _census(cat2.read("q"))
+
+
+def test_publish_toctou_window_is_conditional(spark, tmp_path,
+                                              monkeypatch):
+    """A main write landing BETWEEN publish's fast-forward check and
+    the pointer CAS (injected at the before_wap_publish point — the
+    exact window) must raise, never be silently max-merged away: the
+    swap re-validates the expected pins INSIDE the CAS loop."""
+    from spark_streaming_apps_spark import acid_catalog as ac
+
+    cat = _seed(spark, tmp_path / "c")
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "2"}, "file_id = 1")})
+
+    real_cp = ac.crash_point
+
+    def racing_cp(name):
+        if name == "before_wap_publish":
+            # the concurrent main writer wins the window
+            cat.commit_multi({"q": ("append", _df(
+                spark, [(77, 0)], "file_id long, status int"))})
+        return real_cp(name)
+
+    monkeypatch.setattr(ac, "crash_point", racing_cp)
+    with pytest.raises(CommitConflict, match="conditional publish"):
+        cat.publish("wap")
+    # main kept ITS write and its OWN pointer advance — the publish
+    # never max-merged the branch pin in. (The racing main writer's
+    # append built on the branch's committed-but-unpinned table
+    # version — the documented read-committed/single-table carve-out
+    # of linear table histories; the POINTER-level guarantee is what
+    # the conditional swap protects: no silent branch publish.)
+    ids = {r.file_id for r in cat.read("q").collect()}
+    assert 77 in ids
+    b_pin = CatalogBranch(cat, "wap").snapshot()["q"]
+    assert cat.snapshot()["q"] > b_pin  # main's append, not a publish
