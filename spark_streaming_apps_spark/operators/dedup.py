@@ -1328,8 +1328,13 @@ def build_dedup_index(spark, root, corpus: DataFrame):
     shutil.rmtree(root, ignore_errors=True)
     cat = AcidCatalog(spark, root)
     cat.create_table("sigs", _sig_of(corpus))
+    # bloom sidecars on band_hash make SMALL-batch probes point
+    # lookups (read_eq_any) instead of index scans — every commit
+    # (including the per-batch appends) indexes its new files in one
+    # distributed pass
     cat.create_table("bands", _bands_of(cat.read("sigs"))
-                     .select("band_id", "band_hash", "doc_id"))
+                     .select("band_id", "band_hash", "doc_id"),
+                     bloom_by=["band_hash"])
     return cat
 
 
@@ -1350,7 +1355,19 @@ def dedup_batch(spark, cat, batch: DataFrame,
     near-dup pairs, materialized."""
     sig_b = _materialize(_sig_of(batch))
     bands_b = _bands_of(sig_b)
-    bands_idx = cat.read("bands")
+    # probe-path choice by batch size: a SMALL batch's distinct band
+    # hashes (<= {N_BANDS}/doc) fit a bounded driver list, so the
+    # candidate retrieval becomes a bloom-pruned point lookup
+    # (read_eq_any: one manifest resolution + one sidecar read per
+    # candidate file for ALL needles — O(probes), not O(index scan));
+    # big batches keep the broadcast-band-vs-index-scan shape
+    n_batch = sig_b.count()
+    if N_BANDS * n_batch <= 2048:
+        hashes = [r.band_hash for r in
+                  bands_b.select("band_hash").distinct().collect()]
+        bands_idx = cat.table("bands").read_eq_any("band_hash", hashes)
+    else:
+        bands_idx = cat.read("bands")
     probe = F.broadcast(bands_b.select(
         F.col("band_id").alias("p_band_id"),
         F.col("band_hash").alias("p_band_hash"),

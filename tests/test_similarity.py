@@ -396,3 +396,32 @@ def test_ivf_incremental_index_maintains_and_prunes(spark, tmp_path):
     now = idx.read().select("vec_id", "label", "e", "cell")
     assert now.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(now).count() == 0
+
+
+def test_ivf_incremental_index_compacts_under_maintenance(spark,
+                                                          tmp_path):
+    """Per-batch appends leave small files per cell partition; the
+    liquid-maintenance composition (compact_small) merges them without
+    breaking partition pruning or the fresh-equality contract."""
+    from pathlib import Path
+
+    from spark_streaming_apps_spark.acid import AcidTable
+    from spark_streaming_apps_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = similarity.ivf_incremental_index(spark, sf, tmp_path)
+    out.collect()
+    idx = AcidTable(spark, Path(tmp_path) / "ivf_inc_idx_sf0.001")
+    files_before = len(idx._manifest(idx.latest_version())["files"])
+    before = {(r.vec_id, r.cell) for r in
+              idx.read().select("vec_id", "cell").collect()}
+    v = idx.compact_small(max_bytes=1 << 20)
+    files_after = len(idx._manifest(v)["files"])
+    assert files_after < files_before
+    after = {(r.vec_id, r.cell) for r in
+             idx.read().select("vec_id", "cell").collect()}
+    assert after == before
+    # partition pruning still bites post-compaction
+    some_cell = int(idx.read().limit(1).collect()[0].cell)
+    paths, total = idx.pruned_files_in("cell", [some_cell])
+    assert 0 < len(paths) < total

@@ -74,16 +74,25 @@ def main() -> None:
         dedup.clear_sketch_cache()
         t_batch2, _ = _timed(
             lambda: _force(dedup.dedup_batch(spark, cat, batch2)))
+        # SMALL arrival (100 docs -> <=400 band hashes): the probe
+        # drops to a bloom-pruned point lookup (read_eq_any) instead
+        # of an index scan
+        small = (batch.filter(F.col("doc_id") % 5 == 1)
+                 .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                         "text"))
+        dedup.clear_sketch_cache()
+        t_small, _ = _timed(
+            lambda: _force(dedup.dedup_batch(spark, cat, small)))
         # full recompute over corpus+batch — what every non-indexed
         # dedup run pays
         dedup.clear_sketch_cache()
         full_docs = corpus.unionByName(batch)
         t_full, _ = _timed(lambda: _force(_full_pairs(full_docs)))
         rows.append((sf, n_corpus, t_build, t_batch, t_batch2,
-                     n_pairs, t_full))
+                     t_small, n_pairs, t_full))
         print(f"  sf{sf}: corpus={n_corpus} build={t_build}s "
-              f"batch={t_batch}s batch2={t_batch2}s full={t_full}s",
-              file=sys.stderr)
+              f"batch={t_batch}s batch2={t_batch2}s small={t_small}s "
+              f"full={t_full}s", file=sys.stderr)
         shutil.rmtree(root, ignore_errors=True)
 
     sha = subprocess.run(["git", "rev-parse", "HEAD"],
@@ -104,13 +113,14 @@ def main() -> None:
         "Run alone on local[32].",
         "",
         "| corpus | docs | index build (once) | batch #1 | batch #2 "
-        "(grown index) | pairs | full recompute | batch/full |",
-        "|---|---|---|---|---|---|---|---|",
+        "(grown index) | small batch (bloom probe) | pairs | "
+        "full recompute | batch/full |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for sf, n, tb, t1, t2, np_, tf in rows:
+    for sf, n, tb, t1, t2, ts_, np_, tf in rows:
         lines.append(
             f"| sf{sf} ({n // base[1]}x) | {n:,} | {tb} s | {t1} s "
-            f"| {t2} s | {np_:,} | {tf} s | "
+            f"| {t2} s | {ts_} s | {np_:,} | {tf} s | "
             f"{round(t1 / tf, 2)}x |")
     g = rows[-1]
     lines += [
@@ -118,7 +128,7 @@ def main() -> None:
         f"Reading the decade: corpus grew {g[1] // base[1]}x; "
         f"per-batch cost moved {base[3]} s -> {g[3]} s "
         f"({round(g[3] / base[3], 2)}x) while full recompute moved "
-        f"{base[6]} s -> {g[6]} s ({round(g[6] / base[6], 2)}x). "
+        f"{base[7]} s -> {g[7]} s ({round(g[7] / base[7], 2)}x). "
         "The residual per-batch growth is the verify join's candidate",
         "fan-out (every batch doc collides with every synthesized copy",
         "— the worst case by construction) plus the column-pruned",
