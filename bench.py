@@ -158,6 +158,7 @@ BENCH_KEYS = [
     "ivf_incremental_index",
     "acid_wap_publish",
     "dedup_incremental_stream",
+    "text_index_incremental",
 ]
 
 

@@ -727,6 +727,10 @@ register("srp_near_dup", oracle=similarity.srp_near_dup_oracle_sql()
 register("bm25_rank", oracle=text.bm25_oracle_sql()
          )(lambda s, d: text.bm25_rank(_t(s, d, "documents")))
 
+register("text_index_incremental",
+         oracle=text.text_index_incremental_oracle_sql()
+         )(lambda s, d: text.text_index_incremental(s, d, SCRATCH))
+
 register("vocab_topk", oracle=text.VOCAB_ORACLE
          )(lambda s, d: text.vocab_topk(_t(s, d, "documents")))
 

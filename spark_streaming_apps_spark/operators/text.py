@@ -824,3 +824,151 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
                           'string_agg', ' ')) AS chunk_md5
 FROM chunks
 """
+
+
+# ------------------------------------------- self-maintaining text index
+
+#: incremental-text-index corpus split (same convention as the dedup
+#: and ANN incremental keys): doc_id % 3 == 1 arrives later, in two
+#: batches split by doc_id parity.
+TEXT_INC_ARRIVAL_MOD = 3
+TEXT_INC_ARRIVAL_REM = 1
+
+
+def _index_batch_tables(docs: DataFrame):
+    """(postings, doc_len, term_df partials, corpus partials) for one
+    document batch — the O(batch) signing pass of the text index."""
+    toks = (docs.select("doc_id", _tokens().alias("tk"))
+            .withColumn("dl", F.size("tk"))
+            .filter(F.col("dl") > 0))
+    postings = (toks.select("doc_id", "dl",
+                            F.explode("tk").alias("token"))
+                .groupBy("token", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    doc_len = toks.select("doc_id", F.col("dl").cast("long").alias("dl"))
+    term_df = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    corpus = toks.agg(
+        F.lit(0).cast("long").alias("id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("sum_dl"))
+    return postings, doc_len, term_df, corpus
+
+
+def text_index_maintain(cat, docs: DataFrame) -> int:
+    """Apply one document batch to the persisted text index in ONE
+    linked catalog transaction: postings + doc lengths APPEND
+    (row-immutable facts), per-term document frequencies and the
+    corpus counters MERGE-ADD (additive partials) — O(batch) work, and
+    catalog readers see the whole batch or none of it."""
+    postings, doc_len, term_df, corpus = _index_batch_tables(docs)
+    return cat.commit_multi({
+        "postings": ("append", postings),
+        "doc_len": ("append", doc_len),
+        "term_df": ("merge_add", term_df, ["token"]),
+        "corpus_stats": ("merge_add", corpus, ["id"]),
+    }, op="text_index_maintain")
+
+
+def text_index_incremental(spark, sf_dir: str, scratch,
+                           terms: tuple[str, ...] = BM25_TERMS,
+                           k: int = BM25_TOP_K) -> DataFrame:
+    """SELF-MAINTAINING full-text index — the text-family member of
+    the round-13 incremental trio (dedup band index, IVF cells, and
+    now the inverted index the reference delegated to Solr,
+    PipelineStreamProcessor.scala:76-94; Solr's own commit model is
+    exactly per-batch segment appends + merged stats).
+
+    The index is four AcidTables under one catalog: ``postings``
+    (token, doc_id, tf — appended per batch), ``doc_len`` (appended),
+    ``term_df`` and ``corpus_stats`` (additive counters maintained by
+    merge_add). A batch arrival costs O(batch): tokenize the batch
+    only, append its rows, add its partials — one linked transaction
+    (``text_index_maintain``). BM25 then SERVES from the index:
+    postings filtered to the query terms (a token-keyed lookup — at
+    scale the postings table is the thing you partition/bloom by
+    token), document lengths joined back, stats broadcast from the
+    one-row counter table; a term absent from a doc contributes
+    exactly 0, so the postings-driven score equals the dense
+    recompute. Result = top-{BM25_TOP_K} BM25 over corpus+arrivals,
+    which the oracle recomputes from scratch; `stats_fresh_equal` pins
+    the maintained counters against a full recount."""
+    import shutil
+    from pathlib import Path as _P
+
+    from ..acid_catalog import AcidCatalog
+    from ..sources.tables import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text"))
+    arrives = F.col("doc_id") % TEXT_INC_ARRIVAL_MOD == \
+        TEXT_INC_ARRIVAL_REM
+    initial = docs.filter(~arrives)
+    b1 = docs.filter(arrives & (F.col("doc_id") % 2 == 0))
+    b2 = docs.filter(arrives & (F.col("doc_id") % 2 == 1))
+
+    root = _P(scratch) / f"text_index_{_P(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    cat = AcidCatalog(spark, root)
+    postings, doc_len, term_df, corpus = _index_batch_tables(initial)
+    cat.create_table("postings", postings)
+    cat.create_table("doc_len", doc_len)
+    cat.create_table("term_df", term_df)
+    cat.create_table("corpus_stats", corpus)
+    for batch in (b1, b2):                       # two O(batch) arrivals
+        text_index_maintain(cat, batch)
+
+    # ---- serve BM25 from the maintained index -----------------------
+    cs = cat.read("corpus_stats")
+    tdf = (cat.read("term_df")
+           .filter(F.col("token").isin(list(terms))))
+    stats = (cs.join(F.broadcast(
+        tdf.groupBy().pivot("token", list(terms)).sum("df")))
+        .select((F.col("n_docs").cast("double")).alias("n_docs"),
+                (F.col("sum_dl").cast("double")
+                 / F.col("n_docs")).alias("avgdl"),
+                *[F.coalesce(F.col(t).cast("double"), F.lit(0.0))
+                  .alias(f"df_{i}") for i, t in enumerate(terms)]))
+    hits = (cat.read("postings")
+            .filter(F.col("token").isin(list(terms)))
+            .join(cat.read("doc_len"), "doc_id"))
+    parts = []
+    for i, t in enumerate(terms):
+        idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                    / (F.col(f"df_{i}") + 0.5) + 1.0)
+        tf = F.when(F.col("token") == t,
+                    F.col("tf").cast("double")).otherwise(0.0)
+        parts.append(idf * (tf * (BM25_K1 + 1))
+                     / (tf + BM25_K1 * (1 - BM25_B + BM25_B
+                                        * F.col("dl").cast("double")
+                                        / F.col("avgdl"))))
+    per_hit = sum(parts[1:], parts[0])
+    served = (hits.join(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(per_hit), 6).alias("bm25"))
+              .filter(F.col("bm25") > 0)
+              .orderBy(F.desc("bm25"), "doc_id")
+              .limit(k))
+
+    # ---- pin: maintained counters equal a full recount --------------
+    _, _, fresh_df, fresh_corpus = _index_batch_tables(docs)
+    now_df = cat.read("term_df")
+    df_equal = (now_df.exceptAll(fresh_df).count() == 0
+                and fresh_df.exceptAll(now_df).count() == 0)
+    now_c = cat.read("corpus_stats").select("id", "n_docs", "sum_dl")
+    c_equal = (now_c.exceptAll(fresh_corpus).count() == 0
+               and fresh_corpus.exceptAll(now_c).count() == 0)
+    return served.withColumn(
+        "stats_fresh_equal", F.lit(bool(df_equal and c_equal)))
+
+
+def text_index_incremental_oracle_sql(
+        terms: tuple[str, ...] = BM25_TERMS,
+        k: int = BM25_TOP_K) -> str:
+    """DuckDB twin: BM25 recomputed from scratch over the full corpus
+    — what the maintained index must serve."""
+    inner = bm25_oracle_sql(terms, k).strip()
+    return f"""
+SELECT doc_id, bm25, TRUE AS stats_fresh_equal FROM ({inner}
+) b
+"""

@@ -81,3 +81,37 @@ def test_zorder_buckets_bound_both_dims(tables):
     tile = 1 << (extensions.ZORDER_BITS - extensions.ZORDER_BUCKET_SHIFT // 2)
     too_wide = out.filter((F.col("ck_span") >= 16) | (F.col("dy_span") >= 16)).count()
     assert too_wide == 0, f"z-order tile bound violated (tile={tile})"
+
+
+def test_text_index_maintain_is_o_batch_and_additive(spark, tmp_path):
+    """The text index's maintenance contract: each arrival is one
+    linked catalog entry; postings/doc_len only APPEND (no history
+    rewrite), term_df/corpus_stats counters stay exactly additive
+    (pinned in-result by the scenario; re-checked here structurally)."""
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+    from spark_streaming_apps_spark.operators import text
+
+    out = text.text_index_incremental(spark, "/root/testdata/sf0.001",
+                                      tmp_path)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.stats_fresh_equal for r in rows)
+    cat = AcidCatalog(spark, Path(tmp_path) / "text_index_sf0.001")
+    # two arrivals = two maintenance entries on every table
+    for t in ("postings", "doc_len", "term_df", "corpus_stats"):
+        assert cat.table(t).latest_version() == 2, t
+    # appends were linked O(batch) commits (op recorded), counters
+    # merged (op recorded)
+    assert cat.table("postings")._manifest(1)["op"] == "append"
+    assert cat.table("term_df")._manifest(1)["op"] == "merge_add"
+    # the one-row corpus counter stayed one row
+    assert cat.read("corpus_stats").count() == 1
+    # doc_len rows = docs with tokens, across all three commits
+    n = (text._index_batch_tables(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))[1].count())
+    assert cat.read("doc_len").count() == n
