@@ -1800,75 +1800,11 @@ class AcidTable:
         Sidecar probes DISTRIBUTE past a threshold: a needle lookup on
         a 100k-file table is 100k small sidecar reads — executors fan
         them out (bounded driver traffic: only surviving names return);
-        small candidate sets stay driver-side (no job overhead)."""
-        v = self.latest_version() if version is None else version
-        m = self._manifest(v)
-        files = m.get("files")
-        if not files:
-            paths = sorted(str(p) for p in
-                           (self.path / m["data"]).glob("*.parquet"))
-            return paths, len(paths)
-        # canonicalize the probe to the column's DECLARED type so
-        # sidecar hashing + partition/stats pruning agree with the
-        # residual predicate's coercion (col = '5' on an int column
-        # matches rows holding 5); unprobeable combos skip the bloom
-        # and keep files conservatively
-        try:
-            dt = StructType.fromJson(m["schema"])[col].dataType
-            value, probeable = _canon_probe(value, dt)
-        except (KeyError, TypeError):
-            probeable = isinstance(value, (int, str)) and \
-                not isinstance(value, bool)
-        keep: list[str] = []
-        to_probe: list[tuple[str, str]] = []   # (sidecar rel, path)
-        for f in files:
-            pv = (f.get("partition") or {}).get(col)
-            if pv is not None and pv != value:
-                # only prune on a type-compatible mismatch — a str/int
-                # mismatch here may still match under Spark coercion
-                num = (int, float)
-                if type(pv) is type(value) or (
-                        isinstance(pv, num) and isinstance(value, num)
-                        and not isinstance(pv, bool)
-                        and not isinstance(value, bool)):
-                    continue
-            st = f.get("stats", {}).get(col)
-            if st is not None:
-                try:
-                    if not st[0] <= value <= st[1]:
-                        continue
-                except TypeError:
-                    pass
-            path = str(self.path / _entry_rel(m, f))
-            side = (f.get("bloom") or {}).get(col)
-            if side and probeable:
-                to_probe.append((str(self.path / side), path))
-            else:
-                keep.append(path)
+        small candidate sets stay driver-side (no job overhead).
 
-        def probe_one(side_path: str) -> bool:
-            try:
-                return bloom_may_contain(
-                    Path(side_path).read_bytes(), value)
-            except OSError:
-                return True           # sidecar gone: keep the file
-        if len(to_probe) <= 64:
-            keep.extend(p for s, p in to_probe if probe_one(s))
-        else:
-            val = value
-
-            def work(it):
-                for s, p in it:
-                    try:
-                        if bloom_may_contain(
-                                Path(s).read_bytes(), val):
-                            yield p
-                    except OSError:
-                        yield p
-            keep.extend(self.spark.sparkContext.parallelize(
-                to_probe, max(1, min(len(to_probe) // 32, 256)))
-                .mapPartitions(work).collect())
-        return keep, len(files)
+        The single needle is the K=1 case of ``pruned_files_in`` —
+        ONE implementation of the partition/stats/bloom protocol."""
+        return self.pruned_files_in(col, [value], version)
 
     def read_eq(self, col: str, value,
                 version: int | None = None) -> DataFrame:

@@ -44,6 +44,42 @@ from .acid import AcidTable, CommitConflict
 from .storage import crash_point, get_store
 
 
+def _apply_writes(table_of, writes: dict[str, tuple],
+                  max_retries: int) -> dict[str, int]:
+    """The transaction write dispatch shared by main-catalog and
+    branch commits — each table's change goes through that table's own
+    optimistic loop; the caller decides which POINTER pins the
+    resulting versions. ``table_of(name) -> AcidTable``."""
+    new_pins: dict[str, int] = {}
+    for name, spec in writes.items():
+        t = table_of(name)
+        kind = spec[0]
+        if kind == "append":
+            v = t.append(spec[1], max_retries=max_retries)
+        elif kind == "append_txn":
+            # fenced: a replayed (app_id, batch_id) commits NOTHING
+            # (returns None) — pin the table's current version so the
+            # retried transaction still publishes a complete entry
+            v = t.append_txn(spec[1], spec[2], spec[3],
+                             max_retries=max_retries)
+            if v is None:
+                v = t.latest_version()
+        elif kind == "merge":
+            v = t.merge(spec[1], spec[2], max_retries=max_retries)
+        elif kind == "merge_add":
+            v = t.merge_add(spec[1], spec[2], max_retries=max_retries)
+        elif kind == "delete":
+            v = t.delete_where(spec[1], max_retries=max_retries)
+        elif kind == "update":
+            v = t.update_where(spec[1], spec[2],
+                               max_retries=max_retries)
+        else:
+            raise ValueError(f"unknown write kind {kind!r} for "
+                             f"table {name!r}")
+        new_pins[name] = v
+    return new_pins
+
+
 class AcidCatalog:
     """A directory of AcidTables plus an atomic cross-table pointer."""
 
@@ -163,6 +199,7 @@ class AcidCatalog:
         one of::
 
             ("append", rows_df)
+            ("append_txn", rows_df, app_id, batch_id)
             ("merge", updates_df, key_list)
             ("merge_add", partials_df, key_list)
             ("delete", cond_str)
@@ -172,26 +209,15 @@ class AcidCatalog:
         (so single-table writers serialize with it normally), then one
         catalog entry publishes every new version together. Catalog
         readers see all of the transaction or none of it. Returns the
-        catalog entry number."""
-        new_pins: dict[str, int] = {}
-        for name, spec in writes.items():
-            t = self.table(name)
-            kind = spec[0]
-            if kind == "append":
-                v = t.append(spec[1], max_retries=max_retries)
-            elif kind == "merge":
-                v = t.merge(spec[1], spec[2], max_retries=max_retries)
-            elif kind == "merge_add":
-                v = t.merge_add(spec[1], spec[2], max_retries=max_retries)
-            elif kind == "delete":
-                v = t.delete_where(spec[1], max_retries=max_retries)
-            elif kind == "update":
-                v = t.update_where(spec[1], spec[2],
-                                   max_retries=max_retries)
-            else:
-                raise ValueError(f"unknown write kind {kind!r} for "
-                                 f"table {name!r}")
-            new_pins[name] = v
+        catalog entry number.
+
+        Replay semantics: plain kinds are AT-LEAST-ONCE across a
+        caller crash (a retried transaction re-applies); the
+        ``append_txn`` kind carries the (app_id, batch_id) writer
+        fence, so a replayed streaming micro-batch re-commits nothing
+        and the retry just re-publishes the pointer — exactly-once
+        appends from an at-least-once stream."""
+        new_pins = _apply_writes(self.table, writes, max_retries)
         # crash window the catalog contract closes: table versions are
         # committed but UNPINNED until the entry publishes — catalog
         # readers must keep serving the previous entry's pins
@@ -288,6 +314,11 @@ class AcidCatalog:
                 f"audit rejected branch {branch_name!r}; main pointer "
                 f"untouched")
         cur = self.snapshot()
+        if changed and all(cur.get(t) == v for t, v in changed.items()):
+            # retry of a publish that already LANDED (crash after the
+            # CAS): the main pointer pins exactly the branch head —
+            # idempotent no-op, not a spurious conflict
+            return self.latest_entry()
         stale = {t for t in changed
                  if cur.get(t) != base_pins.get(t)}
         if stale:
@@ -391,29 +422,12 @@ class CatalogBranch:
 
     def commit_multi(self, writes: dict[str, tuple], op: str = "multi",
                      max_retries: int = 20) -> int:
-        """The catalog ``commit_multi`` contract, but the publish lands
-        on the BRANCH pointer: table versions commit normally (and are
+        """The catalog ``commit_multi`` contract (same write kinds,
+        same ``_apply_writes`` dispatch), but the publish lands on the
+        BRANCH pointer: table versions commit normally (and are
         therefore visible to direct table readers — the documented
         read-committed/single-table carve-out), while catalog and
         branch readers each see their own pointer's pins."""
-        new_pins: dict[str, int] = {}
-        for name, spec in writes.items():
-            t = self.catalog.table(name)
-            kind = spec[0]
-            if kind == "append":
-                v = t.append(spec[1], max_retries=max_retries)
-            elif kind == "merge":
-                v = t.merge(spec[1], spec[2], max_retries=max_retries)
-            elif kind == "merge_add":
-                v = t.merge_add(spec[1], spec[2],
-                                max_retries=max_retries)
-            elif kind == "delete":
-                v = t.delete_where(spec[1], max_retries=max_retries)
-            elif kind == "update":
-                v = t.update_where(spec[1], spec[2],
-                                   max_retries=max_retries)
-            else:
-                raise ValueError(f"unknown write kind {kind!r} for "
-                                 f"table {name!r}")
-            new_pins[name] = v
+        new_pins = _apply_writes(self.catalog.table, writes,
+                                 max_retries)
         return self._advance(new_pins)

@@ -266,6 +266,18 @@ def _bands_of(sig: DataFrame) -> DataFrame:
                         f"stack({N_BANDS}, {stack_args}) as (band_id, band_hash)"))
 
 
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc1 < doc2) bucket-collision pairs from a band-row
+    table — the one self-join every LSH consumer shares."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"))
+            .distinct())
+
+
 def _minhash_band_candidates(documents: DataFrame,
                              plant: bool = True) -> DataFrame:
     """LSH candidate pairs (doc1 < doc2): band each signature (md5 of
@@ -274,13 +286,7 @@ def _minhash_band_candidates(documents: DataFrame,
     bucket-collision pairs ever reach a verifier, never the O(n²)
     space."""
     sig = _minhash_sig(documents, plant)
-    bands = _bands_of(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_hash") == F.col("b.band_hash"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-            .distinct())
+    return _band_pairs(_bands_of(sig))
 
 
 def minhash_pairs(documents: DataFrame) -> DataFrame:
@@ -617,6 +623,31 @@ def _dup_light(documents: DataFrame) -> bool:
     return light
 
 
+def _containment_scores(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc1, doc2, containment1, containment2) for band-candidate
+    pairs from exploded shingle rows, threshold-filtered — the ONE
+    scoring body both physical paths (raw and collapse) share, so the
+    value math can never drift between them. No forced broadcast of
+    cand — same AQE size-gate rationale as ngram_jaccard_pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
+    inter = (sh1.join(cand, "doc1").join(sh2, ["doc2", "sh_h"])
+             .groupBy("doc1", "doc2")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    s1 = (sizes.withColumnRenamed("doc_id", "doc1")
+          .withColumnRenamed("n_sh", "n1"))
+    s2 = (sizes.withColumnRenamed("doc_id", "doc2")
+          .withColumnRenamed("n_sh", "n2"))
+    c1 = F.round(F.col("n_inter") / F.col("n1").cast("double"), 6)
+    c2 = F.round(F.col("n_inter") / F.col("n2").cast("double"), 6)
+    return (inter.join(s1, "doc1").join(s2, "doc2")
+            .select("doc1", "doc2", c1.alias("containment1"),
+                    c2.alias("containment2"))
+            .filter((F.col("containment1") >= CONTAINMENT_MIN)
+                    | (F.col("containment2") >= CONTAINMENT_MIN)))
+
+
 def minhash_containment(documents: DataFrame) -> DataFrame:
     """ASYMMETRIC containment C(A→B) = |A∩B| / |A| over distinct shingle
     sets for band-candidate pairs — the doc-in-doc signal symmetric
@@ -641,27 +672,10 @@ def minhash_containment(documents: DataFrame) -> DataFrame:
         # duplicate-light corpus: the rep set IS the corpus — skip the
         # collapse/expansion machinery (raw band path, family layers
         # shared as always); result is path-independent
-        cand = _minhash_band_candidates(documents)
-        sh = (_with_shingle_hashes(planted_corpus(documents))
-              .select("doc_id", F.explode("hs").alias("sh_h")))
-        sizes = sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh"))
-        sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
-        sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
-        inter = (sh1.join(cand, "doc1").join(sh2, ["doc2", "sh_h"])
-                 .groupBy("doc1", "doc2")
-                 .agg(F.count(F.lit(1)).alias("n_inter")))
-        s1 = (sizes.withColumnRenamed("doc_id", "doc1")
-              .withColumnRenamed("n_sh", "n1"))
-        s2 = (sizes.withColumnRenamed("doc_id", "doc2")
-              .withColumnRenamed("n_sh", "n2"))
-        c1 = F.round(F.col("n_inter") / F.col("n1").cast("double"), 6)
-        c2 = F.round(F.col("n_inter") / F.col("n2").cast("double"), 6)
-        return (inter.join(s1, "doc1").join(s2, "doc2")
-                .select("doc1", "doc2", c1.alias("containment1"),
-                        c2.alias("containment2"))
-                .filter((F.col("containment1") >= CONTAINMENT_MIN)
-                        | (F.col("containment2") >= CONTAINMENT_MIN)))
+        return _containment_scores(
+            _minhash_band_candidates(documents),
+            _with_shingle_hashes(planted_corpus(documents))
+            .select("doc_id", F.explode("hs").alias("sh_h")))
     keyed = _exact_collapsed(documents)
     groups = keyed.groupBy("tkey").agg(F.min("doc_id").alias("doc_id"))
     rep_ids = groups.select("doc_id")
@@ -671,33 +685,15 @@ def minhash_containment(documents: DataFrame) -> DataFrame:
     # function of its text, so the rep's rows ARE the group's
     sig = (_minhash_sig(documents)
            .join(rep_ids, "doc_id", "left_semi"))
-    bands = _bands_of(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_hash") == F.col("b.band_hash"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc1"),
-                    F.col("b.doc_id").alias("doc2"))
-            .distinct())
+    cand = _band_pairs(_bands_of(sig))
     sh = (_with_shingle_hashes(planted_corpus(documents))
           .join(rep_ids, "doc_id", "left_semi")
           .select("doc_id", F.explode("hs").alias("sh_h")))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh1 = sh.select(F.col("doc_id").alias("doc1"), "sh_h")
-    sh2 = sh.select(F.col("doc_id").alias("doc2"), "sh_h")
-    # no forced broadcast of cand — same AQE size-gate rationale as
-    # ngram_jaccard_pairs (candidate volume scales with dirtiness)
-    inter = (sh1.join(cand, "doc1").join(sh2, ["doc2", "sh_h"])
-             .groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter")))
-    s1 = sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_sh", "n1")
-    s2 = sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_sh", "n2")
-    c1 = F.round(F.col("n_inter") / F.col("n1").cast("double"), 6)
-    c2 = F.round(F.col("n_inter") / F.col("n2").cast("double"), 6)
     rep_keys = groups.select("doc_id", "tkey")
-    rep_pairs = (inter.join(s1, "doc1").join(s2, "doc2")
-                 .select("doc1", "doc2", c1.alias("c1"), c2.alias("c2"))
-                 .filter((F.col("c1") >= CONTAINMENT_MIN)
-                         | (F.col("c2") >= CONTAINMENT_MIN))
+    rep_pairs = (_containment_scores(cand, sh)
+                 .withColumnRenamed("containment1", "c1")
+                 .withColumnRenamed("containment2", "c2")
                  .join(rep_keys.select(F.col("doc_id").alias("doc1"),
                                        F.col("tkey").alias("k1")), "doc1")
                  .join(rep_keys.select(F.col("doc_id").alias("doc2"),
@@ -754,6 +750,27 @@ WHERE round(n_inter / CAST(s1.n_sh AS DOUBLE), 6) >= {CONTAINMENT_MIN}
 LEV_REL_MAX = 0.2
 
 
+def _lev_scores(cand: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(doc1, doc2, lev, rel_dist <= {LEV_REL_MAX}) for candidate
+    pairs over (doc_id, text) rows — the ONE DP/scoring body both
+    physical paths share. Two empty texts yield rel_dist = 0/0 = NULL
+    (try_divide: DuckDB's non-ANSI division semantics; plain `/`
+    under Spark's ANSI default would THROW) and the filter drops the
+    pair — both engines agree."""
+    t1 = corpus.select(F.col("doc_id").alias("doc1"),
+                       F.col("text").alias("text1"))
+    t2 = corpus.select(F.col("doc_id").alias("doc2"),
+                       F.col("text").alias("text2"))
+    rel = F.try_divide(
+        F.col("lev").cast("double"),
+        F.greatest(F.length("text1"), F.length("text2")))
+    return (cand.join(t1, "doc1").join(t2, "doc2")
+            .withColumn("lev", F.levenshtein("text1", "text2"))
+            .select("doc1", "doc2", "lev",
+                    F.round(rel, 6).alias("rel_dist"))
+            .filter(F.col("rel_dist") <= LEV_REL_MAX))
+
+
 def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
     """Edit-distance near-dup pairs — the character-level verifier the
     token-level detectors can't replace (it catches small in-word edits
@@ -777,19 +794,8 @@ def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
     if _dup_light(documents):
         # duplicate-light corpus: skip the collapse machinery (the rep
         # set IS the corpus); same adaptive gate as containment
-        cand = _minhash_band_candidates(documents)
-        corpus = planted_corpus(documents)
-        t1r = corpus.select(F.col("doc_id").alias("doc1"),
-                            F.col("text").alias("text1"))
-        t2r = corpus.select(F.col("doc_id").alias("doc2"),
-                            F.col("text").alias("text2"))
-        rel_r = (F.col("lev").cast("double")
-                 / F.greatest(F.length("text1"), F.length("text2")))
-        return (cand.join(t1r, "doc1").join(t2r, "doc2")
-                .withColumn("lev", F.levenshtein("text1", "text2"))
-                .select("doc1", "doc2", "lev",
-                        F.round(rel_r, 6).alias("rel_dist"))
-                .filter(F.col("rel_dist") <= LEV_REL_MAX))
+        return _lev_scores(_minhash_band_candidates(documents),
+                           planted_corpus(documents))
     keyed = _exact_collapsed(documents)
     groups = (keyed.groupBy("tkey")
               .agg(F.min("doc_id").alias("doc_id"),
@@ -798,27 +804,17 @@ def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
     # representatives (a doc's signature is a function of its text)
     sig = (_minhash_sig(documents)
            .join(groups.select("doc_id"), "doc_id", "left_semi"))
-    bands = _bands_of(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_hash") == F.col("b.band_hash"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("r1"),
-                    F.col("b.doc_id").alias("r2"))
-            .distinct())
-    t1 = groups.select(F.col("doc_id").alias("r1"),
-                       F.col("tkey").alias("k1"),
-                       F.col("text").alias("text1"))
-    t2 = groups.select(F.col("doc_id").alias("r2"),
-                       F.col("tkey").alias("k2"),
-                       F.col("text").alias("text2"))
-    rel = (F.col("lev").cast("double")
-           / F.greatest(F.length("text1"), F.length("text2")))
-    rep_pairs = (cand.join(t1, "r1").join(t2, "r2")
-                 .withColumn("lev", F.levenshtein("text1", "text2"))
-                 .select("k1", "k2", "lev",
-                         F.round(rel, 6).alias("rel_dist"))
-                 .filter(F.col("rel_dist") <= LEV_REL_MAX))
+    # the rep DP runs through the SAME scorer as the raw path
+    rep_keys = groups.select("doc_id", "tkey")
+    rep_pairs = (_lev_scores(_band_pairs(_bands_of(sig)),
+                             groups.select("doc_id", "text"))
+                 .join(rep_keys.select(F.col("doc_id").alias("doc1"),
+                                       F.col("tkey").alias("k1")),
+                       "doc1")
+                 .join(rep_keys.select(F.col("doc_id").alias("doc2"),
+                                       F.col("tkey").alias("k2")),
+                       "doc2")
+                 .select("k1", "k2", "lev", "rel_dist"))
     m1 = keyed.select(F.col("tkey").alias("k1"),
                       F.col("doc_id").alias("m1"))
     m2 = keyed.select(F.col("tkey").alias("k2"),
@@ -827,7 +823,12 @@ def levenshtein_near_dup(documents: DataFrame) -> DataFrame:
              .select(F.least("m1", "m2").alias("doc1"),
                      F.greatest("m1", "m2").alias("doc2"),
                      "lev", "rel_dist"))
-    ia, ib = keyed.alias("ia"), keyed.alias("ib")
+    # intra-group pairs gated on NON-EMPTY text: the raw path's
+    # rel_dist for two empty texts is 0/0 = NULL and the filter drops
+    # it — the collapse path must agree or the _dup_light gate's
+    # path-independence breaks on duplicate empty payloads
+    nonempty = keyed.filter(F.length("text") > 0)
+    ia, ib = nonempty.alias("ia"), nonempty.alias("ib")
     intra = (ia.join(ib, (F.col("ia.tkey") == F.col("ib.tkey"))
                      & (F.col("ia.doc_id") < F.col("ib.doc_id")))
              .select(F.col("ia.doc_id").alias("doc1"),
@@ -1339,7 +1340,8 @@ def build_dedup_index(spark, root, corpus: DataFrame):
 
 
 def dedup_batch(spark, cat, batch: DataFrame,
-                append: bool = True) -> DataFrame:
+                append: bool = True,
+                txn: tuple[str, int] | None = None) -> DataFrame:
     """Dedup a NEW BATCH against the persisted index in O(batch)
     compute: (1) SIGN THE BATCH ONLY (the expensive tokenize/md5/
     shingle pass runs over O(batch) text, never the corpus); (2)
@@ -1377,13 +1379,7 @@ def dedup_batch(spark, cat, batch: DataFrame,
         & (F.col("band_hash") == F.col("p_band_hash")))
         .select(F.col("doc_id").alias("corpus_doc"), "batch_doc")
         .distinct())
-    a, b = bands_b.alias("a"), bands_b.alias("b")
-    cand_bb = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                      & (F.col("a.band_hash") == F.col("b.band_hash"))
-                      & (F.col("a.doc_id") < F.col("b.doc_id")))
-               .select(F.col("a.doc_id").alias("doc1"),
-                       F.col("b.doc_id").alias("doc2"))
-               .distinct())
+    cand_bb = _band_pairs(bands_b)
     cand = (cand_cb.select(F.least("corpus_doc", "batch_doc").alias("doc1"),
                            F.greatest("corpus_doc", "batch_doc").alias("doc2"))
             .unionByName(cand_bb))
@@ -1404,13 +1400,19 @@ def dedup_batch(spark, cat, batch: DataFrame,
              .filter(F.col("est_jaccard") >= 0.5))
     pairs = _materialize(pairs)
     if append:
-        # ---- index maintenance: ONE linked commit, O(batch) rows
-        cat.commit_multi({"sigs": ("append", sig_b),
-                          "bands": ("append",
-                                    _bands_of(sig_b)
-                                    .select("band_id", "band_hash",
-                                            "doc_id"))},
-                         op="dedup_index_append")
+        # ---- index maintenance: ONE linked commit, O(batch) rows.
+        # ``txn=(app_id, batch_id)`` rides the per-table writer fence
+        # (append_txn): an at-least-once stream's replayed micro-batch
+        # re-commits NOTHING — the index never double-counts a batch.
+        bb = _bands_of(sig_b).select("band_id", "band_hash", "doc_id")
+        if txn is not None:
+            app_id, batch_id = txn
+            writes = {"sigs": ("append_txn", sig_b, app_id, batch_id),
+                      "bands": ("append_txn", bb, app_id, batch_id)}
+        else:
+            writes = {"sigs": ("append", sig_b),
+                      "bands": ("append", bb)}
+        cat.commit_multi(writes, op="dedup_index_append")
     return pairs
 
 
@@ -1524,8 +1526,12 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
                .select("doc_id", "text"))
         if ins.isEmpty():
             return
-        found = dedup_batch(spark, cat, ins)   # probes + ONE linked
-        pairs_t.merge(found, key=["doc1", "doc2"])  # index append
+        # batch_id fences the index appends (append_txn): a replayed
+        # micro-batch re-commits nothing; the pairs MERGE is
+        # replay-idempotent by value (same keys, same values)
+        found = dedup_batch(spark, cat, ins,
+                            txn=("dedup-stream", batch_id))
+        pairs_t.merge(found, key=["doc1", "doc2"])
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")

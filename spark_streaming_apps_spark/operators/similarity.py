@@ -1709,7 +1709,9 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
             "vec_id", "label", "e", "cell")
         if rows.isEmpty():
             return
-        idx.append(rows)
+        # (app_id, batch_id) writer fence: an at-least-once replay of
+        # this micro-batch appends NOTHING to the index
+        idx.append_txn(rows, "ivf-maint", batch_id)
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")

@@ -860,7 +860,14 @@ def text_index_maintain(cat, docs: DataFrame) -> int:
     linked catalog transaction: postings + doc lengths APPEND
     (row-immutable facts), per-term document frequencies and the
     corpus counters MERGE-ADD (additive partials) — O(batch) work, and
-    catalog readers see the whole batch or none of it."""
+    catalog readers see the whole batch or none of it.
+
+    Replay caveat: merge_add partials are NOT fenced — a redelivered
+    batch would double-count the additive counters, so this function
+    is for at-most-once callers (batch jobs, or foreachBatch with the
+    caller enforcing its own batch-id fence before invoking); the
+    fenced streaming shape is commit_multi's ``append_txn`` kind,
+    which the dedup/IVF maintainers use."""
     postings, doc_len, term_df, corpus = _index_batch_tables(docs)
     return cat.commit_multi({
         "postings": ("append", postings),

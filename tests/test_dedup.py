@@ -137,6 +137,11 @@ def test_pairwise_verifiers_collapse_path_equals_raw(spark, tables):
 
     base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
             .select("doc_id", "text"))
+    # duplicate EMPTY payloads ride along: the raw path's rel_dist for
+    # two empty texts is NULL (0/0) and drops the pair — the collapse
+    # path must agree (ids avoid % 50 == 0 so planting skips them)
+    base = base.unionByName(spark.createDataFrame(
+        [(99_001, ""), (99_002, "")], "doc_id long, text string"))
     docs = base
     for i in (1, 2):
         docs = docs.unionByName(base.select(

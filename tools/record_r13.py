@@ -60,9 +60,13 @@ def main() -> None:
     merged["queries"] = {
         k: min(r["queries"][k] for r in runs if k in r["queries"])
         for k in keys}
-    # keep artifact order stable: bench key order of the last run
-    merged["queries"] = {k: merged["queries"][k]
-                         for k in runs[-1]["queries"]}
+    # keep artifact order stable: bench key order of the last run,
+    # then any key present only in EARLIER runs (never silently drop a
+    # measured key — a regressed-then-vanished key must still land in
+    # the artifact and the adjudication list)
+    ordered = list(runs[-1]["queries"]) + [
+        k for k in keys if k not in runs[-1]["queries"]]
+    merged["queries"] = {k: merged["queries"][k] for k in ordered}
     merged["stream_floor_sec"] = min(
         (r["stream_floor_sec"] for r in runs
          if r.get("stream_floor_sec")), default=None)
