@@ -243,3 +243,34 @@ def test_publish_toctou_window_is_conditional(spark, tmp_path,
     assert 77 in ids
     b_pin = CatalogBranch(cat, "wap").snapshot()["q"]
     assert cat.snapshot()["q"] > b_pin  # main's append, not a publish
+
+
+def test_publish_retry_after_landing_is_idempotent(spark, tmp_path):
+    """The post-CAS half of the crash window: a re-publish of a branch
+    whose pins already landed returns the current entry as a no-op —
+    never a spurious 'not fast-forwardable' conflict."""
+    cat = _seed(spark, tmp_path / "c")
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    e1 = cat.publish("wap")
+    assert cat.publish("wap") == e1          # retry: no-op, same entry
+    assert cat.latest_entry() == e1
+
+
+def test_commit_multi_append_txn_kind_fences_replays(spark, tmp_path):
+    """The append_txn write kind: a replayed (app_id, batch_id)
+    transaction re-commits nothing on the fenced tables and the retry
+    still publishes a complete entry."""
+    cat = _seed(spark, tmp_path / "c")
+    rows = _df(spark, [(100, 0)], "file_id long, status int")
+    e1 = cat.commit_multi(
+        {"q": ("append_txn", rows, "app", 0)})
+    v1 = cat.snapshot(e1)["q"]
+    # replay of batch 0: table version unmoved, entry republished
+    cat.commit_multi({"q": ("append_txn", rows, "app", 0)})
+    assert cat.table("q").latest_version() == v1
+    assert cat.read("q").filter("file_id = 100").count() == 1
+    # next batch advances
+    cat.commit_multi({"q": ("append_txn", _df(
+        spark, [(101, 0)], "file_id long, status int"), "app", 1)})
+    assert cat.table("q").latest_version() == v1 + 1

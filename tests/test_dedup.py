@@ -199,3 +199,29 @@ def test_dedup_incremental_stream_maintains_both_tables(spark, tmp_path):
     assert cat.table("bands").latest_version() == 2
     # one pairs MERGE per batch that found pairs (<= 2, >= 1)
     assert 1 <= AcidTable(spark, root / "pairs").latest_version() <= 2
+
+
+def test_dedup_batch_txn_fence_blocks_replay(spark, tmp_path):
+    """An at-least-once redelivery of the same maintenance micro-batch
+    (same app_id/batch_id) appends NOTHING to the index — the
+    double-count the round-13 review flagged."""
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+
+    base = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    corpus = base.filter("doc_id % 2 = 0")
+    batch = base.filter("doc_id % 2 = 1").limit(40)
+    cat = dedup.build_dedup_index(spark, tmp_path / "idx", corpus)
+    dedup.dedup_batch(spark, cat, batch, txn=("maint", 0))
+    sig_v = cat.table("sigs").latest_version()
+    n_sigs = cat.read("sigs").count()
+    # REPLAY: same batch id — nothing re-commits
+    dedup.dedup_batch(spark, cat, batch, txn=("maint", 0))
+    assert cat.table("sigs").latest_version() == sig_v
+    assert cat.read("sigs").count() == n_sigs
+    # next batch id advances normally
+    batch2 = batch.select((F.col("doc_id") + 500_000).alias("doc_id"),
+                          "text")
+    dedup.dedup_batch(spark, cat, batch2, txn=("maint", 1))
+    assert cat.table("sigs").latest_version() == sig_v + 1
