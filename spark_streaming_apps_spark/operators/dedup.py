@@ -1303,6 +1303,11 @@ FROM scored WHERE score >= {LINKAGE_MIN_SCORE}
 BATCH_MOD = 7
 BATCH_REM = 3
 
+#: verify-side point-lookup gate: candidate corpus doc_ids up to this
+#: many are probed through the sigs table's doc_id bloom sidecars
+#: (read_eq_any); past it the verify falls back to a pinned full read.
+_VERIFY_ID_CAP = 4096
+
 
 def _sig_of(docs: DataFrame) -> DataFrame:
     """Minhash signatures of an arbitrary (doc_id, text) set — the
@@ -1328,7 +1333,11 @@ def build_dedup_index(spark, root, corpus: DataFrame):
 
     shutil.rmtree(root, ignore_errors=True)
     cat = AcidCatalog(spark, root)
-    cat.create_table("sigs", _sig_of(corpus))
+    # doc_id bloom sidecars make the VERIFY side a point lookup too:
+    # dedup_batch reads only the sigs files that may hold its candidate
+    # docs (read_eq_any), so per-batch sigs IO is bounded by the
+    # candidate set, not the index size
+    cat.create_table("sigs", _sig_of(corpus), bloom_by=["doc_id"])
     # bloom sidecars on band_hash make SMALL-batch probes point
     # lookups (read_eq_any) instead of index scans — every commit
     # (including the per-batch appends) indexes its new files in one
@@ -1357,6 +1366,11 @@ def dedup_batch(spark, cat, batch: DataFrame,
     near-dup pairs, materialized."""
     sig_b = _materialize(_sig_of(batch))
     bands_b = _bands_of(sig_b)
+    # ONE catalog snapshot for the whole probe+verify pass: bands and
+    # sigs are read at the SAME pinned entry (a replayed batch whose
+    # prior index append half-published would otherwise probe bands at
+    # latest while verifying against older sigs — torn snapshots)
+    pins = cat.snapshot()
     # probe-path choice by batch size: a SMALL batch's distinct band
     # hashes (<= {N_BANDS}/doc) fit a bounded driver list, so the
     # candidate retrieval becomes a bloom-pruned point lookup
@@ -1367,25 +1381,52 @@ def dedup_batch(spark, cat, batch: DataFrame,
     if N_BANDS * n_batch <= 2048:
         hashes = [r.band_hash for r in
                   bands_b.select("band_hash").distinct().collect()]
-        bands_idx = cat.table("bands").read_eq_any("band_hash", hashes)
+        bands_idx = cat.table("bands").read_eq_any(
+            "band_hash", hashes, version=pins["bands"])
     else:
-        bands_idx = cat.read("bands")
+        bands_idx = cat.table("bands").read(pins["bands"])
     probe = F.broadcast(bands_b.select(
         F.col("band_id").alias("p_band_id"),
         F.col("band_hash").alias("p_band_hash"),
         F.col("doc_id").alias("batch_doc")))
+    # REPLAY idempotency: an at-least-once redelivery whose prior index
+    # append already committed finds the batch's own rows in the index
+    # — anti-join the index side against the batch's doc_ids (bounded,
+    # broadcast) so corpus candidates never include batch members;
+    # batch-batch pairs come only from cand_bb, and the union is
+    # distinct'd so the two shapes can never double-emit a pair
+    batch_ids = F.broadcast(sig_b.select("doc_id"))
     cand_cb = (bands_idx.join(
         probe, (F.col("band_id") == F.col("p_band_id"))
         & (F.col("band_hash") == F.col("p_band_hash")))
+        .join(batch_ids, "doc_id", "left_anti")
         .select(F.col("doc_id").alias("corpus_doc"), "batch_doc")
         .distinct())
     cand_bb = _band_pairs(bands_b)
-    cand = (cand_cb.select(F.least("corpus_doc", "batch_doc").alias("doc1"),
-                           F.greatest("corpus_doc", "batch_doc").alias("doc2"))
-            .unionByName(cand_bb))
-    # verify: corpus signatures come from the PERSISTED index, batch
-    # signatures are in hand — union covers both pair shapes
-    sig_all = cat.read("sigs").unionByName(sig_b)
+    cand = _materialize(
+        cand_cb.select(F.least("corpus_doc", "batch_doc").alias("doc1"),
+                       F.greatest("corpus_doc", "batch_doc").alias("doc2"))
+        .unionByName(cand_bb)
+        .distinct())
+    # verify: corpus signatures come from the PERSISTED index (same
+    # pinned entry as the band probe), batch signatures are in hand —
+    # union covers both pair shapes; the batch anti-join above keeps
+    # the union disjoint on a replay. The candidate CORPUS docs are a
+    # bounded set, so when they fit a driver list the sigs read is a
+    # bloom-pruned point lookup (doc_id sidecars) — per-batch sigs IO
+    # bounded by the candidate files, not the index size
+    need = (cand.select(F.col("doc1").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+            .join(batch_ids, "doc_id", "left_anti"))
+    ids = [r.doc_id for r in need.limit(_VERIFY_ID_CAP + 1).collect()]
+    if len(ids) <= _VERIFY_ID_CAP:
+        sig_corpus = cat.table("sigs").read_eq_any(
+            "doc_id", ids, version=pins["sigs"])
+    else:
+        sig_corpus = (cat.table("sigs").read(pins["sigs"])
+                      .join(batch_ids, "doc_id", "left_anti"))
+    sig_all = sig_corpus.unionByName(sig_b)
     s1 = sig_all.select(F.col("doc_id").alias("doc1"),
                         *[F.col(f"mh{i}").alias(f"a{i}")
                           for i in range(N_HASHES)])

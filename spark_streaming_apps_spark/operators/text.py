@@ -892,9 +892,11 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     merge_add). A batch arrival costs O(batch): tokenize the batch
     only, append its rows, add its partials — one linked transaction
     (``text_index_maintain``). BM25 then SERVES from the index:
-    postings filtered to the query terms (a token-keyed lookup — at
-    scale the postings table is the thing you partition/bloom by
-    token), document lengths joined back, stats broadcast from the
+    postings probed by the query terms through token BLOOM SIDECARS
+    (``read_eq_any`` — one manifest resolution + sidecar probes, then
+    a scan of only the surviving files; a 4-term query opens ~its 4
+    posting lists, never the table), document lengths joined back,
+    stats broadcast from the
     one-row counter table; a term absent from a doc contributes
     exactly 0, so the postings-driven score equals the dense
     recompute. Result = top-{BM25_TOP_K} BM25 over corpus+arrivals,
@@ -918,7 +920,12 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     shutil.rmtree(root, ignore_errors=True)
     cat = AcidCatalog(spark, root)
     postings, doc_len, term_df, corpus = _index_batch_tables(initial)
-    cat.create_table("postings", postings)
+    # token bloom sidecars make the SERVE side a point lookup: a BM25
+    # query opens only the postings files that may hold its terms
+    # (read_eq_any — the dedup_batch band-probe shape), not the whole
+    # postings table; every batch append indexes its new files in the
+    # same distributed pass
+    cat.create_table("postings", postings, bloom_by=["token"])
     cat.create_table("doc_len", doc_len)
     cat.create_table("term_df", term_df)
     cat.create_table("corpus_stats", corpus)
@@ -926,8 +933,13 @@ def text_index_incremental(spark, sf_dir: str, scratch,
         text_index_maintain(cat, batch)
 
     # ---- serve BM25 from the maintained index -----------------------
-    cs = cat.read("corpus_stats")
-    tdf = (cat.read("term_df")
+    # one pinned catalog entry for the whole serve pass; the postings
+    # read is a bloom-pruned point lookup on the query's terms — a
+    # 4-term query opens ~4 posting lists' worth of files, never the
+    # full table (the round-13 serve-path scale gap, closed)
+    pins = cat.snapshot()
+    cs = cat.table("corpus_stats").read(pins["corpus_stats"])
+    tdf = (cat.table("term_df").read(pins["term_df"])
            .filter(F.col("token").isin(list(terms))))
     stats = (cs.join(F.broadcast(
         tdf.groupBy().pivot("token", list(terms)).sum("df")))
@@ -936,9 +948,10 @@ def text_index_incremental(spark, sf_dir: str, scratch,
                  / F.col("n_docs")).alias("avgdl"),
                 *[F.coalesce(F.col(t).cast("double"), F.lit(0.0))
                   .alias(f"df_{i}") for i, t in enumerate(terms)]))
-    hits = (cat.read("postings")
-            .filter(F.col("token").isin(list(terms)))
-            .join(cat.read("doc_len"), "doc_id"))
+    hits = (cat.table("postings")
+            .read_eq_any("token", list(terms),
+                         version=pins["postings"])
+            .join(cat.table("doc_len").read(pins["doc_len"]), "doc_id"))
     parts = []
     for i, t in enumerate(terms):
         idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)

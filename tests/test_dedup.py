@@ -213,13 +213,20 @@ def test_dedup_batch_txn_fence_blocks_replay(spark, tmp_path):
     corpus = base.filter("doc_id % 2 = 0")
     batch = base.filter("doc_id % 2 = 1").limit(40)
     cat = dedup.build_dedup_index(spark, tmp_path / "idx", corpus)
-    dedup.dedup_batch(spark, cat, batch, txn=("maint", 0))
+    first = dedup.dedup_batch(spark, cat, batch, txn=("maint", 0))
     sig_v = cat.table("sigs").latest_version()
     n_sigs = cat.read("sigs").count()
-    # REPLAY: same batch id — nothing re-commits
-    dedup.dedup_batch(spark, cat, batch, txn=("maint", 0))
+    # REPLAY: same batch id — nothing re-commits, and the RESULT is
+    # value-identical: the batch's own rows already sit in the index,
+    # so without the batch anti-join the corpus-vs-batch probe would
+    # emit (d,d) self-pairs at est_jaccard 1.0 and duplicate rows
+    replay = dedup.dedup_batch(spark, cat, batch, txn=("maint", 0))
     assert cat.table("sigs").latest_version() == sig_v
     assert cat.read("sigs").count() == n_sigs
+    assert replay.filter("doc1 = doc2").count() == 0
+    assert replay.count() == replay.distinct().count()
+    assert (replay.exceptAll(first).count() == 0
+            and first.exceptAll(replay).count() == 0)
     # next batch id advances normally
     batch2 = batch.select((F.col("doc_id") + 500_000).alias("doc_id"),
                           "text")
