@@ -3874,6 +3874,21 @@ class AcidTable:
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 
+    def txn_version(self, app_id: str, batch_id: int) -> int | None:
+        """The version at which writer transaction (app_id, batch_id)
+        COMMITTED, or None if no manifest carries it. Walks the chain
+        newest-first — O(chain) worst case, but only consulted on the
+        rare replay path (append_txn already answered the O(1)
+        \"was it applied?\" question from the cumulative txns map)."""
+        txn = f"{app_id}#{batch_id}"
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        for v in range(latest, -1, -1):
+            if self._manifest(v).get("txn") == txn:
+                return v
+        return None
+
     def read_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed: the row-level deltas between two committed
         versions (Delta CDF's ``table_changes`` analog) — the missing link
@@ -4183,6 +4198,64 @@ class AcidTable:
 
     # ------------------------------------------------------------ hygiene
 
+    def _ref_pinned_versions(self) -> set[int]:
+        """Versions of THIS table pinned by catalog refs — retention
+        ROOTS vacuum must honor regardless of keep_last/retain_hours
+        (Iceberg's expire-snapshots-respects-refs semantics; before
+        this, a branch parked longer than the retention window got its
+        pinned snapshot vacuumed from under it and the WAP audit died
+        with VersionVacuumedError).
+
+        Auto-discovered from the table's location: a catalog-managed
+        table lives at ``<catalog_root>/tables/<name>``; the roots are
+        (a) the LATEST catalog entry's pin (a catalog reader resolves
+        through it, which may lag the table's own newest version), (b)
+        every tag's pin (``refs/tags/*.json`` — immutable, readable by
+        name), and (c) every branch HEAD's pin (``refs/heads/<b>/bN``
+        with max N — the WAP audit reads there). Historical catalog
+        entries and non-head branch entries are expirable history,
+        exactly like table versions outside the keep window. Expire a
+        ref (``AcidCatalog.expire_tag`` / ``drop_branch``) to release
+        its files at the next vacuum."""
+        parent = self.path.parent
+        croot = parent.parent
+        if parent.name != "tables" or not (croot / "commits").is_dir():
+            return set()
+        name = self.path.name
+        pinned: set[int] = set()
+
+        def _pin_of(payload: dict) -> None:
+            v = (payload.get("pins") or {}).get(name)
+            if v is not None:
+                pinned.add(int(v))
+        commits = croot / "commits"
+        es = [int(p.stem[1:]) for p in commits.glob("c*.json")]
+        if es:
+            try:
+                latest = json.loads(
+                    (commits / f"c{max(es)}.json").read_text())
+                if name in latest:
+                    pinned.add(int(latest[name]))
+            except (OSError, ValueError):
+                pass
+        for tag in (croot / "refs" / "tags").glob("*.json"):
+            try:
+                _pin_of(json.loads(tag.read_text()))
+            except (OSError, ValueError):
+                continue
+        heads = croot / "refs" / "heads"
+        if heads.is_dir():
+            for bdir in heads.iterdir():
+                bs = [int(p.stem[1:]) for p in bdir.glob("b*.json")]
+                if not bs:
+                    continue
+                try:
+                    _pin_of(json.loads(
+                        (bdir / f"b{max(bs)}.json").read_text()))
+                except (OSError, ValueError):
+                    continue
+        return pinned
+
     def vacuum(self, keep_last: int = 2,
                keep_changes_last: int | None = None,
                retain_hours: float | None = None,
@@ -4192,6 +4265,11 @@ class AcidTable:
         manifests — including orphans from conflicted (never-committed)
         writes.  Old manifests stay as history; their data is gone, which
         is exactly Delta's VACUUM trade-off.
+
+        REF-AWARE: versions pinned by catalog refs (latest catalog
+        entry, tags, branch heads — see ``_ref_pinned_versions``) are
+        retention roots and survive any window; expire the ref to
+        release them.
 
         Recorded CHANGE files have their own retention: by default every
         committed version's change files are kept (they are the small,
@@ -4233,6 +4311,12 @@ class AcidTable:
             keep_last = max(1, keep_last)
             keep_versions = list(
                 range(max(0, latest - keep_last + 1), latest + 1))
+        # catalog refs are retention ROOTS: versions pinned by the
+        # latest catalog entry, any tag, or any branch head survive
+        # regardless of the window (see _ref_pinned_versions)
+        keep_versions.extend(
+            v for v in self._ref_pinned_versions() if v <= latest)
+        keep_versions = sorted(set(keep_versions))
         keep_dirs: set[str] = set()    # whole dirs (dv/changes/legacy)
         keep_files: set[str] = set()   # root-relative referenced files
         for v in keep_versions:

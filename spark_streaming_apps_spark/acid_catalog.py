@@ -58,12 +58,20 @@ def _apply_writes(table_of, writes: dict[str, tuple],
             v = t.append(spec[1], max_retries=max_retries)
         elif kind == "append_txn":
             # fenced: a replayed (app_id, batch_id) commits NOTHING
-            # (returns None) — pin the table's current version so the
-            # retried transaction still publishes a complete entry
+            # (returns None) — pin the version at which the fenced
+            # batch ACTUALLY committed, not latest_version(): latest
+            # may include a concurrent transaction's committed-but-
+            # unpinned version of this table, and publishing that pin
+            # would expose one half of the other transaction early
+            # (torn cross-table read in a double-crash interleaving)
             v = t.append_txn(spec[1], spec[2], spec[3],
                              max_retries=max_retries)
             if v is None:
-                v = t.latest_version()
+                v = t.txn_version(spec[2], spec[3])
+                if v is None:
+                    # legacy chain predating per-commit txn markers:
+                    # fall back to latest (pre-fix behavior)
+                    v = t.latest_version()
         elif kind == "merge":
             v = t.merge(spec[1], spec[2], max_retries=max_retries)
         elif kind == "merge_add":
@@ -261,6 +269,33 @@ class AcidCatalog:
                 f"tag {name!r} already exists (tags are immutable)")
         return e
 
+    def expire_tag(self, name: str) -> bool:
+        """DELIBERATE ref cleanup: drop tag ``name`` so the versions it
+        pinned stop being retention roots — the next ``vacuum`` on each
+        table may release their files (Iceberg's remove-tag +
+        expire-snapshots pairing). Returns False if the tag did not
+        exist. Irreversible by design: tags are immutable while alive,
+        expiry is the one mutation."""
+        p = self.root / "refs" / "tags" / f"{name}.json"
+        try:
+            p.unlink()
+            return True
+        except FileNotFoundError:
+            return False
+
+    def drop_branch(self, name: str) -> bool:
+        """Drop branch ``name`` (its whole pointer chain). Unpublished
+        branch work becomes unreachable through any ref and its table
+        versions fall out of vacuum's retention roots. Returns False
+        if the branch did not exist."""
+        import shutil
+
+        d = self.root / "refs" / "heads" / name
+        if not d.is_dir():
+            return False
+        shutil.rmtree(d, ignore_errors=True)
+        return True
+
     def read_tag(self, tag_name: str, table: str) -> DataFrame:
         """Snapshot-isolated read at a tag — time travel by name."""
         p = self.root / "refs" / "tags" / f"{tag_name}.json"
@@ -314,10 +349,17 @@ class AcidCatalog:
                 f"audit rejected branch {branch_name!r}; main pointer "
                 f"untouched")
         cur = self.snapshot()
-        if changed and all(cur.get(t) == v for t, v in changed.items()):
+        if changed and all(cur.get(t) is not None and cur.get(t) >= v
+                           for t, v in changed.items()):
             # retry of a publish that already LANDED (crash after the
-            # CAS): the main pointer pins exactly the branch head —
-            # idempotent no-op, not a spurious conflict
+            # CAS): main pins the branch head — or a LATER version of
+            # every changed table. Table histories are linear (each
+            # version chain is one CAS sequence), so a main pin >= the
+            # branch's version means that version is an ANCESTOR of
+            # what main serves: the branch work is visible and the
+            # retry is an idempotent no-op, not a spurious conflict
+            # (before this, a main write landing after a successful
+            # publish made the retry raise CommitConflict).
             return self.latest_entry()
         stale = {t for t in changed
                  if cur.get(t) != base_pins.get(t)}

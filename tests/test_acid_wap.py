@@ -274,3 +274,72 @@ def test_commit_multi_append_txn_kind_fences_replays(spark, tmp_path):
     cat.commit_multi({"q": ("append_txn", _df(
         spark, [(101, 0)], "file_id long, status int"), "app", 1)})
     assert cat.table("q").latest_version() == v1 + 1
+
+
+# --------------------------------------------------- ref-aware retention
+
+def test_vacuum_respects_branch_and_catalog_pins(spark, tmp_path):
+    """A parked branch and the main catalog pointer are retention
+    ROOTS: aggressive vacuum must not release the versions they pin
+    (Iceberg expire-snapshots-respects-refs), so a WAP audit that
+    waits past the retention window still publishes."""
+    cat = _seed(spark, tmp_path / "c")
+    before = _census(cat.read("q"))
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    # an unpinned direct write makes the table's LATEST (v2) newer
+    # than both the main pin (v0) and the branch pin (v1)
+    t = cat.table("q")
+    t.append(_df(spark, [(7, 7)], "file_id long, status int"))
+    assert t.latest_version() == 2
+    t.vacuum(keep_last=1)
+    # main catalog readers (pin v0) and the parked branch (pin v1)
+    # both survive the aggressive window
+    assert _census(cat.read("q")) == before
+    assert (1, 1) in _census(br.read("q"))
+    # ... and the parked publish still lands
+    cat.publish("wap", audit=lambda b: (1, 1) in _census(b.read("q")))
+    assert (1, 1) in _census(cat.read("q"))
+
+
+def test_tag_reads_survive_vacuum_until_expired(spark, tmp_path):
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+
+    cat = _seed(spark, tmp_path / "c")
+    before = _census(cat.read("q"))
+    cat.tag("rel0")
+    for i in range(3):
+        cat.commit_multi({"q": ("append", _df(
+            spark, [(100 + i, 0)], "file_id long, status int"))})
+    t = cat.table("q")
+    t.vacuum(keep_last=1)
+    # the tag pins v0: readable by name after aggressive vacuum
+    assert _census(cat.read_tag("rel0", "q")) == before
+    # expire the ref -> the pinned version stops being a root
+    assert cat.expire_tag("rel0") is True
+    assert cat.expire_tag("rel0") is False
+    t.vacuum(keep_last=1)
+    with pytest.raises((VersionVacuumedError, FileNotFoundError)):
+        cat.read_tag("rel0", "q").collect()
+
+
+def test_drop_branch_releases_its_pinned_version(spark, tmp_path):
+    from spark_streaming_apps_spark.acid import VersionVacuumedError
+
+    cat = _seed(spark, tmp_path / "c")
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("append", _df(
+        spark, [(9, 9)], "file_id long, status int"))})      # v1
+    t = cat.table("q")
+    # v2 REWRITES v1's appended file (copy-on-write update), so that
+    # file is referenced by v1 alone - releasable once the branch ref
+    # goes away, but a root while the branch is parked
+    t.update_where({"status": "5"}, "file_id = 9")           # v2
+    t.vacuum(keep_last=1)
+    assert (9, 9) in _census(br.read("q"))     # branch pin survives
+    assert cat.drop_branch("wap") is True
+    assert cat.drop_branch("wap") is False
+    t.vacuum(keep_last=1)
+    # v1 no longer a root: its unique file is gone
+    with pytest.raises((VersionVacuumedError, FileNotFoundError)):
+        t.read(1).collect()
