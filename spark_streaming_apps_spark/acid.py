@@ -2091,7 +2091,8 @@ class AcidTable:
                     partition_pins: dict | None = None,
                     partition_in: list[dict] | None = None,
                     partition_cond: str | None = None,
-                    row_local: bool = False) -> int:
+                    row_local: bool = False,
+                    txn: str | None = None) -> int:
         """File-pruned copy-on-write commit — the Delta/Iceberg DML
         discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
         files), never O(table):
@@ -2151,7 +2152,7 @@ class AcidTable:
                     v, m, base_m, rel0, stats0, dv_rel0, dv_rows0,
                     ch_rel0, probe, rewrite, op, cur, row_local, cdf,
                     partition_pins, partition_in,
-                    partition_cond)
+                    partition_cond, txn=txn)
                 if done is not None:
                     if done >= 0:
                         return done
@@ -2225,6 +2226,7 @@ class AcidTable:
                                                    cur.limit(0))
                           if cdf else None)
                 if self._try_commit(v + 1, m["data"], m["schema"], op,
+                                    txn=txn,
                                     changes_rel=ch_rel, files=files,
                                     dv_rel=m.get("dv"),
                                     dv_rows=m.get("dv_rows", 0)):
@@ -2279,7 +2281,7 @@ class AcidTable:
                     else:
                         ch_rel = self._write_changes_pair(
                             o_w.exceptAll(t_w), t_w.exceptAll(o_w))
-            if self._try_commit(v + 1, rel, m["schema"], op,
+            if self._try_commit(v + 1, rel, m["schema"], op, txn=txn,
                                 changes_rel=ch_rel, files=stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
@@ -2297,7 +2299,7 @@ class AcidTable:
     def _cow_rebase(self, v, m, base_m, rel0, stats0, dv_rel0,
                     dv_rows0, ch_rel0, probe, rewrite, op, cur,
                     row_local, cdf, partition_pins, partition_in,
-                    partition_cond=None):
+                    partition_cond=None, txn=None):
         """One rebase attempt of a lost COW DML against winner ``m``.
         Returns the committed version (>=0), -1 when the rebase itself
         lost another race (staged state still valid), or None when the
@@ -2370,7 +2372,7 @@ class AcidTable:
                 un_added = [f for f in added
                             if _entry_name(f) not in touched_add]
         files = stats0 + un_added + extra_stats
-        if self._try_commit(v + 1, rel0, m["schema"], op,
+        if self._try_commit(v + 1, rel0, m["schema"], op, txn=txn,
                             changes_rel=ch_rel0, files=files,
                             dv_rel=dv_rel0, dv_rows=dv_rows0):
             self.rebase_commits = getattr(
@@ -3888,6 +3890,73 @@ class AcidTable:
             if self._manifest(v).get("txn") == txn:
                 return v
         return None
+
+    def apply_cdf(self, changes: DataFrame, key: list[str],
+                  app_id: str | None = None,
+                  batch_id: int | None = None,
+                  max_retries: int = 20) -> int | None:
+        """Apply one CDF micro-batch — rows of this table's schema plus
+        ``_change_type`` in ('insert'|'delete') — as ONE file-pruned
+        copy-on-write commit: files holding a DELETED key are rewritten
+        without those keys' rows, every other file is carried by
+        manifest reference, and the batch's insert rows land as new
+        files in the same commit. An update (its delete+insert pair at
+        one key) nets to the post-image. This is how a downstream index
+        follows its source's change feed: inserts stay O(batch), a
+        delete costs O(files holding the key), never O(table) — and on
+        a table whose partition columns are part of ``key`` the find
+        pass prunes to the touched partitions by metadata alone (the
+        IVF index routes deletes as (cell, vec_id) for exactly this).
+
+        With ``(app_id, batch_id)`` the commit carries the writer fence
+        (the ``append_txn`` discipline): a replayed at-least-once
+        micro-batch commits NOTHING and returns None, so mixed
+        insert+delete maintenance stays exactly-once. The fence is
+        checked at entry against the cumulative txns map (same O(1)
+        read as append_txn); concurrent writers with the SAME app_id
+        are out of contract (a streaming query's batches are serial).
+        """
+        txn = None
+        if app_id is not None:
+            if batch_id is None:
+                raise ValueError("apply_cdf: batch_id is required "
+                                 "when app_id is given")
+            txn = f"{app_id}#{batch_id}"
+            latest = self.latest_version()
+            if latest is not None:
+                newest = self._manifest(latest)
+                if "txns" in newest:
+                    if batch_id <= newest["txns"].get(app_id, -1):
+                        return None      # replayed batch: fenced out
+                elif self.txn_version(app_id, batch_id) is not None:
+                    return None          # legacy chain: one-time walk
+        if "_change_type" not in changes.columns:
+            raise ValueError(
+                "apply_cdf expects a _change_type column "
+                "('insert'|'delete') — feed it CDF rows")
+        dels = (changes.filter(F.col("_change_type") == "delete")
+                .select(*key).distinct())
+        ins = changes.filter(F.col("_change_type") == "insert")
+        if dels.isEmpty():
+            # pure-insert batch (the common arrival): O(delta) linked
+            # append, no find-pass scan at all
+            clean = ins.drop("_change_type", "_commit_version")
+            if txn is not None:
+                return self.append_txn(clean, app_id, batch_id,
+                                       max_retries)
+            return self.append(clean, max_retries=max_retries)
+
+        def probe(df: DataFrame) -> DataFrame:
+            return df.join(dels, key, "semi")
+
+        def rewrite(touched: DataFrame) -> DataFrame:
+            kept = touched.join(dels, key, "left_anti")
+            return kept.unionByName(ins.select(*touched.columns))
+        part_in = self._partition_tuples_of(dels, key=key)
+        with self._op_params(apply_key=list(key)):
+            return self._cow_commit(probe, rewrite, "apply_cdf",
+                                    max_retries, empty_noop=False,
+                                    partition_in=part_in, txn=txn)
 
     def read_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed: the row-level deltas between two committed

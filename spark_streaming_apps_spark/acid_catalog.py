@@ -72,6 +72,21 @@ def _apply_writes(table_of, writes: dict[str, tuple],
                     # legacy chain predating per-commit txn markers:
                     # fall back to latest (pre-fix behavior)
                     v = t.latest_version()
+        elif kind == "apply_cdf":
+            # ("apply_cdf", changes_df, key_list[, app_id, batch_id])
+            # — one commit applying a CDF batch (inserts appended,
+            # delete keys' files rewritten); the 5-tuple form is
+            # fenced like append_txn, with the same replay pin rule
+            if len(spec) == 5:
+                v = t.apply_cdf(spec[1], spec[2], spec[3], spec[4],
+                                max_retries=max_retries)
+                if v is None:
+                    v = t.txn_version(spec[3], spec[4])
+                    if v is None:
+                        v = t.latest_version()
+            else:
+                v = t.apply_cdf(spec[1], spec[2],
+                                max_retries=max_retries)
         elif kind == "merge":
             v = t.merge(spec[1], spec[2], max_retries=max_retries)
         elif kind == "merge_add":
@@ -208,6 +223,7 @@ class AcidCatalog:
 
             ("append", rows_df)
             ("append_txn", rows_df, app_id, batch_id)
+            ("apply_cdf", changes_df, key_list[, app_id, batch_id])
             ("merge", updates_df, key_list)
             ("merge_add", partials_df, key_list)
             ("delete", cond_str)
