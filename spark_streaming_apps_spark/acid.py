@@ -3946,11 +3946,18 @@ class AcidTable:
                                        max_retries)
             return self.append(clean, max_retries=max_retries)
 
+        # a DELETE-ONLY batch needs just the key columns (+ change
+        # type) in ``changes`` — a retire pass shouldn't have to
+        # fabricate null images of columns it never touches
+        ins_empty = ins.isEmpty()
+
         def probe(df: DataFrame) -> DataFrame:
             return df.join(dels, key, "semi")
 
         def rewrite(touched: DataFrame) -> DataFrame:
             kept = touched.join(dels, key, "left_anti")
+            if ins_empty:
+                return kept
             return kept.unionByName(ins.select(*touched.columns))
         part_in = self._partition_tuples_of(dels, key=key)
         with self._op_params(apply_key=list(key)):

@@ -1302,6 +1302,9 @@ FROM scored WHERE score >= {LINKAGE_MIN_SCORE}
 #: pairs, not just batch-internal ones.
 BATCH_MOD = 7
 BATCH_REM = 3
+#: retention-deleted corpus slice for the incremental keys (disjoint
+#: from the arrival remainders): the index must RETIRE these docs.
+DEL_REM = (BATCH_REM + 2) % BATCH_MOD
 
 #: verify-side point-lookup gate: candidate corpus doc_ids up to this
 #: many are probed through the sigs table's doc_id bloom sidecars
@@ -1346,6 +1349,29 @@ def build_dedup_index(spark, root, corpus: DataFrame):
                      .select("band_id", "band_hash", "doc_id"),
                      bloom_by=["band_hash"])
     return cat
+
+
+def dedup_retire(cat, doc_ids: DataFrame,
+                 txn: tuple[str, int] | None = None) -> None:
+    """Retire DELETED docs from the persisted dedup index — the other
+    half of the arrival path (a corpus retention DELETE must not leave
+    stale index entries matching ghosts): both surfaces drop their
+    rows in ONE linked catalog transaction, each an ``apply_cdf``
+    keyed on doc_id so only the index files holding those docs are
+    rewritten (everything else carried by manifest reference).
+    ``txn=(app_id, batch_id)`` rides the per-table writer fence — a
+    replayed retire batch commits nothing."""
+    ch = (doc_ids.select("doc_id").distinct()
+          .withColumn("_change_type", F.lit("delete")))
+    if txn is not None:
+        app_id, batch_id = txn
+        writes = {
+            "sigs": ("apply_cdf", ch, ["doc_id"], app_id, batch_id),
+            "bands": ("apply_cdf", ch, ["doc_id"], app_id, batch_id)}
+    else:
+        writes = {"sigs": ("apply_cdf", ch, ["doc_id"]),
+                  "bands": ("apply_cdf", ch, ["doc_id"])}
+    cat.commit_multi(writes, op="dedup_index_retire")
 
 
 def dedup_batch(spark, cat, batch: DataFrame,
@@ -1465,35 +1491,47 @@ def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
     reference's per-micro-batch hash verify (StreamingApp.scala:377-380
     — verify the NEW chunk against stored state, never re-hash the
     disk) to near-duplicate detection. See ``build_dedup_index`` /
-    ``dedup_batch`` for the index layout and the arrival path.
+    ``dedup_batch`` for the index layout and the arrival path, and
+    ``dedup_retire`` for the retention path exercised here (a corpus
+    slice is DELETED before the batch arrives — its index rows retire
+    so the batch can never pair with a ghost).
 
     Pins (in-result booleans): the incremental pair set hash-equals
-    the FULL recompute over corpus+batch restricted to batch-touching
-    pairs, and the maintained index equals a from-scratch signature
-    build over corpus+batch."""
+    the FULL recompute over the final corpus + batch restricted to
+    batch-touching pairs, and the maintained index equals a
+    from-scratch signature build over final corpus + batch."""
     from pathlib import Path as _P
 
     from ..sources.tables import load_table
 
     docs = planted_corpus(load_table(spark, sf_dir, "documents"))
     in_batch = F.col("doc_id") % BATCH_MOD == BATCH_REM
+    deleted = F.col("doc_id") % BATCH_MOD == DEL_REM
     corpus, batch = docs.filter(~in_batch), docs.filter(in_batch)
 
     root = _P(scratch) / f"dedup_index_{_P(sf_dir).name}"
     cat = build_dedup_index(spark, root, corpus)
+    # a retention DELETE lands before the arrival: the index retires
+    # the slice's band+sig rows (one linked transaction), so the batch
+    # can never pair with a ghost
+    dedup_retire(cat, corpus.filter(deleted).select("doc_id"))
     pairs = dedup_batch(spark, cat, batch)
 
     # ---- pins ----------------------------------------------------
-    # (1) incremental result == FULL recompute restricted to pairs
-    #     touching the batch
+    # (1) incremental result == FULL recompute over the FINAL corpus
+    #     (pair computation is per-pair local, so the final-corpus
+    #     pair set is the full pair set with no deleted endpoint)
+    #     restricted to pairs touching the batch
     full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
             .filter((F.col("doc1") % BATCH_MOD == BATCH_REM)
-                    | (F.col("doc2") % BATCH_MOD == BATCH_REM)))
+                    | (F.col("doc2") % BATCH_MOD == BATCH_REM))
+            .filter((F.col("doc1") % BATCH_MOD != DEL_REM)
+                    & (F.col("doc2") % BATCH_MOD != DEL_REM)))
     matches_full = (pairs.exceptAll(full).count() == 0
                     and full.exceptAll(pairs).count() == 0)
-    # (2) maintained index == from-scratch signature build over
-    #     corpus+batch (the self-maintenance contract)
-    fresh = _sig_of(docs)
+    # (2) maintained index == from-scratch signature build over the
+    #     final corpus + batch (the self-maintenance contract)
+    fresh = _sig_of(docs.filter(~deleted))
     idx_now = cat.read("sigs")
     index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
                          and fresh.exceptAll(idx_now).count() == 0)
@@ -1517,6 +1555,7 @@ SELECT doc1, doc2, ({agree}) / {float(N_HASHES)} AS est_jaccard,
 FROM cand JOIN sig s1 ON cand.doc1 = s1.doc_id JOIN sig s2 ON cand.doc2 = s2.doc_id
 WHERE ({agree}) / {float(N_HASHES)} >= 0.5
   AND (doc1 % {BATCH_MOD} = {BATCH_REM} OR doc2 % {BATCH_MOD} = {BATCH_REM})
+  AND doc1 % {BATCH_MOD} != {DEL_REM} AND doc2 % {BATCH_MOD} != {DEL_REM}
 """
 
 
@@ -1533,10 +1572,15 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
     maintenance, StreamingApp.scala:377-380 / FileWorkerApp.scala:
     129-141.)
 
-    Pins: the arrivals land as exactly 2 read-limited micro-batches;
-    the accumulated pair table hash-equals the full recompute over
-    corpus+arrivals restricted to arrival-touching pairs; the
-    maintained index equals a from-scratch signature build."""
+    The retention path rides the same feed: a source DELETE's change
+    rows retire the slice's band+sig rows (``dedup_retire``, fenced)
+    and drop its stale pairs in the same per-batch turn.
+
+    Pins: the changes land as exactly 3 read-limited micro-batches
+    (two arrivals + one delete); the accumulated pair table
+    hash-equals the full recompute over the FINAL corpus restricted
+    to arrival-touching pairs; the maintained index equals a
+    from-scratch signature build over the final corpus."""
     import shutil
     import uuid as _uuid
     from pathlib import Path as _P
@@ -1563,6 +1607,16 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
             [], "doc1 long, doc2 long, est_jaccard double"))
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
+        dels = (batch.filter(F.col("_change_type") == "delete")
+                .select("doc_id").distinct())
+        if not dels.isEmpty():
+            # retention path: retire the deleted docs' band+sig rows
+            # in one FENCED linked transaction, then drop their stale
+            # pairs (bounded id list per micro-batch; value-idempotent
+            # on replay — the rows are simply already gone)
+            dedup_retire(cat, dels, txn=("dedup-retire", batch_id))
+            ids = ", ".join(str(r.doc_id) for r in dels.collect())
+            pairs_t.delete_where(f"doc1 IN ({ids}) OR doc2 IN ({ids})")
         ins = (batch.filter(F.col("_change_type") == "insert")
                .select("doc_id", "text"))
         if ins.isEmpty():
@@ -1582,6 +1636,9 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
               .writeStream.outputMode("append").foreachBatch(maintain))
     src.append(docs.filter(in_b1))                           # v1
     src.append(docs.filter(in_b2))                           # v2
+    # retention DELETE: the maintenance stream must retire the slice's
+    # index rows and its stale pairs
+    src.delete_where(f"doc_id % {BATCH_MOD} = {DEL_REM}")    # v3
     n_batches, _ = _drain_incremental(stream)
 
     # pins ------------------------------------------------------------
@@ -1589,12 +1646,15 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
         BATCH_REM, (BATCH_REM + 1) % BATCH_MOD) | \
         (F.col("doc2") % BATCH_MOD).isin(
             BATCH_REM, (BATCH_REM + 1) % BATCH_MOD)
+    alive = ((F.col("doc1") % BATCH_MOD != DEL_REM)
+             & (F.col("doc2") % BATCH_MOD != DEL_REM))
     full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
-            .filter(touches))
+            .filter(touches & alive))
     got = pairs_t.read()
     matches_full = (got.exceptAll(full).count() == 0
                     and full.exceptAll(got).count() == 0)
-    fresh = _sig_of(docs)
+    fresh = _sig_of(docs.filter(
+        F.col("doc_id") % BATCH_MOD != DEL_REM))
     idx_now = cat.read("sigs")
     index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
                          and fresh.exceptAll(idx_now).count() == 0)
@@ -1613,9 +1673,10 @@ def dedup_incremental_stream_oracle_sql() -> str:
     return f"""
 WITH corpus AS ({PLANTED_CORPUS_SQL}),{_shingle_hash_ctes()},{_minhash_cand_ctes()}
 SELECT doc1, doc2, ({agree}) / {float(N_HASHES)} AS est_jaccard,
-       TRUE AS matches_full, TRUE AS index_fresh_equal, 2 AS n_batches
+       TRUE AS matches_full, TRUE AS index_fresh_equal, 3 AS n_batches
 FROM cand JOIN sig s1 ON cand.doc1 = s1.doc_id JOIN sig s2 ON cand.doc2 = s2.doc_id
 WHERE ({agree}) / {float(N_HASHES)} >= 0.5
   AND (doc1 % {BATCH_MOD} IN ({b1}, {b2})
        OR doc2 % {BATCH_MOD} IN ({b1}, {b2}))
+  AND doc1 % {BATCH_MOD} != {DEL_REM} AND doc2 % {BATCH_MOD} != {DEL_REM}
 """

@@ -1642,8 +1642,13 @@ ORDER BY sim DESC, e.vec_id LIMIT {k}
 
 #: incremental-index corpus split: vec_id % 10 < 8 is the initial
 #: corpus the quantizer trains on; % 10 == 8 and == 9 arrive later as
-#: two append batches the maintenance stream must absorb.
+#: two append batches the maintenance stream must absorb; % 10 == 7 is
+#: then DELETED from the source (retention DML) and the maintenance
+#: stream must retire those index entries — the round-13 gap where
+#: delete CDF rows were silently dropped and the index served stale
+#: vectors forever.
 IVF_INC_TRAIN_PRED = "vec_id % 10 < 8"
+IVF_INC_DELETE_PRED = "vec_id % 10 = 7"
 
 
 def ivf_incremental_index(spark, sf_dir: str, scratch,
@@ -1663,22 +1668,24 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
     (``{IVF_INC_TRAIN_PRED}``, frozen artifact) → seed the `vectors`
     AcidTable (CDF-enabled) and the cell-partitioned `ivf_index`
     AcidTable → start `acidtable-cdf-parallel` maintenance
-    (foreachBatch: assign inserts to the frozen centroids, one index
-    append per source commit) → append the two arrival batches →
+    (foreachBatch: assign each batch's rows to the frozen centroids,
+    ONE fenced ``apply_cdf`` commit per source commit — inserts
+    appended, deleted vectors' (cell, vec_id) rows retired with the
+    find pass pruned to their cells' partitions) → append the two
+    arrival batches, DELETE the ``{IVF_INC_DELETE_PRED}`` slice →
     drain → serve the query by probing only its {N_PROBES} nearest
     cells' PARTITIONS (pruned_files_in opens matching partition files
-    only). Deletes would ride the same feed as `delete_where` on the
-    index; the scenario's source is append-only, like a training
-    corpus.
+    only).
 
     Pins (in-result): `index_fresh_equal` — the maintained index
-    hash-equals a from-scratch assignment of corpus+arrivals at the
-    SAME centroids; `recall_ok` — recall@10 of the served result vs
-    brute-force cosine stays >= 0.5 (re-pinned after maintenance);
-    `n_batches` — the arrivals landed as exactly 2 read-limited
+    hash-equals a from-scratch assignment of the FINAL corpus
+    (initial + arrivals − deletes) at the SAME centroids; `recall_ok`
+    — recall@10 of the served result vs brute-force cosine over the
+    final corpus stays >= 0.5 (re-pinned after maintenance);
+    `n_batches` — the changes landed as exactly 3 read-limited
     micro-batches. Result rows are the served top-{TOP_K}, which the
     DuckDB oracle recomputes independently (train-on-subset Lloyd +
-    assign-all + probe)."""
+    assign-final-corpus + probe)."""
     import shutil as _sh
 
     from ..acid import AcidTable
@@ -1703,15 +1710,20 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         partition_by=["cell"])
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
-        ins = (batch.filter(F.col("_change_type") == "insert")
-               .select("vec_id", "label", "e"))
-        rows = _km_assign(ins, cents).select(
-            "vec_id", "label", "e", "cell")
+        ch = batch.select("vec_id", "label", "e", "_change_type")
+        # assign EVERY change row to the frozen centroids: an insert
+        # gets the cell it will live in; a delete gets the SAME cell
+        # it was assigned at insertion (deterministic argmin), so the
+        # retire pass prunes to that cell's partition files
+        rows = _km_assign(ch, cents).select(
+            "vec_id", "label", "e", "cell", "_change_type")
         if rows.isEmpty():
             return
-        # (app_id, batch_id) writer fence: an at-least-once replay of
-        # this micro-batch appends NOTHING to the index
-        idx.append_txn(rows, "ivf-maint", batch_id)
+        # one fenced commit per micro-batch (apply_cdf): inserts
+        # append, deletes rewrite only their cells' touched files; an
+        # at-least-once replay commits NOTHING
+        idx.apply_cdf(rows, key=["cell", "vec_id"],
+                      app_id="ivf-maint", batch_id=batch_id)
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")
@@ -1721,13 +1733,18 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
               .option("startingVersion", "0")
               .option("maxVersionsPerTrigger", "1").load()
               .writeStream.outputMode("append").foreachBatch(maintain))
-    # two arrival batches land as two source commits BEFORE the drain
+    # two arrival batches + one retention DELETE land as three source
+    # commits BEFORE the drain — the maintenance stream must absorb
+    # appends AND deletes
     src.append(emb.filter("vec_id % 10 = 8"))                  # v1
     src.append(emb.filter("vec_id % 10 = 9"))                  # v2
+    src.delete_where(IVF_INC_DELETE_PRED)                      # v3
     n_batches, _ = _drain_incremental(stream)
 
     # ---- pins ------------------------------------------------------
-    fresh = _km_assign(emb, cents).select("vec_id", "label", "e", "cell")
+    emb_final = emb.filter(f"NOT ({IVF_INC_DELETE_PRED})")
+    fresh = _km_assign(emb_final, cents).select(
+        "vec_id", "label", "e", "cell")
     now = idx.read().select("vec_id", "label", "e", "cell")
     index_fresh_equal = (now.exceptAll(fresh).count() == 0
                          and fresh.exceptAll(now).count() == 0)
@@ -1750,7 +1767,7 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
               .limit(k))
     got = {r.vec_id for r in served.collect()}
     truth = {r.vec_id for r in
-             (emb.filter(F.col("vec_id") != query_vec_id)
+             (emb_final.filter(F.col("vec_id") != query_vec_id)
               .join(F.broadcast(qe))
               .select("vec_id", _cosine("e", "q").alias("sim"))
               .orderBy(F.desc("sim"), "vec_id").limit(k).collect())}
@@ -1772,13 +1789,14 @@ def ivf_incremental_index_oracle_sql(query_vec_id: int = 0,
 WITH {','.join(_km_ctes(iters, train_pred=IVF_INC_TRAIN_PRED))},
 assigned AS (SELECT a.vec_id, a.label, a.e, c.cell
              FROM emb a, cents{last} c
+             WHERE NOT (a.{IVF_INC_DELETE_PRED})
              QUALIFY row_number() OVER (PARTITION BY a.vec_id
                                         ORDER BY {_KM_SQ}, c.cell) = 1),
 q AS (SELECT e AS q FROM emb WHERE vec_id = {query_vec_id}),
 probe AS (SELECT c.cell FROM cents{last} c, q
           ORDER BY {qsq}, c.cell LIMIT {N_PROBES})
 SELECT m.vec_id, m.label, m.cell, {cos} AS sim,
-       TRUE AS index_fresh_equal, TRUE AS recall_ok, 2 AS n_batches
+       TRUE AS index_fresh_equal, TRUE AS recall_ok, 3 AS n_batches
 FROM assigned m JOIN probe USING (cell), q
 WHERE m.vec_id != {query_vec_id}
 ORDER BY sim DESC, m.vec_id LIMIT {k}

@@ -183,7 +183,8 @@ def bm25_rank(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS,
 
 
 def bm25_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
-                    k: int = BM25_TOP_K) -> str:
+                    k: int = BM25_TOP_K,
+                    where: str | None = None) -> str:
     tf_cols = ", ".join(
         f"CAST(len(list_filter(tk, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
         for i, t in enumerate(terms))
@@ -199,7 +200,7 @@ def bm25_oracle_sql(terms: tuple[str, ...] = BM25_TERMS,
 WITH docs AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\W+'), t -> t <> '') AS tk
-  FROM documents),
+  FROM documents{f' WHERE {where}' if where else ''}),
 tfs AS (
   SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, {tf_cols}
   FROM docs WHERE len(tk) > 0),
@@ -830,9 +831,12 @@ FROM chunks
 
 #: incremental-text-index corpus split (same convention as the dedup
 #: and ANN incremental keys): doc_id % 3 == 1 arrives later, in two
-#: batches split by doc_id parity.
+#: batches split by doc_id parity; doc_id % 15 == 0 (a slice of the
+#: INITIAL corpus) is then deleted — the maintainer must retire its
+#: postings/doc_len rows and subtract its counter partials.
 TEXT_INC_ARRIVAL_MOD = 3
 TEXT_INC_ARRIVAL_REM = 1
+TEXT_INC_DELETE_PRED = "doc_id % 15 = 0"
 
 
 def _index_batch_tables(docs: DataFrame):
@@ -877,6 +881,60 @@ def text_index_maintain(cat, docs: DataFrame) -> int:
     }, op="text_index_maintain")
 
 
+def text_index_apply(cat, changes: DataFrame) -> int:
+    """Apply a MIXED insert+delete document batch (doc_id, text,
+    _change_type) to the persisted text index in ONE linked catalog
+    transaction — the delete half the round-13 maintainer dropped:
+
+    * ``postings`` / ``doc_len``: ``apply_cdf`` keyed on doc_id —
+      insert docs' rows append, deleted docs' rows retire with only
+      the files holding them rewritten;
+    * ``term_df`` / ``corpus_stats``: SIGNED partials — the insert
+      batch's counts minus the delete batch's counts — through one
+      merge_add each, so the counters track the live corpus. A
+      token whose df reaches 0 keeps a zero row (counter semantics;
+      serve-side reads are unaffected because its postings are gone).
+
+    Deleted docs' TEXT must ride the change rows (CDF delete rows
+    carry the full row image), because subtracting a doc's partials
+    requires tokenizing it once more — still O(batch).
+
+    Replay caveat: same as ``text_index_maintain`` — merge_add
+    partials are not fenced, so this is for at-most-once callers."""
+    ins = (changes.filter(F.col("_change_type") == "insert")
+           .select("doc_id", "text"))
+    dels = (changes.filter(F.col("_change_type") == "delete")
+            .select("doc_id", "text"))
+    p_i, dl_i, df_i, c_i = _index_batch_tables(ins)
+    p_d, dl_d, df_d, c_d = _index_batch_tables(dels)
+    post_ch = (p_i.withColumn("_change_type", F.lit("insert"))
+               .unionByName(
+                   p_d.withColumn("_change_type", F.lit("delete"))))
+    dl_ch = (dl_i.withColumn("_change_type", F.lit("insert"))
+             .unionByName(
+                 dl_d.withColumn("_change_type", F.lit("delete"))))
+    df_signed = (df_i.unionByName(
+        df_d.select("token", (-F.col("df")).alias("df")))
+        .groupBy("token").agg(F.sum("df").alias("df")))
+    c_signed = (c_i.unionByName(
+        c_d.select("id", (-F.col("n_docs")).alias("n_docs"),
+                   (-F.col("sum_dl")).alias("sum_dl")))
+        .groupBy("id").agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+            .alias("n_docs"),
+            # sum over an EMPTY side is NULL, not 0 — coalesce so an
+            # insert-only or delete-only batch never poisons the
+            # additive counter with NULL
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long")
+            .alias("sum_dl")))
+    return cat.commit_multi({
+        "postings": ("apply_cdf", post_ch, ["doc_id"]),
+        "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
+        "term_df": ("merge_add", df_signed, ["token"]),
+        "corpus_stats": ("merge_add", c_signed, ["id"]),
+    }, op="text_index_apply")
+
+
 def text_index_incremental(spark, sf_dir: str, scratch,
                            terms: tuple[str, ...] = BM25_TERMS,
                            k: int = BM25_TOP_K) -> DataFrame:
@@ -891,7 +949,11 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     ``term_df`` and ``corpus_stats`` (additive counters maintained by
     merge_add). A batch arrival costs O(batch): tokenize the batch
     only, append its rows, add its partials — one linked transaction
-    (``text_index_maintain``). BM25 then SERVES from the index:
+    (``text_index_maintain``); a MIXED batch (arrivals + a retention
+    DELETE of ``{TEXT_INC_DELETE_PRED}``) routes through
+    ``text_index_apply`` — deleted docs' rows retire, their counter
+    partials subtract, still one transaction. BM25 then SERVES from
+    the index:
     postings probed by the query terms through token BLOOM SIDECARS
     (``read_eq_any`` — one manifest resolution + sidecar probes, then
     a scan of only the surviving files; a 4-term query opens ~its 4
@@ -929,8 +991,14 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     cat.create_table("doc_len", doc_len)
     cat.create_table("term_df", term_df)
     cat.create_table("corpus_stats", corpus)
-    for batch in (b1, b2):                       # two O(batch) arrivals
-        text_index_maintain(cat, batch)
+    text_index_maintain(cat, b1)                 # O(batch) arrival
+    # MIXED batch: the second arrival lands together with a retention
+    # DELETE of an initial-corpus slice — one linked transaction
+    mixed = (b2.withColumn("_change_type", F.lit("insert"))
+             .unionByName(docs.filter(TEXT_INC_DELETE_PRED)
+                          .withColumn("_change_type",
+                                      F.lit("delete"))))
+    text_index_apply(cat, mixed)
 
     # ---- serve BM25 from the maintained index -----------------------
     # one pinned catalog entry for the whole serve pass; the postings
@@ -970,9 +1038,12 @@ def text_index_incremental(spark, sf_dir: str, scratch,
               .orderBy(F.desc("bm25"), "doc_id")
               .limit(k))
 
-    # ---- pin: maintained counters equal a full recount --------------
-    _, _, fresh_df, fresh_corpus = _index_batch_tables(docs)
-    now_df = cat.read("term_df")
+    # ---- pin: maintained counters equal a full recount over the
+    # FINAL corpus (initial + arrivals - deletes); df=0 counter rows
+    # are semantically absent (their postings are gone) and excluded
+    final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
+    _, _, fresh_df, fresh_corpus = _index_batch_tables(final)
+    now_df = cat.read("term_df").filter("df > 0")
     df_equal = (now_df.exceptAll(fresh_df).count() == 0
                 and fresh_df.exceptAll(now_df).count() == 0)
     now_c = cat.read("corpus_stats").select("id", "n_docs", "sum_dl")
@@ -985,9 +1056,11 @@ def text_index_incremental(spark, sf_dir: str, scratch,
 def text_index_incremental_oracle_sql(
         terms: tuple[str, ...] = BM25_TERMS,
         k: int = BM25_TOP_K) -> str:
-    """DuckDB twin: BM25 recomputed from scratch over the full corpus
-    — what the maintained index must serve."""
-    inner = bm25_oracle_sql(terms, k).strip()
+    """DuckDB twin: BM25 recomputed from scratch over the FINAL corpus
+    (everything except the deleted slice) — what the maintained index
+    must serve."""
+    inner = bm25_oracle_sql(
+        terms, k, where=f"NOT ({TEXT_INC_DELETE_PRED})").strip()
     return f"""
 SELECT doc_id, bm25, TRUE AS stats_fresh_equal FROM ({inner}
 ) b

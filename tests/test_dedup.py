@@ -116,16 +116,26 @@ def test_dedup_incremental_maintains_index(spark, tmp_path):
     from pathlib import Path
     cat = AcidCatalog(spark, Path(tmp_path) / "dedup_index_sf0.001")
     sigs, bands = cat.table("sigs"), cat.table("bands")
-    assert sigs.latest_version() == 1 and bands.latest_version() == 1
-    n_batch = (dedup.planted_corpus(
+    # v0 create, v1 retention retire (apply_cdf), v2 batch append
+    assert sigs.latest_version() == 2 and bands.latest_version() == 2
+    assert sigs._manifest(1)["op"] in ("apply_cdf", "delete")
+    planted = dedup.planted_corpus(
         spark.read.parquet(f"{sf}/documents.parquet"))
-        .filter(F.col("doc_id") % dedup.BATCH_MOD == dedup.BATCH_REM)
-        .count())
-    assert (sigs.read().count() - sigs.read(0).count()) == n_batch
-    assert (bands.read().count() - bands.read(0).count()) == 4 * n_batch
-    # catalog readers see both appends or neither (one entry pins both)
+    n_batch = (planted
+               .filter(F.col("doc_id") % dedup.BATCH_MOD
+                       == dedup.BATCH_REM)
+               .count())
+    n_del = (planted
+             .filter((F.col("doc_id") % dedup.BATCH_MOD
+                      == dedup.DEL_REM))
+             .count())
+    assert (sigs.read().count() - sigs.read(0).count()) \
+        == n_batch - n_del
+    assert (bands.read().count() - bands.read(0).count()) \
+        == 4 * (n_batch - n_del)
+    # catalog readers see both writes or neither (one entry pins both)
     snap = cat.snapshot()
-    assert snap == {"sigs": 1, "bands": 1}
+    assert snap == {"sigs": 2, "bands": 2}
 
 
 def test_pairwise_verifiers_collapse_path_equals_raw(spark, tables):
@@ -176,10 +186,11 @@ def test_pairwise_verifiers_collapse_path_equals_raw(spark, tables):
 
 
 def test_dedup_incremental_stream_maintains_both_tables(spark, tmp_path):
-    """Streaming self-maintenance: 2 CDF micro-batches each sign their
-    batch, append band+sig rows (one linked catalog commit per batch),
-    and MERGE found pairs into the results table — pins ride the
-    result; the index version count proves per-batch maintenance."""
+    """Streaming self-maintenance: 3 CDF micro-batches (2 arrivals +
+    1 retention delete) each maintain the index in one linked catalog
+    commit — appends sign+append, deletes retire band+sig rows and
+    drop stale pairs — pins ride the result; the index version count
+    proves per-batch maintenance."""
     from pathlib import Path
 
     from spark_streaming_apps_spark.acid import AcidTable
@@ -191,14 +202,16 @@ def test_dedup_incremental_stream_maintains_both_tables(spark, tmp_path):
     assert rows, "expected arrival-touching near-dup pairs"
     assert all(r.matches_full for r in rows)
     assert all(r.index_fresh_equal for r in rows)
-    assert rows[0].n_batches == 2
+    assert rows[0].n_batches == 3
     root = Path(tmp_path) / "dedup_stream_sf0.001"
     cat = AcidCatalog(spark, root / "index")
-    # one linked append per arrival batch on BOTH index tables
-    assert cat.table("sigs").latest_version() == 2
-    assert cat.table("bands").latest_version() == 2
-    # one pairs MERGE per batch that found pairs (<= 2, >= 1)
-    assert 1 <= AcidTable(spark, root / "pairs").latest_version() <= 2
+    # one linked commit per micro-batch on BOTH index tables
+    # (2 arrival appends + 1 retire)
+    assert cat.table("sigs").latest_version() == 3
+    assert cat.table("bands").latest_version() == 3
+    # pairs: one MERGE per batch that found pairs plus the retire's
+    # stale-pair delete
+    assert 1 <= AcidTable(spark, root / "pairs").latest_version() <= 3
 
 
 def test_dedup_batch_txn_fence_blocks_replay(spark, tmp_path):

@@ -331,7 +331,8 @@ def test_trained_artifacts_serve_from_disk(tables, tmp_path, monkeypatch):
 def test_ivf_incremental_index_maintains_and_prunes(spark, tmp_path):
     """Self-maintaining IVF: the CDF-fed maintenance keeps the index
     hash-equal to a from-scratch build at the same frozen centroids
-    (pinned in-result), arrivals land as 2 micro-batches, the probe
+    (pinned in-result), changes (2 arrivals + 1 delete) land as 3
+    micro-batches, the probe
     read opens ONLY the probe cells' partition files, and a THIRD
     append after the drain is absorbed by restarting the maintenance
     stream (the index follows the data, never a rebuild)."""
@@ -348,11 +349,12 @@ def test_ivf_incremental_index_maintains_and_prunes(spark, tmp_path):
     assert len(rows) == similarity.TOP_K
     assert all(r.index_fresh_equal for r in rows)
     assert all(r.recall_ok for r in rows)
-    assert rows[0].n_batches == 2
+    assert rows[0].n_batches == 3
 
     idx = AcidTable(spark, Path(tmp_path) / "ivf_inc_idx_sf0.001")
-    # maintenance committed one index append per source commit
-    assert idx.latest_version() == 2
+    # maintenance committed one index commit per source commit
+    # (2 arrival appends + 1 delete retire)
+    assert idx.latest_version() == 3
     # probe-side partition pruning: the 2 probe cells' files are a
     # strict minority of the index's files
     some_cell = int(idx.read().limit(1).collect()[0].cell)
@@ -372,7 +374,7 @@ def test_ivf_incremental_index_maintains_and_prunes(spark, tmp_path):
     src = AcidTable(spark, Path(tmp_path) / "ivf_inc_vec_sf0.001")
     late = emb.filter("vec_id % 10 = 7").select(
         (F.col("vec_id") + 5_000_000).alias("vec_id"), "label", "e")
-    src.append(late)                                           # v3
+    src.append(late)                                           # v4
 
     def maintain(batch, batch_id):
         ins = (batch.filter(F.col("_change_type") == "insert")
@@ -386,13 +388,14 @@ def test_ivf_incremental_index_maintains_and_prunes(spark, tmp_path):
     n2, _ = _drain_incremental(
         spark.readStream.format("acidtable-cdf-parallel")
         .option("path", str(Path(tmp_path) / "ivf_inc_vec_sf0.001"))
-        .option("startingVersion", "2")       # exclusive: v3 only
+        .option("startingVersion", "3")       # exclusive: v4 only
         .option("maxVersionsPerTrigger", "1").load()
         .writeStream.outputMode("append").foreachBatch(maintain))
     assert n2 == 1
     fresh = similarity._km_assign(
-        emb.unionByName(late), cents).select("vec_id", "label", "e",
-                                             "cell")
+        emb.filter(f"NOT ({similarity.IVF_INC_DELETE_PRED})")
+        .unionByName(late), cents).select("vec_id", "label", "e",
+                                          "cell")
     now = idx.read().select("vec_id", "label", "e", "cell")
     assert now.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(now).count() == 0

@@ -101,17 +101,21 @@ def test_text_index_maintain_is_o_batch_and_additive(spark, tmp_path):
     assert len(rows) > 0
     assert all(r.stats_fresh_equal for r in rows)
     cat = AcidCatalog(spark, Path(tmp_path) / "text_index_sf0.001")
-    # two arrivals = two maintenance entries on every table
+    # one pure-insert arrival + one MIXED (arrival + retention delete)
+    # batch = two maintenance entries on every table
     for t in ("postings", "doc_len", "term_df", "corpus_stats"):
         assert cat.table(t).latest_version() == 2, t
-    # appends were linked O(batch) commits (op recorded), counters
-    # merged (op recorded)
+    # the arrival was a linked O(batch) append, the mixed batch an
+    # apply_cdf; counters merged both times
     assert cat.table("postings")._manifest(1)["op"] == "append"
+    assert cat.table("postings")._manifest(2)["op"] == "apply_cdf"
     assert cat.table("term_df")._manifest(1)["op"] == "merge_add"
+    assert cat.table("term_df")._manifest(2)["op"] == "merge_add"
     # the one-row corpus counter stayed one row
     assert cat.read("corpus_stats").count() == 1
-    # doc_len rows = docs with tokens, across all three commits
+    # doc_len rows = FINAL-corpus docs with tokens (deleted slice out)
     n = (text._index_batch_tables(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .select("doc_id", "text"))[1].count())
+        .select("doc_id", "text")
+        .filter(f"NOT ({text.TEXT_INC_DELETE_PRED})"))[1].count())
     assert cat.read("doc_len").count() == n
