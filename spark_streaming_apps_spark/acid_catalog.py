@@ -367,16 +367,27 @@ class AcidCatalog:
         cur = self.snapshot()
         if changed and all(cur.get(t) is not None and cur.get(t) >= v
                            for t, v in changed.items()):
-            # retry of a publish that already LANDED (crash after the
-            # CAS): main pins the branch head — or a LATER version of
-            # every changed table. Table histories are linear (each
-            # version chain is one CAS sequence), so a main pin >= the
-            # branch's version means that version is an ANCESTOR of
-            # what main serves: the branch work is visible and the
-            # retry is an idempotent no-op, not a spurious conflict
-            # (before this, a main write landing after a successful
-            # publish made the retry raise CommitConflict).
-            return self.latest_entry()
+            # possible retry of a publish that already LANDED (crash
+            # after the CAS): main pins the branch head — or a LATER
+            # version of every changed table. Pin dominance alone is
+            # NOT proof (a main writer that built on the branch's
+            # committed-but-unpinned table version also dominates, the
+            # documented carve-out, and that branch was never
+            # audited-published) — so demand evidence: some entry
+            # AFTER the fork pinned EXACTLY the branch-head versions,
+            # which only the publish swap writes (a main commit mints
+            # its own fresh table version, skipping the branch's).
+            # O(entries-since-fork) walk, paid only on this rare path.
+            e = self.latest_entry()
+            for n in range(e, base, -1):
+                pins_n = self.snapshot(n)
+                if all(pins_n.get(t) == v for t, v in changed.items()):
+                    # the landed publish's entry: idempotent no-op,
+                    # not a spurious conflict (a post-publish main
+                    # write no longer fails the retry)
+                    return e
+            # no entry ever pinned the branch head: fall through to
+            # the fast-forward check, which will refuse
         stale = {t for t in changed
                  if cur.get(t) != base_pins.get(t)}
         if stale:
@@ -474,6 +485,61 @@ class CatalogBranch:
                 return h + 1
         raise CommitConflict(
             f"gave up advancing branch {self.name!r} after "
+            f"{max_retries} races")
+
+    def rebase(self, max_retries: int = 50) -> int:
+        """Re-fork the branch onto the CURRENT main entry without
+        losing its work — the missing step of the WAP loop when main
+        moves while a branch is parked: tables the branch left
+        UNCHANGED re-pin to main's current versions (so branch reads
+        stop serving fork-time staleness and the eventual publish's
+        base reflects reality); tables the branch CHANGED keep the
+        branch's versions.
+
+        REFUSED (CommitConflict) when main itself moved on a table the
+        branch changed since the fork — a true conflict: the branch's
+        version and main's version are divergent claims on one linear
+        table history, and silently preferring either would drop the
+        other's write. Re-apply the branch's work on a fresh fork (or
+        publish-retry if the branch head already landed).
+
+        Returns the new branch head entry number. The pointer advance
+        is the same create_exclusive CAS as every other swap;
+        ``crash_point('before_branch_rebase')`` covers the
+        died-before-swap window (the old head keeps serving)."""
+        for _ in range(max_retries):
+            h = self.head()
+            if h is None:
+                raise FileNotFoundError(
+                    f"branch {self.name!r} does not exist under "
+                    f"{self.catalog.root}")
+            ent = self._entry(h)
+            pins_b, base = ent["pins"], ent["base"]
+            base_pins = self.catalog.snapshot(base)
+            changed = {t: v for t, v in pins_b.items()
+                       if base_pins.get(t) != v}
+            cur_e = self.catalog.latest_entry()
+            cur = self.catalog.snapshot(cur_e)
+            stale = {t for t in changed
+                     if cur.get(t) != base_pins.get(t)}
+            if stale:
+                raise CommitConflict(
+                    f"branch {self.name!r} cannot rebase: main moved "
+                    f"on changed table(s) {sorted(stale)} since the "
+                    f"fork (base entry {base}) — divergent writes on "
+                    f"a linear history; re-apply the branch's work on "
+                    f"a fresh fork")
+            merged = dict(cur)
+            merged.update(changed)
+            crash_point("before_branch_rebase")
+            if get_store().create_exclusive(
+                    self._dir / f"b{h + 1}.json",
+                    json.dumps({"pins": merged, "base": cur_e})):
+                return h + 1
+            # lost a race against a concurrent branch commit or
+            # rebase: recompute against the new head
+        raise CommitConflict(
+            f"gave up rebasing branch {self.name!r} after "
             f"{max_retries} races")
 
     # ----------------------------------------------------------- writes

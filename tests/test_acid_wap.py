@@ -148,6 +148,9 @@ if op == "branch_commit":
         [(500, 0)], "file_id long, status int"))}})
 elif op == "publish":
     cat.publish("wap")
+elif op == "rebase":
+    from spark_streaming_apps_spark.acid_catalog import CatalogBranch
+    CatalogBranch(cat, "wap").rebase()
 print("COMMIT-COMPLETED", flush=True)
 """
 
@@ -343,3 +346,67 @@ def test_drop_branch_releases_its_pinned_version(spark, tmp_path):
     # v1 no longer a root: its unique file is gone
     with pytest.raises((VersionVacuumedError, FileNotFoundError)):
         t.read(1).collect()
+
+
+# --------------------------------------------------------- branch rebase
+
+def test_rebase_refreshes_unchanged_pins_then_publishes(spark, tmp_path):
+    """The contended WAP loop closed: main moves on OTHER tables while
+    the branch is parked; rebase re-forks the branch onto current main
+    (unchanged tables pick up main's pins, changed tables keep the
+    branch's), and the publish lands."""
+    cat = _seed(spark, tmp_path / "c")
+    cat.create_table("r", _df(spark, [(1, 1)], "k long, v int"))
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    # main moves on a table the branch did NOT change
+    cat.commit_multi({"r": ("append", _df(spark, [(2, 2)],
+                                          "k long, v int"))})
+    # fork-time staleness: the parked branch still serves old r
+    assert (2, 2) not in {(x.k, x.v) for x in br.read("r").collect()}
+    h = br.rebase()
+    assert br.head() == h
+    assert br.base_entry() == cat.latest_entry()
+    # post-rebase the branch reads fresh r AND keeps its q work
+    assert (2, 2) in {(x.k, x.v) for x in br.read("r").collect()}
+    assert (1, 1) in _census(br.read("q"))
+    cat.publish("wap")
+    assert (1, 1) in _census(cat.read("q"))
+    assert (2, 2) in {(x.k, x.v) for x in cat.read("r").collect()}
+
+
+def test_rebase_refuses_true_conflict(spark, tmp_path):
+    """Main moved on a table the branch CHANGED: divergent claims on
+    one linear history — rebase must refuse, exactly like publish."""
+    cat = _seed(spark, tmp_path / "c")
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    cat.commit_multi({"q": ("append", _df(spark, [(9, 9)],
+                                          "file_id long, status int"))})
+    with pytest.raises(CommitConflict, match="not fast-forwardable"):
+        cat.publish("wap")
+    with pytest.raises(CommitConflict, match="cannot rebase"):
+        br.rebase()
+
+
+def test_crash_before_rebase_keeps_old_head(spark, tmp_path):
+    """SIGKILL inside rebase before the branch-pointer CAS: the old
+    head keeps serving; a retried rebase lands and publish follows."""
+    root = tmp_path / "c"
+    cat = _seed(spark, root)
+    cat.create_table("r", _df(spark, [(1, 1)], "k long, v int"))
+    br = cat.branch("wap")
+    br.commit_multi({"q": ("update", {"status": "1"}, "file_id = 1")})
+    cat.commit_multi({"r": ("append", _df(spark, [(2, 2)],
+                                          "k long, v int"))})
+    h0, pins0 = br.head(), br.snapshot()
+
+    _run_crash("before_branch_rebase", root, "rebase")
+
+    cat2 = AcidCatalog(spark, root)
+    br2 = CatalogBranch(cat2, "wap")
+    assert br2.head() == h0 and br2.snapshot() == pins0
+    # retry: rebase lands, publish follows
+    br2.rebase()
+    cat2.publish("wap")
+    assert (1, 1) in _census(cat2.read("q"))
