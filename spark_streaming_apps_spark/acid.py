@@ -4773,6 +4773,61 @@ class AcidTable:
                 max_retries)
         return r
 
+    def set_autocompact(self, max_bytes: int | None = 32 << 20,
+                        min_files: int = 16,
+                        max_retries: int = 20) -> int:
+        """Opt into AUTO-compaction (Delta autoCompact): writers that
+        honor the hook (``maybe_autocompact`` — the streaming sink and
+        the index maintenance loops call it after every batch commit)
+        fold files under ``max_bytes`` back together whenever at least
+        ``min_files`` of them have accumulated, so a per-batch append
+        stream keeps a BOUNDED live-file count instead of one file per
+        batch forever. Pass ``max_bytes=None`` to clear. Pure-metadata
+        property commit; compaction itself is row-preserving
+        (``compact_small``), CDF-silent, and carries the writer-fence
+        txns map, so table streams and replay fences ride through it
+        untouched."""
+        for _ in range(max_retries):
+            v, _cur = self.snapshot()
+            m = self._manifest(v)
+            props = dict(self._props())
+            if max_bytes is None:
+                props.pop("autocompact", None)
+            else:
+                props["autocompact"] = {"max_bytes": int(max_bytes),
+                                        "min_files": int(min_files)}
+            if self._try_commit(v + 1, m["data"], m["schema"],
+                                "set_autocompact", props=props,
+                                files=m.get("files"),
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+        raise CommitConflict(
+            f"gave up setting autocompact after {max_retries} races")
+
+    def maybe_autocompact(self) -> int | None:
+        """The auto-compaction HOOK: no-op unless the table opted in
+        via ``set_autocompact`` AND the newest manifest already counts
+        ``min_files`` files under ``max_bytes`` — both pure manifest
+        reads, no data IO on the no-op path. Returns the compaction's
+        version when one ran, else None. Called by the acidtable
+        streaming sink and the incremental-index maintainers after
+        each per-batch commit (Delta autoCompact's
+        post-commit-in-the-writer placement)."""
+        ac = self._props().get("autocompact")
+        if not ac:
+            return None
+        m = self._manifest(self.latest_version())
+        files = m.get("files")
+        if files is None:
+            return None
+        n_small = sum(1 for f in files
+                      if f.get("bytes", 0) < ac["max_bytes"])
+        if n_small < ac["min_files"]:
+            return None
+        return self.compact_small(max_bytes=ac["max_bytes"],
+                                  min_files=ac["min_files"])
+
     def compact_small(self, max_bytes: int = 32 << 20,
                       target_files: int = 1, min_files: int = 2,
                       max_retries: int = 20) -> int:

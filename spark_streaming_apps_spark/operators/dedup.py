@@ -1480,6 +1480,9 @@ def dedup_batch(spark, cat, batch: DataFrame,
             writes = {"sigs": ("append", sig_b),
                       "bands": ("append", bb)}
         cat.commit_multi(writes, op="dedup_index_append")
+        # opt-in small-file hygiene (no-op without the table property)
+        cat.table("sigs").maybe_autocompact()
+        cat.table("bands").maybe_autocompact()
     return pairs
 
 

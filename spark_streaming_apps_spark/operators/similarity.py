@@ -1724,6 +1724,10 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         # at-least-once replay commits NOTHING
         idx.apply_cdf(rows, key=["cell", "vec_id"],
                       app_id="ivf-maint", batch_id=batch_id)
+        # opt-in small-file hygiene (no-op unless the table property
+        # is set): per-batch appends otherwise accumulate one file
+        # per cell per batch forever
+        idx.maybe_autocompact()
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")

@@ -873,12 +873,17 @@ def text_index_maintain(cat, docs: DataFrame) -> int:
     fenced streaming shape is commit_multi's ``append_txn`` kind,
     which the dedup/IVF maintainers use."""
     postings, doc_len, term_df, corpus = _index_batch_tables(docs)
-    return cat.commit_multi({
+    e = cat.commit_multi({
         "postings": ("append", postings),
         "doc_len": ("append", doc_len),
         "term_df": ("merge_add", term_df, ["token"]),
         "corpus_stats": ("merge_add", corpus, ["id"]),
     }, op="text_index_maintain")
+    # opt-in small-file hygiene on the append-only surfaces (no-op
+    # without the table property; counters rewrite per merge anyway)
+    cat.table("postings").maybe_autocompact()
+    cat.table("doc_len").maybe_autocompact()
+    return e
 
 
 def text_index_apply(cat, changes: DataFrame) -> int:

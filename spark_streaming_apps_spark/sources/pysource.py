@@ -551,6 +551,16 @@ class AcidStreamWriter(DataSourceStreamWriter):
                             tmp, manifests / "_latest")
                     except OSError:
                         pass
+                    # opt-in auto-compaction (Delta autoCompact): the
+                    # batch is DURABLY committed above, so maintenance
+                    # is best-effort — a failed/raced compaction must
+                    # never fail the stream. No-op unless the table
+                    # property is set AND enough small files piled up
+                    # (pure manifest reads).
+                    try:
+                        self._maybe_autocompact(root, manifests)
+                    except (OSError, ValueError, KeyError):
+                        pass
                     return
                 else:                         # lost the race: retry on top
                     shutil.rmtree(dest, ignore_errors=True)
@@ -562,6 +572,117 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 f"at {self.path}")
         finally:
             self._cleanup(messages)
+
+    def _maybe_autocompact(self, root, manifests) -> None:
+        """Post-commit AUTO-compaction (Delta autoCompact's
+        in-the-writer placement), SparkSession-FREE: the Python
+        DataSource writer commits from a plain Python process, so the
+        fold is a pyarrow concat of the small files — they are small
+        by definition (that's the trigger), which is exactly why a
+        cluster job would be the wrong tool — committed through the
+        same manifest CAS as every other version. One attempt, best
+        effort: losing the race just means the next batch retries.
+
+        Scope guards: tables with a live deletion vector are skipped
+        (materializing DV shares needs the Spark-side
+        ``compact_small``); partitioned tables compact per partition
+        tuple (the one-tuple-per-file invariant holds); rewritten
+        files' bloom sidecars are NOT rebuilt here — point reads
+        conservatively scan sidecar-less files and the next Spark-side
+        optimize re-indexes them; CDF tables record an empty change
+        set (compaction is row-preserving, the ``_NO_CHANGE_OPS``
+        contract), so table streams skip it silently."""
+        import json
+        import time
+        import uuid as _uuid
+        from pathlib import Path
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..acid import (collect_file_stats, encode_manifest_files,
+                            latest_committed_version,
+                            resolve_manifest_files)
+        from ..storage import get_store
+
+        v = latest_committed_version(manifests)
+        m = json.loads((manifests / f"v{v}.json").read_text())
+        ac = (m.get("props") or {}).get("autocompact")
+        if not ac or "dv" in m:
+            return
+        files = resolve_manifest_files(root, m)
+        if files is None:
+            return                          # legacy chain: skip
+        small = [f for f in files
+                 if f.get("bytes", 0) < ac["max_bytes"]]
+        if len(small) < ac["min_files"]:
+            return
+        groups: dict = {}
+        for f in small:
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(f)
+        groups = {k: g for k, g in groups.items() if len(g) >= 2}
+        if not groups:
+            return
+        new_rel = f"data/commit-{_uuid.uuid4().hex}"
+        dest = root / new_rel
+        dest.mkdir(parents=True)
+        drop: set = set()
+        written: list[tuple[str, dict | None]] = []
+        for key, grp in groups.items():
+            tbl = pa.concat_tables(
+                [pq.read_table(str(root / f["path"])) for f in grp])
+            out = dest / f"compact-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, str(out))
+            drop.update(f["path"] for f in grp)
+            written.append((str(out), dict(key) or None))
+        new_stats = collect_file_stats(p for p, _ in written)
+        inv = {p: l for l, p in self.mapping.items()}
+        for e, (_, part) in zip(new_stats, written):
+            if inv and e.get("stats"):      # stats stay LOGICAL
+                e["stats"] = {inv.get(k, k): v2
+                              for k, v2 in e["stats"].items()}
+            if part is not None:
+                e["partition"] = part
+            e["path"] = f'{new_rel}/{e["path"]}'
+        keep = [f for f in files if f["path"] not in drop]
+        manifest = {
+            "version": v + 1, "data": new_rel, "schema": m["schema"],
+            "op": "compact_small", "parent": v, "ts": time.time(),
+            "txns": m.get("txns") or {},    # writer fences carried
+        }
+        encode_manifest_files(manifest, keep + new_stats, v, files)
+        for k in ("constraints", "props"):
+            if m.get(k) is not None:
+                manifest[k] = m[k]
+        if (m.get("props") or {}).get("cdf"):
+            # row-preserving op: record an EMPTY change set so the
+            # feed serves this version without a snapshot diff
+            ch_rel = f"data/changes-{_uuid.uuid4().hex}"
+            chdir = root / ch_rel
+            chdir.mkdir(parents=True)
+            base = pq.read_schema(written[0][0])
+            empty = pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in base]
+                + [pa.array([], type=pa.string())],
+                names=list(base.names) + ["_change_type"])
+            pq.write_table(empty, str(chdir / "empty.parquet"))
+            manifest["changes"] = ch_rel
+        if not get_store().create_exclusive(
+                manifests / f"v{v + 1}.json", json.dumps(manifest)):
+            # lost the pointer race: abandon (next batch retries)
+            import shutil as _sh
+            _sh.rmtree(dest, ignore_errors=True)
+            if "changes" in manifest:
+                _sh.rmtree(root / manifest["changes"],
+                           ignore_errors=True)
+            return
+        try:                                 # best-effort O(1) hint
+            tmp = manifests / f"._latest.{_uuid.uuid4().hex[:8]}"
+            tmp.write_text(str(v + 1))
+            get_store().atomic_replace(tmp, manifests / "_latest")
+        except OSError:
+            pass
 
     def _record_changes(self, root, ch_rel: str, staged: list) -> None:
         """CDF tables: the appended rows ARE the delta — rewrite each

@@ -126,3 +126,51 @@ def test_vacuum_distributes_large_victim_sets(spark, tmp_path):
     live = list((t.path / "data").rglob("*.parquet"))
     assert len(live) == 2                       # only the compacted files
     assert t.read().count() == 6000
+
+
+def test_autocompact_bounds_live_files_and_keeps_fence(spark, tmp_path):
+    """Opt-in auto-compaction: a per-batch append stream's live-file
+    count stays BOUNDED over a long drain, rows are preserved, and the
+    writer fence (cumulative txns map) rides through compaction — a
+    replayed old batch still commits nothing afterwards."""
+    from spark_streaming_apps_spark.acid import AcidTable
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(0, 0)], "k long, b long"))
+    t.set_autocompact(max_bytes=1 << 20, min_files=4)
+    for b in range(1, 21):                      # 20 arrival batches
+        rows = spark.createDataFrame([(b * 10 + i, b)
+                                      for i in range(3)],
+                                     "k long, b long")
+        assert t.append_txn(rows, "app", b) is not None
+        t.maybe_autocompact()                  # the maintainer hook
+    files = t._manifest(t.latest_version())["files"]
+    # without compaction this is >= 21 files; the property bounds it
+    assert len(files) < 8, f"live files unbounded: {len(files)}"
+    assert t.read().count() == 61
+    # fence intact across compactions: any replayed batch is a no-op
+    assert t.append_txn(
+        spark.createDataFrame([(999, 5)], "k long, b long"),
+        "app", 5) is None
+    assert t.read().count() == 61
+
+
+def test_autocompact_is_noop_without_property(spark, tmp_path):
+    from spark_streaming_apps_spark.acid import AcidTable
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(0, 0)], "k long, b long"))
+    for b in range(6):
+        t.append(spark.createDataFrame([(b, b)], "k long, b long"))
+    v = t.latest_version()
+    assert t.maybe_autocompact() is None
+    assert t.latest_version() == v
+    # clearing an enabled property restores the no-op
+    t.set_autocompact(max_bytes=1 << 20, min_files=2)
+    assert t.maybe_autocompact() is not None
+    t.set_autocompact(None)
+    t.append(spark.createDataFrame([(99, 9)], "k long, b long"))
+    t.append(spark.createDataFrame([(98, 9)], "k long, b long"))
+    assert t.maybe_autocompact() is None

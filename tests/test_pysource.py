@@ -783,3 +783,42 @@ def test_read_acid_time_travel_and_legacy_conservatism(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
                        "10485760b")
+
+
+def test_acid_stream_sink_autocompacts_when_opted_in(spark, tmp_path):
+    """The sink honors the autocompact table property: a many-batch
+    drain keeps the live-file count bounded, rows and the batch fence
+    are untouched (compaction is row-preserving and carries txns)."""
+    import duckdb
+
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    con = duckdb.connect()
+    for i in range(12):
+        con.execute(f"""
+            COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                         CAST({i} AS BIGINT) AS user_id
+                  FROM range({i * 5}, {i * 5 + 5}))
+            TO '{src}/f{i}.parquet' (FORMAT PARQUET)""")
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "event_id long, user_id long"))
+    t.set_autocompact(max_bytes=1 << 20, min_files=4)
+    spark.dataSource.register(AcidTableDataSource)
+    q = (spark.readStream.schema("event_id long, user_id long")
+         .option("maxFilesPerTrigger", 1).parquet(str(src))
+         .writeStream.format("acidtable")
+         .option("path", str(tmp_path / "t"))
+         .option("appId", "sinkAC")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    files = t._manifest(t.latest_version())["files"]
+    assert len(files) < 8, f"live files unbounded: {len(files)}"
+    assert t.read().count() == 60
+    ops = [t._manifest(v)["op"] for v in range(t.latest_version() + 1)]
+    assert ops.count("stream_sink") == 12       # every batch committed
+    assert "compact_small" in ops               # and compaction ran
