@@ -838,6 +838,24 @@ TEXT_INC_ARRIVAL_MOD = 3
 TEXT_INC_ARRIVAL_REM = 1
 TEXT_INC_DELETE_PRED = "doc_id % 15 = 0"
 
+#: token-bucket partition count for the postings table. The layout is
+#: the point: a token's postings live in exactly ONE bucket
+#: (crc32(token) % buckets), so every file holds one bucket's tokens
+#: and the per-file token bloom sidecars can prune FREQUENT terms too
+#: — without it every file contains every common token and the bloom
+#: probe degenerates to a full scan for exactly the terms people
+#: query. A 4-term query therefore opens <= 4 buckets' files at ANY
+#: corpus size (Solr/ES term sharding, as a partition spec). Scale
+#: knob: raise with corpus size to keep per-bucket bytes bounded.
+TEXT_BUCKETS = 16
+
+
+def _tbucket(col: str = "token"):
+    """Deterministic token bucket — crc32 so an external client (or
+    test) can compute the same bucket with zlib.crc32."""
+    return F.pmod(F.crc32(F.encode(F.col(col), "UTF-8")),
+                  F.lit(TEXT_BUCKETS)).cast("int")
+
 
 def _index_batch_tables(docs: DataFrame):
     """(postings, doc_len, term_df partials, corpus partials) for one
@@ -848,7 +866,8 @@ def _index_batch_tables(docs: DataFrame):
     postings = (toks.select("doc_id", "dl",
                             F.explode("tk").alias("token"))
                 .groupBy("token", "doc_id")
-                .agg(F.count(F.lit(1)).alias("tf")))
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tbucket", _tbucket()))
     doc_len = toks.select("doc_id", F.col("dl").cast("long").alias("dl"))
     term_df = postings.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"))
@@ -987,12 +1006,14 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     shutil.rmtree(root, ignore_errors=True)
     cat = AcidCatalog(spark, root)
     postings, doc_len, term_df, corpus = _index_batch_tables(initial)
-    # token bloom sidecars make the SERVE side a point lookup: a BM25
-    # query opens only the postings files that may hold its terms
-    # (read_eq_any — the dedup_batch band-probe shape), not the whole
-    # postings table; every batch append indexes its new files in the
-    # same distributed pass
-    cat.create_table("postings", postings, bloom_by=["token"])
+    # token-bucket PARTITIONING + token bloom sidecars make the SERVE
+    # side a point lookup: each file holds ONE bucket's tokens (so the
+    # sidecars prune frequent terms too, see TEXT_BUCKETS) and a BM25
+    # query opens only its terms' buckets' files (read_eq_any — the
+    # dedup_batch band-probe shape), never the whole postings table;
+    # every batch append indexes its new files in the same pass
+    cat.create_table("postings", postings,
+                     partition_by=["tbucket"], bloom_by=["token"])
     cat.create_table("doc_len", doc_len)
     cat.create_table("term_df", term_df)
     cat.create_table("corpus_stats", corpus)

@@ -119,3 +119,34 @@ def test_text_index_maintain_is_o_batch_and_additive(spark, tmp_path):
         .select("doc_id", "text")
         .filter(f"NOT ({text.TEXT_INC_DELETE_PRED})"))[1].count())
     assert cat.read("doc_len").count() == n
+
+
+def test_text_index_postings_probe_is_bucket_bounded(spark, tmp_path):
+    """The serve-path layout contract: postings files are single-
+    token-bucket (partition_by) with token bloom sidecars, so a query
+    for K terms opens only files in those terms' buckets — frequent
+    terms included — never the whole table."""
+    import zlib
+    from pathlib import Path
+
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+    from spark_streaming_apps_spark.operators import text
+
+    text.text_index_incremental(spark, "/root/testdata/sf0.001",
+                                tmp_path)
+    cat = AcidCatalog(spark, Path(tmp_path) / "text_index_sf0.001")
+    t = cat.table("postings")
+    terms = list(text.BM25_TERMS)
+    want_buckets = {zlib.crc32(s.encode()) % text.TEXT_BUCKETS
+                    for s in terms}
+    paths, total = t.pruned_files_in("token", terms)
+    assert 0 < len(paths) < total, (len(paths), total)
+    # every opened file sits in a queried term's bucket (bloom false
+    # positives could add others in principle; at this size the
+    # single-bucket layout makes the probe exact)
+    m = t._manifest(t.latest_version())
+    by_path = {str(t.path / f["path"]): (f.get("partition") or {})
+               for f in m["files"]}
+    opened_buckets = {by_path[p].get("tbucket") for p in paths}
+    assert opened_buckets <= want_buckets, (opened_buckets,
+                                            want_buckets)
