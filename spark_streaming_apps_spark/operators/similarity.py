@@ -117,7 +117,8 @@ def _cosine_duck(a: str, b: str) -> str:
             f"(sqrt({_DOT_DUCK.format(a=a, b=a)}) * sqrt({_DOT_DUCK.format(a=b, b=b)})), 6)")
 
 
-def _ivf_index(embeddings: DataFrame) -> DataFrame:
+def _ivf_index(embeddings: DataFrame,
+               n_cells: int = N_CELLS) -> DataFrame:
     """The materialized IVF index: every corpus vector (INCLUDING the
     planted near-identical copies: vec_id % 50 == 0 → id + 1_000_000,
     +0.01 on coord 0) scored against the {N_CELLS} seed centroids, top-2
@@ -146,7 +147,7 @@ def _ivf_index(embeddings: DataFrame) -> DataFrame:
                                   "CASE WHEN i = 0 THEN x + 0.01 ELSE x END)")
                             .alias("e")))
         corpus = emb.unionByName(planted)
-        cents = (emb.filter(F.col("vec_id") < N_CELLS)
+        cents = (emb.filter(F.col("vec_id") < n_cells)
                  .select(F.col("vec_id").alias("cell"), F.col("e").alias("c")))
         w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cell")
         return _materialize(
@@ -158,7 +159,7 @@ def _ivf_index(embeddings: DataFrame) -> DataFrame:
             .select("vec_id", "label", "e", "cell", "rn",
                     F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm")))
 
-    return _memo(embeddings, "ivf_index", build)
+    return _memo(embeddings, f"ivf_index_{n_cells}", build)
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0,
@@ -404,7 +405,8 @@ KNN_K = 5
 
 
 def _ivf_assigned(embeddings: DataFrame, probes: int,
-                  plant: bool = False) -> DataFrame:
+                  plant: bool = False,
+                  n_cells: int = N_CELLS) -> DataFrame:
     """(vec_id, e, cell, nrm): every vector in its top-`probes` coarse
     cells (argmax centroid dot, ties by cell id), norm precomputed once.
     With `plant`, the near-identical copies (vec_id % 50 == 0 → id +
@@ -412,13 +414,14 @@ def _ivf_assigned(embeddings: DataFrame, probes: int,
     the near-dup family. A filter view over the memoized `_ivf_index`;
     shared base of knn_graph / semdedup / embedding_near_dup blocking."""
     assert probes <= 2, "shared _ivf_index materializes top-2 cells only"
-    idx = _ivf_index(embeddings).filter(F.col("rn") <= probes)
+    idx = _ivf_index(embeddings, n_cells).filter(F.col("rn") <= probes)
     if not plant:
         idx = idx.filter(F.col("vec_id") < 1_000_000)
     return idx.select("vec_id", "e", "cell", "nrm")
 
 
-def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+def knn_graph(embeddings: DataFrame, k: int = KNN_K,
+              n_cells: int = N_CELLS) -> DataFrame:
     """Approximate k-NN graph: directed edges (vec_id → nbr_id, exact
     cosine, rank ≤ {KNN_K}) where candidates share one of the vector's
     top-{N_PROBES} IVF cells — the corpus-wide companion of `ivf_topk`
@@ -428,7 +431,7 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     independent — the standard IVF trade: recall bounded by multi-probe,
     cost by ~n²/cells per cell."""
     from pyspark.sql import Window
-    assigned = _ivf_assigned(embeddings, N_PROBES)
+    assigned = _ivf_assigned(embeddings, N_PROBES, n_cells=n_cells)
     a, b = assigned.alias("a"), assigned.alias("b")
     # candidate id-pairs FIRST (ints only, a < b), deduped across shared
     # multi-probe cells, THEN one vector fetch per side — each unordered
@@ -462,7 +465,7 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     # Memoized so bench/scaling re-invocations reuse one block set and
     # the harness cache clear releases it — a bare persist leaked here.
     from .dedup import _memo, _materialize
-    half = _memo(embeddings, f"knn_half_{k}", lambda: _materialize(
+    half = _memo(embeddings, f"knn_half_{k}_{n_cells}", lambda: _materialize(
         cand.join(va, "vec_id")
         .join(vb, "nbr_id")
         .select("vec_id", "nbr_id", sim.alias("sim"))))
@@ -498,7 +501,8 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def semdedup(embeddings: DataFrame) -> DataFrame:
+def semdedup(embeddings: DataFrame,
+             n_cells: int = N_CELLS) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster by
     coarse centroid (argmax cell, single probe), and inside each cluster
     drop any vector whose cosine to a SMALLER-id cluster member reaches
@@ -511,7 +515,8 @@ def semdedup(embeddings: DataFrame) -> DataFrame:
     discards pairs with sim < τ, and the output is a ≥-τ FLAG (not the
     max sim), so the pruned plan is exactly the unpruned one — the oracle
     needs no mirror of the prune."""
-    assigned = (_ivf_assigned(embeddings, 1, plant=True)
+    assigned = (_ivf_assigned(embeddings, 1, plant=True,
+                              n_cells=n_cells)
                 .withColumn("hd", F.expr("slice(e, 1, 8)"))
                 .withColumn("tnrm", F.expr(
                     f"sqrt({_DOT.format(a='slice(e, 9, size(e))', b='slice(e, 9, size(e))')})")))
