@@ -159,6 +159,9 @@ BENCH_KEYS = [
     "acid_wap_publish",
     "dedup_incremental_stream",
     "text_index_incremental",
+    # round 14
+    "acid_ref_retention",
+    "catalog_rebase",
 ]
 
 

@@ -1151,6 +1151,16 @@ register("acid_wap_publish",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.acid_wap_publish(s, d, SCRATCH))
 
+register("acid_ref_retention",
+         oracle=extensions.ACID_REF_RETENTION_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_ref_retention(s, d, SCRATCH))
+
+register("catalog_rebase",
+         oracle=extensions.CATALOG_REBASE_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.catalog_rebase(s, d, SCRATCH))
+
 register("acid_multi_table_txn", oracle=extensions.ACID_MULTI_TXN_ORACLE
          )(lambda s, d: extensions.acid_multi_table_txn(s, d, SCRATCH))
 

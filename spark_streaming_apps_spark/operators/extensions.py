@@ -2983,3 +2983,185 @@ SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
        TRUE AS tag_ok
 FROM final GROUP BY status
 """
+
+
+def acid_ref_retention(spark: SparkSession, sf_dir: str,
+                       scratch: Path) -> DataFrame:
+    """REF-AWARE RETENTION (round 14): catalog refs — the latest
+    catalog entry, tags, branch heads — are retention ROOTS vacuum
+    must honor (Iceberg expire-snapshots-respects-refs), so a WAP
+    audit parked past the retention window still publishes and a tag
+    keeps time-traveling; a DELIBERATE ``expire_tag`` releases the
+    pinned files at the next vacuum. (Reference analog: ``desh_files``
+    rows surviving until the worker finishes —
+    FileWorkerApp.scala:207-227 — the claim outlives any GC cadence.)
+
+    Script: seed `q` → tag rel0 → branch `park` claims the 5 lowest
+    available files → three direct (unpinned) table appends push the
+    table's latest FAR past both pins → ``vacuum(keep_last=1)`` —
+    aggressive, but the tag pin (v0), the main entry pin (v0), and the
+    branch head pin (v1) all survive as roots → the tag still reads,
+    the parked audit+publish lands → ``expire_tag`` + vacuum → the
+    tag's version is GONE (loud VersionVacuumedError). Pins
+    (in-result booleans): tag_survived_vacuum, publish_ok,
+    released_after_expire."""
+    import shutil
+
+    from ..acid import VersionVacuumedError
+    from ..acid_catalog import AcidCatalog
+    from ..sources.tables import load_table
+    from .queue import queue_df
+
+    root = scratch / f"acid_refret_{Path(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    state = (queue_df(load_table(spark, sf_dir, "orders"))
+             .filter(F.col("file_id") % 10 == 1)
+             .select("file_id", "status"))
+    cat = AcidCatalog(spark, root)
+    cat.create_table("q", state)
+    cat.tag("rel0")
+    v0_census = {(r.status, r.n) for r in
+                 (cat.read("q").groupBy("status")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())}
+
+    br = cat.branch("park")
+    low5 = (br.read("q").filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    br.commit_multi({"q": ("merge",
+                           low5.select("file_id",
+                                       F.lit(1).alias("status")),
+                           ["file_id"])})                    # q v1
+    t = cat.table("q")
+    for i in range(3):              # unpinned direct writers: latest
+        t.append(spark.createDataFrame(                    # v2..v4
+            [(900000201 + i, 0)], "file_id long, status int"))
+    t.vacuum(keep_last=1)           # aggressive; refs are roots
+
+    tag_census = {(r.status, r.n) for r in
+                  (cat.read_tag("rel0", "q").groupBy("status")
+                   .agg(F.count(F.lit(1)).alias("n")).collect())}
+    tag_survived = tag_census == v0_census
+    publish_ok = True
+    try:
+        cat.publish("park", audit=lambda b: b.read("q")
+                    .filter("status NOT IN (0, 1, 2, 3)").count() == 0)
+    except Exception:
+        publish_ok = False
+
+    cat.expire_tag("rel0")          # deliberate release
+    t.vacuum(keep_last=1)
+    released = False
+    try:                 # the ref is gone AND its version's files are
+        t.read(0).count()
+    except (VersionVacuumedError, FileNotFoundError):
+        released = not (root / "refs" / "tags" / "rel0.json").exists()
+    return (cat.read("q").groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"))
+            .withColumn("tag_survived_vacuum", F.lit(bool(tag_survived)))
+            .withColumn("publish_ok", F.lit(bool(publish_ok)))
+            .withColumn("released_after_expire", F.lit(bool(released))))
+
+
+ACID_REF_RETENTION_ORACLE = """
+WITH queue AS (SELECT * FROM ({queue_sql}) q WHERE file_id % 10 = 1),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+final AS (SELECT file_id,
+                 CASE WHEN file_id IN (SELECT file_id FROM low5)
+                      THEN 1 ELSE status END AS status
+          FROM queue)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       TRUE AS tag_survived_vacuum, TRUE AS publish_ok,
+       TRUE AS released_after_expire
+FROM final GROUP BY status
+"""
+
+
+def catalog_rebase(spark: SparkSession, sf_dir: str,
+                   scratch: Path) -> DataFrame:
+    """BRANCH REBASE (round 14): the contended WAP loop closed without
+    manual re-forking — a parked branch re-forks onto current main
+    (unchanged tables pick up main's pins, changed tables keep the
+    branch's), while a TRUE conflict (main moved on a branch-changed
+    table) refuses, exactly like publish.
+
+    Script: seed `q` + `audit_log` → branch `wap` claims the 5 lowest
+    available files → main appends 3 rows to `audit_log` (the branch's
+    view of it goes stale) → ``rebase()`` → branch reads fresh
+    audit_log AND keeps its q claim → publish lands → a second branch
+    updates q, main then appends to q → both its publish AND its
+    rebase refuse (CommitConflict). Pins (in-result booleans):
+    stale_before_rebase, fresh_after_rebase, conflict_refused."""
+    import shutil
+
+    from ..acid import CommitConflict
+    from ..acid_catalog import AcidCatalog
+    from ..sources.tables import load_table
+    from .queue import queue_df
+
+    root = scratch / f"acid_rebase_{Path(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    state = (queue_df(load_table(spark, sf_dir, "orders"))
+             .filter(F.col("file_id") % 10 == 2)
+             .select("file_id", "status"))
+    cat = AcidCatalog(spark, root)
+    cat.create_table("q", state)
+    cat.create_table("audit_log", spark.createDataFrame(
+        [(0, "seed")], "entry_id long, note string"))
+
+    br = cat.branch("wap")
+    low5 = (br.read("q").filter(F.col("status") == 0)
+            .orderBy("file_id").limit(5).select("file_id"))
+    br.commit_multi({"q": ("merge",
+                           low5.select("file_id",
+                                       F.lit(1).alias("status")),
+                           ["file_id"])})
+    # main moves on a table the branch did NOT change
+    cat.commit_multi({"audit_log": ("append", spark.createDataFrame(
+        [(i, f"main-{i}") for i in (1, 2, 3)],
+        "entry_id long, note string"))})
+    stale_before = br.read("audit_log").count() == 1
+    br.rebase()
+    fresh_after = br.read("audit_log").count() == 4
+    cat.publish("wap")
+
+    # a true conflict: main moves on the table branch b2 CHANGED.
+    # b2's update matches NO rows (a metadata-only version — the
+    # divergence is structural, per the linear-history carve-out a
+    # row-changing branch commit would ride into main's next append)
+    b2 = cat.branch("b2")
+    b2.commit_multi({"q": ("update", {"status": "7"}, "status = 99")})
+    cat.commit_multi({"q": ("append", spark.createDataFrame(
+        [(900000301, 0)], "file_id long, status int"))})
+    conflict_refused = False
+    try:
+        b2.rebase()
+    except CommitConflict:
+        try:
+            cat.publish("b2")
+        except CommitConflict:
+            conflict_refused = True
+    return (cat.read("q").groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"))
+            .withColumn("stale_before_rebase", F.lit(bool(stale_before)))
+            .withColumn("fresh_after_rebase", F.lit(bool(fresh_after)))
+            .withColumn("conflict_refused",
+                        F.lit(bool(conflict_refused))))
+
+
+CATALOG_REBASE_ORACLE = """
+WITH queue AS (SELECT * FROM ({queue_sql}) q WHERE file_id % 10 = 2),
+low5 AS (SELECT file_id FROM queue WHERE status = 0
+         ORDER BY file_id LIMIT 5),
+final AS (SELECT file_id,
+                 CASE WHEN file_id IN (SELECT file_id FROM low5)
+                      THEN 1 ELSE status END AS status
+          FROM queue
+          UNION ALL SELECT 900000301, 0)
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       TRUE AS stale_before_rebase, TRUE AS fresh_after_rebase,
+       TRUE AS conflict_refused
+FROM final GROUP BY status
+"""

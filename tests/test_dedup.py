@@ -245,3 +245,26 @@ def test_dedup_batch_txn_fence_blocks_replay(spark, tmp_path):
                           "text")
     dedup.dedup_batch(spark, cat, batch2, txn=("maint", 1))
     assert cat.table("sigs").latest_version() == sig_v + 1
+
+
+def test_dedup_verify_side_is_bloom_pruned(spark, tmp_path):
+    """The verify pass's sigs IO is bounded by the CANDIDATE set: the
+    sigs table carries doc_id bloom sidecars and a small batch's
+    candidate docs probe a strict minority of sigs files."""
+    base = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    corpus = base.filter("doc_id % 2 = 0")
+    cat = dedup.build_dedup_index(spark, tmp_path / "idx", corpus)
+    sigs = cat.table("sigs")
+    # grow the sigs table to several files so pruning is observable
+    for k in (1, 3):
+        dedup.dedup_batch(
+            spark, cat,
+            base.filter(f"doc_id % 4 = {k}").limit(60))
+    total = len(sigs._manifest(sigs.latest_version())["files"])
+    assert total >= 3
+    ids = [r.doc_id for r in corpus.limit(5).collect()]
+    paths, tot = sigs.pruned_files_in("doc_id", ids)
+    assert tot == total
+    assert 0 < len(paths) < tot, (len(paths), tot)
