@@ -971,6 +971,11 @@ def check_reader_features(props: dict | None) -> None:
             f"reading — proceeding would misread the table")
 
 
+#: apply_cdf find-pass pruning gate: delete-key lists up to this many
+#: distinct values prune candidate files through stats/bloom sidecars.
+_EQ_PRUNE_CAP = 4096
+
+
 class VersionVacuumedError(RuntimeError):
     """A read needs a version whose data files were vacuumed. Raised
     LOUDLY instead of serving a silently-empty snapshot or a partial
@@ -2092,7 +2097,9 @@ class AcidTable:
                     partition_in: list[dict] | None = None,
                     partition_cond: str | None = None,
                     row_local: bool = False,
-                    txn: str | None = None) -> int:
+                    txn: str | None = None,
+                    eq_any_prune: tuple[str, list] | None = None
+                    ) -> int:
         """File-pruned copy-on-write commit — the Delta/Iceberg DML
         discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
         files), never O(table):
@@ -2189,6 +2196,18 @@ class AcidTable:
                         f for f in eligible if not f.get("partition")
                         or tuple(sorted(f["partition"].items()))
                         in keep_t]
+            if eq_any_prune is not None:
+                # key-equality pruning through stats + bloom sidecars
+                # (pruned_files_in), recomputed against THIS attempt's
+                # manifest like the partition prunes above — a keyed
+                # DML's find pass opens only files that may hold a
+                # key, never the table (apply_cdf's retire path)
+                kp, _ = self.pruned_files_in(
+                    eq_any_prune[0], eq_any_prune[1], v)
+                keep_set = set(kp)
+                eligible = [f for f in eligible
+                            if str(self.path / _entry_rel(m, f))
+                            in keep_set]
             if len(eligible) < len(files):
                 e_paths = [str(self.path / _entry_rel(m, f))
                            for f in eligible]
@@ -3960,10 +3979,24 @@ class AcidTable:
                 return kept
             return kept.unionByName(ins.select(*touched.columns))
         part_in = self._partition_tuples_of(dels, key=key)
+        # key-equality find-pass pruning: when the batch's delete keys
+        # fit a driver list, the find pass opens only files whose
+        # stats/bloom sidecars may hold one (bloom-indexed key columns
+        # make a retire pass candidate-file-bounded — the dedup/text
+        # index shape); prefer a bloom-indexed key column
+        eq_prune = None
+        prune_col = next((c for c in key if c in self.bloom_cols()),
+                         key[0])
+        vals = [r[0] for r in
+                dels.select(prune_col).distinct()
+                .limit(_EQ_PRUNE_CAP + 1).collect()]
+        if len(vals) <= _EQ_PRUNE_CAP:
+            eq_prune = (prune_col, vals)
         with self._op_params(apply_key=list(key)):
             return self._cow_commit(probe, rewrite, "apply_cdf",
                                     max_retries, empty_noop=False,
-                                    partition_in=part_in, txn=txn)
+                                    partition_in=part_in, txn=txn,
+                                    eq_any_prune=eq_prune)
 
     def read_changes(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed: the row-level deltas between two committed

@@ -98,3 +98,21 @@ def test_cdf_table_records_the_batch_as_changes(spark, tmp_path):
     ch = t.read_changes(0, 1)     # exclusive-start: v1's deltas
     got = {(r.k, r.v, r._change_type) for r in ch.collect()}
     assert got == {(2, "b", "delete"), (7, "g", "insert")}
+
+
+def test_delete_find_pass_is_bloom_pruned(spark, tmp_path):
+    """With a bloom-indexed key, apply_cdf's find pass opens only the
+    files whose sidecars may hold a deleted key — a retire pass is
+    candidate-file-bounded, never a table scan."""
+    t = AcidTable.create(spark, tmp_path / "t",
+                         _df(spark, [(0, "a")]), bloom_by=["k"])
+    for i in range(1, 8):
+        t.append(_df(spark, [(i * 10 + j, f"v{i}")
+                             for j in range(3)]))
+    total = len(t._manifest(t.latest_version())["files"])
+    t.apply_cdf(_ch(spark, [(31, "v3", "delete")]), key=["k"])
+    st = t.last_cow_stats
+    assert st["files_scanned"] < total, st
+    assert st["files_rewritten"] == 1
+    got = {r.k for r in t.read().collect()}
+    assert 31 not in got and {30, 32} <= got
