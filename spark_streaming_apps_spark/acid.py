@@ -2152,7 +2152,11 @@ class AcidTable:
                         if r:
                             shutil.rmtree(self.path / r,
                                           ignore_errors=True)
-                return self._commit_loop(rewrite, op, max_retries)
+                # the fence must ride the fallback commit too — a
+                # fenced apply_cdf on a legacy/empty-files chain would
+                # otherwise re-apply on replay
+                return self._commit_loop(rewrite, op, max_retries,
+                                         txn=txn)
             if staged is not None:
                 rel0, stats0, dv_rel0, dv_rows0, ch_rel0, base_m = staged
                 done = self._cow_rebase(
@@ -3327,7 +3331,8 @@ class AcidTable:
 
     def _commit_loop(self, build, op: str, max_retries: int = 20,
                      insert_hint: DataFrame | None = None,
-                     order_by: list[str] | None = None) -> int:
+                     order_by: list[str] | None = None,
+                     txn: str | None = None) -> int:
         """Optimistic-concurrency commit: ``build(cur)`` produces the full
         next table state from the current snapshot; on manifest conflict
         the LOSER's data dir is dropped and build re-runs against the
@@ -3393,7 +3398,7 @@ class AcidTable:
                 if rebased is not None:
                     files, dv_rel, dv_rows = rebased
                     if self._try_commit(
-                            v + 1, rel, schema_json, op,
+                            v + 1, rel, schema_json, op, txn=txn,
                             changes_rel=ch_rel, files=files,
                             dv_rel=dv_rel, dv_rows=dv_rows):
                         # observability: lost races resolved WITHOUT
@@ -3441,7 +3446,7 @@ class AcidTable:
                                           op, insert_hint)
                       if cdf else None)
             crash_point("after_change_files")
-            if self._try_commit(v + 1, rel, schema_json, op,
+            if self._try_commit(v + 1, rel, schema_json, op, txn=txn,
                                 changes_rel=ch_rel, files=files,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
@@ -3906,7 +3911,9 @@ class AcidTable:
         if latest is None:
             return None
         for v in range(latest, -1, -1):
-            if self._manifest(v).get("txn") == txn:
+            # with_files=False: only the 'txn' scalar is needed — never
+            # replay each version's delta-encoded file list
+            if self._manifest(v, with_files=False).get("txn") == txn:
                 return v
         return None
 
@@ -3943,7 +3950,7 @@ class AcidTable:
             txn = f"{app_id}#{batch_id}"
             latest = self.latest_version()
             if latest is not None:
-                newest = self._manifest(latest)
+                newest = self._manifest(latest, with_files=False)
                 if "txns" in newest:
                     if batch_id <= newest["txns"].get(app_id, -1):
                         return None      # replayed batch: fenced out
@@ -4854,8 +4861,16 @@ class AcidTable:
         files = m.get("files")
         if files is None:
             return None
-        n_small = sum(1 for f in files
-                      if f.get("bytes", 0) < ac["max_bytes"])
+        # count only COMPACTABLE small files: ones whose partition
+        # holds >= 2 (compact_small's own candidate rule) — a lone
+        # small file per partition must never re-trigger the hook
+        # forever
+        small_groups: dict = {}
+        for f in files:
+            if f.get("bytes", 0) < ac["max_bytes"]:
+                k = tuple(sorted((f.get("partition") or {}).items()))
+                small_groups[k] = small_groups.get(k, 0) + 1
+        n_small = sum(c for c in small_groups.values() if c >= 2)
         if n_small < ac["min_files"]:
             return None
         return self.compact_small(max_bytes=ac["max_bytes"],
@@ -4871,9 +4886,29 @@ class AcidTable:
         answer to streaming-sink small-file pressure: maintenance cost
         is O(small files), never O(table), so it can run at every few
         commits instead of as a rare whole-table OPTIMIZE. Fewer than
-        ``min_files`` candidates is a no-op without a commit."""
+        ``min_files`` candidates is a no-op without a commit.
+
+        On a PARTITIONED table a small file is a candidate only when
+        its partition holds >= 2 of them: the rewrite lands one file
+        per partition, so folding a lone small file makes no progress
+        — and a maintenance loop calling this every batch would
+        otherwise re-rewrite the same lone files forever."""
+        latest = self.latest_version()
+        groups: dict = {}
+        if latest is not None:
+            for f in (self._manifest(latest).get("files") or []):
+                if f.get("bytes", 0) < max_bytes:
+                    k = tuple(sorted((f.get("partition") or {})
+                                     .items()))
+                    groups[k] = groups.get(k, 0) + 1
+
+        def pick(f) -> bool:
+            if f.get("bytes", 0) >= max_bytes:
+                return False
+            k = tuple(sorted((f.get("partition") or {}).items()))
+            return groups.get(k, 0) >= 2
         r = self._rewrite_subset(
-            lambda f: f.get("bytes", 0) < max_bytes,
+            pick,
             lambda df: df.coalesce(target_files),
             "compact_small", min_stale=min_files,
             max_retries=max_retries)

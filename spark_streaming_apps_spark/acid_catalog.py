@@ -84,9 +84,16 @@ def _apply_writes(table_of, writes: dict[str, tuple],
                     v = t.txn_version(spec[3], spec[4])
                     if v is None:
                         v = t.latest_version()
-            else:
+            elif len(spec) == 3:
                 v = t.apply_cdf(spec[1], spec[2],
                                 max_retries=max_retries)
+            else:
+                # a 4-tuple is a caller who MEANT the fence but forgot
+                # batch_id — refusing beats silently running unfenced
+                raise ValueError(
+                    f"apply_cdf spec for table {name!r} must be "
+                    f"(kind, changes, key) or (kind, changes, key, "
+                    f"app_id, batch_id); got {len(spec)} elements")
         elif kind == "merge":
             v = t.merge(spec[1], spec[2], max_retries=max_retries)
         elif kind == "merge_add":

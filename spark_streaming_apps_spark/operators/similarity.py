@@ -1715,13 +1715,21 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         partition_by=["cell"])
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
-        ch = batch.select("vec_id", "label", "e", "_change_type")
-        # assign EVERY change row to the frozen centroids: an insert
-        # gets the cell it will live in; a delete gets the SAME cell
-        # it was assigned at insertion (deterministic argmin), so the
-        # retire pass prunes to that cell's partition files
-        rows = _km_assign(ch, cents).select(
-            "vec_id", "label", "e", "cell", "_change_type")
+        # assign deletes and inserts SEPARATELY: _km_assign groups by
+        # vec_id, so a same-vec_id delete+insert pair (a source UPDATE
+        # in one micro-batch) would collapse to one arbitrary row.
+        # Assigned apart, the delete keeps the PRE-image embedding's
+        # cell (deterministic argmin — the cell it was inserted at)
+        # and the insert the post-image's, so apply_cdf nets the pair
+        # to the post-image even across a cell move.
+        parts = []
+        for kind in ("delete", "insert"):
+            side = (batch.filter(F.col("_change_type") == kind)
+                    .select("vec_id", "label", "e"))
+            parts.append(_km_assign(side, cents)
+                         .select("vec_id", "label", "e", "cell")
+                         .withColumn("_change_type", F.lit(kind)))
+        rows = parts[0].unionByName(parts[1])
         if rows.isEmpty():
             return
         # one fenced commit per micro-batch (apply_cdf): inserts

@@ -662,10 +662,15 @@ class AcidStreamWriter(DataSourceStreamWriter):
             chdir = root / ch_rel
             chdir.mkdir(parents=True)
             base = pq.read_schema(written[0][0])
+            # change files stay LOGICAL on column-mapped tables
+            # (the _record_changes rule): rename the compacted file's
+            # physical names back before writing the empty set
+            logical = {p2: l for l, p2 in self.mapping.items()}
             empty = pa.Table.from_arrays(
                 [pa.array([], type=f.type) for f in base]
                 + [pa.array([], type=pa.string())],
-                names=list(base.names) + ["_change_type"])
+                names=[logical.get(n, n) for n in base.names]
+                + ["_change_type"])
             pq.write_table(empty, str(chdir / "empty.parquet"))
             manifest["changes"] = ch_rel
         if not get_store().create_exclusive(

@@ -116,3 +116,52 @@ def test_delete_find_pass_is_bloom_pruned(spark, tmp_path):
     assert st["files_rewritten"] == 1
     got = {r.k for r in t.read().collect()}
     assert 31 not in got and {30, 32} <= got
+
+
+def test_fence_holds_on_empty_files_fallback(spark, tmp_path):
+    """A fenced apply_cdf that lands through the full-rewrite fallback
+    (no per-file bookkeeping to prune — e.g. a table born from an
+    empty DataFrame) must still record the writer fence: the replayed
+    batch commits nothing."""
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.createDataFrame([], "k long, v string"))
+    batch = _ch(spark, [(1, "a", "insert"), (2, "b", "delete")])
+    v1 = t.apply_cdf(batch, key=["k"], app_id="m", batch_id=0)
+    assert v1 is not None
+    after = _state(t)
+    assert t.apply_cdf(batch, key=["k"], app_id="m", batch_id=0) is None
+    assert _state(t) == after and t.latest_version() == v1
+
+
+def test_autocompact_no_progress_loop_on_partitioned(spark, tmp_path):
+    """One small file per partition must NOT re-trigger auto-compaction
+    forever: lone small files are not candidates (the rewrite would
+    land the same one-file-per-partition layout)."""
+    rows = [(c, c * 10, "x") for c in range(6)]
+    t = AcidTable.create(spark, tmp_path / "t",
+                         _df(spark, rows, "cell int, k long, v string"),
+                         partition_by=["cell"])
+    t.set_autocompact(max_bytes=1 << 20, min_files=2)
+    # every partition holds exactly one (small) file -> no-op
+    v = t.latest_version()
+    assert t.maybe_autocompact() is None
+    assert t.latest_version() == v
+    # add a second small file to two partitions -> those compact once,
+    # then the hook goes quiet again
+    t.append(_df(spark, [(0, 100, "y"), (1, 110, "y")],
+                 "cell int, k long, v string"))
+    assert t.maybe_autocompact() is not None
+    v2 = t.latest_version()
+    assert t.maybe_autocompact() is None
+    assert t.latest_version() == v2
+
+
+def test_commit_multi_rejects_four_tuple_apply_cdf(spark, tmp_path):
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+
+    cat = AcidCatalog(spark, tmp_path / "c")
+    cat.create_table("t", _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="apply_cdf spec"):
+        cat.commit_multi({"t": ("apply_cdf",
+                                _ch(spark, [(2, "b", "insert")]),
+                                ["k"], "app")})
