@@ -162,6 +162,7 @@ BENCH_KEYS = [
     # round 14
     "acid_ref_retention",
     "catalog_rebase",
+    "text_index_incremental_stream",
 ]
 
 

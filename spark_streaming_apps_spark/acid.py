@@ -4647,14 +4647,41 @@ class AcidTable:
         return removed
 
     def merge_add(self, partials: DataFrame, key: list[str],
-                  max_retries: int = 20) -> int:
+                  max_retries: int = 20,
+                  app_id: str | None = None,
+                  batch_id: int | None = None) -> int | None:
         """Incremental-view-maintenance MERGE: non-key columns are
         mergeable partial aggregates (counts / decimal sums) and matched
         rows ADD instead of replacing — the commit that maintains an
         aggregate table under a stream of deltas without ever
         recomputing from the full log.  Same optimistic commit loop, so
         concurrent maintainers serialize and no delta is lost or applied
-        twice."""
+        twice.
+
+        With ``(app_id, batch_id)`` the commit carries the writer fence
+        (the ``append_txn`` discipline): a replayed at-least-once
+        micro-batch's partials add NOTHING and the call returns None —
+        additive counters from a stream stay exactly-once. (This closes
+        the round-13 caveat that made the text index's counter
+        maintenance at-most-once-only.) Fence checked at entry against
+        the cumulative txns map; concurrent writers with the SAME
+        app_id are out of contract (a streaming query's batches are
+        serial)."""
+        txn = None
+        if app_id is not None:
+            if batch_id is None:
+                raise ValueError("merge_add: batch_id is required "
+                                 "when app_id is given")
+            txn = f"{app_id}#{batch_id}"
+            latest = self.latest_version()
+            if latest is not None:
+                newest = self._manifest(latest, with_files=False)
+                if "txns" in newest:
+                    if batch_id <= newest["txns"].get(app_id, -1):
+                        return None      # replayed batch: fenced out
+                elif self.txn_version(app_id, batch_id) is not None:
+                    return None          # legacy chain: one-time walk
+
         def build(cur: DataFrame) -> DataFrame:
             val_cols = [c for c in cur.columns if c not in key]
             u = partials.select(*key, *[F.col(c).alias(f"__u_{c}")
@@ -4666,7 +4693,8 @@ class AcidTable:
                                + F.coalesce(F.col(f"__u_{c}"), zero))
                               .cast(dict(cur.dtypes)[c]).alias(c)
                               for c in val_cols]))
-        return self._commit_loop(build, "merge_add", max_retries)
+        return self._commit_loop(build, "merge_add", max_retries,
+                                 txn=txn)
 
     def relayout(self, cols: list[str], target_files: int = 8,
                  max_retries: int = 20) -> int:

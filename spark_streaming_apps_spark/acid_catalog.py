@@ -98,6 +98,15 @@ def _apply_writes(table_of, writes: dict[str, tuple],
             v = t.merge(spec[1], spec[2], max_retries=max_retries)
         elif kind == "merge_add":
             v = t.merge_add(spec[1], spec[2], max_retries=max_retries)
+        elif kind == "merge_add_txn":
+            # fenced additive counters: a replayed (app_id, batch_id)
+            # adds nothing — same replay pin rule as append_txn
+            v = t.merge_add(spec[1], spec[2], max_retries=max_retries,
+                            app_id=spec[3], batch_id=spec[4])
+            if v is None:
+                v = t.txn_version(spec[3], spec[4])
+                if v is None:
+                    v = t.latest_version()
         elif kind == "delete":
             v = t.delete_where(spec[1], max_retries=max_retries)
         elif kind == "update":
@@ -233,6 +242,7 @@ class AcidCatalog:
             ("apply_cdf", changes_df, key_list[, app_id, batch_id])
             ("merge", updates_df, key_list)
             ("merge_add", partials_df, key_list)
+            ("merge_add_txn", partials_df, key_list, app_id, batch_id)
             ("delete", cond_str)
             ("update", assigns_dict, cond_str)
 

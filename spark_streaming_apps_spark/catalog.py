@@ -731,6 +731,11 @@ register("text_index_incremental",
          oracle=text.text_index_incremental_oracle_sql()
          )(lambda s, d: text.text_index_incremental(s, d, SCRATCH))
 
+register("text_index_incremental_stream",
+         oracle=text.text_index_incremental_stream_oracle_sql()
+         )(lambda s, d: text.text_index_incremental_stream(s, d,
+                                                           SCRATCH))
+
 register("vocab_topk", oracle=text.VOCAB_ORACLE
          )(lambda s, d: text.vocab_topk(_t(s, d, "documents")))
 

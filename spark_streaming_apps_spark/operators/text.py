@@ -878,26 +878,28 @@ def _index_batch_tables(docs: DataFrame):
     return postings, doc_len, term_df, corpus
 
 
-def text_index_maintain(cat, docs: DataFrame) -> int:
+def text_index_maintain(cat, docs: DataFrame,
+                        txn: tuple[str, int] | None = None) -> int:
     """Apply one document batch to the persisted text index in ONE
     linked catalog transaction: postings + doc lengths APPEND
     (row-immutable facts), per-term document frequencies and the
     corpus counters MERGE-ADD (additive partials) — O(batch) work, and
     catalog readers see the whole batch or none of it.
 
-    Replay caveat: merge_add partials are NOT fenced — a redelivered
-    batch would double-count the additive counters, so this function
-    is for at-most-once callers (batch jobs, or foreachBatch with the
-    caller enforcing its own batch-id fence before invoking); the
-    fenced streaming shape is commit_multi's ``append_txn`` kind,
-    which the dedup/IVF maintainers use."""
+    With ``txn=(app_id, batch_id)`` every write in the transaction is
+    FENCED (append_txn / merge_add_txn): a redelivered micro-batch
+    re-commits nothing — appends AND the additive counters stay
+    exactly-once from an at-least-once stream (round 13's merge_add
+    double-count caveat, closed by the fenced merge_add). Without it,
+    at-most-once callers only (batch jobs)."""
     postings, doc_len, term_df, corpus = _index_batch_tables(docs)
-    e = cat.commit_multi({
-        "postings": ("append", postings),
-        "doc_len": ("append", doc_len),
-        "term_df": ("merge_add", term_df, ["token"]),
-        "corpus_stats": ("merge_add", corpus, ["id"]),
-    }, op="text_index_maintain")
+    e = cat.commit_multi(
+        _fenced_writes({
+            "postings": ("append", postings),
+            "doc_len": ("append", doc_len),
+            "term_df": ("merge_add", term_df, ["token"]),
+            "corpus_stats": ("merge_add", corpus, ["id"]),
+        }, txn), op="text_index_maintain")
     # opt-in small-file hygiene on the append-only surfaces (no-op
     # without the table property; counters rewrite per merge anyway)
     cat.table("postings").maybe_autocompact()
@@ -905,7 +907,20 @@ def text_index_maintain(cat, docs: DataFrame) -> int:
     return e
 
 
-def text_index_apply(cat, changes: DataFrame) -> int:
+def _fenced_writes(writes: dict, txn: tuple[str, int] | None) -> dict:
+    """Upgrade plain commit_multi write kinds to their FENCED twins
+    when a (app_id, batch_id) transaction rides the batch."""
+    if txn is None:
+        return writes
+    app_id, batch_id = txn
+    up = {"append": "append_txn", "merge_add": "merge_add_txn",
+          "apply_cdf": "apply_cdf"}
+    return {t: (up[spec[0]], *spec[1:], app_id, batch_id)
+            for t, spec in writes.items()}
+
+
+def text_index_apply(cat, changes: DataFrame,
+                     txn: tuple[str, int] | None = None) -> int:
     """Apply a MIXED insert+delete document batch (doc_id, text,
     _change_type) to the persisted text index in ONE linked catalog
     transaction — the delete half the round-13 maintainer dropped:
@@ -923,8 +938,11 @@ def text_index_apply(cat, changes: DataFrame) -> int:
     carry the full row image), because subtracting a doc's partials
     requires tokenizing it once more — still O(batch).
 
-    Replay caveat: same as ``text_index_maintain`` — merge_add
-    partials are not fenced, so this is for at-most-once callers."""
+    Replay contract: same as ``text_index_maintain`` — with
+    ``txn=(app_id, batch_id)`` every write (the apply_cdf retires AND
+    the signed counter partials) is fenced, so an at-least-once
+    redelivery changes nothing; without it, at-most-once callers
+    only."""
     ins = (changes.filter(F.col("_change_type") == "insert")
            .select("doc_id", "text"))
     dels = (changes.filter(F.col("_change_type") == "delete")
@@ -951,12 +969,13 @@ def text_index_apply(cat, changes: DataFrame) -> int:
             # additive counter with NULL
             F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long")
             .alias("sum_dl")))
-    return cat.commit_multi({
-        "postings": ("apply_cdf", post_ch, ["doc_id"]),
-        "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
-        "term_df": ("merge_add", df_signed, ["token"]),
-        "corpus_stats": ("merge_add", c_signed, ["id"]),
-    }, op="text_index_apply")
+    return cat.commit_multi(
+        _fenced_writes({
+            "postings": ("apply_cdf", post_ch, ["doc_id"]),
+            "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
+            "term_df": ("merge_add", df_signed, ["token"]),
+            "corpus_stats": ("merge_add", c_signed, ["id"]),
+        }, txn), op="text_index_apply")
 
 
 def text_index_incremental(spark, sf_dir: str, scratch,
@@ -1026,11 +1045,20 @@ def text_index_incremental(spark, sf_dir: str, scratch,
                                       F.lit("delete"))))
     text_index_apply(cat, mixed)
 
-    # ---- serve BM25 from the maintained index -----------------------
-    # one pinned catalog entry for the whole serve pass; the postings
-    # read is a bloom-pruned point lookup on the query's terms — a
-    # 4-term query opens ~4 posting lists' worth of files, never the
-    # full table (the round-13 serve-path scale gap, closed)
+    served = _bm25_serve(cat, terms, k)
+    final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
+    return served.withColumn(
+        "stats_fresh_equal",
+        F.lit(bool(_counters_fresh_equal(cat, final))))
+
+
+def _bm25_serve(cat, terms: tuple[str, ...], k: int) -> DataFrame:
+    """Serve top-k BM25 FROM THE MAINTAINED INDEX at one pinned
+    catalog entry: the postings read is a bloom-pruned point lookup on
+    the query's terms (bucket-partitioned files + token sidecars — a
+    4-term query opens ~4 buckets' files, never the table, the
+    round-13 serve-path scale gap), doc lengths joined back, the
+    one-row counter stats broadcast."""
     pins = cat.snapshot()
     cs = cat.table("corpus_stats").read(pins["corpus_stats"])
     tdf = (cat.table("term_df").read(pins["term_df"])
@@ -1057,26 +1085,26 @@ def text_index_incremental(spark, sf_dir: str, scratch,
                                         * F.col("dl").cast("double")
                                         / F.col("avgdl"))))
     per_hit = sum(parts[1:], parts[0])
-    served = (hits.join(F.broadcast(stats))
-              .groupBy("doc_id")
-              .agg(F.round(F.sum(per_hit), 6).alias("bm25"))
-              .filter(F.col("bm25") > 0)
-              .orderBy(F.desc("bm25"), "doc_id")
-              .limit(k))
+    return (hits.join(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(per_hit), 6).alias("bm25"))
+            .filter(F.col("bm25") > 0)
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(k))
 
-    # ---- pin: maintained counters equal a full recount over the
-    # FINAL corpus (initial + arrivals - deletes); df=0 counter rows
-    # are semantically absent (their postings are gone) and excluded
-    final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
-    _, _, fresh_df, fresh_corpus = _index_batch_tables(final)
+
+def _counters_fresh_equal(cat, final_docs: DataFrame) -> bool:
+    """Pin: the MAINTAINED counters equal a full recount over the
+    final corpus. df=0 counter rows are semantically absent (their
+    postings are gone) and excluded."""
+    _, _, fresh_df, fresh_corpus = _index_batch_tables(final_docs)
     now_df = cat.read("term_df").filter("df > 0")
     df_equal = (now_df.exceptAll(fresh_df).count() == 0
                 and fresh_df.exceptAll(now_df).count() == 0)
     now_c = cat.read("corpus_stats").select("id", "n_docs", "sum_dl")
     c_equal = (now_c.exceptAll(fresh_corpus).count() == 0
                and fresh_corpus.exceptAll(now_c).count() == 0)
-    return served.withColumn(
-        "stats_fresh_equal", F.lit(bool(df_equal and c_equal)))
+    return df_equal and c_equal
 
 
 def text_index_incremental_oracle_sql(
@@ -1089,5 +1117,93 @@ def text_index_incremental_oracle_sql(
         terms, k, where=f"NOT ({TEXT_INC_DELETE_PRED})").strip()
     return f"""
 SELECT doc_id, bm25, TRUE AS stats_fresh_equal FROM ({inner}
+) b
+"""
+
+
+def text_index_incremental_stream(spark, sf_dir: str, scratch,
+                                  terms: tuple[str, ...] = BM25_TERMS,
+                                  k: int = BM25_TOP_K) -> DataFrame:
+    """The text index as a STREAMING consumer — the full exactly-once
+    self-maintenance loop the fenced merge_add unlocks (round 13 left
+    the counters at-most-once): a `documents` AcidTable (CDF-enabled)
+    takes arrivals and a retention DELETE; an `acidtable-cdf-parallel`
+    maintenance stream routes each micro-batch through
+    ``text_index_apply`` with ``txn=(app_id, batch_id)`` — postings/
+    doc_len appends and retires FENCED per table (append_txn /
+    apply_cdf), the SIGNED counter partials fenced through
+    merge_add_txn — so an at-least-once redelivery re-commits nothing
+    on any of the four tables. (Reference analog: Solr per-batch
+    segment commits + merged stats, PipelineStreamProcessor.scala:
+    76-94.)
+
+    Pins: the changes land as exactly 3 read-limited micro-batches
+    (two arrivals + one delete); BM25 serves from the maintained index
+    (token-bucket + bloom point lookup); the maintained counters equal
+    a full recount over the FINAL corpus."""
+    import shutil
+    from pathlib import Path as _P
+
+    from ..acid import AcidTable
+    from ..acid_catalog import AcidCatalog
+    from ..sources.pysource import (AcidCdfParallelStreamDataSource,
+                                    _drain_incremental)
+    from ..sources.tables import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text"))
+    arrives = F.col("doc_id") % TEXT_INC_ARRIVAL_MOD == \
+        TEXT_INC_ARRIVAL_REM
+    initial = docs.filter(~arrives)
+    b1 = docs.filter(arrives & (F.col("doc_id") % 2 == 0))
+    b2 = docs.filter(arrives & (F.col("doc_id") % 2 == 1))
+
+    root = _P(scratch) / f"text_stream_{_P(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    src = AcidTable.create(spark, root / "documents", initial,
+                           enable_cdf=True)
+    cat = AcidCatalog(spark, root / "index")
+    postings, doc_len, term_df, corpus = _index_batch_tables(initial)
+    cat.create_table("postings", postings,
+                     partition_by=["tbucket"], bloom_by=["token"])
+    cat.create_table("doc_len", doc_len)
+    cat.create_table("term_df", term_df)
+    cat.create_table("corpus_stats", corpus)
+
+    def maintain(batch: DataFrame, batch_id: int) -> None:
+        ch = batch.select("doc_id", "text", "_change_type")
+        if ch.isEmpty():
+            return
+        # ONE fenced linked transaction per micro-batch across all
+        # four index tables — replays re-commit nothing anywhere
+        text_index_apply(cat, ch, txn=("text-maint", batch_id))
+
+    spark.dataSource.register(AcidCdfParallelStreamDataSource)
+    stream = (spark.readStream.format("acidtable-cdf-parallel")
+              .option("path", str(root / "documents"))
+              .option("startingVersion", "0")     # exclusive: v1+
+              .option("maxVersionsPerTrigger", "1").load()
+              .writeStream.outputMode("append").foreachBatch(maintain))
+    src.append(b1)                                           # v1
+    src.append(b2)                                           # v2
+    src.delete_where(TEXT_INC_DELETE_PRED)                   # v3
+    n_batches, _ = _drain_incremental(stream)
+
+    served = _bm25_serve(cat, terms, k)
+    final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
+    return (served
+            .withColumn("stats_fresh_equal",
+                        F.lit(bool(_counters_fresh_equal(cat, final))))
+            .withColumn("n_batches", F.lit(int(n_batches))))
+
+
+def text_index_incremental_stream_oracle_sql(
+        terms: tuple[str, ...] = BM25_TERMS,
+        k: int = BM25_TOP_K) -> str:
+    inner = bm25_oracle_sql(
+        terms, k, where=f"NOT ({TEXT_INC_DELETE_PRED})").strip()
+    return f"""
+SELECT doc_id, bm25, TRUE AS stats_fresh_equal, 3 AS n_batches
+FROM ({inner}
 ) b
 """

@@ -150,3 +150,62 @@ def test_text_index_postings_probe_is_bucket_bounded(spark, tmp_path):
     opened_buckets = {by_path[p].get("tbucket") for p in paths}
     assert opened_buckets <= want_buckets, (opened_buckets,
                                             want_buckets)
+
+
+def test_fenced_merge_add_blocks_replay(spark, tmp_path):
+    """merge_add with (app_id, batch_id): a replayed batch's partials
+    add NOTHING — the additive-counter double-count caveat, closed."""
+    from spark_streaming_apps_spark.acid import AcidTable
+
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([("a", 1)], "k string, n long"))
+    p = spark.createDataFrame([("a", 2), ("b", 5)], "k string, n long")
+    assert t.merge_add(p, ["k"], app_id="m", batch_id=0) == 1
+    state = {(r.k, r.n) for r in t.read().collect()}
+    assert state == {("a", 3), ("b", 5)}
+    # replay: fenced out, counters unchanged
+    assert t.merge_add(p, ["k"], app_id="m", batch_id=0) is None
+    assert {(r.k, r.n) for r in t.read().collect()} == state
+    # next batch adds once
+    assert t.merge_add(p, ["k"], app_id="m", batch_id=1) == 2
+    assert {(r.k, r.n) for r in t.read().collect()} \
+        == {("a", 5), ("b", 10)}
+
+
+def test_text_index_apply_fenced_replay_changes_nothing(spark,
+                                                        tmp_path):
+    """A replayed fenced text_index_apply batch re-commits NOTHING on
+    any of the four index tables (appends, retires, AND the signed
+    counter partials)."""
+    from pathlib import Path
+
+    from spark_streaming_apps_spark.acid_catalog import AcidCatalog
+    from spark_streaming_apps_spark.operators import text
+
+    docs = (spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+    initial = docs.filter("doc_id % 3 != 0")
+    cat = AcidCatalog(spark, Path(tmp_path) / "ti")
+    p, dl, df, c = text._index_batch_tables(initial)
+    cat.create_table("postings", p, partition_by=["tbucket"],
+                     bloom_by=["token"])
+    cat.create_table("doc_len", dl)
+    cat.create_table("term_df", df)
+    cat.create_table("corpus_stats", c)
+    mixed = (docs.filter("doc_id % 3 = 0").limit(40)
+             .withColumn("_change_type", F.lit("insert"))
+             .unionByName(initial.limit(10)
+                          .withColumn("_change_type",
+                                      F.lit("delete"))))
+    text.text_index_apply(cat, mixed, txn=("tm", 0))
+    vs = {t: cat.table(t).latest_version()
+          for t in ("postings", "doc_len", "term_df", "corpus_stats")}
+    counts = {t: cat.read(t).count() for t in vs}
+    stats = cat.read("corpus_stats").collect()
+    # REPLAY the same fenced batch: no table moves, no counter drifts
+    text.text_index_apply(cat, mixed, txn=("tm", 0))
+    assert {t: cat.table(t).latest_version() for t in vs} == vs
+    assert {t: cat.read(t).count() for t in vs} == counts
+    assert cat.read("corpus_stats").collect() == stats
