@@ -2098,8 +2098,9 @@ class AcidTable:
                     partition_cond: str | None = None,
                     row_local: bool = False,
                     txn: str | None = None,
-                    eq_any_prune: tuple[str, list] | None = None
-                    ) -> int:
+                    eq_any_prune: tuple[str, list]
+                    | list[tuple[str, list]] | None = None
+                    ) -> int | None:
         """File-pruned copy-on-write commit — the Delta/Iceberg DML
         discipline, so a selective DELETE/UPDATE/MERGE costs O(matched
         files), never O(table):
@@ -2143,6 +2144,20 @@ class AcidTable:
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
+            if txn is not None and self._txn_fenced(m, txn):
+                # the fenced batch landed mid-retry (a zombie run
+                # racing its restart — the at-least-once scenario the
+                # fence targets): re-checked against EVERY attempt's
+                # manifest, never just entry, so two concurrent
+                # invocations of the same batch can't both commit
+                if staged is not None:
+                    shutil.rmtree(self.path / staged[0],
+                                  ignore_errors=True)
+                    for r in (staged[2], staged[4]):
+                        if r:
+                            shutil.rmtree(self.path / r,
+                                          ignore_errors=True)
+                return None
             files = m.get("files")
             if not files:      # legacy manifest: no per-file bookkeeping
                 if staged is not None:
@@ -2205,10 +2220,17 @@ class AcidTable:
                 # (pruned_files_in), recomputed against THIS attempt's
                 # manifest like the partition prunes above — a keyed
                 # DML's find pass opens only files that may hold a
-                # key, never the table (apply_cdf's retire path)
-                kp, _ = self.pruned_files_in(
-                    eq_any_prune[0], eq_any_prune[1], v)
-                keep_set = set(kp)
+                # key, never the table (apply_cdf's retire path). A
+                # LIST of (col, vals) pairs is OR-of-columns: a file
+                # survives when ANY listed column may hold a needle
+                # (delete_semi's drop-every-pair-touching-a-key shape)
+                prunes = (eq_any_prune
+                          if isinstance(eq_any_prune, list)
+                          else [eq_any_prune])
+                keep_set: set[str] = set()
+                for pc, pv in prunes:
+                    kp, _ = self.pruned_files_in(pc, pv, v)
+                    keep_set.update(kp)
                 eligible = [f for f in eligible
                             if str(self.path / _entry_rel(m, f))
                             in keep_set]
@@ -2585,7 +2607,8 @@ class AcidTable:
 
     def _mor_image_commit(self, m: dict, cur: DataFrame,
                           old_images: DataFrame, new_rows: DataFrame,
-                          op: str, n_marked: int) -> bool:
+                          op: str, n_marked: int,
+                          txn: str | None = None) -> bool:
         """Shared merge-on-read image-swap commit (Delta/Iceberg v2 DV
         DML): the rows in ``old_images`` die by deletion-vector entry
         (their (file, pos) identities join the vector — no data file is
@@ -2637,7 +2660,7 @@ class AcidTable:
             else:
                 ch_rel = self._write_changes_pair(ins, dels)
         if self._try_commit(m["version"] + 1, rel, m["schema"], op,
-                            changes_rel=ch_rel, files=files,
+                            txn=txn, changes_rel=ch_rel, files=files,
                             dv_rel=dv_rel, dv_rows=dv_rows):
             return True
         shutil.rmtree(self.path / rel, ignore_errors=True)
@@ -2649,12 +2672,18 @@ class AcidTable:
 
     def _mor_scan(self, m: dict, pins: dict | None = None,
                   part_in: list[dict] | None = None,
-                  cond: str | None = None) -> DataFrame:
+                  cond: str | None = None,
+                  eq_in: tuple[str, list]
+                  | list[tuple[str, list]] | None = None) -> DataFrame:
         """The (file, pos)-tagged, DV-applied snapshot scan a MOR DML
         find pass reads — partition-pruned to the pinned/batch-touched
         tuples when the table is partitioned; ``cond`` extends the
         prune to range predicates on partition columns (same
-        _tuples_matching_cond machinery as the COW find pass)."""
+        _tuples_matching_cond machinery as the COW find pass), and
+        ``eq_in`` (one or more (col, values) pairs, OR across pairs)
+        extends it to key equality through per-file stats + bloom
+        sidecars (``pruned_files_in``) — a keyed MOR retire opens only
+        files that may hold a key, never the table."""
         schema = StructType.fromJson(m["schema"])
         mapping = self._mapping_at(m["version"])
         pschema = self._physical_struct(schema, mapping)
@@ -2680,6 +2709,13 @@ class AcidTable:
                             in keep_t]
             scan_paths = [str(self.path / _entry_rel(m, f))
                           for f in elig]
+        if eq_in is not None and m.get("files") is not None:
+            prunes = eq_in if isinstance(eq_in, list) else [eq_in]
+            keep: set[str] = set()
+            for pc, pv in prunes:
+                kp, _ = self.pruned_files_in(pc, pv, m["version"])
+                keep.update(kp)
+            scan_paths = [p for p in scan_paths if p in keep]
         if not scan_paths:
             return (self.spark.createDataFrame([], schema)
                     .withColumn("__dv_file", F.lit(""))
@@ -2694,6 +2730,131 @@ class AcidTable:
         if "dv" in m:
             tagged = self._apply_dv(tagged, m)
         return tagged
+
+    def _mor_retire(self, match, ins: DataFrame | None, op: str,
+                    txn: str | None,
+                    part_in: list[dict] | None,
+                    eq_prune, max_retries: int = 20) -> int | None:
+        """Merge-on-read RETIRE shared by ``apply_cdf`` (DV tables) and
+        ``delete_semi``: ``match(tagged_scan) -> matched rows`` names
+        the victims (a semi-join against the batch's keys — the keys
+        stay a DataFrame end-to-end, nothing collects to the driver),
+        which die by deletion-vector entry; the optional ``ins`` rows
+        land as an O(delta) linked append in the SAME commit
+        (``_mor_image_commit``). Commit cost is O(matched rows) — no
+        data file is read in full or rewritten, which is the only
+        retire shape that survives a scattered-key retention delete at
+        100 TB. The find scan is partition- (``part_in``) and
+        key-equality- (``eq_prune``, via stats/bloom sidecars) pruned;
+        the writer fence is re-checked against EVERY attempt's
+        manifest. Sets ``last_mor_stats``."""
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            if txn is not None and self._txn_fenced(m, txn):
+                return None          # replayed batch landed mid-retry
+            tagged = self._mor_scan(m, part_in=part_in, eq_in=eq_prune)
+            matched = match(tagged)
+            n = matched.count()
+            self.last_mor_stats = {
+                "rows_deleted": n,
+                "dv_rows_total": m.get("dv_rows", 0) + n}
+            schema = StructType.fromJson(m["schema"])
+            new_rows = (ins if ins is not None
+                        else self.spark.createDataFrame([], schema))
+            if self._mor_image_commit(m, cur, matched, new_rows, op,
+                                      n, txn=txn):
+                return v + 1
+            # lost the race: recompute against the winner (retires are
+            # serial per maintainer by contract, so contention is rare
+            # and a plain re-scan beats staged-rebase bookkeeping here)
+        raise CommitConflict(
+            f"gave up after {max_retries} conflicted commits at "
+            f"{self.path}")
+
+    def delete_semi(self, keys: DataFrame, on: list[list[str]],
+                    app_id: str | None = None,
+                    batch_id: int | None = None,
+                    max_retries: int = 20) -> int | None:
+        """DELETE every row whose column tuple equals a key row on ANY
+        of the ``on`` groups — the distributed retire for OR-of-keys
+        predicates (drop every pair touching a deleted doc:
+        ``pairs.delete_semi(dels, on=[["doc1"], ["doc2"]])``). Each
+        group lists table columns positionally matching ``keys``'
+        columns. The keys stay a DataFrame end-to-end: the find pass
+        is one semi-join per group and the rewrite an anti-join chain,
+        so the driver never materializes the key set — replacing the
+        r14 scale-killer (an uncapped ``collect()`` spliced into a SQL
+        ``IN (...)`` string, unbounded driver memory on a retention
+        DELETE whose one CDF micro-batch carries the whole slice).
+
+        With ``(app_id, batch_id)`` the commit carries the writer
+        fence (checked at entry AND re-checked per retry attempt), so
+        a replayed micro-batch commits nothing — and a fenced call
+        that matches nothing still commits the fence. On a DV table
+        the matched rows die by deletion-vector entry (O(matched
+        rows)); otherwise file-pruned copy-on-write. Find-pass pruning
+        rides partition tuples and, when the key set fits a capped
+        driver list (``_EQ_PRUNE_CAP``), per-file stats + bloom
+        sidecars on each group's first column."""
+        kcols = list(keys.columns)
+        groups = [list(g) for g in on]
+        if not groups:
+            raise ValueError("delete_semi: 'on' needs >= 1 group")
+        for g in groups:
+            if len(g) != len(kcols):
+                raise ValueError(
+                    f"delete_semi: group {g} arity != key columns "
+                    f"{kcols} — groups map positionally onto the key "
+                    f"DataFrame's columns")
+        txn = None
+        if app_id is not None:
+            if batch_id is None:
+                raise ValueError("delete_semi: batch_id is required "
+                                 "when app_id is given")
+            txn = f"{app_id}#{batch_id}"
+            if self._txn_entry_fenced(app_id, batch_id):
+                return None              # replayed batch: fenced out
+        keys = keys.distinct()
+
+        def probe(df: DataFrame) -> DataFrame:
+            out = None
+            for g in groups:
+                hit = df.join(keys.toDF(*g), g, "semi")
+                out = hit if out is None else out.unionByName(hit)
+            return out
+
+        def rewrite(touched: DataFrame) -> DataFrame:
+            for g in groups:
+                touched = touched.join(keys.toDF(*g), g, "left_anti")
+            return touched
+        # partition pruning: sound only when EVERY group prunes (a row
+        # can match through any group, so the union of per-group tuple
+        # lists must cover all of them)
+        part_in: list[dict] | None = []
+        for g in groups:
+            pt = self._partition_tuples_of(keys.toDF(*g), key=g)
+            if pt is None:
+                part_in = None
+                break
+            part_in.extend(pt)
+        # capped key-value collect for stats/bloom pruning (the
+        # bounded-driver-list pattern: read_eq_any's cap, graceful
+        # full-find fallback past it — never an unbounded collect)
+        eq_prune = None
+        vals = [r[0] for r in keys.select(kcols[0]).distinct()
+                .limit(_EQ_PRUNE_CAP + 1).collect()]
+        if len(vals) <= _EQ_PRUNE_CAP:
+            eq_prune = [(g[0], vals) for g in groups]
+        with self._op_params(delete_on=[list(g) for g in groups]):
+            if self.dv_enabled():
+                return self._mor_retire(probe, None, "delete_semi_mor",
+                                        txn, part_in, eq_prune,
+                                        max_retries)
+            return self._cow_commit(
+                probe, rewrite, "delete_semi", max_retries,
+                empty_noop=txn is None, partition_in=part_in,
+                txn=txn, eq_any_prune=eq_prune)
 
     def update_where_mor(self, assigns: dict[str, str], cond: str,
                          max_retries: int = 20,
@@ -3332,7 +3493,7 @@ class AcidTable:
     def _commit_loop(self, build, op: str, max_retries: int = 20,
                      insert_hint: DataFrame | None = None,
                      order_by: list[str] | None = None,
-                     txn: str | None = None) -> int:
+                     txn: str | None = None) -> int | None:
         """Optimistic-concurrency commit: ``build(cur)`` produces the full
         next table state from the current snapshot; on manifest conflict
         the LOSER's data dir is dropped and build re-runs against the
@@ -3367,6 +3528,19 @@ class AcidTable:
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
+            if txn is not None and self._txn_fenced(m, txn):
+                # fenced batch committed mid-retry (zombie vs restart
+                # race): re-checked per attempt — a replayed merge_add
+                # can never double-count its partials through a lost
+                # CAS race (ADVICE r14, the append_txn discipline)
+                if staged is not None:
+                    _, s_rel, _, s_ch, _, _ = staged
+                    shutil.rmtree(self.path / s_rel,
+                                  ignore_errors=True)
+                    if s_ch:
+                        shutil.rmtree(self.path / s_ch,
+                                      ignore_errors=True)
+                return None
             cons = m.get("constraints", {})
             if staged is not None:
                 kind, rel, new_stats, ch_rel, schema_json, base_m = staged
@@ -3851,6 +4025,34 @@ class AcidTable:
                   "n_rows long, files_added int, rows_added long, "
                   "files_removed int, operation_parameters string")
 
+    @staticmethod
+    def _txn_fenced(m: dict, txn: str) -> bool:
+        """True when manifest ``m``'s cumulative txns map already
+        carries this writer fence at or past ``txn``'s batch id — the
+        O(1) replay test every fenced commit path runs against EACH
+        attempt's freshly-read manifest (not just method entry), so a
+        zombie query run racing its restart can never double-apply a
+        batch through the optimistic retry loop (the append_txn
+        discipline, generalized). A manifest without a txns map gives
+        no verdict (legacy chain: callers do the one-time walk)."""
+        tmap = m.get("txns")
+        if tmap is None:
+            return False
+        app_id, _, batch = txn.rpartition("#")
+        return int(batch) <= tmap.get(app_id, -1)
+
+    def _txn_entry_fenced(self, app_id: str, batch_id: int) -> bool:
+        """Method-entry replay check shared by the fenced writers:
+        O(1) against the newest manifest's cumulative txns map, with
+        the one-time chain walk for legacy manifests predating it."""
+        latest = self.latest_version()
+        if latest is None:
+            return False
+        newest = self._manifest(latest, with_files=False)
+        if "txns" in newest:
+            return batch_id <= newest["txns"].get(app_id, -1)
+        return self.txn_version(app_id, batch_id) is not None
+
     def append_txn(self, rows: DataFrame, app_id: str, batch_id: int,
                    max_retries: int = 20) -> int | None:
         """Idempotent streaming append: the (app_id, batch_id) writer
@@ -3939,8 +4141,19 @@ class AcidTable:
         micro-batch commits NOTHING and returns None, so mixed
         insert+delete maintenance stays exactly-once. The fence is
         checked at entry against the cumulative txns map (same O(1)
-        read as append_txn); concurrent writers with the SAME app_id
-        are out of contract (a streaming query's batches are serial).
+        read as append_txn) AND re-checked against each retry
+        attempt's manifest inside the commit loops, so a zombie run
+        racing its restart can't double-apply through a lost CAS race.
+
+        On a table created with ``enable_dv=True`` the delete side
+        serves MERGE-ON-READ: matched rows die by deletion-vector
+        entry — O(matched rows), no data file read in full or
+        rewritten — and the inserts land as an O(delta) linked append
+        in the SAME commit. That is the retire shape that survives
+        100 TB: a scattered-key retention delete under COW rewrites
+        every file holding a deleted key (the r14 cost cliff); under
+        MOR it rewrites none, and compaction materializes the
+        accumulated vectors away on its own cadence.
         """
         txn = None
         if app_id is not None:
@@ -3948,14 +4161,8 @@ class AcidTable:
                 raise ValueError("apply_cdf: batch_id is required "
                                  "when app_id is given")
             txn = f"{app_id}#{batch_id}"
-            latest = self.latest_version()
-            if latest is not None:
-                newest = self._manifest(latest, with_files=False)
-                if "txns" in newest:
-                    if batch_id <= newest["txns"].get(app_id, -1):
-                        return None      # replayed batch: fenced out
-                elif self.txn_version(app_id, batch_id) is not None:
-                    return None          # legacy chain: one-time walk
+            if self._txn_entry_fenced(app_id, batch_id):
+                return None              # replayed batch: fenced out
         if "_change_type" not in changes.columns:
             raise ValueError(
                 "apply_cdf expects a _change_type column "
@@ -3977,14 +4184,6 @@ class AcidTable:
         # fabricate null images of columns it never touches
         ins_empty = ins.isEmpty()
 
-        def probe(df: DataFrame) -> DataFrame:
-            return df.join(dels, key, "semi")
-
-        def rewrite(touched: DataFrame) -> DataFrame:
-            kept = touched.join(dels, key, "left_anti")
-            if ins_empty:
-                return kept
-            return kept.unionByName(ins.select(*touched.columns))
         part_in = self._partition_tuples_of(dels, key=key)
         # key-equality find-pass pruning: when the batch's delete keys
         # fit a driver list, the find pass opens only files whose
@@ -3999,6 +4198,24 @@ class AcidTable:
                 .limit(_EQ_PRUNE_CAP + 1).collect()]
         if len(vals) <= _EQ_PRUNE_CAP:
             eq_prune = (prune_col, vals)
+
+        if self.dv_enabled():
+            ins_clean = (None if ins_empty else
+                         ins.drop("_change_type", "_commit_version"))
+            with self._op_params(apply_key=list(key)):
+                return self._mor_retire(
+                    lambda df: df.join(dels, key, "semi"),
+                    ins_clean, "apply_cdf_mor", txn,
+                    part_in, eq_prune, max_retries)
+
+        def probe(df: DataFrame) -> DataFrame:
+            return df.join(dels, key, "semi")
+
+        def rewrite(touched: DataFrame) -> DataFrame:
+            kept = touched.join(dels, key, "left_anti")
+            if ins_empty:
+                return kept
+            return kept.unionByName(ins.select(*touched.columns))
         with self._op_params(apply_key=list(key)):
             return self._cow_commit(probe, rewrite, "apply_cdf",
                                     max_retries, empty_noop=False,
@@ -4664,23 +4881,20 @@ class AcidTable:
         additive counters from a stream stay exactly-once. (This closes
         the round-13 caveat that made the text index's counter
         maintenance at-most-once-only.) Fence checked at entry against
-        the cumulative txns map; concurrent writers with the SAME
-        app_id are out of contract (a streaming query's batches are
-        serial)."""
+        the cumulative txns map AND re-checked against each retry
+        attempt's manifest inside ``_commit_loop`` (two concurrent
+        invocations of the same fenced batch — a zombie run racing its
+        restart — can never both commit and double-count); concurrent
+        writers with the SAME app_id are otherwise out of contract (a
+        streaming query's batches are serial)."""
         txn = None
         if app_id is not None:
             if batch_id is None:
                 raise ValueError("merge_add: batch_id is required "
                                  "when app_id is given")
             txn = f"{app_id}#{batch_id}"
-            latest = self.latest_version()
-            if latest is not None:
-                newest = self._manifest(latest, with_files=False)
-                if "txns" in newest:
-                    if batch_id <= newest["txns"].get(app_id, -1):
-                        return None      # replayed batch: fenced out
-                elif self.txn_version(app_id, batch_id) is not None:
-                    return None          # legacy chain: one-time walk
+            if self._txn_entry_fenced(app_id, batch_id):
+                return None              # replayed batch: fenced out
 
         def build(cur: DataFrame) -> DataFrame:
             val_cols = [c for c in cur.columns if c not in key]
@@ -4904,6 +5118,67 @@ class AcidTable:
         return self.compact_small(max_bytes=ac["max_bytes"],
                                   min_files=ac["min_files"])
 
+    def set_autovacuum(self, every: int | None = 16,
+                       keep_last: int = 4,
+                       keep_changes_last: int | None = None,
+                       max_retries: int = 20) -> int:
+        """Opt into AUTO-vacuum — the retention twin of
+        ``set_autocompact``: writers that honor the hook
+        (``maybe_autovacuum`` — the streaming sink and the
+        incremental-index maintenance loops call it after each
+        per-batch commit) run a ref-aware ``vacuum(keep_last=...)``
+        every ``every`` commits, so a maintenance loop's on-disk
+        footprint stays O(keep window), never O(batches): without it,
+        every COW retire strands its replaced files and a 50-batch
+        drain leaves 50 commit dirs of history. Cadence is
+        VERSION-number based (deterministic, no wall clock), refs
+        (latest catalog entry, tags, branch heads) stay retention
+        roots, manifests are never deleted (the cumulative txns map —
+        every replay fence — rides them), and ``keep_changes_last``
+        defaults to None = keep ALL change files, so CDF consumers
+        resume across the vacuum untouched. Pass ``every=None`` to
+        clear."""
+        for _ in range(max_retries):
+            v, _cur = self.snapshot()
+            m = self._manifest(v)
+            props = dict(self._props())
+            if every is None:
+                props.pop("autovacuum", None)
+            else:
+                if every < 1:
+                    raise ValueError("set_autovacuum: every >= 1")
+                props["autovacuum"] = {
+                    "every": int(every),
+                    "keep_last": int(keep_last),
+                    **({"keep_changes_last": int(keep_changes_last)}
+                       if keep_changes_last is not None else {})}
+            if self._try_commit(v + 1, m["data"], m["schema"],
+                                "set_autovacuum", props=props,
+                                files=m.get("files"),
+                                dv_rel=m.get("dv"),
+                                dv_rows=m.get("dv_rows", 0)):
+                return v + 1
+        raise CommitConflict(
+            f"gave up setting autovacuum after {max_retries} races")
+
+    def maybe_autovacuum(self) -> list[str] | None:
+        """The auto-vacuum HOOK: no-op unless the table opted in via
+        ``set_autovacuum`` AND the newest version number is a multiple
+        of the cadence — one manifest-props read on the no-op path,
+        zero data IO. Returns vacuum's removed list when one ran, else
+        None. Best-effort by placement (callers invoke it AFTER their
+        batch commit is durable); Spark-free, so the SparkSession-less
+        acidtable sink can call it too (vacuum distributes unlink
+        fan-out only when a session exists)."""
+        av = self._props().get("autovacuum")
+        if not av:
+            return None
+        v = self.latest_version()
+        if not v or v % int(av["every"]) != 0:
+            return None
+        return self.vacuum(keep_last=int(av["keep_last"]),
+                           keep_changes_last=av.get("keep_changes_last"))
+
     def compact_small(self, max_bytes: int = 32 << 20,
                       target_files: int = 1, min_files: int = 2,
                       max_retries: int = 20) -> int:
@@ -4920,11 +5195,16 @@ class AcidTable:
         its partition holds >= 2 of them: the rewrite lands one file
         per partition, so folding a lone small file makes no progress
         — and a maintenance loop calling this every batch would
-        otherwise re-rewrite the same lone files forever."""
-        latest = self.latest_version()
+        otherwise re-rewrite the same lone files forever. The group
+        counts are recomputed from EACH retry attempt's manifest
+        (``prepare``), so a lost race never selects off a stale count
+        — no no-progress lone-file rewrites, no newly-eligible groups
+        skipped (ADVICE r14)."""
         groups: dict = {}
-        if latest is not None:
-            for f in (self._manifest(latest).get("files") or []):
+
+        def prepare(files: list[dict]) -> None:
+            groups.clear()
+            for f in files:
                 if f.get("bytes", 0) < max_bytes:
                     k = tuple(sorted((f.get("partition") or {})
                                      .items()))
@@ -4939,7 +5219,7 @@ class AcidTable:
             pick,
             lambda df: df.coalesce(target_files),
             "compact_small", min_stale=min_files,
-            max_retries=max_retries)
+            max_retries=max_retries, prepare=prepare)
         if r is None:                       # legacy: no per-file sizes
             return self.compact(target_files, max_retries)
         return r
@@ -4948,7 +5228,8 @@ class AcidTable:
                         stamp_sort: list[str] | None = None,
                         stamp_zorder: list[str] | None = None,
                         min_stale: int = 1,
-                        max_retries: int = 20) -> int | None:
+                        max_retries: int = 20,
+                        prepare=None) -> int | None:
         """Partial-rewrite commit shared by ``optimize_incremental``
         and ``compact_small``: rewrite ONLY the entries ``pick``
         selects (a metadata-only decision — no probe scan), carry the
@@ -4957,13 +5238,18 @@ class AcidTable:
         empty change set (row-preserving op). Returns None on a legacy
         manifest (caller falls back to the whole-table path), the
         current version when there is nothing to do (no empty
-        commits)."""
+        commits). ``prepare(files)`` runs before ``pick`` on EACH
+        attempt, so a predicate that depends on cross-file state
+        (compact_small's per-partition group counts) tracks the
+        snapshot being rewritten, never a pre-race one."""
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
             files = m.get("files")
             if files is None:
                 return None
+            if prepare is not None:
+                prepare(files)
             stale = [f for f in files if pick(f)]
             if len(stale) < min_stale:
                 self.last_optimize_stats = {"files_rewritten": 0,
