@@ -314,15 +314,24 @@ def main() -> None:
     _sh.rmtree(_sim._ANN_STORE, ignore_errors=True)
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    # per-key phase splits (telemetry.timed): min across passes, like
+    # the headline per-key numbers — lets a key whose scenario folds a
+    # structurally-separate phase (the incremental keys' retention-path
+    # retire) stay mechanically comparable across rounds
+    from spark_streaming_apps_spark import telemetry
+    splits_min: dict[str, float] = {}
     for rep in range(reps):
         dedup.clear_sketch_cache()
         for key in BENCH_KEYS:
+            telemetry.splits.clear()
             t0 = time.perf_counter()
             materialize(qs[key](spark, SF_DIR))
             t = round(time.perf_counter() - t0, 3)
             if rep == 0:
                 cold[key] = t
             times[key] = min(times.get(key, t), t)
+            for name, val in telemetry.splits.items():
+                splits_min[name] = min(splits_min.get(name, val), val)
             print(f"  [{rep}] {key}: {t:.3f}s", file=sys.stderr)
 
     recall = ann_recall(spark)
@@ -402,6 +411,8 @@ def main() -> None:
         "recall_at_10": recall,
         "train_once_sec": {k: cold[k] for k in train_keys if k in cold},
         "stream_floor_sec": stream_floor,
+        "retire_sec": {k: v for k, v in sorted(splits_min.items())
+                       if k.endswith(".retire_sec")},
         "shared_cost_groups": shared_groups,
         "sf": float(sf),
     }

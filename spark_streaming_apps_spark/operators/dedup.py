@@ -1339,15 +1339,19 @@ def build_dedup_index(spark, root, corpus: DataFrame):
     # doc_id bloom sidecars make the VERIFY side a point lookup too:
     # dedup_batch reads only the sigs files that may hold its candidate
     # docs (read_eq_any), so per-batch sigs IO is bounded by the
-    # candidate set, not the index size
-    cat.create_table("sigs", _sig_of(corpus), bloom_by=["doc_id"])
+    # candidate set, not the index size. enable_dv: retires (apply_cdf
+    # deletes) land as deletion-vector entries — O(matched rows) — a
+    # doc_id-keyed retention delete scatters across every sig file, the
+    # worst copy-on-write case; compaction materializes vectors away
+    cat.create_table("sigs", _sig_of(corpus), bloom_by=["doc_id"],
+                     enable_dv=True)
     # bloom sidecars on band_hash make SMALL-batch probes point
     # lookups (read_eq_any) instead of index scans — every commit
     # (including the per-batch appends) indexes its new files in one
     # distributed pass
     cat.create_table("bands", _bands_of(cat.read("sigs"))
                      .select("band_id", "band_hash", "doc_id"),
-                     bloom_by=["band_hash"])
+                     bloom_by=["band_hash"], enable_dv=True)
     return cat
 
 
@@ -1516,8 +1520,12 @@ def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
     cat = build_dedup_index(spark, root, corpus)
     # a retention DELETE lands before the arrival: the index retires
     # the slice's band+sig rows (one linked transaction), so the batch
-    # can never pair with a ghost
-    dedup_retire(cat, corpus.filter(deleted).select("doc_id"))
+    # can never pair with a ghost. retire_sec split: the retention
+    # path folded into this key at round 14 is timed separately so the
+    # headline row stays comparable across rounds (telemetry.py)
+    from .. import telemetry
+    with telemetry.timed("dedup_incremental.retire_sec"):
+        dedup_retire(cat, corpus.filter(deleted).select("doc_id"))
     pairs = dedup_batch(spark, cat, batch)
 
     # ---- pins ----------------------------------------------------
@@ -1615,11 +1623,21 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
         if not dels.isEmpty():
             # retention path: retire the deleted docs' band+sig rows
             # in one FENCED linked transaction, then drop their stale
-            # pairs (bounded id list per micro-batch; value-idempotent
-            # on replay — the rows are simply already gone)
-            dedup_retire(cat, dels, txn=("dedup-retire", batch_id))
-            ids = ", ".join(str(r.doc_id) for r in dels.collect())
-            pairs_t.delete_where(f"doc1 IN ({ids}) OR doc2 IN ({ids})")
+            # pairs DISTRIBUTIVELY — delete_semi keeps the deleted-id
+            # set a DataFrame end-to-end (semi-join find pass,
+            # anti-join rewrite, own (app_id, batch_id) fence), so a
+            # retention DELETE whose single CDF micro-batch carries
+            # the whole slice never materializes on the driver (the
+            # r14 scale-killer was an uncapped collect into a SQL
+            # IN-string here). Timed as the key's retire_sec split
+            # (telemetry.py — bench comparability).
+            from .. import telemetry
+            with telemetry.timed(
+                    "dedup_incremental_stream.retire_sec"):
+                dedup_retire(cat, dels, txn=("dedup-retire", batch_id))
+                pairs_t.delete_semi(dels, on=[["doc1"], ["doc2"]],
+                                    app_id="dedup-pairs-retire",
+                                    batch_id=batch_id)
         ins = (batch.filter(F.col("_change_type") == "insert")
                .select("doc_id", "text"))
         if ins.isEmpty():

@@ -1709,10 +1709,14 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
     _sh.rmtree(vec_dir, ignore_errors=True)
     _sh.rmtree(idx_dir, ignore_errors=True)
     src = AcidTable.create(spark, vec_dir, initial, enable_cdf=True)
+    # enable_dv: retires land as deletion-vector entries (O(matched
+    # rows)) instead of rewriting every touched cell file; the probe
+    # path's partition pruning is unchanged (dv-dead rows anti-join
+    # away at read)
     idx = AcidTable.create(
         spark, idx_dir,
         _km_assign(initial, cents).select("vec_id", "label", "e", "cell"),
-        partition_by=["cell"])
+        partition_by=["cell"], enable_dv=True)
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
         # assign deletes and inserts SEPARATELY: _km_assign groups by
@@ -1733,10 +1737,19 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         if rows.isEmpty():
             return
         # one fenced commit per micro-batch (apply_cdf): inserts
-        # append, deletes rewrite only their cells' touched files; an
-        # at-least-once replay commits NOTHING
-        idx.apply_cdf(rows, key=["cell", "vec_id"],
-                      app_id="ivf-maint", batch_id=batch_id)
+        # append; deletes land as deletion-vector entries (the table
+        # is enable_dv) — O(matched rows), no cell file rewritten; an
+        # at-least-once replay commits NOTHING. Delete-carrying
+        # batches record the key's retire_sec split (telemetry.py).
+        from .. import telemetry
+        if not batch.filter(
+                F.col("_change_type") == "delete").isEmpty():
+            with telemetry.timed("ivf_incremental_index.retire_sec"):
+                idx.apply_cdf(rows, key=["cell", "vec_id"],
+                              app_id="ivf-maint", batch_id=batch_id)
+        else:
+            idx.apply_cdf(rows, key=["cell", "vec_id"],
+                          app_id="ivf-maint", batch_id=batch_id)
         # opt-in small-file hygiene (no-op unless the table property
         # is set): per-batch appends otherwise accumulate one file
         # per cell per batch forever

@@ -1031,9 +1031,14 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     # query opens only its terms' buckets' files (read_eq_any — the
     # dedup_batch band-probe shape), never the whole postings table;
     # every batch append indexes its new files in the same pass
+    # enable_dv on the retire surfaces: a doc_id-keyed retention
+    # delete scatters across every bucket's files (the worst COW
+    # case) — deletion vectors make it O(matched rows); compaction
+    # materializes them away on its own cadence
     cat.create_table("postings", postings,
-                     partition_by=["tbucket"], bloom_by=["token"])
-    cat.create_table("doc_len", doc_len)
+                     partition_by=["tbucket"], bloom_by=["token"],
+                     enable_dv=True)
+    cat.create_table("doc_len", doc_len, enable_dv=True)
     cat.create_table("term_df", term_df)
     cat.create_table("corpus_stats", corpus)
     text_index_maintain(cat, b1)                 # O(batch) arrival
@@ -1043,7 +1048,12 @@ def text_index_incremental(spark, sf_dir: str, scratch,
              .unionByName(docs.filter(TEXT_INC_DELETE_PRED)
                           .withColumn("_change_type",
                                       F.lit("delete"))))
-    text_index_apply(cat, mixed)
+    # retire_sec split: this mixed retire+arrival transaction is the
+    # retention-path cost folded into the key at round 14 — recorded
+    # separately so the headline row stays comparable (telemetry.py)
+    from .. import telemetry
+    with telemetry.timed("text_index_incremental.retire_sec"):
+        text_index_apply(cat, mixed)
 
     served = _bm25_serve(cat, terms, k)
     final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
@@ -1164,9 +1174,14 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
                            enable_cdf=True)
     cat = AcidCatalog(spark, root / "index")
     postings, doc_len, term_df, corpus = _index_batch_tables(initial)
+    # enable_dv on the retire surfaces: a doc_id-keyed retention
+    # delete scatters across every bucket's files (the worst COW
+    # case) — deletion vectors make it O(matched rows); compaction
+    # materializes them away on its own cadence
     cat.create_table("postings", postings,
-                     partition_by=["tbucket"], bloom_by=["token"])
-    cat.create_table("doc_len", doc_len)
+                     partition_by=["tbucket"], bloom_by=["token"],
+                     enable_dv=True)
+    cat.create_table("doc_len", doc_len, enable_dv=True)
     cat.create_table("term_df", term_df)
     cat.create_table("corpus_stats", corpus)
 
@@ -1175,8 +1190,16 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
         if ch.isEmpty():
             return
         # ONE fenced linked transaction per micro-batch across all
-        # four index tables — replays re-commit nothing anywhere
-        text_index_apply(cat, ch, txn=("text-maint", batch_id))
+        # four index tables — replays re-commit nothing anywhere.
+        # Delete-carrying batches record their wall cost as the key's
+        # retire_sec split (telemetry.py — bench comparability)
+        from .. import telemetry
+        if not ch.filter(F.col("_change_type") == "delete").isEmpty():
+            with telemetry.timed(
+                    "text_index_incremental_stream.retire_sec"):
+                text_index_apply(cat, ch, txn=("text-maint", batch_id))
+        else:
+            text_index_apply(cat, ch, txn=("text-maint", batch_id))
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")

@@ -118,7 +118,8 @@ def test_dedup_incremental_maintains_index(spark, tmp_path):
     sigs, bands = cat.table("sigs"), cat.table("bands")
     # v0 create, v1 retention retire (apply_cdf), v2 batch append
     assert sigs.latest_version() == 2 and bands.latest_version() == 2
-    assert sigs._manifest(1)["op"] in ("apply_cdf", "delete")
+    assert sigs._manifest(1)["op"] in ("apply_cdf",
+                                   "apply_cdf_mor", "delete")
     planted = dedup.planted_corpus(
         spark.read.parquet(f"{sf}/documents.parquet"))
     n_batch = (planted
