@@ -5070,7 +5070,7 @@ class AcidTable:
         txns map, so table streams and replay fences ride through it
         untouched."""
         for _ in range(max_retries):
-            v, _cur = self.snapshot()
+            v, cur = self.snapshot()
             m = self._manifest(v)
             props = dict(self._props())
             if max_bytes is None:
@@ -5078,12 +5078,21 @@ class AcidTable:
             else:
                 props["autocompact"] = {"max_bytes": int(max_bytes),
                                         "min_files": int(min_files)}
+            # row-preserving: record an EMPTY change set on CDF tables
+            # so the feed serves this version without a snapshot diff
+            # (which dies once the bounding snapshots are vacuumed)
+            ch_rel = (self._write_changes_pair(cur.limit(0),
+                                               cur.limit(0))
+                      if self.cdf_enabled() else None)
             if self._try_commit(v + 1, m["data"], m["schema"],
                                 "set_autocompact", props=props,
+                                changes_rel=ch_rel,
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
                 return v + 1
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up setting autocompact after {max_retries} races")
 
@@ -5139,7 +5148,7 @@ class AcidTable:
         resume across the vacuum untouched. Pass ``every=None`` to
         clear."""
         for _ in range(max_retries):
-            v, _cur = self.snapshot()
+            v, cur = self.snapshot()
             m = self._manifest(v)
             props = dict(self._props())
             if every is None:
@@ -5152,12 +5161,18 @@ class AcidTable:
                     "keep_last": int(keep_last),
                     **({"keep_changes_last": int(keep_changes_last)}
                        if keep_changes_last is not None else {})}
+            ch_rel = (self._write_changes_pair(cur.limit(0),
+                                               cur.limit(0))
+                      if self.cdf_enabled() else None)
             if self._try_commit(v + 1, m["data"], m["schema"],
                                 "set_autovacuum", props=props,
+                                changes_rel=ch_rel,
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
                 return v + 1
+            if ch_rel:
+                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up setting autovacuum after {max_retries} races")
 

@@ -1484,9 +1484,12 @@ def dedup_batch(spark, cat, batch: DataFrame,
             writes = {"sigs": ("append", sig_b),
                       "bands": ("append", bb)}
         cat.commit_multi(writes, op="dedup_index_append")
-        # opt-in small-file hygiene (no-op without the table property)
-        cat.table("sigs").maybe_autocompact()
-        cat.table("bands").maybe_autocompact()
+        # opt-in small-file + retention hygiene (each a no-op
+        # without its table property)
+        for name in ("sigs", "bands"):
+            t = cat.table(name)
+            t.maybe_autocompact()
+            t.maybe_autovacuum()
     return pairs
 
 

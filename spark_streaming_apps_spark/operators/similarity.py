@@ -1754,6 +1754,10 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         # is set): per-batch appends otherwise accumulate one file
         # per cell per batch forever
         idx.maybe_autocompact()
+        # opt-in retention hygiene: reclaim stranded version history
+        # (COW replacements, materialized vectors) on a version
+        # cadence — no-op without the table property
+        idx.maybe_autovacuum()
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")

@@ -900,10 +900,13 @@ def text_index_maintain(cat, docs: DataFrame,
             "term_df": ("merge_add", term_df, ["token"]),
             "corpus_stats": ("merge_add", corpus, ["id"]),
         }, txn), op="text_index_maintain")
-    # opt-in small-file hygiene on the append-only surfaces (no-op
-    # without the table property; counters rewrite per merge anyway)
-    cat.table("postings").maybe_autocompact()
-    cat.table("doc_len").maybe_autocompact()
+    # opt-in small-file + retention hygiene on the append-only
+    # surfaces (each a no-op without its table property; counters
+    # rewrite per merge anyway)
+    for name in ("postings", "doc_len"):
+        t = cat.table(name)
+        t.maybe_autocompact()
+        t.maybe_autovacuum()
     return e
 
 

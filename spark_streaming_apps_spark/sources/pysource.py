@@ -28,6 +28,12 @@ LCG_M = 1 << 31
 N_ROWS = 100_000
 N_PARTS = 8
 N_BUCKETS = 16
+#: Max bytes the SparkSession-free sink autocompaction folds per
+#: invocation (largest small-file groups first; the remainder folds on
+#: later batches) — bounds the writer process's memory by POLICY
+#: instead of backlog size. Overridable per table via the autocompact
+#: prop's ``max_fold_bytes``.
+_FOLD_CAP_BYTES = 256 << 20
 
 
 class LcgPartition(InputPartition):
@@ -484,6 +490,13 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 new_stats = collect_file_stats(
                     dest / Path(fp).name for fp in staged)
                 inv = {p: l for l, p in self.mapping.items()}
+                # bloom sidecars for THIS batch's files (bloom_by
+                # tables): O(batch) column reads in this process, same
+                # wire format as AcidTable._attach_blooms — without
+                # them every sink-born file is conservatively kept by
+                # point probes forever
+                blm = self._stage_blooms(
+                    m, dest, new_rel, [Path(fp).name for fp in staged])
                 for e, part in zip(new_stats, staged_parts):
                     if inv and e.get("stats"):
                         # manifest stats stay LOGICAL (pruners never
@@ -492,6 +505,8 @@ class AcidStreamWriter(DataSourceStreamWriter):
                                       for k, v in e["stats"].items()}
                     if part is not None:   # partitioned table: the
                         e["partition"] = part  # tuple rides the entry
+                    if e["path"] in blm:
+                        e["bloom"] = blm[e["path"]]
                     e["path"] = f'{new_rel}/{e["path"]}'
                 from ..acid import (encode_manifest_files,
                                     resolve_manifest_files)
@@ -561,6 +576,18 @@ class AcidStreamWriter(DataSourceStreamWriter):
                         self._maybe_autocompact(root, manifests)
                     except (OSError, ValueError, KeyError):
                         pass
+                    # opt-in retention hygiene (set_autovacuum):
+                    # vacuum is pure manifest/filesystem work — it
+                    # only uses a SparkSession to fan out unlinks on
+                    # huge plans and skips that when spark is None —
+                    # so the SparkSession-free writer process can run
+                    # it directly. Same best-effort contract: a
+                    # failed vacuum never fails the stream.
+                    try:
+                        from ..acid import AcidTable
+                        AcidTable(None, root).maybe_autovacuum()
+                    except (OSError, ValueError, KeyError):
+                        pass
                     return
                 else:                         # lost the race: retry on top
                     shutil.rmtree(dest, ignore_errors=True)
@@ -572,6 +599,42 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 f"at {self.path}")
         finally:
             self._cleanup(messages)
+
+    def _stage_blooms(self, m: dict, dest, new_rel: str,
+                      names: list[str]) -> dict:
+        """Per-file bloom sidecars for a batch's staged files on a
+        ``bloom_by`` table — the SparkSession-free twin of
+        ``AcidTable._attach_blooms`` (same sidecar wire format, keyed
+        by LOGICAL column): one O(batch) column read per (file, col)
+        in this process. Unreadable/unhashable columns are skipped —
+        the reader conservatively keeps sidecar-less files."""
+        import pyarrow.parquet as pq
+
+        from ..acid import _bloom_pair, build_bloom
+        root = dest.parent.parent
+        props = ((m["props"] or {}) if "props" in m
+                 else _walk_props(root)) or {}
+        cols = list(props.get("bloom_by") or [])
+        if not cols:
+            return {}
+        out: dict = {}
+        for name in names:
+            for logical in cols:
+                physical = self.mapping.get(logical, logical)
+                try:
+                    col = pq.read_table(
+                        str(dest / name),
+                        columns=[physical]).column(physical)
+                except (OSError, KeyError):
+                    continue
+                vals = {v for v in col.to_pylist() if v is not None}
+                if vals and not any(_bloom_pair(v) is not None
+                                    for v in vals):
+                    continue    # no hashable value: write no sidecar
+                side = f"_bloom-{name}-{logical}.bin"
+                (dest / side).write_bytes(build_bloom(vals))
+                out.setdefault(name, {})[logical] = f"{new_rel}/{side}"
+        return out
 
     def _maybe_autocompact(self, root, manifests) -> None:
         """Post-commit AUTO-compaction (Delta autoCompact's
@@ -586,12 +649,16 @@ class AcidStreamWriter(DataSourceStreamWriter):
         Scope guards: tables with a live deletion vector are skipped
         (materializing DV shares needs the Spark-side
         ``compact_small``); partitioned tables compact per partition
-        tuple (the one-tuple-per-file invariant holds); rewritten
-        files' bloom sidecars are NOT rebuilt here — point reads
-        conservatively scan sidecar-less files and the next Spark-side
-        optimize re-indexes them; CDF tables record an empty change
-        set (compaction is row-preserving, the ``_NO_CHANGE_OPS``
-        contract), so table streams skip it silently."""
+        tuple (the one-tuple-per-file invariant holds); bytes folded
+        per invocation are CAPPED (``_FOLD_CAP_BYTES``, largest
+        groups first) so a deep backlog never spikes this process's
+        memory — the remainder folds on later batches; rewritten
+        files get their bloom sidecars REBUILT from the in-hand
+        pyarrow table (bloom_by prop), so point-probe pruning
+        survives sink-side compaction; CDF tables record an empty
+        change set (compaction is row-preserving, the
+        ``_NO_CHANGE_OPS`` contract), so table streams skip it
+        silently."""
         import json
         import time
         import uuid as _uuid
@@ -600,7 +667,8 @@ class AcidStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from ..acid import (collect_file_stats, encode_manifest_files,
+        from ..acid import (_bloom_pair, build_bloom,
+                            collect_file_stats, encode_manifest_files,
                             latest_committed_version,
                             resolve_manifest_files)
         from ..storage import get_store
@@ -624,16 +692,52 @@ class AcidStreamWriter(DataSourceStreamWriter):
         groups = {k: g for k, g in groups.items() if len(g) >= 2}
         if not groups:
             return
+        # BYTE CAP (largest groups first): this fold runs on the
+        # writer's plain Python process, so bytes concatenated per
+        # invocation must be bounded by policy, not by backlog size —
+        # folding the biggest offenders first maximizes file-count
+        # reduction per invocation; skipped groups fold on the next
+        # batch (ADVICE r15)
+        fold_cap = int(ac.get("max_fold_bytes", _FOLD_CAP_BYTES))
+        ordered = sorted(
+            groups.items(),
+            key=lambda kg: sum(f.get("bytes", 0) for f in kg[1]),
+            reverse=True)
+        budget, picked = fold_cap, []
+        for key, grp in ordered:
+            sz = sum(f.get("bytes", 0) for f in grp)
+            if picked and sz > budget:
+                continue          # always fold >=1 group (progress)
+            picked.append((key, grp))
+            budget -= sz
+        bloom_cols = list((m.get("props") or {}).get("bloom_by") or [])
         new_rel = f"data/commit-{_uuid.uuid4().hex}"
         dest = root / new_rel
         dest.mkdir(parents=True)
         drop: set = set()
         written: list[tuple[str, dict | None]] = []
-        for key, grp in groups.items():
+        blooms: dict[str, dict] = {}    # data-file name -> {col: rel}
+        for key, grp in picked:
             tbl = pa.concat_tables(
                 [pq.read_table(str(root / f["path"])) for f in grp])
             out = dest / f"compact-{_uuid.uuid4().hex}.parquet"
             pq.write_table(tbl, str(out))
+            # bloom sidecars rebuilt from the table already in hand
+            # (same wire format as AcidTable._attach_blooms, keyed by
+            # LOGICAL column) — point-probe pruning survives the fold
+            for logical in bloom_cols:
+                physical = self.mapping.get(logical, logical)
+                if physical not in tbl.column_names:
+                    continue
+                vals = {v for v in tbl.column(physical).to_pylist()
+                        if v is not None}
+                if vals and not any(_bloom_pair(v) is not None
+                                    for v in vals):
+                    continue      # unhashable type: reader keeps file
+                side = f"_bloom-{out.name}-{logical}.bin"
+                (dest / side).write_bytes(build_bloom(vals))
+                blooms.setdefault(out.name, {})[logical] = \
+                    f"{new_rel}/{side}"
             drop.update(f["path"] for f in grp)
             written.append((str(out), dict(key) or None))
         new_stats = collect_file_stats(p for p, _ in written)
@@ -644,6 +748,8 @@ class AcidStreamWriter(DataSourceStreamWriter):
                               for k, v2 in e["stats"].items()}
             if part is not None:
                 e["partition"] = part
+            if e["path"] in blooms:
+                e["bloom"] = blooms[e["path"]]
             e["path"] = f'{new_rel}/{e["path"]}'
         keep = [f for f in files if f["path"] not in drop]
         manifest = {

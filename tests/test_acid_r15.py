@@ -296,3 +296,113 @@ def test_compact_small_recounts_groups_per_attempt(
     # eligibility (stale counts would have left p=1 with 2 files)
     assert set(per_part.values()) == {1}
     assert t.read().count() == 4
+
+
+# ------------------------------------------------------- sink hygiene
+
+
+def _drain_sink(spark, src, table_path, ckpt, app_id):
+    from spark_streaming_apps_spark.sources.pysource import (
+        AcidTableDataSource)
+    spark.dataSource.register(AcidTableDataSource)
+    q = (spark.readStream.schema("event_id long, user_id long")
+         .option("maxFilesPerTrigger", 1).parquet(str(src))
+         .writeStream.format("acidtable")
+         .option("path", str(table_path))
+         .option("appId", app_id)
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+
+def _seed_parquet(src, n_files=12, rows_per=5):
+    import duckdb
+    src.mkdir()
+    con = duckdb.connect()
+    for i in range(n_files):
+        con.execute(f"""
+            COPY (SELECT CAST(range AS BIGINT) AS event_id,
+                         CAST({i} AS BIGINT) AS user_id
+                  FROM range({i * rows_per}, {i * rows_per + rows_per}))
+            TO '{src}/f{i}.parquet' (FORMAT PARQUET)""")
+
+
+def test_sink_attaches_and_rebuilds_bloom_sidecars(spark, tmp_path):
+    """The SparkSession-free sink indexes a bloom_by table: every
+    batch-born file carries sidecars, and sink-side compaction
+    REBUILDS them for the folded files — point-probe pruning survives
+    the whole sink lifecycle (ADVICE r15: compacted files previously
+    lost their sidecars)."""
+    src = tmp_path / "src"
+    _seed_parquet(src)
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "event_id long, user_id long"),
+        bloom_by=["event_id"])
+    t.set_autocompact(max_bytes=1 << 20, min_files=4)
+    _drain_sink(spark, src, tmp_path / "t", tmp_path / "ckpt", "blm")
+    m = t._manifest(t.latest_version())
+    ops = [t._manifest(v)["op"] for v in range(t.latest_version() + 1)]
+    assert "compact_small" in ops
+    assert all("bloom" in f and "event_id" in f["bloom"]
+               for f in m["files"]), m["files"]
+    # definitive absence: an out-of-range needle prunes EVERY file
+    kept, total = t.pruned_files_in("event_id", [10_000_000])
+    assert total >= 1 and kept == []
+    # presence stays correct through the folds
+    assert [r.user_id for r in
+            t.read_eq_any("event_id", [57]).collect()] == [11]
+
+
+def test_sink_autocompact_fold_cap_limits_one_invocation(
+        spark, tmp_path):
+    """max_fold_bytes caps bytes folded per sink invocation: with a
+    cap below the full backlog, one compaction pass folds only some
+    groups (progress, bounded memory) and later passes finish the
+    job — rows always intact."""
+    src = tmp_path / "src"
+    _seed_parquet(src)
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "event_id long, user_id long"))
+    # one parquet file of 5 longs is ~1-2 KB: cap at 3 KB so a single
+    # invocation cannot fold the whole 12-file backlog at once
+    t.set_autocompact(max_bytes=1 << 20, min_files=4)
+    v = t.latest_version()
+    m = t._manifest(v, with_files=False)
+    props = dict(m.get("props") or {})
+    props["autocompact"]["max_fold_bytes"] = 3 << 10
+    assert t._try_commit(v + 1, m["data"], m["schema"],
+                         "set_autocompact", props=props,
+                         files=t._manifest(v).get("files"))
+    _drain_sink(spark, src, tmp_path / "t", tmp_path / "ckpt", "cap")
+    assert t.read().count() == 60
+    # compaction ran more than once (the cap forced multiple passes)
+    ops = [t._manifest(vv)["op"]
+           for vv in range(t.latest_version() + 1)]
+    assert ops.count("compact_small") >= 2, ops
+
+
+def test_sink_runs_autovacuum(spark, tmp_path):
+    """The sink honors set_autovacuum from its SparkSession-free
+    process: a many-batch drain reclaims out-of-window history (the
+    vacuum ledger appears), rows and the batch fence intact."""
+    src = tmp_path / "src"
+    _seed_parquet(src)
+    t = AcidTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([], "event_id long, user_id long"),
+        enable_cdf=True)
+    t.set_autocompact(max_bytes=1 << 20, min_files=4)
+    t.set_autovacuum(every=5, keep_last=2)
+    _drain_sink(spark, src, tmp_path / "t", tmp_path / "ckpt", "av")
+    assert t.read().count() == 60
+    # compaction strands replaced files; autovacuum reclaimed some
+    assert (tmp_path / "t" / "manifests" / "_vacuumed.jsonl").exists()
+    # every version still has its manifest (fences ride manifests)
+    latest = t.latest_version()
+    assert all((tmp_path / "t" / "manifests" / f"v{v}.json").exists()
+               for v in range(latest + 1))
+    # the CDF feed still serves the full insert history
+    chg = t.read_changes(0, latest)
+    assert chg.filter("_change_type = 'insert'").count() == 60
