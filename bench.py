@@ -163,6 +163,9 @@ BENCH_KEYS = [
     "acid_ref_retention",
     "catalog_rebase",
     "text_index_incremental_stream",
+    # round 15
+    "knn_graph_banded",
+    "acid_autovacuum",
 ]
 
 

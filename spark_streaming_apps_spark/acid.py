@@ -5057,6 +5057,7 @@ class AcidTable:
 
     def set_autocompact(self, max_bytes: int | None = 32 << 20,
                         min_files: int = 16,
+                        max_dv_rows: int | None = None,
                         max_retries: int = 20) -> int:
         """Opt into AUTO-compaction (Delta autoCompact): writers that
         honor the hook (``maybe_autocompact`` — the streaming sink and
@@ -5064,11 +5065,16 @@ class AcidTable:
         fold files under ``max_bytes`` back together whenever at least
         ``min_files`` of them have accumulated, so a per-batch append
         stream keeps a BOUNDED live-file count instead of one file per
-        batch forever. Pass ``max_bytes=None`` to clear. Pure-metadata
+        batch forever. ``max_dv_rows`` adds the MERGE-ON-READ leg: once
+        the deletion vector exceeds that many rows, the hook folds it
+        away (``materialize_dv`` — O(dv-touched files)), bounding the
+        per-scan anti-join tax a retire stream would otherwise grow
+        forever (Delta pairs enableDeletionVectors with OPTIMIZE the
+        same way). Pass ``max_bytes=None`` to clear. Pure-metadata
         property commit; compaction itself is row-preserving
-        (``compact_small``), CDF-silent, and carries the writer-fence
-        txns map, so table streams and replay fences ride through it
-        untouched."""
+        (``compact_small``/``materialize_dv``), CDF-silent, and
+        carries the writer-fence txns map, so table streams and replay
+        fences ride through it untouched."""
         for _ in range(max_retries):
             v, cur = self.snapshot()
             m = self._manifest(v)
@@ -5076,8 +5082,11 @@ class AcidTable:
             if max_bytes is None:
                 props.pop("autocompact", None)
             else:
-                props["autocompact"] = {"max_bytes": int(max_bytes),
-                                        "min_files": int(min_files)}
+                props["autocompact"] = {
+                    "max_bytes": int(max_bytes),
+                    "min_files": int(min_files),
+                    **({"max_dv_rows": int(max_dv_rows)}
+                       if max_dv_rows is not None else {})}
             # row-preserving: record an EMPTY change set on CDF tables
             # so the feed serves this version without a snapshot diff
             # (which dies once the bounding snapshots are vacuumed)
@@ -5109,6 +5118,13 @@ class AcidTable:
         if not ac:
             return None
         m = self._manifest(self.latest_version())
+        # MOR leg first: a deletion vector past the policy bound is a
+        # per-SCAN tax (broadcast anti-join on every read), costlier
+        # than small-file overhead — fold it away in one O(dv-touched
+        # files) pass
+        dvmax = ac.get("max_dv_rows")
+        if dvmax is not None and m.get("dv_rows", 0) > dvmax:
+            return self.materialize_dv()
         files = m.get("files")
         if files is None:
             return None
@@ -5126,6 +5142,36 @@ class AcidTable:
             return None
         return self.compact_small(max_bytes=ac["max_bytes"],
                                   min_files=ac["min_files"])
+
+    def materialize_dv(self, max_retries: int = 20) -> int:
+        """Fold the deletion vector away WITHOUT a table rewrite:
+        rewrite ONLY the files the vector names (their MOR-dead rows
+        drop out), carry every other file by reference — O(dv-touched
+        files), the bounded maintenance step that keeps the MOR read
+        tax (a broadcast anti-join per scan) from growing forever
+        under a retire stream (Delta's OPTIMIZE-rewrites-DV rule,
+        scoped to the touched subset). No-op without a vector. A
+        concurrent MOR delete landing mid-race may re-introduce
+        entries for files this pass carried — they fold on the next
+        call (subset materialization is always correct: rewritten
+        files drop exactly their own share)."""
+        latest = self.latest_version()
+        if latest is None:
+            return latest
+        m = self._manifest(latest, with_files=False)
+        if "dv" not in m:
+            return latest
+        names = {r["file"] for r in self.spark.read.parquet(
+            str(self.path / m["dv"])).select("file")
+            .distinct().collect()}       # bounded by the file count
+
+        def pick(f) -> bool:
+            return _entry_name(f) in names
+        r = self._rewrite_subset(pick, lambda df: df,
+                                 "materialize_dv",
+                                 max_retries=max_retries)
+        return self.compact(max_retries=max_retries) if r is None \
+            else r
 
     def set_autovacuum(self, every: int | None = 16,
                        keep_last: int = 4,

@@ -1161,6 +1161,11 @@ register("acid_ref_retention",
              queue_sql=queue.QUEUE_SQL)
          )(lambda s, d: extensions.acid_ref_retention(s, d, SCRATCH))
 
+register("acid_autovacuum",
+         oracle=extensions.ACID_AUTOVACUUM_ORACLE.format(
+             queue_sql=queue.QUEUE_SQL)
+         )(lambda s, d: extensions.acid_autovacuum(s, d, SCRATCH))
+
 register("catalog_rebase",
          oracle=extensions.CATALOG_REBASE_ORACLE.format(
              queue_sql=queue.QUEUE_SQL)
@@ -1516,6 +1521,14 @@ register("zorder_layout", oracle=extensions.ZORDER_ORACLE
 
 register("knn_graph", oracle=similarity.knn_graph_oracle_sql()
          )(lambda s, d: similarity.knn_graph(_t(s, d, "embeddings")))
+# the band-capped variant: per-node candidate work bounded by the
+# within-cell 1-D band (O(band) dots/node/probe), independent of cell
+# size — the knob that keeps the graph sublinear-per-row as cells fill
+# at 100 TB (see SCALING.md's knn band rung)
+register("knn_graph_banded",
+         oracle=similarity.knn_graph_banded_oracle_sql()
+         )(lambda s, d: similarity.knn_graph(
+             _t(s, d, "embeddings"), band=similarity.KNN_BAND))
 
 register("semdedup", oracle=similarity.semdedup_oracle_sql()
          )(lambda s, d: similarity.semdedup(_t(s, d, "embeddings")))

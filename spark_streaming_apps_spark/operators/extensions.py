@@ -3007,8 +3007,8 @@ def acid_ref_retention(spark: SparkSession, sf_dir: str,
     released_after_expire."""
     import shutil
 
-    from ..acid import VersionVacuumedError
-    from ..acid_catalog import AcidCatalog
+    from ..acid import CommitConflict, VersionVacuumedError
+    from ..acid_catalog import AcidCatalog, AuditFailed
     from ..sources.tables import load_table
     from .queue import queue_df
 
@@ -3045,7 +3045,11 @@ def acid_ref_retention(spark: SparkSession, sf_dir: str,
     try:
         cat.publish("park", audit=lambda b: b.read("q")
                     .filter("status NOT IN (0, 1, 2, 3)").count() == 0)
-    except Exception:
+    except (AuditFailed, CommitConflict):
+        # the two CONTRACT failures a parked publish can legitimately
+        # hit (oracle pins publish_ok=TRUE, so either is caught) —
+        # anything else should surface with its own traceback, not
+        # vanish into a boolean (r14 VERDICT cosmetic)
         publish_ok = False
 
     cat.expire_tag("rel0")          # deliberate release
@@ -3061,6 +3065,77 @@ def acid_ref_retention(spark: SparkSession, sf_dir: str,
             .withColumn("tag_survived_vacuum", F.lit(bool(tag_survived)))
             .withColumn("publish_ok", F.lit(bool(publish_ok)))
             .withColumn("released_after_expire", F.lit(bool(released))))
+
+
+def acid_autovacuum(spark: SparkSession, sf_dir: str,
+                    scratch: Path) -> DataFrame:
+    """AUTOVACUUM (round 15): the retention twin of autocompact — a
+    fenced maintenance drain (12 append_txn batches with periodic COW
+    retention deletes) on a table that opted into
+    ``set_autovacuum(every=6, keep_last=2)``, the hook invoked
+    post-commit exactly as the index maintainers and the
+    SparkSession-free sink do. Pins (in-result booleans):
+    ``vacuum_ran`` (the write-ahead vacuum ledger exists and names
+    reclaimed paths — COW deletes strand replaced files, autovacuum
+    reclaims them), ``fence_ok`` (a replayed batch id still commits
+    nothing — the cumulative txns map rides manifests, which vacuum
+    never deletes), ``cdf_ok`` (the change feed serves the WHOLE drain
+    after the vacuums: recorded change files are retained by default,
+    and property commits record empty change sets). The row census is
+    the DuckDB-checked value surface. (Reference analog: the
+    ``desh_files`` cleanup cadence, FileWorkerApp.scala:207-227 —
+    bounded state under a forever-running loop.)"""
+    import json as _json
+    import shutil
+
+    from ..acid import AcidTable
+    from ..sources.tables import load_table
+    from .queue import queue_df
+
+    root = scratch / f"acid_autovac_{Path(sf_dir).name}"
+    shutil.rmtree(root, ignore_errors=True)
+    state = (queue_df(load_table(spark, sf_dir, "orders"))
+             .filter(F.col("file_id") % 10 == 3)
+             .select("file_id", "status"))
+    t = AcidTable.create(spark, root, state.limit(0), enable_cdf=True)
+    t.set_autocompact(max_bytes=8 << 20, min_files=8)
+    t.set_autovacuum(every=6, keep_last=2)
+    for b in range(12):
+        t.append_txn(state.filter(F.col("file_id") % 12 == b),
+                     "drain", b)
+        if b in (3, 7, 11):
+            # retention DELETE of the slice appended two batches ago
+            # (fully present, never re-appended) — a COW rewrite that
+            # strands its replaced files for autovacuum to reclaim
+            t.delete_where(f"file_id % 12 = {b - 2}")
+        t.maybe_autocompact()
+        t.maybe_autovacuum()
+    ledger = root / "manifests" / "_vacuumed.jsonl"
+    vacuum_ran = ledger.exists() and any(
+        _json.loads(line).get("paths")
+        for line in ledger.read_text().splitlines() if line)
+    fence_ok = t.append_txn(state.limit(1), "drain", 5) is None
+    latest = t.latest_version()
+    n_appended = state.count()
+    cdf_ok = (t.read_changes(0, latest)
+              .filter("_change_type = 'insert'")
+              .count() == n_appended)
+    return (t.read().groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("file_id").alias("min_id"))
+            .withColumn("vacuum_ran", F.lit(bool(vacuum_ran)))
+            .withColumn("fence_ok", F.lit(bool(fence_ok)))
+            .withColumn("cdf_ok", F.lit(bool(cdf_ok))))
+
+
+ACID_AUTOVACUUM_ORACLE = """
+WITH q AS (SELECT * FROM ({queue_sql}) q WHERE file_id % 10 = 3),
+final AS (SELECT file_id, status FROM q
+          WHERE file_id % 12 NOT IN (1, 5, 9))
+SELECT status, COUNT(*) AS n, min(file_id) AS min_id,
+       TRUE AS vacuum_ran, TRUE AS fence_ok, TRUE AS cdf_ok
+FROM final GROUP BY status
+"""
 
 
 ACID_REF_RETENTION_ORACLE = """

@@ -156,7 +156,7 @@ def _ivf_index(embeddings: DataFrame,
                     F.expr(_DOT.format(a="e", b="c")).alias("dot"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 2)
-            .select("vec_id", "label", "e", "cell", "rn",
+            .select("vec_id", "label", "e", "cell", "rn", "dot",
                     F.expr(f"sqrt({_DOT.format(a='e', b='e')})").alias("nrm")))
 
     return _memo(embeddings, f"ivf_index_{n_cells}", build)
@@ -406,22 +406,27 @@ KNN_K = 5
 
 def _ivf_assigned(embeddings: DataFrame, probes: int,
                   plant: bool = False,
-                  n_cells: int = N_CELLS) -> DataFrame:
-    """(vec_id, e, cell, nrm): every vector in its top-`probes` coarse
-    cells (argmax centroid dot, ties by cell id), norm precomputed once.
-    With `plant`, the near-identical copies (vec_id % 50 == 0 → id +
-    1_000_000, +0.01 on coord 0) join the corpus — the shared fixture of
-    the near-dup family. A filter view over the memoized `_ivf_index`;
-    shared base of knn_graph / semdedup / embedding_near_dup blocking."""
+                  n_cells: int = N_CELLS,
+                  with_dot: bool = False) -> DataFrame:
+    """(vec_id, e, cell, nrm[, dot]): every vector in its top-`probes`
+    coarse cells (argmax centroid dot, ties by cell id), norm
+    precomputed once; ``with_dot`` keeps the vector·centroid score (the
+    1-D within-cell ordering knn_graph's band cap rides). With `plant`,
+    the near-identical copies (vec_id % 50 == 0 → id + 1_000_000, +0.01
+    on coord 0) join the corpus — the shared fixture of the near-dup
+    family. A filter view over the memoized `_ivf_index`; shared base
+    of knn_graph / semdedup / embedding_near_dup blocking."""
     assert probes <= 2, "shared _ivf_index materializes top-2 cells only"
     idx = _ivf_index(embeddings, n_cells).filter(F.col("rn") <= probes)
     if not plant:
         idx = idx.filter(F.col("vec_id") < 1_000_000)
-    return idx.select("vec_id", "e", "cell", "nrm")
+    cols = ["vec_id", "e", "cell", "nrm"] + (["dot"] if with_dot else [])
+    return idx.select(*cols)
 
 
 def knn_graph(embeddings: DataFrame, k: int = KNN_K,
-              n_cells: int = N_CELLS) -> DataFrame:
+              n_cells: int = N_CELLS,
+              band: int | None = None) -> DataFrame:
     """Approximate k-NN graph: directed edges (vec_id → nbr_id, exact
     cosine, rank ≤ {KNN_K}) where candidates share one of the vector's
     top-{N_PROBES} IVF cells — the corpus-wide companion of `ivf_topk`
@@ -429,20 +434,60 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
     consumes. Every join is keyed on the cell id; no all-pairs product.
     At 100 TB the cell is the partition key and each within-cell block is
     independent — the standard IVF trade: recall bounded by multi-probe,
-    cost by ~n²/cells per cell."""
+    cost by ~n²/cells per cell.
+
+    ``band`` caps per-node candidate work INSIDE each cell (the r14
+    residual: even at √n cells, within-cell pairs grow ~n per node):
+    cell members are 1-D ordered by their vector·centroid score (a
+    geometric locality proxy — near-identical vectors score
+    near-identically and land adjacent), and a node pairs only with
+    the ``band`` predecessors/successors in that order, so dots per
+    node are O(band · probes) instead of O(cell size). Deterministic
+    (score desc, vec_id tiebreak) and oracle-mirrorable. The pair
+    enumeration itself joins on (cell, block) with adjacent-block
+    expansion — O(members · band) candidate rows, never the within-
+    cell cross product."""
     from pyspark.sql import Window
-    assigned = _ivf_assigned(embeddings, N_PROBES, n_cells=n_cells)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    assigned = _ivf_assigned(embeddings, N_PROBES, n_cells=n_cells,
+                             with_dot=band is not None)
     # candidate id-pairs FIRST (ints only, a < b), deduped across shared
     # multi-probe cells, THEN one vector fetch per side — each unordered
     # pair's dot (the plan's dominant cost) runs exactly ONCE, after the
     # distinct, and the distinct itself shuffles two ints per pair
     # instead of doubles
-    cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_id"),
-                    F.col("b.vec_id").alias("nbr_id"))
-            .distinct())
+    if band is None:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id")))
+                .select(F.col("a.vec_id").alias("vec_id"),
+                        F.col("b.vec_id").alias("nbr_id"))
+                .distinct())
+    else:
+        w_ord = Window.partitionBy("cell").orderBy(F.desc("dot"),
+                                                   "vec_id")
+        ordd = (assigned
+                .withColumn("dot", F.round("dot", 6))
+                .withColumn("ord", F.row_number().over(w_ord))
+                .withColumn("blk", ((F.col("ord") - 1)
+                                    / F.lit(band)).cast("int"))
+                .select("vec_id", "cell", "ord", "blk"))
+        # adjacent-block expansion: |ord(a) - ord(b)| <= band pairs
+        # live in a's block ± 1, so the join key is (cell, block) and
+        # per-key fan-in is O(band) — the shuffle carries 3 ints/row
+        a = (ordd.withColumn(
+            "jblk", F.explode(F.array(F.col("blk") - 1, F.col("blk"),
+                                      F.col("blk") + 1)))
+            .alias("a"))
+        b = ordd.alias("b")
+        cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                       & (F.col("a.jblk") == F.col("b.blk"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id"))
+                       & (F.abs(F.col("a.ord") - F.col("b.ord"))
+                          <= band))
+                .select(F.col("a.vec_id").alias("vec_id"),
+                        F.col("b.vec_id").alias("nbr_id"))
+                .distinct())
+        assigned = assigned.drop("dot")
     # vector fetch: plain keyed equi-joins on the id — at 100x the corpus
     # vector table can NEVER broadcast (it IS the dataset), so the scale
     # shape is a co-partitioned shuffle join per side; AQE still demotes
@@ -465,7 +510,8 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
     # Memoized so bench/scaling re-invocations reuse one block set and
     # the harness cache clear releases it — a bare persist leaked here.
     from .dedup import _memo, _materialize
-    half = _memo(embeddings, f"knn_half_{k}_{n_cells}", lambda: _materialize(
+    half = _memo(embeddings, f"knn_half_{k}_{n_cells}_{band}",
+                 lambda: _materialize(
         cand.join(va, "vec_id")
         .join(vb, "nbr_id")
         .select("vec_id", "nbr_id", sim.alias("sim"))))
@@ -492,6 +538,51 @@ assigned AS (SELECT vec_id, e, cell, sqrt(list_dot_product(e, e)) AS nrm
 pairs AS (SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id, {cos} AS sim
           FROM assigned a JOIN assigned b
             ON a.cell = b.cell AND a.vec_id != b.vec_id),
+ranked AS (SELECT vec_id, nbr_id, sim,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, nbr_id) AS rank
+           FROM pairs)
+SELECT vec_id, nbr_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+#: default within-cell candidate band for knn_graph_banded: a node
+#: pairs with ~2·band neighbors per probe cell (~4·band candidates at
+#: N_PROBES=2) — c·k with c ≈ 50 at k=5, sized so sampled recall@1 at
+#: the 1x fixture stays at the uncapped blocking's own level (0.55,
+#: SCALING.md) while capping per-node dots independently of cell size
+#: (the 100 TB knob).
+KNN_BAND = 64
+
+
+def knn_graph_banded_oracle_sql(k: int = KNN_K,
+                                band: int = KNN_BAND) -> str:
+    """DuckDB mirror of the band-capped graph: same IVF assignment,
+    then a within-cell 1-D order on round(vector·centroid, 6) (vec_id
+    tiebreak — identical across engines) and pairs restricted to
+    |ord(a) - ord(b)| <= band."""
+    cos = "round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS}),
+scored AS (SELECT emb.vec_id, emb.e, cents.cell,
+                  list_dot_product(emb.e, cents.c) AS dot,
+                  row_number() OVER (PARTITION BY emb.vec_id
+                                     ORDER BY list_dot_product(emb.e, cents.c) DESC,
+                                              cents.cell) AS rn
+           FROM emb, cents),
+assigned AS (SELECT vec_id, e, cell, round(dot, 6) AS dot,
+                    sqrt(list_dot_product(e, e)) AS nrm
+             FROM scored WHERE rn <= {N_PROBES}),
+ordd AS (SELECT vec_id, e, cell, nrm,
+                row_number() OVER (PARTITION BY cell
+                                   ORDER BY dot DESC, vec_id) AS ord
+         FROM assigned),
+pairs AS (SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id, {cos} AS sim
+          FROM ordd a JOIN ordd b
+            ON a.cell = b.cell AND a.vec_id != b.vec_id
+           AND abs(a.ord - b.ord) <= {band}),
 ranked AS (SELECT vec_id, nbr_id, sim,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY sim DESC, nbr_id) AS rank

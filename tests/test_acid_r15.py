@@ -406,3 +406,54 @@ def test_sink_runs_autovacuum(spark, tmp_path):
     # the CDF feed still serves the full insert history
     chg = t.read_changes(0, latest)
     assert chg.filter("_change_type = 'insert'").count() == 60
+
+
+# --------------------------------------------------------- materialize_dv
+
+
+def test_materialize_dv_folds_only_touched_files(spark, tmp_path):
+    """materialize_dv rewrites ONLY the files the vector names (their
+    MOR-dead rows drop), carries the rest — and the vector is gone."""
+    t = AcidTable.create(spark, tmp_path / "t", _kv(spark, 0, 400),
+                         enable_dv=True, partition_by=[])
+    t.append(_kv(spark, 400, 800))
+    t.append(_kv(spark, 800, 1200))
+    # MOR delete touching only the FIRST slice's file(s)
+    t.delete_where_mor("k < 40")
+    m0 = t._manifest(t.latest_version())
+    assert "dv" in m0 and m0["dv_rows"] == 40
+    before = {f["path"] for f in m0["files"]}
+    v = t.materialize_dv()
+    m = t._manifest(v)
+    assert m["op"] == "materialize_dv" and "dv" not in m
+    after = {f["path"] for f in m["files"]}
+    # files the vector never named are CARRIED by path; only the
+    # dv-touched subset was rewritten
+    assert before & after, "every file rewritten — not subset-scoped"
+    assert before - after, "no file rewritten — vector not folded"
+    assert t.read().count() == 1200 - 40
+    assert t.read().filter("k < 40").count() == 0
+    # no-op without a vector
+    assert t.materialize_dv() == v
+
+
+def test_autocompact_max_dv_rows_triggers_materialize(spark, tmp_path):
+    """The maintenance hook folds the deletion vector once it passes
+    the policy bound — a retire stream's per-scan anti-join tax stays
+    bounded without any explicit OPTIMIZE call."""
+    t = AcidTable.create(spark, tmp_path / "t", _kv(spark, 0, 1000),
+                         enable_dv=True)
+    t.set_autocompact(max_bytes=1 << 20, min_files=999,
+                      max_dv_rows=100)
+    for b in range(4):
+        ch = (spark.range(b * 40, b * 40 + 40)
+              .select(F.col("id").alias("k"))
+              .withColumn("_change_type", F.lit("delete")))
+        t.apply_cdf(ch, ["k"], app_id="ret", batch_id=b)
+        t.maybe_autocompact()
+    ops = [t._manifest(v)["op"] for v in range(t.latest_version() + 1)]
+    assert "materialize_dv" in ops
+    m = t._manifest(t.latest_version(), with_files=False)
+    # the live vector never exceeds the bound for long: folded away
+    assert m.get("dv_rows", 0) <= 100
+    assert t.read().count() == 1000 - 160
