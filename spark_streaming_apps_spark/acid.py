@@ -975,6 +975,15 @@ def check_reader_features(props: dict | None) -> None:
 #: distinct values prune candidate files through stats/bloom sidecars.
 _EQ_PRUNE_CAP = 4096
 
+#: Default deletion-vector fold bound the incremental-index
+#: maintainers pass to ``maybe_autocompact(dv_fold_rows=...)``: past
+#: this many live DV rows the hook materializes the vector
+#: (O(dv-touched files)), bounding both the per-scan anti-join tax and
+#: the per-commit sidecar rewrite of a long retire stream. Small
+#: enough to fold within a maintenance turn, large enough that a
+#: fixture-scale retire batch never churns.
+DV_FOLD_ROWS = 32_768
+
 
 class VersionVacuumedError(RuntimeError):
     """A read needs a version whose data files were vacuumed. Raised
@@ -2754,7 +2763,14 @@ class AcidTable:
             if txn is not None and self._txn_fenced(m, txn):
                 return None          # replayed batch landed mid-retry
             tagged = self._mor_scan(m, part_in=part_in, eq_in=eq_prune)
-            matched = match(tagged)
+            # one DV entry per physical row, even when the caller's
+            # match hits a row through several key groups (delete_semi
+            # on a pair with BOTH endpoints deleted): duplicate
+            # (file, pos) entries would inflate dv_rows — skewing the
+            # materialization cadence forever — and double-record the
+            # row in the CDF delete images
+            matched = (match(tagged)
+                       .dropDuplicates(["__dv_file", "__dv_pos"]))
             n = matched.count()
             self.last_mor_stats = {
                 "rows_deleted": n,
@@ -5075,10 +5091,7 @@ class AcidTable:
         (``compact_small``/``materialize_dv``), CDF-silent, and
         carries the writer-fence txns map, so table streams and replay
         fences ride through it untouched."""
-        for _ in range(max_retries):
-            v, cur = self.snapshot()
-            m = self._manifest(v)
-            props = dict(self._props())
+        def mutate(props: dict) -> None:
             if max_bytes is None:
                 props.pop("autocompact", None)
             else:
@@ -5087,25 +5100,12 @@ class AcidTable:
                     "min_files": int(min_files),
                     **({"max_dv_rows": int(max_dv_rows)}
                        if max_dv_rows is not None else {})}
-            # row-preserving: record an EMPTY change set on CDF tables
-            # so the feed serves this version without a snapshot diff
-            # (which dies once the bounding snapshots are vacuumed)
-            ch_rel = (self._write_changes_pair(cur.limit(0),
-                                               cur.limit(0))
-                      if self.cdf_enabled() else None)
-            if self._try_commit(v + 1, m["data"], m["schema"],
-                                "set_autocompact", props=props,
-                                changes_rel=ch_rel,
-                                files=m.get("files"),
-                                dv_rel=m.get("dv"),
-                                dv_rows=m.get("dv_rows", 0)):
-                return v + 1
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
-        raise CommitConflict(
-            f"gave up setting autocompact after {max_retries} races")
+        return self._commit_props("set_autocompact", mutate,
+                                  max_retries)
 
-    def maybe_autocompact(self) -> int | None:
+    def maybe_autocompact(self,
+                          dv_fold_rows: int | None = None
+                          ) -> int | None:
         """The auto-compaction HOOK: no-op unless the table opted in
         via ``set_autocompact`` AND the newest manifest already counts
         ``min_files`` files under ``max_bytes`` — both pure manifest
@@ -5113,18 +5113,32 @@ class AcidTable:
         version when one ran, else None. Called by the acidtable
         streaming sink and the incremental-index maintainers after
         each per-batch commit (Delta autoCompact's
-        post-commit-in-the-writer placement)."""
-        ac = self._props().get("autocompact")
-        if not ac:
+        post-commit-in-the-writer placement).
+
+        ``dv_fold_rows`` is the CALLER-side deletion-vector bound (a
+        maintainer's own policy — no table-property commit needed):
+        when the live vector exceeds it, the hook folds it away
+        (``materialize_dv``, O(dv-touched files)) even on a table
+        that never opted into small-file compaction. The table
+        property's ``max_dv_rows`` composes (tighter bound wins).
+        Without a bound, a retire stream's vector grows per batch and
+        EVERY commit re-writes the accumulated sidecar — the
+        O(retired²) write the bound exists to prevent."""
+        ac = self._props().get("autocompact") or {}
+        latest = self.latest_version()
+        if latest is None:
             return None
-        m = self._manifest(self.latest_version())
+        m = self._manifest(latest)
         # MOR leg first: a deletion vector past the policy bound is a
         # per-SCAN tax (broadcast anti-join on every read), costlier
         # than small-file overhead — fold it away in one O(dv-touched
         # files) pass
-        dvmax = ac.get("max_dv_rows")
-        if dvmax is not None and m.get("dv_rows", 0) > dvmax:
+        bounds = [b for b in (dv_fold_rows, ac.get("max_dv_rows"))
+                  if b is not None]
+        if bounds and m.get("dv_rows", 0) > min(bounds):
             return self.materialize_dv()
+        if not ac:
+            return None
         files = m.get("files")
         if files is None:
             return None
@@ -5143,7 +5157,7 @@ class AcidTable:
         return self.compact_small(max_bytes=ac["max_bytes"],
                                   min_files=ac["min_files"])
 
-    def materialize_dv(self, max_retries: int = 20) -> int:
+    def materialize_dv(self, max_retries: int = 20) -> int | None:
         """Fold the deletion vector away WITHOUT a table rewrite:
         rewrite ONLY the files the vector names (their MOR-dead rows
         drop out), carry every other file by reference — O(dv-touched
@@ -5193,26 +5207,39 @@ class AcidTable:
         defaults to None = keep ALL change files, so CDF consumers
         resume across the vacuum untouched. Pass ``every=None`` to
         clear."""
-        for _ in range(max_retries):
-            v, cur = self.snapshot()
-            m = self._manifest(v)
-            props = dict(self._props())
+        if every is not None and every < 1:
+            raise ValueError("set_autovacuum: every >= 1")
+
+        def mutate(props: dict) -> None:
             if every is None:
                 props.pop("autovacuum", None)
             else:
-                if every < 1:
-                    raise ValueError("set_autovacuum: every >= 1")
                 props["autovacuum"] = {
                     "every": int(every),
                     "keep_last": int(keep_last),
                     **({"keep_changes_last": int(keep_changes_last)}
                        if keep_changes_last is not None else {})}
+        return self._commit_props("set_autovacuum", mutate,
+                                  max_retries)
+
+    def _commit_props(self, op: str, mutate,
+                      max_retries: int = 20) -> int:
+        """Optimistic PROPERTY commit shared by the maintenance knobs
+        (set_autocompact/set_autovacuum): ``mutate(props)`` edits a
+        copy of the live props; the commit carries the snapshot's
+        files/vector untouched and records an EMPTY change set on CDF
+        tables (property commits are row-preserving, so the change
+        feed keeps serving across them after snapshot vacuum)."""
+        for _ in range(max_retries):
+            v, cur = self.snapshot()
+            m = self._manifest(v)
+            props = dict(self._props())
+            mutate(props)
             ch_rel = (self._write_changes_pair(cur.limit(0),
                                                cur.limit(0))
                       if self.cdf_enabled() else None)
-            if self._try_commit(v + 1, m["data"], m["schema"],
-                                "set_autovacuum", props=props,
-                                changes_rel=ch_rel,
+            if self._try_commit(v + 1, m["data"], m["schema"], op,
+                                props=props, changes_rel=ch_rel,
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
@@ -5220,25 +5247,42 @@ class AcidTable:
             if ch_rel:
                 shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
-            f"gave up setting autovacuum after {max_retries} races")
+            f"gave up on {op} after {max_retries} races")
 
     def maybe_autovacuum(self) -> list[str] | None:
         """The auto-vacuum HOOK: no-op unless the table opted in via
-        ``set_autovacuum`` AND the newest version number is a multiple
-        of the cadence — one manifest-props read on the no-op path,
-        zero data IO. Returns vacuum's removed list when one ran, else
-        None. Best-effort by placement (callers invoke it AFTER their
-        batch commit is durable); Spark-free, so the SparkSession-less
-        acidtable sink can call it too (vacuum distributes unlink
-        fan-out only when a session exists)."""
+        ``set_autovacuum`` AND at least ``every`` versions landed
+        since the last hook-run (a WATERMARK in
+        ``manifests/_autovacuum_at``, not an exact-multiple test — a
+        loop committing a stride > 1 per batch would step OVER every
+        multiple and never vacuum; r15 review finding). One
+        manifest-props read + one marker read on the no-op path, zero
+        data IO. Returns vacuum's removed list when one ran, else
+        None. The marker is derived state: losing it merely re-fires
+        the next hook. Best-effort by placement (callers invoke it
+        AFTER their batch commit is durable); Spark-free, so the
+        SparkSession-less acidtable sink can call it too (vacuum
+        distributes unlink fan-out only when a session exists)."""
         av = self._props().get("autovacuum")
         if not av:
             return None
         v = self.latest_version()
-        if not v or v % int(av["every"]) != 0:
+        if not v:
             return None
-        return self.vacuum(keep_last=int(av["keep_last"]),
-                           keep_changes_last=av.get("keep_changes_last"))
+        marker = self._manifests / "_autovacuum_at"
+        try:
+            last = int(marker.read_text())
+        except (OSError, ValueError):
+            last = 0
+        if v - last < int(av["every"]):
+            return None
+        out = self.vacuum(keep_last=int(av["keep_last"]),
+                          keep_changes_last=av.get("keep_changes_last"))
+        try:
+            marker.write_text(str(v))
+        except OSError:
+            pass                     # derived state: next hook refires
+        return out
 
     def compact_small(self, max_bytes: int = 32 << 20,
                       target_files: int = 1, min_files: int = 2,

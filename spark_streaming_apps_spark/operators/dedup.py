@@ -1484,11 +1484,16 @@ def dedup_batch(spark, cat, batch: DataFrame,
             writes = {"sigs": ("append", sig_b),
                       "bands": ("append", bb)}
         cat.commit_multi(writes, op="dedup_index_append")
-        # opt-in small-file + retention hygiene (each a no-op
-        # without its table property)
+        # maintenance hygiene: small-file folds are opt-in (table
+        # property), the deletion-vector bound is the MAINTAINER's
+        # policy (retires land as DV entries on these enable_dv
+        # tables; past DV_FOLD_ROWS the hook materializes the vector
+        # so the per-scan anti-join tax stays bounded), and
+        # autovacuum reclaims out-of-window history when opted in
+        from ..acid import DV_FOLD_ROWS
         for name in ("sigs", "bands"):
             t = cat.table(name)
-            t.maybe_autocompact()
+            t.maybe_autocompact(dv_fold_rows=DV_FOLD_ROWS)
             t.maybe_autovacuum()
     return pairs
 

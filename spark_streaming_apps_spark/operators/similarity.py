@@ -1831,20 +1831,23 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         # append; deletes land as deletion-vector entries (the table
         # is enable_dv) — O(matched rows), no cell file rewritten; an
         # at-least-once replay commits NOTHING. Delete-carrying
-        # batches record the key's retire_sec split (telemetry.py).
+        # batches record the key's retire_sec split (telemetry.py;
+        # the isEmpty probe scans only the in-hand micro-batch).
+        from contextlib import nullcontext
+
         from .. import telemetry
-        if not batch.filter(
-                F.col("_change_type") == "delete").isEmpty():
-            with telemetry.timed("ivf_incremental_index.retire_sec"):
-                idx.apply_cdf(rows, key=["cell", "vec_id"],
-                              app_id="ivf-maint", batch_id=batch_id)
-        else:
+        has_del = not batch.filter(
+            F.col("_change_type") == "delete").isEmpty()
+        ctx = (telemetry.timed("ivf_incremental_index.retire_sec")
+               if has_del else nullcontext())
+        with ctx:
             idx.apply_cdf(rows, key=["cell", "vec_id"],
                           app_id="ivf-maint", batch_id=batch_id)
         # opt-in small-file hygiene (no-op unless the table property
         # is set): per-batch appends otherwise accumulate one file
         # per cell per batch forever
-        idx.maybe_autocompact()
+        from ..acid import DV_FOLD_ROWS
+        idx.maybe_autocompact(dv_fold_rows=DV_FOLD_ROWS)
         # opt-in retention hygiene: reclaim stranded version history
         # (COW replacements, materialized vectors) on a version
         # cadence — no-op without the table property

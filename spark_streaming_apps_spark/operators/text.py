@@ -900,12 +900,14 @@ def text_index_maintain(cat, docs: DataFrame,
             "term_df": ("merge_add", term_df, ["token"]),
             "corpus_stats": ("merge_add", corpus, ["id"]),
         }, txn), op="text_index_maintain")
-    # opt-in small-file + retention hygiene on the append-only
-    # surfaces (each a no-op without its table property; counters
+    # maintenance hygiene on the append-only surfaces: small-file
+    # folds are opt-in (table property), the DV bound is maintainer
+    # policy, autovacuum reclaims history when opted in (counters
     # rewrite per merge anyway)
+    from ..acid import DV_FOLD_ROWS
     for name in ("postings", "doc_len"):
         t = cat.table(name)
-        t.maybe_autocompact()
+        t.maybe_autocompact(dv_fold_rows=DV_FOLD_ROWS)
         t.maybe_autovacuum()
     return e
 
@@ -972,13 +974,21 @@ def text_index_apply(cat, changes: DataFrame,
             # additive counter with NULL
             F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long")
             .alias("sum_dl")))
-    return cat.commit_multi(
+    e = cat.commit_multi(
         _fenced_writes({
             "postings": ("apply_cdf", post_ch, ["doc_id"]),
             "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
             "term_df": ("merge_add", df_signed, ["token"]),
             "corpus_stats": ("merge_add", c_signed, ["id"]),
         }, txn), op="text_index_apply")
+    # the retires land as deletion-vector entries (enable_dv tables):
+    # fold the vector once it passes the maintainer's bound, so a
+    # retire stream's per-scan anti-join tax and per-commit sidecar
+    # rewrite stay bounded (r15 review finding)
+    from ..acid import DV_FOLD_ROWS
+    cat.table("postings").maybe_autocompact(dv_fold_rows=DV_FOLD_ROWS)
+    cat.table("doc_len").maybe_autocompact(dv_fold_rows=DV_FOLD_ROWS)
+    return e
 
 
 def text_index_incremental(spark, sf_dir: str, scratch,
@@ -1195,13 +1205,17 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
         # ONE fenced linked transaction per micro-batch across all
         # four index tables — replays re-commit nothing anywhere.
         # Delete-carrying batches record their wall cost as the key's
-        # retire_sec split (telemetry.py — bench comparability)
+        # retire_sec split (telemetry.py — bench comparability; the
+        # isEmpty probe scans only the in-hand micro-batch)
+        from contextlib import nullcontext
+
         from .. import telemetry
-        if not ch.filter(F.col("_change_type") == "delete").isEmpty():
-            with telemetry.timed(
-                    "text_index_incremental_stream.retire_sec"):
-                text_index_apply(cat, ch, txn=("text-maint", batch_id))
-        else:
+        has_del = not ch.filter(
+            F.col("_change_type") == "delete").isEmpty()
+        ctx = (telemetry.timed(
+            "text_index_incremental_stream.retire_sec")
+            if has_del else nullcontext())
+        with ctx:
             text_index_apply(cat, ch, txn=("text-maint", batch_id))
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)

@@ -36,6 +36,21 @@ N_BUCKETS = 16
 _FOLD_CAP_BYTES = 256 << 20
 
 
+def _write_bloom_sidecar(vals: set, name: str, logical: str,
+                         dest, new_rel: str) -> str | None:
+    """Write one per-file bloom sidecar (AcidTable._attach_blooms'
+    wire format) next to data file ``name`` in ``dest``; returns the
+    root-relative sidecar path, or None when no value is hashable (an
+    all-zero bitset would read as definitive absence — the reader
+    conservatively keeps sidecar-less files)."""
+    from ..acid import _bloom_pair, build_bloom
+    if vals and not any(_bloom_pair(v) is not None for v in vals):
+        return None
+    side = f"_bloom-{name}-{logical}.bin"
+    (dest / side).write_bytes(build_bloom(vals))
+    return f"{new_rel}/{side}"
+
+
 class LcgPartition(InputPartition):
     def __init__(self, lo: int, hi: int):
         self.lo, self.hi = lo, hi
@@ -610,7 +625,6 @@ class AcidStreamWriter(DataSourceStreamWriter):
         the reader conservatively keeps sidecar-less files."""
         import pyarrow.parquet as pq
 
-        from ..acid import _bloom_pair, build_bloom
         root = dest.parent.parent
         props = ((m["props"] or {}) if "props" in m
                  else _walk_props(root)) or {}
@@ -628,12 +642,10 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 except (OSError, KeyError):
                     continue
                 vals = {v for v in col.to_pylist() if v is not None}
-                if vals and not any(_bloom_pair(v) is not None
-                                    for v in vals):
-                    continue    # no hashable value: write no sidecar
-                side = f"_bloom-{name}-{logical}.bin"
-                (dest / side).write_bytes(build_bloom(vals))
-                out.setdefault(name, {})[logical] = f"{new_rel}/{side}"
+                rel = _write_bloom_sidecar(vals, name, logical,
+                                           dest, new_rel)
+                if rel is not None:
+                    out.setdefault(name, {})[logical] = rel
         return out
 
     def _maybe_autocompact(self, root, manifests) -> None:
@@ -667,8 +679,7 @@ class AcidStreamWriter(DataSourceStreamWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        from ..acid import (_bloom_pair, build_bloom,
-                            collect_file_stats, encode_manifest_files,
+        from ..acid import (collect_file_stats, encode_manifest_files,
                             latest_committed_version,
                             resolve_manifest_files)
         from ..storage import get_store
@@ -692,22 +703,36 @@ class AcidStreamWriter(DataSourceStreamWriter):
         groups = {k: g for k, g in groups.items() if len(g) >= 2}
         if not groups:
             return
-        # BYTE CAP (largest groups first): this fold runs on the
+        # BYTE CAP (largest units first): this fold runs on the
         # writer's plain Python process, so bytes concatenated per
-        # invocation must be bounded by policy, not by backlog size —
-        # folding the biggest offenders first maximizes file-count
-        # reduction per invocation; skipped groups fold on the next
-        # batch (ADVICE r15)
+        # invocation must be bounded by policy, not by backlog size.
+        # A group LARGER than the cap is CHUNKED into <=cap fold
+        # units first — an unpartitioned table is exactly one group,
+        # so skipping oversized groups alone would make the cap a
+        # no-op there (the r15 review's finding). The remainder folds
+        # on later batches.
         fold_cap = int(ac.get("max_fold_bytes", _FOLD_CAP_BYTES))
-        ordered = sorted(
-            groups.items(),
-            key=lambda kg: sum(f.get("bytes", 0) for f in kg[1]),
-            reverse=True)
+        units: list = []      # (partition key, files chunk <= cap)
+        for key, grp in groups.items():
+            grp = sorted(grp, key=lambda f: f.get("bytes", 0))
+            cur: list = []
+            cur_sz = 0
+            for f in grp:
+                if (len(cur) >= 2
+                        and cur_sz + f.get("bytes", 0) > fold_cap):
+                    units.append((key, cur))
+                    cur, cur_sz = [], 0
+                cur.append(f)
+                cur_sz += f.get("bytes", 0)
+            if len(cur) >= 2:
+                units.append((key, cur))
+        units.sort(key=lambda ku: sum(f.get("bytes", 0)
+                                      for f in ku[1]), reverse=True)
         budget, picked = fold_cap, []
-        for key, grp in ordered:
+        for key, grp in units:
             sz = sum(f.get("bytes", 0) for f in grp)
             if picked and sz > budget:
-                continue          # always fold >=1 group (progress)
+                continue          # always fold >=1 unit (progress)
             picked.append((key, grp))
             budget -= sz
         bloom_cols = list((m.get("props") or {}).get("bloom_by") or [])
@@ -731,13 +756,10 @@ class AcidStreamWriter(DataSourceStreamWriter):
                     continue
                 vals = {v for v in tbl.column(physical).to_pylist()
                         if v is not None}
-                if vals and not any(_bloom_pair(v) is not None
-                                    for v in vals):
-                    continue      # unhashable type: reader keeps file
-                side = f"_bloom-{out.name}-{logical}.bin"
-                (dest / side).write_bytes(build_bloom(vals))
-                blooms.setdefault(out.name, {})[logical] = \
-                    f"{new_rel}/{side}"
+                rel = _write_bloom_sidecar(vals, out.name, logical,
+                                           dest, new_rel)
+                if rel is not None:
+                    blooms.setdefault(out.name, {})[logical] = rel
             drop.update(f["path"] for f in grp)
             written.append((str(out), dict(key) or None))
         new_stats = collect_file_stats(p for p, _ in written)
