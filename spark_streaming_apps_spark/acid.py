@@ -2650,6 +2650,7 @@ class AcidTable:
         if dv_rows:
             dv_rel = f"data/dv-{uuid.uuid4().hex}"
             dv_all.coalesce(1).write.parquet(str(self.path / dv_rel))
+            crash_point("after_dv_sidecar")
         rel, files = self._write_data_linked(m, new_rows.select(*scols))
         ch_rel = None
         if self.cdf_enabled():

@@ -397,3 +397,137 @@ def test_sink_crash_inside_cas_retry_loop(spark, tmp_path):
     msg2 = w2.write(iter([(100 + j, f"new{j}") for j in range(5)]))
     w2.commit([msg2], 0)
     assert AcidTable(spark, root).latest_version() == v0 + 2
+
+
+# ------------------------------------------------- round-15 commit kinds
+
+R15_WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CRASH_POINT"] = {point!r}
+os.environ["SPARK_GRAFT_FILESTORE"] = {store!r}
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "false")
+         .getOrCreate())
+from spark_streaming_apps_spark.acid import AcidTable
+t = AcidTable(spark, {root!r})
+op = {op!r}
+if op == "apply_cdf_mor":
+    ch = (spark.createDataFrame([(0,), (1,), (2,)], "k long")
+          .join(t.read(), "k").withColumn("_change_type",
+                                          F.lit("delete"))
+          .unionByName(spark.createDataFrame(
+              [(700 + i, f"n{{i}}") for i in range(3)],
+              "k long, s string").withColumn("_change_type",
+                                             F.lit("insert"))))
+    t.apply_cdf(ch, ["k"], app_id="m", batch_id=9)
+elif op == "delete_semi":
+    keys = spark.createDataFrame([(2,), (8,)], "kk long")
+    t.delete_semi(keys, on=[["k"]], app_id="ds", batch_id=4)
+elif op == "materialize_dv":
+    t.materialize_dv()
+print("COMMIT-COMPLETED", flush=True)
+"""
+
+#: (crash point, op, commit lands?) — the round-15 commit kinds join
+#: the SIGKILL suite: the MOR retire (apply_cdf on a DV table), the
+#: OR-of-keys retire (delete_semi, MOR path), and the vector fold
+#: (materialize_dv).
+R15_POINTS = [
+    ("after_dv_sidecar", "apply_cdf_mor", False),
+    ("before_manifest_fence", "apply_cdf_mor", False),
+    ("after_manifest_fence", "apply_cdf_mor", True),
+    ("after_dv_sidecar", "delete_semi", False),
+    ("after_manifest_fence", "delete_semi", True),
+    ("before_manifest_fence", "materialize_dv", False),
+    ("after_manifest_fence", "materialize_dv", True),
+]
+
+
+def _run_r15_writer(point, store, root, op):
+    script = R15_WRITER.format(repo=REPO, point=point, store=store,
+                               root=str(root), op=op)
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL, (
+        f"writer was expected to die at {point}, got rc="
+        f"{proc.returncode}\n{proc.stderr[-2000:]}")
+    assert "COMMIT-COMPLETED" not in proc.stdout
+    return proc
+
+
+@pytest.mark.parametrize("point,op,lands", R15_POINTS,
+                         ids=[f"{o}-{p}" for p, o, _ in R15_POINTS])
+def test_r15_writer_crash_exactly_once(spark, tmp_path, point, op,
+                                       lands):
+    """SIGKILL at each stage boundary of the round-15 commit kinds:
+    no torn version, zero-grace vacuum reclaims the debris, and the
+    FENCED ops stay exactly-once across the crash — a redelivered
+    batch either applies once (crash before the fence) or commits
+    nothing (crash after it)."""
+    import pyspark.sql.functions as F
+
+    root = tmp_path / "t"
+    t = AcidTable.create(
+        spark, root,
+        spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                              "k long, s string"),
+        enable_cdf=True, enable_dv=True, bloom_by=["s"])
+    t.append(spark.createDataFrame([(10, "s10")], "k long, s string"))
+    if op == "materialize_dv":
+        t.delete_where_mor("k >= 8")        # seed a live vector
+    v_before = t.latest_version()
+    rows_before = {(r.k, r.s) for r in t.read().collect()}
+    listing_before = _data_listing(root)
+
+    _run_r15_writer(point, "posix", root, op)
+
+    t2 = AcidTable(spark, root)
+    v_after = t2.latest_version()
+    if not lands:
+        assert v_after == v_before, f"torn version visible at {point}"
+        assert {(r.k, r.s) for r in t2.read().collect()} == rows_before
+    else:
+        assert v_after == v_before + 1
+
+    # zero-grace vacuum reclaims every byte the dead writer staged
+    t2.vacuum(keep_last=1, keep_changes_last=1, orphan_grace_s=0.0)
+    leftover = _data_listing(root) - _referenced(root)
+    orphans = leftover & (_data_listing(root) - listing_before)
+    assert not orphans, f"unreclaimed crash debris at {point}: {orphans}"
+
+    # redelivery after the crash: exactly-once end state either way
+    t3 = AcidTable(spark, root)
+    if op == "apply_cdf_mor":
+        ch = (spark.createDataFrame([(0,), (1,), (2,)], "k long")
+              .join(t3.read(), "k")
+              .withColumn("_change_type", F.lit("delete"))
+              .unionByName(spark.createDataFrame(
+                  [(700 + i, f"n{i}") for i in range(3)],
+                  "k long, s string")
+                  .withColumn("_change_type", F.lit("insert"))))
+        r = t3.apply_cdf(ch, ["k"], app_id="m", batch_id=9)
+        assert (r is None) == lands        # landed commit fences out
+        got = {(r2.k, r2.s) for r2 in t3.read().collect()}
+        want = ({(k, s) for k, s in rows_before if k > 2}
+                | {(700 + i, f"n{i}") for i in range(3)})
+        assert got == want
+        # a second redelivery is ALWAYS fenced
+        assert t3.apply_cdf(ch, ["k"], app_id="m", batch_id=9) is None
+    elif op == "delete_semi":
+        keys = spark.createDataFrame([(2,), (8,)], "kk long")
+        r = t3.delete_semi(keys, on=[["k"]], app_id="ds", batch_id=4)
+        assert (r is None) == lands
+        got = {r2.k for r2 in t3.read().collect()}
+        assert got == {k for k, _ in rows_before} - {2, 8}
+        assert t3.delete_semi(keys, on=[["k"]],
+                              app_id="ds", batch_id=4) is None
+    else:                                   # materialize_dv
+        t3.materialize_dv()
+        m = t3._manifest(t3.latest_version(), with_files=False)
+        assert "dv" not in m               # vector folded away
+        assert {(r2.k, r2.s) for r2 in t3.read().collect()} \
+            == rows_before                 # row-preserving
