@@ -4927,6 +4927,82 @@ class AcidTable:
         return self._commit_loop(build, "merge_add", max_retries,
                                  txn=txn)
 
+    def merge_add_pruned(self, partials: DataFrame, key: list[str],
+                         max_retries: int = 20,
+                         app_id: str | None = None,
+                         batch_id: int | None = None) -> int | None:
+        """``merge_add`` with Delta-style touched-file pruning — the
+        IVM counter commit that stays O(touched files) while the
+        counter table grows (proper incremental view maintenance
+        touches only the delta's groups, never the whole view): the
+        find pass is a key-column-only semi-join scan collecting the
+        files that share a key with the partials batch; only those
+        files full-outer-ADD the partials, every other file is carried
+        into the new commit by manifest reference, and partials
+        matching NO file insert (a key absent from every touched file
+        is by construction absent from the table — merge_pruned's
+        argument verbatim). On a key-clustered or key-partitioned
+        table (e.g. ``term_df`` bucketed by ``crc32(token)`` like the
+        postings layout) a batch's vocabulary touches O(batch-buckets)
+        files, not the table: the counter-maintenance cost a
+        forever-running text maintainer needs at 100 TB, where the
+        vocabulary is ~10^8-10^9 rows and ``merge_add``'s full-outer
+        rewrite would pay O(vocabulary) per micro-batch.
+
+        Same contract as ``merge_add`` otherwise: non-key columns are
+        additive partials pre-aggregated to ONE row per key, matched
+        rows ADD, and with ``(app_id, batch_id)`` the commit carries
+        the writer fence — checked at entry and re-checked against
+        every retry attempt's manifest inside ``_cow_commit``, so a
+        replayed or zombie-raced micro-batch adds nothing (returns
+        None). Find-pass pruning rides partition tuples (metadata
+        only, sound because pruning is offered only when every
+        partition column is part of the key) and, when the batch's
+        distinct first-key values fit a capped driver list, per-file
+        stats + bloom sidecars."""
+        txn = None
+        if app_id is not None:
+            if batch_id is None:
+                raise ValueError("merge_add_pruned: batch_id is "
+                                 "required when app_id is given")
+            txn = f"{app_id}#{batch_id}"
+            if self._txn_entry_fenced(app_id, batch_id):
+                return None              # replayed batch: fenced out
+        dedup_keys = partials.select(*key).distinct()
+
+        def probe(df: DataFrame) -> DataFrame:
+            return df.join(dedup_keys, key, "semi")
+
+        def rewrite(touched: DataFrame) -> DataFrame:
+            val_cols = [c for c in touched.columns if c not in key]
+            types = dict(touched.dtypes)
+            u = partials.select(*key, *[F.col(c).alias(f"__u_{c}")
+                                        for c in val_cols])
+            zero = F.lit(0)
+            return (touched.join(u, key, "full_outer")
+                    .select(*key,
+                            *[(F.coalesce(F.col(c), zero)
+                               + F.coalesce(F.col(f"__u_{c}"), zero))
+                              .cast(types[c]).alias(c)
+                              for c in val_cols]))
+        part_in = self._partition_tuples_of(partials, key=key)
+        # capped key-value collect for stats/bloom pruning (the
+        # bounded-driver-list pattern — graceful full-find fallback
+        # past the cap, never an unbounded collect)
+        eq_prune = None
+        vals = [r[0] for r in dedup_keys.select(key[0])
+                .distinct().limit(_EQ_PRUNE_CAP + 1).collect()]
+        if len(vals) <= _EQ_PRUNE_CAP:
+            eq_prune = (key[0], vals)
+        with self._op_params(merge_key=list(key)):
+            # empty_noop=False: an all-inserts batch matches no file
+            # but must still write its rows (they fall out of the
+            # full-outer join over the empty touched set)
+            return self._cow_commit(probe, rewrite, "merge_add_pruned",
+                                    max_retries, empty_noop=False,
+                                    partition_in=part_in, txn=txn,
+                                    eq_any_prune=eq_prune)
+
     def relayout(self, cols: list[str], target_files: int = 8,
                  max_retries: int = 20) -> int:
         """OPTIMIZE-by-key: rewrite the snapshot range-sorted on ``cols``

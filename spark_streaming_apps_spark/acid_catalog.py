@@ -107,6 +107,20 @@ def _apply_writes(table_of, writes: dict[str, tuple],
                 v = t.txn_version(spec[3], spec[4])
                 if v is None:
                     v = t.latest_version()
+        elif kind == "merge_add_pruned":
+            # touched-file-pruned additive counters — O(touched files)
+            # per batch on a key-clustered counter table, not O(table)
+            v = t.merge_add_pruned(spec[1], spec[2],
+                                   max_retries=max_retries)
+        elif kind == "merge_add_pruned_txn":
+            # fenced twin — same replay pin rule as merge_add_txn
+            v = t.merge_add_pruned(spec[1], spec[2],
+                                   max_retries=max_retries,
+                                   app_id=spec[3], batch_id=spec[4])
+            if v is None:
+                v = t.txn_version(spec[3], spec[4])
+                if v is None:
+                    v = t.latest_version()
         elif kind == "delete":
             v = t.delete_where(spec[1], max_retries=max_retries)
         elif kind == "update":

@@ -1585,8 +1585,11 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
     signs each micro-batch, detects its near-dups against the
     persisted index (`dedup_batch`), appends the batch's band+sig rows
     in the same per-batch turn (one linked catalog transaction), and
-    MERGEs the detected pairs into a `pairs` results AcidTable — so
-    both the index and the findings follow the data with no rebuild.
+    APPENDs the detected pairs to a `pairs` results AcidTable (an
+    append-only fenced log — each pair is detected by exactly one
+    batch, so the append is value-equal to a MERGE at O(batch) commit
+    cost) — so both the index and the findings follow the data with
+    no rebuild.
     (Reference analog: the per-micro-batch hash verify + Solr index
     maintenance, StreamingApp.scala:377-380 / FileWorkerApp.scala:
     129-141.)
@@ -1651,11 +1654,21 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
         if ins.isEmpty():
             return
         # batch_id fences the index appends (append_txn): a replayed
-        # micro-batch re-commits nothing; the pairs MERGE is
-        # replay-idempotent by value (same keys, same values)
+        # micro-batch re-commits nothing. The pairs surface is an
+        # APPEND-ONLY log with the same fence: every pair is detected
+        # by exactly ONE batch (the one where its second endpoint
+        # arrives — cand_cb anti-joins the index side against the
+        # batch, so corpus-corpus pairs are never re-emitted, and a
+        # retired endpoint never re-arrives), so a fenced append is
+        # value-equal to the old full-outer MERGE while the commit
+        # stays O(batch). The merge rewrote the ENTIRE accumulated
+        # pairs table per micro-batch — O(results table) on a
+        # forever-running loop, the r15 scale finding.
         found = dedup_batch(spark, cat, ins,
                             txn=("dedup-stream", batch_id))
-        pairs_t.merge(found, key=["doc1", "doc2"])
+        pairs_t.append_txn(found, "dedup-pairs", batch_id)
+        pairs_t.maybe_autocompact()
+        pairs_t.maybe_autovacuum()
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")

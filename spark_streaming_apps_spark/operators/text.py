@@ -869,8 +869,13 @@ def _index_batch_tables(docs: DataFrame):
                 .agg(F.count(F.lit(1)).alias("tf"))
                 .withColumn("tbucket", _tbucket()))
     doc_len = toks.select("doc_id", F.col("dl").cast("long").alias("dl"))
-    term_df = postings.groupBy("token").agg(
+    # term_df inherits the postings' token-bucket layout (tbucket is a
+    # pure function of token, so it rides the merge key unchanged):
+    # bucket-partitioned counter files let the pruned merge's find
+    # pass prune partitions by metadata before any IO
+    term_df = (postings.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"))
+        .withColumn("tbucket", _tbucket()))
     corpus = toks.agg(
         F.lit(0).cast("long").alias("id"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -893,11 +898,20 @@ def text_index_maintain(cat, docs: DataFrame,
     double-count caveat, closed by the fenced merge_add). Without it,
     at-most-once callers only (batch jobs)."""
     postings, doc_len, term_df, corpus = _index_batch_tables(docs)
+    # term_df rides the PRUNED additive merge: the find pass semi-joins
+    # the batch's vocabulary against a key-column-only scan (partition-
+    # pruned to the batch's token buckets first), rewrites only the
+    # files holding a batch token, and carries the rest by manifest
+    # reference — O(touched files) per batch while the vocabulary
+    # grows (merge_add's full-outer shape rewrote the WHOLE counter
+    # table every micro-batch: O(vocabulary), the r15 scale finding).
+    # corpus_stats is one row — the plain merge_add IS O(batch) there.
     e = cat.commit_multi(
         _fenced_writes({
             "postings": ("append", postings),
             "doc_len": ("append", doc_len),
-            "term_df": ("merge_add", term_df, ["token"]),
+            "term_df": ("merge_add_pruned", term_df,
+                        ["token", "tbucket"]),
             "corpus_stats": ("merge_add", corpus, ["id"]),
         }, txn), op="text_index_maintain")
     # maintenance hygiene on the append-only surfaces: small-file
@@ -919,6 +933,7 @@ def _fenced_writes(writes: dict, txn: tuple[str, int] | None) -> dict:
         return writes
     app_id, batch_id = txn
     up = {"append": "append_txn", "merge_add": "merge_add_txn",
+          "merge_add_pruned": "merge_add_pruned_txn",
           "apply_cdf": "apply_cdf"}
     return {t: (up[spec[0]], *spec[1:], app_id, batch_id)
             for t, spec in writes.items()}
@@ -960,9 +975,10 @@ def text_index_apply(cat, changes: DataFrame,
     dl_ch = (dl_i.withColumn("_change_type", F.lit("insert"))
              .unionByName(
                  dl_d.withColumn("_change_type", F.lit("delete"))))
-    df_signed = (df_i.unionByName(
+    df_signed = (df_i.select("token", "df").unionByName(
         df_d.select("token", (-F.col("df")).alias("df")))
-        .groupBy("token").agg(F.sum("df").alias("df")))
+        .groupBy("token").agg(F.sum("df").alias("df"))
+        .withColumn("tbucket", _tbucket()))
     c_signed = (c_i.unionByName(
         c_d.select("id", (-F.col("n_docs")).alias("n_docs"),
                    (-F.col("sum_dl")).alias("sum_dl")))
@@ -978,7 +994,8 @@ def text_index_apply(cat, changes: DataFrame,
         _fenced_writes({
             "postings": ("apply_cdf", post_ch, ["doc_id"]),
             "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
-            "term_df": ("merge_add", df_signed, ["token"]),
+            "term_df": ("merge_add_pruned", df_signed,
+                        ["token", "tbucket"]),
             "corpus_stats": ("merge_add", c_signed, ["id"]),
         }, txn), op="text_index_apply")
     # the retires land as deletion-vector entries (enable_dv tables):
@@ -1052,7 +1069,11 @@ def text_index_incremental(spark, sf_dir: str, scratch,
                      partition_by=["tbucket"], bloom_by=["token"],
                      enable_dv=True)
     cat.create_table("doc_len", doc_len, enable_dv=True)
-    cat.create_table("term_df", term_df)
+    # term_df shares the postings' bucket layout: partition-pruned
+    # + bloom-pruned counter maintenance (merge_add_pruned) and a
+    # point-lookup serve path (read_eq_any on the query terms)
+    cat.create_table("term_df", term_df,
+                     partition_by=["tbucket"], bloom_by=["token"])
     cat.create_table("corpus_stats", corpus)
     text_index_maintain(cat, b1)                 # O(batch) arrival
     # MIXED batch: the second arrival lands together with a retention
@@ -1084,7 +1105,12 @@ def _bm25_serve(cat, terms: tuple[str, ...], k: int) -> DataFrame:
     one-row counter stats broadcast."""
     pins = cat.snapshot()
     cs = cat.table("corpus_stats").read(pins["corpus_stats"])
-    tdf = (cat.table("term_df").read(pins["term_df"])
+    # term_df probe mirrors the postings probe: bucket partitioning +
+    # token bloom sidecars make the df lookup open only the query
+    # terms' buckets' files, never the counter table
+    tdf = (cat.table("term_df")
+           .read_eq_any("token", list(terms),
+                        version=pins["term_df"])
            .filter(F.col("token").isin(list(terms))))
     stats = (cs.join(F.broadcast(
         tdf.groupBy().pivot("token", list(terms)).sum("df")))
@@ -1195,7 +1221,11 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
                      partition_by=["tbucket"], bloom_by=["token"],
                      enable_dv=True)
     cat.create_table("doc_len", doc_len, enable_dv=True)
-    cat.create_table("term_df", term_df)
+    # term_df shares the postings' bucket layout: partition-pruned
+    # + bloom-pruned counter maintenance (merge_add_pruned) and a
+    # point-lookup serve path (read_eq_any on the query terms)
+    cat.create_table("term_df", term_df,
+                     partition_by=["tbucket"], bloom_by=["token"])
     cat.create_table("corpus_stats", corpus)
 
     def maintain(batch: DataFrame, batch_id: int) -> None:

@@ -110,8 +110,9 @@ def test_text_index_maintain_is_o_batch_and_additive(spark, tmp_path):
     assert cat.table("postings")._manifest(1)["op"] == "append"
     assert cat.table("postings")._manifest(2)["op"] in (
         "apply_cdf", "apply_cdf_mor")
-    assert cat.table("term_df")._manifest(1)["op"] == "merge_add"
-    assert cat.table("term_df")._manifest(2)["op"] == "merge_add"
+    # r16: term_df rides the touched-file-pruned additive merge
+    assert cat.table("term_df")._manifest(1)["op"] == "merge_add_pruned"
+    assert cat.table("term_df")._manifest(2)["op"] == "merge_add_pruned"
     # the one-row corpus counter stayed one row
     assert cat.read("corpus_stats").count() == 1
     # doc_len rows = FINAL-corpus docs with tokens (deleted slice out)
