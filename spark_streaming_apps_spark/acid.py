@@ -5267,6 +5267,7 @@ class AcidTable:
     def set_autovacuum(self, every: int | None = 16,
                        keep_last: int = 4,
                        keep_changes_last: int | None = None,
+                       expire_entries_keep: int | None = None,
                        max_retries: int = 20) -> int:
         """Opt into AUTO-vacuum — the retention twin of
         ``set_autocompact``: writers that honor the hook
@@ -5283,7 +5284,16 @@ class AcidTable:
         every replay fence — rides them), and ``keep_changes_last``
         defaults to None = keep ALL change files, so CDF consumers
         resume across the vacuum untouched. Pass ``every=None`` to
-        clear."""
+        clear.
+
+        ``expire_entries_keep=N`` extends the same cadence to the
+        owning CATALOG's entry ledger when the table is
+        catalog-managed: each hook-run also calls
+        ``AcidCatalog.expire_entries(keep_last=N)``, so a
+        one-publish-per-micro-batch maintainer leaves O(N + refs)
+        catalog files instead of O(batches) (tags/branch bases stay
+        retention roots — see expire_entries). Ignored on tables
+        outside a catalog."""
         if every is not None and every < 1:
             raise ValueError("set_autovacuum: every >= 1")
 
@@ -5295,7 +5305,9 @@ class AcidTable:
                     "every": int(every),
                     "keep_last": int(keep_last),
                     **({"keep_changes_last": int(keep_changes_last)}
-                       if keep_changes_last is not None else {})}
+                       if keep_changes_last is not None else {}),
+                    **({"expire_entries_keep": int(expire_entries_keep)}
+                       if expire_entries_keep is not None else {})}
         return self._commit_props("set_autovacuum", mutate,
                                   max_retries)
 
@@ -5355,6 +5367,17 @@ class AcidTable:
             return None
         out = self.vacuum(keep_last=int(av["keep_last"]),
                           keep_changes_last=av.get("keep_changes_last"))
+        ek = av.get("expire_entries_keep")
+        if ek is not None:
+            # catalog-entry retention rides the same cadence: pure
+            # JSON-file work (no SparkSession needed — the sink's
+            # Spark-free call path stays valid), auto-discovered from
+            # the table's location like _ref_pinned_versions
+            parent, croot = self.path.parent, self.path.parent.parent
+            if parent.name == "tables" and (croot / "commits").is_dir():
+                from .acid_catalog import AcidCatalog
+                AcidCatalog(self.spark, croot).expire_entries(
+                    keep_last=int(ek))
         try:
             marker.write_text(str(v))
         except OSError:

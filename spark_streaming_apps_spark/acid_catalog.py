@@ -316,6 +316,73 @@ class AcidCatalog:
                 f"tag {name!r} already exists (tags are immutable)")
         return e
 
+    def expire_entries(self, keep_last: int = 16) -> list[int]:
+        """Catalog-entry retention — the catalog twin of the table-side
+        vacuum ledger discipline: a forever-running maintainer
+        publishes one ``commits/c{N}.json`` per micro-batch, so
+        without an expire API the catalog directory grows O(batches)
+        files forever (r15 verdict). Deletes every entry file older
+        than the newest ``keep_last`` EXCEPT the retention roots:
+
+        * the newest ``keep_last`` entries (the serving window — the
+          ``_latest`` hint always lands inside it);
+        * every tag's pinned entry (tags stay readable by name either
+          way — ``read_tag`` serves from the tag file's own pins —
+          but the entry is kept so ``snapshot(tag_entry)`` time travel
+          keeps working);
+        * for every LIVE branch, its fork base and everything after
+          it (``publish``'s landed-retry evidence walk reads each
+          entry from head down to the base — expiring inside that
+          range would turn an idempotent publish retry into a
+          spurious conflict). Drop the branch to release them.
+
+        Crash-safe without a swap: each entry file is independent and
+        the roots are never touched, so a writer SIGKILLed mid-expire
+        leaves only SOME expired entries deleted — every reader keeps
+        serving (the ``_latest`` hint fallback and forward probe both
+        tolerate gaps below the kept window) and the next run finishes
+        the job. Concurrent publishers only ever ADD entries newer
+        than the window. Returns the expired entry numbers."""
+        if keep_last < 1:
+            raise ValueError("expire_entries: keep_last >= 1")
+        if not self._commits.is_dir():
+            return []
+        entries = sorted(int(p.stem[1:])
+                         for p in self._commits.glob("c*.json"))
+        if len(entries) <= keep_last:
+            return []
+        keep = set(entries[-keep_last:])
+        for tag in (self.root / "refs" / "tags").glob("*.json"):
+            try:
+                e = json.loads(tag.read_text()).get("entry")
+                if e is not None:
+                    keep.add(int(e))
+            except (OSError, ValueError):
+                continue
+        heads = self.root / "refs" / "heads"
+        min_base = None
+        if heads.is_dir():
+            for bdir in heads.iterdir():
+                for bp in bdir.glob("b*.json"):
+                    try:
+                        base = json.loads(bp.read_text()).get("base")
+                    except (OSError, ValueError):
+                        continue
+                    if base is not None and (min_base is None
+                                             or base < min_base):
+                        min_base = int(base)
+        removed: list[int] = []
+        for e in entries[:-keep_last]:
+            if e in keep or (min_base is not None and e >= min_base):
+                continue
+            crash_point("during_entry_expire")
+            try:
+                (self._commits / f"c{e}.json").unlink()
+                removed.append(e)
+            except FileNotFoundError:
+                continue             # concurrent expirer got it first
+        return removed
+
     def expire_tag(self, name: str) -> bool:
         """DELIBERATE ref cleanup: drop tag ``name`` so the versions it
         pinned stop being retention roots — the next ``vacuum`` on each
