@@ -446,7 +446,20 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
     (score desc, vec_id tiebreak) and oracle-mirrorable. The pair
     enumeration itself joins on (cell, block) with adjacent-block
     expansion — O(members · band) candidate rows, never the within-
-    cell cross product."""
+    cell cross product.
+
+    The cap is OCCUPANCY-ADAPTIVE (r16): cells with at most
+    {KNN_BAND_ENGAGE}·band members pair all-pairs (the uncapped
+    shape — at low occupancy the band covered most of the cell
+    anyway, so capping there only cost recall, the r15 finding:
+    recall@1 0.45 vs 0.55 at the 1x fixture), while cells past the
+    threshold get the band. Work in an engaged cell is O(band) per
+    node and in a small cell O(engage·band) per node, so the bound
+    per node is O(engage · band · probes) at ANY occupancy — the cap
+    is free where it isn't needed and binding exactly where the
+    within-cell quadratic would bite. Cell size is a window count
+    over the same partition the ordering already shuffles on (no
+    extra exchange), deterministic, and oracle-mirrorable."""
     from pyspark.sql import Window
     assigned = _ivf_assigned(embeddings, N_PROBES, n_cells=n_cells,
                              with_dot=band is not None)
@@ -465,20 +478,36 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
     else:
         w_ord = Window.partitionBy("cell").orderBy(F.desc("dot"),
                                                    "vec_id")
+        engage = KNN_BAND_ENGAGE * band
         ordd = (assigned
                 .withColumn("dot", F.round("dot", 6))
                 .withColumn("ord", F.row_number().over(w_ord))
+                # same partition as the ordering window: the count
+                # rides the shuffle already paid for row_number
+                .withColumn("cnt", F.count(F.lit(1)).over(
+                    Window.partitionBy("cell")))
                 .withColumn("blk", ((F.col("ord") - 1)
                                     / F.lit(band)).cast("int"))
-                .select("vec_id", "cell", "ord", "blk"))
+                .select("vec_id", "cell", "ord", "blk", "cnt"))
+        # occupancy split: a cell is entirely small or entirely
+        # engaged (cnt is per-cell), so the two branches partition
+        # the cells and the union can't double-emit within a cell
+        small = ordd.filter(F.col("cnt") <= engage)
+        sa, sb = small.alias("a"), small.alias("b")
+        cand_small = (sa.join(sb, (F.col("a.cell") == F.col("b.cell"))
+                              & (F.col("a.vec_id")
+                                 < F.col("b.vec_id")))
+                      .select(F.col("a.vec_id").alias("vec_id"),
+                              F.col("b.vec_id").alias("nbr_id")))
         # adjacent-block expansion: |ord(a) - ord(b)| <= band pairs
         # live in a's block ± 1, so the join key is (cell, block) and
         # per-key fan-in is O(band) — the shuffle carries 3 ints/row
-        a = (ordd.withColumn(
+        big = ordd.filter(F.col("cnt") > engage)
+        a = (big.withColumn(
             "jblk", F.explode(F.array(F.col("blk") - 1, F.col("blk"),
                                       F.col("blk") + 1)))
             .alias("a"))
-        b = ordd.alias("b")
+        b = big.alias("b")
         cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                        & (F.col("a.jblk") == F.col("b.blk"))
                        & (F.col("a.vec_id") < F.col("b.vec_id"))
@@ -486,6 +515,7 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
                           <= band))
                 .select(F.col("a.vec_id").alias("vec_id"),
                         F.col("b.vec_id").alias("nbr_id"))
+                .unionByName(cand_small)
                 .distinct())
         assigned = assigned.drop("dot")
     # vector fetch: plain keyed equi-joins on the id — at 100x the corpus
@@ -555,14 +585,25 @@ FROM ranked WHERE rank <= {k}
 #: (the 100 TB knob).
 KNN_BAND = 64
 
+#: the band cap engages only past KNN_BAND_ENGAGE·band members per
+#: cell (occupancy-adaptive, r16): below it the band covered most of
+#: the cell anyway, so capping only cost recall (0.45 vs 0.55
+#: recall@1 at the 1x fixture, whose largest cell holds ~143 < 256);
+#: past it the within-cell quadratic is the thing the cap exists to
+#: bound. Per-node work is O(engage·band·probes) either way.
+KNN_BAND_ENGAGE = 4
+
 
 def knn_graph_banded_oracle_sql(k: int = KNN_K,
                                 band: int = KNN_BAND) -> str:
     """DuckDB mirror of the band-capped graph: same IVF assignment,
     then a within-cell 1-D order on round(vector·centroid, 6) (vec_id
     tiebreak — identical across engines) and pairs restricted to
-    |ord(a) - ord(b)| <= band."""
+    |ord(a) - ord(b)| <= band ONLY in cells past the
+    occupancy-adaptive engage threshold (small cells pair all-pairs,
+    the uncapped shape — KNN_BAND_ENGAGE)."""
     cos = "round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)"
+    engage = KNN_BAND_ENGAGE * band
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cents AS (SELECT vec_id AS cell, e AS c FROM emb WHERE vec_id < {N_CELLS}),
@@ -577,12 +618,13 @@ assigned AS (SELECT vec_id, e, cell, round(dot, 6) AS dot,
              FROM scored WHERE rn <= {N_PROBES}),
 ordd AS (SELECT vec_id, e, cell, nrm,
                 row_number() OVER (PARTITION BY cell
-                                   ORDER BY dot DESC, vec_id) AS ord
+                                   ORDER BY dot DESC, vec_id) AS ord,
+                count(*) OVER (PARTITION BY cell) AS cnt
          FROM assigned),
 pairs AS (SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id, {cos} AS sim
           FROM ordd a JOIN ordd b
             ON a.cell = b.cell AND a.vec_id != b.vec_id
-           AND abs(a.ord - b.ord) <= {band}),
+           AND (a.cnt <= {engage} OR abs(a.ord - b.ord) <= {band})),
 ranked AS (SELECT vec_id, nbr_id, sim,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY sim DESC, nbr_id) AS rank

@@ -428,3 +428,48 @@ def test_ivf_incremental_index_compacts_under_maintenance(spark,
     some_cell = int(idx.read().limit(1).collect()[0].cell)
     paths, total = idx.pruned_files_in("cell", [some_cell])
     assert 0 < len(paths) < total
+
+
+def test_knn_band_occupancy_adaptive(spark):
+    """The band cap engages per cell by occupancy: in a cell past
+    KNN_BAND_ENGAGE*band members, pairs beyond the band are absent;
+    in a small cell, all within-cell pairs survive (the uncapped
+    shape — r16). Built directly on the banded candidate logic via a
+    tiny band so both branches run on fixture-sized data."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_apps_spark.operators import similarity as S
+
+    # 4 axis-aligned centroids; the BIG population spans cells {0,1}
+    # (top-2 probes), the small one cells {2,3} — with 2 probes the
+    # populations stay disjoint, so occupancy differs per cell.
+    # band=2 => engage threshold 8
+    band = 2
+    rows = []
+    for c in range(4):
+        e = [0.0] * 4
+        e[c] = 10.0
+        rows.append((c, e))
+    # big cells: 20 members (> engage) probing cells 0 then 1
+    for i in range(20):
+        rows.append((100 + i, [10.0 + i * 0.01, 0.001 * i, 0.0, 0.0]))
+    # small cells: 4 members (<= engage) probing cells 2 then 3
+    for i in range(4):
+        rows.append((200 + i, [0.0, 0.0, 10.0 - i * 0.01, 0.001 * i]))
+    emb = spark.createDataFrame(
+        [(v, "x", e) for v, e in rows],
+        "vec_id long, label string, embedding array<double>")
+    out = S.knn_graph(emb, k=50, n_cells=4, band=band).collect()
+    edges = {(r.vec_id, r.nbr_id) for r in out}
+    # small cell: every member sees every other (all-pairs survived)
+    for a in range(200, 204):
+        for b in range(200, 204):
+            if a != b:
+                assert (a, b) in edges, (a, b)
+    # big cell: the band binds — members far apart in the 1-D
+    # centroid-score order may not be candidates. The order within
+    # cell 0 is by dot with centroid 0 (desc), i.e. by coordinate 0:
+    # vec 119 (highest dot) .. vec 100; |ord diff| > band pairs absent
+    assert (119, 100) not in edges and (100, 119) not in edges
+    # but immediate order-neighbors are present
+    assert any((110, n) in edges for n in (109, 111))
