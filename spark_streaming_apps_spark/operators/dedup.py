@@ -1541,19 +1541,23 @@ def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
     #     (pair computation is per-pair local, so the final-corpus
     #     pair set is the full pair set with no deleted endpoint)
     #     restricted to pairs touching the batch
-    full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
-            .filter((F.col("doc1") % BATCH_MOD == BATCH_REM)
-                    | (F.col("doc2") % BATCH_MOD == BATCH_REM))
-            .filter((F.col("doc1") % BATCH_MOD != DEL_REM)
-                    & (F.col("doc2") % BATCH_MOD != DEL_REM)))
-    matches_full = (pairs.exceptAll(full).count() == 0
-                    and full.exceptAll(pairs).count() == 0)
     # (2) maintained index == from-scratch signature build over the
     #     final corpus + batch (the self-maintenance contract)
-    fresh = _sig_of(docs.filter(~deleted))
-    idx_now = cat.read("sigs")
-    index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
-                         and fresh.exceptAll(idx_now).count() == 0)
+    # pin_sec split (r15 ADVICE): the full recompute IS the pin's
+    # point, not serving cost — timed separately so the headline row
+    # approaches the actual incremental cost (telemetry.py)
+    with telemetry.timed("dedup_incremental.pin_sec"):
+        full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
+                .filter((F.col("doc1") % BATCH_MOD == BATCH_REM)
+                        | (F.col("doc2") % BATCH_MOD == BATCH_REM))
+                .filter((F.col("doc1") % BATCH_MOD != DEL_REM)
+                        & (F.col("doc2") % BATCH_MOD != DEL_REM)))
+        matches_full = (pairs.exceptAll(full).count() == 0
+                        and full.exceptAll(pairs).count() == 0)
+        fresh = _sig_of(docs.filter(~deleted))
+        idx_now = cat.read("sigs")
+        index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
+                             and fresh.exceptAll(idx_now).count() == 0)
     return (pairs
             .withColumn("matches_full", F.lit(bool(matches_full)))
             .withColumn("index_fresh_equal",
@@ -1683,23 +1687,26 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
     src.delete_where(f"doc_id % {BATCH_MOD} = {DEL_REM}")    # v3
     n_batches, _ = _drain_incremental(stream)
 
-    # pins ------------------------------------------------------------
-    touches = (F.col("doc1") % BATCH_MOD).isin(
-        BATCH_REM, (BATCH_REM + 1) % BATCH_MOD) | \
-        (F.col("doc2") % BATCH_MOD).isin(
-            BATCH_REM, (BATCH_REM + 1) % BATCH_MOD)
-    alive = ((F.col("doc1") % BATCH_MOD != DEL_REM)
-             & (F.col("doc2") % BATCH_MOD != DEL_REM))
-    full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
-            .filter(touches & alive))
+    # pins (timed as the key's pin_sec split — full recomputes are
+    # the proof obligation, not serving cost; telemetry.py) ----------
+    from .. import telemetry
     got = pairs_t.read()
-    matches_full = (got.exceptAll(full).count() == 0
-                    and full.exceptAll(got).count() == 0)
-    fresh = _sig_of(docs.filter(
-        F.col("doc_id") % BATCH_MOD != DEL_REM))
-    idx_now = cat.read("sigs")
-    index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
-                         and fresh.exceptAll(idx_now).count() == 0)
+    with telemetry.timed("dedup_incremental_stream.pin_sec"):
+        touches = (F.col("doc1") % BATCH_MOD).isin(
+            BATCH_REM, (BATCH_REM + 1) % BATCH_MOD) | \
+            (F.col("doc2") % BATCH_MOD).isin(
+                BATCH_REM, (BATCH_REM + 1) % BATCH_MOD)
+        alive = ((F.col("doc1") % BATCH_MOD != DEL_REM)
+                 & (F.col("doc2") % BATCH_MOD != DEL_REM))
+        full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
+                .filter(touches & alive))
+        matches_full = (got.exceptAll(full).count() == 0
+                        and full.exceptAll(got).count() == 0)
+        fresh = _sig_of(docs.filter(
+            F.col("doc_id") % BATCH_MOD != DEL_REM))
+        idx_now = cat.read("sigs")
+        index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
+                             and fresh.exceptAll(idx_now).count() == 0)
     return (got
             .withColumn("matches_full", F.lit(bool(matches_full)))
             .withColumn("index_fresh_equal",

@@ -1911,13 +1911,16 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
     src.delete_where(IVF_INC_DELETE_PRED)                      # v3
     n_batches, _ = _drain_incremental(stream)
 
-    # ---- pins ------------------------------------------------------
+    # ---- pins (timed as pin_sec: the from-scratch assignment is the
+    # proof obligation, not serving cost — telemetry.py) --------------
     emb_final = emb.filter(f"NOT ({IVF_INC_DELETE_PRED})")
-    fresh = _km_assign(emb_final, cents).select(
-        "vec_id", "label", "e", "cell")
-    now = idx.read().select("vec_id", "label", "e", "cell")
-    index_fresh_equal = (now.exceptAll(fresh).count() == 0
-                         and fresh.exceptAll(now).count() == 0)
+    from .. import telemetry
+    with telemetry.timed("ivf_incremental_index.pin_sec"):
+        fresh = _km_assign(emb_final, cents).select(
+            "vec_id", "label", "e", "cell")
+        now = idx.read().select("vec_id", "label", "e", "cell")
+        index_fresh_equal = (now.exceptAll(fresh).count() == 0
+                             and fresh.exceptAll(now).count() == 0)
 
     # ---- serve: probe cells' PARTITIONS only ------------------------
     qe = (emb.filter(F.col("vec_id") == query_vec_id)

@@ -1091,9 +1091,11 @@ def text_index_incremental(spark, sf_dir: str, scratch,
 
     served = _bm25_serve(cat, terms, k)
     final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
-    return served.withColumn(
-        "stats_fresh_equal",
-        F.lit(bool(_counters_fresh_equal(cat, final))))
+    # pin_sec split: the full recount is the proof obligation, not
+    # serving cost (telemetry.py — bench comparability, r15 ADVICE)
+    with telemetry.timed("text_index_incremental.pin_sec"):
+        stats_fresh = bool(_counters_fresh_equal(cat, final))
+    return served.withColumn("stats_fresh_equal", F.lit(stats_fresh))
 
 
 def _bm25_serve(cat, terms: tuple[str, ...], k: int) -> DataFrame:
@@ -1261,9 +1263,11 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
 
     served = _bm25_serve(cat, terms, k)
     final = docs.filter(f"NOT ({TEXT_INC_DELETE_PRED})")
+    from .. import telemetry
+    with telemetry.timed("text_index_incremental_stream.pin_sec"):
+        stats_fresh = bool(_counters_fresh_equal(cat, final))
     return (served
-            .withColumn("stats_fresh_equal",
-                        F.lit(bool(_counters_fresh_equal(cat, final))))
+            .withColumn("stats_fresh_equal", F.lit(stats_fresh))
             .withColumn("n_batches", F.lit(int(n_batches))))
 
 
