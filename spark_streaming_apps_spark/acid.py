@@ -2855,13 +2855,10 @@ class AcidTable:
                 part_in = None
                 break
             part_in.extend(pt)
-        # capped key-value collect for stats/bloom pruning (the
-        # bounded-driver-list pattern: read_eq_any's cap, graceful
-        # full-find fallback past it — never an unbounded collect)
+        # capped key-value collect for stats/bloom pruning
         eq_prune = None
-        vals = [r[0] for r in keys.select(kcols[0]).distinct()
-                .limit(_EQ_PRUNE_CAP + 1).collect()]
-        if len(vals) <= _EQ_PRUNE_CAP:
+        vals = self._eq_prune_vals(keys, kcols[0])
+        if vals is not None:
             eq_prune = [(g[0], vals) for g in groups]
         with self._op_params(delete_on=[list(g) for g in groups]):
             if self.dv_enabled():
@@ -3837,6 +3834,18 @@ class AcidTable:
             return None
         return [{c: r[c] for c in pcols} for r in vals]
 
+    def _eq_prune_vals(self, keys: DataFrame, col: str) -> list | None:
+        """Capped distinct-value collect for stats/bloom find-pass
+        pruning — THE bounded-driver-list pattern (read_eq_any's cap,
+        graceful full-find fallback past it, never an unbounded
+        collect), shared by delete_semi / apply_cdf / merge_add_pruned
+        so the cap semantics can't silently diverge between the DML
+        kinds (r16 review finding). Returns the distinct values of
+        ``col`` in ``keys``, or None past ``_EQ_PRUNE_CAP``."""
+        vals = [r[0] for r in keys.select(col).distinct()
+                .limit(_EQ_PRUNE_CAP + 1).collect()]
+        return vals if len(vals) <= _EQ_PRUNE_CAP else None
+
     def merge_keep_latest(self, updates: DataFrame, key: list[str],
                           version_col: str, max_retries: int = 20) -> int:
         """CDC MERGE: per key keep the row with the greatest
@@ -4210,10 +4219,8 @@ class AcidTable:
         eq_prune = None
         prune_col = next((c for c in key if c in self.bloom_cols()),
                          key[0])
-        vals = [r[0] for r in
-                dels.select(prune_col).distinct()
-                .limit(_EQ_PRUNE_CAP + 1).collect()]
-        if len(vals) <= _EQ_PRUNE_CAP:
+        vals = self._eq_prune_vals(dels, prune_col)
+        if vals is not None:
             eq_prune = (prune_col, vals)
 
         if self.dv_enabled():
@@ -4986,14 +4993,22 @@ class AcidTable:
                               .cast(types[c]).alias(c)
                               for c in val_cols]))
         part_in = self._partition_tuples_of(partials, key=key)
-        # capped key-value collect for stats/bloom pruning (the
-        # bounded-driver-list pattern — graceful full-find fallback
-        # past the cap, never an unbounded collect)
+        # capped key-value collect for stats/bloom pruning
         eq_prune = None
-        vals = [r[0] for r in dedup_keys.select(key[0])
-                .distinct().limit(_EQ_PRUNE_CAP + 1).collect()]
-        if len(vals) <= _EQ_PRUNE_CAP:
+        vals = self._eq_prune_vals(dedup_keys, key[0])
+        if vals is not None:
             eq_prune = (key[0], vals)
+        if part_in is None and eq_prune is None:
+            # no pruning signal survived the caps (batch spans more
+            # partition tuples / distinct keys than the driver-list
+            # bounds): the find pass would be a full UNPRUNED scan
+            # ahead of a near-total rewrite — the one-shot full-outer
+            # merge writes the same bytes in one pass (the r16
+            # SCALING rung's scattered row: pruned 4.19 s vs full
+            # 2.53 s at 30x for identical MB). Fence semantics are
+            # identical (merge_add re-checks per attempt).
+            return self.merge_add(partials, key, max_retries,
+                                  app_id=app_id, batch_id=batch_id)
         with self._op_params(merge_key=list(key)):
             # empty_noop=False: an all-inserts batch matches no file
             # but must still write its rows (they fall out of the
@@ -5296,6 +5311,13 @@ class AcidTable:
         outside a catalog."""
         if every is not None and every < 1:
             raise ValueError("set_autovacuum: every >= 1")
+        # validate NOW, not at hook time: a bad value committed here
+        # would otherwise raise from expire_entries inside EVERY later
+        # maybe_autovacuum call — after the vacuum ran but before the
+        # watermark marker landed, so each batch re-vacuums and
+        # re-raises (r16 review finding)
+        if expire_entries_keep is not None and expire_entries_keep < 1:
+            raise ValueError("set_autovacuum: expire_entries_keep >= 1")
 
         def mutate(props: dict) -> None:
             if every is None:

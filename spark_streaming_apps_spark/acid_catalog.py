@@ -164,12 +164,24 @@ class AcidCatalog:
         """Newest catalog entry — served from the ``_latest`` hint
         plus a forward probe (the AcidTable.latest_version discipline:
         the hint may lag, never lead; missing/corrupt falls back to
-        the listing)."""
+        the listing). The hint is clamped to the ``_floor`` marker
+        ``expire_entries`` maintains: entries >= floor are contiguous,
+        entries below it may be isolated retention roots (tag pins,
+        branch bases) whose successor was expired — probing forward
+        from one of those would stop at the gap and resurrect an
+        ancient entry (r16 review finding: a stalled publisher's
+        stale hint landing on a kept root made ``_publish`` re-mint
+        an expired entry number with stale pins)."""
         if not self._commits.is_dir():
             return None
         hint = self._commits / "_latest"
+        floor = 0
         try:
-            e = int(hint.read_text())
+            floor = int((self._commits / "_floor").read_text())
+        except (OSError, ValueError):
+            pass
+        try:
+            e = max(int(hint.read_text()), floor)
             if not (self._commits / f"c{e}.json").exists():
                 raise ValueError
         except (OSError, ValueError):
@@ -257,6 +269,9 @@ class AcidCatalog:
             ("merge", updates_df, key_list)
             ("merge_add", partials_df, key_list)
             ("merge_add_txn", partials_df, key_list, app_id, batch_id)
+            ("merge_add_pruned", partials_df, key_list)
+            ("merge_add_pruned_txn", partials_df, key_list, app_id,
+             batch_id)
             ("delete", cond_str)
             ("update", assigns_dict, cond_str)
 
@@ -336,13 +351,19 @@ class AcidCatalog:
           range would turn an idempotent publish retry into a
           spurious conflict). Drop the branch to release them.
 
-        Crash-safe without a swap: each entry file is independent and
-        the roots are never touched, so a writer SIGKILLed mid-expire
-        leaves only SOME expired entries deleted — every reader keeps
-        serving (the ``_latest`` hint fallback and forward probe both
-        tolerate gaps below the kept window) and the next run finishes
-        the job. Concurrent publishers only ever ADD entries newer
-        than the window. Returns the expired entry numbers."""
+        Crash-safe without a swap: BEFORE any deletion the monotonic
+        ``_floor`` marker is raised to the kept window's first entry
+        (atomic replace), so ``latest_entry`` clamps a stale or
+        crash-era ``_latest`` hint above every gap this run creates —
+        a hint landing on a kept below-window root (tag pin, branch
+        base) can no longer stop the forward probe early and let
+        ``_publish`` re-mint an expired entry number. Each entry file
+        is then deleted independently and the roots are never
+        touched, so a writer SIGKILLed mid-expire leaves only SOME
+        expired entries deleted — every reader keeps serving and the
+        next run finishes the job. Concurrent publishers only ever
+        ADD entries newer than the window. Returns the expired entry
+        numbers."""
         if keep_last < 1:
             raise ValueError("expire_entries: keep_last >= 1")
         if not self._commits.is_dir():
@@ -352,6 +373,21 @@ class AcidCatalog:
         if len(entries) <= keep_last:
             return []
         keep = set(entries[-keep_last:])
+        # raise the contiguity floor FIRST — if this write fails the
+        # exception propagates and nothing is deleted (deleting with a
+        # stale floor is the unsafe order). Monotonic max-merge: a
+        # smaller concurrent window never lowers it.
+        floor = entries[-keep_last]
+        fp = self._commits / "_floor"
+        try:
+            cur_floor = int(fp.read_text())
+        except (OSError, ValueError):
+            cur_floor = -1
+        if floor > cur_floor:
+            import uuid as _uuid
+            tmp = self._commits / f"._floor.{_uuid.uuid4().hex[:8]}"
+            tmp.write_text(str(floor))
+            get_store().atomic_replace(tmp, fp)
         for tag in (self.root / "refs" / "tags").glob("*.json"):
             try:
                 e = json.loads(tag.read_text()).get("entry")

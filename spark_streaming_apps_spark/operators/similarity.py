@@ -492,7 +492,8 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
         # occupancy split: a cell is entirely small or entirely
         # engaged (cnt is per-cell), so the two branches partition
         # the cells and the union can't double-emit within a cell
-        small = ordd.filter(F.col("cnt") <= engage)
+        small = (ordd.filter(F.col("cnt") <= engage)
+                 .select("vec_id", "cell"))   # cnt/ord/blk dead here
         sa, sb = small.alias("a"), small.alias("b")
         cand_small = (sa.join(sb, (F.col("a.cell") == F.col("b.cell"))
                               & (F.col("a.vec_id")
@@ -502,7 +503,7 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
         # adjacent-block expansion: |ord(a) - ord(b)| <= band pairs
         # live in a's block ± 1, so the join key is (cell, block) and
         # per-key fan-in is O(band) — the shuffle carries 3 ints/row
-        big = ordd.filter(F.col("cnt") > engage)
+        big = ordd.filter(F.col("cnt") > engage).drop("cnt")
         a = (big.withColumn(
             "jblk", F.explode(F.array(F.col("blk") - 1, F.col("blk"),
                                       F.col("blk") + 1)))

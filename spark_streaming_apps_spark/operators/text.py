@@ -1112,8 +1112,7 @@ def _bm25_serve(cat, terms: tuple[str, ...], k: int) -> DataFrame:
     # terms' buckets' files, never the counter table
     tdf = (cat.table("term_df")
            .read_eq_any("token", list(terms),
-                        version=pins["term_df"])
-           .filter(F.col("token").isin(list(terms))))
+                        version=pins["term_df"]))
     stats = (cs.join(F.broadcast(
         tdf.groupBy().pivot("token", list(terms)).sum("df")))
         .select((F.col("n_docs").cast("double")).alias("n_docs"),

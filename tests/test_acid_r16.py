@@ -98,6 +98,27 @@ def test_merge_add_pruned_partition_pruned_find(spark, tmp_path):
     assert got[(1, 1)] == 1
 
 
+def test_merge_add_pruned_wide_batch_falls_back_to_full(spark, tmp_path):
+    """A batch past BOTH driver-list caps (no partition tuples, more
+    distinct keys than _EQ_PRUNE_CAP) leaves the find pass unpruned —
+    merge_add_pruned routes it through the one-shot full merge (same
+    bytes, one pass; the r16 SCALING scattered row priced the two-pass
+    shape slower), recorded as a plain ``merge_add`` commit."""
+    base = [(i, i) for i in range(6000)]
+    batch = [(i, 1) for i in range(3000, 9000)]   # 6000 keys > cap
+    a = AcidTable.create(spark, tmp_path / "a", _counters(spark, base))
+    b = AcidTable.create(spark, tmp_path / "b", _counters(spark, base))
+    a.merge_add(_counters(spark, batch), ["k"])
+    v = b.merge_add_pruned(_counters(spark, batch), ["k"])
+    assert _state(a) == _state(b)
+    assert b._manifest(v)["op"] == "merge_add"    # fallback taken
+    # and the fence rides through the fallback: a replay adds nothing
+    assert b.merge_add_pruned(_counters(spark, batch), ["k"],
+                              app_id="w", batch_id=7) is not None
+    assert b.merge_add_pruned(_counters(spark, batch), ["k"],
+                              app_id="w", batch_id=7) is None
+
+
 def test_merge_add_pruned_all_inserts_and_empty(spark, tmp_path):
     """A batch matching NO file still writes its rows (empty_noop=False
     — the inserts fall out of the full-outer join over the empty
@@ -333,6 +354,44 @@ def test_autovacuum_expires_catalog_entries(spark, tmp_path):
     nums = _entry_nums(cat)
     assert len(nums) <= 4 + 4, nums          # keep window + cadence lag
     assert cat.read("t").count() == 15       # serving state untouched
+
+
+def test_expire_entries_stale_hint_on_kept_root(spark, tmp_path):
+    """r16 review finding: a stalled publisher's stale ``_latest``
+    hint landing on a kept BELOW-WINDOW root (a tag pin) must not
+    stop latest_entry's forward probe at the gap expiry created —
+    pre-fix it returned the ancient entry and the next ``_publish``
+    re-minted an expired entry number with stale pins, erasing every
+    newer pin from 'latest' forever. The monotonic ``_floor`` marker
+    (raised BEFORE any deletion) clamps the hint above every gap."""
+    cat = AcidCatalog(spark, tmp_path / "cat")
+    cat.create_table("t", spark.createDataFrame([(0,)], "k long"))
+    _publish_n(cat, spark, 6)
+    tag_entry = cat.tag("keeper")            # entry 6 kept as a root
+    _publish_n(cat, spark, 10, start=6)
+    cat.expire_entries(keep_last=3)          # c7..c13 gone, c6 kept
+    head_pins = cat.snapshot()
+    assert (cat._commits / "_floor").read_text() == "14"
+    # the stalled publisher wakes and clobbers the hint with the root
+    (cat._commits / "_latest").write_text(str(tag_entry))
+    assert cat.latest_entry() == 16          # clamped past the gap
+    assert cat.snapshot() == head_pins
+    # and the next publish mints 17 — never an expired number
+    e = cat.commit_multi(
+        {"t": ("append", spark.createDataFrame([(1,)], "k long"))},
+        op="after")
+    assert e == 17
+    assert cat.snapshot()["t"] > head_pins["t"]
+
+
+def test_set_autovacuum_validates_expire_entries_keep(spark, tmp_path):
+    """A bad expire_entries_keep must fail at SET time, not raise from
+    inside every later maybe_autovacuum hook after the vacuum ran but
+    before the watermark marker landed (r16 review finding)."""
+    t = AcidTable.create(spark, tmp_path / "t",
+                         spark.createDataFrame([(0,)], "k long"))
+    with pytest.raises(ValueError, match="expire_entries_keep"):
+        t.set_autovacuum(every=4, keep_last=2, expire_entries_keep=0)
 
 
 EXPIRE_WRITER = r"""

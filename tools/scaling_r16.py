@@ -112,8 +112,11 @@ def rung_counter_merge(spark) -> str:
             n_files = len(t._manifest(t.latest_version())["files"])
             kind = "local" if mode != "pruned_scattered" \
                 else "scattered"
-            batch = _batch(spark, kind, vocab_n)
-            batch.count()          # materialize batch outside timing
+            # persist + count: count() alone caches nothing, so the
+            # timed commit would re-run batch synthesis inside the
+            # timing (r16 review finding)
+            batch = _batch(spark, kind, vocab_n).persist()
+            batch.count()
             if mode == "full":
                 t_m, v = _timed(lambda: t.merge_add(
                     batch, ["token"]))
@@ -131,6 +134,7 @@ def rung_counter_merge(spark) -> str:
             print(f"  counter {copies}x {mode}: {t_m}s "
                   f"rewrote {rewritten}/{n_files} files, {wrote} MB",
                   file=sys.stderr)
+            batch.unpersist()
             shutil.rmtree(root, ignore_errors=True)
     lines = [
         "\n\n## IVM counter-merge scale curve: full vs pruned "
@@ -204,7 +208,8 @@ def rung_pairs_log(spark) -> str:
                  .select((F.col("id") + 800_000_000).alias("doc1"),
                          (F.col("id") + 810_000_000).alias("doc2"),
                          F.lit(0.75).alias("est_jaccard")))
-        found.count()
+        found = found.persist()   # cache, or the timed commit re-runs
+        found.count()             # batch synthesis inside the timing
         per_mode = {}
         for mode in ("merge", "append"):
             root = SCRATCH / f"pairs_{mode}_{copies}"
@@ -222,6 +227,7 @@ def rung_pairs_log(spark) -> str:
             print(f"  pairs {copies}x {mode}: {t_c}s {wrote} MB",
                   file=sys.stderr)
             shutil.rmtree(root, ignore_errors=True)
+        found.unpersist()
         rows.append((copies, acc_n, per_mode))
     lines = [
         "\n\n## Results-log commit: MERGE vs fenced append-only "
