@@ -5004,8 +5004,8 @@ class AcidTable:
             # bounds): the find pass would be a full UNPRUNED scan
             # ahead of a near-total rewrite — the one-shot full-outer
             # merge writes the same bytes in one pass (the r16
-            # SCALING rung's scattered row: pruned 4.19 s vs full
-            # 2.53 s at 30x for identical MB). Fence semantics are
+            # SCALING rung's scattered row: pruned 3.53 s vs full
+            # 2.42 s at 30x for identical MB). Fence semantics are
             # identical (merge_add re-checks per attempt).
             return self.merge_add(partials, key, max_retries,
                                   app_id=app_id, batch_id=batch_id)
