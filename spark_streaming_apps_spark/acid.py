@@ -4998,15 +4998,35 @@ class AcidTable:
         vals = self._eq_prune_vals(dedup_keys, key[0])
         if vals is not None:
             eq_prune = (key[0], vals)
-        if part_in is None and eq_prune is None:
-            # no pruning signal survived the caps (batch spans more
-            # partition tuples / distinct keys than the driver-list
-            # bounds): the find pass would be a full UNPRUNED scan
-            # ahead of a near-total rewrite — the one-shot full-outer
-            # merge writes the same bytes in one pass (the r16
-            # SCALING rung's scattered row: pruned 3.53 s vs full
-            # 2.42 s at 30x for identical MB). Fence semantics are
-            # identical (merge_add re-checks per attempt).
+        prune_can_prune = part_in is not None or eq_prune is not None
+        if part_in is not None and eq_prune is None:
+            # partition tuples are the ONLY signal left (the batch's
+            # key list blew the eq-prune cap). If they cover every
+            # LIVE partition, the find pass cannot skip anything —
+            # a small-table/wide-batch regime (e.g. a text
+            # micro-batch whose vocabulary hashes into all 16 buckets
+            # at bench scale; at 100 TB the bucket count is the knob
+            # and batches cover a fraction). Metadata-only check: the
+            # manifest's partition set, read once, advisory (both
+            # paths are value-equal, so a racing commit can't make
+            # the choice wrong).
+            v = self.latest_version()
+            if v is not None:
+                live = {tuple(sorted((f.get("partition") or {})
+                                     .items()))
+                        for f in self._manifest(v).get("files", [])}
+                batch_parts = {tuple(sorted(d.items()))
+                               for d in part_in}
+                if live and live <= batch_parts:
+                    prune_can_prune = False
+        if not prune_can_prune:
+            # no pruning signal can skip a file: the find pass would
+            # be a full scan ahead of a near-total rewrite — the
+            # one-shot full-outer merge writes the same bytes in one
+            # pass (the r16 SCALING rung's scattered row: pruned
+            # 3.53 s vs full 2.42 s at 30x for identical MB). Fence
+            # semantics are identical (merge_add re-checks per
+            # attempt).
             return self.merge_add(partials, key, max_retries,
                                   app_id=app_id, batch_id=batch_id)
         with self._op_params(merge_key=list(key)):

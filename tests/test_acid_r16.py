@@ -119,6 +119,44 @@ def test_merge_add_pruned_wide_batch_falls_back_to_full(spark, tmp_path):
                               app_id="w", batch_id=7) is None
 
 
+def test_merge_add_pruned_total_partition_coverage_falls_back(
+        spark, tmp_path):
+    """When the batch's keys blow the eq-prune cap AND its partition
+    tuples cover every LIVE partition, the find pass cannot skip a
+    file — merge_add_pruned takes the one-shot full merge instead of
+    paying an unprunable probe (the small-table/wide-batch regime a
+    text micro-batch hits at bench scale). Partial coverage keeps the
+    pruned path."""
+    def cdf(n, bvals):
+        return (spark.range(n)
+                .select(F.col("id").alias("k"),
+                        (F.col("id") % len(bvals)).alias("b"),
+                        F.lit(1).alias("n")))
+    base = cdf(6000, [0, 1])
+    a = AcidTable.create(spark, tmp_path / "a", base,
+                         partition_by=["b"])
+    b = AcidTable.create(spark, tmp_path / "b", base,
+                         partition_by=["b"])
+    wide = cdf(5000, [0, 1])                  # >cap keys, both buckets
+    a.merge_add(wide, ["k", "b"])
+    v = b.merge_add_pruned(wide, ["k", "b"])
+    assert b._manifest(v)["op"] == "merge_add"      # fallback taken
+    sa = {(r.k, r.b): r.n for r in a.read().collect()}
+    sb = {(r.k, r.b): r.n for r in b.read().collect()}
+    assert sa == sb
+    # partial coverage (only bucket 0) stays on the pruned path even
+    # past the eq-prune cap: the untouched partition is carried
+    narrow = (spark.range(5000)
+              .select((F.col("id") * 2).alias("k"),
+                      F.lit(0).alias("b"), F.lit(1).alias("n")))
+    v2 = b.merge_add_pruned(narrow, ["k", "b"])
+    assert b._manifest(v2)["op"] == "merge_add_pruned"
+    a.merge_add(narrow, ["k", "b"])
+    sa = {(r.k, r.b): r.n for r in a.read().collect()}
+    sb = {(r.k, r.b): r.n for r in b.read().collect()}
+    assert sa == sb
+
+
 def test_merge_add_pruned_all_inserts_and_empty(spark, tmp_path):
     """A batch matching NO file still writes its rows (empty_noop=False
     — the inserts fall out of the full-outer join over the empty
