@@ -368,6 +368,23 @@ class AcidCatalog:
             raise ValueError("expire_entries: keep_last >= 1")
         if not self._commits.is_dir():
             return []
+        # STALE STAGING-TEMP sweep (the table vacuum's dotfile
+        # discipline, catalog twin): a publisher crash between
+        # write_text and atomic_replace leaks '._latest.*' /
+        # '._floor.*' pointer stages in commits/ — no entry ever
+        # references them, so entry expiry never sees them. Grace
+        # window so a live publisher mid-swap is never raced (the
+        # temp lives milliseconds on the happy path).
+        import time as _time
+        cutoff = _time.time() - 900
+        for p in self._commits.iterdir():
+            if not p.name.startswith(("._latest.", "._floor.")):
+                continue
+            try:
+                if p.stat().st_mtime < cutoff:
+                    p.unlink(missing_ok=True)
+            except OSError:
+                pass
         entries = sorted(int(p.stem[1:])
                          for p in self._commits.glob("c*.json"))
         if len(entries) <= keep_last:

@@ -422,6 +422,31 @@ def test_expire_entries_stale_hint_on_kept_root(spark, tmp_path):
     assert cat.snapshot()["t"] > head_pins["t"]
 
 
+def test_expire_entries_sweeps_stale_pointer_temps(spark, tmp_path):
+    """A publisher crash between write_text and atomic_replace leaks
+    '._latest.*'/'._floor.*' dotfile temps in commits/ — expire_entries
+    sweeps them past the grace window (the table vacuum's staging-temp
+    discipline), and never races a fresh one."""
+    import os
+    import time
+
+    cat = AcidCatalog(spark, tmp_path / "cat")
+    cat.create_table("t", spark.createDataFrame([(0,)], "k long"))
+    _publish_n(cat, spark, 2)
+    stale_l = cat._commits / "._latest.deadbeef"
+    stale_f = cat._commits / "._floor.deadbeef"
+    fresh = cat._commits / "._latest.cafecafe"
+    for p in (stale_l, stale_f, fresh):
+        p.write_text("0")
+    old = time.time() - 3600
+    os.utime(stale_l, (old, old))
+    os.utime(stale_f, (old, old))
+    cat.expire_entries(keep_last=16)         # no-entry-expiry path too
+    assert not stale_l.exists() and not stale_f.exists()
+    assert fresh.exists()                    # grace window respected
+    assert cat.latest_entry() == 2
+
+
 def test_set_autovacuum_validates_expire_entries_keep(spark, tmp_path):
     """A bad expire_entries_keep must fail at SET time, not raise from
     inside every later maybe_autovacuum hook after the vacuum ran but
