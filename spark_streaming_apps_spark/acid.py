@@ -5418,8 +5418,16 @@ class AcidTable:
             parent, croot = self.path.parent, self.path.parent.parent
             if parent.name == "tables" and (croot / "commits").is_dir():
                 from .acid_catalog import AcidCatalog
-                AcidCatalog(self.spark, croot).expire_entries(
-                    keep_last=int(ek))
+                try:
+                    AcidCatalog(self.spark, croot).expire_entries(
+                        keep_last=int(ek))
+                except OSError:
+                    # retention is hygiene, not correctness: a
+                    # transient IO failure (e.g. the floor-marker
+                    # write) must not fail the maintainer's batch or
+                    # wedge the hook mid-way between vacuum and the
+                    # watermark marker — the next cadence retries
+                    pass
         try:
             marker.write_text(str(v))
         except OSError:

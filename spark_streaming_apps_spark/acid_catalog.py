@@ -405,6 +405,7 @@ class AcidCatalog:
             tmp = self._commits / f"._floor.{_uuid.uuid4().hex[:8]}"
             tmp.write_text(str(floor))
             get_store().atomic_replace(tmp, fp)
+        crash_point("after_floor_raise")
         for tag in (self.root / "refs" / "tags").glob("*.json"):
             try:
                 e = json.loads(tag.read_text()).get("entry")

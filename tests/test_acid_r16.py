@@ -460,7 +460,7 @@ def test_set_autovacuum_validates_expire_entries_keep(spark, tmp_path):
 EXPIRE_WRITER = r"""
 import os, sys, json
 sys.path.insert(0, {repo!r})
-os.environ["SPARK_GRAFT_CRASH_POINT"] = "during_entry_expire"
+os.environ["SPARK_GRAFT_CRASH_POINT"] = {point!r}
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[2]")
          .config("spark.ui.enabled", "false").getOrCreate())
@@ -478,7 +478,8 @@ def test_expire_entries_crash_mid_delete(spark, tmp_path):
     cat.create_table("t", spark.createDataFrame([(0,)], "k long"))
     _publish_n(cat, spark, 12)
     before = cat.snapshot()
-    script = EXPIRE_WRITER.format(repo=REPO, root=str(cat.root))
+    script = EXPIRE_WRITER.format(repo=REPO, root=str(cat.root),
+                                  point="during_entry_expire")
     proc = subprocess.run([sys.executable, "-c", script],
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
@@ -491,3 +492,32 @@ def test_expire_entries_crash_mid_delete(spark, tmp_path):
     cat2.expire_entries(keep_last=3)
     assert _entry_nums(cat2) == [10, 11, 12]
     assert cat2.snapshot() == before
+
+
+def test_expire_entries_crash_after_floor_raise(spark, tmp_path):
+    """SIGKILL right after the ``_floor`` marker lands, before ANY
+    entry deletion: the floor is raised over an intact ledger — every
+    reader serves (the clamp can only land on an existing entry, the
+    probe walks forward normally), publishes keep minting, and the
+    re-run completes the expiry."""
+    cat = AcidCatalog(spark, tmp_path / "cat")
+    cat.create_table("t", spark.createDataFrame([(0,)], "k long"))
+    _publish_n(cat, spark, 12)
+    before = cat.snapshot()
+    script = EXPIRE_WRITER.format(repo=REPO, root=str(cat.root),
+                                  point="after_floor_raise")
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    cat2 = AcidCatalog(spark, cat.root)
+    assert (cat2._commits / "_floor").read_text() == "10"
+    assert _entry_nums(cat2) == list(range(13))   # nothing deleted
+    assert cat2.snapshot() == before
+    assert cat2.latest_entry() == 12
+    # a publish across the crash-era floor mints 13 normally
+    e = cat2.commit_multi(
+        {"t": ("append", spark.createDataFrame([(1,)], "k long"))},
+        op="after")
+    assert e == 13
+    cat2.expire_entries(keep_last=3)
+    assert _entry_nums(cat2) == [11, 12, 13]
