@@ -186,7 +186,14 @@ def _canon_probe(value, dtype) -> tuple[object, bool]:
 def bloom_may_contain(buf: bytes, value) -> bool:
     """Membership test against a ``build_bloom`` bitset. True means
     'maybe present' (open the file); False is definitive absence."""
-    pair = _bloom_pair(value)
+    return _bloom_hit(buf, _bloom_pair(value))
+
+
+def _bloom_hit(buf: bytes, pair: tuple[int, int] | None) -> bool:
+    """``bloom_may_contain`` with the value's hash pair precomputed —
+    a K-needle × N-file prune hashes each needle ONCE instead of once
+    per (file, needle) probe (the md5 dominated the driver-side prune
+    at 4096 needles; pure CPU, no behavior change)."""
     if pair is None or not buf:
         return True
     h1, h2 = pair
@@ -196,6 +203,25 @@ def bloom_may_contain(buf: bytes, value) -> bool:
         if not buf[p >> 3] & (1 << (p & 7)):
             return False
     return True
+
+
+def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Multiset equality of two same-schema DataFrames in ONE Spark
+    job / one shuffle: union the sides with a ±1 sign column, group by
+    every column (null-robust — grouping treats nulls as equal keys,
+    unlike a join condition), and ask whether any signed count is
+    non-zero. Value-equal to the classic two-``exceptAll().count()``
+    conjunction (each distinct row's multiplicity difference must be
+    zero) but computes each side ONCE and shuffles once, where the
+    exceptAll pair computes each input subtree twice and shuffles both
+    sides twice — the equality-pin primitive of the incremental-index
+    scenarios (guide §1.2: don't compute things you throw away)."""
+    cols = a.columns
+    signed = (a.select(*cols).withColumn("__s", F.lit(1))
+              .unionByName(b.select(*cols).withColumn("__s", F.lit(-1))))
+    diff = (signed.groupBy(*cols).agg(F.sum("__s").alias("__d"))
+            .filter(F.col("__d") != 0))
+    return diff.isEmpty()
 
 
 def normalize_change_types(df: DataFrame) -> DataFrame:
@@ -1860,14 +1886,19 @@ class AcidTable:
             dt = StructType.fromJson(m["schema"])[col].dataType
         except (KeyError, TypeError):
             dt = None
-        canon: list[tuple[object, bool]] = []
+        canon: list[tuple[object, bool, tuple[int, int] | None]] = []
         for value in values:
             if dt is not None:
-                canon.append(_canon_probe(value, dt))
+                v, probeable = _canon_probe(value, dt)
             else:
-                canon.append((value,
-                              isinstance(value, (int, str))
-                              and not isinstance(value, bool)))
+                v, probeable = (value,
+                                isinstance(value, (int, str))
+                                and not isinstance(value, bool))
+            # hash each needle ONCE for the whole file sweep — the
+            # per-(file, needle) md5 dominated the driver prune at
+            # _EQ_PRUNE_CAP needles
+            canon.append((v, probeable,
+                          _bloom_pair(v) if probeable else None))
         num = (int, float)
 
         def may_hold(f, value, probeable) -> tuple[bool, str | None]:
@@ -1898,7 +1929,7 @@ class AcidTable:
             side_vals: list = []
             side_rel: str | None = None
             kept = False
-            for value, probeable in canon:
+            for value, probeable, pair in canon:
                 ok, side = may_hold(f, value, probeable)
                 if not ok:
                     continue
@@ -1906,19 +1937,19 @@ class AcidTable:
                     kept = True      # survives without a bloom verdict
                     break
                 side_rel = side
-                side_vals.append(value)
+                side_vals.append(pair)
             if kept:
                 keep.append(path)
             elif side_vals:
                 to_probe.append(
                     (str(self.path / side_rel), path, side_vals))
 
-        def probe_one(side_path: str, vals: list) -> bool:
+        def probe_one(side_path: str, pairs: list) -> bool:
             try:
                 buf = Path(side_path).read_bytes()
             except OSError:
                 return True           # sidecar gone: keep the file
-            return any(bloom_may_contain(buf, v) for v in vals)
+            return any(_bloom_hit(buf, p) for p in pairs)
         if len(to_probe) <= 64:
             keep.extend(p for s, p, vals in to_probe
                         if probe_one(s, vals))
@@ -2845,21 +2876,40 @@ class AcidTable:
             for g in groups:
                 touched = touched.join(keys.toDF(*g), g, "left_anti")
             return touched
-        # partition pruning: sound only when EVERY group prunes (a row
-        # can match through any group, so the union of per-group tuple
-        # lists must cover all of them)
+        # ONE bounded collect serves the partition tuples of EVERY
+        # group and the stats/bloom prune values (previously one
+        # ``_partition_tuples_of`` job per group plus one
+        # ``_eq_prune_vals`` job). Partition pruning stays sound only
+        # when EVERY group prunes (a row can match through any group,
+        # so the union of per-group tuple lists must cover all of
+        # them).
+        krows = keys.limit(_EQ_PRUNE_CAP + 1).collect()
+        capped = len(krows) > _EQ_PRUNE_CAP
+        eq_prune = None
+        if not capped:
+            vals = list({r[kcols[0]] for r in krows})
+            eq_prune = [(g[0], vals) for g in groups]
+        pcols = self.partition_cols()
         part_in: list[dict] | None = []
         for g in groups:
-            pt = self._partition_tuples_of(keys.toDF(*g), key=g)
+            pt = None
+            if (pcols and {c.lower() for c in pcols}
+                    <= {c.lower() for c in g}):
+                if not capped:
+                    # map the key DataFrame's positional columns onto
+                    # this group's table columns, then project the
+                    # group's partition columns
+                    pos = {gc.lower(): kc for gc, kc in zip(g, kcols)}
+                    seen = {tuple(r[pos[c.lower()]] for c in pcols)
+                            for r in krows}
+                    pt = [dict(zip(pcols, t)) for t in seen]
+                else:
+                    pt = self._partition_tuples_of(keys.toDF(*g),
+                                                   key=g)
             if pt is None:
                 part_in = None
                 break
             part_in.extend(pt)
-        # capped key-value collect for stats/bloom pruning
-        eq_prune = None
-        vals = self._eq_prune_vals(keys, kcols[0])
-        if vals is not None:
-            eq_prune = [(g[0], vals) for g in groups]
         with self._op_params(delete_on=[list(g) for g in groups]):
             if self.dv_enabled():
                 return self._mor_retire(probe, None, "delete_semi_mor",
@@ -3834,17 +3884,45 @@ class AcidTable:
             return None
         return [{c: r[c] for c in pcols} for r in vals]
 
-    def _eq_prune_vals(self, keys: DataFrame, col: str) -> list | None:
-        """Capped distinct-value collect for stats/bloom find-pass
-        pruning — THE bounded-driver-list pattern (read_eq_any's cap,
-        graceful full-find fallback past it, never an unbounded
-        collect), shared by delete_semi / apply_cdf / merge_add_pruned
-        so the cap semantics can't silently diverge between the DML
-        kinds (r16 review finding). Returns the distinct values of
-        ``col`` in ``keys``, or None past ``_EQ_PRUNE_CAP``."""
-        vals = [r[0] for r in keys.select(col).distinct()
-                .limit(_EQ_PRUNE_CAP + 1).collect()]
-        return vals if len(vals) <= _EQ_PRUNE_CAP else None
+    def _batch_prune_signals(self, keys_df: DataFrame, key: list[str],
+                             prune_col: str
+                             ) -> tuple[int | None,
+                                        list[dict] | None,
+                                        tuple[str, list] | None]:
+        """ONE bounded collect serving every per-DML driver signal —
+        the keyed DML entries (apply_cdf / merge_add_pruned /
+        delete_semi) each needed up to three separate Spark jobs per
+        call (emptiness probe, ``_partition_tuples_of``,
+        ``_eq_prune_vals``) over the SAME distinct-key projection; one
+        ``limit(cap+1).collect()`` answers all three (guide §1.2:
+        remove redundant passes). ``keys_df`` must be the DISTINCT key
+        rows with exactly ``key``'s columns.
+
+        Returns ``(n, partition_in, eq_prune)``: ``n`` is the distinct
+        key-row count when it fits ``_EQ_PRUNE_CAP`` (0 = empty batch)
+        or None past the cap; past the cap the partition tuples fall
+        back to their own capped job (cap 10_000 > _EQ_PRUNE_CAP, so
+        tuple pruning can still engage) and ``eq_prune`` is None —
+        marginally more conservative than probing ``prune_col`` alone
+        (a multi-column key can blow the tuple cap while one column
+        stays narrow) but that regime has partition pruning on the
+        same column in every product layout, and the choice is
+        performance-only (both paths are value-equal)."""
+        rows = keys_df.limit(_EQ_PRUNE_CAP + 1).collect()
+        if len(rows) > _EQ_PRUNE_CAP:
+            return (None, self._partition_tuples_of(keys_df, key=key),
+                    None)
+        if not rows:
+            return 0, None, None
+        eq = (prune_col, list({r[prune_col] for r in rows}))
+        part_in = None
+        pcols = self.partition_cols()
+        if (pcols and all(c in keys_df.columns for c in pcols)
+                and {c.lower() for c in pcols}
+                <= {c.lower() for c in key}):
+            seen = {tuple(r[c] for c in pcols) for r in rows}
+            part_in = [dict(zip(pcols, t)) for t in seen]
+        return len(rows), part_in, eq
 
     def merge_keep_latest(self, updates: DataFrame, key: list[str],
                           version_col: str, max_retries: int = 20) -> int:
@@ -4196,7 +4274,16 @@ class AcidTable:
         dels = (changes.filter(F.col("_change_type") == "delete")
                 .select(*key).distinct())
         ins = changes.filter(F.col("_change_type") == "insert")
-        if dels.isEmpty():
+        # ONE bounded collect answers emptiness + partition tuples +
+        # the stats/bloom prune values (three separate jobs before);
+        # prefer a bloom-indexed key column for the equality prune —
+        # it makes a retire pass candidate-file-bounded (the
+        # dedup/text index shape)
+        prune_col = next((c for c in key if c in self.bloom_cols()),
+                         key[0])
+        n_dels, part_in, eq_prune = self._batch_prune_signals(
+            dels, key, prune_col)
+        if n_dels == 0:
             # pure-insert batch (the common arrival): O(delta) linked
             # append, no find-pass scan at all
             clean = ins.drop("_change_type", "_commit_version")
@@ -4209,19 +4296,6 @@ class AcidTable:
         # type) in ``changes`` — a retire pass shouldn't have to
         # fabricate null images of columns it never touches
         ins_empty = ins.isEmpty()
-
-        part_in = self._partition_tuples_of(dels, key=key)
-        # key-equality find-pass pruning: when the batch's delete keys
-        # fit a driver list, the find pass opens only files whose
-        # stats/bloom sidecars may hold one (bloom-indexed key columns
-        # make a retire pass candidate-file-bounded — the dedup/text
-        # index shape); prefer a bloom-indexed key column
-        eq_prune = None
-        prune_col = next((c for c in key if c in self.bloom_cols()),
-                         key[0])
-        vals = self._eq_prune_vals(dels, prune_col)
-        if vals is not None:
-            eq_prune = (prune_col, vals)
 
         if self.dv_enabled():
             ins_clean = (None if ins_empty else
@@ -4992,32 +5066,48 @@ class AcidTable:
                                + F.coalesce(F.col(f"__u_{c}"), zero))
                               .cast(types[c]).alias(c)
                               for c in val_cols]))
-        part_in = self._partition_tuples_of(partials, key=key)
-        # capped key-value collect for stats/bloom pruning
-        eq_prune = None
-        vals = self._eq_prune_vals(dedup_keys, key[0])
-        if vals is not None:
-            eq_prune = (key[0], vals)
+        # ONE bounded collect answers emptiness + partition tuples +
+        # the stats/bloom prune values (two separate jobs before)
+        _n, part_in, eq_prune = self._batch_prune_signals(
+            dedup_keys, key, key[0])
+        if _n == 0:
+            # empty batch: keep the pruned commit shape (same op name,
+            # carries every file, writes the empty insert) — the
+            # empty needle list prunes every file by itself
+            eq_prune = (key[0], [])
         prune_can_prune = part_in is not None or eq_prune is not None
-        if part_in is not None and eq_prune is None:
-            # partition tuples are the ONLY signal left (the batch's
-            # key list blew the eq-prune cap). If they cover every
-            # LIVE partition, the find pass cannot skip anything —
-            # a small-table/wide-batch regime (e.g. a text
-            # micro-batch whose vocabulary hashes into all 16 buckets
-            # at bench scale; at 100 TB the bucket count is the knob
-            # and batches cover a fraction). Metadata-only check: the
-            # manifest's partition set, read once, advisory (both
-            # paths are value-equal, so a racing commit can't make
-            # the choice wrong).
+        if _n != 0 and prune_can_prune:
+            # Would the find pass actually SKIP anything? Decide from
+            # the manifest + sidecars alone (driver-side, no Spark
+            # job): when every live file survives both the partition
+            # tuples and the stats/bloom probe — the small-table/
+            # wide-batch regime, e.g. a text micro-batch whose
+            # vocabulary hashes into all 16 buckets at bench scale;
+            # at 100 TB the bucket count is the knob and batches
+            # cover a fraction — the pruned shape pays a full-scan
+            # find pass ahead of a near-total rewrite, and the
+            # one-shot full merge writes the same bytes in one pass
+            # (the r16 SCALING rung's scattered row: pruned 3.53 s vs
+            # full 2.42 s at 30x for identical MB). Advisory and
+            # value-equal on both paths, so a racing commit can't
+            # make the choice wrong.
             v = self.latest_version()
             if v is not None:
-                live = {tuple(sorted((f.get("partition") or {})
-                                     .items()))
-                        for f in self._manifest(v).get("files", [])}
-                batch_parts = {tuple(sorted(d.items()))
-                               for d in part_in}
-                if live and live <= batch_parts:
+                m = self._manifest(v)
+                files = m.get("files") or []
+                eligible = files
+                if part_in is not None:
+                    eligible = [f for f in eligible if not
+                                f.get("partition")
+                                or any(_pins_match(f["partition"], p)
+                                       for p in part_in)]
+                if files and len(eligible) == len(files) \
+                        and eq_prune is not None:
+                    keep, total = self.pruned_files_in(
+                        eq_prune[0], eq_prune[1], v)
+                    if len(keep) == total:
+                        prune_can_prune = False
+                elif files and len(eligible) == len(files):
                     prune_can_prune = False
         if not prune_can_prune:
             # no pruning signal can skip a file: the find pass would

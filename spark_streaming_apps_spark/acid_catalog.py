@@ -49,88 +49,110 @@ def _apply_writes(table_of, writes: dict[str, tuple],
     """The transaction write dispatch shared by main-catalog and
     branch commits — each table's change goes through that table's own
     optimistic loop; the caller decides which POINTER pins the
-    resulting versions. ``table_of(name) -> AcidTable``."""
-    new_pins: dict[str, int] = {}
-    for name, spec in writes.items():
-        t = table_of(name)
-        kind = spec[0]
-        if kind == "append":
-            v = t.append(spec[1], max_retries=max_retries)
-        elif kind == "append_txn":
-            # fenced: a replayed (app_id, batch_id) commits NOTHING
-            # (returns None) — pin the version at which the fenced
-            # batch ACTUALLY committed, not latest_version(): latest
-            # may include a concurrent transaction's committed-but-
-            # unpinned version of this table, and publishing that pin
-            # would expose one half of the other transaction early
-            # (torn cross-table read in a double-crash interleaving)
-            v = t.append_txn(spec[1], spec[2], spec[3],
-                             max_retries=max_retries)
+    resulting versions. ``table_of(name) -> AcidTable``.
+
+    DIFFERENT tables' commits are independent until the pointer
+    publishes (readers serve the previous entry across any partial
+    state — the crash-window contract), so a multi-table transaction
+    runs them from a small thread pool: each commit is a chain of
+    short Spark jobs whose driver round-trips would otherwise
+    serialize; overlapped, the next table's tasks back-fill executors
+    the current one's tail leaves idle (guide §2.6). Single-write
+    transactions keep the plain in-thread path. Commit ORDER between
+    tables was never part of the contract (concurrent single-table
+    writers already interleave with a transaction); a failure in any
+    write re-raises after the pool drains, leaving the same
+    at-least-once partial state a sequential failure could."""
+    if len(writes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, len(writes))) as ex:
+            futs = {name: ex.submit(_apply_one, table_of(name), name,
+                                    spec, max_retries)
+                    for name, spec in writes.items()}
+            return {name: f.result() for name, f in futs.items()}
+    return {name: _apply_one(table_of(name), name, spec, max_retries)
+            for name, spec in writes.items()}
+
+
+def _apply_one(t, name: str, spec: tuple, max_retries: int) -> int:
+    """Dispatch ONE table's write spec through its optimistic loop."""
+    kind = spec[0]
+    if kind == "append":
+        v = t.append(spec[1], max_retries=max_retries)
+    elif kind == "append_txn":
+        # fenced: a replayed (app_id, batch_id) commits NOTHING
+        # (returns None) — pin the version at which the fenced
+        # batch ACTUALLY committed, not latest_version(): latest
+        # may include a concurrent transaction's committed-but-
+        # unpinned version of this table, and publishing that pin
+        # would expose one half of the other transaction early
+        # (torn cross-table read in a double-crash interleaving)
+        v = t.append_txn(spec[1], spec[2], spec[3],
+                         max_retries=max_retries)
+        if v is None:
+            v = t.txn_version(spec[2], spec[3])
             if v is None:
-                v = t.txn_version(spec[2], spec[3])
-                if v is None:
-                    # legacy chain predating per-commit txn markers:
-                    # fall back to latest (pre-fix behavior)
-                    v = t.latest_version()
-        elif kind == "apply_cdf":
-            # ("apply_cdf", changes_df, key_list[, app_id, batch_id])
-            # — one commit applying a CDF batch (inserts appended,
-            # delete keys' files rewritten); the 5-tuple form is
-            # fenced like append_txn, with the same replay pin rule
-            if len(spec) == 5:
-                v = t.apply_cdf(spec[1], spec[2], spec[3], spec[4],
-                                max_retries=max_retries)
-                if v is None:
-                    v = t.txn_version(spec[3], spec[4])
-                    if v is None:
-                        v = t.latest_version()
-            elif len(spec) == 3:
-                v = t.apply_cdf(spec[1], spec[2],
-                                max_retries=max_retries)
-            else:
-                # a 4-tuple is a caller who MEANT the fence but forgot
-                # batch_id — refusing beats silently running unfenced
-                raise ValueError(
-                    f"apply_cdf spec for table {name!r} must be "
-                    f"(kind, changes, key) or (kind, changes, key, "
-                    f"app_id, batch_id); got {len(spec)} elements")
-        elif kind == "merge":
-            v = t.merge(spec[1], spec[2], max_retries=max_retries)
-        elif kind == "merge_add":
-            v = t.merge_add(spec[1], spec[2], max_retries=max_retries)
-        elif kind == "merge_add_txn":
-            # fenced additive counters: a replayed (app_id, batch_id)
-            # adds nothing — same replay pin rule as append_txn
-            v = t.merge_add(spec[1], spec[2], max_retries=max_retries,
-                            app_id=spec[3], batch_id=spec[4])
-            if v is None:
-                v = t.txn_version(spec[3], spec[4])
-                if v is None:
-                    v = t.latest_version()
-        elif kind == "merge_add_pruned":
-            # touched-file-pruned additive counters — O(touched files)
-            # per batch on a key-clustered counter table, not O(table)
-            v = t.merge_add_pruned(spec[1], spec[2],
-                                   max_retries=max_retries)
-        elif kind == "merge_add_pruned_txn":
-            # fenced twin — same replay pin rule as merge_add_txn
-            v = t.merge_add_pruned(spec[1], spec[2],
-                                   max_retries=max_retries,
-                                   app_id=spec[3], batch_id=spec[4])
+                # legacy chain predating per-commit txn markers:
+                # fall back to latest (pre-fix behavior)
+                v = t.latest_version()
+    elif kind == "apply_cdf":
+        # ("apply_cdf", changes_df, key_list[, app_id, batch_id])
+        # — one commit applying a CDF batch (inserts appended,
+        # delete keys' files rewritten); the 5-tuple form is
+        # fenced like append_txn, with the same replay pin rule
+        if len(spec) == 5:
+            v = t.apply_cdf(spec[1], spec[2], spec[3], spec[4],
+                            max_retries=max_retries)
             if v is None:
                 v = t.txn_version(spec[3], spec[4])
                 if v is None:
                     v = t.latest_version()
-        elif kind == "delete":
-            v = t.delete_where(spec[1], max_retries=max_retries)
-        elif kind == "update":
-            v = t.update_where(spec[1], spec[2],
-                               max_retries=max_retries)
+        elif len(spec) == 3:
+            v = t.apply_cdf(spec[1], spec[2],
+                            max_retries=max_retries)
         else:
-            raise ValueError(f"unknown write kind {kind!r} for "
-                             f"table {name!r}")
-        new_pins[name] = v
-    return new_pins
+            # a 4-tuple is a caller who MEANT the fence but forgot
+            # batch_id — refusing beats silently running unfenced
+            raise ValueError(
+                f"apply_cdf spec for table {name!r} must be "
+                f"(kind, changes, key) or (kind, changes, key, "
+                f"app_id, batch_id); got {len(spec)} elements")
+    elif kind == "merge":
+        v = t.merge(spec[1], spec[2], max_retries=max_retries)
+    elif kind == "merge_add":
+        v = t.merge_add(spec[1], spec[2], max_retries=max_retries)
+    elif kind == "merge_add_txn":
+        # fenced additive counters: a replayed (app_id, batch_id)
+        # adds nothing — same replay pin rule as append_txn
+        v = t.merge_add(spec[1], spec[2], max_retries=max_retries,
+                        app_id=spec[3], batch_id=spec[4])
+        if v is None:
+            v = t.txn_version(spec[3], spec[4])
+            if v is None:
+                v = t.latest_version()
+    elif kind == "merge_add_pruned":
+        # touched-file-pruned additive counters — O(touched files)
+        # per batch on a key-clustered counter table, not O(table)
+        v = t.merge_add_pruned(spec[1], spec[2],
+                               max_retries=max_retries)
+    elif kind == "merge_add_pruned_txn":
+        # fenced twin — same replay pin rule as merge_add_txn
+        v = t.merge_add_pruned(spec[1], spec[2],
+                               max_retries=max_retries,
+                               app_id=spec[3], batch_id=spec[4])
+        if v is None:
+            v = t.txn_version(spec[3], spec[4])
+            if v is None:
+                v = t.latest_version()
+    elif kind == "delete":
+        v = t.delete_where(spec[1], max_retries=max_retries)
+    elif kind == "update":
+        v = t.update_where(spec[1], spec[2],
+                           max_retries=max_retries)
+    else:
+        raise ValueError(f"unknown write kind {kind!r} for "
+                         f"table {name!r}")
+    return v
 
 
 class AcidCatalog:

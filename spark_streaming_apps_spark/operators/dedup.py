@@ -24,6 +24,7 @@ id offset) gives the detectors real positives in the fixture corpus.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 SHINGLE_K = 3
@@ -1546,18 +1547,21 @@ def dedup_incremental(spark, sf_dir: str, scratch) -> DataFrame:
     # pin_sec split (r15 ADVICE): the full recompute IS the pin's
     # point, not serving cost — timed separately so the headline row
     # approaches the actual incremental cost (telemetry.py)
+    # each equality is ONE signed-groupBy job (multiset_equal): the
+    # old exceptAll pair computed every input subtree twice — the full
+    # minhash recompute and the fresh signature build are the two most
+    # expensive subtrees in the scenario (guide §1.2)
+    from ..acid import multiset_equal
     with telemetry.timed("dedup_incremental.pin_sec"):
         full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
                 .filter((F.col("doc1") % BATCH_MOD == BATCH_REM)
                         | (F.col("doc2") % BATCH_MOD == BATCH_REM))
                 .filter((F.col("doc1") % BATCH_MOD != DEL_REM)
                         & (F.col("doc2") % BATCH_MOD != DEL_REM)))
-        matches_full = (pairs.exceptAll(full).count() == 0
-                        and full.exceptAll(pairs).count() == 0)
+        matches_full = multiset_equal(pairs, full)
         fresh = _sig_of(docs.filter(~deleted))
         idx_now = cat.read("sigs")
-        index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
-                             and fresh.exceptAll(idx_now).count() == 0)
+        index_fresh_equal = multiset_equal(idx_now, fresh)
     return (pairs
             .withColumn("matches_full", F.lit(bool(matches_full)))
             .withColumn("index_fresh_equal",
@@ -1641,6 +1645,18 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
     pairs_t.set_autovacuum(every=8, keep_last=4)
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
+        # persist the in-hand micro-batch first: the emptiness probes,
+        # the signing pass, and the retire path's find/rewrite passes
+        # each re-execute the Python-DataSource read of the change
+        # files otherwise — one boundary crossing per batch, not one
+        # per action (guide §4/§5; a micro-batch is a bounded cache)
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _maintain_batch(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _maintain_batch(batch: DataFrame, batch_id: int) -> None:
         dels = (batch.filter(F.col("_change_type") == "delete")
                 .select("doc_id").distinct())
         if not dels.isEmpty():
@@ -1706,15 +1722,16 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
                 BATCH_REM, (BATCH_REM + 1) % BATCH_MOD)
         alive = ((F.col("doc1") % BATCH_MOD != DEL_REM)
                  & (F.col("doc2") % BATCH_MOD != DEL_REM))
+        # one signed-groupBy job per equality (multiset_equal): the
+        # exceptAll pair computed each expensive subtree twice
+        from ..acid import multiset_equal
         full = (minhash_pairs(load_table(spark, sf_dir, "documents"))
                 .filter(touches & alive))
-        matches_full = (got.exceptAll(full).count() == 0
-                        and full.exceptAll(got).count() == 0)
+        matches_full = multiset_equal(got, full)
         fresh = _sig_of(docs.filter(
             F.col("doc_id") % BATCH_MOD != DEL_REM))
         idx_now = cat.read("sigs")
-        index_fresh_equal = (idx_now.exceptAll(fresh).count() == 0
-                             and fresh.exceptAll(idx_now).count() == 0)
+        index_fresh_equal = multiset_equal(idx_now, fresh)
     return (got
             .withColumn("matches_full", F.lit(bool(matches_full)))
             .withColumn("index_fresh_equal",

@@ -23,6 +23,7 @@ import shutil
 import uuid
 from pathlib import Path
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 N_CELLS = 32  # ~sqrt(fixture corpus); at 100 TB cells scale with √n
@@ -1853,6 +1854,19 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
         partition_by=["cell"], enable_dv=True)
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
+        # persist the in-hand micro-batch first: every action below
+        # (the emptiness probes, apply_cdf's find/rewrite passes and
+        # prune collects) otherwise re-executes the Python-DataSource
+        # read of the change files AND the centroid-assignment
+        # cross-join — one boundary crossing + one assignment per
+        # batch, not one per action (guide §4/§5)
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _maintain_batch(batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _maintain_batch(batch: DataFrame, batch_id: int) -> None:
         # assign deletes and inserts SEPARATELY: _km_assign groups by
         # vec_id, so a same-vec_id delete+insert pair (a source UPDATE
         # in one micro-batch) would collapse to one arbitrary row.
@@ -1917,11 +1931,13 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
     emb_final = emb.filter(f"NOT ({IVF_INC_DELETE_PRED})")
     from .. import telemetry
     with telemetry.timed("ivf_incremental_index.pin_sec"):
+        # one signed-groupBy job (multiset_equal): the exceptAll pair
+        # ran the from-scratch assignment cross-join twice
+        from ..acid import multiset_equal
         fresh = _km_assign(emb_final, cents).select(
             "vec_id", "label", "e", "cell")
         now = idx.read().select("vec_id", "label", "e", "cell")
-        index_fresh_equal = (now.exceptAll(fresh).count() == 0
-                             and fresh.exceptAll(now).count() == 0)
+        index_fresh_equal = multiset_equal(now, fresh)
 
     # ---- serve: probe cells' PARTITIONS only ------------------------
     qe = (emb.filter(F.col("vec_id") == query_vec_id)

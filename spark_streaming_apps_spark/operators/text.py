@@ -11,6 +11,9 @@ Everything is JVM array/string expressions — no Python in the hot path; a
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 FP_MOD = 1_000_000_007
@@ -857,12 +860,39 @@ def _tbucket(col: str = "token"):
                   F.lit(TEXT_BUCKETS)).cast("int")
 
 
-def _index_batch_tables(docs: DataFrame):
-    """(postings, doc_len, term_df partials, corpus partials) for one
-    document batch — the O(batch) signing pass of the text index."""
-    toks = (docs.select("doc_id", _tokens().alias("tk"))
+def _toks_of(docs: DataFrame) -> DataFrame:
+    """The tokenize root of the index partials — the one expensive
+    pass over a batch's text. Callers that feed MULTIPLE Spark actions
+    from it (the per-batch maintenance commit runs ~7: two appends,
+    the pruned counter merge's find/rewrite passes, the prune
+    collects) persist it so the regexp-split/explode pass runs once
+    per batch, not once per action (guide §5: cache exactly what is
+    reused and expensive to recompute; a micro-batch is bounded, so
+    the cached footprint is O(batch))."""
+    return (docs.select("doc_id", _tokens().alias("tk"))
             .withColumn("dl", F.size("tk"))
             .filter(F.col("dl") > 0))
+
+
+@contextmanager
+def _cached_toks(docs: DataFrame):
+    """Persist the tokenize root for the duration of one maintenance
+    commit; released in ``finally`` so a forever-running maintainer
+    never accumulates block-manager entries."""
+    toks = _toks_of(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        yield toks
+    finally:
+        toks.unpersist()
+
+
+def _index_batch_tables(docs: DataFrame, toks: DataFrame | None = None):
+    """(postings, doc_len, term_df partials, corpus partials) for one
+    document batch — the O(batch) signing pass of the text index.
+    Pass a (persisted) ``toks`` to share the tokenize root across the
+    four derived tables' actions."""
+    if toks is None:
+        toks = _toks_of(docs)
     postings = (toks.select("doc_id", "dl",
                             F.explode("tk").alias("token"))
                 .groupBy("token", "doc_id")
@@ -897,7 +927,6 @@ def text_index_maintain(cat, docs: DataFrame,
     exactly-once from an at-least-once stream (round 13's merge_add
     double-count caveat, closed by the fenced merge_add). Without it,
     at-most-once callers only (batch jobs)."""
-    postings, doc_len, term_df, corpus = _index_batch_tables(docs)
     # term_df rides the PRUNED additive merge: the find pass semi-joins
     # the batch's vocabulary against a key-column-only scan (partition-
     # pruned to the batch's token buckets first), rewrites only the
@@ -906,14 +935,20 @@ def text_index_maintain(cat, docs: DataFrame,
     # grows (merge_add's full-outer shape rewrote the WHOLE counter
     # table every micro-batch: O(vocabulary), the r15 scale finding).
     # corpus_stats is one row — the plain merge_add IS O(batch) there.
-    e = cat.commit_multi(
-        _fenced_writes({
-            "postings": ("append", postings),
-            "doc_len": ("append", doc_len),
-            "term_df": ("merge_add_pruned", term_df,
-                        ["token", "tbucket"]),
-            "corpus_stats": ("merge_add", corpus, ["id"]),
-        }, txn), op="text_index_maintain")
+    # The tokenize root is persisted across the transaction's actions
+    # (two appends + the counter merges' find/rewrite/prune passes
+    # each re-executed it — ~6 redundant tokenize passes per batch).
+    with _cached_toks(docs) as toks:
+        postings, doc_len, term_df, corpus = _index_batch_tables(
+            docs, toks)
+        e = cat.commit_multi(
+            _fenced_writes({
+                "postings": ("append", postings),
+                "doc_len": ("append", doc_len),
+                "term_df": ("merge_add_pruned", term_df,
+                            ["token", "tbucket"]),
+                "corpus_stats": ("merge_add", corpus, ["id"]),
+            }, txn), op="text_index_maintain")
     # maintenance hygiene on the append-only surfaces: small-file
     # folds are opt-in (table property), the DV bound is maintainer
     # policy, autovacuum reclaims history when opted in (counters
@@ -967,37 +1002,42 @@ def text_index_apply(cat, changes: DataFrame,
            .select("doc_id", "text"))
     dels = (changes.filter(F.col("_change_type") == "delete")
             .select("doc_id", "text"))
-    p_i, dl_i, df_i, c_i = _index_batch_tables(ins)
-    p_d, dl_d, df_d, c_d = _index_batch_tables(dels)
-    post_ch = (p_i.withColumn("_change_type", F.lit("insert"))
-               .unionByName(
-                   p_d.withColumn("_change_type", F.lit("delete"))))
-    dl_ch = (dl_i.withColumn("_change_type", F.lit("insert"))
-             .unionByName(
-                 dl_d.withColumn("_change_type", F.lit("delete"))))
-    df_signed = (df_i.select("token", "df").unionByName(
-        df_d.select("token", (-F.col("df")).alias("df")))
-        .groupBy("token").agg(F.sum("df").alias("df"))
-        .withColumn("tbucket", _tbucket()))
-    c_signed = (c_i.unionByName(
-        c_d.select("id", (-F.col("n_docs")).alias("n_docs"),
-                   (-F.col("sum_dl")).alias("sum_dl")))
-        .groupBy("id").agg(
-            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
-            .alias("n_docs"),
-            # sum over an EMPTY side is NULL, not 0 — coalesce so an
-            # insert-only or delete-only batch never poisons the
-            # additive counter with NULL
-            F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long")
-            .alias("sum_dl")))
-    e = cat.commit_multi(
-        _fenced_writes({
-            "postings": ("apply_cdf", post_ch, ["doc_id"]),
-            "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
-            "term_df": ("merge_add_pruned", df_signed,
-                        ["token", "tbucket"]),
-            "corpus_stats": ("merge_add", c_signed, ["id"]),
-        }, txn), op="text_index_apply")
+    # Both sides' tokenize roots are persisted across the whole linked
+    # transaction: the four table writes plus the pruned merge's
+    # find/rewrite/prune passes each re-executed the regexp-split/
+    # explode pass otherwise (guide §5 — bounded micro-batch cache).
+    with _cached_toks(ins) as toks_i, _cached_toks(dels) as toks_d:
+        p_i, dl_i, df_i, c_i = _index_batch_tables(ins, toks_i)
+        p_d, dl_d, df_d, c_d = _index_batch_tables(dels, toks_d)
+        post_ch = (p_i.withColumn("_change_type", F.lit("insert"))
+                   .unionByName(
+                       p_d.withColumn("_change_type", F.lit("delete"))))
+        dl_ch = (dl_i.withColumn("_change_type", F.lit("insert"))
+                 .unionByName(
+                     dl_d.withColumn("_change_type", F.lit("delete"))))
+        df_signed = (df_i.select("token", "df").unionByName(
+            df_d.select("token", (-F.col("df")).alias("df")))
+            .groupBy("token").agg(F.sum("df").alias("df"))
+            .withColumn("tbucket", _tbucket()))
+        c_signed = (c_i.unionByName(
+            c_d.select("id", (-F.col("n_docs")).alias("n_docs"),
+                       (-F.col("sum_dl")).alias("sum_dl")))
+            .groupBy("id").agg(
+                F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+                .alias("n_docs"),
+                # sum over an EMPTY side is NULL, not 0 — coalesce so an
+                # insert-only or delete-only batch never poisons the
+                # additive counter with NULL
+                F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("long")
+                .alias("sum_dl")))
+        e = cat.commit_multi(
+            _fenced_writes({
+                "postings": ("apply_cdf", post_ch, ["doc_id"]),
+                "doc_len": ("apply_cdf", dl_ch, ["doc_id"]),
+                "term_df": ("merge_add_pruned", df_signed,
+                            ["token", "tbucket"]),
+                "corpus_stats": ("merge_add", c_signed, ["id"]),
+            }, txn), op="text_index_apply")
     # the retires land as deletion-vector entries (enable_dv tables):
     # fold the vector once it passes the maintainer's bound, so a
     # retire stream's per-scan anti-join tax and per-commit sidecar
@@ -1054,7 +1094,10 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     root = _P(scratch) / f"text_index_{_P(sf_dir).name}"
     shutil.rmtree(root, ignore_errors=True)
     cat = AcidCatalog(spark, root)
-    postings, doc_len, term_df, corpus = _index_batch_tables(initial)
+    # the four initial-table writes share one persisted tokenize pass
+    _toks0 = _toks_of(initial).persist(StorageLevel.MEMORY_AND_DISK)
+    postings, doc_len, term_df, corpus = _index_batch_tables(
+        initial, _toks0)
     # token-bucket PARTITIONING + token bloom sidecars make the SERVE
     # side a point lookup: each file holds ONE bucket's tokens (so the
     # sidecars prune frequent terms too, see TEXT_BUCKETS) and a BM25
@@ -1075,6 +1118,7 @@ def text_index_incremental(spark, sf_dir: str, scratch,
     cat.create_table("term_df", term_df,
                      partition_by=["tbucket"], bloom_by=["token"])
     cat.create_table("corpus_stats", corpus)
+    _toks0.unpersist()
     text_index_maintain(cat, b1)                 # O(batch) arrival
     # MIXED batch: the second arrival lands together with a retention
     # DELETE of an initial-corpus slice — one linked transaction
@@ -1146,14 +1190,18 @@ def _bm25_serve(cat, terms: tuple[str, ...], k: int) -> DataFrame:
 def _counters_fresh_equal(cat, final_docs: DataFrame) -> bool:
     """Pin: the MAINTAINED counters equal a full recount over the
     final corpus. df=0 counter rows are semantically absent (their
-    postings are gone) and excluded."""
-    _, _, fresh_df, fresh_corpus = _index_batch_tables(final_docs)
-    now_df = cat.read("term_df").filter("df > 0")
-    df_equal = (now_df.exceptAll(fresh_df).count() == 0
-                and fresh_df.exceptAll(now_df).count() == 0)
-    now_c = cat.read("corpus_stats").select("id", "n_docs", "sum_dl")
-    c_equal = (now_c.exceptAll(fresh_corpus).count() == 0
-               and fresh_corpus.exceptAll(now_c).count() == 0)
+    postings are gone) and excluded. Each equality runs as ONE signed
+    groupBy job (``multiset_equal``) over a shared persisted tokenize
+    pass — the old exceptAll pair re-tokenized the full final corpus
+    four times."""
+    from ..acid import multiset_equal
+    with _cached_toks(final_docs) as toks:
+        _, _, fresh_df, fresh_corpus = _index_batch_tables(
+            final_docs, toks)
+        now_df = cat.read("term_df").filter("df > 0")
+        df_equal = multiset_equal(now_df, fresh_df)
+        now_c = cat.read("corpus_stats").select("id", "n_docs", "sum_dl")
+        c_equal = multiset_equal(now_c, fresh_corpus)
     return df_equal and c_equal
 
 
@@ -1213,7 +1261,10 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
     src = AcidTable.create(spark, root / "documents", initial,
                            enable_cdf=True)
     cat = AcidCatalog(spark, root / "index")
-    postings, doc_len, term_df, corpus = _index_batch_tables(initial)
+    # the four initial-table writes share one persisted tokenize pass
+    _toks0 = _toks_of(initial).persist(StorageLevel.MEMORY_AND_DISK)
+    postings, doc_len, term_df, corpus = _index_batch_tables(
+        initial, _toks0)
     # enable_dv on the retire surfaces: a doc_id-keyed retention
     # delete scatters across every bucket's files (the worst COW
     # case) — deletion vectors make it O(matched rows); compaction
@@ -1228,26 +1279,38 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
     cat.create_table("term_df", term_df,
                      partition_by=["tbucket"], bloom_by=["token"])
     cat.create_table("corpus_stats", corpus)
+    _toks0.unpersist()
 
     def maintain(batch: DataFrame, batch_id: int) -> None:
-        ch = batch.select("doc_id", "text", "_change_type")
-        if ch.isEmpty():
-            return
-        # ONE fenced linked transaction per micro-batch across all
-        # four index tables — replays re-commit nothing anywhere.
-        # Delete-carrying batches record their wall cost as the key's
-        # retire_sec split (telemetry.py — bench comparability; the
-        # isEmpty probe scans only the in-hand micro-batch)
-        from contextlib import nullcontext
+        # persist the in-hand micro-batch first: every action below
+        # (emptiness probes, the four table writes, the prune
+        # collects) otherwise re-executes the Python-DataSource read
+        # of the change files — one boundary crossing per batch, not
+        # one per action (guide §4: the JVM↔Python boundary is the
+        # cost you control; §5: a micro-batch is a bounded cache)
+        ch = (batch.select("doc_id", "text", "_change_type")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            if ch.isEmpty():
+                return
+            # ONE fenced linked transaction per micro-batch across all
+            # four index tables — replays re-commit nothing anywhere.
+            # Delete-carrying batches record their wall cost as the
+            # key's retire_sec split (telemetry.py — bench
+            # comparability; the isEmpty probe scans only the in-hand
+            # micro-batch)
+            from contextlib import nullcontext
 
-        from .. import telemetry
-        has_del = not ch.filter(
-            F.col("_change_type") == "delete").isEmpty()
-        ctx = (telemetry.timed(
-            "text_index_incremental_stream.retire_sec")
-            if has_del else nullcontext())
-        with ctx:
-            text_index_apply(cat, ch, txn=("text-maint", batch_id))
+            from .. import telemetry
+            has_del = not ch.filter(
+                F.col("_change_type") == "delete").isEmpty()
+            ctx = (telemetry.timed(
+                "text_index_incremental_stream.retire_sec")
+                if has_del else nullcontext())
+            with ctx:
+                text_index_apply(cat, ch, txn=("text-maint", batch_id))
+        finally:
+            ch.unpersist()
 
     spark.dataSource.register(AcidCdfParallelStreamDataSource)
     stream = (spark.readStream.format("acidtable-cdf-parallel")
