@@ -433,7 +433,13 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(times),
-        "queries": {"total": round(sum(times.values()), 3)},
+        # the per-key map RIDES THE LAST LINE so the driver's bounded
+        # tail capture gets per-key attribution (r16 PERF had
+        # n_common=1: the map only rode the first line, which the tail
+        # truncated). ~2.5 KB for 127 keys — well within a tail.
+        # "total" is kept: entries are only ever added, never
+        # removed/renamed (driver contract).
+        "queries": {"total": round(sum(times.values()), 3), **times},
     }
     print(json.dumps(out))
 

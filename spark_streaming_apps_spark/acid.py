@@ -217,6 +217,18 @@ def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     sides twice — the equality-pin primitive of the incremental-index
     scenarios (guide §1.2: don't compute things you throw away)."""
     cols = a.columns
+    # the exceptAll pair this replaces raised on schema drift; keep
+    # that contract — a silent unionByName type-coercion or a caller
+    # colliding with the sentinel names would return an over-lenient
+    # verdict instead of erroring (r16 ADVICE)
+    if set(cols) != set(b.columns):
+        raise ValueError(
+            f"multiset_equal: column sets differ: {sorted(cols)} vs "
+            f"{sorted(b.columns)}")
+    if "__s" in cols or "__d" in cols:
+        raise ValueError(
+            "multiset_equal: input carries a reserved sentinel column "
+            "('__s'/'__d')")
     signed = (a.select(*cols).withColumn("__s", F.lit(1))
               .unionByName(b.select(*cols).withColumn("__s", F.lit(-1))))
     diff = (signed.groupBy(*cols).agg(F.sum("__s").alias("__d"))
@@ -1876,6 +1888,23 @@ class AcidTable:
         bench scenario's no-false-negative audit collapses from K
         Spark jobs to one."""
         v = self.latest_version() if version is None else version
+        # memoized per (version, col, needles): a keyed DML's advisory
+        # would-anything-prune check and _cow_commit's find pass probe
+        # the SAME immutable manifest+sidecars — the sidecar sweep
+        # (and its >64-file Spark job) must run once per attempt, not
+        # twice (r16 ADVICE). Manifests and sidecar bytes are
+        # immutable per version, so the memo is sound; unhashable
+        # needle values just skip it.
+        try:
+            memo_key = (v, col, tuple(values))
+        except TypeError:
+            memo_key = None
+        memo = getattr(self, "_prune_memo", None)
+        if memo is None:
+            memo = self._prune_memo = {}
+        if memo_key is not None and memo_key in memo:
+            keep, total = memo[memo_key]
+            return list(keep), total
         m = self._manifest(v)
         files = m.get("files")
         if not files:
@@ -1889,16 +1918,16 @@ class AcidTable:
         canon: list[tuple[object, bool, tuple[int, int] | None]] = []
         for value in values:
             if dt is not None:
-                v, probeable = _canon_probe(value, dt)
+                cv, probeable = _canon_probe(value, dt)
             else:
-                v, probeable = (value,
-                                isinstance(value, (int, str))
-                                and not isinstance(value, bool))
+                cv, probeable = (value,
+                                 isinstance(value, (int, str))
+                                 and not isinstance(value, bool))
             # hash each needle ONCE for the whole file sweep — the
             # per-(file, needle) md5 dominated the driver prune at
             # _EQ_PRUNE_CAP needles
-            canon.append((v, probeable,
-                          _bloom_pair(v) if probeable else None))
+            canon.append((cv, probeable,
+                          _bloom_pair(cv) if probeable else None))
         num = (int, float)
 
         def may_hold(f, value, probeable) -> tuple[bool, str | None]:
@@ -1961,6 +1990,10 @@ class AcidTable:
             keep.extend(self.spark.sparkContext.parallelize(
                 to_probe, max(1, min(len(to_probe) // 32, 256)))
                 .mapPartitions(work).collect())
+        if memo_key is not None:
+            if len(memo) >= 8:
+                memo.clear()         # tiny working set: advisory + find
+            memo[memo_key] = (tuple(keep), len(files))
         return keep, len(files)
 
     def read_eq_any(self, col: str, values: list,
@@ -2889,6 +2922,17 @@ class AcidTable:
         if not capped:
             vals = list({r[kcols[0]] for r in krows})
             eq_prune = [(g[0], vals) for g in groups]
+        else:
+            # a wide multi-column batch can blow the ROW cap while its
+            # first column stays narrow (the pre-r16 _eq_prune_vals
+            # shape) — fall back to a distinct probe on that column
+            # alone before giving up on stats/bloom pruning (r16
+            # ADVICE; performance-only, both paths value-equal)
+            fvals = (keys.select(kcols[0]).distinct()
+                     .limit(_EQ_PRUNE_CAP + 1).collect())
+            if len(fvals) <= _EQ_PRUNE_CAP:
+                vals = [r[kcols[0]] for r in fvals]
+                eq_prune = [(g[0], vals) for g in groups]
         pcols = self.partition_cols()
         part_in: list[dict] | None = []
         for g in groups:
@@ -5078,8 +5122,11 @@ class AcidTable:
         prune_can_prune = part_in is not None or eq_prune is not None
         if _n != 0 and prune_can_prune:
             # Would the find pass actually SKIP anything? Decide from
-            # the manifest + sidecars alone (driver-side, no Spark
-            # job): when every live file survives both the partition
+            # the manifest + sidecars (driver-side up to 64 candidate
+            # files, one parallelize job past that; the result is
+            # memoized per version, so when pruning DOES engage the
+            # find pass reuses this sweep instead of re-running it):
+            # when every live file survives both the partition
             # tuples and the stats/bloom probe — the small-table/
             # wide-batch regime, e.g. a text micro-batch whose
             # vocabulary hashes into all 16 buckets at bench scale;

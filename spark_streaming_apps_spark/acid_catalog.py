@@ -43,6 +43,25 @@ from pyspark.sql import DataFrame, SparkSession
 from .acid import AcidTable, CommitConflict
 from .storage import crash_point, get_store
 
+#: ONE long-lived pool for multi-table commit dispatch, created
+#: lazily. Under PySpark's pinned-thread mode (default since 3.2)
+#: every Python worker thread pins a dedicated JVM thread that is NOT
+#: released when the Python thread exits — a pool per commit_multi
+#: (the previous shape) minted up to 4 fresh threads per micro-batch,
+#: so a forever-running maintainer accumulated JVM threads and py4j
+#: connections between GCs (r16 ADVICE). A module-level pool keeps
+#: the pinned-thread set bounded at 4 for the process lifetime.
+_COMMIT_POOL = None
+
+
+def _commit_pool():
+    global _COMMIT_POOL
+    if _COMMIT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _COMMIT_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="acid-commit")
+    return _COMMIT_POOL
+
 
 def _apply_writes(table_of, writes: dict[str, tuple],
                   max_retries: int) -> dict[str, int]:
@@ -64,12 +83,22 @@ def _apply_writes(table_of, writes: dict[str, tuple],
     write re-raises after the pool drains, leaving the same
     at-least-once partial state a sequential failure could."""
     if len(writes) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(4, len(writes))) as ex:
-            futs = {name: ex.submit(_apply_one, table_of(name), name,
-                                    spec, max_retries)
-                    for name, spec in writes.items()}
-            return {name: f.result() for name, f in futs.items()}
+        futs = {name: _commit_pool().submit(
+                    _apply_one, table_of(name), name, spec, max_retries)
+                for name, spec in writes.items()}
+        # drain every future before raising so a failed write can't
+        # leave siblings running unobserved (same contract as the
+        # previous with-block pool)
+        errs = []
+        out = {}
+        for name, f in futs.items():
+            try:
+                out[name] = f.result()
+            except BaseException as e:       # noqa: BLE001
+                errs.append(e)
+        if errs:
+            raise errs[0]
+        return out
     return {name: _apply_one(table_of(name), name, spec, max_retries)
             for name, spec in writes.items()}
 

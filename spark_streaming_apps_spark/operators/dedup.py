@@ -1657,9 +1657,16 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
             batch.unpersist()
 
     def _maintain_batch(batch: DataFrame, batch_id: int) -> None:
+        # ONE tiny agg over the persisted batch replaces the two
+        # isEmpty probes (delete side, insert side) — each probe was
+        # its own Spark job against the streaming floor (guide §1.2;
+        # r16 verdict item 9). Value-equal: same batch, same kinds.
+        counts = {r["_change_type"]: r["n"] for r in
+                  batch.groupBy("_change_type")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
         dels = (batch.filter(F.col("_change_type") == "delete")
                 .select("doc_id").distinct())
-        if not dels.isEmpty():
+        if counts.get("delete"):
             # retention path: retire the deleted docs' band+sig rows
             # in one FENCED linked transaction, then drop their stale
             # pairs DISTRIBUTIVELY — delete_semi keeps the deleted-id
@@ -1679,7 +1686,7 @@ def dedup_incremental_stream(spark, sf_dir: str, scratch) -> DataFrame:
                                     batch_id=batch_id)
         ins = (batch.filter(F.col("_change_type") == "insert")
                .select("doc_id", "text"))
-        if ins.isEmpty():
+        if not counts.get("insert"):
             return
         # batch_id fences the index appends (append_txn): a replayed
         # micro-batch re-commits nothing. The pairs surface is an

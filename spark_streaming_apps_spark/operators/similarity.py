@@ -480,6 +480,12 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
         w_ord = Window.partitionBy("cell").orderBy(F.desc("dot"),
                                                    "vec_id")
         engage = KNN_BAND_ENGAGE * band
+        # one exchange+sort computes ord/cnt/blk; the small and big
+        # branches below both derive from it, so ReuseExchange serves
+        # all of them from the SAME shuffle (an r17 attempt to replace
+        # the count window with a keyed agg + join measured SLOWER —
+        # 3.06->3.60 s min-of-3 — precisely because it fragmented this
+        # shared exchange into per-branch joins; kept as-is, guide §2.4)
         ordd = (assigned
                 .withColumn("dot", F.round("dot", 6))
                 .withColumn("ord", F.row_number().over(w_ord))
@@ -1867,6 +1873,17 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
             batch.unpersist()
 
     def _maintain_batch(batch: DataFrame, batch_id: int) -> None:
+        # ONE tiny agg over the persisted batch replaces the two
+        # isEmpty probes (the union probe re-ran the centroid-
+        # assignment cross-join; the delete probe was a second job) —
+        # guide §1.2, r16 verdict item 9. Value-equal: the assignment
+        # drops no rows, so the union is empty iff the batch carries
+        # neither kind.
+        counts = {r["_change_type"]: r["n"] for r in
+                  batch.groupBy("_change_type")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        if not (counts.get("delete") or counts.get("insert")):
+            return
         # assign deletes and inserts SEPARATELY: _km_assign groups by
         # vec_id, so a same-vec_id delete+insert pair (a source UPDATE
         # in one micro-batch) would collapse to one arbitrary row.
@@ -1881,25 +1898,29 @@ def ivf_incremental_index(spark, sf_dir: str, scratch,
             parts.append(_km_assign(side, cents)
                          .select("vec_id", "label", "e", "cell")
                          .withColumn("_change_type", F.lit(kind)))
-        rows = parts[0].unionByName(parts[1])
-        if rows.isEmpty():
-            return
+        # persist the ASSIGNED rows too: apply_cdf feeds ~4 actions
+        # from them (prune collect, find, rewrite, change files) and
+        # each re-ran the centroid cross-join over the cached batch
+        # otherwise — O(batch) footprint, released below (guide §5)
+        rows = (parts[0].unionByName(parts[1])
+                .persist(StorageLevel.MEMORY_AND_DISK))
         # one fenced commit per micro-batch (apply_cdf): inserts
         # append; deletes land as deletion-vector entries (the table
         # is enable_dv) — O(matched rows), no cell file rewritten; an
         # at-least-once replay commits NOTHING. Delete-carrying
-        # batches record the key's retire_sec split (telemetry.py;
-        # the isEmpty probe scans only the in-hand micro-batch).
+        # batches record the key's retire_sec split (telemetry.py).
         from contextlib import nullcontext
 
         from .. import telemetry
-        has_del = not batch.filter(
-            F.col("_change_type") == "delete").isEmpty()
+        has_del = bool(counts.get("delete"))
         ctx = (telemetry.timed("ivf_incremental_index.retire_sec")
                if has_del else nullcontext())
-        with ctx:
-            idx.apply_cdf(rows, key=["cell", "vec_id"],
-                          app_id="ivf-maint", batch_id=batch_id)
+        try:
+            with ctx:
+                idx.apply_cdf(rows, key=["cell", "vec_id"],
+                              app_id="ivf-maint", batch_id=batch_id)
+        finally:
+            rows.unpersist()
         # opt-in small-file hygiene (no-op unless the table property
         # is set): per-batch appends otherwise accumulate one file
         # per cell per batch forever

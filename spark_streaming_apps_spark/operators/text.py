@@ -1291,19 +1291,23 @@ def text_index_incremental_stream(spark, sf_dir: str, scratch,
         ch = (batch.select("doc_id", "text", "_change_type")
               .persist(StorageLevel.MEMORY_AND_DISK))
         try:
-            if ch.isEmpty():
+            # ONE tiny agg replaces the two isEmpty probes (whole
+            # batch, delete side) — each was its own Spark job against
+            # the streaming floor (guide §1.2; r16 verdict item 9)
+            counts = {r["_change_type"]: r["n"] for r in
+                      ch.groupBy("_change_type")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            if not counts:
                 return
             # ONE fenced linked transaction per micro-batch across all
             # four index tables — replays re-commit nothing anywhere.
             # Delete-carrying batches record their wall cost as the
             # key's retire_sec split (telemetry.py — bench
-            # comparability; the isEmpty probe scans only the in-hand
-            # micro-batch)
+            # comparability)
             from contextlib import nullcontext
 
             from .. import telemetry
-            has_del = not ch.filter(
-                F.col("_change_type") == "delete").isEmpty()
+            has_del = bool(counts.get("delete"))
             ctx = (telemetry.timed(
                 "text_index_incremental_stream.retire_sec")
                 if has_del else nullcontext())
