@@ -2227,7 +2227,7 @@ class AcidTable:
                     shutil.rmtree(self.path / staged[0],
                                   ignore_errors=True)
                     for r in (staged[2], staged[4]):
-                        if r:
+                        if r and isinstance(r, str):
                             shutil.rmtree(self.path / r,
                                           ignore_errors=True)
                 return None
@@ -2237,7 +2237,7 @@ class AcidTable:
                     shutil.rmtree(self.path / staged[0],
                                   ignore_errors=True)
                     for r in (staged[2], staged[4]):
-                        if r:
+                        if r and isinstance(r, str):
                             shutil.rmtree(self.path / r,
                                           ignore_errors=True)
                 # the fence must ride the fallback commit too — a
@@ -2259,7 +2259,7 @@ class AcidTable:
                 # incompatible winner: drop the staged attempt, rebuild
                 shutil.rmtree(self.path / rel0, ignore_errors=True)
                 for r in (dv_rel0, ch_rel0):
-                    if r:
+                    if r and isinstance(r, str):
                         shutil.rmtree(self.path / r, ignore_errors=True)
                 staged = None
             schema = StructType.fromJson(m["schema"])
@@ -2339,18 +2339,15 @@ class AcidTable:
             if not touched_names and empty_noop:
                 # predicate matched nothing: pure-metadata commit that
                 # shares the parent's data dir (the version still exists,
-                # so the op is observable and CDF-consistent)
-                ch_rel = (self._write_changes_pair(cur.limit(0),
-                                                   cur.limit(0))
-                          if cdf else None)
+                # so the op is observable and CDF-consistent) — the
+                # empty change set is recorded by reference, no write
                 if self._try_commit(v + 1, m["data"], m["schema"], op,
                                     txn=txn,
-                                    changes_rel=ch_rel, files=files,
+                                    changes_ref=([] if cdf else None),
+                                    files=files,
                                     dv_rel=m.get("dv"),
                                     dv_rows=m.get("dv_rows", 0)):
                     return v + 1
-                if ch_rel:
-                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
                 continue
             t_paths = [str(self.path / _entry_rel(m, f)) for f in files
                        if _entry_name(f) in touched_names]
@@ -2380,10 +2377,10 @@ class AcidTable:
                     live.coalesce(1).write.parquet(
                         str(self.path / dv_rel))
             ch_rel = None
+            ch_ref = None
             if cdf:
                 if op in self._NO_CHANGE_OPS:   # layout-only: no diff
-                    ch_rel = self._write_changes_pair(out.limit(0),
-                                                      out.limit(0))
+                    ch_ref = []     # recorded empty set, no write
                 else:
                     t_w, o_w = self._widen_for_diff(touched, out)
                     if (op.startswith("update")
@@ -2400,16 +2397,19 @@ class AcidTable:
                         ch_rel = self._write_changes_pair(
                             o_w.exceptAll(t_w), t_w.exceptAll(o_w))
             if self._try_commit(v + 1, rel, m["schema"], op, txn=txn,
-                                changes_rel=ch_rel, files=stats,
+                                changes_rel=ch_rel, changes_ref=ch_ref,
+                                files=stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
             # lost the race: the staged replacements only depend on the
-            # BASE touched files — keep them for the rebase pass
-            staged = (rel, stats, dv_rel, dv_rows, ch_rel, m)
+            # BASE touched files — keep them for the rebase pass (the
+            # ch slot carries a change-dir rel or a changes_ref list)
+            staged = (rel, stats, dv_rel, dv_rows,
+                      ch_rel if ch_rel is not None else ch_ref, m)
         if staged is not None:
             shutil.rmtree(self.path / staged[0], ignore_errors=True)
             for r in (staged[2], staged[4]):
-                if r:
+                if r and isinstance(r, str):
                     shutil.rmtree(self.path / r, ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
@@ -2491,7 +2491,13 @@ class AcidTable:
                             if _entry_name(f) not in touched_add]
         files = stats0 + un_added + extra_stats
         if self._try_commit(v + 1, rel0, m["schema"], op, txn=txn,
-                            changes_rel=ch_rel0, files=files,
+                            changes_rel=(ch_rel0 if isinstance(ch_rel0,
+                                                               str)
+                                         else None),
+                            changes_ref=(ch_rel0 if isinstance(ch_rel0,
+                                                               list)
+                                         else None),
+                            files=files,
                             dv_rel=dv_rel0, dv_rows=dv_rows0):
             self.rebase_commits = getattr(
                 self, "rebase_commits", 0) + 1
@@ -2642,17 +2648,14 @@ class AcidTable:
                 return self.delete_where(cond, max_retries=max_retries,
                                          op="delete_mor_cow")
             if n_new == 0:
-                ch_rel = (self._write_changes_pair(cur.limit(0),
-                                                   cur.limit(0))
-                          if cdf else None)
+                # matched nothing: recorded empty change set, no write
                 if self._try_commit(v + 1, m["data"], m["schema"],
-                                    "delete_mor", changes_rel=ch_rel,
+                                    "delete_mor",
+                                    changes_ref=([] if cdf else None),
                                     files=m.get("files"),
                                     dv_rel=m.get("dv"),
                                     dv_rows=m.get("dv_rows", 0)):
                     return v + 1
-                if ch_rel:
-                    shutil.rmtree(self.path / ch_rel, ignore_errors=True)
                 continue
             dv_rel = f"data/dv-{uuid.uuid4().hex}"
             # the vector holds MATCHED rows only — small by contract
@@ -3018,18 +3021,16 @@ class AcidTable:
                                              max_retries=max_retries,
                                              op="update_mor_cow")
                 if n == 0:
-                    ch_rel = (self._write_changes_pair(cur.limit(0),
-                                                       cur.limit(0))
-                              if self.cdf_enabled() else None)
+                    # matched nothing: recorded empty set, no write
                     if self._try_commit(v + 1, m["data"], m["schema"],
-                                        "update_mor", changes_rel=ch_rel,
+                                        "update_mor",
+                                        changes_ref=(
+                                            [] if self.cdf_enabled()
+                                            else None),
                                         files=m.get("files"),
                                         dv_rel=m.get("dv"),
                                         dv_rows=m.get("dv_rows", 0)):
                         return v + 1
-                    if ch_rel:
-                        shutil.rmtree(self.path / ch_rel,
-                                      ignore_errors=True)
                     continue
                 new_rows = matched.selectExpr(*[
                     f"({low[c.lower()]}) AS {c}" if c.lower() in low
@@ -3091,18 +3092,16 @@ class AcidTable:
                     "dv_rows_total": m.get("dv_rows", 0) + n_upd}
                 new_rows = new_images.unionByName(inserts)
                 if n_upd == 0 and n_ins == 0:
-                    ch_rel = (self._write_changes_pair(cur.limit(0),
-                                                       cur.limit(0))
-                              if self.cdf_enabled() else None)
+                    # matched nothing: recorded empty set, no write
                     if self._try_commit(v + 1, m["data"], m["schema"],
-                                        "merge_mor", changes_rel=ch_rel,
+                                        "merge_mor",
+                                        changes_ref=(
+                                            [] if self.cdf_enabled()
+                                            else None),
                                         files=m.get("files"),
                                         dv_rel=m.get("dv"),
                                         dv_rows=m.get("dv_rows", 0)):
                         return v + 1
-                    if ch_rel:
-                        shutil.rmtree(self.path / ch_rel,
-                                      ignore_errors=True)
                     continue
                 if self._mor_image_commit(m, cur, matched, new_rows,
                                           "merge_mor", n_upd):
@@ -3329,19 +3328,16 @@ class AcidTable:
                 if changed:
                     props = {**mprops, "column_mapping": mapping,
                              "retired_physical": sorted(retired)}
-            ch_rel = None
-            if self.cdf_enabled():        # no row changes: empty pair
-                empty = self.spark.createDataFrame([], widened)
-                ch_rel = self._write_changes_pair(empty, empty)
+            # no row changes: recorded empty change set, no write
             if self._try_commit(v + 1, m["data"], widened.jsonValue(),
-                                "add_column", changes_rel=ch_rel,
+                                "add_column",
+                                changes_ref=([] if self.cdf_enabled()
+                                             else None),
                                 props=props,
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
                 return v + 1
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up adding column after {max_retries} conflicts")
 
@@ -3390,19 +3386,15 @@ class AcidTable:
             mapping = self._mapping_at(v)
             mapping[new] = mapping.pop(old, old)   # physical is frozen
             props = {**self._props(v), "column_mapping": mapping}
-            ch_rel = None
-            if self.cdf_enabled():       # no row changes: empty pair
-                empty = self.spark.createDataFrame([], renamed)
-                ch_rel = self._write_changes_pair(empty, empty)
+            # no row changes: recorded empty change set, no write
             if self._try_commit(v + 1, m["data"], renamed.jsonValue(),
                                 "rename_column", props=props,
-                                changes_rel=ch_rel,
+                                changes_ref=([] if self.cdf_enabled()
+                                             else None),
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
                 return v + 1
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up renaming column after {max_retries} conflicts")
 
@@ -3442,18 +3434,15 @@ class AcidTable:
                           "stats": {k: s for k, s in
                                     (f.get("stats") or {}).items()
                                     if k != name}} for f in files]
-            ch_rel = None
-            if self.cdf_enabled():       # no row changes: empty pair
-                empty = self.spark.createDataFrame([], narrowed)
-                ch_rel = self._write_changes_pair(empty, empty)
+            # no row changes: recorded empty change set, no write
             if self._try_commit(v + 1, m["data"], narrowed.jsonValue(),
                                 "drop_column", props=props,
-                                changes_rel=ch_rel, files=files,
+                                changes_ref=([] if self.cdf_enabled()
+                                             else None),
+                                files=files,
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
                 return v + 1
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up dropping column after {max_retries} conflicts")
 
@@ -3504,6 +3493,7 @@ class AcidTable:
     def _try_commit(self, version: int, data_rel: str, schema,
                     op: str, txn: str | None = None,
                     changes_rel: str | None = None,
+                    changes_ref: list[str] | None = None,
                     props: dict | None = None,
                     constraints: dict | None = None,
                     files: list | None = None,
@@ -3545,6 +3535,13 @@ class AcidTable:
             manifest["txn"] = txn
         if changes_rel is not None:
             manifest["changes"] = changes_rel
+        if changes_ref is not None:
+            # CDF-BY-REFERENCE (Delta derives append-commit CDF from the
+            # added data files): the commit's change set IS the listed
+            # data files, every row an insert — no second write of the
+            # batch. [] = recorded EMPTY change set (property/layout
+            # commits), replacing a whole Spark write of an empty dir.
+            manifest["changes_ref"] = changes_ref
         if dv_rel is not None:
             manifest["dv"] = dv_rel
             manifest["dv_rows"] = dv_rows
@@ -3645,7 +3642,8 @@ class AcidTable:
                     _, s_rel, _, s_ch, _, _ = staged
                     shutil.rmtree(self.path / s_rel,
                                   ignore_errors=True)
-                    if s_ch:
+                    if s_ch and isinstance(s_ch, str):
+                        # ref lists live under s_rel: already gone
                         shutil.rmtree(self.path / s_ch,
                                       ignore_errors=True)
                 return None
@@ -3681,7 +3679,11 @@ class AcidTable:
                     files, dv_rel, dv_rows = rebased
                     if self._try_commit(
                             v + 1, rel, schema_json, op, txn=txn,
-                            changes_rel=ch_rel, files=files,
+                            changes_rel=(ch_rel if isinstance(ch_rel, str)
+                                         else None),
+                            changes_ref=(ch_rel if isinstance(ch_rel, list)
+                                         else None),
+                            files=files,
                             dv_rel=dv_rel, dv_rows=dv_rows):
                         # observability: lost races resolved WITHOUT
                         # re-staging (contention tests read this)
@@ -3693,7 +3695,7 @@ class AcidTable:
                 # removed files under a layout rebase): the staged
                 # bytes may be stale — drop them and rebuild
                 shutil.rmtree(self.path / rel, ignore_errors=True)
-                if ch_rel:
+                if ch_rel and isinstance(ch_rel, str):
                     shutil.rmtree(self.path / ch_rel, ignore_errors=True)
                 staged = None
             # pure same-schema appends take the O(delta) linked path:
@@ -3724,21 +3726,40 @@ class AcidTable:
                                                     order_by=order_by)
                 schema_json = out.schema.jsonValue()
                 dv_rel, dv_rows = None, 0
-            ch_rel = (self._write_changes(cur, None if linked else out,
-                                          op, insert_hint)
-                      if cdf else None)
+            ch_rel = ch_ref = None
+            if cdf:
+                if linked and not self._mapping_at():
+                    # CDF by reference: a linked append's change set IS
+                    # its staged files (every row an insert) — record
+                    # their paths instead of writing the batch a second
+                    # time as a change dir (Delta derives append CDF
+                    # from added files the same way). Gated off under
+                    # column mapping: data files hold PHYSICAL names,
+                    # change files logical — the readers expect logical.
+                    ch_ref = [f["path"] for f in files
+                              if f["path"].startswith(f"{rel}/")]
+                elif op in self._NO_CHANGE_OPS:
+                    # layout op: recorded EMPTY change set, no write
+                    ch_ref = []
+                else:
+                    ch_rel = self._write_changes(
+                        cur, None if linked else out, op, insert_hint)
             crash_point("after_change_files")
             if self._try_commit(v + 1, rel, schema_json, op, txn=txn,
-                                changes_rel=ch_rel, files=files,
+                                changes_rel=ch_rel, changes_ref=ch_ref,
+                                files=files,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
             if linked:
                 # lost the race, but the staged files are parent-free:
                 # keep them for the append-wins rebase next iteration
+                # (the ch slot carries either a change-dir rel or a
+                # changes_ref list — the rebase commit discriminates)
                 staged = ("append", rel,
                           [f for f in files
                            if f["path"].startswith(f"{rel}/")],
-                          ch_rel, schema_json, m)
+                          ch_rel if ch_rel is not None else ch_ref,
+                          schema_json, m)
                 continue
             if layout_op:
                 # full-rewrite of a row-preserving layout op: keep the
@@ -3747,14 +3768,15 @@ class AcidTable:
                           [f if "/" in f["path"]
                            else {**f, "path": f"{rel}/{f['path']}"}
                            for f in files],
-                          ch_rel, schema_json, m)
+                          ch_rel if ch_rel is not None else ch_ref,
+                          schema_json, m)
                 continue
             shutil.rmtree(self.path / rel, ignore_errors=True)
             if ch_rel:
                 shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         if staged is not None:
             shutil.rmtree(self.path / staged[1], ignore_errors=True)
-            if staged[3]:
+            if staged[3] and isinstance(staged[3], str):
                 shutil.rmtree(self.path / staged[3], ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
@@ -4235,12 +4257,20 @@ class AcidTable:
             # O(delta) linked append — same fast path as append()
             rel, files = self._write_data_linked(
                 newest, rows.select(*cur.columns))
-            ch_rel = (self._write_changes(cur, None, "append_txn",
-                                          insert_hint=rows)
-                      if self.cdf_enabled() else None)
+            ch_rel = ch_ref = None
+            if self.cdf_enabled():
+                if not self._mapping_at():
+                    # CDF by reference — the staged files ARE the
+                    # change set (see _commit_loop's linked path)
+                    ch_ref = [f["path"] for f in files
+                              if f["path"].startswith(f"{rel}/")]
+                else:
+                    ch_rel = self._write_changes(cur, None, "append_txn",
+                                                 insert_hint=rows)
             if self._try_commit(v + 1, rel, cur.schema.jsonValue(),
                                 op="append_txn", txn=txn,
-                                changes_rel=ch_rel, files=files,
+                                changes_rel=ch_rel, changes_ref=ch_ref,
+                                files=files,
                                 dv_rel=newest.get("dv"),
                                 dv_rows=newest.get("dv_rows", 0)):
                 return v + 1
@@ -4425,11 +4455,18 @@ class AcidTable:
             ident = nxt
 
         def recorded(m: dict):
-            """change dir path if this commit recorded its deltas."""
+            """("dir", path) / ("ref", rel paths) if this commit
+            recorded its deltas (change dir, or CDF-by-reference data
+            files — every row an insert; [] = recorded empty set)."""
+            if "changes_ref" in m:
+                refs = m["changes_ref"]
+                if all((self.path / r).exists() for r in refs):
+                    return ("ref", refs)
+                return None             # vacuumed past change retention
             if "changes" not in m:
                 return None
             p = self.path / m["changes"]
-            return p if p.is_dir() else None
+            return ("dir", p) if p.is_dir() else None
 
         # retention guard: a version serves from its recorded change
         # files, else from the (v-1, v) snapshot diff — and EVERY needed
@@ -4462,7 +4499,15 @@ class AcidTable:
             m = self._manifest(v)
             ch = recorded(m)
             if ch is not None:
-                f = self.spark.read.parquet(str(ch))
+                kind, val = ch
+                if kind == "ref":
+                    if not val:
+                        continue       # recorded empty change set
+                    f = (self.spark.read.parquet(
+                            *[str(self.path / r) for r in val])
+                         .withColumn("_change_type", F.lit("insert")))
+                else:
+                    f = self.spark.read.parquet(str(val))
                 cols = [c for c in f.columns if c != "_change_type"]
                 frames.append(f.select(
                     *cols, "_change_type",
@@ -4580,10 +4625,15 @@ class AcidTable:
         target_mapping = self._mapping_at(tv)
 
         def recorded(m: dict):
+            if "changes_ref" in m:
+                refs = m["changes_ref"]
+                if all((self.path / r).exists() for r in refs):
+                    return ("ref", refs)
+                return None
             if "changes" not in m:
                 return None
             p = self.path / m["changes"]
-            return p if p.is_dir() else None
+            return ("dir", p) if p.is_dir() else None
 
         # retention guard — identical to read_changes: every snapshot a
         # fallback diff needs must still exist
@@ -4605,8 +4655,19 @@ class AcidTable:
             mv = self._mapping_at(v)
             ch = recorded(m)
             if ch is not None:
-                f = (self.spark.read.parquet(str(ch))
-                     .withColumn("_commit_version", F.lit(v)))
+                kind, val = ch
+                if kind == "ref":
+                    if not val:
+                        continue       # recorded empty change set
+                    # ref commits are gated to mapping-free epochs at
+                    # write time, so file columns ARE logical names
+                    f = (self.spark.read.parquet(
+                            *[str(self.path / r) for r in val])
+                         .withColumn("_change_type", F.lit("insert"))
+                         .withColumn("_commit_version", F.lit(v)))
+                else:
+                    f = (self.spark.read.parquet(str(val))
+                         .withColumn("_commit_version", F.lit(v)))
                 frames.append(self._translate_to_schema(
                     f, mv, target_schema, target_mapping, extra=meta))
                 continue
@@ -4655,14 +4716,24 @@ class AcidTable:
             m = self._manifest(v)
             if "changes" in m and (self.path / m["changes"]).is_dir():
                 continue
+            if "changes_ref" in m and all(
+                    (self.path / r).exists() for r in m["changes_ref"]):
+                continue               # CDF-by-reference: recorded
             new = self.read(v)
             if m["op"] in self._NO_CHANGE_OPS:
-                ch = self._write_changes_pair(new.limit(0), new.limit(0))
-            else:
-                old = self.read(v - 1)
-                o, n = self._widen_for_diff(old, new)
-                ch = self._write_changes_pair(n.exceptAll(o),
-                                              o.exceptAll(n))
+                # row-preserving op: recorded empty set by reference
+                m.pop("changes", None)
+                m["changes_ref"] = []
+                tmp = self._manifests / f".v{v}.json.tmp"
+                tmp.write_text(json.dumps(m))
+                get_store().atomic_replace(
+                    tmp, self._manifests / f"v{v}.json")
+                done.append(v)
+                continue
+            old = self.read(v - 1)
+            o, n = self._widen_for_diff(old, new)
+            ch = self._write_changes_pair(n.exceptAll(o),
+                                          o.exceptAll(n))
             m["changes"] = ch
             tmp = self._manifests / f".v{v}.json.tmp"
             tmp.write_text(json.dumps(m))
@@ -4807,9 +4878,14 @@ class AcidTable:
         ch_from = 0 if keep_changes_last is None \
             else max(0, latest - keep_changes_last + 1)
         for v in range(ch_from, latest + 1):
-            ch = self._manifest(v).get("changes")
+            mf = self._manifest(v)
+            ch = mf.get("changes")
             if ch:
                 keep_dirs.add(ch)
+            # CDF-by-reference: the commit's change set is its added
+            # data files — they must survive snapshot vacuum exactly
+            # like recorded change dirs (the feed outlives snapshots)
+            keep_files.update(mf.get("changes_ref") or [])
         removed = []
         # EVER-REFERENCED sweep: every file/dir any manifest (retained
         # or not) has ever named. Committed history outside the keep
@@ -5503,17 +5579,18 @@ class AcidTable:
             m = self._manifest(v)
             props = dict(self._props())
             mutate(props)
-            ch_rel = (self._write_changes_pair(cur.limit(0),
-                                               cur.limit(0))
-                      if self.cdf_enabled() else None)
+            # property commits record an EMPTY change set by reference
+            # (changes_ref=[]) — a maintenance loop's per-cadence props
+            # commit otherwise paid a whole Spark write of an empty
+            # parquet dir
             if self._try_commit(v + 1, m["data"], m["schema"], op,
-                                props=props, changes_rel=ch_rel,
+                                props=props,
+                                changes_ref=([] if self.cdf_enabled()
+                                             else None),
                                 files=m.get("files"),
                                 dv_rel=m.get("dv"),
                                 dv_rows=m.get("dv_rows", 0)):
                 return v + 1
-            if ch_rel:
-                shutil.rmtree(self.path / ch_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up on {op} after {max_retries} races")
 
@@ -5679,20 +5756,18 @@ class AcidTable:
                     dv_rel = f"data/dv-{uuid.uuid4().hex}"
                     live.coalesce(1).write.parquet(
                         str(self.path / dv_rel))
-            ch_rel = (self._write_changes_pair(cur.limit(0),
-                                               cur.limit(0))
-                      if self.cdf_enabled() else None)
             self.last_optimize_stats = {"files_rewritten": len(stale),
                                         "files_carried": len(keep)}
+            # row-preserving layout op: recorded empty set, no write
             if self._try_commit(v + 1, rel, m["schema"], op,
-                                changes_rel=ch_rel,
+                                changes_ref=([] if self.cdf_enabled()
+                                             else None),
                                 files=carried + new_stats,
                                 dv_rel=dv_rel, dv_rows=dv_rows):
                 return v + 1
             shutil.rmtree(self.path / rel, ignore_errors=True)
-            for r in (dv_rel, ch_rel):
-                if r:
-                    shutil.rmtree(self.path / r, ignore_errors=True)
+            if dv_rel:
+                shutil.rmtree(self.path / dv_rel, ignore_errors=True)
         raise CommitConflict(
             f"gave up after {max_retries} conflicted commits at {self.path}")
 

@@ -558,9 +558,18 @@ class AcidStreamWriter(DataSourceStreamWriter):
                 if m.get("props") is not None:   # inherit forward
                     manifest["props"] = m["props"]
                 if _walk_props(root).get("cdf"):
-                    ch_rel = f"data/changes-{_uuid.uuid4().hex}"
-                    self._record_changes(root, ch_rel, staged)
-                    manifest["changes"] = ch_rel
+                    if not self.mapping:
+                        # CDF-by-reference (same rule as AcidTable's
+                        # linked append): the staged files ARE the
+                        # change set — no pyarrow rewrite of the batch.
+                        # Gated to mapping-free tables: data files hold
+                        # physical names, the feed serves logical.
+                        manifest["changes_ref"] = [e["path"]
+                                                   for e in new_stats]
+                    else:
+                        ch_rel = f"data/changes-{_uuid.uuid4().hex}"
+                        self._record_changes(root, ch_rel, staged)
+                        manifest["changes"] = ch_rel
                 from ..storage import crash_point
                 crash_point("sink_before_fence")
                 if get_store().create_exclusive(
@@ -784,23 +793,11 @@ class AcidStreamWriter(DataSourceStreamWriter):
             if m.get(k) is not None:
                 manifest[k] = m[k]
         if (m.get("props") or {}).get("cdf"):
-            # row-preserving op: record an EMPTY change set so the
-            # feed serves this version without a snapshot diff
-            ch_rel = f"data/changes-{_uuid.uuid4().hex}"
-            chdir = root / ch_rel
-            chdir.mkdir(parents=True)
-            base = pq.read_schema(written[0][0])
-            # change files stay LOGICAL on column-mapped tables
-            # (the _record_changes rule): rename the compacted file's
-            # physical names back before writing the empty set
-            logical = {p2: l for l, p2 in self.mapping.items()}
-            empty = pa.Table.from_arrays(
-                [pa.array([], type=f.type) for f in base]
-                + [pa.array([], type=pa.string())],
-                names=[logical.get(n, n) for n in base.names]
-                + ["_change_type"])
-            pq.write_table(empty, str(chdir / "empty.parquet"))
-            manifest["changes"] = ch_rel
+            # row-preserving op: record an EMPTY change set BY
+            # REFERENCE (changes_ref=[]) — the feed serves this version
+            # without a snapshot diff and without writing an empty
+            # parquet file
+            manifest["changes_ref"] = []
         if not get_store().create_exclusive(
                 manifests / f"v{v + 1}.json", json.dumps(manifest)):
             # lost the pointer race: abandon (next batch retries)
@@ -1258,11 +1255,21 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
         m = json.loads((Path(self.path) / "manifests"
                         / f"v{version}.json").read_text())
-        if "changes" not in m:
+        if "changes_ref" in m:
+            # CDF-by-reference: the commit's added data files ARE the
+            # change set, every row an insert ([] = recorded empty)
+            files = [Path(self.path) / r for r in m["changes_ref"]]
+            if not all(f.exists() for f in files):
+                return None            # vacuumed past change retention
+            const_ct = "insert"
+        elif "changes" not in m:
             return None
-        chdir = Path(self.path) / m["changes"]
-        if not chdir.is_dir():
-            return None
+        else:
+            chdir = Path(self.path) / m["changes"]
+            if not chdir.is_dir():
+                return None
+            files = sorted(chdir.glob("*.parquet"))
+            const_ct = None
         # the epoch's logical->physical map (inherited props walk)
         # decides which recorded column carries each declared field's
         # physical identity; a field whose identity has no source in
@@ -1270,7 +1277,7 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
         mapping_v = (_walk_props(self.path, version=version)
                      .get("column_mapping") or {})
         out = []
-        for f in sorted(chdir.glob("*.parquet")):
+        for f in files:
             tbl = pq.read_table(f)
             have = set(tbl.column_names)
             phys_to_src = {mapping_v.get(c, c): c for c in have
@@ -1281,7 +1288,8 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
                 cols.append(tbl.column(src).to_pylist()
                             if src is not None
                             else [None] * tbl.num_rows)
-            ctypes = tbl.column("_change_type").to_pylist()
+            ctypes = (const_ct,) * tbl.num_rows if const_ct \
+                else tbl.column("_change_type").to_pylist()
             for r, ct in zip(zip(*cols), ctypes):
                 out.append(r + (ct, version))
         return out
@@ -1343,11 +1351,15 @@ class AcidCdfStreamReader(SimpleDataSourceStreamReader):
 # written as N files fans out over N tasks exactly like a native scan.
 
 class CdfFileSlice(InputPartition):
-    def __init__(self, path: str, version: int, colmap=None):
+    def __init__(self, path: str, version: int, colmap=None,
+                 const_ct: str | None = None):
         self.path, self.version = path, version
         #: source column per declared field (None = no identity in
         #: this epoch: NULL), resolved driver-side at plan time
         self.colmap = colmap
+        #: constant _change_type for CDF-by-reference slices (the
+        #: file is a raw data file — no _change_type column inside)
+        self.const_ct = const_ct
 
 
 class AcidCdfParallelStreamDataSource(DataSource):
@@ -1449,16 +1461,11 @@ class AcidCdfParallelReader(DataSourceStreamReader):
         out = []
         for v in range(lo + 1, e + 1):
             m = self._manifest(v)
-            if "changes" not in m:
+            if "changes" not in m and "changes_ref" not in m:
                 raise RuntimeError(
                     f"acidtable-cdf-parallel: version {v} of {self.path} "
                     f"recorded no change files — create the table with "
                     f"enable_cdf=True")
-            chdir = Path(self.path) / m["changes"]
-            if not chdir.is_dir():
-                raise RuntimeError(
-                    f"acidtable-cdf-parallel: version {v} change files "
-                    f"were vacuumed; resume at a retained version")
             # epoch translation: which of version v's logical columns
             # (the manifest schema = the change files' columns)
             # carries each declared field's physical identity
@@ -1468,6 +1475,24 @@ class AcidCdfParallelReader(DataSourceStreamReader):
             phys_to_src = {mapping_v.get(c, c): c for c in epoch_cols}
             colmap = [phys_to_src.get(phys)
                       for _l, phys, _t in self.pa_fields]
+            if "changes_ref" in m:
+                # CDF-by-reference: one slice per referenced DATA file,
+                # _change_type synthesized as 'insert' ([] = no rows)
+                for r in m["changes_ref"]:
+                    f = Path(self.path) / r
+                    if not f.exists():
+                        raise RuntimeError(
+                            f"acidtable-cdf-parallel: version {v} "
+                            f"change files were vacuumed; resume at a "
+                            f"retained version")
+                    out.append(CdfFileSlice(str(f), v, colmap,
+                                            const_ct="insert"))
+                continue
+            chdir = Path(self.path) / m["changes"]
+            if not chdir.is_dir():
+                raise RuntimeError(
+                    f"acidtable-cdf-parallel: version {v} change files "
+                    f"were vacuumed; resume at a retained version")
             out.extend(CdfFileSlice(str(f), v, colmap)
                        for f in sorted(chdir.glob("*.parquet")))
         return out or [CdfFileSlice("", -1)]        # no-data batch
@@ -1491,7 +1516,9 @@ class AcidCdfParallelReader(DataSourceStreamReader):
                 if src is not None and src in have
                 else pa.nulls(n, patype))
             names.append(logical)
-        arrays.append(tbl.column("_change_type").combine_chunks())
+        const_ct = getattr(sl, "const_ct", None)   # pre-ref checkpoints
+        arrays.append(pa.array([const_ct] * n) if const_ct
+                      else tbl.column("_change_type").combine_chunks())
         arrays.append(pa.array([sl.version] * n, pa.int32()))
         names += ["_change_type", "_commit_version"]
         yield pa.RecordBatch.from_arrays(arrays, names=names)

@@ -701,8 +701,15 @@ def test_cdf_recorded_changes_equal_snapshot_diff(spark, tmp_path):
     scenario(rec)
     scenario(diff)
     assert rec.cdf_enabled() and not diff.cdf_enabled()
-    assert all("changes" in rec._manifest(v) for v in range(1, 5))
-    assert all("changes" not in diff._manifest(v) for v in range(1, 5))
+    # commits record deltas either as change files ("changes") or by
+    # reference to their added data files ("changes_ref" — append/
+    # layout commits, Delta's derive-CDF-from-added-files shape)
+    assert all("changes" in rec._manifest(v)
+               or "changes_ref" in rec._manifest(v)
+               for v in range(1, 5))
+    assert all("changes" not in diff._manifest(v)
+               and "changes_ref" not in diff._manifest(v)
+               for v in range(1, 5))
 
     def rows(t):
         return sorted((r.id, r.s, r.tag, r._change_type, r._commit_version)

@@ -40,6 +40,9 @@ from pathlib import Path
 sys.path.insert(0, {repo!r})
 import pyarrow as pa
 from spark_streaming_apps_spark.acid import AcidTable
+
+# multi-process contention drains: the slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 from spark_streaming_apps_spark.sources.pysource import AcidStreamWriter
 
 root = Path({root!r})

@@ -29,6 +29,9 @@ from pathlib import Path
 
 import pytest
 
+# subprocess JVM per case: the slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 from spark_streaming_apps_spark.acid import AcidTable
 from spark_streaming_apps_spark.acid_catalog import AcidCatalog
 
@@ -326,6 +329,7 @@ class RacingStore(FaultyFileStore):
                              if k != APP}}
             comp.pop("txn", None)
             comp.pop("changes", None)
+            comp.pop("changes_ref", None)
             if "files" in comp:
                 comp["files"] = [f for f in comp["files"]
                                  if not f["path"].startswith(

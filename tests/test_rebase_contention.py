@@ -22,7 +22,12 @@ import sys
 import time
 from pathlib import Path
 
+import pytest
+
 from spark_streaming_apps_spark.acid import AcidTable
+
+# multi-process contention drains: the slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 REPO = str(Path(__file__).resolve().parents[1])
 
