@@ -2,7 +2,7 @@
 
 Usage: python tools/capture_plans.py <tag-dir-suffix> <key> [<key>...]
 
-Writes plans/r16/<key>_<tag>.txt for each key (tag = 'before'/'after').
+Writes plans/$SPARK_GRAFT_PLAN_DIR (default r17)/<key>_<tag>.txt for each key (tag = 'before'/'after').
 Scenario keys execute their maintenance as a side effect of building the
 returned DataFrame; the captured plan is the plan of the DataFrame the
 driver materializes.
@@ -23,7 +23,7 @@ from spark_streaming_apps_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-OUT = ROOT / "plans" / "r16"
+OUT = ROOT / "plans" / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17")
 
 
 def main() -> None:
@@ -37,7 +37,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         (OUT / f"{key}_{tag}.txt").write_text(buf.getvalue())
-        print(f"wrote plans/r16/{key}_{tag}.txt", file=sys.stderr)
+        print(f"wrote {OUT.name}/{key}_{tag}.txt", file=sys.stderr)
 
 
 if __name__ == "__main__":
